@@ -1,0 +1,69 @@
+"""Driver simulator — drives the repo exactly the way the grading driver
+does: import __spark_entry__, build a VANILLA SparkSession (no engine
+configs — ANSI on, default TZ, default shuffle partitions), run entry() +
+every queries() entry at the given sf, and hash-compare against the DuckDB
+oracle_sql() on the same parquet.
+
+Usage: python tools/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+from pyspark.sql import SparkSession
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as e
+
+    spark = SparkSession.builder.master("local[8]").appName("driver_sim").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    from oracle_harness import assert_parity  # tests/oracle_harness.py
+
+    # smoke
+    df = e.entry(spark)
+    n = df.count()
+    print(f"entry(): {n} rows, schema={df.schema.simpleString()}")
+    assert n > 0
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    print(f"{len(qs)} queries, {len(oracles)} with oracle")
+    failed = []
+    for name, fn in sorted(qs.items()):
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+            if name in oracles:
+                odf = con.execute(oracles[name]).fetchdf()
+                assert_parity(sdf, odf, name)
+                status = f"OK    oracle-match rows={len(sdf)}"
+            else:
+                status = f"OK    rows-only   rows={len(sdf)}"
+        except Exception as ex:  # noqa: BLE001
+            status = f"FAIL  {type(ex).__name__}: {str(ex)[:300]}"
+            failed.append(name)
+        print(f"  {name:32s} {time.time() - t0:6.2f}s {status}")
+    print(f"\n{'ALL OK' if not failed else 'FAILED: ' + ', '.join(failed)}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
