@@ -1,0 +1,81 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect). The session uses the engine's scale configs (AQE on,
+shuffle partitions ~ cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from kstreams_spark import registry  # noqa: E402
+from kstreams_spark.session import get_session  # noqa: E402
+
+registry.load_all()
+
+# Headline set: the flagship pipeline + one representative per operator
+# family. Anything listed here but not (yet) registered is skipped.
+HEADLINE = [
+    "sensor_alert_pipeline",
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "agg_cube",
+    "join_orders_revenue_by_nation",
+    "join_asof_latest_order",
+    "window_topk_orders_per_customer",
+    "window_running_sum",
+    "sort_limit_topk",
+    "set_union_nations",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_token_stats",
+    "text_language_id",
+    "window_tumbling_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_session(app_name="kstreams_spark_bench", cores=cores)
+
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    # warm the JVM/codegen once so per-query times measure steady state
+    registry.QUERIES[names[0]](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = registry.QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

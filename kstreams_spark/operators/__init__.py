@@ -4,4 +4,8 @@ kstreams_spark.registry (QUERIES / ORACLES)."""
 from kstreams_spark.operators import (  # noqa: F401
     aggregate,
     core,
+    joins,
+    scalars,
+    sort_set,
+    window_funcs,
 )

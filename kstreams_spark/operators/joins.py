@@ -1,0 +1,255 @@
+"""Join operators (SURVEY.md §2.3 "joins" row): every SQL join flavor plus
+the two non-native ones (range/theta, as-of).
+
+Scale posture per query is noted inline; the general rules:
+- dimension tables (region/nation/customer at TPC-H shape) are broadcast —
+  Catalyst picks this automatically under the configured threshold, so the
+  big fact side never shuffles for the join;
+- fact-fact equi-joins shuffle on the join key; AQE handles skew;
+- the as-of join is the union+sort+last_value formulation — ONE shuffle of
+  both inputs, no row explosion, instead of a per-key join + window over
+  candidate pairs (which blows up at 100 TB);
+- the range/theta join keeps the small side literal + broadcast, so the
+  nested-loop is a map-side operation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kstreams_spark.io import load_table
+from kstreams_spark.operators._util import dsum
+from kstreams_spark.registry import query
+
+
+@query(
+    "join_orders_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_orders_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way inner join, dims broadcast: orders ⋈ customer ⋈ nation.
+
+    customer and nation are broadcast (dimension tables); the orders fact
+    never shuffles for the join — only the final tiny groupBy shuffles.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_left_order_counts",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 0) AS DOUBLE)
+             AS spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("spend"),
+        )
+    )
+
+
+@query(
+    "join_right_suppliers_per_nation",
+    oracle="""
+    SELECT n.n_name, COUNT(s.s_suppkey) AS n_suppliers
+    FROM supplier s
+    RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_right_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every nation kept, zero-supplier nations count 0."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "join_full_customer_supplier_nations",
+    oracle="""
+    WITH cc AS (SELECT c_nationkey AS nk, COUNT(*) AS c_cnt FROM customer GROUP BY 1),
+         sc AS (SELECT s_nationkey AS nk, COUNT(*) AS s_cnt FROM supplier GROUP BY 1)
+    SELECT COALESCE(cc.nk, sc.nk) AS nationkey, cc.c_cnt, sc.s_cnt
+    FROM cc FULL OUTER JOIN sc ON cc.nk = sc.nk
+    """,
+)
+def join_full_customer_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates; NULL counts where a side is absent."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cc = c.groupBy(F.col("c_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("c_cnt"))
+    sc = s.groupBy(F.col("s_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("s_cnt"))
+    return cc.join(sc, "nk", "full").select(
+        F.coalesce(cc.nk, sc.nk).alias("nationkey"), "c_cnt", "s_cnt"
+    )
+
+
+@query(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join ≡ EXISTS — no duplication of the left side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti_customers_without_events",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+    """,
+)
+def join_anti_customers_without_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join ≡ NOT EXISTS — customers with no event activity
+    (events.user_id keys into the low end of c_custkey, so this is
+    non-empty at every sf)."""
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    return c.join(ev, c.c_custkey == ev.user_id, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross_region_pairs",
+    oracle="""
+    SELECT a.r_name AS r1, b.r_name AS r2
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey <> b.r_regionkey
+    """,
+)
+def join_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (tiny × tiny only — a cross join of fact tables is a bug,
+    not a plan)."""
+    r = load_table(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("r1"), F.col("r_regionkey").alias("k1"))
+    b = r.select(F.col("r_name").alias("r2"), F.col("r_regionkey").alias("k2"))
+    return a.crossJoin(b).filter(F.col("k1") != F.col("k2")).select("r1", "r2")
+
+
+@query(
+    "join_range_price_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 1000.0), ('mid', 1000.0, 5000.0),
+             ('high', 5000.0, 100000000.0)
+    )
+    SELECT b.band, COUNT(*) AS n_orders
+    FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join against a literal band table — broadcast nested loop,
+    map-side only; the fact side never shuffles for the join."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 1000.0), ("mid", 1000.0, 5000.0), ("high", 5000.0, 1e8)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "join_asof_latest_order",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id
+      FROM events WHERE event_type IN ('error', 'click')
+    ), filled AS (
+      SELECT *,
+             last_value(click_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_err, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS asof_click_id
+      FROM tagged
+    )
+    SELECT event_id, user_id, asof_click_id
+    FROM filled WHERE is_err = 1
+    """,
+)
+def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each 'error' event, the latest 'click' by the same
+    user at-or-before its timestamp.
+
+    Implemented as the distributed as-of pattern: union both sides, ONE
+    shuffle+sort per user key, then last(ignorenulls) over an unbounded
+    preceding frame. Unlike pair-join formulations this never materializes
+    candidate pairs, so it survives 100 TB (cost = sort of |L|+|R|). The
+    name says "order" after the reference's aspiration (enrich stream
+    against latest state, SURVEY.md §2.2 stream⋈KTable); clicks play the
+    KTable side here because the fixture's orders all predate event time.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("error", "click")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_err", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn(
+        "asof_click_id", F.last("click_id", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("is_err") == 1).select(
+        "event_id", "user_id", "asof_click_id"
+    )
