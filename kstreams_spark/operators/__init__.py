@@ -4,8 +4,12 @@ kstreams_spark.registry (QUERIES / ORACLES)."""
 from kstreams_spark.operators import (  # noqa: F401
     aggregate,
     core,
+    dedup,
     joins,
+    multimodal,
     scalars,
+    similarity,
     sort_set,
+    text,
     window_funcs,
 )

@@ -1,0 +1,311 @@
+"""Deduplication operators for training-data pipelines (BASELINE.json
+north-star; SURVEY.md §2.3 "north-star LLM ops"): exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Cross-engine determinism trick: every hash in this module is md5 (identical
+hex output in Spark and DuckDB). MinHash needs only a pseudo-random total
+order per hash function, so ``min(md5(seed || shingle))`` over lexicographic
+hex IS a valid minhash — portable to any engine with md5. SimHash bits come
+from md5 hex-digit parity.
+
+Scale posture:
+- exact dedup: hash-groupBy on the full text (or md5(text) to shrink the
+  shuffle key) — one shuffle, map-side combine;
+- MinHash-LSH: per-doc signatures are a groupBy over exploded shingles
+  (shuffle ∝ corpus token count), then candidate pairs come from the
+  band-bucket equi-join — NEVER an all-pairs comparison. At 100 TB the
+  band join is the only quadratic-risk step and it is quadratic only
+  within a bucket, controlled by bands×rows tuning;
+- n-gram Jaccard / SimHash pairing is *blocked* on the `source` column —
+  an explicit blocking key keeps the pair space per-block; at 100 TB the
+  blocking key would be an LSH band, a length bucket, or a shard key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kstreams_spark.io import load_table
+from kstreams_spark.registry import query
+
+N_HASHES = 8  # minhash functions
+N_BANDS = 4  # bands of 2 hashes → candidate if any band matches
+SIM_BITS = 16  # simhash signature width
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → distinct n-gram (token) shingles, joined by single spaces."""
+    toks = F.split(F.col("text"), " ")
+    sh = F.expr(
+        f"transform(sequence(0, size(split(text, ' ')) - {n}), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+    )
+    return (
+        df.filter(F.size(toks) >= n)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, len(l) - {nm1}),
+                                 i -> array_to_string(l[i:i+{nm1}], ' '))) AS shingle
+    FROM (SELECT doc_id, str_split(text, ' ') AS l FROM documents)
+    WHERE len(l) >= {n}
+"""
+
+
+def shingles_sql(n: int = 3) -> str:
+    return _SHINGLES_SQL.format(n=n, nm1=n - 1)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text); keep the lowest doc_id.
+    Hashing first keeps the shuffle key 32 bytes instead of whole documents
+    — at 100 TB the shuffle moves hashes, not text."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({shingles_sql(3)}),
+    sized AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    blocked AS (
+      SELECT s.doc_id, s.shingle, d.source
+      FROM sh s JOIN documents d USING (doc_id)
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, COUNT(*) AS n_common
+      FROM blocked a
+      JOIN blocked b ON a.source = b.source AND a.shingle = b.shingle
+                     AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_id1, i.doc_id2, i.n_common,
+           CAST(i.n_common AS DOUBLE)
+             / (s1.n_sh + s2.n_sh - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sized s1 ON s1.doc_id = i.doc_id1
+    JOIN sized s2 ON s2.doc_id = i.doc_id2
+    WHERE CAST(i.n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - i.n_common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5, blocked on `source`.
+
+    The shingle equi-join only compares docs sharing a shingle AND a block,
+    so the pair space is bounded per block. Jaccard = |∩| / (|A|+|B|-|∩|)
+    from integer counts — bit-deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d, 3)
+    sized = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    blocked = sh.join(d.select("doc_id", "source"), "doc_id")
+    a = blocked.select(
+        F.col("doc_id").alias("doc_id1"), "shingle", F.col("source").alias("src1")
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_id2"), "shingle", F.col("source").alias("src2")
+    )
+    inter = (
+        a.join(
+            b,
+            (a.src1 == b.src2)
+            & (a.shingle == b.shingle)
+            & (a.doc_id1 < b.doc_id2),
+        )
+        .groupBy("doc_id1", "doc_id2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sized.select(F.col("doc_id").alias("doc_id1"), F.col("n_sh").alias("n1"))
+    s2 = sized.select(F.col("doc_id").alias("doc_id2"), F.col("n_sh").alias("n2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    return (
+        inter.join(s1, "doc_id1")
+        .join(s2, "doc_id2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_id1", "doc_id2", "n_common", "jaccard")
+    )
+
+
+def _minhash_band_sql() -> str:
+    mins = ",\n           ".join(
+        f"MIN(md5(concat('{i}|', shingle))) AS h{i}" for i in range(N_HASHES)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, concat(h{2 * b}, h{2 * b + 1}) AS band_val FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH sh AS ({shingles_sql(3)}),
+    sig AS (
+      SELECT doc_id,
+           {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {bands}
+    )
+    SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_band_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: 8 md5-seeded minhashes, 4 bands × 2 rows.
+
+    Pipeline: shingle → per-doc signature (ONE groupBy over exploded
+    shingles computes all 8 minhashes) → band keys → equi-join on
+    (band_id, band_val). Only docs colliding in a band are ever paired —
+    the all-pairs space is never materialized, which is what makes
+    MinHash-LSH the 100 TB near-dup algorithm."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d, 3)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(
+                    "band_val"
+                ),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("doc_id1"), "band_id", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("band_id").alias("band_id2"),
+        F.col("band_val").alias("band_val2"),
+    )
+    return (
+        a.join(
+            b,
+            (a.band_id == b.band_id2)
+            & (a.band_val == b.band_val2)
+            & (a.doc_id1 < b.doc_id2),
+        )
+        .select("doc_id1", "doc_id2")
+        .distinct()
+    )
+
+
+def _simhash_sig_exprs() -> list[F.Column]:
+    """Per-token ±1 contribution for each of SIM_BITS bits, from md5
+    hex-digit parity: bit_j(token) = hexval(md5(token)[j]) % 2."""
+    return [
+        F.expr(
+            f"sum(2 * ((instr('0123456789abcdef', substring(md5(token), {j + 1}, 1)) - 1) % 2) - 1)"
+        ).alias(f"s{j}")
+        for j in range(SIM_BITS)
+    ]
+
+
+def _simhash_sql() -> str:
+    sums = ",\n           ".join(
+        f"SUM(2 * ((instr('0123456789abcdef', substring(md5(token), {j + 1}, 1)) - 1) % 2) - 1) AS s{j}"
+        for j in range(SIM_BITS)
+    )
+    bits = " || ".join(
+        f"CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END" for j in range(SIM_BITS)
+    )
+    ham = " + ".join(
+        f"CASE WHEN substring(a.sig, {j + 1}, 1) = substring(b.sig, {j + 1}, 1) THEN 0 ELSE 1 END"
+        for j in range(SIM_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+    ),
+    sums AS (
+      SELECT doc_id, {sums}
+      FROM toks GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT s.doc_id, d.source, {bits} AS sig
+      FROM sums s JOIN documents d USING (doc_id)
+    )
+    SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, {ham} AS hamming
+    FROM sigs a
+    JOIN sigs b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE {ham} <= 3
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit signatures from md5 hex-digit parity
+    (frequency-weighted: tokens contribute once per occurrence), paired
+    within `source` blocks at Hamming distance ≤ 3.
+
+    At 100 TB the block-join would be replaced by multi-probe bucketing on
+    signature prefixes (pigeonhole: distance ≤ 3 over 4 prefix chunks →
+    at least one chunk equal), which is again an equi-join."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    sums = toks.groupBy("doc_id").agg(*_simhash_sig_exprs())
+    sig = F.concat(
+        *[
+            F.when(F.col(f"s{j}") >= 0, "1").otherwise("0")
+            for j in range(SIM_BITS)
+        ]
+    )
+    sigs = (
+        sums.withColumn("sig", sig)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "sig")
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_id1"),
+        F.col("source").alias("src1"),
+        F.col("sig").alias("sig1"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("source").alias("src2"),
+        F.col("sig").alias("sig2"),
+    )
+    hamming = sum(
+        F.when(
+            F.substring("sig1", j + 1, 1) == F.substring("sig2", j + 1, 1), 0
+        ).otherwise(1)
+        for j in range(SIM_BITS)
+    )
+    return (
+        a.join(b, (a.src1 == b.src2) & (a.doc_id1 < b.doc_id2))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_id1", "doc_id2", "hamming")
+    )

@@ -1,0 +1,281 @@
+"""Text-analysis operators for training-data pipelines (north-star):
+token statistics, quality scoring, language-ID heuristic, document
+fingerprinting, tf-idf-style term weighting.
+
+All built-in column expressions over tokenized text — no Python in the hot
+path. Each is a narrow scan → project (or one groupBy), so the 100 TB cost
+is scan-bound; the only shuffles are the tiny aggregations.
+
+Determinism: token counts and ratios are integer-derived; the only float
+ops are divisions of exact integers and constant multiplies (IEEE,
+bit-identical across engines); fingerprints are md5 (portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kstreams_spark.io import load_table
+from kstreams_spark.registry import query
+
+# tiny per-language stopword profiles for the lang-id heuristic
+LANG_PROFILES = {
+    "en": ("the", "a", "value", "row"),
+    "de": ("der", "die", "und", "dup"),
+    "es": ("el", "la", "que", "vector"),
+    "fr": ("le", "la", "et", "window"),
+    "zh": ("的", "是", "了", "merge"),
+}
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks, n_chars FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_unique,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+             AS n_token_chars,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / len(toks) AS mean_token_len,
+           n_chars
+    FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + counts: tokens, vocabulary, type/token
+    ratio, mean token length. The BPE-ish regex variant is in
+    text_bpe_token_count."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("ttr"),
+        tok_chars.cast("bigint").alias("n_token_chars"),
+        (tok_chars.cast("double") / F.size(toks)).alias("mean_token_len"),
+        "n_chars",
+    )
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+             AS n_bpe_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_chars_div4
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting the way LLM-data pipelines estimate it: a BPE-ish
+    regex split (letter runs | digit runs | single punctuation) plus the
+    chars/4 rule of thumb."""
+    d = load_table(spark, sf_dir, "documents")
+    pat = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_chars_div4"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, str_split(text, ' ') AS toks, length(text) AS n FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+             CASE WHEN len(toks) > 100 THEN 1.0
+                  ELSE CAST(len(toks) AS DOUBLE) / 100 END AS len_score,
+             CASE WHEN list_contains(toks, 'the') OR list_contains(toks, 'a')
+                  THEN 1.0 ELSE 0.0 END AS stopword_score
+      FROM t
+    )
+    SELECT doc_id, n_tokens, ttr, len_score, stopword_score,
+           0.4 * len_score + 0.3 * ttr + 0.3 * stopword_score AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality score: length saturation + type/token
+    ratio + stopword presence, linearly combined — the C4/Gopher-rule
+    shape of quality filtering, engine-portable."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    len_score = F.when(n_tokens > 100, 1.0).otherwise(
+        n_tokens.cast("double") / 100
+    )
+    stop_score = F.when(
+        F.array_contains(toks, "the") | F.array_contains(toks, "a"), 1.0
+    ).otherwise(0.0)
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        ttr.alias("ttr"),
+        len_score.alias("len_score"),
+        stop_score.alias("stopword_score"),
+        (0.4 * len_score + 0.3 * ttr + 0.3 * stop_score).alias("quality"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = LANG_PROFILES[lang]
+    hits = " + ".join(
+        f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END" for w in words
+    )
+    return f"({hits})"
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             {_lang_score_sql("en")} AS s_en,
+             {_lang_score_sql("de")} AS s_de,
+             {_lang_score_sql("es")} AS s_es,
+             {_lang_score_sql("fr")} AS s_fr,
+             {_lang_score_sql("zh")} AS s_zh
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE greatest(s_en, s_de, s_es, s_fr, s_zh)
+             WHEN s_en THEN 'en' WHEN s_de THEN 'de' WHEN s_es THEN 'es'
+             WHEN s_fr THEN 'fr' ELSE 'zh' END AS pred_lang,
+           greatest(s_en, s_de, s_es, s_fr, s_zh) AS best_score
+    FROM scored
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: score each language by profile-token
+    hits, argmax with a fixed precedence order (en>de>es>fr>zh on ties).
+    On this synthetic corpus every language shares a vocabulary, so the
+    mechanism (not the accuracy) is what's exercised."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scores = {
+        lang: sum(
+            F.when(F.array_contains(toks, w), 1).otherwise(0)
+            for w in LANG_PROFILES[lang]
+        ).alias(f"s_{lang}")
+        for lang in LANG_PROFILES
+    }
+    scored = d.select("doc_id", F.col("lang").alias("labeled_lang"), *scores.values())
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_PROFILES])
+    pred = (
+        F.when(F.col("s_en") == best, "en")
+        .when(F.col("s_de") == best, "de")
+        .when(F.col("s_es") == best, "es")
+        .when(F.col("s_fr") == best, "fr")
+        .otherwise("zh")
+    )
+    return scored.select(
+        "doc_id", "labeled_lang", pred.alias("pred_lang"), best.alias("best_score")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l) - 4),
+                                   i -> array_to_string(l[i:i+4], ' '))) AS w
+      FROM (SELECT doc_id, str_split(text, ' ') AS l FROM documents)
+      WHERE len(l) >= 5
+    ),
+    fp AS (SELECT doc_id, MIN(md5(w)) AS fingerprint FROM sh GROUP BY doc_id)
+    SELECT doc_id, fingerprint,
+           COUNT(*) OVER (PARTITION BY fingerprint) AS cluster_size
+    FROM fp
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-of-hashes over 5-gram windows (winnowing
+    collapsed to one hash) — docs sharing a fingerprint form near-dup
+    clusters. Rolling-hash semantics with an md5 window hash so the
+    oracle matches."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 5), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 5)))"
+    )
+    fp = (
+        d.filter(F.size(F.split(F.col("text"), " ")) >= 5)
+        .select("doc_id", F.explode(sh).alias("w"))
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("w")).alias("fingerprint"))
+    )
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("fingerprint"))
+        .alias("cluster_size"),
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (CAST((SELECT n_docs FROM n) AS DOUBLE) / df.df) AS tfidf
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tfidf, rk FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf·(N/df) term weighting
+    (idf without log, so the value is a ratio of exact integers — the log
+    variant is engine-libm-dependent and lives in unit tests)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
