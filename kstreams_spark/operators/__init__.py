@@ -5,6 +5,7 @@ from kstreams_spark.operators import (  # noqa: F401
     aggregate,
     core,
     dedup,
+    event_windows,
     joins,
     multimodal,
     scalars,

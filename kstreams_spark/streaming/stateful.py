@@ -1,0 +1,79 @@
+"""Custom stateful streaming operator (SURVEY.md §2.2 Processor API ↔
+applyInPandasWithState): rising-edge alert suppression.
+
+The reference fires an MQTT alert on EVERY hot reading (BME680.java:
+160-161,167-176) — a stream of "still hot" spam. This operator keeps one
+boolean per key ("was the last reading above the limit?") and emits an
+alert only on the upward crossing — the trucking-app alerting pattern the
+reference aspires to (BME680.java:46-47).
+
+State is one tiny row per key, stored in Spark's state store (HDFS- or
+RocksDB-backed at scale); the batch twin is operators/event_windows.py::
+stateful_alert_suppression (lag window), oracle-checked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("reading", T.DoubleType()),
+        T.StructField("alert", T.StringType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType([T.StructField("was_high", T.BooleanType())])
+
+
+def make_edge_alert_fn(limit: float = 75.0):
+    """Builds the applyInPandasWithState body (closure over the limit)."""
+
+    def fn(
+        key: tuple[str, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: Any,  # pyspark.sql.streaming.state.GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (was_high,) = state.get if state.exists else (False,)
+        out_rows: list[dict[str, object]] = []
+        for pdf in pdfs:
+            # within a batch, process readings in event order
+            for _, row in pdf.sort_values("ts").iterrows():
+                reading = row["reading"]
+                if reading is None or pd.isna(reading):
+                    continue  # R9 null guard: garbage casts drop, not crash
+                high = bool(reading > limit)
+                if high and not was_high:
+                    out_rows.append(
+                        {
+                            "key": key[0],
+                            "reading": float(reading),
+                            "alert": f"Temperature warning {reading:05.2f}",
+                        }
+                    )
+                was_high = high
+        state.update((was_high,))
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return fn
+
+
+def edge_alert_stream(
+    keyed_readings: DataFrame, limit: float = 75.0
+) -> DataFrame:
+    """keyed_readings: (key string, ts timestamp, reading double) stream →
+    (key, reading, alert) rows only on upward threshold crossings."""
+    return keyed_readings.groupBy("key").applyInPandasWithState(
+        make_edge_alert_fn(limit),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -1,0 +1,219 @@
+"""Streaming layer tests — broker-less: file source → memory/foreachBatch
+sinks, driven synchronously with processAllAvailable() (the
+TopologyTestDriver analog the reference never wrote, SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kstreams_spark.sources.streams import sensor_stream_from_files
+from kstreams_spark.streaming.topology import ReferenceTopology
+
+
+def _write_records(path: str, records: list[tuple[str, str]]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.json"), "w") as f:
+        for k, v in records:
+            f.write(json.dumps({"key": k, "value": v}) + "\n")
+
+
+SENSOR_RECORDS = [
+    ("k1", '{"bme680_tempf": "82.74", "uuid": "a"}'),  # JSON, hot → alert
+    ("k2", '{"bme680_tempf": "70.10", "uuid": "b"}'),  # JSON, cool
+    ("k3", " 88.5 "),  # bare scalar, hot → alert
+    ("k4", "60.0"),  # bare scalar, cool
+    ("k5", "garbage"),  # unparseable → NULL, dropped (R7 semantics)
+    ("k6", None),  # null value (R9 guard)
+]
+
+
+def test_reference_topology_two_sinks(spark, tmp_path):
+    src_dir = str(tmp_path / "stream_in")
+    _write_records(src_dir, SENSOR_RECORDS)
+
+    alerts: list[str] = []
+    forwarded: list[tuple[str, str]] = []
+
+    topo = ReferenceTopology(
+        alert_sink=alerts.extend,
+        forward_sink=lambda df: forwarded.extend(
+            (r.key, r.value) for r in df.select("key", "value").collect()
+        ),
+    )
+    q = topo.start(sensor_stream_from_files(spark, src_dir))
+    q.processAllAvailable()
+    q.stop()
+
+    # R8+R10: only hot readings alert, with the reference's format string
+    assert sorted(alerts) == [
+        "Temperature warning 82.74",
+        "Temperature warning 88.50",
+    ]
+    # R3: every record forwarded unchanged (including garbage and nulls)
+    assert len(forwarded) == len(SENSOR_RECORDS)
+    assert ("k5", "garbage") in forwarded
+    assert topo.batches_seen >= 1
+
+
+def test_tumbling_window_stream_matches_batch(spark, tmp_path, sf_dir):
+    """The streaming tumbling agg must equal the batch analog on the same
+    (fully-replayed) data — one computation, two execution modes."""
+    from kstreams_spark.io import load_table
+    from kstreams_spark.registry import QUERIES
+    from kstreams_spark.streaming.windows import tumbling_agg_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    stream_dir = str(tmp_path / "events_parquet")
+    ev.write.mode("overwrite").parquet(stream_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(stream_dir)
+    q = (
+        tumbling_agg_stream(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in QUERIES["window_tumbling_agg"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late rows behind the watermark are dropped in append mode."""
+    from pyspark.sql import types as T
+    from kstreams_spark.streaming.windows import tumbling_agg_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    d1 = str(tmp_path / "b1")
+    os.makedirs(d1)
+    with open(os.path.join(d1, "a.json"), "w") as f:
+        # batch 1: events at 10:05 and 12:00 → watermark ends up at 11:50
+        f.write(json.dumps({"ts": "2024-01-01 10:05:00", "event_type": "x", "value": 1.0}) + "\n")
+        f.write(json.dumps({"ts": "2024-01-01 12:00:00", "event_type": "x", "value": 1.0}) + "\n")
+
+    stream = spark.readStream.schema(schema).json(d1)
+    q = (
+        tumbling_agg_stream(stream, window_size="1 hour", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: a LATE event at 10:20 — behind the 11:50 watermark
+    with open(os.path.join(d1, "b.json"), "w") as f:
+        f.write(json.dumps({"ts": "2024-01-01 10:20:00", "event_type": "x", "value": 9.0}) + "\n")
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {
+        (str(r.window_start), r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM wm_out").collect()
+    }
+    # the 10:00 window was finalized with n=1; the late row did NOT reopen it
+    assert ("2024-01-01 10:00:00", 1, 1.0) in rows
+    assert not any(n == 2 for (_, n, _) in rows)
+
+
+def test_stateful_edge_alerts(spark, tmp_path):
+    """applyInPandasWithState: alerts only on upward crossings, state
+    carries across microbatches."""
+    from pyspark.sql import types as T
+    from kstreams_spark.streaming.stateful import edge_alert_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("reading", T.DoubleType()),
+        ]
+    )
+    d = str(tmp_path / "readings")
+    os.makedirs(d)
+    rows_b1 = [
+        ("k1", "2024-01-01 00:00:00", 70.0),
+        ("k1", "2024-01-01 00:01:00", 80.0),  # crossing ↑ → alert
+        ("k1", "2024-01-01 00:02:00", 85.0),  # still high → suppressed
+        ("k2", "2024-01-01 00:00:30", 90.0),  # first reading high → alert
+    ]
+    with open(os.path.join(d, "b1.json"), "w") as f:
+        for k, ts, v in rows_b1:
+            f.write(json.dumps({"key": k, "ts": ts, "reading": v}) + "\n")
+
+    stream = spark.readStream.schema(schema).json(d)
+    q = (
+        edge_alert_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("edge_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: k1 still high (suppressed), drops, then crosses again (alert)
+    rows_b2 = [
+        ("k1", "2024-01-01 00:03:00", 99.0),  # still high (state!) → suppressed
+        ("k1", "2024-01-01 00:04:00", 60.0),  # cools
+        ("k1", "2024-01-01 00:05:00", 76.0),  # crossing ↑ → alert
+    ]
+    with open(os.path.join(d, "b2.json"), "w") as f:
+        for k, ts, v in rows_b2:
+            f.write(json.dumps({"key": k, "ts": ts, "reading": v}) + "\n")
+    q.processAllAvailable()
+    q.stop()
+
+    alerts = sorted(
+        (r.key, r.reading)
+        for r in spark.sql("SELECT * FROM edge_out").collect()
+    )
+    assert alerts == [("k1", 76.0), ("k1", 80.0), ("k2", 90.0)]
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from pyspark.sql import types as T
+    from kstreams_spark.streaming.windows import watermarked_dedup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    d = str(tmp_path / "dups")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.json"), "w") as f:
+        for _ in range(3):  # exact duplicate records
+            f.write(json.dumps({"ts": "2024-01-01 00:00:00", "user_id": 1, "event_type": "click"}) + "\n")
+        f.write(json.dumps({"ts": "2024-01-01 00:01:00", "user_id": 1, "event_type": "click"}) + "\n")
+
+    stream = spark.readStream.schema(schema).json(d)
+    q = (
+        watermarked_dedup_stream(stream, keys=["user_id", "event_type"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0].n == 2
