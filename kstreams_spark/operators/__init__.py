@@ -11,6 +11,8 @@ from kstreams_spark.operators import (  # noqa: F401
     scalars,
     similarity,
     sort_set,
+    subqueries,
     text,
+    udf_surface,
     window_funcs,
 )

@@ -1,0 +1,102 @@
+"""Plan-shape assertions: the 100 TB efficiency contract, pinned in CI.
+
+These tests fail if a future change un-pushes a filter, un-broadcasts a
+dimension join, globally sorts a top-k, or adds a shuffle — the plan
+regressions that are invisible at sf0.001 and catastrophic at 100 TB.
+
+AQE is disabled for plan inspection (it hides join strategies behind
+AdaptiveSparkPlan before execution); production keeps it ON.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kstreams_spark import registry
+from kstreams_spark.plans.inspect import (
+    count_exchanges,
+    explain_str,
+    join_strategies,
+    physical_plan,
+    pushed_filters,
+    read_schemas,
+)
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def plan_spark(spark):
+    """Session with AQE off so physical join strategies are visible."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield spark
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def q(name, plan_spark, sf_dir):
+    return registry.QUERIES[name](plan_spark, sf_dir)
+
+
+def test_projection_prunes_columns(plan_spark, sf_dir):
+    schemas = read_schemas(q("scan_project", plan_spark, sf_dir))
+    assert schemas, "no file scan found"
+    # 3 of 6 event columns read; ts/user_id/props never leave the reader
+    assert "event_id" in schemas[0] and "props" not in schemas[0]
+
+
+def test_filters_are_pushed_down(plan_spark, sf_dir):
+    pushed = pushed_filters(q("filter_predicate", plan_spark, sf_dir))
+    text = " ".join(pushed)
+    assert "l_quantity" in text and "l_returnflag" in text
+
+
+def test_dimension_joins_broadcast(plan_spark, sf_dir):
+    strategies = join_strategies(
+        q("join_orders_revenue_by_nation", plan_spark, sf_dir)
+    )
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies), (
+        f"dimension joins must broadcast, got {strategies}"
+    )
+
+
+def test_range_join_is_broadcast_nested_loop(plan_spark, sf_dir):
+    strategies = join_strategies(q("join_range_price_bands", plan_spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in strategies
+
+
+def test_topk_avoids_global_sort(plan_spark, sf_dir):
+    plan = physical_plan(q("sort_limit_topk", plan_spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_agg_is_partial_then_final(plan_spark, sf_dir):
+    plan = physical_plan(q("agg_pricing_summary", plan_spark, sf_dir))
+    # two HashAggregate nodes (partial + final) around exactly one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert count_exchanges(q("agg_pricing_summary", plan_spark, sf_dir)) == 1
+
+
+def test_narrow_pipeline_has_no_shuffle(plan_spark, sf_dir):
+    """The flagship sensor pipeline is scan→project→filter — any Exchange
+    here would be a bug."""
+    assert count_exchanges(q("sensor_alert_pipeline", plan_spark, sf_dir)) == 0
+
+
+def test_whole_stage_codegen_covers_flagship(plan_spark, sf_dir):
+    text = explain_str(q("sensor_alert_pipeline", plan_spark, sf_dir), "formatted")
+    # Spark 4 formatted mode marks codegen'd operators with "[codegen id: N]"
+    # (the simple mode shows them as "*"-prefixed)
+    assert "codegen id" in text
+
+
+def test_asof_join_is_single_shuffle(plan_spark, sf_dir):
+    """The union+window as-of formulation must cost ONE shuffle (the
+    partitionBy) — not a join explosion."""
+    n = count_exchanges(q("join_asof_latest_order", plan_spark, sf_dir))
+    assert n == 1, f"as-of join should shuffle once, got {n}"
+
+
+def test_semi_join_prunes_right_columns(plan_spark, sf_dir):
+    schemas = read_schemas(q("join_semi_customers_with_orders", plan_spark, sf_dir))
+    orders_scan = [s for s in schemas if "o_custkey" in s]
+    assert orders_scan and all("o_totalprice" not in s for s in orders_scan)
