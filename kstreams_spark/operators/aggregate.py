@@ -9,7 +9,7 @@ partitions. Group-key cardinality here is tiny (≤ a few thousand), so the
 shuffle is negligible at any scale; for high-cardinality keys the same code
 path spills per-partition hash maps — no code change needed.
 
-Float determinism: aggregated doubles use exact DECIMAL(38,6) accumulation
+Float determinism: aggregated doubles use exact DECIMAL(18,6) accumulation
 (see operators/_util.py) so Spark and the DuckDB oracle agree bit-for-bit.
 """
 
@@ -27,11 +27,11 @@ from kstreams_spark.registry import query
     "agg_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
              AS sum_disc_price,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity)
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity)
              AS avg_qty,
            MIN(l_quantity) AS min_qty,
            MAX(l_quantity) AS max_qty,
@@ -70,7 +70,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            COUNT(DISTINCT o_custkey) AS n_customers,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -91,7 +91,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -108,7 +108,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -124,7 +124,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets",
     oracle="""
     SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
     """,
@@ -135,7 +135,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM _gs_events
         GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
         """
@@ -159,7 +159,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_having",
     oracle="""
     SELECT o_custkey, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
     FROM orders
     GROUP BY o_custkey
     HAVING COUNT(*) >= 12

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kstreams_spark.io import load_table
+from kstreams_spark.operators._util import spread
 from kstreams_spark.registry import query
 
 N_HASHES = 8  # minhash functions
@@ -34,18 +35,20 @@ N_BANDS = 4  # bands of 2 hashes → candidate if any band matches
 SIM_BITS = 16  # simhash signature width
 
 
-def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id → distinct n-gram (token) shingles, joined by single spaces."""
+def _shingles(df: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """doc_id → n-gram (token) shingles, joined by single spaces.
+
+    distinct=True (set semantics, needed for Jaccard counts) costs a
+    shuffle; duplicate-insensitive consumers (minhash MIN) pass False."""
     toks = F.split(F.col("text"), " ")
     sh = F.expr(
         f"transform(sequence(0, size(split(text, ' ')) - {n}), "
         f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
     )
-    return (
-        df.filter(F.size(toks) >= n)
-        .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
+    out = df.filter(F.size(toks) >= n).select(
+        "doc_id", F.explode(sh).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 _SHINGLES_SQL = """
@@ -75,7 +78,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on md5(text); keep the lowest doc_id.
     Hashing first keeps the shuffle key 32 bytes instead of whole documents
     — at 100 TB the shuffle moves hashes, not text."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.groupBy(F.md5("text").alias("text_hash")).agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
     )
@@ -112,7 +115,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shingle equi-join only compares docs sharing a shingle AND a block,
     so the pair space is bounded per block. Jaccard = |∩| / (|A|+|B|-|∩|)
     from integer counts — bit-deterministic."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     sh = _shingles(d, 3)
     sized = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     blocked = sh.join(d.select("doc_id", "source"), "doc_id")
@@ -146,9 +149,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rot_sql(col: str, i: int) -> str:
+    """Rotate a 32-char md5 hex string left by 4·i chars — the i-th hash
+    function. One md5 per shingle instead of N_HASHES md5s; rotations of a
+    uniform hash give distinct total orders, which is all minhash needs."""
+    if i == 0:
+        return col
+    return f"concat(substr({col}, {4 * i + 1}, {32 - 4 * i}), substr({col}, 1, {4 * i}))"
+
+
 def _minhash_band_sql() -> str:
     mins = ",\n           ".join(
-        f"MIN(md5(concat('{i}|', shingle))) AS h{i}" for i in range(N_HASHES)
+        f"MIN({_rot_sql('md5(shingle)', i)}) AS h{i}" for i in range(N_HASHES)
     )
     bands = "\n      UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, concat(h{2 * b}, h{2 * b + 1}) AS band_val FROM sig"
@@ -180,11 +192,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band_id, band_val). Only docs colliding in a band are ever paired —
     the all-pairs space is never materialized, which is what makes
     MinHash-LSH the 100 TB near-dup algorithm."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d, 3)
+    d = spread(load_table(spark, sf_dir, "documents"))
+    # MIN is duplicate-insensitive, so minhash needs NO distinct on
+    # (doc, shingle) — unlike the Jaccard query. Skipping it removes the
+    # pre-aggregation shuffle entirely: the plan is scan → explode →
+    # map-side partial MIN per doc → one tiny shuffle of 8 hashes per doc.
+    sh = _shingles(d, 3, distinct=False).select(
+        "doc_id", F.md5("shingle").alias("h")
+    )
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            F.min(F.expr(_rot_sql("h", i))).alias(f"h{i}")
             for i in range(N_HASHES)
         ]
     )
@@ -273,7 +291,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the block-join would be replaced by multi-probe bucketing on
     signature prefixes (pigeonhole: distance ≤ 3 over 4 prefix chunks →
     at least one chunk equal), which is again an equi-join."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     sums = toks.groupBy("doc_id").agg(*_simhash_sig_exprs())
     sig = F.concat(

@@ -27,7 +27,7 @@ from kstreams_spark.registry import query
              AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -56,7 +56,7 @@ def window_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT window_start, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM expanded
     GROUP BY window_start
     """,

@@ -28,7 +28,7 @@ from kstreams_spark.registry import query
     oracle="""
     SELECT n.n_name,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -60,7 +60,7 @@ def join_orders_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT c.c_custkey, c.c_mktsegment,
            COUNT(o.o_orderkey) AS n_orders,
-           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 0) AS DOUBLE)
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 0) AS DOUBLE)
              AS spend
     FROM customer c
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey

@@ -2,10 +2,11 @@
 `embeddings.embedding` (array<float>, dim 64).
 
 Two implementations:
-- `similarity_topk_bruteforce` — exact: explode + index equi-join +
-  decimal-exact dot products, Window-ranked top-k. O(Q·N·D) work but
-  fully distributed (the join/groupBy shuffles on (qid, cid)); this is
-  the correctness baseline and the right choice when Q is small.
+- `similarity_topk_bruteforce` — exact: index equi-join dot products,
+  Window-ranked top-k. O(Q·N·D) work but fully distributed; the query-side
+  elements and the per-vector norms are broadcast, so the only shuffle is
+  the (qid, cid) partial/final aggregation. The correctness baseline and
+  the right choice when Q is small.
 - `similarity_topk_lsh` — scale path: random-hyperplane LSH. Each vector
   gets a B-bit sign signature from pseudo-random hyperplanes (md5-derived
   ±1 components, deterministic & engine-portable); candidates must share
@@ -13,22 +14,27 @@ Two implementations:
   bucket. At 100 TB the bucket join replaces the Q·N cross product with
   per-bucket work; recall is tuned by B and multi-probe.
 
-Determinism: products of two doubles are IEEE-exact; sums go through
-DECIMAL(38,12); sqrt/div are IEEE — so Spark and DuckDB produce
-bit-identical cosines and identical rankings (ties broken by vec_id).
+Cross-engine float determinism — fixed-point BIGINT accumulation:
+each elementwise product (IEEE-exact double multiply) is scaled by 1e12
+and rounded to BIGINT (both engines round half-away-from-zero); the sums
+are then exact 64-bit integer arithmetic — order-independent, identical
+in Spark and DuckDB, and on Spark's fastest (long hash-agg) path. Sums
+stay ≤ ~2^52, so the final cast back to DOUBLE is exact.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kstreams_spark.io import load_table
+from kstreams_spark.operators._util import spread
 from kstreams_spark.registry import query
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 10
 LSH_BITS = 8
+FX = int(1e12)  # fixed-point scale for exact cross-engine sums
 
 
 def _elems(df: DataFrame, id_alias: str, val_alias: str) -> DataFrame:
@@ -39,13 +45,75 @@ def _elems(df: DataFrame, id_alias: str, val_alias: str) -> DataFrame:
     ).select(id_alias, "idx", F.col("_v").cast("double").alias(val_alias))
 
 
-_NORMS_SQL = """
+def _fx(col: Column) -> Column:
+    """double → fixed-point long at scale 1e12 (portable rounding)."""
+    return F.round(col * FX).cast("long")
+
+
+def _cosine(dot_fx: Column, nq_fx: Column, nc_fx: Column) -> Column:
+    return (dot_fx.cast("double") / FX) / F.nullif(
+        F.sqrt(nq_fx.cast("double") / FX) * F.sqrt(nc_fx.cast("double") / FX),
+        F.lit(0.0),
+    )
+
+
+_NORMS_SQL = f"""
     SELECT vec_id,
-           SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(38,12)))
-             AS norm2
+           SUM(CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * {FX}.0)
+                    AS BIGINT)) AS norm2_fx
     FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
     GROUP BY vec_id
 """
+
+_COS_SQL = f"""
+      SELECT d.qid, d.cid,
+             (CAST(d.dot_fx AS DOUBLE) / {FX})
+               / nullif(sqrt(CAST(nq.norm2_fx AS DOUBLE) / {FX})
+                        * sqrt(CAST(nc.norm2_fx AS DOUBLE) / {FX}), 0) AS cosine
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.qid
+      JOIN norms nc ON nc.vec_id = d.cid
+"""
+
+_RANK_SQL = f"""
+    SELECT qid, cid, cosine, rank FROM (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, cid) AS rank
+      FROM cos
+    ) WHERE rank <= {TOP_K}
+"""
+
+
+def _norms(emb: DataFrame) -> DataFrame:
+    return (
+        _elems(emb, "vec_id", "v")
+        .groupBy("vec_id")
+        .agg(F.sum(_fx(F.col("v") * F.col("v"))).alias("norm2_fx"))
+    )
+
+
+def _rank_topk(cos: DataFrame) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "cid", "cosine", "rank")
+    )
+
+
+def _cosines(dots: DataFrame, norms: DataFrame) -> DataFrame:
+    nq = norms.select(F.col("vec_id").alias("qid"), F.col("norm2_fx").alias("nq2"))
+    nc = norms.select(F.col("vec_id").alias("cid"), F.col("norm2_fx").alias("nc2"))
+    return (
+        dots.join(F.broadcast(nq), "qid")
+        .join(F.broadcast(nc), "cid")
+        .select(
+            "qid",
+            "cid",
+            _cosine(F.col("dot_fx"), F.col("nq2"), F.col("nc2")).alias("cosine"),
+        )
+    )
 
 
 @query(
@@ -62,69 +130,27 @@ _NORMS_SQL = """
       FROM embeddings
     ),
     dots AS (
-      SELECT q.qid, c.cid, SUM(CAST(q.qv * c.cv AS DECIMAL(38,12))) AS dot
+      SELECT q.qid, c.cid,
+             SUM(CAST(round(q.qv * c.cv * {FX}.0) AS BIGINT)) AS dot_fx
       FROM q JOIN c ON q.idx = c.idx
       GROUP BY q.qid, c.cid
     ),
     norms AS ({_NORMS_SQL}),
-    cos AS (
-      SELECT d.qid, d.cid,
-             CAST(d.dot AS DOUBLE)
-               / nullif(sqrt(CAST(nq.norm2 AS DOUBLE))
-                        * sqrt(CAST(nc.norm2 AS DOUBLE)), 0) AS cosine
-      FROM dots d
-      JOIN norms nq ON nq.vec_id = d.qid
-      JOIN norms nc ON nc.vec_id = d.cid
-    )
-    SELECT qid, cid, cosine, rank FROM (
-      SELECT qid, cid, cosine,
-             ROW_NUMBER() OVER (PARTITION BY qid
-                                ORDER BY cosine DESC, cid) AS rank
-      FROM cos
-    ) WHERE rank <= {TOP_K}
+    cos AS ({_COS_SQL})
+    {_RANK_SQL}
     """,
 )
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for query vectors (vec_id < 10) over the corpus."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     q = _elems(emb.filter(F.col("vec_id") < N_QUERIES), "qid", "qv")
     c = _elems(emb, "cid", "cv")
     dots = (
-        q.join(c, "idx")
+        c.join(F.broadcast(q), "idx")
         .groupBy("qid", "cid")
-        .agg(
-            F.sum((F.col("qv") * F.col("cv")).cast("decimal(38,12)")).alias("dot")
-        )
+        .agg(F.sum(_fx(F.col("qv") * F.col("cv"))).alias("dot_fx"))
     )
-    norms = (
-        _elems(emb, "vec_id", "v")
-        .groupBy("vec_id")
-        .agg(F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)")).alias("norm2"))
-    )
-    nq = norms.select(F.col("vec_id").alias("qid"), F.col("norm2").alias("nq2"))
-    nc = norms.select(F.col("vec_id").alias("cid"), F.col("norm2").alias("nc2"))
-    cos = (
-        dots.join(nq, "qid")
-        .join(nc, "cid")
-        .select(
-            "qid",
-            "cid",
-            (
-                F.col("dot").cast("double")
-                / F.nullif(
-                    F.sqrt(F.col("nq2").cast("double"))
-                    * F.sqrt(F.col("nc2").cast("double")),
-                    F.lit(0.0),
-                )
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
-    return (
-        cos.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("qid", "cid", "cosine", "rank")
-    )
+    return _rank_topk(_cosines(dots, _norms(emb)))
 
 
 def _plane_component_sql(p: int) -> str:
@@ -136,11 +162,9 @@ def _plane_component_sql(p: int) -> str:
 
 
 def _lsh_sig_sql() -> str:
-    # decimal-exact projection sums so the sign (the signature bit) is
-    # order-independent and engine-portable
     bits = " || ".join(
-        f"""CASE WHEN SUM(CAST(CAST(v AS DOUBLE) * {_plane_component_sql(p)}
-                            AS DECIMAL(38,12))) >= 0
+        f"""CASE WHEN SUM(CAST(round(CAST(v AS DOUBLE) * {_plane_component_sql(p)}
+                            * {FX}.0) AS BIGINT)) >= 0
              THEN '1' ELSE '0' END"""
         for p in range(LSH_BITS)
     )
@@ -174,27 +198,15 @@ def _lsh_sig_sql() -> str:
       WHERE vec_id IN (SELECT DISTINCT cid FROM cand)
     ),
     dots AS (
-      SELECT q.qid, c.cid, SUM(CAST(q.qv * c.cv AS DECIMAL(38,12))) AS dot
+      SELECT q.qid, c.cid,
+             SUM(CAST(round(q.qv * c.cv * {FX}.0) AS BIGINT)) AS dot_fx
       FROM q JOIN c ON q.idx = c.idx
       JOIN cand ON cand.qid = q.qid AND cand.cid = c.cid
       GROUP BY q.qid, c.cid
     ),
     norms AS ({_NORMS_SQL}),
-    cos AS (
-      SELECT d.qid, d.cid,
-             CAST(d.dot AS DOUBLE)
-               / nullif(sqrt(CAST(nq.norm2 AS DOUBLE))
-                        * sqrt(CAST(nc.norm2 AS DOUBLE)), 0) AS cosine
-      FROM dots d
-      JOIN norms nq ON nq.vec_id = d.qid
-      JOIN norms nc ON nc.vec_id = d.cid
-    )
-    SELECT qid, cid, cosine, rank FROM (
-      SELECT qid, cid, cosine,
-             ROW_NUMBER() OVER (PARTITION BY qid
-                                ORDER BY cosine DESC, cid) AS rank
-      FROM cos
-    ) WHERE rank <= {TOP_K}
+    cos AS ({_COS_SQL})
+    {_RANK_SQL}
     """,
 )
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,7 +214,7 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine re-ranks only within the query's bucket. Approximate by design —
     the oracle implements the SAME approximation, so results still
     hash-match. Recall vs the exact query is measured in tests."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     elems = _elems(emb, "vec_id", "v")
 
     def plane(p: int) -> F.Column:
@@ -216,9 +228,7 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = elems.groupBy("vec_id").agg(
         *[
-            F.when(
-                F.sum((F.col("v") * plane(p)).cast("decimal(38,12)")) >= 0, "1"
-            )
+            F.when(F.sum(_fx(F.col("v") * plane(p))) >= 0, "1")
             .otherwise("0")
             .alias(f"b{p}")
             for p in range(LSH_BITS)
@@ -234,39 +244,11 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid")
     )
     q = _elems(emb.filter(F.col("vec_id") < N_QUERIES), "qid", "qv")
-    c = _elems(emb, "cid", "cv").join(
-        cand.select("cid").distinct(), "cid"
-    )
+    c = _elems(emb, "cid", "cv").join(cand.select("cid").distinct(), "cid")
     dots = (
-        q.join(c, "idx")
-        .join(cand, ["qid", "cid"])
+        c.join(F.broadcast(q), "idx")
+        .join(F.broadcast(cand), ["qid", "cid"])
         .groupBy("qid", "cid")
-        .agg(F.sum((F.col("qv") * F.col("cv")).cast("decimal(38,12)")).alias("dot"))
+        .agg(F.sum(_fx(F.col("qv") * F.col("cv"))).alias("dot_fx"))
     )
-    norms = elems.groupBy("vec_id").agg(
-        F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)")).alias("norm2")
-    )
-    nq = norms.select(F.col("vec_id").alias("qid"), F.col("norm2").alias("nq2"))
-    nc = norms.select(F.col("vec_id").alias("cid"), F.col("norm2").alias("nc2"))
-    cos = (
-        dots.join(nq, "qid")
-        .join(nc, "cid")
-        .select(
-            "qid",
-            "cid",
-            (
-                F.col("dot").cast("double")
-                / F.nullif(
-                    F.sqrt(F.col("nq2").cast("double"))
-                    * F.sqrt(F.col("nc2").cast("double")),
-                    F.lit(0.0),
-                )
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
-    return (
-        cos.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("qid", "cid", "cosine", "rank")
-    )
+    return _rank_topk(_cosines(dots, _norms(emb)))

@@ -23,7 +23,7 @@ from kstreams_spark.registry import query
     SELECT o_orderkey, o_totalprice
     FROM orders
     WHERE o_totalprice >
-      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
               / COUNT(o_totalprice) * 1.5
        FROM orders)
     """,
@@ -37,7 +37,7 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, o_totalprice
         FROM orders
         WHERE o_totalprice >
-          (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+          (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                   / COUNT(o_totalprice) * 1.5
            FROM orders)
         """
@@ -95,10 +95,10 @@ def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(SUM(CASE WHEN l_linestatus = 'O'
-                         THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE)
+                         THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE)
              AS O,
            CAST(SUM(CASE WHEN l_linestatus = 'F'
-                         THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE)
+                         THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE)
              AS F
     FROM lineitem GROUP BY l_returnflag
     """,

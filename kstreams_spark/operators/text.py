@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kstreams_spark.io import load_table
+from kstreams_spark.operators._util import spread
 from kstreams_spark.registry import query
 
 # tiny per-language stopword profiles for the lang-id heuristic
@@ -49,7 +50,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokenization + counts: tokens, vocabulary, type/token
     ratio, mean token length. The BPE-ish regex variant is in
     text_bpe_token_count."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     tok_chars = F.aggregate(
         F.transform(toks, lambda x: F.length(x)),
@@ -83,7 +84,7 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting the way LLM-data pipelines estimate it: a BPE-ish
     regex split (letter runs | digit runs | single punctuation) plus the
     chars/4 rule of thumb."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     pat = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
     return d.select(
         "doc_id",
@@ -119,7 +120,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document-quality score: length saturation + type/token
     ratio + stopword presence, linearly combined — the C4/Gopher-rule
     shape of quality filtering, engine-portable."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks)
     ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
@@ -173,7 +174,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits, argmax with a fixed precedence order (en>de>es>fr>zh on ties).
     On this synthetic corpus every language shares a vocabulary, so the
     mechanism (not the accuracy) is what's exercised."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     scores = {
         lang: sum(
@@ -217,7 +218,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed to one hash) — docs sharing a fingerprint form near-dup
     clusters. Rolling-hash semantics with an md5 window hash so the
     oracle matches."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     sh = F.expr(
         "transform(sequence(0, size(split(text, ' ')) - 5), "
         "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 5)))"
@@ -263,7 +264,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by tf·(N/df) term weighting
     (idf without log, so the value is a ratio of exact integers — the log
     variant is engine-libm-dependent and lives in unit tests)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))

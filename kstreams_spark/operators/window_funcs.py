@@ -83,7 +83,7 @@ def window_rank_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS running_spend
@@ -101,7 +101,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
         .over(w)
         .cast("double")
         .alias("running_spend"),

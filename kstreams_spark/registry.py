@@ -11,7 +11,7 @@ records a weaker rows-only check). ``__spark_entry__.queries()`` /
 
 Determinism rules (so the driver's order-insensitive value hash matches):
 - every computed column is aliased identically in Spark and SQL;
-- aggregated doubles go through exact DECIMAL(38,6) arithmetic and are cast
+- aggregated doubles go through exact DECIMAL(18,6) arithmetic and are cast
   back to DOUBLE (float summation order differs between engines otherwise);
 - LIMIT/top-k queries always carry a total order with a unique tie-break key;
 - string casts use try_cast on both sides (NULL-on-garbage, SURVEY §2.1 R7).
