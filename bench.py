@@ -40,9 +40,12 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
     "text_token_stats",
     "text_language_id",
     "window_tumbling_agg",
+    "composite_shipping_priority",
+    "composite_local_supplier_volume",
 ]
 
 

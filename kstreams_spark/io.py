@@ -52,3 +52,34 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for the SQL API path)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 32
+) -> None:
+    """Persist a table bucketed (and sorted) by a join/agg key so later
+    joins and aggregations on that key are co-located — Catalyst drops the
+    Exchange on both sides when bucket counts match (SCALE.md: the way to
+    delete the shuffle from a repeatedly-joined 100 TB fact table).
+
+    Uses saveAsTable (bucketing metadata lives in the session catalog);
+    requires a writable spark.sql.warehouse.dir.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Multimodal raw-media reader: spark.read.format('binaryFile') →
+    (path, modificationTime, length, content binary). The scan path for
+    image/audio/video payloads referenced by columns like the reference's
+    imgname (BME680.java:117)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )

@@ -3,10 +3,12 @@ kstreams_spark.registry (QUERIES / ORACLES)."""
 
 from kstreams_spark.operators import (  # noqa: F401
     aggregate,
+    composite,
     core,
     dedup,
     event_windows,
     joins,
+    json_funcs,
     multimodal,
     scalars,
     similarity,

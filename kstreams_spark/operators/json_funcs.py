@@ -1,0 +1,86 @@
+"""JSON function battery (SURVEY.md §2.3 "json" row): get_json_object is
+exercised by the flagship; this adds json_tuple, from_json→field access,
+and to_json round-tripping.
+
+Oracle notes: DuckDB builds JSON with to_json(struct_pack(...)) — key
+order follows construction order in both engines and neither emits
+whitespace, so the strings compare equal as long as values are int/string
+(double rendering differs between engines and is kept out of to_json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kstreams_spark.io import load_table
+from kstreams_spark.registry import query
+
+
+@query(
+    "json_tuple_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    """,
+)
+def json_tuple_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_tuple: multi-field extraction in one pass (one parse per row,
+    vs one per get_json_object call) — the cheap way to pull several
+    fields from 100 TB of raw JSON."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.json_tuple(F.col("props"), "k", "missing").alias("k", "missing")
+    )
+
+
+@query(
+    "from_json_typed",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled
+    FROM events
+    """,
+)
+def from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an explicit schema → typed struct column (the
+    schema-on-read → fixed-schema path the reference only aspired to,
+    BME680.java:41-44)."""
+    ev = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = F.from_json(F.col("props"), schema)
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k_typed"),
+        (parsed["k"] * 2).alias("k_doubled"),
+    )
+
+
+@query(
+    "to_json_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(to_json(struct_pack(id := event_id, et := event_type)) AS VARCHAR)
+             AS packed,
+           json_extract_string(
+             CAST(to_json(struct_pack(id := event_id, et := event_type)) AS VARCHAR),
+             '$.et') AS et_back
+    FROM events WHERE event_id < 200
+    """,
+)
+def to_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json(struct(...)) serialization + re-extraction — the write side
+    of the JSON surface (what a Kafka producer of enriched records emits)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    packed = F.to_json(
+        F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("et"))
+    )
+    return ev.select(
+        "event_id",
+        packed.alias("packed"),
+        F.get_json_object(packed, "$.et").alias("et_back"),
+    )

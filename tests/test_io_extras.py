@@ -1,0 +1,88 @@
+"""IO extras: bucketed tables (co-located joins), binaryFile reader
+(multimodal scan path), observe() metrics (the declarative version of the
+reference's per-record debug logging, R16), console/memory sinks."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kstreams_spark.io import load_table, read_binary_files, write_bucketed
+from kstreams_spark.plans.inspect import count_exchanges
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must join with ZERO shuffle
+    exchanges — the SCALE.md recipe for repeatedly-joined fact tables."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer")
+        write_bucketed(o, "orders_b", "o_custkey", 8)
+        write_bucketed(
+            c.withColumnRenamed("c_custkey", "o_custkey"), "customer_b", "o_custkey", 8
+        )
+        ob = spark.table("orders_b")
+        cb = spark.table("customer_b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = ob.join(cb, "o_custkey")
+        assert count_exchanges(joined) == 0, joined._jdf.queryExecution().toString()
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_binary_file_reader(spark, tmp_path):
+    d = str(tmp_path / "media")
+    os.makedirs(d)
+    payloads = {"a.img": b"\x89fakepng" * 10, "b.img": b"RIFFfakewav" * 5}
+    for name, content in payloads.items():
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(content)
+    df = read_binary_files(spark, d, "*.img")
+    rows = {os.path.basename(r.path): r for r in df.collect()}
+    assert set(rows) == set(payloads)
+    assert bytes(rows["a.img"].content) == payloads["a.img"]
+    assert rows["b.img"].length == len(payloads["b.img"])
+
+
+def test_observe_metrics(spark, sf_dir):
+    """df.observe(): pipeline metrics without a second pass — replaces the
+    reference's per-record log lines (BME680.java:137,164)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("alerts")
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("value") > 300.0).cast("int")).alias("n_hot"),
+    ).filter(F.col("value") > 300.0)
+    n_hot = df.count()
+    assert obs.get["n_rows"] == ev.count()
+    assert obs.get["n_hot"] == n_hot
+
+
+def test_console_sink_runs(spark, tmp_path):
+    """Console sink (debug topology tail) accepts a full streaming query."""
+    import json
+
+    d = str(tmp_path / "console_in")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.json"), "w") as f:
+        f.write(json.dumps({"key": "k", "value": "77.7"}) + "\n")
+    from kstreams_spark.sources.streams import sensor_stream_from_files
+
+    q = (
+        sensor_stream_from_files(spark, d)
+        .writeStream.format("console")
+        .option("truncate", "false")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
