@@ -12,6 +12,7 @@ from kstreams_spark.operators import (  # noqa: F401
     multimodal,
     scalars,
     similarity,
+    skew,
     sort_set,
     subqueries,
     text,

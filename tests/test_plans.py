@@ -11,6 +11,7 @@ AdaptiveSparkPlan before execution); production keeps it ON.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from kstreams_spark import registry
 from kstreams_spark.plans.inspect import (
@@ -100,3 +101,31 @@ def test_semi_join_prunes_right_columns(plan_spark, sf_dir):
     schemas = read_schemas(q("join_semi_customers_with_orders", plan_spark, sf_dir))
     orders_scan = [s for s in schemas if "o_custkey" in s]
     assert orders_scan and all("o_totalprice" not in s for s in orders_scan)
+
+
+def test_sort_within_partitions_no_exchange(plan_spark, sf_dir):
+    """sortWithinPartitions = partition-local sort, no shuffle — the
+    cheap pre-sort for downstream merge-consumers."""
+    from kstreams_spark.io import load_table
+
+    li = load_table(plan_spark, sf_dir, "lineitem").sortWithinPartitions(
+        "l_shipdate"
+    )
+    assert count_exchanges(li) == 0
+    assert "Sort" in physical_plan(li)
+
+
+def test_partition_pruning(plan_spark, sf_dir, tmp_path):
+    """A lake partitioned by a filter column scans only matching
+    partitions (PartitionFilters in the scan node) — the first line of
+    defense at 100 TB: IO never happens for pruned partitions."""
+    from kstreams_spark.io import load_table
+
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(plan_spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    pruned = plan_spark.read.parquet(out).filter(F.col("event_type") == "error")
+    text = explain_str(pruned, "formatted")
+    assert "PartitionFilters" in text and "event_type" in text
+    n_err = pruned.count()
+    assert n_err == ev.filter(F.col("event_type") == "error").count()

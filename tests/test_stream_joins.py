@@ -1,0 +1,105 @@
+"""Stream-stream interval join + rate source tests (SURVEY.md §2.2
+stream⋈stream; §2.1 R1 synthetic-load source)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from kstreams_spark.streaming.joins import interval_join_stream
+
+
+def _write(d: str, rows: list[dict]) -> None:
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "part.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_interval_join_matches_within_window(spark, tmp_path):
+    err_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("l_ts", T.TimestampType()),
+            T.StructField("error_id", T.LongType()),
+        ]
+    )
+    click_schema = T.StructType(
+        [
+            T.StructField("r_user_id", T.LongType()),
+            T.StructField("r_ts", T.TimestampType()),
+            T.StructField("click_id", T.LongType()),
+        ]
+    )
+    d1, d2 = str(tmp_path / "errors"), str(tmp_path / "clicks")
+    _write(
+        d1,
+        [
+            {"user_id": 1, "l_ts": "2024-01-01 10:30:00", "error_id": 100},
+            {"user_id": 2, "l_ts": "2024-01-01 10:30:00", "error_id": 200},
+        ],
+    )
+    _write(
+        d2,
+        [
+            # in window (10:20-10:30 for user 1)
+            {"r_user_id": 1, "r_ts": "2024-01-01 10:25:00", "click_id": 11},
+            {"r_user_id": 1, "r_ts": "2024-01-01 10:29:00", "click_id": 12},
+            # out of window (too early)
+            {"r_user_id": 1, "r_ts": "2024-01-01 10:05:00", "click_id": 13},
+            # after the error (not "before" semantics)
+            {"r_user_id": 1, "r_ts": "2024-01-01 10:31:00", "click_id": 14},
+            # wrong user
+            {"r_user_id": 3, "r_ts": "2024-01-01 10:29:00", "click_id": 15},
+        ],
+    )
+    errors = spark.readStream.schema(err_schema).json(d1)
+    clicks = spark.readStream.schema(click_schema).json(d2)
+    joined = interval_join_stream(errors, clicks, window="10 minutes")
+    q = (
+        joined.select("error_id", "click_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sj_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.error_id, r.click_id) for r in spark.sql("SELECT * FROM sj_out").collect()
+    }
+    assert got == {(100, 11), (100, 12)}
+
+
+def test_rate_stream_produces_dual_format(spark):
+    """The synthetic rate source emits the reference's wire format
+    (JSON / bare-scalar mix) — run one micro-batch and check both shapes
+    flow through the alert pipeline."""
+    from kstreams_spark.functions.sensor import temperature_alerts
+    from kstreams_spark.sources.streams import rate_stream
+
+    src = rate_stream(spark, rows_per_second=500)
+    alerts = temperature_alerts(src, value_col="value")
+    q = (
+        alerts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_out")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) AS n FROM rate_out").collect()[0].n
+            if n > 0:
+                break
+            time.sleep(1)
+        rows = spark.sql("SELECT * FROM rate_out LIMIT 50").collect()
+        assert rows, "rate stream produced no alerts in 30s"
+        assert all(r.alert.startswith("Temperature warning ") for r in rows)
+        assert all(r.reading > 75.0 for r in rows)
+    finally:
+        q.stop()
