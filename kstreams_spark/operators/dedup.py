@@ -41,13 +41,16 @@ def _shingles(df: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
     distinct=True (set semantics, needed for Jaccard counts) costs a
     shuffle; duplicate-insensitive consumers (minhash MIN) pass False."""
     toks = F.split(F.col("text"), " ")
-    sh = F.expr(
-        f"transform(sequence(0, size(split(text, ' ')) - {n}), "
-        f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+    # project the token array ONCE (the inline form re-splits text for
+    # size() and for each slice inside the transform lambda)
+    with_toks = df.select("doc_id", toks.alias("toks")).filter(
+        F.size(F.col("toks")) >= n
     )
-    out = df.filter(F.size(toks) >= n).select(
-        "doc_id", F.explode(sh).alias("shingle")
+    sh_from_toks = F.expr(
+        f"transform(sequence(0, size(toks) - {n}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {n})))"
     )
+    out = with_toks.select("doc_id", F.explode(sh_from_toks).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -78,7 +81,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on md5(text); keep the lowest doc_id.
     Hashing first keeps the shuffle key 32 bytes instead of whole documents
     — at 100 TB the shuffle moves hashes, not text."""
-    d = spread(load_table(spark, sf_dir, "documents"))
+    d = load_table(spark, sf_dir, "documents")  # one md5/row: no spread needed
     return d.groupBy(F.md5("text").alias("text_hash")).agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
     )
