@@ -10,6 +10,7 @@ from kstreams_spark.operators import (  # noqa: F401
     joins,
     json_funcs,
     multimodal,
+    scalar_extras,
     scalars,
     similarity,
     skew,

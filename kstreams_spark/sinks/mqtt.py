@@ -89,3 +89,26 @@ class MqttAlertSink:
             if callable(disconnect):
                 disconnect()
             self._client = None
+
+
+def publish_partitions(df, sink_factory, alert_col: str = "alert") -> None:
+    """Executor-side publishing: one MQTT client per PARTITION TASK, built
+    inside the worker (never serialized from the driver). Use from a
+    foreachBatch body when the alert volume is too large to collect:
+
+        def on_batch(batch_df, epoch_id):
+            alerts = temperature_alerts(batch_df)
+            publish_partitions(alerts, lambda: MqttAlertSink(broker_url=...))
+
+    sink_factory must be picklable (a top-level function / functools
+    partial, not a closure over live clients). QoS-0 retained delivery
+    keeps per-partition retries idempotent."""
+
+    def per_partition(rows) -> None:
+        sink = sink_factory()
+        try:
+            sink.publish_all(r[alert_col] for r in rows)
+        finally:
+            sink.close()
+
+    df.foreachPartition(per_partition)
