@@ -37,17 +37,25 @@ LSH_BITS = 8
 FX = int(1e12)  # fixed-point scale for exact cross-engine sums
 
 
-def _elems(df: DataFrame, id_alias: str, val_alias: str) -> DataFrame:
-    """(vec_id, idx, value_as_double) — posexplode of the embedding array."""
-    return df.select(
-        F.col("vec_id").alias(id_alias),
-        F.posexplode("embedding").alias("idx", "_v"),
-    ).select(id_alias, "idx", F.col("_v").cast("double").alias(val_alias))
-
-
 def _fx(col: Column) -> Column:
     """double → fixed-point long at scale 1e12 (portable rounding)."""
     return F.round(col * FX).cast("long")
+
+
+def _fx_dot(a: Column | str, b: Column | str) -> Column:
+    """Per-ROW fixed-point dot product: zip_with the two arrays, fold the
+    long terms. Long addition is exactly associative, so the fold order
+    doesn't matter and the value equals the oracle's SUM-over-unnest —
+    no explode, no join on element index, no aggregation shuffle."""
+    prods = F.zip_with(
+        a, b, lambda x, y: _fx(x.cast("double") * y.cast("double"))
+    )
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _fx_norm2(a: Column | str) -> Column:
+    sq = F.transform(a, lambda x: _fx(x.cast("double") * x.cast("double")))
+    return F.aggregate(sq, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def _cosine(dot_fx: Column, nq_fx: Column, nc_fx: Column) -> Column:
@@ -85,34 +93,12 @@ _RANK_SQL = f"""
 """
 
 
-def _norms(emb: DataFrame) -> DataFrame:
-    return (
-        _elems(emb, "vec_id", "v")
-        .groupBy("vec_id")
-        .agg(F.sum(_fx(F.col("v") * F.col("v"))).alias("norm2_fx"))
-    )
-
-
 def _rank_topk(cos: DataFrame) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
         cos.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "cid", "cosine", "rank")
-    )
-
-
-def _cosines(dots: DataFrame, norms: DataFrame) -> DataFrame:
-    nq = norms.select(F.col("vec_id").alias("qid"), F.col("norm2_fx").alias("nq2"))
-    nc = norms.select(F.col("vec_id").alias("cid"), F.col("norm2_fx").alias("nc2"))
-    return (
-        dots.join(F.broadcast(nq), "qid")
-        .join(F.broadcast(nc), "cid")
-        .select(
-            "qid",
-            "cid",
-            _cosine(F.col("dot_fx"), F.col("nq2"), F.col("nc2")).alias("cosine"),
-        )
     )
 
 
@@ -141,16 +127,44 @@ def _cosines(dots: DataFrame, norms: DataFrame) -> DataFrame:
     """,
 )
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 for query vectors (vec_id < 10) over the corpus."""
+    """Exact cosine top-10 for query vectors (vec_id < 10) over the corpus.
+
+    Plan: candidates × broadcast(queries) cross join → per-row zip_with
+    dot + per-row norms → window top-k. The ONLY shuffle is the top-k
+    window on qid; everything else is a codegen'd map over N·Q rows."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    q = _elems(emb.filter(F.col("vec_id") < N_QUERIES), "qid", "qv")
-    c = _elems(emb, "cid", "cv")
-    dots = (
-        c.join(F.broadcast(q), "idx")
-        .groupBy("qid", "cid")
-        .agg(F.sum(_fx(F.col("qv") * F.col("cv"))).alias("dot_fx"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        _fx_norm2("embedding").alias("nq2"),
     )
-    return _rank_topk(_cosines(dots, _norms(emb)))
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        _fx_norm2("embedding").alias("nc2"),
+    )
+    cos = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "cid",
+        _cosine(_fx_dot("c_emb", "q_emb"), F.col("nq2"), F.col("nc2")).alias(
+            "cosine"
+        ),
+    )
+    return _rank_topk(cos)
+
+
+def _plane_components(p: int) -> list[int]:
+    """The ±1 hyperplane components, precomputed driver-side with hashlib —
+    md5 is md5, so these literals equal what the oracle computes with
+    DuckDB's md5() at runtime (index is 1-based to match
+    generate_subscripts). 64·8 md5s happen ONCE at plan build instead of
+    per row."""
+    import hashlib
+
+    return [
+        2 * (int(hashlib.md5(f"plane{p}_{i}".encode()).hexdigest()[0], 16) % 2) - 1
+        for i in range(1, 65)
+    ]
 
 
 def _plane_component_sql(p: int) -> str:
@@ -213,42 +227,51 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k: 8-bit random-hyperplane signatures bucket the corpus; exact
     cosine re-ranks only within the query's bucket. Approximate by design —
     the oracle implements the SAME approximation, so results still
-    hash-match. Recall vs the exact query is measured in tests."""
+    hash-match. Recall vs the exact query is measured in tests.
+
+    Plan: signatures are per-row zip_with folds against literal plane
+    arrays (no explode/groupBy, no runtime hashing); candidates come from
+    the signature self-join (query side broadcast); re-rank is the same
+    per-row dot as the brute-force path, only over bucket-mates."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    elems = _elems(emb, "vec_id", "v")
 
-    def plane(p: int) -> F.Column:
-        # Spark's posexplode idx is 0-based (DuckDB's generate_subscripts is
-        # 1-based) and Spark needs STRING where DuckDB writes VARCHAR
-        return F.expr(
-            _plane_component_sql(p)
-            .replace("idx", "(idx + 1)")
-            .replace("VARCHAR", "STRING")
+    def sig_bit(p: int) -> Column:
+        plane = F.array(*[F.lit(v) for v in _plane_components(p)])
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), plane, lambda v, pc: _fx(v.cast("double") * pc)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
+        return F.when(proj >= 0, "1").otherwise("0")
 
-    sigs = elems.groupBy("vec_id").agg(
-        *[
-            F.when(F.sum(_fx(F.col("v") * plane(p))) >= 0, "1")
-            .otherwise("0")
-            .alias(f"b{p}")
-            for p in range(LSH_BITS)
-        ]
+    sigs = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        _fx_norm2("embedding").alias("norm2"),
+        F.concat(*[sig_bit(p) for p in range(LSH_BITS)]).alias("sig"),
     )
-    sigs = sigs.select(
-        "vec_id", F.concat(*[F.col(f"b{p}") for p in range(LSH_BITS)]).alias("sig")
+    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("nq2"),
+        "sig",
     )
-    cand = (
-        sigs.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("qid"), "sig")
-        .join(sigs.select(F.col("vec_id").alias("cid"), "sig"), "sig")
-        .select("qid", "cid")
+    cos = (
+        sigs.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm2").alias("nc2"),
+            "sig",
+        )
+        .join(F.broadcast(q), "sig")
+        .select(
+            "qid",
+            "cid",
+            _cosine(_fx_dot("c_emb", "q_emb"), F.col("nq2"), F.col("nc2")).alias(
+                "cosine"
+            ),
+        )
     )
-    q = _elems(emb.filter(F.col("vec_id") < N_QUERIES), "qid", "qv")
-    c = _elems(emb, "cid", "cv").join(cand.select("cid").distinct(), "cid")
-    dots = (
-        c.join(F.broadcast(q), "idx")
-        .join(F.broadcast(cand), ["qid", "cid"])
-        .groupBy("qid", "cid")
-        .agg(F.sum(_fx(F.col("qv") * F.col("cv"))).alias("dot_fx"))
-    )
-    return _rank_topk(_cosines(dots, _norms(emb)))
+    return _rank_topk(cos)
