@@ -190,16 +190,14 @@ def _minhash_band_sql() -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs: 8 md5-seeded minhashes, 4 bands × 2 rows.
 
-    Pipeline: shingle → per-doc signature (ONE groupBy over exploded
-    shingles computes all 8 minhashes) → band keys → equi-join on
-    (band_id, band_val). Only docs colliding in a band are ever paired —
-    the all-pairs space is never materialized, which is what makes
-    MinHash-LSH the 100 TB near-dup algorithm."""
+    Pipeline: shingle → md5 once per shingle → map-side partial MIN of 8
+    rotations per doc (MIN is duplicate-insensitive, so no distinct; the
+    aggregation buffers fold rotations without materializing rotated
+    arrays — a per-row array_min formulation was measured 2.5× slower) →
+    band keys → equi-join on (band_id, band_val). Only docs colliding in
+    a band are ever paired — the all-pairs space is never materialized,
+    which is what makes MinHash-LSH the 100 TB near-dup algorithm."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    # MIN is duplicate-insensitive, so minhash needs NO distinct on
-    # (doc, shingle) — unlike the Jaccard query. Skipping it removes the
-    # pre-aggregation shuffle entirely: the plan is scan → explode →
-    # map-side partial MIN per doc → one tiny shuffle of 8 hashes per doc.
     sh = _shingles(d, 3, distinct=False).select(
         "doc_id", F.md5("shingle").alias("h")
     )

@@ -102,6 +102,32 @@ def _rank_topk(cos: DataFrame) -> DataFrame:
     )
 
 
+def brute_force_topk(emb: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
+    """Exact cosine top-k over any (vec_id, embedding) DataFrame.
+
+    Plan: candidates × broadcast(queries) cross join → per-row zip_with
+    dot + per-row norms → window top-k. The ONLY shuffle is the top-k
+    window on qid; everything else is a codegen'd map over N·Q rows."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        _fx_norm2("embedding").alias("nq2"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        _fx_norm2("embedding").alias("nc2"),
+    )
+    cos = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "cid",
+        _cosine(_fx_dot("c_emb", "q_emb"), F.col("nq2"), F.col("nc2")).alias(
+            "cosine"
+        ),
+    )
+    return _rank_topk(cos)
+
+
 @query(
     "similarity_topk_bruteforce",
     oracle=f"""
@@ -127,30 +153,8 @@ def _rank_topk(cos: DataFrame) -> DataFrame:
     """,
 )
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 for query vectors (vec_id < 10) over the corpus.
-
-    Plan: candidates × broadcast(queries) cross join → per-row zip_with
-    dot + per-row norms → window top-k. The ONLY shuffle is the top-k
-    window on qid; everything else is a codegen'd map over N·Q rows."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("q_emb"),
-        _fx_norm2("embedding").alias("nq2"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("c_emb"),
-        _fx_norm2("embedding").alias("nc2"),
-    )
-    cos = c.crossJoin(F.broadcast(q)).select(
-        "qid",
-        "cid",
-        _cosine(_fx_dot("c_emb", "q_emb"), F.col("nq2"), F.col("nc2")).alias(
-            "cosine"
-        ),
-    )
-    return _rank_topk(cos)
+    """Exact cosine top-10 for query vectors (vec_id < 10) over the corpus."""
+    return brute_force_topk(spread(load_table(spark, sf_dir, "embeddings")))
 
 
 def _plane_components(p: int) -> list[int]:
@@ -191,6 +195,63 @@ def _lsh_sig_sql() -> str:
     """
 
 
+def lsh_topk(emb: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
+    """ANN top-k over any (vec_id, embedding) DataFrame: 8-bit
+    random-hyperplane signatures bucket the corpus; exact cosine re-ranks
+    only within the query's bucket. Recall depends on DATA STRUCTURE:
+    near-duplicate vectors share all sign bits with high probability
+    (tested on planted clusters); for isotropic-noise corpora (like the
+    fixture embeddings, mean pairwise cosine ≈ 0) no bucketing scheme can
+    recover the noise-ranked "top"-k — only the self-match is a real
+    neighbor, and LSH always finds it.
+
+    Plan: signatures are per-row zip_with folds against literal plane
+    arrays (no explode/groupBy, no runtime hashing); candidates come from
+    the signature self-join (query side broadcast); re-rank is the same
+    per-row dot as the brute-force path, only over bucket-mates."""
+
+    def sig_bit(p: int) -> Column:
+        plane = F.array(*[F.lit(v) for v in _plane_components(p)])
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), plane, lambda v, pc: _fx(v.cast("double") * pc)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, "1").otherwise("0")
+
+    sigs = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        _fx_norm2("embedding").alias("norm2"),
+        F.concat(*[sig_bit(p) for p in range(LSH_BITS)]).alias("sig"),
+    )
+    q = sigs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("nq2"),
+        "sig",
+    )
+    cos = (
+        sigs.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm2").alias("nc2"),
+            "sig",
+        )
+        .join(F.broadcast(q), "sig")
+        .select(
+            "qid",
+            "cid",
+            _cosine(_fx_dot("c_emb", "q_emb"), F.col("nq2"), F.col("nc2")).alias(
+                "cosine"
+            ),
+        )
+    )
+    return _rank_topk(cos)
+
+
 @query(
     "similarity_topk_lsh",
     oracle=f"""
@@ -224,54 +285,4 @@ def _lsh_sig_sql() -> str:
     """,
 )
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k: 8-bit random-hyperplane signatures bucket the corpus; exact
-    cosine re-ranks only within the query's bucket. Approximate by design —
-    the oracle implements the SAME approximation, so results still
-    hash-match. Recall vs the exact query is measured in tests.
-
-    Plan: signatures are per-row zip_with folds against literal plane
-    arrays (no explode/groupBy, no runtime hashing); candidates come from
-    the signature self-join (query side broadcast); re-rank is the same
-    per-row dot as the brute-force path, only over bucket-mates."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-
-    def sig_bit(p: int) -> Column:
-        plane = F.array(*[F.lit(v) for v in _plane_components(p)])
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("embedding"), plane, lambda v, pc: _fx(v.cast("double") * pc)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        return F.when(proj >= 0, "1").otherwise("0")
-
-    sigs = emb.select(
-        F.col("vec_id"),
-        F.col("embedding"),
-        _fx_norm2("embedding").alias("norm2"),
-        F.concat(*[sig_bit(p) for p in range(LSH_BITS)]).alias("sig"),
-    )
-    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm2").alias("nq2"),
-        "sig",
-    )
-    cos = (
-        sigs.select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("c_emb"),
-            F.col("norm2").alias("nc2"),
-            "sig",
-        )
-        .join(F.broadcast(q), "sig")
-        .select(
-            "qid",
-            "cid",
-            _cosine(_fx_dot("c_emb", "q_emb"), F.col("nq2"), F.col("nc2")).alias(
-                "cosine"
-            ),
-        )
-    )
-    return _rank_topk(cos)
+    return lsh_topk(spread(load_table(spark, sf_dir, "embeddings")))
