@@ -1,0 +1,157 @@
+"""Analytics extras: unpivot (wide→long), fixed-bucket histograms,
+second-moment statistics from exact sums, and calendar gap-filling —
+the reshaping/statistics/densification shapes a reporting layer needs.
+
+Determinism notes: variance/stddev are derived from exact DECIMAL(18,6)
+sums with the closed-form formula evaluated in IEEE doubles — identical
+in both engines (native stddev would float-drift with partition order);
+histogram buckets are integer floor-division; the date spine is a
+sequence generator, no data-dependent floats anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kstreams_spark.io import load_table
+from kstreams_spark.registry import query
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+    FROM lineitem WHERE l_suppkey <= 2
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+    FROM lineitem WHERE l_suppkey <= 2
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_suppkey <= 2
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long / melt): three measure columns become
+    (metric, val) rows — the inverse of pivot_qty_by_status. Values are
+    raw column passthrough, bit-exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 2)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    ).withColumn(
+        "metric",
+        F.when(F.col("metric") == "l_quantity", "quantity")
+        .when(F.col("metric") == "l_extendedprice", "price")
+        .otherwise("discount"),
+    )
+
+
+@query(
+    "histogram_fixed_buckets",
+    oracle="""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) * 50 AS bucket_lo,
+           COUNT(*) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via integer floor-division bucketing (DuckDB
+    1.0 has no width_bucket; this form is portable and, at scale, is a
+    single partial+final aggregation regardless of bucket count)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("value") / 50.0).cast("bigint") * 50).alias("bucket_lo")
+    return ev.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+@query(
+    "agg_moments_exact",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(value) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sx2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           sx / n AS mean,
+           (n * sx2 - sx * sx) / (n * (n - 1.0)) AS variance,
+           sqrt((n * sx2 - sx * sx) / (n * (n - 1.0))) AS stddev
+    FROM s
+    """,
+)
+def agg_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample mean/variance/stddev from exact first and second moments —
+    the cross-engine-deterministic form of stddev_samp (native stddev
+    uses streaming single-pass updates whose float order varies with
+    partitioning). At 100 TB: still one partial+final aggregation; the
+    closed form trades one extra decimal sum for reproducibility."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sx2"),
+    )
+    n, sx, sx2 = F.col("n"), F.col("sx"), F.col("sx2")
+    variance = (n * sx2 - sx * sx) / (n * (n - 1.0))
+    return s.select(
+        "event_type",
+        "n",
+        (sx / n).alias("mean"),
+        variance.alias("variance"),
+        F.sqrt(variance).alias("stddev"),
+    )
+
+
+@query(
+    "gapfill_daily_order_counts",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', MIN(o_orderdate)) AS TIMESTAMP) AS d0,
+             CAST(date_trunc('day', MAX(o_orderdate)) AS TIMESTAMP) AS d1
+      FROM orders
+    ),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT spine.day, COALESCE(daily.n, 0) AS n_orders
+    FROM spine LEFT JOIN daily USING (day)
+    """,
+)
+def gapfill_daily_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling / densification: generate the full day spine between
+    min and max order dates, left-join daily counts, zero-fill. The spine
+    generator is one row per day — broadcastable at any fact scale."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("d0"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_orders")
+    )
