@@ -1,0 +1,122 @@
+"""SCD2 effective-range derivation and corpus n-gram statistics — the
+batch CDC shape (dimension versioning) and two more text-corpus ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kstreams_spark.io import load_table
+from kstreams_spark.operators._util import spread
+from kstreams_spark.registry import query
+
+
+@query(
+    "scd2_effective_ranges",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           CASE WHEN LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM orders
+    """,
+)
+def scd2_effective_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) effective ranges: each
+    version's valid_from/valid_to from LEAD over the change timeline,
+    NULL valid_to = current version. One window shuffle on the entity
+    key — the batch backfill for the streaming KeyedUpsertSink."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    valid_to = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@query(
+    "text_top_bigrams",
+    oracle="""
+    WITH bi AS (
+      SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                                   i -> array_to_string(l[i:i+1], ' '))) AS bigram
+      FROM (SELECT str_split(text, ' ') AS l FROM documents)
+      WHERE len(l) >= 2
+    )
+    SELECT bigram, n, rk FROM (
+      SELECT bigram, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rk
+      FROM bi GROUP BY bigram
+    ) WHERE rk <= 20
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams — the n-gram count shape of corpus
+    statistics. Counts are a partial+final agg over exploded bigrams;
+    the global top-k is TakeOrdered over the (small) distinct-bigram set."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    bi = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 2), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))"
+    )
+    counts = (
+        d.filter(F.size(toks) >= 2)
+        .select(F.explode(bi).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("bigram", "n", "rk")
+    )
+
+
+@query(
+    "text_scrub_patterns",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(concat('contact: user', CAST(doc_id AS VARCHAR),
+                                 '@example.com code ',
+                                 CAST(doc_id * 7919 AS VARCHAR), ' ', text),
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                          '<EMAIL>', 'g') AS scrubbed_email,
+           regexp_replace(concat('code ', CAST(doc_id * 7919 AS VARCHAR)),
+                          '[0-9]{3,}', '<NUM>', 'g') AS scrubbed_nums
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def text_scrub_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style pattern scrubbing (emails, long digit runs) — the
+    redaction pass of a training-data pipeline, as pure regexp_replace
+    (JVM regex, scan-speed). Synthetic PII is injected from doc_id so the
+    scrub has something deterministic to remove."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    email_text = F.concat(
+        F.lit("contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com code "),
+        (F.col("doc_id") * 7919).cast("string"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    num_text = F.concat(F.lit("code "), (F.col("doc_id") * 7919).cast("string"))
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            email_text,
+            r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "<EMAIL>",
+        ).alias("scrubbed_email"),
+        F.regexp_replace(num_text, "[0-9]{3,}", "<NUM>").alias("scrubbed_nums"),
+    )
