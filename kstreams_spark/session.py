@@ -49,3 +49,15 @@ def get_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def startup_diagnostics(spark: SparkSession) -> dict[str, str]:
+    """R15 parity (buildHeader/dumpVars, BME680.java:184-208): the
+    reference dumps config, env vars, and system properties at startup.
+    Spark-native form: the resolved SparkConf plus runtime identity —
+    returned as a dict (log it, ship it to your run tracker)."""
+    conf = dict(spark.sparkContext.getConf().getAll())
+    conf["engine.version"] = spark.version
+    conf["engine.master"] = spark.sparkContext.master
+    conf["engine.defaultParallelism"] = str(spark.sparkContext.defaultParallelism)
+    return conf

@@ -86,3 +86,13 @@ def test_console_sink_runs(spark, tmp_path):
     )
     q.processAllAvailable()
     q.stop()
+
+
+def test_startup_diagnostics(spark):
+    """R15: config dump parity (BME680.java:184-208)."""
+    from kstreams_spark.session import startup_diagnostics
+
+    d = startup_diagnostics(spark)
+    assert d["engine.master"].startswith("local[")
+    assert int(d["engine.defaultParallelism"]) >= 1
+    assert "spark.sql.shuffle.partitions" in d
