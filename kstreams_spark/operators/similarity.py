@@ -286,3 +286,120 @@ def lsh_topk(emb: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
 )
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(spread(load_table(spark, sf_dir, "embeddings")))
+
+
+N_CENTROIDS = 16  # vec_id < 16 serve as fixed centroids (k-means-lite)
+
+
+def ivf_topk(emb: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
+    """IVF (inverted-file) ANN: every vector is assigned to its nearest
+    centroid by fixed-point dot product (centroids = the first
+    N_CENTROIDS vectors — a real deployment runs k-means; assignment and
+    search are identical); a query searches only its own cell. Same
+    candidate-generation-then-exact-rerank shape as LSH, but the
+    partition is learned from the data rather than random hyperplanes —
+    at 100 TB the cell id becomes the lake partition key so a query
+    scans one cell's files only.
+
+    Assignment ties break on centroid id; all arithmetic is the same
+    fixed-point form as the rest of the module, so the DuckDB oracle
+    matches bit-for-bit."""
+    cen = (
+        emb.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_emb")
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cen)).select(
+        "vec_id",
+        "embedding",
+        "cen_id",
+        _fx_dot("embedding", "cen_emb").alias("cen_dot"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cen_dot").desc(), F.col("cen_id")
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cen_id", _fx_norm2("embedding").alias("norm2"))
+    )
+    q = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("nq2"),
+        "cen_id",
+    )
+    cos = (
+        assigned.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm2").alias("nc2"),
+            "cen_id",
+        )
+        .join(F.broadcast(q), "cen_id")
+        .select(
+            "qid",
+            "cid",
+            _cosine(_fx_dot("c_emb", "q_emb"), F.col("nq2"), F.col("nc2")).alias(
+                "cosine"
+            ),
+        )
+    )
+    return _rank_topk(cos)
+
+
+_IVF_ASSIGN_SQL = f"""
+    cen AS (
+      SELECT vec_id AS cen_id, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS cv
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    allv AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    cdots AS (
+      SELECT allv.vec_id, cen.cen_id,
+             SUM(CAST(round(allv.v * cen.cv * {FX}.0) AS BIGINT)) AS d
+      FROM allv JOIN cen USING (idx) GROUP BY allv.vec_id, cen.cen_id
+    ),
+    assigned AS (
+      SELECT vec_id, cen_id FROM (
+        SELECT vec_id, cen_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cen_id) AS rn
+        FROM cdots
+      ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "similarity_topk_ivf",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    q AS (
+      SELECT a.vec_id AS qid, e.idx, e.v AS qv, a.cen_id
+      FROM assigned a JOIN allv e USING (vec_id)
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT a.vec_id AS cid, e.idx, e.v AS cv, a.cen_id
+      FROM assigned a JOIN allv e USING (vec_id)
+    ),
+    dots AS (
+      SELECT q.qid, c.cid,
+             SUM(CAST(round(q.qv * c.cv * {FX}.0) AS BIGINT)) AS dot_fx
+      FROM q JOIN c ON q.idx = c.idx AND q.cen_id = c.cen_id
+      GROUP BY q.qid, c.cid
+    ),
+    norms AS ({_NORMS_SQL}),
+    cos AS ({_COS_SQL})
+    {_RANK_SQL}
+    """,
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN top-10 over the fixture embeddings."""
+    return ivf_topk(spread(load_table(spark, sf_dir, "embeddings")))

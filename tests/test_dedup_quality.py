@@ -97,3 +97,37 @@ def test_simhash_finds_exact_duplicates(spark, sf_dir):
     n_dup_groups = dup_groups.count()
     if n_dup_groups > 0:
         assert zero_pairs > 0
+
+
+def test_ivf_recall_on_planted_clusters(spark):
+    """IVF with centroids drawn from the data: cluster-mates share their
+    nearest centroid almost surely (a centroid IS a cluster member here),
+    so recall on planted clusters should be near-perfect — higher than
+    single-table LSH on the same data."""
+    import numpy as np
+
+    from kstreams_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for cluster in range(20):
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        for copy in range(10):
+            noisy = base + rng.normal(scale=0.02, size=64)
+            rows.append((cluster + 20 * copy, [float(x) for x in noisy]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = brute_force_topk(emb, n_queries=10).collect()
+    approx = ivf_topk(emb, n_queries=10).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.qid, set()).add(r.cid)
+    for r in approx:
+        approx_sets.setdefault(r.qid, set()).add(r.cid)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, f"mean recall {mean_recall:.2f}"
