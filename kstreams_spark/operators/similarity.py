@@ -403,3 +403,133 @@ _IVF_ASSIGN_SQL = f"""
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN top-10 over the fixture embeddings."""
     return ivf_topk(spread(load_table(spark, sf_dir, "embeddings")))
+
+
+N_TABLES = 2  # OR-amplification: candidate if ANY table's signature matches
+
+
+def _sig_expr(table: int) -> Column:
+    """8-bit signature for one LSH table (planes table*8 .. table*8+7)."""
+
+    def bit(p: int) -> Column:
+        plane = F.array(*[F.lit(v) for v in _plane_components(p)])
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), plane, lambda v, pc: _fx(v.cast("double") * pc)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, "1").otherwise("0")
+
+    return F.concat(*[bit(table * LSH_BITS + p) for p in range(LSH_BITS)])
+
+
+def lsh_multi_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, n_tables: int = N_TABLES
+) -> DataFrame:
+    """Multi-table LSH (OR-amplification, the SCALE.md recall lever):
+    n_tables independent 8-bit signatures; a candidate matches if ANY
+    table agrees. Per-pair recall goes from p to 1-(1-p)^T at T× the
+    bucketing cost — measured on planted clusters in tests."""
+    sigs = emb.select(
+        "vec_id",
+        "embedding",
+        _fx_norm2("embedding").alias("norm2"),
+        *[_sig_expr(t).alias(f"sig{t}") for t in range(n_tables)],
+    )
+    q = sigs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("nq2"),
+        *[F.col(f"sig{t}").alias(f"qsig{t}") for t in range(n_tables)],
+    )
+    c = sigs.select(
+        F.col("vec_id").alias("cid"),
+        *[F.col(f"sig{t}") for t in range(n_tables)],
+    )
+    cand = None
+    for t in range(n_tables):
+        m = c.join(
+            F.broadcast(q.select("qid", f"qsig{t}")),
+            c[f"sig{t}"] == F.col(f"qsig{t}"),
+        ).select("qid", "cid")
+        cand = m if cand is None else cand.unionByName(m)
+    cand = cand.distinct()
+    c_full = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        _fx_norm2("embedding").alias("nc2"),
+    )
+    cos = (
+        cand.join(c_full, "cid")
+        .join(F.broadcast(q.select("qid", "q_emb", "nq2")), "qid")
+        .select(
+            "qid",
+            "cid",
+            _cosine(_fx_dot("c_emb", "q_emb"), F.col("nq2"), F.col("nc2")).alias(
+                "cosine"
+            ),
+        )
+    )
+    return _rank_topk(cos)
+
+
+def _multi_sig_sql() -> str:
+    def bits(table: int) -> str:
+        return " || ".join(
+            f"""CASE WHEN SUM(CAST(round(CAST(v AS DOUBLE)
+                                * {_plane_component_sql(table * LSH_BITS + p)}
+                                * {FX}.0) AS BIGINT)) >= 0
+                 THEN '1' ELSE '0' END"""
+            for p in range(LSH_BITS)
+        )
+
+    sig_cols = ", ".join(f"{bits(t)} AS sig{t}" for t in range(N_TABLES))
+    return f"""
+      SELECT vec_id, {sig_cols}
+      FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+                   unnest(embedding) AS v
+            FROM embeddings)
+      GROUP BY vec_id
+    """
+
+
+@query(
+    "similarity_topk_lsh_multi",
+    oracle=f"""
+    WITH sigs AS ({_multi_sig_sql()}),
+    cand AS (
+      {" UNION ".join(
+        f'''SELECT sq.vec_id AS qid, sc.vec_id AS cid
+            FROM sigs sq JOIN sigs sc ON sq.sig{t} = sc.sig{t}
+            WHERE sq.vec_id < {N_QUERIES}'''
+        for t in range(N_TABLES)
+      )}
+    ),
+    q AS (
+      SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS cv
+      FROM embeddings
+      WHERE vec_id IN (SELECT DISTINCT cid FROM cand)
+    ),
+    dots AS (
+      SELECT q.qid, c.cid,
+             SUM(CAST(round(q.qv * c.cv * {FX}.0) AS BIGINT)) AS dot_fx
+      FROM q JOIN c ON q.idx = c.idx
+      JOIN cand ON cand.qid = q.qid AND cand.cid = c.cid
+      GROUP BY q.qid, c.cid
+    ),
+    norms AS ({_NORMS_SQL}),
+    cos AS ({_COS_SQL})
+    {_RANK_SQL}
+    """,
+)
+def similarity_topk_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-table OR-amplified LSH ANN top-10 over the fixture embeddings."""
+    return lsh_multi_topk(spread(load_table(spark, sf_dir, "embeddings")))

@@ -131,3 +131,40 @@ def test_ivf_recall_on_planted_clusters(spark):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.9, f"mean recall {mean_recall:.2f}"
+
+
+def test_multi_table_lsh_beats_single_table(spark):
+    """OR-amplification: 2-table recall ≈ 1-(1-p)² must beat the
+    single-table recall on the same planted clusters."""
+    import numpy as np
+
+    from kstreams_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_multi_topk,
+        lsh_topk,
+    )
+
+    rng = np.random.default_rng(7)  # same corpus as the single-table test
+    rows = []
+    for cluster in range(20):
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        for copy in range(10):
+            noisy = base + rng.normal(scale=0.02, size=64)
+            rows.append((cluster + 20 * copy, [float(x) for x in noisy]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def mean_recall(approx_rows, exact_rows):
+        es, aps = {}, {}
+        for r in exact_rows:
+            es.setdefault(r.qid, set()).add(r.cid)
+        for r in approx_rows:
+            aps.setdefault(r.qid, set()).add(r.cid)
+        rs = [len(es[q] & aps.get(q, set())) / len(es[q]) for q in es]
+        return sum(rs) / len(rs)
+
+    exact = brute_force_topk(emb, n_queries=10).collect()
+    single = mean_recall(lsh_topk(emb, n_queries=10).collect(), exact)
+    multi = mean_recall(lsh_multi_topk(emb, n_queries=10).collect(), exact)
+    assert multi > single, f"multi {multi:.2f} <= single {single:.2f}"
+    assert multi >= 0.6, f"multi-table recall {multi:.2f}"
