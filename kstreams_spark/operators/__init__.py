@@ -12,6 +12,7 @@ from kstreams_spark.operators import (  # noqa: F401
     joins,
     json_funcs,
     multimodal,
+    sampling,
     scalar_extras,
     scalars,
     similarity,

@@ -1,0 +1,111 @@
+"""Deterministic sampling & dataset splitting (training-data pipeline
+ops): content-hash sampling is reproducible across engines, runs, and
+cluster sizes — unlike rng-based sample(), whose seeds don't transfer
+between systems. The md5-prefix technique is also how you keep a sample
+STABLE as the corpus grows (a document's membership never changes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kstreams_spark.io import load_table
+from kstreams_spark.registry import query
+
+# first two md5 hex chars → uniform 0..255 bucket, portable to any engine
+_BUCKET_SQL = (
+    "(instr('0123456789abcdef', substr(md5({key}), 1, 1)) - 1) * 16 + "
+    "(instr('0123456789abcdef', substr(md5({key}), 2, 1)) - 1)"
+)
+
+
+def _bucket_from(key: F.Column) -> F.Column:
+    h = F.md5(key)
+    d1 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    d2 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1
+    return d1 * 16 + d2
+
+
+@query(
+    "sample_systematic_hash",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM (SELECT *, {_BUCKET_SQL.format(key="concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))")} AS bucket
+          FROM lineitem)
+    WHERE bucket < 16
+    """,
+)
+def sample_systematic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~1/16 systematic sample by content hash of the row key — identical
+    membership in every engine/run/cluster size; at 100 TB the predicate
+    runs at scan speed and needs no shuffle or state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    keyed = li.withColumn("bucket", _bucket_from(key))
+    return keyed.filter(F.col("bucket") < 16).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "dataset_split_assignment",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             {_BUCKET_SQL.format(key="CAST(doc_id AS VARCHAR)")} AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 204 THEN 'train'
+                WHEN bucket < 230 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/validation/test assignment (~80/10/10) by document-id hash
+    bucket — stable as the corpus grows (a doc never migrates between
+    splits), leakage-free when the key is the dedup key."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _bucket_from(F.col("doc_id").cast("string"))
+    return d.select(
+        "doc_id",
+        F.when(bucket < 204, "train")
+        .when(bucket < 230, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "sample_stratified_hash",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_id, event_type,
+             {_BUCKET_SQL.format(key="CAST(event_id AS VARCHAR)")} AS bucket
+      FROM events
+    )
+    SELECT event_id, event_type
+    FROM b
+    WHERE bucket < CASE WHEN event_type = 'error' THEN 256
+                        WHEN event_type = 'purchase' THEN 128
+                        ELSE 32 END
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-class rates (keep all errors, half of
+    purchases, 1/8 of the rest) — the class-rebalancing pass of a
+    training-data pipeline, still purely deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = _bucket_from(F.col("event_id").cast("string"))
+    rate = (
+        F.when(F.col("event_type") == "error", 256)
+        .when(F.col("event_type") == "purchase", 128)
+        .otherwise(32)
+    )
+    return ev.filter(bucket < rate).select("event_id", "event_type")
