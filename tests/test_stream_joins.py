@@ -103,3 +103,56 @@ def test_rate_stream_produces_dual_format(spark):
         assert all(r.reading > 75.0 for r in rows)
     finally:
         q.stop()
+
+
+def test_interval_left_join_emits_nulls_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: an unmatched left row is held in
+    state until the watermark proves no match can arrive, then emitted
+    with nulls — Kafka Streams' leftJoin grace-period semantics."""
+    err_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("l_ts", T.TimestampType()),
+            T.StructField("error_id", T.LongType()),
+        ]
+    )
+    click_schema = T.StructType(
+        [
+            T.StructField("r_user_id", T.LongType()),
+            T.StructField("r_ts", T.TimestampType()),
+            T.StructField("click_id", T.LongType()),
+        ]
+    )
+    d1, d2 = str(tmp_path / "l_errors"), str(tmp_path / "l_clicks")
+    _write(d1, [{"user_id": 1, "l_ts": "2024-01-01 10:00:00", "error_id": 100}])
+    _write(d2, [{"r_user_id": 2, "r_ts": "2024-01-01 10:00:00", "click_id": 10}])
+
+    errors = spark.readStream.schema(err_schema).json(d1)
+    clicks = spark.readStream.schema(click_schema).json(d2)
+    joined = interval_join_stream(
+        errors, clicks, window="10 minutes", watermark="5 minutes",
+        join_type="left_outer",
+    )
+    q = (
+        joined.select("error_id", "click_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lsj_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # nothing can be emitted yet: the 10:00 error might still match
+    assert spark.sql("SELECT count(*) n FROM lsj_out").collect()[0].n == 0
+
+    # advance BOTH watermarks far past 10:00 + window + delay
+    import os as _os, json as _json
+    with open(_os.path.join(d1, "b2.json"), "w") as f:
+        f.write(_json.dumps({"user_id": 9, "l_ts": "2024-01-01 12:00:00", "error_id": 900}) + "\n")
+    with open(_os.path.join(d2, "b2.json"), "w") as f:
+        f.write(_json.dumps({"r_user_id": 9, "r_ts": "2024-01-01 12:00:00", "click_id": 90}) + "\n")
+    q.processAllAvailable()
+    q.processAllAvailable()  # extra cycle: state eviction runs on the next batch
+    q.stop()
+    rows = {(r.error_id, r.click_id) for r in spark.sql("SELECT * FROM lsj_out").collect()}
+    # the 10:00 error emits with NULL click once the watermark passed it
+    assert (100, None) in rows, rows
