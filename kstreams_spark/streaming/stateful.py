@@ -77,3 +77,75 @@ def edge_alert_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_readings", T.LongType()),
+        T.StructField("max_reading", T.DoubleType()),
+    ]
+)
+
+COUNT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("mx", T.DoubleType()),
+    ]
+)
+
+
+def make_timeout_summary_fn(gap_ms: int):
+    """applyInPandasWithState body with an EVENT-TIME TIMEOUT — the Kafka
+    Streams `punctuate` equivalent (SURVEY.md §2.2 Processor API):
+    accumulate per-key state while data flows; when the WATERMARK passes
+    last-seen-event + gap, the engine invokes this function once more
+    with state.hasTimedOut — we emit the summary and clear the state.
+    (Event-time, not processing-time: processing-time timeouts re-arm on
+    every batch and never quiesce under processAllAvailable.)"""
+
+    def fn(key, pdfs, state) -> "Iterator[pd.DataFrame]":
+        if state.hasTimedOut:
+            n, mx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"key": key[0], "n_readings": int(n), "max_reading": float(mx)}]
+            )
+            return
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        last_ms = 0
+        for pdf in pdfs:
+            vals = pdf["reading"].dropna()
+            n += int(len(vals))
+            if len(vals):
+                mx = max(mx, float(vals.max()))
+            if len(pdf):
+                last_ms = max(
+                    last_ms, int(pdf["ts"].max().timestamp() * 1000)
+                )
+        state.update((n, mx))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+
+    return fn
+
+
+def timeout_summary_stream(
+    keyed_readings: DataFrame,
+    gap: str = "1 minute",
+    watermark: str = "1 second",
+) -> DataFrame:
+    """(key, ts, reading) stream → one (key, n_readings, max_reading)
+    summary per quiet period: the summary emits when the watermark passes
+    the key's last event + gap (requires a watermark on ts)."""
+    gap_ms = 60_000 if gap == "1 minute" else int(gap)
+    return (
+        keyed_readings.withWatermark("ts", watermark)
+        .groupBy("key")
+        .applyInPandasWithState(
+            make_timeout_summary_fn(gap_ms),
+            outputStructType=SUMMARY_SCHEMA,
+            stateStructType=COUNT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )

@@ -217,3 +217,47 @@ def test_streaming_dedup(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0].n == 2
+
+
+def test_stateful_timeout_summary(spark, tmp_path):
+    """Punctuate parity: per-key summaries emit on EVENT-TIME state
+    timeout (the key went quiet past the gap), triggered by the watermark
+    advancing via a later batch for a different key."""
+    from pyspark.sql import types as T
+    from kstreams_spark.streaming.stateful import timeout_summary_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("reading", T.DoubleType()),
+        ]
+    )
+    d = str(tmp_path / "to_readings")
+    os.makedirs(d)
+    with open(os.path.join(d, "b1.json"), "w") as f:
+        for ts, v in [("2024-01-01 00:00:00", 70.0), ("2024-01-01 00:01:00", 90.0)]:
+            f.write(json.dumps({"key": "k1", "ts": ts, "reading": v}) + "\n")
+
+    stream = spark.readStream.schema(schema).json(d)
+    q = (
+        timeout_summary_stream(stream, gap="1 minute", watermark="1 second")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("to_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # k1's timeout is armed at 00:02:00 (last event 00:01 + 1 min gap);
+    # a much later k2 event pushes the watermark far past it
+    with open(os.path.join(d, "b2.json"), "w") as f:
+        f.write(json.dumps({"key": "k2", "ts": "2024-01-01 01:00:00", "reading": 50.0}) + "\n")
+    q.processAllAvailable()
+    # timeouts fire against the batch's updated watermark on the NEXT batch
+    with open(os.path.join(d, "b3.json"), "w") as f:
+        f.write(json.dumps({"key": "k3", "ts": "2024-01-01 01:01:00", "reading": 10.0}) + "\n")
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r.key: (r.n_readings, r.max_reading) for r in spark.sql("SELECT * FROM to_out").collect()}
+    assert rows.get("k1") == (2, 90.0), rows
