@@ -25,6 +25,23 @@ from kstreams_spark import registry  # noqa: E402
 
 registry.load_all()
 
+# Harden worker-side unpickling: UDF bodies (pandas_udf / applyInPandas /
+# mapInPandas / applyInPandasWithState) normally pickle BY REFERENCE and
+# require `kstreams_spark` to be importable inside executor Python
+# workers — true when the driver runs from the repo root, not guaranteed
+# otherwise. Registering the package for by-value pickling removes the
+# import requirement entirely.
+try:  # pragma: no cover - defensive; by-reference path also works in-repo
+    # NB: PySpark serializes with its VENDORED cloudpickle — registering
+    # with the standalone `cloudpickle` package has no effect.
+    from pyspark.cloudpickle import register_pickle_by_value
+
+    for _name, _mod in list(sys.modules.items()):
+        if _name.startswith("kstreams_spark") and _mod is not None:
+            register_pickle_by_value(_mod)
+except Exception:  # noqa: BLE001
+    pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the reference's sensor-alert
