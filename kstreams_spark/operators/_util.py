@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def spread(df: DataFrame, factor: int = 1) -> Column | DataFrame:
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     """Repartition a SMALL input that feeds a CPU-heavy per-row stage
     (shingling, hashing, array math). The fixture tables are single parquet
     files → one partition → one task; an upfront round-robin shuffle of the
