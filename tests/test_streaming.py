@@ -261,3 +261,34 @@ def test_stateful_timeout_summary(spark, tmp_path):
 
     rows = {r.key: (r.n_readings, r.max_reading) for r in spark.sql("SELECT * FROM to_out").collect()}
     assert rows.get("k1") == (2, 90.0), rows
+
+
+def test_backpressure_max_files_per_trigger(spark, tmp_path):
+    """Backpressure: maxFilesPerTrigger bounds each microbatch (the
+    file-source analog of Kafka's maxOffsetsPerTrigger) — the topology
+    sees multiple small batches instead of one big one."""
+    from pyspark.sql import types as T
+
+    d = str(tmp_path / "bp_in")
+    os.makedirs(d)
+    for i in range(3):
+        with open(os.path.join(d, f"f{i}.json"), "w") as f:
+            f.write(json.dumps({"key": f"k{i}", "value": "99.0"}) + "\n")
+
+    schema = T.StructType(
+        [T.StructField("key", T.StringType()), T.StructField("value", T.StringType())]
+    )
+    alerts: list[str] = []
+    topo = ReferenceTopology(
+        alert_sink=alerts.extend, forward_sink=lambda df: df.count()
+    )
+    source = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(d)
+    )
+    q = topo.start(source)
+    q.processAllAvailable()
+    q.stop()
+    assert topo.batches_seen >= 3, topo.batches_seen
+    assert len(alerts) == 3
