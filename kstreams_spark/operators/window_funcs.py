@@ -162,3 +162,28 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.count(F.lit(1)).over(w).alias("n_similar_priced"),
     )
+
+
+@query(
+    "window_cume_percent_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           cume_dist() OVER w AS cd,
+           percent_rank() OVER w AS pr
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_cume_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist and percent_rank — distribution-position analytics.
+    Both are ratios of exact integers (rows≤current/n, (rank-1)/(n-1)),
+    so the doubles are bit-deterministic across engines."""
+    li = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return li.select(
+        "o_custkey",
+        "o_orderkey",
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )
