@@ -114,15 +114,34 @@ def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ]
 
 
-@query("multimodal_decode")  # rows-only: the decode stub is not SQL-expressible
-def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode / feature-extract via mapInPandas (Arrow batches). Returns
-    per-doc pseudo-dimensions + a small feature vector. Rows-only check:
-    the Python decode stub has no SQL twin; determinism is asserted in
-    unit tests instead."""
+def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal array-typed decode: mapInPandas (Arrow batches) producing
+    per-doc pseudo-dimensions + `feature array<float>`. Downstream ANN /
+    clustering code consumes the array form; the *registered* query below
+    projects scalars because the grading driver canonicalizes rows with a
+    pandas sort and list cells are unhashable there."""
     d = load_table(spark, sf_dir, "documents")
     payloads = with_binary_payload(d).select("doc_id", "payload")
     return payloads.mapInPandas(decode_batch, DECODED_SCHEMA)
+
+
+@query("multimodal_decode")  # rows-only: the decode stub is not SQL-expressible
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode / feature-extract via mapInPandas. Driver contract: every
+    result column is a hashable scalar — the 4-dim feature vector is
+    unpacked to f0..f3 doubles (the array<float> variant stays available
+    as `decode_features` for internal consumers). Rows-only check: the
+    Python decode stub has no SQL twin; determinism is asserted in unit
+    tests instead."""
+    feats = decode_features(spark, sf_dir)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        "n_frames",
+        *[F.col("feature")[i].cast("double").alias(f"f{i}") for i in range(4)],
+    )
 
 
 @query(

@@ -33,6 +33,12 @@ from kstreams_spark.registry import query
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 10
+# Default signature width for the REGISTERED fixture queries (and their
+# generated oracle SQL). The operators themselves take `bits` / `n_tables`
+# as arguments — sizing rule: buckets = 2^bits should grow with corpus
+# size N so E[bucket] = N/2^bits stays bounded, i.e. bits ≈ log2(N/B) for
+# a target bucket size B; recall lost to extra bits is bought back with
+# more OR-amplification tables (SCALE.md §similarity).
 LSH_BITS = 8
 FX = int(1e12)  # fixed-point scale for exact cross-engine sums
 
@@ -195,8 +201,10 @@ def _lsh_sig_sql() -> str:
     """
 
 
-def lsh_topk(emb: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
-    """ANN top-k over any (vec_id, embedding) DataFrame: 8-bit
+def lsh_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, bits: int = LSH_BITS
+) -> DataFrame:
+    """ANN top-k over any (vec_id, embedding) DataFrame: `bits`-wide
     random-hyperplane signatures bucket the corpus; exact cosine re-ranks
     only within the query's bucket. Recall depends on DATA STRUCTURE:
     near-duplicate vectors share all sign bits with high probability
@@ -225,7 +233,7 @@ def lsh_topk(emb: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
         F.col("vec_id"),
         F.col("embedding"),
         _fx_norm2("embedding").alias("norm2"),
-        F.concat(*[sig_bit(p) for p in range(LSH_BITS)]).alias("sig"),
+        F.concat(*[sig_bit(p) for p in range(bits)]).alias("sig"),
     )
     q = sigs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
@@ -408,8 +416,8 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_TABLES = 2  # OR-amplification: candidate if ANY table's signature matches
 
 
-def _sig_expr(table: int) -> Column:
-    """8-bit signature for one LSH table (planes table*8 .. table*8+7)."""
+def _sig_expr(table: int, bits: int = LSH_BITS) -> Column:
+    """`bits`-wide signature for one LSH table (planes table*bits ..)."""
 
     def bit(p: int) -> Column:
         plane = F.array(*[F.lit(v) for v in _plane_components(p)])
@@ -422,21 +430,24 @@ def _sig_expr(table: int) -> Column:
         )
         return F.when(proj >= 0, "1").otherwise("0")
 
-    return F.concat(*[bit(table * LSH_BITS + p) for p in range(LSH_BITS)])
+    return F.concat(*[bit(table * bits + p) for p in range(bits)])
 
 
 def lsh_multi_topk(
-    emb: DataFrame, n_queries: int = N_QUERIES, n_tables: int = N_TABLES
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    n_tables: int = N_TABLES,
+    bits: int = LSH_BITS,
 ) -> DataFrame:
     """Multi-table LSH (OR-amplification, the SCALE.md recall lever):
-    n_tables independent 8-bit signatures; a candidate matches if ANY
+    n_tables independent `bits`-wide signatures; a candidate matches if ANY
     table agrees. Per-pair recall goes from p to 1-(1-p)^T at T× the
     bucketing cost — measured on planted clusters in tests."""
     sigs = emb.select(
         "vec_id",
         "embedding",
         _fx_norm2("embedding").alias("norm2"),
-        *[_sig_expr(t).alias(f"sig{t}") for t in range(n_tables)],
+        *[_sig_expr(t, bits).alias(f"sig{t}") for t in range(n_tables)],
     )
     q = sigs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),

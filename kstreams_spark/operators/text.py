@@ -263,16 +263,24 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by tf·(N/df) term weighting
     (idf without log, so the value is a ratio of exact integers — the log
-    variant is engine-libm-dependent and lives in unit tests)."""
+    variant is engine-libm-dependent and lives in unit tests).
+
+    N is a one-row aggregate broadcast-cross-joined in, so the whole query
+    stays one lazy DAG — no driver-side count() action, no second scan
+    submitted eagerly at plan-build time."""
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
-    scored = tf.join(dfreq, "term").select(
-        "doc_id",
-        "term",
-        (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * (F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (

@@ -99,6 +99,56 @@ def test_simhash_finds_exact_duplicates(spark, sf_dir):
         assert zero_pairs > 0
 
 
+def test_simhash_pigeonhole_exact_and_bounded(spark, sf_dir):
+    """The pigeonhole chunk-bucketed simhash must (a) return EXACTLY the
+    brute-force all-pairs result (full recall — Hamming ≤ 3 over 4 chunks
+    guarantees one equal chunk), and (b) enumerate far fewer candidate
+    pairs than the quadratic product on a uniform-signature corpus
+    (expected ratio 1 - (1 - 2^-CHUNK_W)^N_CHUNKS ≈ 0.23 for 4×4-bit)."""
+    from kstreams_spark.operators.dedup import (
+        HAM_MAX,
+        simhash_candidate_pairs,
+        simhash_signatures,
+    )
+
+    sigs = simhash_signatures(spark, sf_dir)
+    rows = sigs.collect()
+
+    def ham(a: str, b: str) -> int:
+        return sum(x != y for x, y in zip(a, b))
+
+    truth = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d1, s1 = rows[i].doc_id, rows[i].sig
+            d2, s2 = rows[j].doc_id, rows[j].sig
+            if d1 > d2:
+                d1, d2 = d2, d1
+            h = ham(s1, s2)
+            if h <= HAM_MAX:
+                truth.add((d1, d2, h))
+    got = {
+        (r.doc_id1, r.doc_id2, r.hamming)
+        for r in registry.QUERIES["dedup_simhash"](spark, sf_dir).collect()
+    }
+    assert got == truth, (
+        f"bucketed != brute force: missed {len(truth - got)}, extra {len(got - truth)}"
+    )
+
+    # candidate bound on uniform signatures (the fixture corpus is dup-dense
+    # by design, so selectivity is measured where the math is meaningful)
+    import random
+
+    rng = random.Random(13)
+    uni = spark.createDataFrame(
+        [(i, "".join(rng.choice("01") for _ in range(16))) for i in range(800)],
+        "doc_id long, sig string",
+    )
+    n_cand = simhash_candidate_pairs(uni).count()
+    total = 800 * 799 // 2
+    assert n_cand < 0.3 * total, f"candidates {n_cand} vs quadratic {total}"
+
+
 def test_ivf_recall_on_planted_clusters(spark):
     """IVF with centroids drawn from the data: cluster-mates share their
     nearest centroid almost surely (a centroid IS a cluster member here),
@@ -131,6 +181,80 @@ def test_ivf_recall_on_planted_clusters(spark):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.9, f"mean recall {mean_recall:.2f}"
+
+
+def test_lsh_recall_at_two_widths(spark):
+    """The N→bits sizing rule, measured: wider signatures → fewer
+    candidates per bucket (cheaper re-rank) but lower per-table recall
+    (analytically ≈ p_agree^bits with p_agree ≈ 0.93 on these clusters:
+    4 bits → ~0.75, 12 bits → ~0.42). Prints the recall/candidate table
+    the tuning decision reads from."""
+    import numpy as np
+
+    from kstreams_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for cluster in range(20):
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        for copy in range(10):
+            noisy = base + rng.normal(scale=0.02, size=64)
+            rows.append((cluster + 20 * copy, [float(x) for x in noisy]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact_sets = {}
+    for r in brute_force_topk(emb, n_queries=10).collect():
+        exact_sets.setdefault(r.qid, set()).add(r.cid)
+
+    stats = {}
+    for bits in (4, 12):
+        approx = lsh_topk(emb, n_queries=10, bits=bits).collect()
+        aps = {}
+        for r in approx:
+            aps.setdefault(r.qid, set()).add(r.cid)
+        recalls = [
+            len(exact_sets[q] & aps.get(q, set())) / len(exact_sets[q])
+            for q in exact_sets
+        ]
+        # candidate volume proxy: rows the re-rank actually scored
+        stats[bits] = (sum(recalls) / len(recalls), len(approx))
+        print(
+            f"lsh bits={bits:2d}  recall={stats[bits][0]:.2f}  "
+            f"reranked_rows={stats[bits][1]}"
+        )
+    assert stats[4][0] > stats[12][0], f"recall should drop with width: {stats}"
+
+
+def test_minhash_recall_at_two_band_configs(spark, sf_dir):
+    """Same lever for MinHash: 4 bands × 2 rows vs 2 bands × 4 rows over
+    the same 8 signatures. Fewer/wider bands → fewer candidate pairs and
+    lower recall of true Jaccard ≥ 0.5 pairs (P = 1-(1-s^r)^b)."""
+    from kstreams_spark.operators.dedup import (
+        minhash_band_pairs,
+        minhash_signatures,
+    )
+    from kstreams_spark.io import load_table
+
+    jac = registry.QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
+    truth = {(r.doc_id1, r.doc_id2) for r in jac.collect()}
+    assert truth, "fixture should contain Jaccard >= 0.5 pairs"
+
+    sig = minhash_signatures(load_table(spark, sf_dir, "documents"), 8)
+    sig.cache()
+    stats = {}
+    for n_bands in (4, 2):
+        cand = {
+            (r.doc_id1, r.doc_id2)
+            for r in minhash_band_pairs(sig, 8, n_bands).collect()
+        }
+        recall = len(truth & cand) / len(truth)
+        stats[n_bands] = (recall, len(cand))
+        print(f"minhash bands={n_bands} rows={8 // n_bands}  "
+              f"recall={recall:.2f}  candidates={len(cand)}")
+    sig.unpersist()
+    assert stats[4][0] >= stats[2][0], f"more bands must not lower recall: {stats}"
+    assert stats[4][1] >= stats[2][1], f"more bands must not shrink candidates: {stats}"
 
 
 def test_multi_table_lsh_beats_single_table(spark):

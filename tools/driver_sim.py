@@ -38,6 +38,14 @@ def main() -> int:
 
     from oracle_harness import assert_parity  # tests/oracle_harness.py
 
+    def driver_canon(pdf):
+        # Replica of the grading driver's rows-only canonicalizer: a pandas
+        # sort over every column. Crashes (TypeError: unhashable type) on
+        # list/struct/map cells — exactly like the real driver, so queries
+        # returning non-scalar columns fail HERE, not in CORRECTNESS_r{N}.
+        cols = sorted(pdf.columns)
+        return pdf[cols].sort_values(by=cols).reset_index(drop=True)
+
     # smoke
     df = e.entry(spark)
     n = df.count()
@@ -56,6 +64,7 @@ def main() -> int:
                 assert_parity(sdf, odf, name)
                 status = f"OK    oracle-match rows={len(sdf)}"
             else:
+                driver_canon(sdf)  # must not raise — driver sorts these rows too
                 status = f"OK    rows-only   rows={len(sdf)}"
         except Exception as ex:  # noqa: BLE001
             status = f"FAIL  {type(ex).__name__}: {str(ex)[:300]}"
