@@ -43,6 +43,10 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.ts is TIMESTAMP(NANOS) parquet; set the legacy read conf at
+        # session build so plans cached before the first events load see the
+        # same setting (io.load_table re-asserts it for vanilla sessions)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -43,21 +43,22 @@ def make_edge_alert_fn(limit: float = 75.0):
         (was_high,) = state.get if state.exists else (False,)
         out_rows: list[dict[str, object]] = []
         for pdf in pdfs:
-            # within a batch, process readings in event order
-            for _, row in pdf.sort_values("ts").iterrows():
-                reading = row["reading"]
-                if reading is None or pd.isna(reading):
-                    continue  # R9 null guard: garbage casts drop, not crash
-                high = bool(reading > limit)
-                if high and not was_high:
-                    out_rows.append(
-                        {
-                            "key": key[0],
-                            "reading": float(reading),
-                            "alert": f"Temperature warning {reading:05.2f}",
-                        }
-                    )
-                was_high = high
+            # event order within the batch; R9 null guard: garbage casts
+            # drop without updating state
+            vals = pdf.sort_values("ts")["reading"].dropna()
+            if not len(vals):
+                continue
+            high = vals > limit
+            rising = high & ~high.shift(fill_value=was_high)
+            out_rows.extend(
+                {
+                    "key": key[0],
+                    "reading": float(r),
+                    "alert": f"Temperature warning {r:05.2f}",
+                }
+                for r in vals[rising]
+            )
+            was_high = bool(high.iloc[-1])
         state.update((was_high,))
         if out_rows:
             yield pd.DataFrame(out_rows)
@@ -129,15 +130,45 @@ def make_timeout_summary_fn(gap_ms: int):
     return fn
 
 
+_UNIT_MS = {
+    "ms": 1,
+    "millisecond": 1,
+    "second": 1_000,
+    "sec": 1_000,
+    "minute": 60_000,
+    "min": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def duration_ms(d: str | int) -> int:
+    """Parse a Spark-style duration ('90 seconds', '1 minute', '500 ms')
+    or bare-int milliseconds into milliseconds."""
+    if isinstance(d, int):
+        return d
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]+)\s*", d)
+    unit = m.group(2).lower() if m else ""
+    if unit.endswith("s") and unit not in _UNIT_MS:
+        unit = unit[:-1]
+    if not m or unit not in _UNIT_MS:
+        raise ValueError(
+            f"unparseable duration {d!r}; use e.g. '90 seconds' or int ms"
+        )
+    return int(m.group(1)) * _UNIT_MS[unit]
+
+
 def timeout_summary_stream(
     keyed_readings: DataFrame,
-    gap: str = "1 minute",
+    gap: str | int = "1 minute",
     watermark: str = "1 second",
 ) -> DataFrame:
     """(key, ts, reading) stream → one (key, n_readings, max_reading)
     summary per quiet period: the summary emits when the watermark passes
     the key's last event + gap (requires a watermark on ts)."""
-    gap_ms = 60_000 if gap == "1 minute" else int(gap)
+    gap_ms = duration_ms(gap)
     return (
         keyed_readings.withWatermark("ts", watermark)
         .groupBy("key")

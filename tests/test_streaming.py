@@ -292,3 +292,19 @@ def test_backpressure_max_files_per_trigger(spark, tmp_path):
     q.stop()
     assert topo.batches_seen >= 3, topo.batches_seen
     assert len(alerts) == 3
+
+
+def test_duration_ms_parser():
+    from kstreams_spark.streaming.stateful import duration_ms
+
+    assert duration_ms(1500) == 1500
+    assert duration_ms("1 minute") == 60_000
+    assert duration_ms("90 seconds") == 90_000
+    assert duration_ms("500 ms") == 500
+    assert duration_ms("2 hours") == 7_200_000
+    import pytest
+
+    with pytest.raises(ValueError):
+        duration_ms("soon")
+    with pytest.raises(ValueError):
+        duration_ms("5 fortnights")
