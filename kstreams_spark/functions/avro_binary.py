@@ -13,8 +13,14 @@ AVRO_SENSOR_SCHEMA can decode these bytes; `avro_codec.py` remains the
 spark-avro wrapper for clusters that do carry the jar.
 
 Scale posture: both directions are stateless per-row transforms inside
-Arrow batches — no shuffle, linear scan, parallel by partition. The
-round-trip is oracle-checked (encode→decode == identity vs DuckDB).
+Arrow batches — no shuffle, linear scan, parallel by partition.
+
+Verification: the registered query ``avro_roundtrip``
+(operators/avro_ops.py) runs encode→decode over the events table and is
+hash-compared against the identity SELECT in DuckDB (null union branches
+forced on a modulus of event_id); ``tests/test_avro_binary.py`` pins the
+exact wire bytes against hand-computed zigzag/varint expectations,
+including both null-branch encodings.
 """
 
 from __future__ import annotations

@@ -3,6 +3,7 @@ kstreams_spark.registry (QUERIES / ORACLES)."""
 
 from kstreams_spark.operators import (  # noqa: F401
     aggregate,
+    avro_ops,
     cdc_text,
     analytics_extras,
     composite,

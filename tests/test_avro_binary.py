@@ -1,0 +1,129 @@
+"""Golden-bytes tests for the pure-Python Avro binary codec
+(kstreams_spark/functions/avro_binary.py) plus the Spark round-trip.
+
+Wire bytes are HAND-COMPUTED from the Avro 1.12 spec (§ Binary Encoding):
+long = zigzag varint, string = length-prefixed utf-8, double = 8-byte
+little-endian IEEE 754, ["null", T] union = branch-index long then value.
+Any Avro library given AVRO_SENSOR_SCHEMA must produce/accept exactly
+these bytes — the test pins our codec to the public wire format, not to
+itself.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kstreams_spark.functions.avro_binary import (
+    decode_sensor_record,
+    encode_sensor_record,
+)
+
+# ---------------------------------------------------------------- golden bytes
+
+
+def test_golden_bytes_all_fields_present():
+    # record: event_id=1, user_id=2, event_type="click", value=1.5
+    #   zigzag(1)=2          -> 0x02
+    #   zigzag(2)=4          -> 0x04
+    #   union branch 1       -> zigzag(1)=2 -> 0x02
+    #   len("click")=5       -> zigzag(5)=10 -> 0x0A, then b"click"
+    #   union branch 1       -> 0x02
+    #   1.5 as <d            -> 00 00 00 00 00 00 F8 3F
+    expected = bytes(
+        [0x02, 0x04, 0x02, 0x0A]
+        + list(b"click")
+        + [0x02, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0xF8, 0x3F]
+    )
+    assert encode_sensor_record(1, 2, "click", 1.5) == expected
+    assert decode_sensor_record(expected) == (1, 2, "click", 1.5)
+
+
+def test_golden_bytes_null_branches_and_negative_long():
+    # record: event_id=-1, user_id=300, event_type=None, value=None
+    #   zigzag(-1)=1             -> 0x01
+    #   zigzag(300)=600=0x258    -> varint LSB-first: 0xD8 0x04
+    #   union branch 0 (null)    -> 0x00   (event_type)
+    #   union branch 0 (null)    -> 0x00   (value)
+    expected = bytes([0x01, 0xD8, 0x04, 0x00, 0x00])
+    assert encode_sensor_record(-1, 300, None, None) == expected
+    assert decode_sensor_record(expected) == (-1, 300, None, None)
+
+
+def test_golden_bytes_multibyte_varint_and_utf8():
+    # record: event_id=2**31, user_id=0, event_type="é", value=-0.0
+    # zigzag(2**31) = 2**32 = 0x1_0000_0000
+    #   varint: 0x80 0x80 0x80 0x80 0x10
+    # zigzag(0) = 0 -> 0x00
+    # "é" utf-8 = 0xC3 0xA9, len 2 -> zigzag(2)=4 -> 0x04
+    expected = bytes(
+        [0x80, 0x80, 0x80, 0x80, 0x10, 0x00, 0x02, 0x04, 0xC3, 0xA9, 0x02]
+    ) + struct.pack("<d", -0.0)
+    got = encode_sensor_record(2**31, 0, "é", -0.0)
+    assert got == expected
+    eid, uid, et, val = decode_sensor_record(expected)
+    assert (eid, uid, et) == (2**31, 0, "é")
+    assert val == 0.0 and math.copysign(1.0, val) == -1.0  # -0.0 preserved
+
+
+def test_trailing_bytes_rejected():
+    buf = encode_sensor_record(1, 2, None, None) + b"\x00"
+    with pytest.raises(ValueError, match="trailing"):
+        decode_sensor_record(buf)
+
+
+# ------------------------------------------------------------- property check
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    event_id=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    user_id=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    event_type=st.one_of(st.none(), st.text(max_size=40)),
+    value=st.one_of(
+        st.none(),
+        st.floats(allow_nan=False, width=64),
+    ),
+)
+def test_roundtrip_property(event_id, user_id, event_type, value):
+    buf = encode_sensor_record(event_id, user_id, event_type, value)
+    assert decode_sensor_record(buf) == (event_id, user_id, event_type, value)
+
+
+# ------------------------------------------------------------ spark round-trip
+
+
+def test_spark_roundtrip_matches_input(spark):
+    """Distributed encode→decode == identity on the events fixture, nulls
+    forced through both union branches (same shape as the registered
+    avro_roundtrip query)."""
+    from kstreams_spark.operators.avro_ops import avro_roundtrip
+    from kstreams_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = avro_roundtrip(spark, sf).orderBy("event_id").collect()
+    want = (
+        load_table(spark, sf, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.when(F.col("event_id") % 7 == 0, F.lit(None))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.when(F.col("event_id") % 11 == 0, F.lit(None))
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+        .orderBy("event_id")
+        .collect()
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert got == want
+    # both null branches actually exercised
+    assert any(r.event_type is None for r in got)
+    assert any(r.value is None for r in got)
