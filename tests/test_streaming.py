@@ -40,6 +40,7 @@ def test_reference_topology_two_sinks(spark, tmp_path):
 
     topo = ReferenceTopology(
         alert_sink=alerts.extend,
+        small_alerts=True,  # bounded test harness — driver delivery opt-in
         forward_sink=lambda df: forwarded.extend(
             (r.key, r.value) for r in df.select("key", "value").collect()
         ),
@@ -57,6 +58,55 @@ def test_reference_topology_two_sinks(spark, tmp_path):
     assert len(forwarded) == len(SENSOR_RECORDS)
     assert ("k5", "garbage") in forwarded
     assert topo.batches_seen >= 1
+
+
+def test_reference_topology_executor_side_alerts_default(spark, tmp_path):
+    """The DEFAULT alert path publishes from inside partition tasks
+    (publish_partitions + per-task client) — no driver collect. Worker
+    effects observed through FileSpoolSink's spool files."""
+    import glob
+    from functools import partial
+
+    from kstreams_spark.sinks.spool import FileSpoolSink
+
+    src_dir = str(tmp_path / "stream_in_exec")
+    _write_records(src_dir, SENSOR_RECORDS)
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+
+    topo = ReferenceTopology(
+        alert_sink_factory=partial(FileSpoolSink, spool),
+        forward_sink=lambda df: df.count(),
+    )
+    q = topo.start(sensor_stream_from_files(spark, src_dir))
+    q.processAllAvailable()
+    q.stop()
+
+    published: list[str] = []
+    for path in glob.glob(os.path.join(spool, "task-*.txt")):
+        with open(path) as f:
+            published.extend(line for line in f.read().splitlines() if line)
+    assert sorted(published) == [
+        "Temperature warning 82.74",
+        "Temperature warning 88.50",
+    ]
+
+
+def test_reference_topology_driver_sink_requires_optin():
+    """Driver-side alert delivery is a scale hazard — constructor refuses
+    it without the explicit small_alerts acknowledgement, and refuses
+    ambiguous zero-or-two sink configurations."""
+    with pytest.raises(ValueError, match="small_alerts"):
+        ReferenceTopology(alert_sink=lambda xs: None, forward_sink=lambda df: None)
+    with pytest.raises(ValueError, match="exactly one"):
+        ReferenceTopology(forward_sink=lambda df: None)
+    with pytest.raises(ValueError, match="exactly one"):
+        ReferenceTopology(
+            alert_sink=lambda xs: None,
+            alert_sink_factory=lambda: None,
+            forward_sink=lambda df: None,
+            small_alerts=True,
+        )
 
 
 def test_tumbling_window_stream_matches_batch(spark, tmp_path, sf_dir):
@@ -280,7 +330,8 @@ def test_backpressure_max_files_per_trigger(spark, tmp_path):
     )
     alerts: list[str] = []
     topo = ReferenceTopology(
-        alert_sink=alerts.extend, forward_sink=lambda df: df.count()
+        alert_sink=alerts.extend, small_alerts=True,
+        forward_sink=lambda df: df.count(),
     )
     source = (
         spark.readStream.schema(schema)
