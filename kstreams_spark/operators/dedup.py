@@ -93,6 +93,82 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Exact n-gram Jaccard as a VERIFIER over candidate pairs.
+
+    Exact Jaccard is quadratic if asked to enumerate pairs itself, so this
+    operator never does: it scores only the (doc_id1, doc_id2) pairs in
+    ``candidates`` — by default the MinHash band pairs, i.e. the two-stage
+    100 TB near-dup pipeline (LSH proposes, exact Jaccard disposes) that
+    SCALE.md prescribes. Pair space = |candidates|, never N².
+
+    Shuffle budget: shingle distinct (1), per-doc size agg (1), two
+    candidate⋈shingle equi-joins (2), intersection groupBy (1) — all keyed
+    joins, no cross product anywhere.
+
+    Jaccard = |∩| / (|A|+|B|-|∩|) from integer counts — bit-deterministic.
+    Candidate pairs sharing no shingle drop out (their Jaccard is 0, below
+    any positive threshold)."""
+    if candidates is None:
+        candidates = minhash_band_pairs(
+            minhash_signatures(docs, n_hashes), n_hashes, n_bands
+        )
+    sh = _shingles(docs, n)
+    sized = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh1 = sh.select(F.col("doc_id").alias("doc_id1"), "shingle")
+    sh2 = sh.select(F.col("doc_id").alias("doc_id2"), "shingle")
+    inter = (
+        candidates.join(sh1, "doc_id1")
+        .join(sh2, ["doc_id2", "shingle"])
+        .groupBy("doc_id1", "doc_id2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sized.select(F.col("doc_id").alias("doc_id1"), F.col("n_sh").alias("n1"))
+    s2 = sized.select(F.col("doc_id").alias("doc_id2"), F.col("n_sh").alias("n2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    return (
+        inter.join(s1, "doc_id1")
+        .join(s2, "doc_id2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id1", "doc_id2", "n_common", "jaccard")
+    )
+
+
+def blocked_shingle_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Candidate pairs = docs sharing ≥1 shingle within a `source` block.
+    The fixture-scale candidate generator (full recall at any threshold,
+    pair space bounded per block); at 100 TB use MinHash band pairs
+    instead — this one's shingle join is quadratic within a block."""
+    sh = _shingles(docs, n)
+    blocked = sh.join(docs.select("doc_id", "source"), "doc_id")
+    a = blocked.select(
+        F.col("doc_id").alias("doc_id1"), "shingle", F.col("source").alias("src1")
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_id2"), "shingle", F.col("source").alias("src2")
+    )
+    return (
+        a.join(
+            b,
+            (a.src1 == b.src2)
+            & (a.shingle == b.shingle)
+            & (a.doc_id1 < b.doc_id2),
+        )
+        .select("doc_id1", "doc_id2")
+        .distinct()
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -119,43 +195,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5, blocked on `source`.
-
-    The shingle equi-join only compares docs sharing a shingle AND a block,
-    so the pair space is bounded per block. Jaccard = |∩| / (|A|+|B|-|∩|)
-    from integer counts — bit-deterministic."""
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5 over source-blocked
+    candidates, routed through the verifier API (ngram_jaccard_pairs).
+    The candidate set here is "shares a shingle within a source block" —
+    full recall, so the result equals the corpus-wide blocked join the
+    oracle computes; the scoring path itself is candidate-scoped and
+    identical to the one dedup_minhash_verified runs on LSH candidates."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    sh = _shingles(d, 3)
-    sized = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    blocked = sh.join(d.select("doc_id", "source"), "doc_id")
-    a = blocked.select(
-        F.col("doc_id").alias("doc_id1"), "shingle", F.col("source").alias("src1")
-    )
-    b = blocked.select(
-        F.col("doc_id").alias("doc_id2"), "shingle", F.col("source").alias("src2")
-    )
-    inter = (
-        a.join(
-            b,
-            (a.src1 == b.src2)
-            & (a.shingle == b.shingle)
-            & (a.doc_id1 < b.doc_id2),
-        )
-        .groupBy("doc_id1", "doc_id2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    s1 = sized.select(F.col("doc_id").alias("doc_id1"), F.col("n_sh").alias("n1"))
-    s2 = sized.select(F.col("doc_id").alias("doc_id2"), F.col("n_sh").alias("n2"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("n1") + F.col("n2") - F.col("n_common")
-    )
-    return (
-        inter.join(s1, "doc_id1")
-        .join(s2, "doc_id2")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_id1", "doc_id2", "n_common", "jaccard")
-    )
+    return ngram_jaccard_pairs(d, candidates=blocked_shingle_candidates(d, 3))
 
 
 def _rot_sql(col: str, i: int) -> str:
@@ -167,7 +214,10 @@ def _rot_sql(col: str, i: int) -> str:
     return f"concat(substr({col}, {4 * i + 1}, {32 - 4 * i}), substr({col}, 1, {4 * i}))"
 
 
-def _minhash_band_sql() -> str:
+def _minhash_cand_cte() -> str:
+    """CTE chain `sh, sig, bands, cand` — `cand` is the distinct MinHash
+    band-pair candidate set. Shared by the candidate query's oracle and
+    the verified-pipeline query's oracle."""
     mins = ",\n           ".join(
         f"MIN({_rot_sql('md5(shingle)', i)}) AS h{i}" for i in range(N_HASHES)
     )
@@ -175,8 +225,7 @@ def _minhash_band_sql() -> str:
         f"SELECT doc_id, {b} AS band_id, concat(h{2 * b}, h{2 * b + 1}) AS band_val FROM sig"
         for b in range(N_BANDS)
     )
-    return f"""
-    WITH sh AS ({shingles_sql(3)}),
+    return f"""sh AS ({shingles_sql(3)}),
     sig AS (
       SELECT doc_id,
            {mins}
@@ -184,11 +233,40 @@ def _minhash_band_sql() -> str:
     ),
     bands AS (
       {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                   AND a.doc_id < b.doc_id
+    )"""
+
+
+def _minhash_band_sql() -> str:
+    return f"""
+    WITH {_minhash_cand_cte()}
+    SELECT doc_id1, doc_id2 FROM cand
+    """
+
+
+def _minhash_verified_sql() -> str:
+    return f"""
+    WITH {_minhash_cand_cte()},
+    sized AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_id1, c.doc_id2, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.doc_id1
+      JOIN sh s2 ON s2.doc_id = c.doc_id2 AND s2.shingle = s1.shingle
+      GROUP BY c.doc_id1, c.doc_id2
     )
-    SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
-    FROM bands a
-    JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
-                 AND a.doc_id < b.doc_id
+    SELECT i.doc_id1, i.doc_id2, i.n_common,
+           CAST(i.n_common AS DOUBLE)
+             / (s1.n_sh + s2.n_sh - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sized s1 ON s1.doc_id = i.doc_id1
+    JOIN sized s2 ON s2.doc_id = i.doc_id2
+    WHERE CAST(i.n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - i.n_common) >= 0.5
     """
 
 
@@ -268,6 +346,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     sig = minhash_signatures(d, N_HASHES)
     return minhash_band_pairs(sig, N_HASHES, N_BANDS)
+
+
+@query("dedup_minhash_verified", oracle=_minhash_verified_sql())
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete two-stage near-dup pipeline: MinHash-LSH proposes
+    candidate pairs (band equi-join, never all-pairs), exact 3-gram
+    Jaccard verifies them (candidate-scoped, ngram_jaccard_pairs default
+    path). This is the shape that runs at 100 TB — the oracle checks the
+    whole propose→verify composition end-to-end."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(d)
 
 
 def _simhash_sig_exprs() -> list[F.Column]:

@@ -292,3 +292,34 @@ def test_multi_table_lsh_beats_single_table(spark):
     multi = mean_recall(lsh_multi_topk(emb, n_queries=10).collect(), exact)
     assert multi > single, f"multi {multi:.2f} <= single {single:.2f}"
     assert multi >= 0.6, f"multi-table recall {multi:.2f}"
+
+
+def test_jaccard_verifier_is_candidate_scoped(spark, sf_dir):
+    """VERDICT r2 #3: exact n-gram Jaccard runs only on proposed candidate
+    pairs. Proves (a) the MinHash candidate set is far smaller than the
+    block-quadratic pair space the old corpus-wide join risked, and
+    (b) every pair the verified pipeline scores came from the candidate
+    set (pair space = |candidates|, never N²)."""
+    from kstreams_spark.io import load_table
+    from kstreams_spark.operators.dedup import (
+        minhash_band_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = minhash_band_pairs(minhash_signatures(d))
+    cand_pairs = {(r.doc_id1, r.doc_id2) for r in cand.collect()}
+
+    block_sizes = [
+        r.n for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    block_quadratic = sum(n * (n - 1) // 2 for n in block_sizes)
+    assert block_quadratic > 0
+    assert len(cand_pairs) < block_quadratic / 5, (
+        f"{len(cand_pairs)} candidates vs {block_quadratic} block-quadratic"
+    )
+
+    verified = ngram_jaccard_pairs(d)  # default: MinHash candidates
+    scored = {(r.doc_id1, r.doc_id2) for r in verified.collect()}
+    assert scored <= cand_pairs
