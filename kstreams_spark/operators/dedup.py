@@ -372,6 +372,10 @@ def _simhash_sig_exprs() -> list[F.Column]:
 
 HAM_MAX = 3  # near-dup threshold; needs HAM_MAX + 1 pigeonhole chunks
 N_CHUNKS = HAM_MAX + 1
+# integer division must be exact: a remainder would leave trailing
+# signature bits outside every chunk and silently void the pigeonhole
+# full-recall guarantee (mirrors the n_hashes % n_bands guard above)
+assert SIM_BITS % N_CHUNKS == 0, "SIM_BITS must be a multiple of N_CHUNKS"
 CHUNK_W = SIM_BITS // N_CHUNKS
 
 

@@ -36,7 +36,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 class ExactlyOnceParquetSink:
     """Epoch-keyed idempotent foreachBatch sink: at-least-once delivery
-    from the engine + idempotent epoch commits = exactly-once output."""
+    from the engine + idempotent epoch commits = exactly-once output.
+
+    Concurrency contract: ONE stream per out_dir. Epoch ids are
+    per-query, so two queries sharing an out_dir would collide on the
+    same epoch=N paths; the check→rename race is additionally closed by
+    treating a failed rename onto an existing final dir as a concurrent
+    commit of the same epoch (idempotent no-op), but cross-query sharing
+    is still a semantic error — partition your outputs instead."""
 
     def __init__(self, out_dir: str) -> None:
         self.out_dir = out_dir
@@ -55,7 +62,15 @@ class ExactlyOnceParquetSink:
             return  # replay of a committed epoch: exactly-once no-op
         staging = self._staging_dir(epoch_id)
         batch_df.write.mode("overwrite").parquet(staging)
-        os.rename(staging, self._final_dir(epoch_id))  # the commit point
+        try:
+            os.rename(staging, self._final_dir(epoch_id))  # the commit point
+        except OSError:
+            # lost a check→rename race: someone committed this epoch
+            # between our is_committed probe and the rename. Their commit
+            # carries the same replayed batch — dropping ours preserves
+            # exactly-once.
+            if not self.is_committed(epoch_id):
+                raise
 
     def attach(self, stream: DataFrame, checkpoint_dir: str):
         """Wire to a stream. The checkpoint is what makes a crashed epoch
@@ -67,5 +82,12 @@ class ExactlyOnceParquetSink:
         )
 
     def result(self, spark: SparkSession) -> DataFrame:
-        """All committed epochs (epoch= partition column included)."""
+        """All committed epochs (epoch= partition column included).
+        Before any epoch has committed there is nothing to infer a schema
+        from — return an empty untyped frame instead of throwing."""
+        has_commits = os.path.isdir(self.out_dir) and any(
+            name.startswith("epoch=") for name in os.listdir(self.out_dir)
+        )
+        if not has_commits:
+            return spark.createDataFrame([], "epoch bigint")
         return spark.read.parquet(self.out_dir)

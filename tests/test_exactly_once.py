@@ -107,3 +107,35 @@ def test_committed_epoch_replay_is_noop(spark, tmp_path):
     sink.process_batch(batch, epoch_id=0)
     sink.process_batch(batch, epoch_id=0)  # replay of committed epoch
     assert sink.result(spark).count() == 10
+
+
+def test_result_empty_before_any_commit(spark, tmp_path):
+    """result() before the first commit returns an empty frame instead of
+    throwing unable-to-infer-schema (ADVICE r2)."""
+    from kstreams_spark.streaming.exactly_once import ExactlyOnceParquetSink
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "never_written"))
+    assert sink.result(spark).count() == 0
+    # and with the dir existing but holding only staging leftovers
+    out = str(tmp_path / "staging_only")
+    os.makedirs(os.path.join(out, "_inprogress-0"))
+    assert ExactlyOnceParquetSink(out).result(spark).count() == 0
+
+
+def test_lost_commit_race_is_noop(spark, tmp_path):
+    """A rename that loses the check→rename race to a concurrent commit of
+    the SAME epoch is an idempotent no-op, not an error (ADVICE r2)."""
+    from kstreams_spark.streaming.exactly_once import ExactlyOnceParquetSink
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "raced"))
+    sink.process_batch(spark.range(5).toDF("event_id"), 0)
+
+    # force the entry guard to miss so process_batch re-attempts the
+    # rename against the already-committed final dir (ENOTEMPTY)
+    orig = sink.is_committed
+    seen = []
+    sink.is_committed = lambda e: (seen.append(e), False)[1] if not seen else orig(e)
+    sink.process_batch(spark.range(5).toDF("event_id"), 0)  # must not raise
+
+    rows = sink.result(spark).filter("epoch = 0").count()
+    assert rows == 5  # still exactly once
