@@ -39,6 +39,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Pin the session to UTC (idempotent; engine sessions already carry it).
+    # Every oracle comparison assumes UTC wall-clock: a hosting session in
+    # another timezone would shift timestamp rendering, date_trunc
+    # boundaries, and date_format output. Same defensive pattern as the
+    # nanosAsLong conf below; tools/driver_sim.py --drift proves query
+    # results are invariant to the hosting session's starting TZ.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # sessions built by kstreams_spark.session already carry this conf;

