@@ -43,6 +43,25 @@ LSH_BITS = 8
 FX = int(1e12)  # fixed-point scale for exact cross-engine sums
 
 
+def lsh_bits_for(n: int, target_bucket: int = 25) -> int:
+    """The SCALE.md sizing rule as code: bits ≈ log2(N / B) so the
+    expected bucket population N / 2^bits stays near the target re-rank
+    budget B as the corpus grows. Recall lost to the extra bits is bought
+    back with OR-amplification tables (lsh_multi_topk), not by shrinking
+    the signature. Tested at 1× and 10× corpus in
+    tests/test_dedup_quality.py."""
+    import math
+
+    return max(1, round(math.log2(max(2.0, n / target_bucket))))
+
+
+def ivf_cells_for(n: int, target_cell: int = 100) -> int:
+    """IVF cell-count sizing: cells ≈ N / C keeps the expected cell
+    population near the per-query scan budget C; at 100 TB the cell id is
+    the lake partition key, so C is really 'bytes a query may scan'."""
+    return max(1, round(n / target_cell))
+
+
 def _fx(col: Column) -> Column:
     """double → fixed-point long at scale 1e12 (portable rounding)."""
     return F.round(col * FX).cast("long")
@@ -299,11 +318,14 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CENTROIDS = 16  # vec_id < 16 serve as fixed centroids (k-means-lite)
 
 
-def ivf_topk(emb: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
+def ivf_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, n_centroids: int = N_CENTROIDS
+) -> DataFrame:
     """IVF (inverted-file) ANN: every vector is assigned to its nearest
     centroid by fixed-point dot product (centroids = the first
-    N_CENTROIDS vectors — a real deployment runs k-means; assignment and
-    search are identical); a query searches only its own cell. Same
+    n_centroids vectors — a real deployment runs k-means; assignment and
+    search are identical); a query searches only its own cell.
+    Size n_centroids with ivf_cells_for(N). Same
     candidate-generation-then-exact-rerank shape as LSH, but the
     partition is learned from the data rather than random hyperplanes —
     at 100 TB the cell id becomes the lake partition key so a query
@@ -313,7 +335,7 @@ def ivf_topk(emb: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
     fixed-point form as the rest of the module, so the DuckDB oracle
     matches bit-for-bit."""
     cen = (
-        emb.filter(F.col("vec_id") < N_CENTROIDS)
+        emb.filter(F.col("vec_id") < n_centroids)
         .select(
             F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_emb")
         )
