@@ -566,3 +566,114 @@ def _multi_sig_sql() -> str:
 def similarity_topk_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-table OR-amplified LSH ANN top-10 over the fixture embeddings."""
     return lsh_multi_topk(spread(load_table(spark, sf_dir, "embeddings")))
+
+
+NEAR_MIN_COSINE = 0.1  # registered-fixture threshold (isotropic noise corpus)
+
+
+def lsh_near_pairs(
+    emb: DataFrame,
+    bits: int = LSH_BITS,
+    n_tables: int = N_TABLES,
+    min_cosine: float = NEAR_MIN_COSINE,
+) -> DataFrame:
+    """Corpus-wide near-pair mining (the ANN dual of dedup): pairs that
+    collide in ANY of n_tables LSH signatures, exact-cosine-verified at
+    ≥ min_cosine. Same propose→verify shape as dedup_minhash_verified —
+    the pair space is the bucket collisions, never N².
+
+    This is also the batch twin of streaming/similarity.py's incremental
+    index: the streamed union of (new × accumulated ∪ within-batch) pairs
+    over the same signatures equals this result exactly (tested on
+    planted clusters).
+
+    Shuffle budget: one groupBy-free signature projection, n_tables
+    bucket equi-joins + distinct, one lookup join for the verify."""
+    sigs = emb.select(
+        "vec_id",
+        *[_sig_expr(t, bits).alias(f"sig{t}") for t in range(n_tables)],
+    )
+    a = sigs.select(
+        F.col("vec_id").alias("id1"),
+        *[F.col(f"sig{t}").alias(f"asig{t}") for t in range(n_tables)],
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("id2"),
+        *[F.col(f"sig{t}").alias(f"bsig{t}") for t in range(n_tables)],
+    )
+    cand = None
+    for t in range(n_tables):
+        m = a.join(
+            b,
+            (F.col(f"asig{t}") == F.col(f"bsig{t}"))
+            & (F.col("id1") < F.col("id2")),
+        ).select("id1", "id2")
+        cand = m if cand is None else cand.unionByName(m)
+    cand = cand.distinct()
+    vecs = emb.select(
+        "vec_id", "embedding", _fx_norm2("embedding").alias("norm2")
+    )
+    v1 = vecs.select(
+        F.col("vec_id").alias("id1"),
+        F.col("embedding").alias("e1"),
+        F.col("norm2").alias("n1"),
+    )
+    v2 = vecs.select(
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("e2"),
+        F.col("norm2").alias("n2"),
+    )
+    return (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .select(
+            "id1",
+            "id2",
+            _cosine(_fx_dot("e1", "e2"), F.col("n1"), F.col("n2")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+@query(
+    "similarity_near_pairs",
+    oracle=f"""
+    WITH sigs AS ({_multi_sig_sql()}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      FROM sigs a JOIN sigs b
+        ON a.vec_id < b.vec_id
+       AND ({" OR ".join(f"a.sig{t} = b.sig{t}" for t in range(N_TABLES))})
+    ),
+    v AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT c.id1, c.id2,
+             SUM(CAST(round(v1.val * v2.val * {FX}.0) AS BIGINT)) AS dot_fx
+      FROM cand c
+      JOIN v v1 ON v1.vec_id = c.id1
+      JOIN v v2 ON v2.vec_id = c.id2 AND v2.idx = v1.idx
+      GROUP BY c.id1, c.id2
+    ),
+    norms AS ({_NORMS_SQL})
+    SELECT d.id1, d.id2,
+           (CAST(d.dot_fx AS DOUBLE) / {FX})
+             / nullif(sqrt(CAST(n1.norm2_fx AS DOUBLE) / {FX})
+                      * sqrt(CAST(n2.norm2_fx AS DOUBLE) / {FX}), 0) AS cosine
+    FROM dots d
+    JOIN norms n1 ON n1.vec_id = d.id1
+    JOIN norms n2 ON n2.vec_id = d.id2
+    WHERE (CAST(d.dot_fx AS DOUBLE) / {FX})
+             / nullif(sqrt(CAST(n1.norm2_fx AS DOUBLE) / {FX})
+                      * sqrt(CAST(n2.norm2_fx AS DOUBLE) / {FX}), 0)
+          >= {NEAR_MIN_COSINE}
+    """,
+)
+def similarity_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-collision near pairs at cosine ≥ 0.1 over fixture embeddings
+    (2 tables × 8 bits) — the oracle-checked batch twin of the streaming
+    incremental index."""
+    return lsh_near_pairs(spread(load_table(spark, sf_dir, "embeddings")))
