@@ -39,8 +39,11 @@ HEADLINE = [
     "set_union_nations",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_verified",  # added r3: propose->verify pipeline
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
+    "similarity_near_pairs",  # added r3: corpus near-pair mining
+    "avro_roundtrip",  # added r3: codec round-trip (UDF path)
     "text_token_stats",
     "text_language_id",
     "window_tumbling_agg",

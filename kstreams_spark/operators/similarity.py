@@ -587,29 +587,37 @@ def lsh_near_pairs(
     over the same signatures equals this result exactly (tested on
     planted clusters).
 
-    Shuffle budget: one groupBy-free signature projection, n_tables
-    bucket equi-joins + distinct, one lookup join for the verify."""
-    sigs = emb.select(
-        "vec_id",
-        *[_sig_expr(t, bits).alias(f"sig{t}") for t in range(n_tables)],
+    Shuffle budget: one groupBy-free signature projection, ONE composite
+    (table, sig) bucket equi-join (the minhash_band_pairs shape — the
+    per-table joins fused by explode) + distinct, one lookup join for the
+    verify."""
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"), _sig_expr(t, bits).alias("sig")
+            )
+            for t in range(n_tables)
+        ]
     )
-    a = sigs.select(
-        F.col("vec_id").alias("id1"),
-        *[F.col(f"sig{t}").alias(f"asig{t}") for t in range(n_tables)],
-    )
-    b = sigs.select(
+    buckets = emb.select(
+        "vec_id", F.explode(bucket_structs).alias("b")
+    ).select("vec_id", "b.tbl", "b.sig")
+    a = buckets.select(F.col("vec_id").alias("id1"), "tbl", "sig")
+    b = buckets.select(
         F.col("vec_id").alias("id2"),
-        *[F.col(f"sig{t}").alias(f"bsig{t}") for t in range(n_tables)],
+        F.col("tbl").alias("tbl2"),
+        F.col("sig").alias("sig2"),
     )
-    cand = None
-    for t in range(n_tables):
-        m = a.join(
+    cand = (
+        a.join(
             b,
-            (F.col(f"asig{t}") == F.col(f"bsig{t}"))
+            (a.tbl == b.tbl2)
+            & (a.sig == b.sig2)
             & (F.col("id1") < F.col("id2")),
-        ).select("id1", "id2")
-        cand = m if cand is None else cand.unionByName(m)
-    cand = cand.distinct()
+        )
+        .select("id1", "id2")
+        .distinct()
+    )
     vecs = emb.select(
         "vec_id", "embedding", _fx_norm2("embedding").alias("norm2")
     )
