@@ -16,6 +16,14 @@ At 100 TB the index directory becomes a signature-partitioned lake table
 (bucket pruning on sig = partition pruning) and the append becomes a
 transactional-table commit; the foreachBatch body is unchanged.
 
+Exactly-once: both outputs (emitted pairs, index entries) go through
+epoch-keyed idempotent commits (streaming/exactly_once.py), ordered
+pairs-then-index. A replayed epoch that already committed its pairs
+skips matching entirely — the index cannot yet contain that epoch
+(its commit is strictly later), so no pair is ever emitted twice and
+no index entry ever matches itself. Proven by crash injection in
+tests/test_streaming_similarity.py.
+
 Shuffle budget per microbatch: signature projection is per-row (no
 shuffle); n_tables bucket equi-joins against the index + distinct; one
 verify join. Index reads are pruned to signature columns + candidates.
@@ -37,6 +45,7 @@ from kstreams_spark.operators.similarity import (
     _fx_norm2,
     _sig_expr,
 )
+from kstreams_spark.streaming.exactly_once import ExactlyOnceParquetSink
 
 
 class StreamingLshIndex:
@@ -57,6 +66,10 @@ class StreamingLshIndex:
         self.n_tables = n_tables
         self.min_cosine = min_cosine
         self.batches_seen = 0
+        # epoch-keyed idempotent commits for both outputs — replayed
+        # epochs are no-ops (see module docstring for the ordering proof)
+        self._pairs_sink = ExactlyOnceParquetSink(out_dir)
+        self._index_sink = ExactlyOnceParquetSink(index_dir)
 
     # ------------------------------------------------------------ internals
 
@@ -73,7 +86,7 @@ class StreamingLshIndex:
 
     def _has_index(self) -> bool:
         return os.path.isdir(self.index_dir) and any(
-            not n.startswith("_") for n in os.listdir(self.index_dir)
+            n.startswith("epoch=") for n in os.listdir(self.index_dir)
         )
 
     def _bucket_pairs(self, a: DataFrame, b: DataFrame, ordered: bool) -> DataFrame:
@@ -100,57 +113,69 @@ class StreamingLshIndex:
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         self.batches_seen += 1
+        if self._pairs_sink.is_committed(epoch_id) and self._index_sink.is_committed(
+            epoch_id
+        ):
+            return  # fully committed epoch replayed: exactly-once no-op
         spark = batch_df.sparkSession
         new = self._signed(batch_df)
         new.persist()
         try:
-            sides = [self._bucket_pairs(new, new, ordered=True)]
-            vec_sources = [new]
-            if self._has_index():
-                index = spark.read.parquet(self.index_dir)
-                # index entries arrived strictly earlier: every (old, new)
-                # collision is a fresh pair regardless of id order —
-                # normalize to (lo, hi) so output keys match the batch twin
-                cross = self._bucket_pairs(index, new, ordered=False).select(
-                    F.least("id1", "id2").alias("id1"),
-                    F.greatest("id1", "id2").alias("id2"),
-                )
-                sides.append(cross)
-                vec_sources.append(index)
-            cand = sides[0]
-            for s in sides[1:]:
-                cand = cand.unionByName(s)
-            cand = cand.distinct()
+            if not self._pairs_sink.is_committed(epoch_id):
+                # pairs commit strictly precedes index commit, so here the
+                # index holds only strictly-earlier epochs — the batch can
+                # never match itself through the index read
+                sides = [self._bucket_pairs(new, new, ordered=True)]
+                vec_sources = [new]
+                if self._has_index():
+                    index = spark.read.parquet(self.index_dir)
+                    # index entries arrived strictly earlier: every
+                    # (old, new) collision is a fresh pair regardless of
+                    # id order — normalize to (lo, hi) so output keys
+                    # match the batch twin
+                    cross = self._bucket_pairs(index, new, ordered=False).select(
+                        F.least("id1", "id2").alias("id1"),
+                        F.greatest("id1", "id2").alias("id2"),
+                    )
+                    sides.append(cross)
+                    vec_sources.append(index)
+                cand = sides[0]
+                for s in sides[1:]:
+                    cand = cand.unionByName(s)
+                cand = cand.distinct()
 
-            vecs = vec_sources[0].select("vec_id", "embedding", "norm2")
-            for v in vec_sources[1:]:
-                vecs = vecs.unionByName(v.select("vec_id", "embedding", "norm2"))
-            v1 = vecs.select(
-                F.col("vec_id").alias("id1"),
-                F.col("embedding").alias("e1"),
-                F.col("norm2").alias("n1"),
-            )
-            v2 = vecs.select(
-                F.col("vec_id").alias("id2"),
-                F.col("embedding").alias("e2"),
-                F.col("norm2").alias("n2"),
-            )
-            pairs = (
-                cand.join(v1, "id1")
-                .join(v2, "id2")
-                .select(
-                    "id1",
-                    "id2",
-                    _cosine(_fx_dot("e1", "e2"), F.col("n1"), F.col("n2")).alias(
-                        "cosine"
-                    ),
+                vecs = vec_sources[0].select("vec_id", "embedding", "norm2")
+                for v in vec_sources[1:]:
+                    vecs = vecs.unionByName(
+                        v.select("vec_id", "embedding", "norm2")
+                    )
+                v1 = vecs.select(
+                    F.col("vec_id").alias("id1"),
+                    F.col("embedding").alias("e1"),
+                    F.col("norm2").alias("n1"),
                 )
-                .filter(F.col("cosine") >= self.min_cosine)
-            )
-            pairs.write.mode("append").parquet(self.out_dir)
-            # absorb the batch AFTER matching (so it never matches itself
-            # through the index read)
-            new.write.mode("append").parquet(self.index_dir)
+                v2 = vecs.select(
+                    F.col("vec_id").alias("id2"),
+                    F.col("embedding").alias("e2"),
+                    F.col("norm2").alias("n2"),
+                )
+                pairs = (
+                    cand.join(v1, "id1")
+                    .join(v2, "id2")
+                    .select(
+                        "id1",
+                        "id2",
+                        _cosine(
+                            _fx_dot("e1", "e2"), F.col("n1"), F.col("n2")
+                        ).alias("cosine"),
+                    )
+                    .filter(F.col("cosine") >= self.min_cosine)
+                )
+                self._pairs_sink.process_batch(pairs, epoch_id)
+            # absorb the batch AFTER the pairs commit (a crash between the
+            # two commits replays into the pairs-committed branch above,
+            # which skips matching and only completes this absorb)
+            self._index_sink.process_batch(new, epoch_id)
         finally:
             new.unpersist()
 
@@ -162,9 +187,12 @@ class StreamingLshIndex:
         )
 
     def result(self, spark: SparkSession) -> DataFrame:
-        """All near-pairs emitted so far."""
-        if not os.path.isdir(self.out_dir):
+        """All near-pairs from committed epochs."""
+        committed = os.path.isdir(self.out_dir) and any(
+            n.startswith("epoch=") for n in os.listdir(self.out_dir)
+        )
+        if not committed:
             return spark.createDataFrame(
                 [], "id1 bigint, id2 bigint, cosine double"
             )
-        return spark.read.parquet(self.out_dir)
+        return self._pairs_sink.result(spark).select("id1", "id2", "cosine")

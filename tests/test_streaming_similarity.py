@@ -79,3 +79,80 @@ def test_stream_matches_batch_on_planted_clusters(spark, tmp_path):
     )
     for k in want:  # same exact fixed-point cosine, bit-for-bit
         assert got[k] == pytest.approx(want[k], abs=0.0), k
+
+
+def test_crash_between_pairs_and_index_commit_is_exactly_once(spark, tmp_path):
+    """The at-least-once hazard made real for the incremental index: a
+    crash AFTER an epoch's pairs commit but BEFORE its index commit. The
+    replayed epoch must skip matching (its pairs are committed), finish
+    only the index absorb, and the final pair set must still equal the
+    batch twin with zero duplicates."""
+    from pyspark.errors import StreamingQueryException
+
+    rows = _planted()
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    want = {
+        (r.id1, r.id2): r.cosine
+        for r in lsh_near_pairs(emb, min_cosine=0.5).collect()
+    }
+
+    src = str(tmp_path / "emb_stream")
+    os.makedirs(src)
+    chunk = (len(rows) + 2) // 3
+    for i in range(3):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(
+                part, "vec_id long, embedding array<float>"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, f"b{i}")
+            )
+
+    idx = StreamingLshIndex(
+        index_dir=str(tmp_path / "index"),
+        out_dir=str(tmp_path / "pairs"),
+        min_cosine=0.5,
+    )
+    # sabotage: epoch 1's index commit crashes once, AFTER pairs committed
+    orig = idx._index_sink.process_batch
+    state = {"crashed": False}
+
+    def flaky(df, epoch_id):
+        if epoch_id == 1 and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash between pairs and index commit")
+        orig(df, epoch_id)
+
+    idx._index_sink.process_batch = flaky
+
+    def make_stream():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "b*"))
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    q = idx.attach(make_stream(), ckpt)
+    try:
+        q.processAllAvailable()
+        raise AssertionError("expected the injected crash to fail the query")
+    except StreamingQueryException:
+        pass
+    finally:
+        q.stop()
+    assert state["crashed"]
+    # epoch 1: pairs committed, index NOT — the dangerous half-state
+    assert idx._pairs_sink.is_committed(1)
+    assert not idx._index_sink.is_committed(1)
+
+    # restart from the same checkpoint: epoch 1 replays, completes the
+    # index absorb without re-emitting, then the stream drains normally
+    q2 = idx.attach(make_stream(), ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    got_rows = idx.result(spark).collect()
+    got = {(r.id1, r.id2): r.cosine for r in got_rows}
+    assert len(got_rows) == len(got), "duplicate pair emissions after replay"
+    assert set(got) == set(want)
