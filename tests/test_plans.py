@@ -129,3 +129,27 @@ def test_partition_pruning(plan_spark, sf_dir, tmp_path):
     assert "PartitionFilters" in text and "event_type" in text
     n_err = pruned.count()
     assert n_err == ev.filter(F.col("event_type") == "error").count()
+
+
+def test_avro_roundtrip_has_no_shuffle(plan_spark, sf_dir):
+    """encode→decode is per-row Arrow-batched work: scan → eval(encode) →
+    eval(decode) → project. Any Exchange here would mean the codec path
+    stopped being a narrow pipeline."""
+    assert count_exchanges(q("avro_roundtrip", plan_spark, sf_dir)) == 0
+
+
+def test_near_pairs_verify_joins_broadcast(plan_spark, sf_dir):
+    """similarity_near_pairs: the exact-cosine verify must look up the
+    embedding arrays via broadcast joins (the corpus vector table is
+    id→array, tiny next to the pair stream); the only shuffle joins
+    allowed are the (table, sig) bucket equi-join sides."""
+    strategies = join_strategies(q("similarity_near_pairs", plan_spark, sf_dir))
+    assert strategies.count("BroadcastHashJoin") >= 2, strategies
+
+
+def test_minhash_verified_no_cartesian(plan_spark, sf_dir):
+    """The propose→verify pipeline must never plan a cartesian product —
+    every join is keyed (band equi-join, shingle equi-join, size lookups)."""
+    plan = physical_plan(q("dedup_minhash_verified", plan_spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
