@@ -12,6 +12,7 @@ from kstreams_spark.operators import (  # noqa: F401
     event_windows,
     joins,
     json_funcs,
+    kmeans,
     multimodal,
     sampling,
     scalar_extras,

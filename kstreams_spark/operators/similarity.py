@@ -319,7 +319,10 @@ N_CENTROIDS = 16  # vec_id < 16 serve as fixed centroids (k-means-lite)
 
 
 def ivf_topk(
-    emb: DataFrame, n_queries: int = N_QUERIES, n_centroids: int = N_CENTROIDS
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    n_centroids: int = N_CENTROIDS,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: every vector is assigned to its nearest
     centroid by fixed-point dot product (centroids = the first
@@ -333,13 +336,17 @@ def ivf_topk(
 
     Assignment ties break on centroid id; all arithmetic is the same
     fixed-point form as the rest of the module, so the DuckDB oracle
-    matches bit-for-bit."""
-    cen = (
-        emb.filter(F.col("vec_id") < n_centroids)
-        .select(
+    matches bit-for-bit. Pass `centroids` (k×D driver-side lists, e.g.
+    from kmeans.kmeans_fit) to search fitted cells instead."""
+    if centroids is not None:
+        cen = emb.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cen_id long, cen_emb array<double>",
+        )
+    else:
+        cen = emb.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_emb")
         )
-    )
     scored = emb.crossJoin(F.broadcast(cen)).select(
         "vec_id",
         "embedding",
