@@ -594,10 +594,13 @@ def lsh_near_pairs(
     over the same signatures equals this result exactly (tested on
     planted clusters).
 
-    Shuffle budget: one groupBy-free signature projection, ONE composite
-    (table, sig) bucket equi-join (the minhash_band_pairs shape — the
-    per-table joins fused by explode) + distinct, one lookup join for the
-    verify."""
+    Shuffle budget: signatures are computed ONCE (per-row projection, no
+    shuffle), then ONE groupBy on (table, sig) enumerates each bucket's
+    pairs in place (sorted collect_list + nested-transform expansion — no
+    self-join, so the corpus isn't signed twice) + distinct across
+    tables, one lookup join for the verify. Bucket populations are
+    bounded by the lsh_bits_for sizing rule, so per-group lists stay
+    small by construction."""
     bucket_structs = F.array(
         *[
             F.struct(
@@ -609,20 +612,19 @@ def lsh_near_pairs(
     buckets = emb.select(
         "vec_id", F.explode(bucket_structs).alias("b")
     ).select("vec_id", "b.tbl", "b.sig")
-    a = buckets.select(F.col("vec_id").alias("id1"), "tbl", "sig")
-    b = buckets.select(
-        F.col("vec_id").alias("id2"),
-        F.col("tbl").alias("tbl2"),
-        F.col("sig").alias("sig2"),
+    per_bucket = (
+        buckets.groupBy("tbl", "sig")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id1, y AS id2))))"
     )
     cand = (
-        a.join(
-            b,
-            (a.tbl == b.tbl2)
-            & (a.sig == b.sig2)
-            & (F.col("id1") < F.col("id2")),
-        )
-        .select("id1", "id2")
+        per_bucket.select(F.explode(pair_expr).alias("p"))
+        .select("p.id1", "p.id2")
         .distinct()
     )
     vecs = emb.select(
