@@ -109,9 +109,12 @@ def ngram_jaccard_pairs(
     100 TB near-dup pipeline (LSH proposes, exact Jaccard disposes) that
     SCALE.md prescribes. Pair space = |candidates|, never N².
 
-    Shuffle budget: shingle distinct (1), per-doc size agg (1), two
-    candidate⋈shingle equi-joins (2), intersection groupBy (1) — all keyed
-    joins, no cross product anywhere.
+    Shuffle budget: ONE per-doc shingle-set aggregation (the doc sketch),
+    then two keyed lookups attaching each side's set to the candidate
+    pair; |∩| is a per-row array_intersect — no shingle-level join, no
+    separate size aggregation, no cross product anywhere. At 100 TB the
+    sketch is the unit that travels: candidate-pair count × set size,
+    never corpus token count squared.
 
     Jaccard = |∩| / (|A|+|B|-|∩|) from integer counts — bit-deterministic.
     Candidate pairs sharing no shingle drop out (their Jaccard is 0, below
@@ -120,26 +123,34 @@ def ngram_jaccard_pairs(
         candidates = minhash_band_pairs(
             minhash_signatures(docs, n_hashes), n_hashes, n_bands
         )
-    sh = _shingles(docs, n)
-    sized = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh1 = sh.select(F.col("doc_id").alias("doc_id1"), "shingle")
-    sh2 = sh.select(F.col("doc_id").alias("doc_id2"), "shingle")
-    inter = (
-        candidates.join(sh1, "doc_id1")
-        .join(sh2, ["doc_id2", "shingle"])
-        .groupBy("doc_id1", "doc_id2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    doc_sets = (
+        _shingles(docs, n, distinct=False)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shs"))
     )
-    s1 = sized.select(F.col("doc_id").alias("doc_id1"), F.col("n_sh").alias("n1"))
-    s2 = sized.select(F.col("doc_id").alias("doc_id2"), F.col("n_sh").alias("n2"))
+    s1 = doc_sets.select(
+        F.col("doc_id").alias("doc_id1"), F.col("shs").alias("shs1")
+    )
+    s2 = doc_sets.select(
+        F.col("doc_id").alias("doc_id2"), F.col("shs").alias("shs2")
+    )
+    scored = (
+        candidates.join(s1, "doc_id1")
+        .join(s2, "doc_id2")
+        .select(
+            "doc_id1",
+            "doc_id2",
+            F.size(F.array_intersect("shs1", "shs2")).alias("n_common"),
+            F.size("shs1").alias("n1"),
+            F.size("shs2").alias("n2"),
+        )
+    )
     jac = F.col("n_common").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("n_common")
     )
     return (
-        inter.join(s1, "doc_id1")
-        .join(s2, "doc_id2")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
+        scored.withColumn("jaccard", jac)
+        .filter((F.col("n_common") > 0) & (jac >= threshold))
         .select("doc_id1", "doc_id2", "n_common", "jaccard")
     )
 
