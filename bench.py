@@ -49,6 +49,7 @@ HEADLINE = [
     "window_tumbling_agg",
     "composite_shipping_priority",
     "composite_local_supplier_volume",
+    "composite_curation_pipeline",  # added r3: end-to-end curation
 ]
 
 

@@ -139,3 +139,96 @@ def composite_returned_revenue_by_customer(
         )
         .filter(F.col("n_returned_items") >= 20)
     )
+
+
+@query(
+    "composite_curation_pipeline",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text, str_split(text, ' ') AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, text,
+             0.4 * (CASE WHEN len(toks) > 100 THEN 1.0
+                         ELSE CAST(len(toks) AS DOUBLE) / 100 END)
+           + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.3 * (CASE WHEN list_contains(toks, 'the')
+                          OR list_contains(toks, 'a')
+                         THEN 1.0 ELSE 0.0 END) AS quality
+      FROM t
+    ),
+    filtered AS (SELECT * FROM scored WHERE quality >= 0.5),
+    kept AS (
+      SELECT MIN(doc_id) AS doc_id,
+             min_by(lang, doc_id) AS lang,
+             min_by(quality, doc_id) AS quality
+      FROM filtered GROUP BY md5(text)
+    ),
+    splits AS (
+      SELECT lang, quality,
+             CASE WHEN bucket < 204 THEN 'train'
+                  WHEN bucket < 230 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM (SELECT *,
+              (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+              AS bucket
+            FROM kept)
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS avg_quality
+    FROM splits GROUP BY split, lang
+    """,
+)
+def composite_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation — the north-star families
+    composed the way a real corpus build runs them: C4-shaped quality
+    score (text.py:text_quality_score semantics) → threshold filter →
+    exact dedup keeping the lowest doc_id per md5(text) (dedup.py
+    semantics) → hash-stable train/val/test assignment (sampling.py
+    semantics) → per-(split, lang) counts and decimal-exact mean quality.
+
+    Shuffle budget: dedup groupBy (1) + final 2-key agg (1); the score,
+    filter, and split assignment are all scan-speed row expressions. The
+    md5 dedup key and id-hash split key make the whole pipeline
+    deterministic and leakage-free (duplicates collapse BEFORE split
+    assignment, so a text can never land in two splits)."""
+    from kstreams_spark.operators.sampling import _bucket_from
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    len_score = F.when(n_tokens > 100, 1.0).otherwise(
+        n_tokens.cast("double") / 100
+    )
+    stop_score = F.when(
+        F.array_contains(toks, "the") | F.array_contains(toks, "a"), 1.0
+    ).otherwise(0.0)
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        (0.4 * len_score + 0.3 * ttr + 0.3 * stop_score).alias("quality"),
+    )
+    filtered = scored.filter(F.col("quality") >= 0.5)
+    kept = filtered.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.expr("min_by(lang, doc_id)").alias("lang"),
+        F.expr("min_by(quality, doc_id)").alias("quality"),
+    )
+    bucket = _bucket_from(F.col("doc_id").cast("string"))
+    splits = kept.select(
+        "lang",
+        "quality",
+        F.when(bucket < 204, "train")
+        .when(bucket < 230, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return splits.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (dsum("quality") / F.count(F.lit(1))).alias("avg_quality"),
+    )
