@@ -1,3 +1,5 @@
+from kstreams_spark.streaming.dedup import StreamingMinhashIndex
+from kstreams_spark.streaming.similarity import StreamingLshIndex
 from kstreams_spark.streaming.topology import ReferenceTopology
 from kstreams_spark.streaming.windows import (
     session_agg_stream,
@@ -8,6 +10,8 @@ from kstreams_spark.streaming.windows import (
 
 __all__ = [
     "ReferenceTopology",
+    "StreamingLshIndex",
+    "StreamingMinhashIndex",
     "session_agg_stream",
     "sliding_agg_stream",
     "tumbling_agg_stream",
