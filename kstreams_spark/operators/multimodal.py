@@ -164,3 +164,71 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), (n_frames / 2).cast("int"))).alias("i"),
     ).select("doc_id", (F.col("i") * 2).alias("frame_idx"))
+
+
+RESIZE_TARGET_BYTES = 64  # registered-fixture resize budget
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_bytes", T.IntegerType()),
+        T.StructField("new_bytes", T.IntegerType()),
+        T.StructField("stride", T.IntegerType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, target_bytes: int) -> dict:
+    """Deterministic fake resize (a real deployment swaps in
+    PIL.Image.resize / ffmpeg scale): stride-decimate the payload to fit
+    the byte budget and rescale the stub dimensions by the same factor.
+    Output is identified by md5 so the result row stays a scalar tuple."""
+    import hashlib
+    import math
+
+    n = len(payload)
+    stride = max(1, math.ceil(n / target_bytes)) if target_bytes > 0 else 1
+    resized = payload[::stride]
+    dims = decode_stub(payload)
+    return {
+        "orig_bytes": n,
+        "new_bytes": len(resized),
+        "stride": stride,
+        "new_width": max(1, dims["width"] // stride),
+        "new_height": max(1, dims["height"] // stride),
+        "resized_md5": hashlib.md5(resized).hexdigest(),
+    }
+
+
+def resize_batch(target_bytes: int):
+    """mapInPandas body factory (the closure carries only the int budget,
+    so pickling ships no heavy state to executors)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rec = resize_stub(bytes(payload), target_bytes)
+                rec["doc_id"] = doc_id
+                out.append(rec)
+            yield pd.DataFrame(out)[[f.name for f in RESIZED_SCHEMA.fields]]
+
+    return run
+
+
+@query("multimodal_resize")  # rows-only: the resize stub is not SQL-expressible
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over opaque binary payloads (the brief's third
+    media verb next to decode and frame-sample): mapInPandas, one Arrow
+    crossing per batch, scalar-only result columns for the driver's
+    canonicalizer. Deterministic by construction (stride decimation +
+    md5 identity), asserted in tests/test_io_extras.py; no SQL twin —
+    DuckDB has no stride-subscript over BLOBs."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(d).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        resize_batch(RESIZE_TARGET_BYTES), RESIZED_SCHEMA
+    )

@@ -96,3 +96,29 @@ def test_startup_diagnostics(spark):
     assert d["engine.master"].startswith("local[")
     assert int(d["engine.defaultParallelism"]) >= 1
     assert "spark.sql.shuffle.partitions" in d
+
+
+def test_multimodal_resize_deterministic_and_bounded(spark, sf_dir):
+    """multimodal_resize: stride decimation respects the byte budget,
+    identity when payload already fits (stride 1 ⇒ resized == payload),
+    and two runs are row-identical (the rows-only driver check leans on
+    this determinism)."""
+    import hashlib
+
+    from kstreams_spark.operators.multimodal import (
+        RESIZE_TARGET_BYTES,
+        multimodal_resize,
+        resize_stub,
+    )
+
+    a = sorted(multimodal_resize(spark, sf_dir).collect())
+    b = sorted(multimodal_resize(spark, sf_dir).collect())
+    assert a == b and len(a) > 0
+    for r in a:
+        assert r.new_bytes <= RESIZE_TARGET_BYTES or r.stride == 1
+        assert r.stride >= 1 and r.new_width >= 1 and r.new_height >= 1
+
+    small = b"tiny payload"
+    rec = resize_stub(small, RESIZE_TARGET_BYTES)
+    assert rec["stride"] == 1
+    assert rec["resized_md5"] == hashlib.md5(small).hexdigest()
