@@ -160,12 +160,39 @@ def ktable_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (both engines: index =
-    p·(n−1), interpolate) — the approx variant (percentile_approx /
-    KLL-style sketches) is the 100 TB path but is engine-specific, so it
-    gets a rows-only check in agg_approx_distinct style."""
+    p·(n−1), interpolate) — at 100 TB use `approx_quantiles` below (GK
+    sketch, mergeable, no global sort); it is unregistered because sketch
+    merges are partition-layout-dependent (see its docstring)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_quantity", 0.25).alias("q25"),
         F.percentile("l_quantity", 0.5).alias("median_qty"),
         F.percentile("l_quantity", 0.75).alias("q75"),
     )
+
+
+def approx_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    probabilities: list[float],
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The 100 TB percentile path: percentile_approx (Greenwald-Khanna
+    sketch, mergeable partials, no global sort — exact percentiles sort
+    the world). Returns one `q_<pct>` column per probability.
+
+    Deliberately NOT a registered query: GK sketch merges are
+    partition-layout-dependent on continuous data (measured: three
+    layouts of the sf0.01 lineitem prices give medians 52780.74 /
+    52792.01 / 52770.20 at accuracy 1000), which violates the oracle
+    gate's bit-determinism invariant. Rank error is still bounded by
+    1/accuracy — asserted in tests/test_approx_quantiles.py. Use
+    percentile_exact when the gate matters, this when N does."""
+    aggs = [
+        F.percentile_approx(value_col, p, accuracy).alias(
+            f"q_{str(p).replace('0.', '')}"
+        )
+        for p in probabilities
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
