@@ -14,10 +14,12 @@ and nothing ever matches itself. One stream per index/out dir pair.
 
 At 100 TB the index directory is a bucket-key-partitioned lake table and
 the commits become transactional-table commits; the choreography here is
-unchanged. Subclasses implement `signed(df)` and
-`verify(cand, new, index)`; bucket keys are OR-combined (a pair is a
-candidate if ANY key column agrees), which is simultaneously multi-table
-LSH and multi-band MinHash.
+unchanged. Subclasses implement `signed(df)` and `verify(cand, vecs)`;
+bucket keys are OR-combined (a pair is a candidate if ANY key column
+agrees), which is simultaneously multi-table LSH and multi-band MinHash.
+Stream ids are assumed unique across the stream's lifetime (re-ingesting
+an id is filtered from pairing with itself, but its payload would be
+indexed twice — dedup upstream if sources can replay ids).
 """
 
 from __future__ import annotations
@@ -109,9 +111,15 @@ class StreamingPairIndex:
                 vecs = new
                 if self._has_index():
                     index = spark.read.parquet(self.index_dir)
-                    cross = self.bucket_pairs(index, new, ordered=False).select(
-                        F.least("id1", "id2").alias("id1"),
-                        F.greatest("id1", "id2").alias("id2"),
+                    cross = (
+                        self.bucket_pairs(index, new, ordered=False)
+                        # a replayed id colliding with its own index entry
+                        # is not a pair
+                        .filter(F.col("id1") != F.col("id2"))
+                        .select(
+                            F.least("id1", "id2").alias("id1"),
+                            F.greatest("id1", "id2").alias("id2"),
+                        )
                     )
                     cand = cand.unionByName(cross)
                     vecs = vecs.unionByName(
