@@ -304,9 +304,14 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
 def minhash_band_pairs(
     sig: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
 ) -> DataFrame:
-    """Signatures → distinct candidate pairs via the band equi-join.
+    """Signatures → distinct candidate pairs by per-bucket enumeration.
     n_hashes/n_bands rows per band; a pair is a candidate iff some band's
-    concatenated rows agree — never an all-pairs comparison."""
+    concatenated rows agree — never an all-pairs comparison. Each band
+    bucket enumerates its own pairs in place (sorted collect_list +
+    nested-transform expansion) instead of a band self-join, so the
+    signature aggregation upstream is computed ONCE, not once per join
+    side; bucket populations are bounded by the bands×rows sizing rule
+    (dedup.py:33-41), so per-group lists stay small by construction."""
     if n_hashes % n_bands:
         raise ValueError("n_bands must divide n_hashes")
     rows = n_hashes // n_bands
@@ -324,22 +329,19 @@ def minhash_band_pairs(
     bands = sig.select(
         "doc_id", F.explode(band_structs).alias("band")
     ).select("doc_id", "band.band_id", "band.band_val")
-    a = bands.select(
-        F.col("doc_id").alias("doc_id1"), "band_id", "band_val"
+    per_bucket = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    b = bands.select(
-        F.col("doc_id").alias("doc_id2"),
-        F.col("band_id").alias("band_id2"),
-        F.col("band_val").alias("band_val2"),
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS doc_id1, y AS doc_id2))))"
     )
     return (
-        a.join(
-            b,
-            (a.band_id == b.band_id2)
-            & (a.band_val == b.band_val2)
-            & (a.doc_id1 < b.doc_id2),
-        )
-        .select("doc_id1", "doc_id2")
+        per_bucket.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_id1", "p.doc_id2")
         .distinct()
     )
 
