@@ -472,26 +472,27 @@ def simhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
     chunks = sigs.select(
         "doc_id", "sig", F.explode(chunk_structs).alias("ch")
     ).select("doc_id", "sig", "ch.chunk_idx", "ch.chunk_val")
-    a = chunks.select(
-        F.col("doc_id").alias("doc_id1"),
-        F.col("sig").alias("sig1"),
-        "chunk_idx",
-        "chunk_val",
+    # per-bucket enumeration (struct sort orders by doc_id first, so
+    # x.doc_id < y.doc_id holds within each expansion) — the signature
+    # aggregation upstream is computed once, not once per join side
+    per_bucket = (
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias(
+                "entries"
+            )
+        )
+        .filter(F.size("entries") >= 2)
     )
-    b = chunks.select(
-        F.col("doc_id").alias("doc_id2"),
-        F.col("sig").alias("sig2"),
-        F.col("chunk_idx").alias("chunk_idx2"),
-        F.col("chunk_val").alias("chunk_val2"),
+    pair_expr = F.expr(
+        "flatten(transform(entries, (x, i) -> "
+        "transform(slice(entries, i + 2, size(entries)), "
+        "y -> struct(x.doc_id AS doc_id1, y.doc_id AS doc_id2, "
+        "x.sig AS sig1, y.sig AS sig2))))"
     )
     return (
-        a.join(
-            b,
-            (a.chunk_idx == b.chunk_idx2)
-            & (a.chunk_val == b.chunk_val2)
-            & (a.doc_id1 < b.doc_id2),
-        )
-        .select("doc_id1", "doc_id2", "sig1", "sig2")
+        per_bucket.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_id1", "p.doc_id2", "p.sig1", "p.sig2")
         .distinct()
     )
 
