@@ -302,7 +302,10 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
 
 
 def minhash_band_pairs(
-    sig: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+    sig: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Signatures → distinct candidate pairs by per-bucket enumeration.
     n_hashes/n_bands rows per band; a pair is a candidate iff some band's
@@ -311,7 +314,14 @@ def minhash_band_pairs(
     nested-transform expansion) instead of a band self-join, so the
     signature aggregation upstream is computed ONCE, not once per join
     side; bucket populations are bounded by the bands×rows sizing rule
-    (dedup.py:33-41), so per-group lists stay small by construction."""
+    (dedup.py:33-41), so per-group lists stay small by construction.
+
+    ``max_bucket`` is the hash-flooding skew valve (SCALE.md §dedup): a
+    bucket over the cap (a degenerate band value — e.g. a flood of
+    near-empty documents) is DROPPED rather than expanded quadratically
+    in one task. Recall trade documented + measured in
+    tests/test_dedup_quality.py; default None keeps exact band
+    semantics."""
     if n_hashes % n_bands:
         raise ValueError("n_bands must divide n_hashes")
     rows = n_hashes // n_bands
@@ -334,6 +344,8 @@ def minhash_band_pairs(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket is not None:
+        per_bucket = per_bucket.filter(F.size("ids") <= max_bucket)
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), "
@@ -449,7 +461,9 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select("doc_id", sig.alias("sig"))
 
 
-def simhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
+def simhash_candidate_pairs(
+    sigs: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
     """Pigeonhole prefix-chunk bucketing: split each signature into
     N_CHUNKS = HAM_MAX + 1 equal chunks; Hamming ≤ HAM_MAX can flip bits
     in at most HAM_MAX chunks, so every qualifying pair agrees exactly on
@@ -484,6 +498,10 @@ def simhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
         )
         .filter(F.size("entries") >= 2)
     )
+    if max_bucket is not None:  # hash-flooding skew valve, see
+        per_bucket = per_bucket.filter(  # minhash_band_pairs docstring
+            F.size("entries") <= max_bucket
+        )
     pair_expr = F.expr(
         "flatten(transform(entries, (x, i) -> "
         "transform(slice(entries, i + 2, size(entries)), "

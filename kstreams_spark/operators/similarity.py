@@ -583,6 +583,7 @@ def lsh_near_pairs(
     bits: int = LSH_BITS,
     n_tables: int = N_TABLES,
     min_cosine: float = NEAR_MIN_COSINE,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Corpus-wide near-pair mining (the ANN dual of dedup): pairs that
     collide in ANY of n_tables LSH signatures, exact-cosine-verified at
@@ -617,6 +618,10 @@ def lsh_near_pairs(
         .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket is not None:  # hash-flooding skew valve (SCALE.md;
+        per_bucket = per_bucket.filter(  # see minhash_band_pairs)
+            F.size("ids") <= max_bucket
+        )
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), "

@@ -404,3 +404,36 @@ def test_sizing_rule_at_10x_corpus(spark):
     print(f"10x corpus: cells={n_cells} ivf recall={ivf_recall:.2f}")
     assert ivf_recall >= 0.6, f"ivf recall {ivf_recall:.2f} at {n_cells} cells"
     emb.unpersist()
+
+
+def test_max_bucket_drops_degenerate_flood(spark):
+    """The hash-flooding skew valve SCALE.md promises: a flood of
+    identical near-empty documents forms one mega band bucket whose
+    quadratic expansion would dominate a task; max_bucket drops that
+    bucket while organic (small-bucket) candidate pairs survive."""
+    from kstreams_spark.operators.dedup import (
+        minhash_band_pairs,
+        minhash_signatures,
+    )
+
+    flood = [(i, "spam spam spam spam ham") for i in range(100)]
+    organic = [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "the quick brown fox jumps over the lazy dog tonight"),
+        (102, "completely unrelated text about distributed query engines"),
+    ]
+    docs = spark.createDataFrame(flood + organic, "doc_id long, text string")
+    sig = minhash_signatures(docs)
+    sig.cache()
+
+    uncapped = minhash_band_pairs(sig)
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= 100 * 99 // 2, n_uncapped  # flood is quadratic
+
+    capped = {
+        (r.doc_id1, r.doc_id2)
+        for r in minhash_band_pairs(sig, max_bucket=10).collect()
+    }
+    assert all(p[0] >= 100 for p in capped), capped  # flood pairs gone
+    assert (100, 101) in capped  # organic near-dup survives
+    sig.unpersist()
