@@ -1,0 +1,117 @@
+"""ANN serving path: a persisted inverted LSH index + single-query probe.
+
+Offline, `write_lsh_index` explodes the corpus into one row per
+(table, signature) posting and writes it PARTITIONED BY the bucket key —
+so the lake layout IS the index. Online, `probe_lsh_index` computes the
+query's signatures driver-side (pure-Python twin of the engine's
+hyperplane signing — same md5 planes, same fixed-point rounding), reads
+ONLY the matching bucket partitions (Spark's partition pruning; the scan
+node shows PartitionFilters — asserted in tests/test_serving.py), and
+exact-cosine re-ranks the postings it touched.
+
+This is the online half of the ANN family: StreamingLshIndex ingests,
+lsh_near_pairs mines, kmeans fits cells, this probes. At 100 TB a probe
+reads n_tables buckets ≈ n_tables · N/2^bits postings — IO scales with
+the bucket budget (lsh_bits_for), not the corpus.
+
+Storage cost: n_tables× row duplication (the classic inverted-file
+trade); partition count = n_tables · 2^bits directories, so `bits` must
+respect the object-store's file-count budget as well as the re-rank
+budget.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kstreams_spark.operators.similarity import (
+    FX,
+    LSH_BITS,
+    N_TABLES,
+    _cosine,
+    _fx_dot,
+    _fx_norm2,
+    _plane_components,
+    _sig_expr,
+)
+
+
+def write_lsh_index(
+    emb: DataFrame,
+    path: str,
+    bits: int = LSH_BITS,
+    n_tables: int = N_TABLES,
+) -> None:
+    """Persist (tbl, sig, vec_id, embedding, norm2) partitioned by the
+    bucket key. One posting per vector per table."""
+    postings = emb.select(
+        "vec_id",
+        "embedding",
+        _fx_norm2("embedding").alias("norm2"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _sig_expr(t, bits).alias("sig"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "embedding", "norm2", "b.tbl", "b.sig")
+    postings.write.mode("overwrite").partitionBy("tbl", "sig").parquet(path)
+
+
+def _round_half_away(x: float) -> int:
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def query_signature(vec: list[float], table: int, bits: int = LSH_BITS) -> str:
+    """Driver-side twin of operators/similarity._sig_expr for ONE vector:
+    identical md5-derived ±1 planes, identical per-term fixed-point
+    rounding, so a stored vector probes into exactly the bucket it was
+    indexed under (pinned in tests/test_serving.py)."""
+    out = []
+    for p in range(table * bits, (table + 1) * bits):
+        comps = _plane_components(p)
+        proj = sum(
+            _round_half_away(float(v) * c * FX) for v, c in zip(vec, comps)
+        )
+        out.append("1" if proj >= 0 else "0")
+    return "".join(out)
+
+
+def probe_lsh_index(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = LSH_BITS,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """Top-k cosine neighbors of one query vector, reading only the
+    query's n_tables bucket partitions. Returns (vec_id, cosine) ordered
+    by cosine desc with vec_id tie-break."""
+    sigs = [query_signature(query_vec, t, bits) for t in range(n_tables)]
+    pred = None
+    for t, s in enumerate(sigs):
+        clause = (F.col("tbl") == t) & (F.col("sig") == s)
+        pred = clause if pred is None else (pred | clause)
+    q_arr = F.array(*[F.lit(float(v)) for v in query_vec])
+    nq2 = sum(_round_half_away(float(v) * float(v) * FX) for v in query_vec)
+    postings = spark.read.parquet(path).filter(pred)
+    scored = (
+        postings.select("vec_id", "embedding", "norm2")
+        .dropDuplicates(["vec_id"])  # a neighbor may match in >1 table
+        .select(
+            "vec_id",
+            _cosine(
+                _fx_dot("embedding", q_arr), F.lit(nq2), F.col("norm2")
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(k)

@@ -1,0 +1,87 @@
+"""ANN serving path: the persisted inverted index must (a) be probed via
+partition pruning (PartitionFilters on tbl/sig — IO scales with bucket
+budget, not corpus), (b) sign queries driver-side bit-identically to the
+engine's signing, and (c) return the right neighbors."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kstreams_spark.operators.similarity import LSH_BITS, N_TABLES, _sig_expr
+from kstreams_spark.plans.inspect import explain_str
+from kstreams_spark.serving import (
+    probe_lsh_index,
+    query_signature,
+    write_lsh_index,
+)
+
+
+def _planted(n_clusters=20, n_copies=10, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for cluster in range(n_clusters):
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        for copy in range(n_copies):
+            noisy = base + rng.normal(scale=0.02, size=64)
+            rows.append((cluster + n_clusters * copy, [float(x) for x in noisy]))
+    return rows
+
+
+def test_driver_side_signature_matches_engine(spark):
+    """query_signature must reproduce _sig_expr on STORED (f32) values —
+    a stored vector probes into exactly its own bucket."""
+    from pyspark.sql import functions as F
+
+    rows = _planted(n_clusters=5, n_copies=2)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    engine = {
+        r.vec_id: (r.s0, r.s1)
+        for r in emb.select(
+            "vec_id",
+            _sig_expr(0, LSH_BITS).alias("s0"),
+            _sig_expr(1, LSH_BITS).alias("s1"),
+        ).collect()
+    }
+    stored = {
+        r.vec_id: list(r.embedding)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    for vid, vec in stored.items():
+        assert query_signature(vec, 0) == engine[vid][0], vid
+        assert query_signature(vec, 1) == engine[vid][1], vid
+
+
+def test_probe_prunes_partitions_and_finds_neighbors(spark, tmp_path):
+    rows = _planted()
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(emb, path)
+
+    # probe with vector 0's STORED values (float32 round-trip)
+    q_vec = [
+        float(v)
+        for v in emb.filter("vec_id = 0").collect()[0].embedding
+    ]
+    topk = probe_lsh_index(spark, path, q_vec, k=10)
+
+    text = explain_str(topk, "formatted")
+    assert "PartitionFilters" in text and "tbl" in text and "sig" in text, text
+
+    got = topk.collect()
+    assert got[0].vec_id == 0 and abs(got[0].cosine - 1.0) < 1e-9
+    # cluster mates of vec 0 are ids ≡ 0 (mod 20); most of the top-k
+    # should be mates (single-digit non-mate intrusions possible at 8 bits)
+    mates = sum(1 for r in got if r.vec_id % 20 == 0)
+    assert mates >= 6, [r.vec_id for r in got]
+    # and the probe must NOT have scanned the whole corpus
+    n_scanned = (
+        spark.read.parquet(path)
+        .filter(
+            "(tbl = 0 AND sig = '{s0}') OR (tbl = 1 AND sig = '{s1}')".format(
+                s0=query_signature(q_vec, 0), s1=query_signature(q_vec, 1)
+            )
+        )
+        .count()
+    )
+    assert n_scanned < len(rows), n_scanned
