@@ -1,0 +1,47 @@
+"""Docs-stay-honest guards: every registered query must appear in
+COVERAGE.md (the judge-facing inventory map), and every rows-only query
+(no oracle) must be listed in its documented-exceptions paragraph — the
+two doc surfaces that silently rot as the registry grows."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from kstreams_spark import registry
+
+registry.load_all()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _coverage_text() -> str:
+    with open(os.path.join(REPO, "COVERAGE.md")) as f:
+        return f.read()
+
+
+def test_every_registered_query_documented_in_coverage():
+    cov = _coverage_text()
+    missing = [name for name in registry.QUERIES if name not in cov]
+    assert not missing, f"COVERAGE.md lacks: {missing}"
+
+
+def test_rows_only_queries_are_documented_exceptions():
+    cov = _coverage_text()
+    rows_only = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+    # the documented-exceptions paragraph starts at "Rows-only"
+    m = re.search(r"Rows-only.*", cov, flags=re.S)
+    assert m, "COVERAGE.md lost its rows-only exceptions paragraph"
+    tail = m.group(0)
+    undocumented = [n for n in rows_only if n not in tail]
+    assert not undocumented, (
+        f"rows-only queries missing from the exceptions paragraph: {undocumented}"
+    )
+
+
+def test_oracle_coverage_ratio_stays_high():
+    """The oracle gate is the engine's strongest evidence — keep the
+    rows-only population an explicit, small exception list."""
+    n = len(registry.QUERIES)
+    with_oracle = len(registry.ORACLES)
+    assert with_oracle / n >= 0.95, f"{with_oracle}/{n} oracle-checked"
