@@ -115,3 +115,71 @@ def probe_lsh_index(
         )
     )
     return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(k)
+
+
+def write_ivf_index(
+    emb: DataFrame, path: str, centroids: list[list[float]]
+) -> None:
+    """Persist the corpus partitioned by IVF cell (nearest centroid by
+    the same fixed-point max-dot assignment k-means uses) — at 100 TB the
+    cell id is the lake partition key, so a probe scans one cell's files
+    only (operators/similarity.ivf_topk's docstring, made physical)."""
+    from kstreams_spark.operators.kmeans import kmeans_assign
+
+    assigned = kmeans_assign(emb, centroids).select(
+        "vec_id",
+        "embedding",
+        _fx_norm2("embedding").alias("norm2"),
+        "cen_id",
+    )
+    assigned.write.mode("overwrite").partitionBy("cen_id").parquet(path)
+
+
+def assign_cell(vec: list[float], centroids: list[list[float]]) -> int:
+    """Driver-side twin of kmeans_assign for ONE vector: exact int64
+    fixed-point dots, ties to the lowest cen_id."""
+    best_id, best_dot = 0, None
+    for cid, cen in enumerate(centroids):
+        dot = sum(
+            _round_half_away(float(v) * float(c) * FX)
+            for v, c in zip(vec, cen)
+        )
+        if best_dot is None or dot > best_dot:
+            best_id, best_dot = cid, dot
+    return best_id
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Top-k cosine neighbors reading only the query's `n_probe` nearest
+    cells (n_probe > 1 is the standard recall lever for queries near cell
+    boundaries). Returns (vec_id, cosine) ordered."""
+    dots = [
+        (
+            cid,
+            sum(
+                _round_half_away(float(v) * float(c) * FX)
+                for v, c in zip(query_vec, cen)
+            ),
+        )
+        for cid, cen in enumerate(centroids)
+    ]
+    cells = [
+        cid for cid, _ in sorted(dots, key=lambda t: (-t[1], t[0]))[:n_probe]
+    ]
+    q_arr = F.array(*[F.lit(float(v)) for v in query_vec])
+    nq2 = sum(_round_half_away(float(v) * float(v) * FX) for v in query_vec)
+    postings = spark.read.parquet(path).filter(F.col("cen_id").isin(cells))
+    scored = postings.select(
+        "vec_id",
+        _cosine(_fx_dot("embedding", q_arr), F.lit(nq2), F.col("norm2")).alias(
+            "cosine"
+        ),
+    )
+    return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(k)

@@ -85,3 +85,40 @@ def test_probe_prunes_partitions_and_finds_neighbors(spark, tmp_path):
         .count()
     )
     assert n_scanned < len(rows), n_scanned
+
+
+def test_ivf_probe_prunes_to_cells(spark, tmp_path):
+    """IVF serving: fitted centroids → cell-partitioned index → probe
+    reads only n_probe cell partitions (PartitionFilters on cen_id) and
+    returns the cluster mates."""
+    from kstreams_spark.operators.kmeans import kmeans_fit
+    from kstreams_spark.serving import (
+        assign_cell,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+
+    rows = _planted()
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cens = kmeans_fit(emb, k=20, iters=2)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, cens)
+
+    q_vec = [float(v) for v in emb.filter("vec_id = 0").collect()[0].embedding]
+    topk = probe_ivf_index(spark, path, q_vec, cens, k=10)
+
+    text = explain_str(topk, "formatted")
+    assert "PartitionFilters" in text and "cen_id" in text, text
+
+    got = topk.collect()
+    assert got[0].vec_id == 0 and abs(got[0].cosine - 1.0) < 1e-9
+    mates = sum(1 for r in got if r.vec_id % 20 == 0)
+    assert mates >= 8, [r.vec_id for r in got]
+
+    # driver-side assignment matches the engine's cell for the query
+    from kstreams_spark.operators.kmeans import kmeans_assign
+
+    engine_cell = (
+        kmeans_assign(emb, cens).filter("vec_id = 0").collect()[0].cen_id
+    )
+    assert assign_cell(q_vec, cens) == engine_cell
