@@ -462,25 +462,38 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_candidate_pairs(
-    sigs: DataFrame, max_bucket: int | None = None
+    sigs: DataFrame,
+    max_bucket: int | None = None,
+    ham_max: int = HAM_MAX,
+    sim_bits: int = SIM_BITS,
 ) -> DataFrame:
     """Pigeonhole prefix-chunk bucketing: split each signature into
-    N_CHUNKS = HAM_MAX + 1 equal chunks; Hamming ≤ HAM_MAX can flip bits
-    in at most HAM_MAX chunks, so every qualifying pair agrees exactly on
-    at least one (chunk_idx, chunk_val) — candidates come from that
-    equi-join, never an all-pairs product. Exact (full recall by the
-    pigeonhole argument), and pair enumeration is bounded per bucket:
-    E[bucket size] = N / 2^CHUNK_W per chunk index, so CHUNK_W scales
-    with log2(N) at 100 TB (SCALE.md).
+    ham_max + 1 equal chunks; Hamming ≤ ham_max can flip bits in at most
+    ham_max chunks, so every qualifying pair agrees exactly on at least
+    one (chunk_idx, chunk_val) — candidates come from that bucket
+    collision, never an all-pairs product. Exact (full recall by the
+    pigeonhole argument) at ANY ham_max whose chunk width divides the
+    signature; pair enumeration is bounded per bucket:
+    E[bucket size] = N / 2^chunk_w per chunk index, so chunk_w scales
+    with log2(N) at 100 TB (SCALE.md) — i.e. for a wider Hamming radius
+    at the same N, widen sim_bits, don't shrink chunks.
 
     Returns distinct (doc_id1, doc_id2, sig1, sig2) candidates."""
+    n_chunks = ham_max + 1
+    if sim_bits % n_chunks:
+        raise ValueError(
+            f"sim_bits={sim_bits} must be a multiple of ham_max+1={n_chunks} "
+            "(a remainder would leave bits outside every chunk and void "
+            "the pigeonhole full-recall guarantee)"
+        )
+    chunk_w = sim_bits // n_chunks
     chunk_structs = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk_idx"),
-                F.substring("sig", c * CHUNK_W + 1, CHUNK_W).alias("chunk_val"),
+                F.substring("sig", c * chunk_w + 1, chunk_w).alias("chunk_val"),
             )
-            for c in range(N_CHUNKS)
+            for c in range(n_chunks)
         ]
     )
     chunks = sigs.select(

@@ -437,3 +437,35 @@ def test_max_bucket_drops_degenerate_flood(spark):
     assert all(p[0] >= 100 for p in capped), capped  # flood pairs gone
     assert (100, 101) in capped  # organic near-dup survives
     sig.unpersist()
+
+
+def test_simhash_radius_is_parameterized(spark, sf_dir):
+    """The pigeonhole guarantee at a SECOND radius: ham_max=1 (2 chunks ×
+    8 bits) must still cover every true Hamming ≤ 1 pair — the radius is
+    a function argument like every other width in the engine, and an
+    indivisible sim_bits/chunk combination is refused loudly."""
+    import pytest
+
+    from kstreams_spark.operators.dedup import (
+        simhash_candidate_pairs,
+        simhash_signatures,
+    )
+
+    sigs = simhash_signatures(spark, sf_dir)
+    rows = sigs.collect()
+    truth = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            h = sum(x != y for x, y in zip(a.sig, b.sig))
+            if h <= 1:
+                truth.add((min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id)))
+    assert truth, "fixture should contain Hamming<=1 pairs"
+    cand = {
+        (r.doc_id1, r.doc_id2)
+        for r in simhash_candidate_pairs(sigs, ham_max=1).collect()
+    }
+    assert truth <= cand, f"missed {len(truth - cand)} true pairs"
+
+    with pytest.raises(ValueError, match="multiple"):
+        simhash_candidate_pairs(sigs, ham_max=2)  # 16 % 3 != 0
