@@ -56,7 +56,11 @@ def write_lsh_index(
                 *[
                     F.struct(
                         F.lit(t).alias("tbl"),
-                        _sig_expr(t, bits).alias("sig"),
+                        # 'b'-prefix keeps the partition value a STRING:
+                        # bare '01010101' dirs would be type-inferred as
+                        # integers on read (leading zeros dropped) and
+                        # only match the probe via implicit casts
+                        F.concat(F.lit("b"), _sig_expr(t, bits)).alias("sig"),
                     )
                     for t in range(n_tables)
                 ]
@@ -99,7 +103,7 @@ def probe_lsh_index(
     sigs = [query_signature(query_vec, t, bits) for t in range(n_tables)]
     pred = None
     for t, s in enumerate(sigs):
-        clause = (F.col("tbl") == t) & (F.col("sig") == s)
+        clause = (F.col("tbl") == t) & (F.col("sig") == f"b{s}")
         pred = clause if pred is None else (pred | clause)
     q_arr = F.array(*[F.lit(float(v)) for v in query_vec])
     nq2 = sum(_round_half_away(float(v) * float(v) * FX) for v in query_vec)

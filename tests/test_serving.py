@@ -78,7 +78,7 @@ def test_probe_prunes_partitions_and_finds_neighbors(spark, tmp_path):
     n_scanned = (
         spark.read.parquet(path)
         .filter(
-            "(tbl = 0 AND sig = '{s0}') OR (tbl = 1 AND sig = '{s1}')".format(
+            "(tbl = 0 AND sig = 'b{s0}') OR (tbl = 1 AND sig = 'b{s1}')".format(
                 s0=query_signature(q_vec, 0), s1=query_signature(q_vec, 1)
             )
         )
