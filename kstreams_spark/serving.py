@@ -74,19 +74,47 @@ def _round_half_away(x: float) -> int:
     return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
 
 
+def query_projections(
+    vec: list[float], table: int, bits: int = LSH_BITS
+) -> list[int]:
+    """Per-bit hyperplane projections (exact int64 fixed-point) — the
+    sign gives the signature bit, the magnitude is the bit's margin
+    (how close the query sits to that hyperplane)."""
+    return [
+        sum(
+            _round_half_away(float(v) * c * FX)
+            for v, c in zip(vec, _plane_components(p))
+        )
+        for p in range(table * bits, (table + 1) * bits)
+    ]
+
+
 def query_signature(vec: list[float], table: int, bits: int = LSH_BITS) -> str:
     """Driver-side twin of operators/similarity._sig_expr for ONE vector:
     identical md5-derived ±1 planes, identical per-term fixed-point
     rounding, so a stored vector probes into exactly the bucket it was
     indexed under (pinned in tests/test_serving.py)."""
-    out = []
-    for p in range(table * bits, (table + 1) * bits):
-        comps = _plane_components(p)
-        proj = sum(
-            _round_half_away(float(v) * c * FX) for v, c in zip(vec, comps)
-        )
-        out.append("1" if proj >= 0 else "0")
-    return "".join(out)
+    return "".join(
+        "1" if proj >= 0 else "0" for proj in query_projections(vec, table, bits)
+    )
+
+
+def _flip(sig: str, i: int) -> str:
+    return sig[:i] + ("0" if sig[i] == "1" else "1") + sig[i + 1 :]
+
+
+def probe_signatures(
+    vec: list[float], table: int, bits: int = LSH_BITS, n_flip: int = 0
+) -> list[str]:
+    """Multi-probe LSH (Lv et al., VLDB'07 shape): the base signature
+    plus the `n_flip` single-bit perturbations with the SMALLEST
+    projection magnitude — the buckets a near-boundary neighbor most
+    likely fell into. Recall lever with zero index cost (unlike an extra
+    table, which doubles storage)."""
+    projs = query_projections(vec, table, bits)
+    base = "".join("1" if p >= 0 else "0" for p in projs)
+    by_margin = sorted(range(bits), key=lambda i: (abs(projs[i]), i))
+    return [base] + [_flip(base, i) for i in by_margin[:n_flip]]
 
 
 def probe_lsh_index(
@@ -96,15 +124,18 @@ def probe_lsh_index(
     k: int = 10,
     bits: int = LSH_BITS,
     n_tables: int = N_TABLES,
+    n_flip: int = 0,
 ) -> DataFrame:
     """Top-k cosine neighbors of one query vector, reading only the
-    query's n_tables bucket partitions. Returns (vec_id, cosine) ordered
-    by cosine desc with vec_id tie-break."""
-    sigs = [query_signature(query_vec, t, bits) for t in range(n_tables)]
+    query's bucket partitions — n_tables buckets, plus `n_flip`
+    lowest-margin perturbation buckets per table (multi-probe; see
+    probe_signatures). Returns (vec_id, cosine) ordered by cosine desc
+    with vec_id tie-break."""
     pred = None
-    for t, s in enumerate(sigs):
-        clause = (F.col("tbl") == t) & (F.col("sig") == f"b{s}")
-        pred = clause if pred is None else (pred | clause)
+    for t in range(n_tables):
+        for s in probe_signatures(query_vec, t, bits, n_flip):
+            clause = (F.col("tbl") == t) & (F.col("sig") == f"b{s}")
+            pred = clause if pred is None else (pred | clause)
     q_arr = F.array(*[F.lit(float(v)) for v in query_vec])
     nq2 = sum(_round_half_away(float(v) * float(v) * FX) for v in query_vec)
     postings = spark.read.parquet(path).filter(pred)

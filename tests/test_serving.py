@@ -122,3 +122,40 @@ def test_ivf_probe_prunes_to_cells(spark, tmp_path):
         kmeans_assign(emb, cens).filter("vec_id = 0").collect()[0].cen_id
     )
     assert assign_cell(q_vec, cens) == engine_cell
+
+
+def test_multi_probe_lifts_recall(spark, tmp_path):
+    """Multi-probe (n_flip lowest-margin perturbation buckets) must never
+    lose a neighbor the base probe found, and on planted clusters it must
+    strictly lift cluster-mate recall summed over the 10 queries — the
+    recall lever that costs probe IO instead of index storage."""
+    from kstreams_spark.serving import probe_signatures
+
+    rows = _planted()
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "lsh_index_mp")
+    write_lsh_index(emb, path)
+    stored = {
+        r.vec_id: [float(v) for v in r.embedding]
+        for r in emb.filter("vec_id < 10").collect()
+    }
+
+    def mates_found(n_flip: int) -> int:
+        total = 0
+        for qid, vec in stored.items():
+            got = probe_lsh_index(spark, path, vec, k=10, n_flip=n_flip).collect()
+            total += sum(1 for r in got if r.vec_id % 20 == qid % 20)
+        return total
+
+    base, multi = mates_found(0), mates_found(2)
+    print(f"multi-probe: mates base={base} n_flip=2 -> {multi}")
+    assert multi >= base
+    assert multi > base, "n_flip=2 should recover near-boundary mates here"
+
+    # perturbation list shape: base first, correct count, all distinct
+    sigs = probe_signatures(stored[0], 0, n_flip=3)
+    assert len(sigs) == 4 == len(set(sigs))
+    assert sigs[0] == probe_signatures(stored[0], 0, n_flip=0)[0]
+    assert all(
+        sum(a != b for a, b in zip(sigs[0], s)) == 1 for s in sigs[1:]
+    )
