@@ -81,6 +81,9 @@ def kmeans_fit(
         .limit(k)
         .collect()
     )
+    if not init_rows:
+        raise ValueError("kmeans_fit: empty input")
+    k = min(k, len(init_rows))  # fewer vectors than requested cells
     cur = [_normalize([float(x) for x in r.embedding]) for r in init_rows]
     dim = len(cur[0])
     for _ in range(iters):
