@@ -153,3 +153,11 @@ def test_minhash_verified_no_cartesian(plan_spark, sf_dir):
     plan = physical_plan(q("dedup_minhash_verified", plan_spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_curation_pipeline_two_shuffles(plan_spark, sf_dir):
+    """The end-to-end curation composite promises exactly two shuffles
+    (dedup groupBy + final stats agg) — score, filter, and split
+    assignment must all stay scan-speed row expressions."""
+    n = count_exchanges(q("composite_curation_pipeline", plan_spark, sf_dir))
+    assert n == 2, f"curation pipeline should shuffle twice, got {n}"
