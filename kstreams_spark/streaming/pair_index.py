@@ -94,6 +94,16 @@ class StreamingPairIndex:
 
     # ------------------------------------------------------------- the sink
 
+    def bootstrap(self, df: DataFrame) -> None:
+        """Warm start: absorb an existing corpus into the index WITHOUT
+        emitting pairs (its internal pairs are assumed already mined by
+        the batch twin). Must run before the stream's first epoch; the
+        bootstrap commits as pseudo-epoch -1, which no streaming epoch id
+        ever collides with."""
+        if self._has_index():
+            raise ValueError("bootstrap requires an empty index_dir")
+        self._index_sink.process_batch(self.signed(df), -1)
+
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         self.batches_seen += 1
         if self._pairs_sink.is_committed(epoch_id) and self._index_sink.is_committed(

@@ -156,3 +156,64 @@ def test_crash_between_pairs_and_index_commit_is_exactly_once(spark, tmp_path):
     got = {(r.id1, r.id2): r.cosine for r in got_rows}
     assert len(got_rows) == len(got), "duplicate pair emissions after replay"
     assert set(got) == set(want)
+
+
+def test_bootstrap_warm_start(spark, tmp_path):
+    """Warm start: bootstrap the index with half the corpus (no emission
+    for its internal pairs), stream the other half — emissions must be
+    exactly the batch pair set MINUS the pairs wholly inside the
+    bootstrap set (those are the batch twin's job), with cross and
+    new-new pairs all present."""
+    rows = _planted()
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    all_pairs = {
+        (r.id1, r.id2) for r in lsh_near_pairs(emb, min_cosine=0.5).collect()
+    }
+    boot_ids = {r[0] for r in rows[: len(rows) // 2]}
+    want = {
+        p for p in all_pairs if not (p[0] in boot_ids and p[1] in boot_ids)
+    }
+    assert want and want != all_pairs
+
+    idx = StreamingLshIndex(
+        index_dir=str(tmp_path / "index"),
+        out_dir=str(tmp_path / "pairs"),
+        min_cosine=0.5,
+    )
+    idx.bootstrap(
+        spark.createDataFrame(
+            rows[: len(rows) // 2], "vec_id long, embedding array<float>"
+        )
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="empty index_dir"):
+        idx.bootstrap(emb)
+
+    src = str(tmp_path / "emb_stream")
+    os.makedirs(src)
+    rest = rows[len(rows) // 2 :]
+    chunk = (len(rest) + 1) // 2
+    for i in range(2):
+        part = rest[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(
+                part, "vec_id long, embedding array<float>"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, f"b{i}")
+            )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "b*"))
+    )
+    q = idx.attach(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.id1, r.id2) for r in idx.result(spark).collect()}
+    assert got == want, (
+        f"stream∖want={got - want} want∖stream={want - got}"
+    )
