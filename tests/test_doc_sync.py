@@ -45,3 +45,13 @@ def test_oracle_coverage_ratio_stays_high():
     n = len(registry.QUERIES)
     with_oracle = len(registry.ORACLES)
     assert with_oracle / n >= 0.95, f"{with_oracle}/{n} oracle-checked"
+
+
+def test_bench_headline_names_all_registered():
+    """bench.py silently skips unregistered names — a typo would shrink
+    the benchmark without anyone noticing. Pin every headline name to an
+    actual registration."""
+    import bench
+
+    unknown = [n for n in bench.HEADLINE if n not in registry.QUERIES]
+    assert not unknown, f"bench.HEADLINE names not registered: {unknown}"
