@@ -81,6 +81,34 @@ class ExactlyOnceParquetSink:
             .start()
         )
 
+    def compact(self, spark: SparkSession, n_files: int = 1) -> int:
+        """Maintenance op (stream must be STOPPED): consolidate all
+        committed epoch data into one new reserved epoch dir and strip
+        the data files from the old epoch dirs — keeping those dirs in
+        place as EMPTY commit markers, so a checkpoint-lagged replay of a
+        pre-compaction epoch is still an exactly-once no-op. This is the
+        small-files answer for long-running epoch-keyed sinks; on a real
+        lake it's the table format's OPTIMIZE. Returns the reserved epoch
+        id the data now lives under (negative, below the -1 bootstrap
+        namespace, fresh on every compaction so repeated compacts never
+        collide with their own markers)."""
+        epochs = [
+            n for n in os.listdir(self.out_dir) if n.startswith("epoch=")
+        ]
+        if not epochs:
+            return 0
+        used = {int(n.split("=", 1)[1]) for n in epochs}
+        new_id = min(min(used), -1) - 1
+        data = spark.read.parquet(self.out_dir).drop("epoch")
+        staging = self._staging_dir(new_id)
+        data.coalesce(n_files).write.mode("overwrite").parquet(staging)
+        os.rename(staging, self._final_dir(new_id))  # the commit point
+        for n in epochs:  # strip data, keep the dirs as commit markers
+            d = os.path.join(self.out_dir, n)
+            for f in os.listdir(d):
+                os.remove(os.path.join(d, f))
+        return new_id
+
     def result(self, spark: SparkSession) -> DataFrame:
         """All committed epochs (epoch= partition column included).
         Before any epoch has committed there is nothing to infer a schema

@@ -14,7 +14,10 @@ and nothing ever matches itself. One stream per index/out dir pair.
 
 At 100 TB the index directory is a bucket-key-partitioned lake table and
 the commits become transactional-table commits; the choreography here is
-unchanged. Subclasses implement `signed(df)` and `verify(cand, vecs)`;
+unchanged. Small-file accumulation across epochs is handled by
+`ExactlyOnceParquetSink.compact()` (stream stopped): data consolidates
+into one reserved epoch dir while the old dirs stay as empty commit
+markers, so replay idempotence survives compaction. Subclasses implement `signed(df)` and `verify(cand, vecs)`;
 bucket keys are OR-combined (a pair is a candidate if ANY key column
 agrees), which is simultaneously multi-table LSH and multi-band MinHash.
 Stream ids are assumed unique across the stream's lifetime (re-ingesting

@@ -139,3 +139,45 @@ def test_lost_commit_race_is_noop(spark, tmp_path):
 
     rows = sink.result(spark).filter("epoch = 0").count()
     assert rows == 5  # still exactly once
+
+
+def test_compact_preserves_rows_markers_and_future_epochs(spark, tmp_path):
+    """compact() consolidates committed epochs into one reserved dir,
+    keeps the old epoch dirs as empty commit markers (a lagged replay is
+    still a no-op), shrinks the file count, and future epochs land
+    normally. Second compaction picks a fresh reserved id."""
+    import glob
+
+    from kstreams_spark.streaming.exactly_once import ExactlyOnceParquetSink
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"))
+    for epoch in range(3):
+        sink.process_batch(
+            spark.range(epoch * 10, epoch * 10 + 10).toDF("event_id"), epoch
+        )
+    before_files = len(glob.glob(str(tmp_path / "out" / "epoch=*" / "*.parquet")))
+    before_rows = sorted(
+        r.event_id for r in sink.result(spark).select("event_id").collect()
+    )
+
+    new_id = sink.compact(spark)
+    assert new_id <= -2
+    after_files = len(glob.glob(str(tmp_path / "out" / "epoch=*" / "*.parquet")))
+    assert after_files < before_files, (before_files, after_files)
+    assert sorted(
+        r.event_id for r in sink.result(spark).select("event_id").collect()
+    ) == before_rows
+
+    # markers intact: replaying a pre-compaction epoch is a no-op
+    assert sink.is_committed(1)
+    sink.process_batch(spark.range(100, 110).toDF("event_id"), 1)
+    assert sink.result(spark).count() == 30
+
+    # a genuinely new epoch still lands
+    sink.process_batch(spark.range(30, 35).toDF("event_id"), 3)
+    assert sink.result(spark).count() == 35
+
+    # second compaction reserves a FRESH id (never collides with its own marker)
+    second = sink.compact(spark)
+    assert second < new_id
+    assert sink.result(spark).count() == 35
