@@ -221,7 +221,10 @@ def _lsh_sig_sql() -> str:
 
 
 def lsh_topk(
-    emb: DataFrame, n_queries: int = N_QUERIES, bits: int = LSH_BITS
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    bits: int = LSH_BITS,
+    n_flip: int = 0,
 ) -> DataFrame:
     """ANN top-k over any (vec_id, embedding) DataFrame: `bits`-wide
     random-hyperplane signatures bucket the corpus; exact cosine re-ranks
@@ -232,21 +235,29 @@ def lsh_topk(
     recover the noise-ranked "top"-k — only the self-match is a real
     neighbor, and LSH always finds it.
 
+    `n_flip` > 0 enables multi-probe on the QUERY side (the serving
+    probe's recall lever, distributed): each query also matches the
+    n_flip single-bit-flip buckets with the smallest projection
+    magnitude. The fan-out multiplies only the broadcast query side —
+    the corpus is still signed and bucketed once.
+
     Plan: signatures are per-row zip_with folds against literal plane
     arrays (no explode/groupBy, no runtime hashing); candidates come from
-    the signature self-join (query side broadcast); re-rank is the same
+    the signature join (query side broadcast); re-rank is the same
     per-row dot as the brute-force path, only over bucket-mates."""
 
-    def sig_bit(p: int) -> Column:
+    def proj_col(p: int) -> Column:
         plane = F.array(*[F.lit(v) for v in _plane_components(p)])
-        proj = F.aggregate(
+        return F.aggregate(
             F.zip_with(
                 F.col("embedding"), plane, lambda v, pc: _fx(v.cast("double") * pc)
             ),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        return F.when(proj >= 0, "1").otherwise("0")
+
+    def sig_bit(p: int) -> Column:
+        return F.when(proj_col(p) >= 0, "1").otherwise("0")
 
     sigs = emb.select(
         F.col("vec_id"),
@@ -260,6 +271,53 @@ def lsh_topk(
         F.col("norm2").alias("nq2"),
         "sig",
     )
+    if n_flip > 0:
+        # rank bit positions by |projection| (smallest margin first) and
+        # probe the base signature plus its n_flip lowest-margin flips
+        margins = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(proj_col(p)).alias("m"), F.lit(p).alias("p")
+                    )
+                    for p in range(bits)
+                ]
+            )
+        )
+        flip_positions = F.slice(
+            F.transform(margins, lambda s: s["p"]), 1, n_flip
+        )
+
+        def flipped(pos: Column) -> Column:  # pos is 0-based
+            return F.concat(
+                F.col("sig").substr(F.lit(1), pos),
+                F.when(
+                    F.col("sig").substr(pos + 1, F.lit(1)) == "1", F.lit("0")
+                ).otherwise(F.lit("1")),
+                F.col("sig").substr(pos + 2, F.lit(bits) - pos - 1),
+            )
+
+        probe_sigs = F.concat(
+            F.array(F.col("sig")), F.transform(flip_positions, flipped)
+        )
+        # NB: probe_sigs references both `sig` and (via proj_col) the raw
+        # `embedding`, so keep both in scope until the explode happens
+        q = (
+            emb.filter(F.col("vec_id") < n_queries)
+            .select(
+                F.col("vec_id").alias("qid"),
+                "embedding",
+                _fx_norm2("embedding").alias("nq2"),
+                F.concat(*[sig_bit(p) for p in range(bits)]).alias("sig"),
+            )
+            .select(
+                "qid",
+                F.col("embedding").alias("q_emb"),
+                "nq2",
+                F.explode(probe_sigs).alias("probe_sig"),
+            )
+            .withColumnRenamed("probe_sig", "sig")
+        )
     cos = (
         sigs.select(
             F.col("vec_id").alias("cid"),
