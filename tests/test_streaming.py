@@ -359,3 +359,11 @@ def test_duration_ms_parser():
         duration_ms("soon")
     with pytest.raises(ValueError):
         duration_ms("5 fortnights")
+
+
+def test_demo_runs_end_to_end(spark, tmp_path):
+    """`python -m kstreams_spark.demo` must stay runnable — it is the
+    repo's one-command proof of the reference topology."""
+    from kstreams_spark.demo import main
+
+    assert main(str(tmp_path / "demo")) == 0
