@@ -757,3 +757,87 @@ def similarity_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2 tables × 8 bits) — the oracle-checked batch twin of the streaming
     incremental index."""
     return lsh_near_pairs(spread(load_table(spark, sf_dir, "embeddings")))
+
+
+N_FLIP = 2  # registered multi-probe width
+
+
+def _lsh_multiprobe_sql() -> str:
+    margins = ",\n             ".join(
+        f"""ABS(SUM(CAST(round(CAST(v AS DOUBLE) * {_plane_component_sql(p)}
+                            * {FX}.0) AS BIGINT))) AS m{p}"""
+        for p in range(LSH_BITS)
+    )
+    mrows = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {p} AS p, m{p} AS m FROM margins"
+        for p in range(LSH_BITS)
+    )
+    return f"""
+    WITH sigs AS ({_lsh_sig_sql()}),
+    qunn AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+             unnest(embedding) AS v
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    margins AS (
+      SELECT vec_id, {margins}
+      FROM qunn GROUP BY vec_id
+    ),
+    mrows AS (
+      {mrows}
+    ),
+    flips AS (
+      SELECT vec_id, p FROM (
+        SELECT vec_id, p,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY m, p) AS rn
+        FROM mrows
+      ) WHERE rn <= {N_FLIP}
+    ),
+    probes AS (
+      SELECT vec_id AS qid, sig AS psig
+      FROM sigs WHERE vec_id < {N_QUERIES}
+      UNION
+      SELECT s.vec_id, substr(s.sig, 1, f.p)
+             || (CASE WHEN substr(s.sig, f.p + 1, 1) = '1'
+                      THEN '0' ELSE '1' END)
+             || substr(s.sig, f.p + 2)
+      FROM sigs s JOIN flips f USING (vec_id)
+      WHERE s.vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT DISTINCT pr.qid, sc.vec_id AS cid
+      FROM probes pr JOIN sigs sc ON sc.sig = pr.psig
+    ),
+    q AS (
+      SELECT vec_id AS qid, idx, CAST(v AS DOUBLE) AS qv FROM qunn
+    ),
+    c AS (
+      SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS cv
+      FROM embeddings
+      WHERE vec_id IN (SELECT DISTINCT cid FROM cand)
+    ),
+    dots AS (
+      SELECT q.qid, c.cid,
+             SUM(CAST(round(q.qv * c.cv * {FX}.0) AS BIGINT)) AS dot_fx
+      FROM q JOIN c ON q.idx = c.idx
+      JOIN cand ON cand.qid = q.qid AND cand.cid = c.cid
+      GROUP BY q.qid, c.cid
+    ),
+    norms AS ({_NORMS_SQL}),
+    cos AS ({_COS_SQL})
+    {_RANK_SQL}
+    """
+
+
+@query("similarity_topk_lsh_probe", oracle=_lsh_multiprobe_sql())
+def similarity_topk_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN top-10: each query also probes its 2
+    lowest-margin single-bit-flip buckets (ranked by |projection|, ties
+    to the low bit index — identical ordering in the oracle's window).
+    The recall lever that costs probe IO instead of index storage,
+    hash-verified end-to-end: margin ranking, bit splice, bucket join,
+    and fixed-point re-rank all match DuckDB bit-for-bit."""
+    return lsh_topk(
+        spread(load_table(spark, sf_dir, "embeddings")), n_flip=N_FLIP
+    )
