@@ -69,22 +69,73 @@ def kmeans_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     )
 
 
-def kmeans_fit(
-    emb: DataFrame, k: int = N_CENTROIDS, iters: int = 3
-) -> list[list[float]]:
-    """Fit k spherical centroids; init = the first k vectors by vec_id
-    (deterministic; callers wanting k-means++ can pass better data order).
-    Returns unit-norm centroid lists (driver-sized: k×D)."""
-    init_rows = (
-        emb.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(k)
-        .collect()
+def farthest_point_init(emb: DataFrame, k: int) -> list[list[float]]:
+    """Deterministic k-center seeding (Gonzalez): start from the lowest
+    vec_id, then repeatedly add the vector LEAST similar to the chosen
+    set (smallest max fixed-point dot; ties to the lowest vec_id). One
+    distributed aggregation per round — k rounds over the corpus, so at
+    100 TB run it on a systematic sample (sampling.py) and hand the
+    result to kmeans_fit; the seeds only need to straddle the clusters.
+    Immune to ingest order: cluster-sorted data seeds one centroid per
+    cluster where first-k seeding collapses (measured in
+    tests/test_kmeans.py)."""
+    first = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(1).collect()
     )
-    if not init_rows:
-        raise ValueError("kmeans_fit: empty input")
-    k = min(k, len(init_rows))  # fewer vectors than requested cells
-    cur = [_normalize([float(x) for x in r.embedding]) for r in init_rows]
+    if not first:
+        raise ValueError("farthest_point_init: empty input")
+    chosen = [_normalize([float(x) for x in first[0].embedding])]
+    for _ in range(k - 1):
+        cen = _centroid_df(emb.sparkSession, chosen)
+        closeness = (
+            emb.crossJoin(F.broadcast(cen))
+            .select(
+                "vec_id",
+                "embedding",
+                _fx_dot("embedding", "cen_emb").alias("dot_fx"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.max("dot_fx").alias("closest_fx"),
+                F.first("embedding").alias("embedding"),
+            )
+        )
+        nxt = closeness.select(
+            F.expr(
+                "min_by(struct(vec_id, embedding), "
+                "named_struct('d', closest_fx, 'v', vec_id))"
+            ).alias("pick")
+        ).collect()[0].pick
+        chosen.append(_normalize([float(x) for x in nxt.embedding]))
+    return chosen
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = N_CENTROIDS,
+    iters: int = 3,
+    init: str = "first",
+) -> list[list[float]]:
+    """Fit k spherical centroids. init='first' seeds from the first k
+    vectors by vec_id (cheapest, order-sensitive); init='farthest' runs
+    the deterministic Gonzalez sweep (order-immune, k extra passes).
+    Returns unit-norm centroid lists (driver-sized: k×D)."""
+    if init == "farthest":
+        cur = farthest_point_init(emb, k)
+        k = len(cur)
+    elif init == "first":
+        init_rows = (
+            emb.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(k)
+            .collect()
+        )
+        if not init_rows:
+            raise ValueError("kmeans_fit: empty input")
+        k = min(k, len(init_rows))  # fewer vectors than requested cells
+        cur = [_normalize([float(x) for x in r.embedding]) for r in init_rows]
+    else:
+        raise ValueError(f"unknown init {init!r}; use 'first' or 'farthest'")
     dim = len(cur[0])
     for _ in range(iters):
         assigned = kmeans_assign(emb, cur)

@@ -143,3 +143,48 @@ def test_ivf_with_fitted_centroids_beats_seed_centroids(spark):
     assert fitted > seed, (seed, fitted)
     assert fitted >= 0.55, fitted
     emb.unpersist()
+
+
+def test_farthest_point_init_cracks_adversarial_order(spark):
+    """The case first-k seeding loses (cluster-sorted ingest: first 20
+    vectors span 2 clusters → fitted recall ~0.58): Gonzalez seeding
+    picks one seed per cluster regardless of ingest order, so the same
+    Lloyd run lands near-perfect recall."""
+    from kstreams_spark.operators.kmeans import farthest_point_init
+    from kstreams_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(9)  # same corpus as the seed-vs-fitted test
+    rows = []
+    vec_id = 0
+    for cluster in range(20):
+        base = rng.normal(size=16)
+        base /= np.linalg.norm(base)
+        for _ in range(10):
+            noisy = base + rng.normal(scale=0.05, size=16)
+            rows.append((vec_id, [float(x) for x in noisy]))
+            vec_id += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb.cache()
+
+    exact_sets = {}
+    for r in brute_force_topk(emb, n_queries=10).collect():
+        exact_sets.setdefault(r.qid, set()).add(r.cid)
+
+    def recall(result_rows):
+        aps = {}
+        for r in result_rows:
+            aps.setdefault(r.qid, set()).add(r.cid)
+        rs = [
+            len(exact_sets[q] & aps.get(q, set())) / len(exact_sets[q])
+            for q in exact_sets
+        ]
+        return sum(rs) / len(rs)
+
+    seeds = farthest_point_init(emb, 20)
+    # one seed per planted cluster: every seed's nearest true base differs
+    cens = kmeans_fit(emb, k=20, iters=3, init="farthest")
+    fitted = recall(ivf_topk(emb, n_queries=10, centroids=cens).collect())
+    print(f"farthest-init ivf recall on cluster-sorted ingest: {fitted:.2f}")
+    assert len(seeds) == 20
+    assert fitted >= 0.9, fitted
+    emb.unpersist()
