@@ -159,23 +159,24 @@ def blocked_shingle_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
     """Candidate pairs = docs sharing ≥1 shingle within a `source` block.
     The fixture-scale candidate generator (full recall at any threshold,
     pair space bounded per block); at 100 TB use MinHash band pairs
-    instead — this one's shingle join is quadratic within a block."""
+    instead — per-shingle buckets are still quadratic within a block.
+    Same per-bucket enumeration shape as every other candidate generator
+    (shingles + block lookup computed once, no self-join)."""
     sh = _shingles(docs, n)
     blocked = sh.join(docs.select("doc_id", "source"), "doc_id")
-    a = blocked.select(
-        F.col("doc_id").alias("doc_id1"), "shingle", F.col("source").alias("src1")
+    per_bucket = (
+        blocked.groupBy("source", "shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    b = blocked.select(
-        F.col("doc_id").alias("doc_id2"), "shingle", F.col("source").alias("src2")
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS doc_id1, y AS doc_id2))))"
     )
     return (
-        a.join(
-            b,
-            (a.src1 == b.src2)
-            & (a.shingle == b.shingle)
-            & (a.doc_id1 < b.doc_id2),
-        )
-        .select("doc_id1", "doc_id2")
+        per_bucket.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_id1", "p.doc_id2")
         .distinct()
     )
 
