@@ -47,8 +47,25 @@ class KeyedUpsertSink:
             .drop("_rn")
         )
 
+    def _recover(self) -> None:
+        """Make any single crash point survivable: if the snapshot dir is
+        missing but a displaced `.old-*` exists (crash between the two
+        swap renames), restore the newest one; if the snapshot exists,
+        stale `.old-*` leftovers (crash before cleanup) are deleted —
+        re-applying the interrupted batch is idempotent because the merge
+        is latest-wins by seq_col."""
+        import glob as _glob
+
+        olds = sorted(_glob.glob(self.snapshot_dir + ".old-*"))
+        if not os.path.exists(self.snapshot_dir):
+            if olds:
+                os.rename(olds.pop(), self.snapshot_dir)
+        for stale in olds:
+            shutil.rmtree(stale)
+
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        self._recover()
         latest = self._reduce_latest(batch_df)
         if os.path.exists(self.snapshot_dir):
             current = spark.read.parquet(self.snapshot_dir)
@@ -59,12 +76,20 @@ class KeyedUpsertSink:
             merged = latest
         tmp = self.snapshot_dir + f".tmp-{epoch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        # atomic-ish swap (a real deployment uses Delta MERGE instead)
+        # crash-safe swap: displace the current snapshot, move the new one
+        # in, then delete the displaced copy. Every intermediate state is
+        # recoverable by _recover() — the old rmtree-then-rename dance had
+        # a window that lost the snapshot outright. (A real deployment
+        # uses Delta MERGE and gets ACID from the table format.)
+        old = self.snapshot_dir + f".old-{epoch_id}"
         if os.path.exists(self.snapshot_dir):
-            shutil.rmtree(self.snapshot_dir)
+            os.rename(self.snapshot_dir, old)
         os.rename(tmp, self.snapshot_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
+        self._recover()
         return spark.read.parquet(self.snapshot_dir)
 
     def attach(self, changelog: DataFrame):
