@@ -58,6 +58,7 @@ class ExactlyOnceParquetSink:
         return os.path.exists(self._final_dir(epoch_id))
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self._recover()  # heal an interrupted compact() first
         if self.is_committed(epoch_id):
             return  # replay of a committed epoch: exactly-once no-op
         staging = self._staging_dir(epoch_id)
@@ -81,17 +82,40 @@ class ExactlyOnceParquetSink:
             .start()
         )
 
+    def _recover(self) -> None:
+        """Heal an interrupted compact(): restore a displaced out_dir if
+        the swap crashed mid-way, sweep stale displaced copies and
+        staging roots. Every compact crash point resolves to either the
+        pre-compaction or the post-compaction state — never a mix (the
+        doubled-rows hazard a strip-after-commit design would have)."""
+        import glob as _glob
+
+        olds = sorted(_glob.glob(self.out_dir + ".old-*"))
+        if not os.path.isdir(self.out_dir):
+            if olds:
+                os.rename(olds.pop(), self.out_dir)
+        import shutil
+
+        for stale in olds:
+            shutil.rmtree(stale)
+        for tmp in _glob.glob(self.out_dir + ".compact-*"):
+            shutil.rmtree(tmp)
+
     def compact(self, spark: SparkSession, n_files: int = 1) -> int:
-        """Maintenance op (stream must be STOPPED): consolidate all
-        committed epoch data into one new reserved epoch dir and strip
-        the data files from the old epoch dirs — keeping those dirs in
-        place as EMPTY commit markers, so a checkpoint-lagged replay of a
-        pre-compaction epoch is still an exactly-once no-op. This is the
-        small-files answer for long-running epoch-keyed sinks; on a real
-        lake it's the table format's OPTIMIZE. Returns the reserved epoch
-        id the data now lives under (negative, below the -1 bootstrap
-        namespace, fresh on every compaction so repeated compacts never
-        collide with their own markers)."""
+        """Maintenance op (stream must be STOPPED; single actor):
+        consolidate all committed epoch data into one new reserved epoch
+        dir, keeping every old epoch dir as an EMPTY commit marker so a
+        checkpoint-lagged replay of a pre-compaction epoch is still an
+        exactly-once no-op. Built as a whole-directory displace-swap: the
+        new layout is staged completely, then swapped in two renames;
+        _recover() (also run by process_batch/result) heals any crash
+        point to a consistent snapshot. This is the small-files answer
+        for long-running epoch-keyed sinks; on a real lake it's the table
+        format's OPTIMIZE. Returns the reserved epoch id (negative,
+        below the -1 bootstrap namespace, fresh per compaction)."""
+        import shutil
+
+        self._recover()
         epochs = [
             n for n in os.listdir(self.out_dir) if n.startswith("epoch=")
         ]
@@ -100,19 +124,23 @@ class ExactlyOnceParquetSink:
         used = {int(n.split("=", 1)[1]) for n in epochs}
         new_id = min(min(used), -1) - 1
         data = spark.read.parquet(self.out_dir).drop("epoch")
-        staging = self._staging_dir(new_id)
-        data.coalesce(n_files).write.mode("overwrite").parquet(staging)
-        os.rename(staging, self._final_dir(new_id))  # the commit point
-        for n in epochs:  # strip data, keep the dirs as commit markers
-            d = os.path.join(self.out_dir, n)
-            for f in os.listdir(d):
-                os.remove(os.path.join(d, f))
+        tmp_root = self.out_dir + f".compact-{abs(new_id)}"
+        data.coalesce(n_files).write.mode("overwrite").parquet(
+            os.path.join(tmp_root, f"epoch={new_id}")
+        )
+        for n in epochs:  # empty marker dirs preserve replay idempotence
+            os.makedirs(os.path.join(tmp_root, n), exist_ok=True)
+        old = self.out_dir + f".old-{abs(new_id)}"
+        os.rename(self.out_dir, old)
+        os.rename(tmp_root, self.out_dir)
+        shutil.rmtree(old)
         return new_id
 
     def result(self, spark: SparkSession) -> DataFrame:
         """All committed epochs (epoch= partition column included).
         Before any epoch has committed there is nothing to infer a schema
         from — return an empty untyped frame instead of throwing."""
+        self._recover()
         has_commits = os.path.isdir(self.out_dir) and any(
             name.startswith("epoch=") for name in os.listdir(self.out_dir)
         )

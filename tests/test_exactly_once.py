@@ -181,3 +181,35 @@ def test_compact_preserves_rows_markers_and_future_epochs(spark, tmp_path):
     second = sink.compact(spark)
     assert second < new_id
     assert sink.result(spark).count() == 35
+
+
+def test_compact_crash_windows_never_double_or_lose(spark, tmp_path):
+    """The compact swap's two dangerous windows, simulated: (a) out_dir
+    displaced but the new layout not yet moved in → recovery restores
+    the pre-compaction snapshot; (b) stale displaced copy next to a live
+    compacted dir → swept, rows NOT doubled."""
+    import shutil
+
+    from kstreams_spark.streaming.exactly_once import ExactlyOnceParquetSink
+
+    out = str(tmp_path / "out")
+    sink = ExactlyOnceParquetSink(out)
+    for epoch in range(2):
+        sink.process_batch(
+            spark.range(epoch * 10, epoch * 10 + 10).toDF("event_id"), epoch
+        )
+
+    # window (a): displaced, nothing moved in yet
+    os.rename(out, out + ".old-7")
+    assert sink.result(spark).count() == 20  # recovery restored it
+    assert not os.path.exists(out + ".old-7")
+
+    # window (b): live dir + stale displaced copy with the same data
+    shutil.copytree(out, out + ".old-8")
+    assert sink.result(spark).count() == 20  # swept, not doubled
+    assert not os.path.exists(out + ".old-8")
+
+    # and a leftover staging root from a dead compact is swept too
+    shutil.copytree(out, out + ".compact-9")
+    assert sink.result(spark).count() == 20
+    assert not os.path.exists(out + ".compact-9")
