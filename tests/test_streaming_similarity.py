@@ -217,3 +217,71 @@ def test_bootstrap_warm_start(spark, tmp_path):
     assert got == want, (
         f"stream∖want={got - want} want∖stream={want - got}"
     )
+
+
+def test_index_compaction_mid_stream_preserves_parity(spark, tmp_path):
+    """Stop the stream halfway, compact() the index (small-files
+    maintenance), resume from the same checkpoint: emissions over the
+    whole run must still equal the batch pair set exactly — the
+    consolidated index matches identically and new epochs land on top."""
+    rows = _planted()
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    want = {
+        (r.id1, r.id2) for r in lsh_near_pairs(emb, min_cosine=0.5).collect()
+    }
+
+    src = str(tmp_path / "emb_stream")
+    os.makedirs(src)
+    chunk = (len(rows) + 3) // 4
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(
+                part, "vec_id long, embedding array<float>"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, f"b{i}")
+            )
+
+    idx = StreamingLshIndex(
+        index_dir=str(tmp_path / "index"),
+        out_dir=str(tmp_path / "pairs"),
+        min_cosine=0.5,
+    )
+
+    def make_stream(max_files):
+        return (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", str(max_files))
+            .parquet(os.path.join(src, "b*"))
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    # phase 1: ingest roughly half (2 microbatches of 1 file)
+    q = idx.attach(make_stream(1), ckpt)
+    import time
+
+    deadline = time.time() + 120
+    while idx.batches_seen < 2 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    assert idx.batches_seen >= 2
+
+    # maintenance window: compact the index (stream stopped)
+    import glob
+
+    files_before = len(glob.glob(str(tmp_path / "index" / "epoch=*" / "*.parquet")))
+    idx._index_sink.compact(spark)
+    files_after = len(glob.glob(str(tmp_path / "index" / "epoch=*" / "*.parquet")))
+    assert files_after <= files_before
+
+    # phase 2: resume from the same checkpoint and drain
+    q2 = idx.attach(make_stream(1), ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    got_rows = idx.result(spark).collect()
+    got = {(r.id1, r.id2) for r in got_rows}
+    assert len(got_rows) == len(got), "duplicate emissions"
+    assert got == want, (
+        f"stream∖batch={got - want} batch∖stream={want - got}"
+    )
