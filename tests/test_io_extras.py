@@ -122,3 +122,20 @@ def test_multimodal_resize_deterministic_and_bounded(spark, sf_dir):
     rec = resize_stub(small, RESIZE_TARGET_BYTES)
     assert rec["stride"] == 1
     assert rec["resized_md5"] == hashlib.md5(small).hexdigest()
+
+
+def test_multimodal_features_feed_similarity(spark, sf_dir):
+    """The claim in decode_features' docstring, executed: the mapInPandas
+    feature vectors (array<float>) plug straight into the ANN operators —
+    exact top-k over the decoded features runs and ranks every doc's
+    self-match first."""
+    from kstreams_spark.operators.multimodal import decode_features
+    from kstreams_spark.operators.similarity import brute_force_topk
+
+    feats = decode_features(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    topk = brute_force_topk(feats, n_queries=5).collect()
+    rank1 = {r.qid: r.cid for r in topk if r.rank == 1}
+    assert len(rank1) == 5
+    assert all(cid == qid for qid, cid in rank1.items())
