@@ -42,23 +42,28 @@ def make_edge_alert_fn(limit: float = 75.0):
     ) -> Iterator[pd.DataFrame]:
         (was_high,) = state.get if state.exists else (False,)
         out_rows: list[dict[str, object]] = []
-        for pdf in pdfs:
-            # event order within the batch; R9 null guard: garbage casts
-            # drop without updating state
-            vals = pdf.sort_values("ts")["reading"].dropna()
-            if not len(vals):
-                continue
-            high = vals > limit
-            rising = high & ~high.shift(fill_value=was_high)
-            out_rows.extend(
-                {
-                    "key": key[0],
-                    "reading": float(r),
-                    "alert": f"Temperature warning {r:05.2f}",
-                }
-                for r in vals[rising]
-            )
-            was_high = bool(high.iloc[-1])
+        # Arrow may deliver one key's batch as MULTIPLE chunks in
+        # arbitrary chunk order — sorting within each chunk is not event
+        # order. Materialize the key's batch and sort once (per-key batch
+        # data must fit the worker anyway; same contract as
+        # applyInPandas). R9 null guard: garbage casts drop without
+        # updating state.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True)
+            vals = whole.sort_values("ts")["reading"].dropna()
+            if len(vals):
+                high = vals > limit
+                rising = high & ~high.shift(fill_value=was_high)
+                out_rows.extend(
+                    {
+                        "key": key[0],
+                        "reading": float(r),
+                        "alert": f"Temperature warning {r:05.2f}",
+                    }
+                    for r in vals[rising]
+                )
+                was_high = bool(high.iloc[-1])
         state.update((was_high,))
         if out_rows:
             yield pd.DataFrame(out_rows)
