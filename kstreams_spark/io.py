@@ -32,10 +32,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Plain parquet scan — pushdown-friendly.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; we read it as raw nanos (legacy nanosAsLong conf) and
-    truncate to a microsecond TimestampType — the same ns→µs truncation
-    DuckDB applies in CAST(ts AS TIMESTAMP), so oracle parity holds.
+    ``events.ts`` has shipped as TIMESTAMP(NANOS) parquet in some fixture
+    generations and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others, so
+    the load is schema-adaptive (probe what the scan produced, normalize):
+
+    - LongType (nanosAsLong read of a NANOS column) → truncate to µs and
+      build a TimestampType — the same ns→µs truncation DuckDB applies in
+      CAST(ts AS TIMESTAMP).
+    - TimestampNTZType (naive MICROS column) → cast to TimestampType; the
+      session is pinned to UTC below, so the wall-clock is unchanged and
+      matches DuckDB's naive TIMESTAMP read of the same file.
+    - TimestampType → already what every consumer expects; passthrough.
+
+    Every events consumer must go through here — a raw
+    ``spark.read.parquet`` sees a representation that varies by fixture
+    generation and session conf.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -52,13 +63,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # sessions built by kstreams_spark.session already carry this conf;
         # re-assert (idempotently) for foreign sessions — e.g. the grading
         # driver's vanilla session — which cannot read TIMESTAMP(NANOS)
-        # parquet without it. Deliberately session-scoped: every events
-        # consumer must see the same ns-as-long representation.
+        # parquet without it. Harmless when the column is MICROS (the conf
+        # only affects NANOS columns). Deliberately session-scoped: every
+        # events consumer must see the same representation.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":  # TIMESTAMP(NANOS) read as raw nanos
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if ts_type == "timestamp_ntz":  # naive MICROS; UTC session → same wall-clock
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df  # already TimestampType
     return spark.read.parquet(path)
 
 

@@ -20,8 +20,10 @@ twin that replays the same arithmetic, plus monotone inertia and
 planted-cluster recovery.
 
 At 100 TB: the corpus never moves — each iteration streams it through
-two keyed aggregations; k·D stays driver-sized (k ≈ N/C cells via
-ivf_cells_for, D fixed). Empty cells keep their previous centroid.
+two keyed aggregations; k·D stays driver-sized because ivf_cells_for is
+sublinear (k ≈ 4·√N, D fixed): at N = 10⁹ that is ~1.3×10⁵ centroids
+(~65 MB), not the 10⁷ a linear N/C rule would demand. Empty cells keep
+their previous centroid.
 """
 
 from __future__ import annotations

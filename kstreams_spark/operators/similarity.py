@@ -24,6 +24,8 @@ stay ≤ ~2^52, so the final cast back to DOUBLE is exact.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -50,16 +52,31 @@ def lsh_bits_for(n: int, target_bucket: int = 25) -> int:
     back with OR-amplification tables (lsh_multi_topk), not by shrinking
     the signature. Tested at 1× and 10× corpus in
     tests/test_dedup_quality.py."""
-    import math
-
     return max(1, round(math.log2(max(2.0, n / target_bucket))))
 
 
-def ivf_cells_for(n: int, target_cell: int = 100) -> int:
-    """IVF cell-count sizing: cells ≈ N / C keeps the expected cell
-    population near the per-query scan budget C; at 100 TB the cell id is
-    the lake partition key, so C is really 'bytes a query may scan'."""
-    return max(1, round(n / target_cell))
+def ivf_cells_for(n: int, scale: float = 4.0) -> int:
+    """IVF cell-count sizing, k ≈ scale·√N (the FAISS rule of thumb).
+
+    Sublinear on purpose: the centroid table must stay broadcastable and
+    k-means' per-iteration driver collect must stay O(k·D) — at N = 10⁹
+    this rule gives k ≈ 1.3×10⁵ (~65 MB of D=64 doubles), where a linear
+    k = N/C rule gives 10⁷ centroids (~5 GB): un-broadcastable and
+    un-collectable, contradicting the module's own 100 TB story. The
+    expected cell population N/k = √N/scale therefore GROWS with the
+    corpus; the per-query scan budget is held by probing more cells
+    (`ivf_probes_for` → ivf_topk's n_probe), not by multiplying
+    centroids. Sublinearity pinned in tests/test_dedup_quality.py."""
+    return max(1, round(scale * math.sqrt(n)))
+
+
+def ivf_probes_for(n: int, cells: int, target_scan: int = 100) -> int:
+    """Companion lever to ivf_cells_for: the n_probe that keeps the
+    per-query re-rank volume near `target_scan` vectors given the
+    expected cell population N/cells. More corpus → bigger cells →
+    the SAME n_probe scans more (recall holds, budget grows), so pick
+    target_scan first and let this derive n_probe."""
+    return max(1, math.ceil(target_scan * cells / n))
 
 
 def _fx(col: Column) -> Column:
@@ -381,16 +398,25 @@ def ivf_topk(
     n_queries: int = N_QUERIES,
     n_centroids: int = N_CENTROIDS,
     centroids: list[list[float]] | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: every vector is assigned to its nearest
     centroid by fixed-point dot product (centroids = the first
     n_centroids vectors — a real deployment runs k-means; assignment and
-    search are identical); a query searches only its own cell.
-    Size n_centroids with ivf_cells_for(N). Same
-    candidate-generation-then-exact-rerank shape as LSH, but the
-    partition is learned from the data rather than random hyperplanes —
-    at 100 TB the cell id becomes the lake partition key so a query
-    scans one cell's files only.
+    search are identical); a query searches its `n_probe` nearest cells
+    (n_probe > 1 is the standard recall lever for queries near a cell
+    boundary — same lever the serving probe exposes, serving.py:187).
+    Size n_centroids with ivf_cells_for(N) and n_probe with
+    ivf_probes_for(N, cells). Same candidate-generation-then-exact-rerank
+    shape as LSH, but the partition is learned from the data rather than
+    random hyperplanes — at 100 TB the cell id becomes the lake partition
+    key so a query scans n_probe cells' files only.
+
+    Shuffle budget: ONE partial-aggregating groupBy(vec_id) max_by for
+    corpus cell assignment (no window sort over the N×k scored rows —
+    same shape as kmeans.kmeans_assign), one broadcast join attaching the
+    Q·n_probe probe list to candidates, one top-k window on qid. The
+    query-side probe ranking IS a window, but over Q×k rows only.
 
     Assignment ties break on centroid id; all arithmetic is the same
     fixed-point form as the rest of the module, so the DuckDB oracle
@@ -411,20 +437,40 @@ def ivf_topk(
         "cen_id",
         _fx_dot("embedding", "cen_emb").alias("cen_dot"),
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cen_dot").desc(), F.col("cen_id")
-    )
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
+        scored.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(cen_id, named_struct('d', cen_dot, 'c', -cen_id))"
+            ).alias("cen_id"),
+            # embedding is identical on every replicated row of the group
+            F.first("embedding").alias("embedding"),
+        )
         .select("vec_id", "embedding", "cen_id", _fx_norm2("embedding").alias("norm2"))
     )
-    q = assigned.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm2").alias("nq2"),
-        "cen_id",
+    # Query-side probe list: rank ALL cells per query, keep the n_probe
+    # nearest. Q×k rows — driver-tiny, so the window sort is free; the
+    # result broadcasts to the candidate join.
+    q_scored = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .crossJoin(F.broadcast(cen))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q_emb"),
+            "cen_id",
+            _fx_dot("embedding", "cen_emb").alias("cen_dot"),
+        )
     )
+    w_probe = Window.partitionBy("qid").orderBy(
+        F.col("cen_dot").desc(), F.col("cen_id")
+    )
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("qid", "q_emb", _fx_norm2("q_emb").alias("nq2"), "cen_id")
+    )
+    # Each candidate lives in exactly one cell and a query's probe cells
+    # are distinct, so the equi-join yields each (qid, cid) at most once.
     cos = (
         assigned.select(
             F.col("vec_id").alias("cid"),
@@ -432,7 +478,7 @@ def ivf_topk(
             F.col("norm2").alias("nc2"),
             "cen_id",
         )
-        .join(F.broadcast(q), "cen_id")
+        .join(F.broadcast(probes), "cen_id")
         .select(
             "qid",
             "cid",
@@ -498,6 +544,53 @@ _IVF_ASSIGN_SQL = f"""
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN top-10 over the fixture embeddings."""
     return ivf_topk(spread(load_table(spark, sf_dir, "embeddings")))
+
+
+N_PROBE = 3  # fixture probe width for the registered n_probe > 1 query
+
+
+@query(
+    "similarity_topk_ivf_probe",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    probes AS (
+      SELECT vec_id AS qid, cen_id FROM (
+        SELECT vec_id, cen_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cen_id) AS rn
+        FROM cdots WHERE vec_id < {N_QUERIES}
+      ) WHERE rn <= {N_PROBE}
+    ),
+    q AS (
+      SELECT p.qid, e.idx, e.v AS qv, p.cen_id
+      FROM probes p JOIN allv e ON e.vec_id = p.qid
+    ),
+    c AS (
+      SELECT a.vec_id AS cid, e.idx, e.v AS cv, a.cen_id
+      FROM assigned a JOIN allv e USING (vec_id)
+    ),
+    dots AS (
+      SELECT q.qid, c.cid,
+             SUM(CAST(round(q.qv * c.cv * {FX}.0) AS BIGINT)) AS dot_fx
+      FROM q JOIN c ON q.idx = c.idx AND q.cen_id = c.cen_id
+      GROUP BY q.qid, c.cid
+    ),
+    norms AS ({_NORMS_SQL}),
+    cos AS ({_COS_SQL})
+    {_RANK_SQL}
+    """,
+)
+def similarity_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 searching each query's 3 nearest cells (n_probe=3)
+    — the batch form of the recall lever VERDICT r4 flagged as
+    serving-only: a boundary-sitting query's true neighbors in the
+    adjacent cell are findable here where the n_probe=1 form misses
+    them. The oracle replays probe-cell selection (top-3 centroids by
+    exact fixed-point dot, ties to the lowest cen_id) and the in-cell
+    re-rank end-to-end."""
+    return ivf_topk(
+        spread(load_table(spark, sf_dir, "embeddings")), n_probe=N_PROBE
+    )
 
 
 N_TABLES = 2  # OR-amplification: candidate if ANY table's signature matches

@@ -396,12 +396,23 @@ def test_sizing_rule_at_10x_corpus(spark):
     assert mean_bucket <= 4 * bucket_budget, mean_bucket
     assert max(buckets) <= n / 4, max(buckets)  # no degenerate mega-bucket
 
-    # --- IVF at the prescribed cell count
-    n_cells = ivf_cells_for(n, target_cell=100)
-    assert n_cells == 20, f"rule: 2000/100 = 20, got {n_cells}"
-    ivf = ivf_topk(emb, n_queries=10, n_centroids=n_cells).collect()
+    # --- IVF at the prescribed cell count (k ≈ 4·√N, sublinear) with the
+    # prescribed probe width holding the per-query scan budget
+    from kstreams_spark.operators.similarity import ivf_probes_for
+
+    n_cells = ivf_cells_for(n)
+    assert n_cells == 179, f"rule: 4·√2000 ≈ 179, got {n_cells}"
+    # sublinearity is the 100 TB point: 100× the corpus ≤ ~10× the
+    # centroids (the linear N/C rule this replaced gave exactly 100×)
+    assert ivf_cells_for(100 * n) <= 10 * ivf_cells_for(n) + 1
+    n_probe = ivf_probes_for(n, n_cells, target_scan=100)
+    assert n_probe == 9, f"rule: ceil(100·179/2000) = 9, got {n_probe}"
+    ivf = ivf_topk(
+        emb, n_queries=10, n_centroids=n_cells, n_probe=n_probe
+    ).collect()
     ivf_recall = mean_recall(ivf)
-    print(f"10x corpus: cells={n_cells} ivf recall={ivf_recall:.2f}")
+    print(f"10x corpus: cells={n_cells} n_probe={n_probe} "
+          f"ivf recall={ivf_recall:.2f}")
     assert ivf_recall >= 0.6, f"ivf recall {ivf_recall:.2f} at {n_cells} cells"
     emb.unpersist()
 

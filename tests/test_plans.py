@@ -161,3 +161,18 @@ def test_curation_pipeline_two_shuffles(plan_spark, sf_dir):
     assignment must all stay scan-speed row expressions."""
     n = count_exchanges(q("composite_curation_pipeline", plan_spark, sf_dir))
     assert n == 2, f"curation pipeline should shuffle twice, got {n}"
+
+
+def test_ivf_assignment_avoids_corpus_window(plan_spark, sf_dir):
+    """ivf_topk's corpus cell assignment must be the partial-aggregating
+    groupBy(vec_id) max_by shape (kmeans_assign's), never a Window
+    row_number over the N×k scored rows — a full sort-per-key shuffle of
+    the scored corpus vs a map-side-combining aggregation. The only
+    windows allowed partition on qid (probe ranking over Q×k rows, final
+    top-k)."""
+    for name in ("similarity_topk_ivf", "similarity_topk_ivf_probe"):
+        plan = physical_plan(q(name, plan_spark, sf_dir))
+        assert "max_by" in plan, f"{name}: assignment must be max_by agg"
+        assert "windowspecdefinition(vec_id" not in plan, (
+            f"{name}: window over the N×k scored corpus"
+        )
