@@ -261,9 +261,11 @@ def _minhash_band_sql() -> str:
     """
 
 
-def _minhash_verified_sql() -> str:
-    return f"""
-    WITH {_minhash_cand_cte()},
+def _minhash_verified_cte() -> str:
+    """Extends the candidate CTE chain with `ver` = the Jaccard-verified
+    near-dup pairs (the dedup_minhash_verified result). Shared by that
+    query's oracle and the cluster-resolution oracle built on top."""
+    return f"""{_minhash_cand_cte()},
     sized AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT c.doc_id1, c.doc_id2, COUNT(*) AS n_common
@@ -271,14 +273,51 @@ def _minhash_verified_sql() -> str:
       JOIN sh s1 ON s1.doc_id = c.doc_id1
       JOIN sh s2 ON s2.doc_id = c.doc_id2 AND s2.shingle = s1.shingle
       GROUP BY c.doc_id1, c.doc_id2
+    ),
+    ver AS (
+      SELECT i.doc_id1, i.doc_id2, i.n_common,
+             CAST(i.n_common AS DOUBLE)
+               / (s1.n_sh + s2.n_sh - i.n_common) AS jaccard
+      FROM inter i
+      JOIN sized s1 ON s1.doc_id = i.doc_id1
+      JOIN sized s2 ON s2.doc_id = i.doc_id2
+      WHERE CAST(i.n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - i.n_common) >= 0.5
+    )"""
+
+
+def _minhash_verified_sql() -> str:
+    return f"""
+    WITH {_minhash_verified_cte()}
+    SELECT doc_id1, doc_id2, n_common, jaccard FROM ver
+    """
+
+
+def _cluster_resolution_sql() -> str:
+    """DuckDB twin of connected-components resolution: transitive closure
+    by recursive CTE over the symmetric verified-pair edges, then
+    label = min reachable node, then per-cluster sizes."""
+    return f"""
+    WITH RECURSIVE {_minhash_verified_cte()},
+    edges AS (
+      SELECT doc_id1 AS src, doc_id2 AS dst FROM ver
+      UNION
+      SELECT doc_id2 AS src, doc_id1 AS dst FROM ver
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keep_id
+      FROM reach GROUP BY src
+    ),
+    sizes AS (
+      SELECT keep_id, COUNT(*) AS n_members FROM labels GROUP BY keep_id
     )
-    SELECT i.doc_id1, i.doc_id2, i.n_common,
-           CAST(i.n_common AS DOUBLE)
-             / (s1.n_sh + s2.n_sh - i.n_common) AS jaccard
-    FROM inter i
-    JOIN sized s1 ON s1.doc_id = i.doc_id1
-    JOIN sized s2 ON s2.doc_id = i.doc_id2
-    WHERE CAST(i.n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - i.n_common) >= 0.5
+    SELECT l.doc_id, l.keep_id, s.n_members,
+           CAST(l.doc_id = l.keep_id AS BOOLEAN) AS is_kept
+    FROM labels l JOIN sizes s USING (keep_id)
     """
 
 
@@ -527,6 +566,117 @@ def simhash_candidate_pairs(
         .select("p.doc_id1", "p.doc_id2", "p.sig1", "p.sig2")
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Undirected connected components over a (doc_id1, doc_id2) pair set
+    → one (node, label) row per node, label = the component's minimum
+    node id. The transitive-closure step every pair-emitting dedup
+    operator needs before survivors can be picked (a pairwise output
+    cannot express that A–B plus B–C makes {A,B,C} one duplicate group).
+
+    Algorithm: iterative min-label propagation with pointer jumping —
+    each round a node's label becomes min(own, neighbors' labels,
+    label-of-label). Neighbor propagation alone needs O(diameter) rounds;
+    the label-of-label shortcut (pointer jumping) makes long chains
+    collapse in O(log diameter), so max_iter=25 covers any component a
+    real corpus can produce. All steps are equi-joins + partial-agg MINs
+    — no all-pairs product, no driver-side graph. Labels only ever
+    decrease, so the fixpoint is the unique per-component minimum
+    regardless of partitioning (drift-safe).
+
+    Scale notes: the edge list is localCheckpoint-ed once (upstream pair
+    generation — e.g. the whole MinHash propose→verify pipeline — runs
+    ONE time, not once per iteration; on a cluster use a reliable
+    checkpoint dir instead) and each round's labels are checkpointed to
+    truncate the iterative join lineage. Per-round cost: two joins on
+    node id + one groupBy(node) MIN over (2|E| + 2|V|) rows. Convergence
+    is detected by the strictly-decreasing label sum — one scalar agg per
+    round, no old-vs-new join.
+
+    Raises RuntimeError if max_iter rounds don't reach the fixpoint
+    (returning a half-propagated labeling would silently split clusters).
+    """
+    e = pairs.select(
+        F.col("doc_id1").alias("src"), F.col("doc_id2").alias("dst")
+    )
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    # strictly-decreasing monovariant; decimal sum can't overflow
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).first()[0]
+    if prev_sum is None:  # no pairs at all → no clusters
+        return labels
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym.dst == labels.node).select(
+            F.col("src").alias("node"), "label"
+        )
+        hop = (
+            labels.alias("a")
+            .join(labels.alias("b"), F.col("a.label") == F.col("b.node"))
+            .select(F.col("a.node").alias("node"), F.col("b.label").alias("label"))
+        )
+        labels = (
+            labels.union(nbr)
+            .union(hop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter > 2^25 — raise max_iter)"
+    )
+
+
+def resolve_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Pairs → per-member survivor assignment: (doc_id, keep_id,
+    n_members, is_kept). keep_id = the component's minimum doc_id (the
+    same survivor rule dedup_exact uses), n_members = cluster size,
+    is_kept marks the one canonical row per cluster. Docs in no pair are
+    singletons by definition and are not emitted — a curation pipeline
+    keeps them unconditionally."""
+    labels = connected_components(pairs, max_iter)
+    members = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("keep_id")
+    )
+    sizes = members.groupBy("keep_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return members.join(sizes, "keep_id").select(
+        "doc_id",
+        "keep_id",
+        "n_members",
+        (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
+    )
+
+
+@query("dedup_cluster_resolution", oracle=_cluster_resolution_sql())
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The missing end of the near-dup story (VERDICT r4 #1): the verified
+    MinHash pairs (dedup_minhash_verified) resolved into duplicate
+    CLUSTERS — connected components over the pair graph, min-doc_id
+    survivor per cluster, per-member (doc_id, keep_id, n_members,
+    is_kept). The oracle replays the whole chain in DuckDB: propose →
+    verify → WITH RECURSIVE transitive closure → min-label → sizes."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return resolve_clusters(ngram_jaccard_pairs(d))
 
 
 @query("dedup_simhash", oracle=_simhash_sql())

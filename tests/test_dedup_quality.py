@@ -520,3 +520,45 @@ def test_lsh_topk_multiprobe_lifts_recall(spark):
     assert multi > single, (single, multi)
     assert multi >= 0.6, multi
     emb.unpersist()
+
+
+def test_cluster_resolution_transitive_chain(spark):
+    """A–B and B–C pairs (C–A never proposed) must resolve to ONE cluster
+    {A,B,C} with keep_id = A — the claim pairwise output cannot express
+    and the reason the resolution operator exists (VERDICT r4 #1)."""
+    from kstreams_spark.operators.dedup import resolve_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21)], "doc_id1 long, doc_id2 long"
+    )
+    out = {r.doc_id: r for r in resolve_clusters(pairs).collect()}
+    assert set(out) == {1, 5, 9, 20, 21}
+    for d in (1, 5, 9):
+        assert out[d].keep_id == 1 and out[d].n_members == 3
+    for d in (20, 21):
+        assert out[d].keep_id == 20 and out[d].n_members == 2
+    assert {d for d, r in out.items() if r.is_kept} == {1, 20}
+
+
+def test_cluster_resolution_long_path_pointer_jumping(spark):
+    """A 200-node path graph (diameter 199): neighbor-only min-label
+    propagation needs ~199 rounds; with the pointer-jumping shortcut the
+    fixpoint must arrive within max_iter=12 ≈ log2(199) + slack. This
+    pins the O(log diameter) convergence claim, not just correctness."""
+    from kstreams_spark.operators.dedup import resolve_clusters
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_id1 long, doc_id2 long"
+    )
+    rows = resolve_clusters(pairs, max_iter=12).collect()
+    assert len(rows) == n
+    assert all(r.keep_id == 0 and r.n_members == n for r in rows)
+
+
+def test_cluster_resolution_empty_pairs(spark):
+    """No pairs → no clusters (schema intact, no crash)."""
+    from kstreams_spark.operators.dedup import resolve_clusters
+
+    pairs = spark.createDataFrame([], "doc_id1 long, doc_id2 long")
+    assert resolve_clusters(pairs).count() == 0
