@@ -40,8 +40,14 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_verified",  # added r3: propose->verify pipeline
+    "dedup_simhash",  # added r5: corpus-wide pigeonhole Hamming pairs
+    "dedup_cluster_resolution",  # added r5: pairs -> survivors (iterative CC)
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
+    "similarity_topk_lsh_multi",  # added r5: OR-amplified 2-table ANN
+    "similarity_topk_lsh_probe",  # added r5: query-side multi-probe ANN
+    "similarity_topk_ivf_probe",  # added r5: multi-cell IVF (n_probe=3)
+    "similarity_topk_ivf_kmeans",  # added r5: fitted-centroid IVF (Lloyd)
     "similarity_near_pairs",  # added r3: corpus near-pair mining
     "avro_roundtrip",  # added r3: codec round-trip (UDF path)
     "text_token_stats",

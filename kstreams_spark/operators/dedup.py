@@ -38,7 +38,19 @@ from kstreams_spark.registry import query
 # rows-per-band r grows with log(N) just like LSH bits (SCALE.md §dedup).
 N_HASHES = 8  # minhash functions (≤ 8 with the md5-rotation trick)
 N_BANDS = 4  # bands of 2 hashes → candidate if any band matches
-SIM_BITS = 16  # simhash signature width
+# SimHash signature width. Sized by the same log2 rule as LSH bits:
+# buckets per chunk index = 2^(SIM_BITS/N_CHUNKS), and pair enumeration
+# is quadratic WITHIN a bucket, so chunk width must track log2(N/B) —
+# with generous headroom, because REAL text signatures are skewed (common
+# tokens push many docs toward the same bit pattern): at 16 bits (4-bit
+# chunks) the sf0.1 bench paid 48 s expanding ~13% of all pairs as
+# candidates, and even 8-bit chunks left 1.6 M candidates (~8× the
+# uniform-corpus expectation). 64 bits / 16-bit chunks is the published
+# configuration (Manku, Jain, Sarma, "Detecting Near-Duplicates for Web
+# Crawling", WWW 2007: 64-bit fingerprints, k = 3) — one md5 yields 32
+# parity bits, so the signature draws on two independent salted hashes.
+SIM_BITS = 64
+_BITS_PER_MD5 = 32  # one parity bit per hex digit
 
 
 def _shingles(df: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
@@ -424,15 +436,27 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d)
 
 
+def _sim_h(j: int) -> tuple[str, int]:
+    """Which pre-projected hash column and hex position feeds bit j:
+    bits 0..31 from h0 = md5(token), 32..63 from h1 = md5(token||'1')."""
+    return f"h{j // _BITS_PER_MD5}", j % _BITS_PER_MD5
+
+
 def _simhash_sig_exprs() -> list[F.Column]:
     """Per-token ±1 contribution for each of SIM_BITS bits, from md5
-    hex-digit parity: bit_j(token) = hexval(md5(token)[j]) % 2."""
-    return [
-        F.expr(
-            f"sum(2 * ((instr('0123456789abcdef', substring(md5(token), {j + 1}, 1)) - 1) % 2) - 1)"
-        ).alias(f"s{j}")
-        for j in range(SIM_BITS)
-    ]
+    hex-digit parity: bit_j(token) = hexval(h[j])) % 2. Operates on
+    pre-projected hex columns h0/h1 (md5 runs once per token row per
+    salt, not once per aggregate buffer — the inline-md5 form paid
+    SIM_BITS hashes/row)."""
+    exprs = []
+    for j in range(SIM_BITS):
+        col, pos = _sim_h(j)
+        exprs.append(
+            F.expr(
+                f"sum(2 * ((instr('0123456789abcdef', substring({col}, {pos + 1}, 1)) - 1) % 2) - 1)"
+            ).alias(f"s{j}")
+        )
+    return exprs
 
 
 HAM_MAX = 3  # near-dup threshold; needs HAM_MAX + 1 pigeonhole chunks
@@ -446,7 +470,9 @@ CHUNK_W = SIM_BITS // N_CHUNKS
 
 def _simhash_sql() -> str:
     sums = ",\n           ".join(
-        f"SUM(2 * ((instr('0123456789abcdef', substring(md5(token), {j + 1}, 1)) - 1) % 2) - 1) AS s{j}"
+        "SUM(2 * ((instr('0123456789abcdef', substring({col}, {pos}, 1)) - 1) % 2) - 1) AS s{j}".format(
+            col=_sim_h(j)[0], pos=_sim_h(j)[1] + 1, j=j
+        )
         for j in range(SIM_BITS)
     )
     bits = " || ".join(
@@ -460,9 +486,12 @@ def _simhash_sql() -> str:
     WITH toks AS (
       SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
     ),
+    hashed AS (
+      SELECT doc_id, md5(token) AS h0, md5(token || '1') AS h1 FROM toks
+    ),
     sums AS (
       SELECT doc_id, {sums}
-      FROM toks GROUP BY doc_id
+      FROM hashed GROUP BY doc_id
     ),
     sigs AS (
       SELECT doc_id, {bits} AS sig FROM sums
@@ -487,10 +516,18 @@ def _simhash_sql() -> str:
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → 16-char '0'/'1' simhash signature (frequency-weighted:
-    tokens contribute once per occurrence), bits from md5 hex-digit parity."""
+    """doc_id → SIM_BITS-char '0'/'1' simhash signature (frequency-
+    weighted: tokens contribute once per occurrence), bits from md5
+    hex-digit parity. md5 is projected once per token row (see
+    _simhash_sig_exprs)."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).select(
+        "doc_id",
+        F.md5("token").alias("h0"),
+        F.md5(F.concat(F.col("token"), F.lit("1"))).alias("h1"),
+    )
     sums = toks.groupBy("doc_id").agg(*_simhash_sig_exprs())
     sig = F.concat(
         *[
@@ -689,17 +726,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle budget: one groupBy(doc_id) for signatures, one equi-join
     shuffle on (chunk_idx, chunk_val), one distinct on the candidate set.
     The chunk join is the only quadratic-risk step and only within a
-    bucket (2^CHUNK_W buckets per chunk index)."""
+    bucket (2^CHUNK_W buckets per chunk index).
+
+    Hamming is scored with integer ops — 16-bit words via conv(·,2,10),
+    then bit_count(xor) per word — not a per-character compare: the
+    64-bit form of the latter cost ~6 s over the sf0.1 candidate set
+    (128 substring+CASE evaluations per pair vs 8 conv + 4 popcounts).
+    The DuckDB oracle keeps the per-char sum (no conv there); only the
+    VALUES must agree, and both compute the same Hamming distance."""
     sigs = simhash_signatures(spark, sf_dir)
     cand = simhash_candidate_pairs(sigs)
-    hamming = sum(
-        F.when(
-            F.substring("sig1", j + 1, 1) == F.substring("sig2", j + 1, 1), 0
-        ).otherwise(1)
-        for j in range(SIM_BITS)
-    )
+    words = [
+        f"bit_count(cast(conv(substring(sig1, {off + 1}, 16), 2, 10) as bigint)"
+        f" ^ cast(conv(substring(sig2, {off + 1}, 16), 2, 10) as bigint))"
+        for off in range(0, SIM_BITS, 16)
+    ]
     return (
-        cand.withColumn("hamming", hamming)
+        cand.withColumn("hamming", F.expr(" + ".join(words)))
         .filter(F.col("hamming") <= HAM_MAX)
         .select("doc_id1", "doc_id2", "hamming")
     )

@@ -104,9 +104,10 @@ def test_simhash_pigeonhole_exact_and_bounded(spark, sf_dir):
     brute-force all-pairs result (full recall — Hamming ≤ 3 over 4 chunks
     guarantees one equal chunk), and (b) enumerate far fewer candidate
     pairs than the quadratic product on a uniform-signature corpus
-    (expected ratio 1 - (1 - 2^-CHUNK_W)^N_CHUNKS ≈ 0.23 for 4×4-bit)."""
+    (expected ratio 1 - (1 - 2^-CHUNK_W)^N_CHUNKS ≈ 0.016 for 4×8-bit)."""
     from kstreams_spark.operators.dedup import (
         HAM_MAX,
+        SIM_BITS,
         simhash_candidate_pairs,
         simhash_signatures,
     )
@@ -141,7 +142,7 @@ def test_simhash_pigeonhole_exact_and_bounded(spark, sf_dir):
 
     rng = random.Random(13)
     uni = spark.createDataFrame(
-        [(i, "".join(rng.choice("01") for _ in range(16))) for i in range(800)],
+        [(i, "".join(rng.choice("01") for _ in range(SIM_BITS))) for i in range(800)],
         "doc_id long, sig string",
     )
     n_cand = simhash_candidate_pairs(uni).count()
