@@ -71,7 +71,15 @@ def kmeans_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     )
 
 
-def farthest_point_init(emb: DataFrame, k: int) -> list[list[float]]:
+FPI_MAX_ROWS = 100_000  # sample-contract threshold, see farthest_point_init
+
+
+def farthest_point_init(
+    emb: DataFrame,
+    k: int,
+    sampled: bool = False,
+    max_rows: int = FPI_MAX_ROWS,
+) -> list[list[float]]:
     """Deterministic k-center seeding (Gonzalez): start from the lowest
     vec_id, then repeatedly add the vector LEAST similar to the chosen
     set (smallest max fixed-point dot; ties to the lowest vec_id). One
@@ -80,7 +88,23 @@ def farthest_point_init(emb: DataFrame, k: int) -> list[list[float]]:
     result to kmeans_fit; the seeds only need to straddle the clusters.
     Immune to ingest order: cluster-sorted data seeds one centroid per
     cluster where first-k seeding collapses (measured in
-    tests/test_kmeans.py)."""
+    tests/test_kmeans.py).
+
+    The run-on-a-sample contract is API-ENFORCED, not prose (the same
+    pattern as the topology's small_alerts flag and the Jaccard
+    verifier's candidate scoping): inputs over ``max_rows`` are refused
+    unless the caller passes ``sampled=True``, asserting the input IS
+    already a sample (or accepting k full passes knowingly). The size
+    probe is a bounded limit(max_rows+1).count(), not a full count."""
+    if not sampled:
+        probe = emb.limit(max_rows + 1).count()
+        if probe > max_rows:
+            raise ValueError(
+                f"farthest_point_init runs k sequential corpus passes; "
+                f"input exceeds {max_rows} rows. Seed from a sample "
+                f"(operators/sampling.py systematic_sample) and pass "
+                f"sampled=True, or raise max_rows deliberately."
+            )
     first = (
         emb.select("vec_id", "embedding").orderBy("vec_id").limit(1).collect()
     )
@@ -117,13 +141,16 @@ def kmeans_fit(
     k: int = N_CENTROIDS,
     iters: int = 3,
     init: str = "first",
+    sampled: bool = False,
 ) -> list[list[float]]:
     """Fit k spherical centroids. init='first' seeds from the first k
     vectors by vec_id (cheapest, order-sensitive); init='farthest' runs
-    the deterministic Gonzalez sweep (order-immune, k extra passes).
-    Returns unit-norm centroid lists (driver-sized: k×D)."""
+    the deterministic Gonzalez sweep (order-immune, k extra passes —
+    subject to farthest_point_init's run-on-a-sample contract, which
+    ``sampled`` forwards to). Returns unit-norm centroid lists
+    (driver-sized: k×D)."""
     if init == "farthest":
-        cur = farthest_point_init(emb, k)
+        cur = farthest_point_init(emb, k, sampled=sampled)
         k = len(cur)
     elif init == "first":
         init_rows = (

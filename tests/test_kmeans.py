@@ -188,3 +188,24 @@ def test_farthest_point_init_cracks_adversarial_order(spark):
     assert len(seeds) == 20
     assert fitted >= 0.9, fitted
     emb.unpersist()
+
+
+def test_farthest_point_init_enforces_sample_contract(spark):
+    """Gonzalez seeding runs k sequential corpus passes, so the
+    'run it on a sample' guidance is API-enforced (VERDICT r4 #8, the
+    small_alerts pattern): oversized inputs are refused unless the
+    caller asserts sampled=True; the size probe is bounded, not a full
+    count."""
+    import pytest
+
+    from kstreams_spark.operators.kmeans import farthest_point_init
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="sampled=True"):
+        farthest_point_init(emb, 2, max_rows=10)
+    seeds = farthest_point_init(emb, 2, sampled=True, max_rows=10)
+    assert len(seeds) == 2
+    assert len(farthest_point_init(emb, 2)) == 2  # under default cap
