@@ -56,6 +56,7 @@ HEADLINE = [
     "composite_shipping_priority",
     "composite_local_supplier_volume",
     "composite_curation_pipeline",  # added r3: end-to-end curation
+    "composite_curation_neardup",  # added r5: curation with near-dup CC ending
 ]
 
 

@@ -18,6 +18,11 @@ from pyspark.sql import functions as F
 
 from kstreams_spark.io import load_table
 from kstreams_spark.operators._util import dsum
+from kstreams_spark.operators.dedup import (
+    _cluster_labels_cte,
+    ngram_jaccard_pairs,
+    resolve_clusters,
+)
 from kstreams_spark.registry import query
 
 
@@ -221,6 +226,120 @@ def composite_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket = _bucket_from(F.col("doc_id").cast("string"))
     splits = kept.select(
+        "lang",
+        "quality",
+        F.when(bucket < 204, "train")
+        .when(bucket < 230, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return splits.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (dsum("quality") / F.count(F.lit(1))).alias("avg_quality"),
+    )
+
+
+def _curation_neardup_sql() -> str:
+    """Oracle for the near-dup curation composite: the exact-dedup
+    curation CTEs (kept now carries text), then the FULL minhash
+    propose→verify→recursive-transitive-closure chain over `kept`, then
+    survivors = kept minus non-canonical cluster members."""
+    return f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang, text, str_split(text, ' ') AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, text,
+             0.4 * (CASE WHEN len(toks) > 100 THEN 1.0
+                         ELSE CAST(len(toks) AS DOUBLE) / 100 END)
+           + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.3 * (CASE WHEN list_contains(toks, 'the')
+                          OR list_contains(toks, 'a')
+                         THEN 1.0 ELSE 0.0 END) AS quality
+      FROM t
+    ),
+    filtered AS (SELECT * FROM scored WHERE quality >= 0.5),
+    kept AS (
+      SELECT MIN(doc_id) AS doc_id,
+             min_by(lang, doc_id) AS lang,
+             min_by(quality, doc_id) AS quality,
+             MIN(text) AS text
+      FROM filtered GROUP BY md5(text)
+    ),
+    {_cluster_labels_cte("kept")},
+    survivors AS (
+      SELECT k.doc_id, k.lang, k.quality
+      FROM kept k LEFT JOIN labels l USING (doc_id)
+      WHERE l.doc_id IS NULL OR l.keep_id = k.doc_id
+    ),
+    splits AS (
+      SELECT lang, quality,
+             CASE WHEN bucket < 204 THEN 'train'
+                  WHEN bucket < 230 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM (SELECT *,
+              (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+              AS bucket
+            FROM survivors)
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS avg_quality
+    FROM splits GROUP BY split, lang
+    """
+
+
+@query("composite_curation_neardup", oracle=_curation_neardup_sql())
+def composite_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline with the round-5 near-dup ending — the full
+    corpus-build story every piece of the dedup family now supports:
+    quality score → threshold filter → EXACT dedup (md5 groupBy) →
+    NEAR-dup clustering (MinHash proposes, Jaccard verifies, connected
+    components resolve; resolve_clusters) → keep one canonical doc per
+    cluster → hash-stable split assignment → per-(split, lang) stats.
+    Near-dup survivors are picked AFTER exact dedup (cheap collapse
+    first) and BEFORE split assignment (a near-duplicate can never leak
+    across train/test).
+
+    Shuffle budget: exact-dedup groupBy (1), the propose→verify pipeline
+    (shingle agg + band buckets + two candidate lookups), the iterative
+    CC over the PAIR graph only (batch-sized, not corpus-sized), one
+    left-anti survivor join, final 2-key agg. The oracle replays every
+    stage, transitive closure included, in one recursive-CTE statement."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    len_score = F.when(n_tokens > 100, 1.0).otherwise(
+        n_tokens.cast("double") / 100
+    )
+    stop_score = F.when(
+        F.array_contains(toks, "the") | F.array_contains(toks, "a"), 1.0
+    ).otherwise(0.0)
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        (0.4 * len_score + 0.3 * ttr + 0.3 * stop_score).alias("quality"),
+    )
+    filtered = scored.filter(F.col("quality") >= 0.5)
+    kept = filtered.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.expr("min_by(lang, doc_id)").alias("lang"),
+        F.expr("min_by(quality, doc_id)").alias("quality"),
+        F.min("text").alias("text"),
+    )
+    pairs = ngram_jaccard_pairs(kept.select("doc_id", "text")).select(
+        "doc_id1", "doc_id2"
+    )
+    losers = resolve_clusters(pairs).filter(~F.col("is_kept")).select("doc_id")
+    survivors = kept.join(losers, "doc_id", "left_anti")
+    from kstreams_spark.operators.sampling import _bucket_from
+
+    bucket = _bucket_from(F.col("doc_id").cast("string"))
+    splits = survivors.select(
         "lang",
         "quality",
         F.when(bucket < 204, "train")

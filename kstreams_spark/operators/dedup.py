@@ -76,13 +76,16 @@ _SHINGLES_SQL = """
     SELECT DISTINCT doc_id,
            unnest(list_transform(generate_series(1, len(l) - {nm1}),
                                  i -> array_to_string(l[i:i+{nm1}], ' '))) AS shingle
-    FROM (SELECT doc_id, str_split(text, ' ') AS l FROM documents)
+    FROM (SELECT doc_id, str_split(text, ' ') AS l FROM {src})
     WHERE len(l) >= {n}
 """
 
 
-def shingles_sql(n: int = 3) -> str:
-    return _SHINGLES_SQL.format(n=n, nm1=n - 1)
+def shingles_sql(n: int = 3, src: str = "documents") -> str:
+    """`src` lets the CTE chain run over a derived (doc_id, text) relation
+    — e.g. the curation composite's post-filter post-exact-dedup set —
+    instead of the raw documents table."""
+    return _SHINGLES_SQL.format(n=n, nm1=n - 1, src=src)
 
 
 @query(
@@ -238,7 +241,7 @@ def _rot_sql(col: str, i: int) -> str:
     return f"concat(substr({col}, {4 * i + 1}, {32 - 4 * i}), substr({col}, 1, {4 * i}))"
 
 
-def _minhash_cand_cte() -> str:
+def _minhash_cand_cte(src: str = "documents") -> str:
     """CTE chain `sh, sig, bands, cand` — `cand` is the distinct MinHash
     band-pair candidate set. Shared by the candidate query's oracle and
     the verified-pipeline query's oracle."""
@@ -249,7 +252,7 @@ def _minhash_cand_cte() -> str:
         f"SELECT doc_id, {b} AS band_id, concat(h{2 * b}, h{2 * b + 1}) AS band_val FROM sig"
         for b in range(N_BANDS)
     )
-    return f"""sh AS ({shingles_sql(3)}),
+    return f"""sh AS ({shingles_sql(3, src)}),
     sig AS (
       SELECT doc_id,
            {mins}
@@ -273,11 +276,12 @@ def _minhash_band_sql() -> str:
     """
 
 
-def _minhash_verified_cte() -> str:
+def _minhash_verified_cte(src: str = "documents") -> str:
     """Extends the candidate CTE chain with `ver` = the Jaccard-verified
     near-dup pairs (the dedup_minhash_verified result). Shared by that
-    query's oracle and the cluster-resolution oracle built on top."""
-    return f"""{_minhash_cand_cte()},
+    query's oracle, the cluster-resolution oracle, and the curation
+    composite's oracle (src = its curated set)."""
+    return f"""{_minhash_cand_cte(src)},
     sized AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT c.doc_id1, c.doc_id2, COUNT(*) AS n_common
@@ -304,12 +308,11 @@ def _minhash_verified_sql() -> str:
     """
 
 
-def _cluster_resolution_sql() -> str:
-    """DuckDB twin of connected-components resolution: transitive closure
-    by recursive CTE over the symmetric verified-pair edges, then
-    label = min reachable node, then per-cluster sizes."""
-    return f"""
-    WITH RECURSIVE {_minhash_verified_cte()},
+def _cluster_labels_cte(src: str = "documents") -> str:
+    """Verified-pair CTEs + transitive closure by recursive CTE over the
+    symmetric edges + `labels` = (doc_id, keep_id = min reachable node).
+    Callers must open with WITH RECURSIVE."""
+    return f"""{_minhash_verified_cte(src)},
     edges AS (
       SELECT doc_id1 AS src, doc_id2 AS dst FROM ver
       UNION
@@ -323,7 +326,14 @@ def _cluster_resolution_sql() -> str:
     labels AS (
       SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keep_id
       FROM reach GROUP BY src
-    ),
+    )"""
+
+
+def _cluster_resolution_sql() -> str:
+    """DuckDB twin of connected-components resolution: labels CTE, then
+    per-cluster sizes."""
+    return f"""
+    WITH RECURSIVE {_cluster_labels_cte()},
     sizes AS (
       SELECT keep_id, COUNT(*) AS n_members FROM labels GROUP BY keep_id
     )
