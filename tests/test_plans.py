@@ -176,3 +176,13 @@ def test_ivf_assignment_avoids_corpus_window(plan_spark, sf_dir):
         assert "windowspecdefinition(vec_id" not in plan, (
             f"{name}: window over the N×k scored corpus"
         )
+
+
+def test_curation_neardup_no_cartesian(plan_spark, sf_dir):
+    """The near-dup curation composite chains the propose→verify pipeline
+    and the survivor anti-join — no stage may plan a cartesian product.
+    (The CC loop materializes via checkpoint before this plan, so the
+    final plan covers kept → pairs-pipeline → anti-join → agg.)"""
+    plan = physical_plan(q("composite_curation_neardup", plan_spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
