@@ -49,6 +49,7 @@ HEADLINE = [
     "similarity_topk_ivf_probe",  # added r5: multi-cell IVF (n_probe=3)
     "similarity_topk_ivf_kmeans",  # added r5: fitted-centroid IVF (Lloyd)
     "similarity_near_pairs",  # added r3: corpus near-pair mining
+    "similarity_cluster_resolution",  # added r5: near-pair graph -> survivors
     "avro_roundtrip",  # added r3: codec round-trip (UDF path)
     "text_token_stats",
     "text_language_id",

@@ -308,12 +308,14 @@ def _minhash_verified_sql() -> str:
     """
 
 
-def _cluster_labels_cte(src: str = "documents") -> str:
-    """Verified-pair CTEs + transitive closure by recursive CTE over the
-    symmetric edges + `labels` = (doc_id, keep_id = min reachable node).
-    Callers must open with WITH RECURSIVE."""
-    return f"""{_minhash_verified_cte(src)},
-    edges AS (
+def cc_closure_sql() -> str:
+    """Generic transitive-closure CTE suffix: consumes a preceding CTE
+    named `ver` with (doc_id1, doc_id2) pair columns and yields `labels`
+    = (doc_id, keep_id = min node of the connected component). Callers
+    must open their statement with WITH RECURSIVE. Shared by the text
+    near-dup oracles and the embedding near-pair cluster oracle
+    (operators/similarity.py)."""
+    return """edges AS (
       SELECT doc_id1 AS src, doc_id2 AS dst FROM ver
       UNION
       SELECT doc_id2 AS src, doc_id1 AS dst FROM ver
@@ -327,6 +329,12 @@ def _cluster_labels_cte(src: str = "documents") -> str:
       SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keep_id
       FROM reach GROUP BY src
     )"""
+
+
+def _cluster_labels_cte(src: str = "documents") -> str:
+    """Verified-pair CTEs + the generic closure suffix."""
+    return f"""{_minhash_verified_cte(src)},
+    {cc_closure_sql()}"""
 
 
 def _cluster_resolution_sql() -> str:

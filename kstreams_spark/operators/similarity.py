@@ -808,9 +808,11 @@ def lsh_near_pairs(
     )
 
 
-@query(
-    "similarity_near_pairs",
-    oracle=f"""
+def _near_pairs_sql() -> str:
+    """Self-contained near-pairs SELECT (used directly as the
+    similarity_near_pairs oracle and nested as the `ver` source of the
+    cluster-resolution oracle)."""
+    return f"""
     WITH sigs AS ({_multi_sig_sql()}),
     cand AS (
       SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
@@ -843,13 +845,50 @@ def lsh_near_pairs(
              / nullif(sqrt(CAST(n1.norm2_fx AS DOUBLE) / {FX})
                       * sqrt(CAST(n2.norm2_fx AS DOUBLE) / {FX}), 0)
           >= {NEAR_MIN_COSINE}
-    """,
-)
+    """
+
+
+@query("similarity_near_pairs", oracle=_near_pairs_sql())
 def similarity_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-collision near pairs at cosine ≥ 0.1 over fixture embeddings
     (2 tables × 8 bits) — the oracle-checked batch twin of the streaming
     incremental index."""
     return lsh_near_pairs(spread(load_table(spark, sf_dir, "embeddings")))
+
+
+def _similarity_cluster_sql() -> str:
+    from kstreams_spark.operators.dedup import cc_closure_sql
+
+    return f"""
+    WITH RECURSIVE ver AS (
+      SELECT id1 AS doc_id1, id2 AS doc_id2 FROM ({_near_pairs_sql()})
+    ),
+    {cc_closure_sql()},
+    sizes AS (
+      SELECT keep_id, COUNT(*) AS n_members FROM labels GROUP BY keep_id
+    )
+    SELECT l.doc_id AS vec_id, l.keep_id, s.n_members,
+           CAST(l.doc_id = l.keep_id AS BOOLEAN) AS is_kept
+    FROM labels l JOIN sizes s USING (keep_id)
+    """
+
+
+@query("similarity_cluster_resolution", oracle=_similarity_cluster_sql())
+def similarity_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side survivor resolution — the same pairs→clusters→
+    canonical-member ending the text dedup family got in round 5, applied
+    to the LSH near-pair graph (similarity_near_pairs): connected
+    components over the verified cosine pairs, keep_id = min vec_id per
+    cluster. The oracle nests the full near-pairs statement as the `ver`
+    CTE and replays the closure with WITH RECURSIVE."""
+    from kstreams_spark.operators.dedup import resolve_clusters
+
+    pairs = lsh_near_pairs(
+        spread(load_table(spark, sf_dir, "embeddings"))
+    ).select(F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2"))
+    return resolve_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "keep_id", "n_members", "is_kept"
+    )
 
 
 N_FLIP = 2  # registered multi-probe width
