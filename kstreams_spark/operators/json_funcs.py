@@ -89,22 +89,27 @@ def to_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_schema_inference",
     oracle="""
-    SELECT DISTINCT 'STRUCT<k: BIGINT>' AS props_schema,
-           json_structure(props) AS duck_structure
+    SELECT 'STRUCT<k: BIGINT>' AS props_schema,
+           COUNT(*) AS n_rows,
+           COUNT(json_extract(props, '$.k')) AS n_parsed
     FROM events
     """,
 )
 def json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """schema_of_json — schema-on-read inference for the §1.3/§1.4 story
-    (the reference carries schemaless JSON strings; Spark can derive the
+    (the reference carries schemaless JSON strings; Spark derives the
     read schema from a sample). schema_of_json requires a FOLDABLE
     argument (inference happens at plan time), so the sample is the
-    documented canonical props shape, not a per-row column — per-row
-    structure inspection is the oracle's json_structure twin, computed
-    here as a literal for the known single-shape fixture. DISTINCT
-    collapses events to the one shape row."""
+    documented canonical props shape; the query then PROVES the inferred
+    schema holds corpus-wide by parsing every row with it and counting
+    successes (n_parsed == n_rows iff the single-shape assumption is
+    true — the oracle counts rows whose $.k extracts). The schema string
+    itself is pinned against Spark's rendering."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        F.schema_of_json(F.lit('{"k": 69}')).alias("props_schema"),
-        F.lit('{"k":"UBIGINT"}').alias("duck_structure"),
-    ).distinct()
+    inferred = F.schema_of_json(F.lit('{"k": 69}'))
+    parsed = F.from_json("props", "k BIGINT")
+    return ev.agg(
+        F.first(inferred).alias("props_schema"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(parsed.getField("k")).alias("n_parsed"),
+    )
