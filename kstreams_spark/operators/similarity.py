@@ -808,10 +808,12 @@ def lsh_near_pairs(
     )
 
 
-def _near_pairs_sql() -> str:
+def _near_pairs_sql(min_cosine: float | None = None) -> str:
     """Self-contained near-pairs SELECT (used directly as the
-    similarity_near_pairs oracle and nested as the `ver` source of the
-    cluster-resolution oracle)."""
+    similarity_near_pairs oracle and nested, at a tighter threshold, as
+    the `ver` source of the cluster-resolution oracle)."""
+    if min_cosine is None:
+        min_cosine = NEAR_MIN_COSINE
     return f"""
     WITH sigs AS ({_multi_sig_sql()}),
     cand AS (
@@ -844,7 +846,7 @@ def _near_pairs_sql() -> str:
     WHERE (CAST(d.dot_fx AS DOUBLE) / {FX})
              / nullif(sqrt(CAST(n1.norm2_fx AS DOUBLE) / {FX})
                       * sqrt(CAST(n2.norm2_fx AS DOUBLE) / {FX}), 0)
-          >= {NEAR_MIN_COSINE}
+          >= {min_cosine}
     """
 
 
@@ -856,12 +858,22 @@ def similarity_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_pairs(spread(load_table(spark, sf_dir, "embeddings")))
 
 
+# Clustering threshold, deliberately TIGHTER than the mining query's 0.1:
+# transitive closure amplifies loose pairs (at 0.1 the fixture's noise
+# graph collapses into one mega-component — 329 of 427 members at sf0.01
+# — and "keep one of 329 random docs" is not a dedup). 0.3 is the noise
+# tail on this corpus, giving small interpretable clusters that exercise
+# the mechanics; a production embedding near-dup run sets ~0.9.
+CLUSTER_MIN_COSINE = 0.3
+
+
 def _similarity_cluster_sql() -> str:
     from kstreams_spark.operators.dedup import cc_closure_sql
 
     return f"""
     WITH RECURSIVE ver AS (
-      SELECT id1 AS doc_id1, id2 AS doc_id2 FROM ({_near_pairs_sql()})
+      SELECT id1 AS doc_id1, id2 AS doc_id2
+      FROM ({_near_pairs_sql(CLUSTER_MIN_COSINE)})
     ),
     {cc_closure_sql()},
     sizes AS (
@@ -877,14 +889,17 @@ def _similarity_cluster_sql() -> str:
 def similarity_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-side survivor resolution — the same pairs→clusters→
     canonical-member ending the text dedup family got in round 5, applied
-    to the LSH near-pair graph (similarity_near_pairs): connected
-    components over the verified cosine pairs, keep_id = min vec_id per
-    cluster. The oracle nests the full near-pairs statement as the `ver`
-    CTE and replays the closure with WITH RECURSIVE."""
+    to the LSH near-pair graph at CLUSTER_MIN_COSINE (see the constant's
+    comment for why the clustering threshold is tighter than the mining
+    query's): connected components over the verified cosine pairs,
+    keep_id = min vec_id per cluster. The oracle nests the full
+    near-pairs statement as the `ver` CTE and replays the closure with
+    WITH RECURSIVE."""
     from kstreams_spark.operators.dedup import resolve_clusters
 
     pairs = lsh_near_pairs(
-        spread(load_table(spark, sf_dir, "embeddings"))
+        spread(load_table(spark, sf_dir, "embeddings")),
+        min_cosine=CLUSTER_MIN_COSINE,
     ).select(F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2"))
     return resolve_clusters(pairs).select(
         F.col("doc_id").alias("vec_id"), "keep_id", "n_members", "is_kept"
