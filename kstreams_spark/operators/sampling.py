@@ -109,3 +109,61 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(32)
     )
     return ev.filter(bucket < rate).select("event_id", "event_type")
+
+
+TOKEN_BUDGET = 10_000  # fixture budget; bites at every sf (sf0.01 corpus ≈ 27k tokens)
+
+
+@query(
+    "sample_token_budget",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len(str_split(text, ' ')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    running AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY h, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, cum_tokens
+    FROM running WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted subset — the 'give me ~N tokens of corpus' op every
+    training run starts with: documents taken in md5(doc_id) order (a
+    deterministic shuffle — hash order IS a uniform random permutation,
+    reproducible across engines/runs/cluster sizes, and stable under
+    corpus growth in the sense that the kept prefix only changes where
+    new docs hash into it) until the cumulative whitespace-token count
+    reaches the budget. Unlike a rate-based sample, the output size is
+    budgeted in TOKENS, which is what an LLM training job actually
+    consumes.
+
+    Shuffle budget: one unpartitioned running-sum window — the same cost
+    class as window_running_sum and the documented exception to the
+    'avoid unpartitioned windows' rule (SCALE.md): the budget semantics
+    are inherently a global prefix. At 100 TB, budget per shard instead
+    (partitionBy a shard key → the window parallelizes) and accept
+    per-shard budget granularity."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "n_tokens", "cum_tokens")
+    )
