@@ -167,3 +167,54 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
         .select("doc_id", "n_tokens", "cum_tokens")
     )
+
+
+LANG_TOKEN_BUDGET = 2_000  # per-language fixture budget
+
+
+@query(
+    "sample_token_budget_sharded",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len(str_split(text, ' ')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    running AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM running WHERE cum_tokens <= {LANG_TOKEN_BUDGET}
+    """,
+)
+def sample_token_budget_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of sample_token_budget: budget PER SHARD (here the
+    lang column — per-language token quotas are themselves a standard
+    multilingual-mix control), so the running-sum window partitions and
+    parallelizes instead of funneling the corpus through one ordering
+    task. This is exactly the rewrite the global-budget docstring
+    prescribes at 100 TB; the two queries share all semantics except the
+    window's partitionBy."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= LANG_TOKEN_BUDGET)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
