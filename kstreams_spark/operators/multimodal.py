@@ -232,3 +232,142 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         resize_batch(RESIZE_TARGET_BYTES), RESIZED_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# Real audio path: RIFF/PCM16 WAV is pure stdlib (struct + array), so unlike
+# the image/video stubs above, audio encode AND decode are REAL here — and
+# because the synthesized samples are simple integer arithmetic, DuckDB can
+# replay the synthesis in SQL and verify the full binary round-trip
+# (writer + parser) value-exactly: a header-offset or endianness bug in
+# either direction breaks the oracle hash.
+
+WAV_SR = 16000  # sample rate of the synthesized clips
+
+
+def _wav_samples(doc_id: int, n: int) -> list[int]:
+    """Deterministic int16 PCM samples — integer LCG-ish mix chosen to be
+    one-line-expressible in SQL: ((doc_id·7919 + i·104729) mod 65521) −
+    32760 ∈ [−32760, 32760] ⊂ int16."""
+    return [((doc_id * 7919 + i * 104729) % 65521) - 32760 for i in range(n)]
+
+
+def synth_wav(doc_id: int, text_bytes: int) -> bytes:
+    """A complete, valid RIFF/WAVE file: PCM16 mono @ WAV_SR with
+    n = (text_bytes mod 100) + 50 samples."""
+    import struct
+
+    n = (text_bytes % 100) + 50
+    samples = _wav_samples(doc_id, n)
+    data = struct.pack(f"<{n}h", *samples)
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, WAV_SR, WAV_SR * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return header + data
+
+
+def parse_wav(payload: bytes) -> dict:
+    """Real RIFF parser (stdlib only): validates magic, walks chunks to
+    fmt/data (tolerating extra chunks), unpacks PCM16 and computes exact
+    integer features. Raises ValueError on malformed input."""
+    import struct
+    from array import array
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, sr, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported format {audio_format}/{bits}")
+    samples = array("h")
+    samples.frombytes(data[: len(data) - len(data) % 2])
+    return {
+        "sample_rate": sr,
+        "n_channels": channels,
+        "n_samples": len(samples) // channels,
+        "sum_sq": sum(int(s) * int(s) for s in samples),
+        "peak": max((abs(int(s)) for s in samples), default=0),
+        "checksum": sum(int(s) for s in samples),
+    }
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def _audio_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    out_cols = [f.name for f in AUDIO_SCHEMA.fields]
+    for pdf in it:
+        out = []
+        for doc_id, nb in zip(pdf["doc_id"], pdf["text_bytes"]):
+            wav = synth_wav(int(doc_id), int(nb))  # REAL bytes on the wire
+            rec = parse_wav(wav)  # REAL parse, no shared state with synth
+            rec["doc_id"] = int(doc_id)
+            rec["duration_ms"] = rec["n_samples"] * 1000 // rec["sample_rate"]
+            del rec["n_channels"]
+            out.append(rec)
+        yield pd.DataFrame(out)[out_cols]
+
+
+@query(
+    "multimodal_audio_features",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, (octet_length(encode(text)) % 100) + 50 AS n
+      FROM documents WHERE doc_id < 200
+    ),
+    samples AS (
+      SELECT doc_id, n,
+             ((doc_id * 7919 + i * 104729) % 65521) - 32760 AS s
+      FROM docs, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) t
+    )
+    SELECT doc_id,
+           {WAV_SR} AS sample_rate,
+           CAST(n AS INTEGER) AS n_samples,
+           (n * 1000) // {WAV_SR} AS duration_ms,
+           SUM(s * s) AS sum_sq,
+           CAST(MAX(ABS(s)) AS INTEGER) AS peak,
+           SUM(s) AS checksum
+    FROM samples GROUP BY doc_id, n
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode that is NOT a stub: synthesize a complete RIFF/PCM16
+    WAV per doc (deterministic samples), then feature-extract by actually
+    parsing the bytes — header walk, chunk alignment, int16 unpack —
+    with nothing shared between writer and parser but the file format.
+    The DuckDB oracle replays the sample arithmetic in SQL and computes
+    the same exact integer features (sum of squares, peak, checksum), so
+    a single header-offset or endianness bug in either direction fails
+    the value hash. mapInPandas, one Arrow crossing, scalar outputs."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    src = d.select(
+        "doc_id", F.length(F.encode("text", "utf-8")).alias("text_bytes")
+    )
+    return src.mapInPandas(_audio_batch, AUDIO_SCHEMA)
