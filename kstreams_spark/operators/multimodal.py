@@ -371,3 +371,149 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.length(F.encode("text", "utf-8")).alias("text_bytes")
     )
     return src.mapInPandas(_audio_batch, AUDIO_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real image path, same doctrine as audio: BMP (BITMAPINFOHEADER, 24-bit)
+# is pure stdlib, and its real-format traps — BGR channel order, BOTTOM-UP
+# row storage, rows padded to 4 bytes — are exactly what a fake decoder
+# would get away with. The pixel synthesis is one-line integer arithmetic,
+# so DuckDB replays it and the position-weighted checksum catches a
+# parser that reads rows top-down or mis-strides the padding.
+
+
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    """5..10 × 4..6 — width chosen so the row padding (3·w mod 4) VARIES
+    across docs; a constant-padding corpus would never catch a stride bug."""
+    return 5 + doc_id % 6, 4 + doc_id % 3
+
+
+def _bmp_channel(doc_id: int, x: int, y: int, c: int) -> int:
+    """Channel value; c = 0 blue, 1 green, 2 red (file order)."""
+    return (doc_id * 31 + y * 17 + x * 7 + c * 131) % 256
+
+
+def synth_bmp(doc_id: int) -> bytes:
+    """A complete, valid 24-bit BMP: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    bottom-up BGR rows padded to 4-byte boundaries."""
+    import struct
+
+    w, h = _bmp_dims(doc_id)
+    row_payload = 3 * w
+    row_size = (row_payload + 3) // 4 * 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(w):
+            for c in (0, 1, 2):  # B, G, R
+                row.append(_bmp_channel(doc_id, x, y, c))
+        row += b"\x00" * (row_size - row_payload)
+        rows.append(bytes(row))
+    pixel_data = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 54)
+    return file_header + info + pixel_data
+
+
+def parse_bmp(payload: bytes) -> dict:
+    """Real BMP parser: validates magic, reads the declared pixel-data
+    offset, un-flips the bottom-up rows, honors row padding, splits BGR.
+    Raises ValueError on malformed input."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    header_size, w, h, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )[:6]
+    if header_size < 40 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant ({header_size}/{bpp}/{comp})")
+    if h <= 0 or w <= 0:
+        raise ValueError("top-down or degenerate BMP unsupported")
+    row_size = (3 * w + 3) // 4 * 4
+    if len(payload) < data_offset + row_size * h:
+        raise ValueError("truncated pixel data")
+    sum_b = sum_g = sum_r = checksum = 0
+    for y in range(h):
+        # row for image y sits at slot (h-1-y) in the bottom-up file
+        base = data_offset + (h - 1 - y) * row_size
+        for x in range(w):
+            o = base + 3 * x
+            b, g, r = payload[o], payload[o + 1], payload[o + 2]
+            sum_b += b
+            sum_g += g
+            sum_r += r
+            checksum += (y * w + x) * (b + g + r)
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+        "px_checksum": checksum,
+    }
+
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("px_checksum", T.LongType()),
+    ]
+)
+
+
+def _image_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    out_cols = [f.name for f in IMAGE_SCHEMA.fields]
+    for pdf in it:
+        out = []
+        for doc_id in pdf["doc_id"]:
+            bmp = synth_bmp(int(doc_id))  # REAL bytes
+            rec = parse_bmp(bmp)  # REAL parse
+            rec["doc_id"] = int(doc_id)
+            out.append(rec)
+        yield pd.DataFrame(out)[out_cols]
+
+
+@query(
+    "multimodal_image_features",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w, h, x, y,
+             (doc_id * 31 + y * 17 + x * 7 + 0 * 131) % 256 AS b,
+             (doc_id * 31 + y * 17 + x * 7 + 1 * 131) % 256 AS g,
+             (doc_id * 31 + y * 17 + x * 7 + 2 * 131) % 256 AS r
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS INTEGER) AS n_pixels,
+           SUM(r) AS sum_r, SUM(g) AS sum_g, SUM(b) AS sum_b,
+           SUM((y * w + x) * (b + g + r)) AS px_checksum
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode that is NOT a stub (the audio path's twin): synthesize
+    a complete 24-bit BMP per doc, then feature-extract by actually
+    parsing it — magic + declared pixel offset, bottom-up row un-flip,
+    4-byte row padding (width varies per doc so the padding does too),
+    BGR split. The oracle replays the pixel arithmetic in SQL; the
+    position-weighted checksum fails on a parser that reads rows
+    top-down or mis-strides the padding. mapInPandas, scalar outputs."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select("doc_id").mapInPandas(_image_batch, IMAGE_SCHEMA)

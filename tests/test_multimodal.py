@@ -36,3 +36,35 @@ def test_wav_parser_is_a_real_parser():
     got = parse_wav(bytes(corrupt))
     assert got["n_samples"] == base["n_samples"]
     assert got["checksum"] != base["checksum"]
+
+
+def test_bmp_parser_is_a_real_parser():
+    """BMP path: reject non-BMP, honor the declared pixel-data offset
+    (extra bytes between header and pixels must be skipped), and detect
+    a corrupted pixel byte. Row order is position-weighted into
+    px_checksum, so a top-down misread cannot hash-match the oracle."""
+    import struct
+
+    import pytest
+
+    from kstreams_spark.operators.multimodal import parse_bmp, synth_bmp
+
+    bmp = synth_bmp(3)
+    base = parse_bmp(bmp)
+    assert (base["width"], base["height"]) == (5 + 3 % 6, 4 + 3 % 3)
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        parse_bmp(b"PNG?" + bmp[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_bmp(bmp[:-4])
+
+    # gap between headers and pixels: parser must honor the offset field
+    gap = b"\xee" * 6
+    moved = bytearray(bmp[:54] + gap + bmp[54:])
+    struct.pack_into("<I", moved, 10, 54 + len(gap))
+    struct.pack_into("<I", moved, 2, len(moved))
+    assert parse_bmp(bytes(moved)) == base
+
+    corrupt = bytearray(bmp)
+    corrupt[-2] ^= 0x10  # a pixel byte in the top image row
+    assert parse_bmp(bytes(corrupt)) != base
