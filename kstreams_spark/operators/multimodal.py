@@ -5,10 +5,18 @@ batched Pandas UDFs over mapInPandas.
 The reference carries image *paths* in its sensor records (imgname /
 imgnamep, BME680.java:117,123-125) — the multimodal pointer pattern. Here
 the binary payloads are synthesized from the documents table (utf-8 bytes
-stand in for media bytes); the decode step is a deterministic fake behind
-`decode_stub` because no image/audio libraries exist in this container —
-the Spark-side plumbing (schema, batch iteration, partition shape) is real
-and tested.
+stand in for media bytes in the generic decode/resize demos).
+
+Decode honesty varies by modality, stated per operator:
+- AUDIO and IMAGE are REAL: RIFF/PCM16 WAV and 24-bit BMP are pure-stdlib
+  formats, so `multimodal_audio_features` / `multimodal_image_features`
+  write complete files and feature-extract by actually parsing the bytes
+  — and because the synthesized content is simple integer arithmetic,
+  the DuckDB oracle replays it and value-checks the binary round-trip.
+- compressed formats and VIDEO stay behind `decode_stub` (a deterministic
+  fake): PIL/ffmpeg/soundfile are absent from this container. The
+  Spark-side plumbing (schema, Arrow batch iteration, partition shape)
+  is identical to the real paths and tested.
 
 Scale posture: binary payloads ride in parquet as plain binary columns;
 metadata extraction is a narrow projection; decode runs in mapInPandas so
