@@ -401,20 +401,20 @@ def _bmp_channel(doc_id: int, x: int, y: int, c: int) -> int:
     return (doc_id * 31 + y * 17 + x * 7 + c * 131) % 256
 
 
-def synth_bmp(doc_id: int) -> bytes:
-    """A complete, valid 24-bit BMP: BITMAPFILEHEADER + BITMAPINFOHEADER +
-    bottom-up BGR rows padded to 4-byte boundaries."""
+def encode_bmp(grid: list[list[tuple[int, int, int]]]) -> bytes:
+    """grid[y][x] = (b, g, r) → a complete, valid 24-bit BMP:
+    BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up BGR rows padded to
+    4-byte boundaries."""
     import struct
 
-    w, h = _bmp_dims(doc_id)
+    h, w = len(grid), len(grid[0])
     row_payload = 3 * w
     row_size = (row_payload + 3) // 4 * 4
     rows = []
     for y in range(h - 1, -1, -1):  # bottom-up storage
         row = bytearray()
         for x in range(w):
-            for c in (0, 1, 2):  # B, G, R
-                row.append(_bmp_channel(doc_id, x, y, c))
+            row.extend(grid[y][x])
         row += b"\x00" * (row_size - row_payload)
         rows.append(bytes(row))
     pixel_data = b"".join(rows)
@@ -423,10 +423,25 @@ def synth_bmp(doc_id: int) -> bytes:
     return file_header + info + pixel_data
 
 
-def parse_bmp(payload: bytes) -> dict:
-    """Real BMP parser: validates magic, reads the declared pixel-data
-    offset, un-flips the bottom-up rows, honors row padding, splits BGR.
-    Raises ValueError on malformed input."""
+def synth_bmp(doc_id: int) -> bytes:
+    """The deterministic test-pattern BMP for doc_id (see _bmp_channel)."""
+    w, h = _bmp_dims(doc_id)
+    return encode_bmp(
+        [
+            [
+                tuple(_bmp_channel(doc_id, x, y, c) for c in (0, 1, 2))
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+    )
+
+
+def bmp_pixel_grid(payload: bytes) -> list[list[tuple[int, int, int]]]:
+    """Real BMP pixel extraction: validates magic, reads the declared
+    pixel-data offset, un-flips the bottom-up rows, honors row padding,
+    splits BGR. Returns grid[y][x] = (b, g, r); raises ValueError on
+    malformed input."""
     import struct
 
     if len(payload) < 54 or payload[:2] != b"BM":
@@ -442,13 +457,31 @@ def parse_bmp(payload: bytes) -> dict:
     row_size = (3 * w + 3) // 4 * 4
     if len(payload) < data_offset + row_size * h:
         raise ValueError("truncated pixel data")
-    sum_b = sum_g = sum_r = checksum = 0
+    grid = []
     for y in range(h):
         # row for image y sits at slot (h-1-y) in the bottom-up file
         base = data_offset + (h - 1 - y) * row_size
+        grid.append(
+            [
+                (
+                    payload[base + 3 * x],
+                    payload[base + 3 * x + 1],
+                    payload[base + 3 * x + 2],
+                )
+                for x in range(w)
+            ]
+        )
+    return grid
+
+
+def parse_bmp(payload: bytes) -> dict:
+    """Exact integer features over the really-parsed pixel grid."""
+    grid = bmp_pixel_grid(payload)
+    h, w = len(grid), len(grid[0])
+    sum_b = sum_g = sum_r = checksum = 0
+    for y in range(h):
         for x in range(w):
-            o = base + 3 * x
-            b, g, r = payload[o], payload[o + 1], payload[o + 2]
+            b, g, r = grid[y][x]
             sum_b += b
             sum_g += g
             sum_r += r
@@ -462,6 +495,18 @@ def parse_bmp(payload: bytes) -> dict:
         "sum_b": sum_b,
         "px_checksum": checksum,
     }
+
+
+def resize_bmp_half(payload: bytes) -> bytes:
+    """REAL image resize: parse the BMP, nearest-neighbor downsample 2×
+    (pixel (x, y) of the result = source pixel (2x, 2y)), re-encode a
+    complete BMP. Ceiling dims so 1-pixel axes survive."""
+    grid = bmp_pixel_grid(payload)
+    h, w = len(grid), len(grid[0])
+    w2, h2 = (w + 1) // 2, (h + 1) // 2
+    return encode_bmp(
+        [[grid[2 * y][2 * x] for x in range(w2)] for y in range(h2)]
+    )
 
 
 IMAGE_SCHEMA = T.StructType(
@@ -525,3 +570,54 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-down or mis-strides the padding. mapInPandas, scalar outputs."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return d.select("doc_id").mapInPandas(_image_batch, IMAGE_SCHEMA)
+
+
+def _image_resize_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    out_cols = [f.name for f in IMAGE_SCHEMA.fields]
+    for pdf in it:
+        out = []
+        for doc_id in pdf["doc_id"]:
+            small = resize_bmp_half(synth_bmp(int(doc_id)))  # parse→resample→re-encode
+            rec = parse_bmp(small)  # REAL re-parse of the new file
+            rec["doc_id"] = int(doc_id)
+            out.append(rec)
+        yield pd.DataFrame(out)[out_cols]
+
+
+@query(
+    "multimodal_image_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             ((5 + doc_id % 6) + 1) // 2 AS w2,
+             ((4 + doc_id % 3) + 1) // 2 AS h2
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w2, h2, x, y,
+             (doc_id * 31 + (2*y) * 17 + (2*x) * 7 + 0 * 131) % 256 AS b,
+             (doc_id * 31 + (2*y) * 17 + (2*x) * 7 + 1 * 131) % 256 AS g,
+             (doc_id * 31 + (2*y) * 17 + (2*x) * 7 + 2 * 131) % 256 AS r
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w2 - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h2 - 1)) AS y) ty
+    )
+    SELECT doc_id,
+           CAST(w2 AS INTEGER) AS width,
+           CAST(h2 AS INTEGER) AS height,
+           CAST(w2 * h2 AS INTEGER) AS n_pixels,
+           SUM(r) AS sum_r, SUM(g) AS sum_g, SUM(b) AS sum_b,
+           SUM((y * w2 + x) * (b + g + r)) AS px_checksum
+    FROM px GROUP BY doc_id, w2, h2
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize that is NOT a stub: the BMP is parsed (real format
+    handling), nearest-neighbor 2×-downsampled on the pixel grid,
+    re-encoded as a complete BMP, and the features come from RE-PARSING
+    the new file — so the oracle (which replays the resampled pixels in
+    SQL) verifies the decode→transform→encode→decode chain end-to-end.
+    The generic byte-stride `multimodal_resize` stays as the stub demo
+    for formats whose codecs aren't in this container."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select("doc_id").mapInPandas(_image_resize_batch, IMAGE_SCHEMA)

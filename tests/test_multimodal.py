@@ -68,3 +68,23 @@ def test_bmp_parser_is_a_real_parser():
     corrupt = bytearray(bmp)
     corrupt[-2] ^= 0x10  # a pixel byte in the top image row
     assert parse_bmp(bytes(corrupt)) != base
+
+
+def test_bmp_resize_roundtrip():
+    """resize_bmp_half: the resized file is itself a valid BMP whose
+    pixels are exactly the source's even-coordinate pixels (nearest
+    neighbor), including odd source dimensions (ceiling halving)."""
+    from kstreams_spark.operators.multimodal import (
+        bmp_pixel_grid,
+        resize_bmp_half,
+        synth_bmp,
+    )
+
+    for doc_id in (0, 2, 4):  # covers odd/even width and height mixes
+        src = bmp_pixel_grid(synth_bmp(doc_id))
+        small = bmp_pixel_grid(resize_bmp_half(synth_bmp(doc_id)))
+        assert len(small) == (len(src) + 1) // 2
+        assert len(small[0]) == (len(src[0]) + 1) // 2
+        for y, row in enumerate(small):
+            for x, px in enumerate(row):
+                assert px == src[2 * y][2 * x], (doc_id, x, y)
