@@ -88,3 +88,40 @@ def test_bmp_resize_roundtrip():
         for y, row in enumerate(small):
             for x, px in enumerate(row):
                 assert px == src[2 * y][2 * x], (doc_id, x, y)
+
+
+def test_avi_parser_is_a_real_parser():
+    """AVI path: reject non-AVI, cross-check the header's declared frame
+    count against the movi content, and make frame order value-visible
+    (swapping two frames changes the (f+1)-weighted checksum)."""
+    import struct
+
+    import pytest
+
+    from kstreams_spark.operators.multimodal import parse_avi, synth_avi
+
+    avi = synth_avi(5)
+    base = parse_avi(avi)
+    assert base["n_frames"] == 2 + 5 % 3
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        parse_avi(b"RIFF" + avi[4:8] + b"WAVE" + avi[12:])
+
+    # drop the last movi frame: header/content mismatch must be caught
+    idx = avi.rfind(b"00db")
+    truncated = bytearray(avi[:idx])
+    # (RIFF/LIST sizes now overstate, but frame-count check fires first)
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        parse_avi(bytes(truncated))
+
+    # swap the two frames' payloads: same pixels, different order ->
+    # checksum must differ (a real per-frame decode, not a global sum)
+    i1 = avi.find(b"00db")
+    (sz,) = struct.unpack_from("<I", avi, i1 + 4)
+    i2 = avi.find(b"00db", i1 + 8 + sz)
+    f1 = avi[i1 + 8 : i1 + 8 + sz]
+    f2 = avi[i2 + 8 : i2 + 8 + sz]
+    swapped = avi[: i1 + 8] + f2 + avi[i1 + 8 + sz : i2 + 8] + f1 + avi[i2 + 8 + sz :]
+    got = parse_avi(swapped)
+    assert got["sum_r"] == base["sum_r"]  # same pixel multiset
+    assert got["px_checksum"] != base["px_checksum"]  # order observed
