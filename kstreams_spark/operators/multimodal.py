@@ -823,3 +823,103 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     swapped frame. mapInPandas, scalar outputs."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return d.select("doc_id").mapInPandas(_video_batch, VIDEO_SCHEMA)
+
+
+def parse_avi_frames(payload: bytes) -> list[dict]:
+    """Per-frame decode of a parsed AVI: one record per frame with exact
+    integer features (pixel sum and position-weighted checksum). Shares
+    all container handling with parse_avi via the same walk/scan logic —
+    here each frame stays separate instead of aggregating."""
+    import struct
+
+    full = parse_avi(payload)  # validates container + frame count
+    w, h = full["width"], full["height"]
+    row_size = (3 * w + 3) // 4 * 4
+
+    # re-walk to frame offsets (parse_avi validated them)
+    frames = []
+    pos = 12
+
+    def walk(start: int, end: int) -> None:
+        p, e = start, min(end, len(payload))
+        while p + 8 <= e:
+            cid = payload[p : p + 4]
+            (size,) = struct.unpack_from("<I", payload, p + 4)
+            if cid == b"LIST":
+                walk(p + 12, p + 8 + size)
+            elif cid == b"00db":
+                frames.append(p + 8)
+            p += 8 + size + (size % 2)
+
+    walk(pos, len(payload))
+    out = []
+    for f, off in enumerate(frames):
+        px_sum = checksum = 0
+        for y in range(h):
+            base = off + (h - 1 - y) * row_size
+            for x in range(w):
+                o = base + 3 * x
+                v = payload[o] + payload[o + 1] + payload[o + 2]
+                px_sum += v
+                checksum += (y * w + x) * v
+        out.append({"frame_idx": f, "frame_sum": px_sum, "frame_checksum": checksum})
+    return out
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sum", T.LongType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def _video_frame_sample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    out_cols = [f.name for f in FRAME_SCHEMA.fields]
+    for pdf in it:
+        out = []
+        for doc_id in pdf["doc_id"]:
+            for rec in parse_avi_frames(synth_avi(int(doc_id))):
+                if rec["frame_idx"] % 2 == 0:  # sample every 2nd frame
+                    rec["doc_id"] = int(doc_id)
+                    out.append(rec)
+        yield pd.DataFrame(out)[out_cols]
+
+
+@query(
+    "multimodal_video_frame_sample",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 3 AS k,
+             5 + doc_id % 6 AS w, 4 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w, f, x, y,
+             ((doc_id * 31 + f * 53 + y * 17 + x * 7 + 0 * 131) % 256)
+           + ((doc_id * 31 + f * 53 + y * 17 + x * 7 + 1 * 131) % 256)
+           + ((doc_id * 31 + f * 53 + y * 17 + x * 7 + 2 * 131) % 256) AS v
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, k - 1, 2)) AS f) tf,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    )
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           SUM(v) AS frame_sum,
+           SUM((y * w + x) * v) AS frame_checksum
+    FROM px GROUP BY doc_id, f
+    """,
+)
+def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling that is NOT plumbing-only (the real-decode upgrade
+    of multimodal_frame_sample): parse the AVI container, decode every
+    frame, keep every 2nd — one row per sampled frame with exact integer
+    features the oracle replays per frame. This is the clip→frames
+    explode a video training pipeline runs, on real container bytes."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select("doc_id").mapInPandas(
+        _video_frame_sample_batch, FRAME_SCHEMA
+    )
