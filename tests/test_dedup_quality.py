@@ -589,3 +589,40 @@ def test_cluster_resolution_restores_shuffle_conf(spark):
         assert spark.conf.get(key) == "17"
     finally:
         spark.conf.set(key, saved)
+
+
+def test_ivf_n_probe_recovers_boundary_neighbor(spark):
+    """VERDICT r4 #4's done-criterion, batch form (the serving probe has
+    the monotone-widening twin): a query assigned to cell A whose true
+    nearest neighbor lives in cell B is UNFINDABLE at n_probe=1 and
+    found at n_probe=2 — the recall lever demonstrated, not asserted."""
+    import math
+
+    from kstreams_spark.operators.similarity import ivf_topk
+
+    def unit(x, y):
+        n = math.sqrt(x * x + y * y)
+        return [x / n, y / n]
+
+    rows = [
+        (0, unit(1.0, 0.0)),  # centroid/cell A
+        (1, unit(0.0, 1.0)),  # centroid/cell B
+        (2, unit(0.8, 0.6)),  # the query: assigned to A (0.8 > 0.6)...
+        (3, unit(0.5, 0.87)),  # ...but its best neighbor lands in B
+        #    cos(q, v3) = 0.8·0.5 + 0.6·0.87 ≈ 0.922
+        (4, unit(0.99, 0.141)),  # filler in A, cos(q, v4) ≈ 0.877 < 0.922
+        (5, unit(0.1, 0.995)),  # filler in B
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def neighbors(n_probe):
+        out = ivf_topk(
+            emb, n_queries=3, n_centroids=2, n_probe=n_probe
+        ).collect()
+        return [r.cid for r in sorted(
+            (r for r in out if r.qid == 2), key=lambda r: r.rank
+        ) if r.cid != 2]
+
+    assert 3 not in neighbors(1), "boundary neighbor must be invisible at n_probe=1"
+    got = neighbors(2)
+    assert got[0] == 3, f"n_probe=2 must rank the true neighbor first, got {got}"
