@@ -263,24 +263,65 @@ def _wav_samples(doc_id: int, n: int) -> list[int]:
     return [((doc_id * 7919 + i * 104729) % 65521) - 32760 for i in range(n)]
 
 
-def synth_wav(doc_id: int, text_bytes: int) -> bytes:
-    """A complete, valid RIFF/WAVE file: PCM16 mono @ WAV_SR with
-    n = (text_bytes mod 100) + 50 samples."""
+def encode_wav(samples: list[int], sr: int) -> bytes:
+    """samples (int16) + rate → a complete, valid RIFF/WAVE file
+    (PCM16 mono)."""
     import struct
 
-    n = (text_bytes % 100) + 50
-    samples = _wav_samples(doc_id, n)
-    data = struct.pack(f"<{n}h", *samples)
+    data = struct.pack(f"<{len(samples)}h", *samples)
     header = (
         b"RIFF"
         + struct.pack("<I", 36 + len(data))
         + b"WAVE"
         + b"fmt "
-        + struct.pack("<IHHIIHH", 16, 1, 1, WAV_SR, WAV_SR * 2, 2, 16)
+        + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
         + b"data"
         + struct.pack("<I", len(data))
     )
     return header + data
+
+
+def synth_wav(doc_id: int, text_bytes: int) -> bytes:
+    """The deterministic test clip for doc_id: PCM16 mono @ WAV_SR with
+    n = (text_bytes mod 100) + 50 samples."""
+    n = (text_bytes % 100) + 50
+    return encode_wav(_wav_samples(doc_id, n), WAV_SR)
+
+
+def wav_pcm(payload: bytes) -> tuple[int, list[int]]:
+    """Real RIFF parse returning the raw PCM: (sample_rate, samples).
+    Same validation as parse_wav."""
+    import struct
+    from array import array
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, sr, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits != 16 or channels != 1:
+        raise ValueError(f"unsupported format {audio_format}/{bits}/{channels}ch")
+    samples = array("h")
+    samples.frombytes(data[: len(data) - len(data) % 2])
+    return sr, list(samples)
+
+
+def downsample_wav_half(payload: bytes) -> bytes:
+    """REAL audio resample: parse the WAV, keep every 2nd sample
+    (stride decimation — the honest no-filter downsample), re-encode a
+    complete file at half the rate."""
+    sr, samples = wav_pcm(payload)
+    return encode_wav(samples[::2], sr // 2)
 
 
 def parse_wav(payload: bytes) -> dict:
@@ -923,3 +964,52 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     return d.select("doc_id").mapInPandas(
         _video_frame_sample_batch, FRAME_SCHEMA
     )
+
+
+def _audio_downsample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    out_cols = [f.name for f in AUDIO_SCHEMA.fields]
+    for pdf in it:
+        out = []
+        for doc_id, nb in zip(pdf["doc_id"], pdf["text_bytes"]):
+            small = downsample_wav_half(synth_wav(int(doc_id), int(nb)))
+            rec = parse_wav(small)  # REAL re-parse of the new file
+            rec["doc_id"] = int(doc_id)
+            rec["duration_ms"] = rec["n_samples"] * 1000 // rec["sample_rate"]
+            del rec["n_channels"]
+            out.append(rec)
+        yield pd.DataFrame(out)[out_cols]
+
+
+@query(
+    "multimodal_audio_downsample",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, (octet_length(encode(text)) % 100) + 50 AS n
+      FROM documents WHERE doc_id < 200
+    ),
+    samples AS (
+      SELECT doc_id, (n + 1) // 2 AS n2,
+             ((doc_id * 7919 + i * 104729) % 65521) - 32760 AS s
+      FROM docs, LATERAL (SELECT unnest(generate_series(0, n - 1, 2)) AS i) t
+    )
+    SELECT doc_id,
+           {WAV_SR // 2} AS sample_rate,
+           CAST(n2 AS INTEGER) AS n_samples,
+           (n2 * 1000) // {WAV_SR // 2} AS duration_ms,
+           SUM(s * s) AS sum_sq,
+           CAST(MAX(ABS(s)) AS INTEGER) AS peak,
+           SUM(s) AS checksum
+    FROM samples GROUP BY doc_id, n2
+    """,
+)
+def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resample that is NOT a stub (the image-resize twin): parse
+    the WAV, stride-2 decimate the PCM, re-encode a complete file at half
+    the rate, and feature-extract by RE-PARSING it — the oracle replays
+    the even-index samples in SQL, verifying decode→resample→encode→
+    decode end-to-end (rate halves, duration is preserved ±1 ms)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    src = d.select(
+        "doc_id", F.length(F.encode("text", "utf-8")).alias("text_bytes")
+    )
+    return src.mapInPandas(_audio_downsample_batch, AUDIO_SCHEMA)

@@ -125,3 +125,19 @@ def test_avi_parser_is_a_real_parser():
     got = parse_avi(swapped)
     assert got["sum_r"] == base["sum_r"]  # same pixel multiset
     assert got["px_checksum"] != base["px_checksum"]  # order observed
+
+
+def test_wav_downsample_roundtrip():
+    """downsample_wav_half: the output is itself a valid WAV at half the
+    rate whose samples are exactly the source's even-index samples."""
+    from kstreams_spark.operators.multimodal import (
+        downsample_wav_half,
+        synth_wav,
+        wav_pcm,
+    )
+
+    for doc_id, nb in ((1, 77), (2, 100)):  # odd and even sample counts
+        sr, src = wav_pcm(synth_wav(doc_id, nb))
+        sr2, small = wav_pcm(downsample_wav_half(synth_wav(doc_id, nb)))
+        assert sr2 == sr // 2
+        assert small == src[::2]
