@@ -1013,3 +1013,146 @@ def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.length(F.encode("text", "utf-8")).alias("text_bytes")
     )
     return src.mapInPandas(_audio_downsample_batch, AUDIO_SCHEMA)
+
+
+def avi_frame_grids(payload: bytes) -> tuple[int, list[list[list[tuple[int, int, int]]]]]:
+    """Real AVI parse returning (width, per-frame pixel grids) — the
+    raw-pixel sibling of parse_avi/parse_avi_frames for transforms."""
+    import struct
+
+    full = parse_avi(payload)  # validates container + frame count
+    w, h = full["width"], full["height"]
+    row_size = (3 * w + 3) // 4 * 4
+    offsets: list[int] = []
+
+    def walk(start: int, end: int) -> None:
+        p, e = start, min(end, len(payload))
+        while p + 8 <= e:
+            cid = payload[p : p + 4]
+            (size,) = struct.unpack_from("<I", payload, p + 4)
+            if cid == b"LIST":
+                walk(p + 12, p + 8 + size)
+            elif cid == b"00db":
+                offsets.append(p + 8)
+            p += 8 + size + (size % 2)
+
+    walk(12, len(payload))
+    grids = []
+    for off in offsets:
+        grid = []
+        for y in range(h):
+            base = off + (h - 1 - y) * row_size
+            grid.append(
+                [
+                    (
+                        payload[base + 3 * x],
+                        payload[base + 3 * x + 1],
+                        payload[base + 3 * x + 2],
+                    )
+                    for x in range(w)
+                ]
+            )
+        grids.append(grid)
+    return w, grids
+
+
+def encode_avi_from_grids(grids: list[list[list[tuple[int, int, int]]]]) -> bytes:
+    """Per-frame pixel grids → a complete, valid AVI (vids/DIB, 24-bit).
+    Same container layout as synth_avi."""
+    import struct
+
+    h, w = len(grids[0]), len(grids[0][0])
+    row_size = (3 * w + 3) // 4 * 4
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) % 2))
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    frames = []
+    for grid in grids:
+        rows = []
+        for y in range(h - 1, -1, -1):
+            row = bytearray()
+            for x in range(w):
+                row.extend(grid[y][x])
+            row += b"\x00" * (row_size - 3 * w)
+            rows.append(bytes(row))
+        frames.append(chunk(b"00db", b"".join(rows)))
+    avih = struct.pack(
+        "<IIIIIIIIII4I", 100_000, 0, 0, 0, len(grids), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, 10, 0, len(grids), 0, 0, 0, 0, 0, 0, 0,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_size * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def resize_avi_half(payload: bytes) -> bytes:
+    """REAL video resize: parse the AVI, nearest-neighbor 2×-downsample
+    every frame spatially (frame count unchanged), re-encode a complete
+    AVI."""
+    _w, grids = avi_frame_grids(payload)
+    out = []
+    for grid in grids:
+        h, w = len(grid), len(grid[0])
+        w2, h2 = (w + 1) // 2, (h + 1) // 2
+        out.append([[grid[2 * y][2 * x] for x in range(w2)] for y in range(h2)])
+    return encode_avi_from_grids(out)
+
+
+def _video_resize_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    out_cols = [f.name for f in VIDEO_SCHEMA.fields]
+    for pdf in it:
+        out = []
+        for doc_id in pdf["doc_id"]:
+            small = resize_avi_half(synth_avi(int(doc_id)))
+            rec = parse_avi(small)  # REAL re-parse of the new container
+            rec["doc_id"] = int(doc_id)
+            out.append(rec)
+        yield pd.DataFrame(out)[out_cols]
+
+
+@query(
+    "multimodal_video_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 3 AS k,
+             ((5 + doc_id % 6) + 1) // 2 AS w2,
+             ((4 + doc_id % 3) + 1) // 2 AS h2
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, k, w2, h2, f, x, y,
+             (doc_id * 31 + f * 53 + (2*y) * 17 + (2*x) * 7 + 0 * 131) % 256 AS b,
+             (doc_id * 31 + f * 53 + (2*y) * 17 + (2*x) * 7 + 1 * 131) % 256 AS g,
+             (doc_id * 31 + f * 53 + (2*y) * 17 + (2*x) * 7 + 2 * 131) % 256 AS r
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, k - 1)) AS f) tf,
+           LATERAL (SELECT unnest(generate_series(0, w2 - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h2 - 1)) AS y) ty
+    )
+    SELECT doc_id,
+           CAST(w2 AS INTEGER) AS width,
+           CAST(h2 AS INTEGER) AS height,
+           CAST(k AS INTEGER) AS n_frames,
+           SUM(r) AS sum_r, SUM(g) AS sum_g, SUM(b) AS sum_b,
+           SUM((f + 1) * (y * w2 + x) * (b + g + r)) AS px_checksum
+    FROM px GROUP BY doc_id, k, w2, h2
+    """,
+)
+def multimodal_video_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video resize that is NOT a stub — the last cell of the
+    verb×modality matrix (decode/resize/sample × audio/image/video):
+    parse the AVI, nearest-neighbor 2×-downsample every frame spatially,
+    re-encode a complete container, re-parse for features. The oracle
+    replays the resampled pixels per frame; the (f+1)-weighted checksum
+    keeps frame order observable through the transform."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select("doc_id").mapInPandas(_video_resize_batch, VIDEO_SCHEMA)

@@ -141,3 +141,25 @@ def test_wav_downsample_roundtrip():
         sr2, small = wav_pcm(downsample_wav_half(synth_wav(doc_id, nb)))
         assert sr2 == sr // 2
         assert small == src[::2]
+
+
+def test_avi_resize_roundtrip():
+    """resize_avi_half: valid AVI out, frame count preserved, every
+    frame's pixels are exactly the source frame's even-coordinate
+    pixels."""
+    from kstreams_spark.operators.multimodal import (
+        avi_frame_grids,
+        resize_avi_half,
+        synth_avi,
+    )
+
+    for doc_id in (0, 4):
+        _, src = avi_frame_grids(synth_avi(doc_id))
+        _, small = avi_frame_grids(resize_avi_half(synth_avi(doc_id)))
+        assert len(small) == len(src)
+        for f, grid in enumerate(small):
+            assert len(grid) == (len(src[f]) + 1) // 2
+            assert len(grid[0]) == (len(src[f][0]) + 1) // 2
+            for y, row in enumerate(grid):
+                for x, px in enumerate(row):
+                    assert px == src[f][2 * y][2 * x], (doc_id, f, x, y)
