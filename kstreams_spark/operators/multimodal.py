@@ -1156,3 +1156,87 @@ def multimodal_video_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps frame order observable through the transform."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return d.select("doc_id").mapInPandas(_video_resize_batch, VIDEO_SCHEMA)
+
+
+CLIP_PEAK = 32000  # |sample| at/above this counts as clipping
+
+
+@query(
+    "composite_media_curation",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, str_split(text, ' ') AS toks,
+             (octet_length(encode(text)) % 100) + 50 AS n
+      FROM documents WHERE doc_id < 200
+    ),
+    quality AS (
+      SELECT doc_id, lang, n,
+             0.4 * (CASE WHEN len(toks) > 100 THEN 1.0
+                         ELSE CAST(len(toks) AS DOUBLE) / 100 END)
+           + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.3 * (CASE WHEN list_contains(toks, 'the')
+                          OR list_contains(toks, 'a')
+                         THEN 1.0 ELSE 0.0 END) AS q
+      FROM docs
+    ),
+    audio AS (
+      SELECT doc_id, MAX(ABS(s)) AS peak
+      FROM (SELECT doc_id,
+                   ((doc_id * 7919 + i * 104729) % 65521) - 32760 AS s
+            FROM docs, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) t)
+      GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT q.doc_id, q.lang, q.n, a.peak
+      FROM quality q JOIN audio a USING (doc_id)
+      WHERE q.q >= 0.5 AND a.peak < {CLIP_PEAK}
+    )
+    SELECT lang,
+           COUNT(*) AS n_clips,
+           SUM(n) AS total_samples,
+           CAST(MAX(peak) AS INTEGER) AS max_peak
+    FROM kept GROUP BY lang
+    """,
+)
+def composite_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal curation composite — the media twin of the text
+    curation pipelines: per doc, the REAL audio decode (synth → parse of
+    actual WAV bytes) supplies a clipping gate (peak < CLIP_PEAK) that
+    joins the C4-shaped text quality gate (≥ 0.5); survivors aggregate
+    to per-language clip counts, total samples, and the loudest
+    surviving peak. The oracle replays both gates — text score in SQL,
+    audio samples re-synthesized arithmetically — so the join of the
+    two modality filters is value-checked end-to-end.
+
+    Shuffle budget: the audio features are a narrow mapInPandas over the
+    scan, the quality score is scan-speed column work, one broadcast-able
+    join on doc_id, one final groupBy(lang)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    len_score = F.when(n_tokens > 100, 1.0).otherwise(
+        n_tokens.cast("double") / 100
+    )
+    stop_score = F.when(
+        F.array_contains(toks, "the") | F.array_contains(toks, "a"), 1.0
+    ).otherwise(0.0)
+    scored = d.select(
+        "doc_id",
+        "lang",
+        (0.4 * len_score + 0.3 * ttr + 0.3 * stop_score).alias("q"),
+    ).filter(F.col("q") >= 0.5)
+    audio = (
+        d.select(
+            "doc_id", F.length(F.encode("text", "utf-8")).alias("text_bytes")
+        )
+        .mapInPandas(_audio_batch, AUDIO_SCHEMA)
+        .select("doc_id", "n_samples", "peak")
+        .filter(F.col("peak") < CLIP_PEAK)
+    )
+    kept = scored.join(audio, "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_samples").alias("total_samples"),
+        F.max("peak").alias("max_peak"),
+    )
