@@ -22,10 +22,14 @@ Decode honesty varies by FORMAT, stated per operator:
   partition shape) is identical to the real paths and tested.
 
 Scale posture: binary payloads ride in parquet as plain binary columns;
-metadata extraction is a narrow projection; decode runs in mapInPandas so
-each Arrow batch crosses the Python boundary once — at 100 TB you size
-`spark.sql.execution.arrow.maxRecordsPerBatch` so a batch of decoded
-frames fits executor memory, and partition the scan by file.
+metadata extraction is a narrow projection; decode runs in mapInPandas —
+the real-media queries are STAGED (synth → binary-to-binary transform →
+decode), so the payload is an actual binary column between operators and
+each stage's Arrow batch crosses the Python boundary once per hop. At
+100 TB you size `spark.sql.execution.arrow.maxRecordsPerBatch` so a
+batch of decoded frames fits executor memory, partition the scan by
+file, and fuse adjacent stages only if the payload column measurably
+dominates the exchange.
 """
 
 from __future__ import annotations
@@ -373,18 +377,85 @@ AUDIO_SCHEMA = T.StructType(
 )
 
 
-def _audio_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    out_cols = [f.name for f in AUDIO_SCHEMA.fields]
-    for pdf in it:
-        out = []
-        for doc_id, nb in zip(pdf["doc_id"], pdf["text_bytes"]):
-            wav = synth_wav(int(doc_id), int(nb))  # REAL bytes on the wire
-            rec = parse_wav(wav)  # REAL parse, no shared state with synth
-            rec["doc_id"] = int(doc_id)
-            rec["duration_ms"] = rec["n_samples"] * 1000 // rec["sample_rate"]
-            del rec["n_channels"]
-            out.append(rec)
-        yield pd.DataFrame(out)[out_cols]
+# The real-media queries are staged so the payload is an ACTUAL BINARY
+# COLUMN between operators — synth emits (doc_id, payload binary),
+# transforms are binary→binary, decode consumes (doc_id, payload) and
+# knows nothing about how the bytes were made. That is the operator
+# signature a production pipeline has (media arrives as bytes in a
+# column); the payload genuinely crosses the Arrow boundary between
+# stages rather than living inside one Python function.
+
+MEDIA_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _payload_stage(synth):
+    """(row → bytes) → mapInPandas body emitting (doc_id, payload)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [
+                {"doc_id": int(row.doc_id), "payload": synth(row)}
+                for row in pdf.itertuples()
+            ]
+            yield pd.DataFrame(out)[["doc_id", "payload"]]
+
+    return run
+
+
+def _transform_stage(fn):
+    """(bytes → bytes) → mapInPandas body over (doc_id, payload)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [
+                {"doc_id": int(d), "payload": fn(bytes(p))}
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(out)[["doc_id", "payload"]]
+
+    return run
+
+
+def _decode_stage(fn, schema):
+    """(bytes → feature dict | list of dicts) → mapInPandas body over
+    (doc_id, payload) emitting `schema` rows."""
+    out_cols = [f.name for f in schema.fields]
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                recs = fn(bytes(p))
+                for rec in recs if isinstance(recs, list) else [recs]:
+                    rec["doc_id"] = int(d)
+                    out.append(rec)
+            yield pd.DataFrame(out)[out_cols]
+
+    return run
+
+
+def _synth_wav_row(row) -> bytes:
+    return synth_wav(int(row.doc_id), int(row.text_bytes))
+
+
+def _wav_features(payload: bytes) -> dict:
+    rec = parse_wav(payload)
+    rec["duration_ms"] = rec["n_samples"] * 1000 // rec["sample_rate"]
+    del rec["n_channels"]
+    return rec
+
+
+def _audio_payloads(d: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload binary) of complete WAV files."""
+    src = d.select(
+        "doc_id", F.length(F.encode("text", "utf-8")).alias("text_bytes")
+    )
+    return src.mapInPandas(_payload_stage(_synth_wav_row), MEDIA_PAYLOAD_SCHEMA)
 
 
 @query(
@@ -417,12 +488,13 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle replays the sample arithmetic in SQL and computes
     the same exact integer features (sum of squares, peak, checksum), so
     a single header-offset or endianness bug in either direction fails
-    the value hash. mapInPandas, one Arrow crossing, scalar outputs."""
+    the value hash. Staged synth → decode: the WAV rides between the two
+    mapInPandas operators as a real binary column, and the decode stage
+    sees only (doc_id, payload)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    src = d.select(
-        "doc_id", F.length(F.encode("text", "utf-8")).alias("text_bytes")
+    return _audio_payloads(d).mapInPandas(
+        _decode_stage(_wav_features, AUDIO_SCHEMA), AUDIO_SCHEMA
     )
-    return src.mapInPandas(_audio_batch, AUDIO_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -567,16 +639,14 @@ IMAGE_SCHEMA = T.StructType(
 )
 
 
-def _image_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    out_cols = [f.name for f in IMAGE_SCHEMA.fields]
-    for pdf in it:
-        out = []
-        for doc_id in pdf["doc_id"]:
-            bmp = synth_bmp(int(doc_id))  # REAL bytes
-            rec = parse_bmp(bmp)  # REAL parse
-            rec["doc_id"] = int(doc_id)
-            out.append(rec)
-        yield pd.DataFrame(out)[out_cols]
+
+
+def _image_payloads(d):
+    """documents → (doc_id, payload binary) of complete BMP files."""
+    return d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_bmp(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
 
 
 @query(
@@ -613,19 +683,10 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     position-weighted checksum fails on a parser that reads rows
     top-down or mis-strides the padding. mapInPandas, scalar outputs."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return d.select("doc_id").mapInPandas(_image_batch, IMAGE_SCHEMA)
+    return _image_payloads(d).mapInPandas(
+        _decode_stage(parse_bmp, IMAGE_SCHEMA), IMAGE_SCHEMA
+    )
 
-
-def _image_resize_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    out_cols = [f.name for f in IMAGE_SCHEMA.fields]
-    for pdf in it:
-        out = []
-        for doc_id in pdf["doc_id"]:
-            small = resize_bmp_half(synth_bmp(int(doc_id)))  # parse→resample→re-encode
-            rec = parse_bmp(small)  # REAL re-parse of the new file
-            rec["doc_id"] = int(doc_id)
-            out.append(rec)
-        yield pd.DataFrame(out)[out_cols]
 
 
 @query(
@@ -664,7 +725,11 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The generic byte-stride `multimodal_resize` stays as the stub demo
     for formats whose codecs aren't in this container."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return d.select("doc_id").mapInPandas(_image_resize_batch, IMAGE_SCHEMA)
+    return (
+        _image_payloads(d)
+        .mapInPandas(_transform_stage(resize_bmp_half), MEDIA_PAYLOAD_SCHEMA)
+        .mapInPandas(_decode_stage(parse_bmp, IMAGE_SCHEMA), IMAGE_SCHEMA)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -815,15 +880,14 @@ VIDEO_SCHEMA = T.StructType(
 )
 
 
-def _video_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    out_cols = [f.name for f in VIDEO_SCHEMA.fields]
-    for pdf in it:
-        out = []
-        for doc_id in pdf["doc_id"]:
-            rec = parse_avi(synth_avi(int(doc_id)))  # real container round-trip
-            rec["doc_id"] = int(doc_id)
-            out.append(rec)
-        yield pd.DataFrame(out)[out_cols]
+
+
+def _video_payloads(d):
+    """documents → (doc_id, payload binary) of complete AVI files."""
+    return d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_avi(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
 
 
 @query(
@@ -863,7 +927,9 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     completeness value-visible — the SQL replay fails on a skipped or
     swapped frame. mapInPandas, scalar outputs."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return d.select("doc_id").mapInPandas(_video_batch, VIDEO_SCHEMA)
+    return _video_payloads(d).mapInPandas(
+        _decode_stage(parse_avi, VIDEO_SCHEMA), VIDEO_SCHEMA
+    )
 
 
 def parse_avi_frames(payload: bytes) -> list[dict]:
@@ -917,17 +983,6 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def _video_frame_sample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    out_cols = [f.name for f in FRAME_SCHEMA.fields]
-    for pdf in it:
-        out = []
-        for doc_id in pdf["doc_id"]:
-            for rec in parse_avi_frames(synth_avi(int(doc_id))):
-                if rec["frame_idx"] % 2 == 0:  # sample every 2nd frame
-                    rec["doc_id"] = int(doc_id)
-                    out.append(rec)
-        yield pd.DataFrame(out)[out_cols]
-
 
 @query(
     "multimodal_video_frame_sample",
@@ -961,23 +1016,11 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     features the oracle replays per frame. This is the clip→frames
     explode a video training pipeline runs, on real container bytes."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return d.select("doc_id").mapInPandas(
-        _video_frame_sample_batch, FRAME_SCHEMA
+    sample = lambda p: [r for r in parse_avi_frames(p) if r["frame_idx"] % 2 == 0]
+    return _video_payloads(d).mapInPandas(
+        _decode_stage(sample, FRAME_SCHEMA), FRAME_SCHEMA
     )
 
-
-def _audio_downsample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    out_cols = [f.name for f in AUDIO_SCHEMA.fields]
-    for pdf in it:
-        out = []
-        for doc_id, nb in zip(pdf["doc_id"], pdf["text_bytes"]):
-            small = downsample_wav_half(synth_wav(int(doc_id), int(nb)))
-            rec = parse_wav(small)  # REAL re-parse of the new file
-            rec["doc_id"] = int(doc_id)
-            rec["duration_ms"] = rec["n_samples"] * 1000 // rec["sample_rate"]
-            del rec["n_channels"]
-            out.append(rec)
-        yield pd.DataFrame(out)[out_cols]
 
 
 @query(
@@ -1007,12 +1050,15 @@ def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the WAV, stride-2 decimate the PCM, re-encode a complete file at half
     the rate, and feature-extract by RE-PARSING it — the oracle replays
     the even-index samples in SQL, verifying decode→resample→encode→
-    decode end-to-end (rate halves, duration is preserved ±1 ms)."""
+    decode end-to-end (rate halves, duration is preserved ±1 ms). Staged
+    synth → binary-to-binary transform → decode: every hop is a real
+    binary column between mapInPandas operators."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    src = d.select(
-        "doc_id", F.length(F.encode("text", "utf-8")).alias("text_bytes")
+    return (
+        _audio_payloads(d)
+        .mapInPandas(_transform_stage(downsample_wav_half), MEDIA_PAYLOAD_SCHEMA)
+        .mapInPandas(_decode_stage(_wav_features, AUDIO_SCHEMA), AUDIO_SCHEMA)
     )
-    return src.mapInPandas(_audio_downsample_batch, AUDIO_SCHEMA)
 
 
 def avi_frame_grids(payload: bytes) -> tuple[int, list[list[list[tuple[int, int, int]]]]]:
@@ -1107,17 +1153,6 @@ def resize_avi_half(payload: bytes) -> bytes:
     return encode_avi_from_grids(out)
 
 
-def _video_resize_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    out_cols = [f.name for f in VIDEO_SCHEMA.fields]
-    for pdf in it:
-        out = []
-        for doc_id in pdf["doc_id"]:
-            small = resize_avi_half(synth_avi(int(doc_id)))
-            rec = parse_avi(small)  # REAL re-parse of the new container
-            rec["doc_id"] = int(doc_id)
-            out.append(rec)
-        yield pd.DataFrame(out)[out_cols]
-
 
 @query(
     "multimodal_video_resize",
@@ -1155,7 +1190,11 @@ def multimodal_video_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the resampled pixels per frame; the (f+1)-weighted checksum
     keeps frame order observable through the transform."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return d.select("doc_id").mapInPandas(_video_resize_batch, VIDEO_SCHEMA)
+    return (
+        _video_payloads(d)
+        .mapInPandas(_transform_stage(resize_avi_half), MEDIA_PAYLOAD_SCHEMA)
+        .mapInPandas(_decode_stage(parse_avi, VIDEO_SCHEMA), VIDEO_SCHEMA)
+    )
 
 
 CLIP_PEAK = 32000  # |sample| at/above this counts as clipping
@@ -1227,10 +1266,8 @@ def composite_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.4 * len_score + 0.3 * ttr + 0.3 * stop_score).alias("q"),
     ).filter(F.col("q") >= 0.5)
     audio = (
-        d.select(
-            "doc_id", F.length(F.encode("text", "utf-8")).alias("text_bytes")
-        )
-        .mapInPandas(_audio_batch, AUDIO_SCHEMA)
+        _audio_payloads(d)
+        .mapInPandas(_decode_stage(_wav_features, AUDIO_SCHEMA), AUDIO_SCHEMA)
         .select("doc_id", "n_samples", "peak")
         .filter(F.col("peak") < CLIP_PEAK)
     )
