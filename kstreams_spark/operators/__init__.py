@@ -8,6 +8,7 @@ from kstreams_spark.operators import (  # noqa: F401
     analytics_extras,
     composite,
     core,
+    decontam,
     dedup,
     event_windows,
     joins,
