@@ -15,6 +15,7 @@ from kstreams_spark.operators import (  # noqa: F401
     json_funcs,
     kmeans,
     multimodal,
+    paragraphs,
     sampling,
     scalar_extras,
     scalars,
