@@ -23,7 +23,21 @@ from kstreams_spark.operators.dedup import (
     ngram_jaccard_pairs,
     resolve_clusters,
 )
+from kstreams_spark.operators.text import (
+    DUP2_GATE,
+    duck_dup_char_frac,
+    duck_ngram_arr,
+    spark_dup_char_frac,
+    spark_ngram_arr,
+)
 from kstreams_spark.registry import query
+
+# Gopher repetition gate shared by both curation composites (VERDICT r5
+# next-round #3): repeated-2-gram character fraction ≤ DUP2_GATE. Both
+# sides are built from the text.py expression builders, so the gate
+# definition cannot drift between engine and oracle.
+_DUCK_DUP2 = duck_dup_char_frac(duck_ngram_arr(2))
+_SPARK_DUP2 = spark_dup_char_frac(spark_ngram_arr(2))
 
 
 @query(
@@ -148,7 +162,7 @@ def composite_returned_revenue_by_customer(
 
 @query(
     "composite_curation_pipeline",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id, lang, text, str_split(text, ' ') AS toks FROM documents
     ),
@@ -159,10 +173,12 @@ def composite_returned_revenue_by_customer(
            + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
            + 0.3 * (CASE WHEN list_contains(toks, 'the')
                           OR list_contains(toks, 'a')
-                         THEN 1.0 ELSE 0.0 END) AS quality
+                         THEN 1.0 ELSE 0.0 END) AS quality,
+             {_DUCK_DUP2} AS dup2
       FROM t
     ),
-    filtered AS (SELECT * FROM scored WHERE quality >= 0.5),
+    filtered AS (SELECT * FROM scored
+                 WHERE quality >= 0.5 AND dup2 <= {DUP2_GATE}),
     kept AS (
       SELECT MIN(doc_id) AS doc_id,
              min_by(lang, doc_id) AS lang,
@@ -199,11 +215,15 @@ def composite_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, and split assignment are all scan-speed row expressions. The
     md5 dedup key and id-hash split key make the whole pipeline
     deterministic and leakage-free (duplicates collapse BEFORE split
-    assignment, so a text can never land in two splits)."""
+    assignment, so a text can never land in two splits). The repetition
+    gate (dup_2gram_char_frac ≤ DUP2_GATE, the Gopher rule from
+    text.py) runs in the same scan-shaped stage as the quality score."""
     from kstreams_spark.operators.sampling import _bucket_from
 
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    toks = F.col("toks")
     n_tokens = F.size(toks)
     ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
     len_score = F.when(n_tokens > 100, 1.0).otherwise(
@@ -217,8 +237,11 @@ def composite_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "text",
         (0.4 * len_score + 0.3 * ttr + 0.3 * stop_score).alias("quality"),
+        F.expr(_SPARK_DUP2).alias("dup2"),
     )
-    filtered = scored.filter(F.col("quality") >= 0.5)
+    filtered = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("dup2") <= DUP2_GATE)
+    )
     kept = filtered.groupBy(F.md5("text")).agg(
         F.min("doc_id").alias("doc_id"),
         F.expr("min_by(lang, doc_id)").alias("lang"),
@@ -255,10 +278,12 @@ def _curation_neardup_sql() -> str:
            + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
            + 0.3 * (CASE WHEN list_contains(toks, 'the')
                           OR list_contains(toks, 'a')
-                         THEN 1.0 ELSE 0.0 END) AS quality
+                         THEN 1.0 ELSE 0.0 END) AS quality,
+             {_DUCK_DUP2} AS dup2
       FROM t
     ),
-    filtered AS (SELECT * FROM scored WHERE quality >= 0.5),
+    filtered AS (SELECT * FROM scored
+                 WHERE quality >= 0.5 AND dup2 <= {DUP2_GATE}),
     kept AS (
       SELECT MIN(doc_id) AS doc_id,
              min_by(lang, doc_id) AS lang,
@@ -299,6 +324,8 @@ def composite_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEAR-dup clustering (MinHash proposes, Jaccard verifies, connected
     components resolve; resolve_clusters) → keep one canonical doc per
     cluster → hash-stable split assignment → per-(split, lang) stats.
+    The scan stage also applies the Gopher repetition gate
+    (dup_2gram_char_frac ≤ DUP2_GATE) alongside the quality threshold.
     Near-dup survivors are picked AFTER exact dedup (cheap collapse
     first) and BEFORE split assignment (a near-duplicate can never leak
     across train/test).
@@ -308,8 +335,10 @@ def composite_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     CC over the PAIR graph only (batch-sized, not corpus-sized), one
     left-anti survivor join, final 2-key agg. The oracle replays every
     stage, transitive closure included, in one recursive-CTE statement."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    toks = F.col("toks")
     n_tokens = F.size(toks)
     ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
     len_score = F.when(n_tokens > 100, 1.0).otherwise(
@@ -323,8 +352,11 @@ def composite_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "text",
         (0.4 * len_score + 0.3 * ttr + 0.3 * stop_score).alias("quality"),
+        F.expr(_SPARK_DUP2).alias("dup2"),
     )
-    filtered = scored.filter(F.col("quality") >= 0.5)
+    filtered = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("dup2") <= DUP2_GATE)
+    )
     kept = filtered.groupBy(F.md5("text")).agg(
         F.min("doc_id").alias("doc_id"),
         F.expr("min_by(lang, doc_id)").alias("lang"),

@@ -393,6 +393,32 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CENTROIDS = 16  # vec_id < 16 serve as fixed centroids (k-means-lite)
 
 
+def ivf_assign(emb: DataFrame, cen: DataFrame) -> DataFrame:
+    """Corpus cell assignment: nearest centroid by fixed-point dot, ties
+    to the lower cen_id. ONE partial-aggregating groupBy(vec_id) max_by
+    (no window sort over the N×k scored rows); the k×D centroid table is
+    broadcast. Returns (vec_id, embedding, cen_id, norm2)."""
+    scored = emb.crossJoin(F.broadcast(cen)).select(
+        "vec_id",
+        "embedding",
+        "cen_id",
+        _fx_dot("embedding", "cen_emb").alias("cen_dot"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "max_by(cen_id, named_struct('d', cen_dot, 'c', -cen_id))"
+            ).alias("cen_id"),
+            # embedding is identical on every replicated row of the group
+            F.first("embedding").alias("embedding"),
+        )
+        .select(
+            "vec_id", "embedding", "cen_id", _fx_norm2("embedding").alias("norm2")
+        )
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = N_QUERIES,
@@ -431,23 +457,7 @@ def ivf_topk(
         cen = emb.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_emb")
         )
-    scored = emb.crossJoin(F.broadcast(cen)).select(
-        "vec_id",
-        "embedding",
-        "cen_id",
-        _fx_dot("embedding", "cen_emb").alias("cen_dot"),
-    )
-    assigned = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.expr(
-                "max_by(cen_id, named_struct('d', cen_dot, 'c', -cen_id))"
-            ).alias("cen_id"),
-            # embedding is identical on every replicated row of the group
-            F.first("embedding").alias("embedding"),
-        )
-        .select("vec_id", "embedding", "cen_id", _fx_norm2("embedding").alias("norm2"))
-    )
+    assigned = ivf_assign(emb, cen)
     # Query-side probe list: rank ALL cells per query, keep the n_probe
     # nearest. Q×k rows — driver-tiny, so the window sort is free; the
     # result broadcasts to the candidate join.
@@ -783,6 +793,16 @@ def lsh_near_pairs(
         .select("p.id1", "p.id2")
         .distinct()
     )
+    return cosine_verified_pairs(emb, cand, min_cosine)
+
+
+def cosine_verified_pairs(
+    emb: DataFrame, cand: DataFrame, min_cosine: float
+) -> DataFrame:
+    """Exact-cosine VERIFIER over candidate (id1, id2) pairs — the
+    embedding-side twin of dedup.ngram_jaccard_pairs' candidate-scoped
+    contract: pair space = |cand|, never N². Two keyed lookups attach
+    each side's vector + norm; the dot is a per-row fixed-point fold."""
     vecs = emb.select(
         "vec_id", "embedding", _fx_norm2("embedding").alias("norm2")
     )
@@ -987,4 +1007,124 @@ def similarity_topk_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     and fixed-point re-rank all match DuckDB bit-for-bit."""
     return lsh_topk(
         spread(load_table(spark, sf_dir, "embeddings")), n_flip=N_FLIP
+    )
+
+
+# --- SemDeDup composite (VERDICT r5 next-round #4) -----------------------
+# Semantic dedup the SemDeDup way (Abbas et al. 2023): partition the
+# embedding space into cells, mine near-pairs WITHIN each cell only,
+# resolve clusters, keep one canonical doc per cluster. The registered
+# fixture query uses the deterministic first-k IVF cells (the same cells
+# similarity_topk_ivf searches, so the whole chain stays oracle-able);
+# a production run passes kmeans.kmeans_fit centroids into ivf_assign —
+# identical downstream machinery, rows-only check (Lloyd is iterative).
+# Threshold: CLUSTER_MIN_COSINE — see that constant's comment for why
+# closure needs a tighter threshold than pair mining on this corpus.
+SEMDEDUP_MIN_COSINE = CLUSTER_MIN_COSINE
+
+
+def ivf_cell_pairs(
+    emb: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    min_cosine: float = SEMDEDUP_MIN_COSINE,
+) -> DataFrame:
+    """Within-cell candidate pairs, exact-cosine verified. Pair space is
+    quadratic only WITHIN a cell (the published SemDeDup cost model);
+    cell count scales as ivf_cells_for(N) ≈ 4·√N, holding per-cell
+    populations — and therefore per-cell pair counts — bounded as the
+    corpus grows. Same in-bucket sorted-list enumeration as every other
+    candidate generator (no self-join)."""
+    cen = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_emb")
+    )
+    assigned = ivf_assign(emb, cen)
+    per_cell = (
+        assigned.groupBy("cen_id")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id1, y AS id2))))"
+    )
+    cand = per_cell.select(F.explode(pair_expr).alias("p")).select(
+        "p.id1", "p.id2"
+    )
+    return cosine_verified_pairs(emb, cand, min_cosine)
+
+
+def _semantic_dedup_sql() -> str:
+    from kstreams_spark.operators.dedup import cc_closure_sql
+
+    cos = (
+        f"(CAST(d.dot_fx AS DOUBLE) / {FX})"
+        f" / nullif(sqrt(CAST(n1.norm2_fx AS DOUBLE) / {FX})"
+        f" * sqrt(CAST(n2.norm2_fx AS DOUBLE) / {FX}), 0)"
+    )
+    return f"""
+    WITH RECURSIVE {_IVF_ASSIGN_SQL},
+    cand AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM assigned a JOIN assigned b
+        ON a.cen_id = b.cen_id AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT c.id1, c.id2,
+             SUM(CAST(round(v1.v * v2.v * {FX}.0) AS BIGINT)) AS dot_fx
+      FROM cand c
+      JOIN allv v1 ON v1.vec_id = c.id1
+      JOIN allv v2 ON v2.vec_id = c.id2 AND v2.idx = v1.idx
+      GROUP BY c.id1, c.id2
+    ),
+    norms AS ({_NORMS_SQL}),
+    ver AS (
+      SELECT d.id1 AS doc_id1, d.id2 AS doc_id2
+      FROM dots d
+      JOIN norms n1 ON n1.vec_id = d.id1
+      JOIN norms n2 ON n2.vec_id = d.id2
+      WHERE {cos} >= {SEMDEDUP_MIN_COSINE}
+    ),
+    {cc_closure_sql()},
+    losers AS (SELECT doc_id FROM labels WHERE doc_id <> keep_id)
+    SELECT dd.source,
+           COUNT(*) AS n_docs,
+           COUNT(l.doc_id) AS n_dropped,
+           COUNT(*) - COUNT(l.doc_id) AS n_kept
+    FROM documents dd LEFT JOIN losers l USING (doc_id)
+    GROUP BY dd.source
+    """
+
+
+@query("composite_semantic_dedup", oracle=_semantic_dedup_sql())
+def composite_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composed from three green operators: IVF cell assignment
+    (ivf_assign — the similarity_topk_ivf cells) → within-cell exact-
+    cosine near-pairs (ivf_cell_pairs) → connected-components survivor
+    resolution (dedup.resolve_clusters) → per-source kept/dropped corpus
+    stats over `documents` (vec_id ≡ doc_id in the fixture lake).
+
+    Shuffle budget: assignment groupBy (1), per-cell pair enumeration
+    groupBy (1), two verify lookups, the CC loop over the PAIR graph
+    only, one broadcast left join against the documents scan, final
+    1-key agg. The oracle replays the full chain — cell assignment,
+    within-cell mining, transitive closure — in one WITH RECURSIVE
+    statement."""
+    from kstreams_spark.operators.dedup import resolve_clusters
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    pairs = ivf_cell_pairs(emb).select(
+        F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2")
+    )
+    losers = (
+        resolve_clusters(pairs).filter(~F.col("is_kept")).select("doc_id")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    joined = d.select("doc_id", "source").join(
+        F.broadcast(losers.withColumn("is_drop", F.lit(1))), "doc_id", "left"
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("is_drop").alias("n_dropped"),
+        (F.count(F.lit(1)) - F.count("is_drop")).alias("n_kept"),
     )

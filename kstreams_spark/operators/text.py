@@ -95,11 +95,124 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Intra-document repetition metrics (Gopher rules; Rae et al. 2021 §A1.1):
+# repeated-line fraction + repeated-n-gram character fraction, n = 2..4.
+# All per-doc array expressions — NO shuffle, NO Python: at 100 TB these
+# gates run at scan speed inside WholeStageCodegen, which is exactly why
+# production pipelines apply them before any shuffling stage. Per-doc
+# cost is O(distinct_ngrams × ngrams) comparisons (docs are ~10² tokens).
+#
+# Definitions (mirrored verbatim in the DuckDB builders below):
+# - lines = LINE_TOKENS-token chunks (fixture corpus has no newlines; the
+#   paragraph convention of operators/paragraphs.py);
+#   dup_line_frac = 1 − distinct_lines / lines.
+# - dup_{n}gram_char_frac = Σ over distinct n-grams occurring ≥2× of
+#   (count × chars(ngram)) / chars(doc), clamped to 1.0 — the standard
+#   overlap-counting simplification of Gopher's character-marking rule.
+
+LINE_TOKENS = 20
+DUP_NS = (2, 3, 4)
+# Curation-gate threshold for dup_2gram_char_frac (p90≈0.23, p99≈0.36 on
+# the fixture corpus — the gate drops the most-repetitive ~7%).
+DUP2_GATE = 0.25
+
+
+def spark_ngram_arr(n: int, toks: str = "toks") -> str:
+    """Spark SQL expr: the doc's token n-gram array (empty when short)."""
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(0, size({toks}) - {n}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+
+
+def spark_dup_char_frac(g: str, text: str = "text") -> str:
+    """Spark SQL expr: repeated-n-gram character fraction over array col
+    `g` (clamped to 1.0; 0.0 for empty docs).
+
+    Single-pass run-length fold over the SORTED n-gram array — O(n log n)
+    per doc. The naive per-distinct `filter(g, y -> y = x)` counting form
+    re-materializes the n-gram array per distinct element inside an
+    interpreted lambda (higher-order funcs don't enter codegen) and
+    measured 20× slower at sf0.01."""
+    contrib = (
+        "CASE WHEN s.run >= 2 THEN s.run * length(s.prev) "
+        "ELSE cast(0 as bigint) END"
+    )
+    dup = (
+        f"aggregate(array_sort({g}), "
+        f"named_struct('prev', cast('' as string), 'run', cast(0 as bigint), "
+        f"'acc', cast(0 as bigint)), "
+        f"(s, x) -> CASE WHEN x = s.prev "
+        f"THEN named_struct('prev', x, 'run', s.run + cast(1 as bigint), "
+        f"'acc', s.acc) "
+        f"ELSE named_struct('prev', x, 'run', cast(1 as bigint), "
+        f"'acc', s.acc + {contrib}) END, "
+        f"s -> s.acc + {contrib})"
+    )
+    return (
+        f"least(cast(1.0 as double), coalesce({dup} / "
+        f"nullif(cast(length({text}) as double), 0.0), cast(0.0 as double)))"
+    )
+
+
+def spark_lines_arr(toks: str = "toks", k: int = LINE_TOKENS) -> str:
+    return (
+        f"transform(sequence(0, cast(ceil(size({toks})/{k}.0) as int) - 1), "
+        f"i -> concat_ws(' ', slice({toks}, i*{k}+1, {k})))"
+    )
+
+
+def spark_dup_line_frac(toks: str = "toks", k: int = LINE_TOKENS) -> str:
+    lns = spark_lines_arr(toks, k)
+    return (
+        f"cast(1.0 as double) - size(array_distinct({lns})) / "
+        f"cast(size({lns}) as double)"
+    )
+
+
+def duck_ngram_arr(n: int, toks: str = "toks") -> str:
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def duck_dup_char_frac(g: str, text: str = "text") -> str:
+    # list_aggregate(.., 'histogram') → value→count map in one O(n) pass
+    # (the per-distinct list_filter counting form measured 70× slower)
+    ent = f"map_entries(list_aggregate({g}, 'histogram'))"
+    dup = (
+        f"list_sum(list_transform({ent}, e -> "
+        f"CASE WHEN e.value >= 2 THEN e.value * length(e.key) ELSE 0 END))"
+    )
+    return (
+        f"LEAST(CAST(1.0 AS DOUBLE), COALESCE({dup} / "
+        f"NULLIF(CAST(length({text}) AS DOUBLE), 0), CAST(0.0 AS DOUBLE)))"
+    )
+
+
+def duck_dup_line_frac(toks: str = "toks", k: int = LINE_TOKENS) -> str:
+    lns = (
+        f"list_transform(generate_series(0, CAST(ceil(len({toks})/{k}.0) AS INT) - 1), "
+        f"i -> array_to_string({toks}[i*{k}+1:i*{k}+{k}], ' '))"
+    )
+    return (
+        f"CAST(1.0 AS DOUBLE) - len(list_distinct({lns})) / "
+        f"CAST(len({lns}) AS DOUBLE)"
+    )
+
+
 @query(
     "text_quality_score",
-    oracle="""
+    oracle=f"""
     WITH t AS (
-      SELECT doc_id, str_split(text, ' ') AS toks, length(text) AS n FROM documents
+      SELECT doc_id, text, str_split(text, ' ') AS toks, length(text) AS n
+      FROM documents
     ),
     m AS (
       SELECT doc_id,
@@ -108,10 +221,16 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN len(toks) > 100 THEN 1.0
                   ELSE CAST(len(toks) AS DOUBLE) / 100 END AS len_score,
              CASE WHEN list_contains(toks, 'the') OR list_contains(toks, 'a')
-                  THEN 1.0 ELSE 0.0 END AS stopword_score
+                  THEN 1.0 ELSE 0.0 END AS stopword_score,
+             {duck_dup_line_frac()} AS dup_line_frac,
+             {duck_dup_char_frac(duck_ngram_arr(2))} AS dup_2gram_char_frac,
+             {duck_dup_char_frac(duck_ngram_arr(3))} AS dup_3gram_char_frac,
+             {duck_dup_char_frac(duck_ngram_arr(4))} AS dup_4gram_char_frac
       FROM t
     )
     SELECT doc_id, n_tokens, ttr, len_score, stopword_score,
+           dup_line_frac, dup_2gram_char_frac, dup_3gram_char_frac,
+           dup_4gram_char_frac,
            0.4 * len_score + 0.3 * ttr + 0.3 * stopword_score AS quality
     FROM m
     """,
@@ -119,23 +238,41 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document-quality score: length saturation + type/token
     ratio + stopword presence, linearly combined — the C4/Gopher-rule
-    shape of quality filtering, engine-portable."""
+    shape of quality filtering, engine-portable — plus the Gopher
+    intra-document repetition metrics (repeated-line fraction and
+    repeated-2..4-gram character fractions) as separate columns. The
+    quality scalar is unchanged; repetition gates are thresholded by the
+    consumer (see composite.py, gate = dup_2gram_char_frac ≤ DUP2_GATE).
+    Everything stays a scan-shaped projection: no shuffle, no Python."""
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
-    n_tokens = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    base = d.select("doc_id", "text", toks.alias("toks"))
+    n_tokens = F.size(F.col("toks"))
+    ttr = F.size(F.array_distinct(F.col("toks"))).cast("double") / n_tokens
     len_score = F.when(n_tokens > 100, 1.0).otherwise(
         n_tokens.cast("double") / 100
     )
     stop_score = F.when(
-        F.array_contains(toks, "the") | F.array_contains(toks, "a"), 1.0
+        F.array_contains(F.col("toks"), "the")
+        | F.array_contains(F.col("toks"), "a"),
+        1.0,
     ).otherwise(0.0)
-    return d.select(
+    return base.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         ttr.alias("ttr"),
         len_score.alias("len_score"),
         stop_score.alias("stopword_score"),
+        F.expr(spark_dup_line_frac()).alias("dup_line_frac"),
+        F.expr(spark_dup_char_frac(spark_ngram_arr(2))).alias(
+            "dup_2gram_char_frac"
+        ),
+        F.expr(spark_dup_char_frac(spark_ngram_arr(3))).alias(
+            "dup_3gram_char_frac"
+        ),
+        F.expr(spark_dup_char_frac(spark_ngram_arr(4))).alias(
+            "dup_4gram_char_frac"
+        ),
         (0.4 * len_score + 0.3 * ttr + 0.3 * stop_score).alias("quality"),
     )
 
