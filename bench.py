@@ -58,6 +58,11 @@ HEADLINE = [
     "composite_local_supplier_volume",
     "composite_curation_pipeline",  # added r3: end-to-end curation
     "composite_curation_neardup",  # added r5: curation with near-dup CC ending
+    "multimodal_video_features",  # added r6: real AVI decode (dominant media class)
+    "composite_media_curation",  # added r6: audio-gate x text-gate composite
+    "decontaminate_against_eval",  # added r6: eval-overlap decontamination
+    "dedup_paragraph_exact",  # added r6: paragraph-grain winner election
+    "composite_semantic_dedup",  # added r6: SemDeDup cells->pairs->CC
 ]
 
 

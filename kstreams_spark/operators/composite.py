@@ -383,3 +383,103 @@ def composite_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (dsum("quality") / F.count(F.lit(1))).alias("avg_quality"),
     )
+
+
+@query(
+    "composite_curation_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, str_split(text, ' ') AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, text, len(toks) AS n_tokens,
+             0.4 * (CASE WHEN len(toks) > 100 THEN 1.0
+                         ELSE CAST(len(toks) AS DOUBLE) / 100 END)
+           + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.3 * (CASE WHEN list_contains(toks, 'the')
+                          OR list_contains(toks, 'a')
+                         THEN 1.0 ELSE 0.0 END) AS quality,
+             {{_DUCK_DUP2}} AS dup2
+      FROM t
+    ),
+    filtered AS (SELECT * FROM scored
+                 WHERE quality >= 0.5 AND dup2 <= {{DUP2_GATE}}),
+    kept AS (
+      SELECT MIN(doc_id) AS doc_id,
+             min_by(lang, doc_id) AS lang,
+             MIN(n_tokens) AS n_tokens
+      FROM filtered GROUP BY md5(text)
+    ),
+    running AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum_tokens
+      FROM kept
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens
+    FROM running WHERE cum_tokens <= {{LANG_BUDGET}}
+    GROUP BY lang
+    """.format(
+        _DUCK_DUP2=_DUCK_DUP2,
+        DUP2_GATE=DUP2_GATE,
+        LANG_BUDGET=2_000,
+    ),
+)
+def composite_curation_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline ending the way a training run actually ends:
+    quality + repetition gates → exact dedup → per-LANGUAGE token-budget
+    sampling of the survivors → per-lang doc/token totals. The budgeting
+    stage is the SHARDED form (sample_token_budget_sharded's
+    partitioned running-sum window — VERDICT r5 next-round #7: composites
+    consume the 100 TB form, never the global-window demo), so the
+    window parallelizes by lang and no stage funnels the corpus through
+    one task. Dedup runs BEFORE budgeting, so duplicate text can never
+    double-spend the budget."""
+    from pyspark.sql import Window
+
+    from kstreams_spark.operators.sampling import LANG_TOKEN_BUDGET
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    toks = F.col("toks")
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    len_score = F.when(n_tokens > 100, 1.0).otherwise(
+        n_tokens.cast("double") / 100
+    )
+    stop_score = F.when(
+        F.array_contains(toks, "the") | F.array_contains(toks, "a"), 1.0
+    ).otherwise(0.0)
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        n_tokens.alias("n_tokens"),
+        (0.4 * len_score + 0.3 * ttr + 0.3 * stop_score).alias("quality"),
+        F.expr(_SPARK_DUP2).alias("dup2"),
+    )
+    filtered = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("dup2") <= DUP2_GATE)
+    )
+    kept = filtered.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.expr("min_by(lang, doc_id)").alias("lang"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sampled = kept.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
+        F.col("cum_tokens") <= LANG_TOKEN_BUDGET
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -175,3 +175,74 @@ def decontaminate_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("is_hit").alias("n_flagged"),
         (F.count(F.lit(1)) - F.count("is_hit")).alias("n_kept"),
     )
+
+
+# --- Fuzzy decontamination ------------------------------------------------
+# Exact n-gram overlap misses lightly-edited contamination (a paraphrased
+# or truncated eval example). The fuzzy pass flags training docs that are
+# NEAR-duplicates of an eval example: MinHash bands propose candidate
+# (train, eval) pairs over the corpus∪eval union, exact Jaccard verifies
+# at a looser threshold. Pair space = band collisions restricted to CROSS
+# pairs only (train×train and eval×eval collisions are filtered out
+# before verification), so the candidate-scoped contract holds.
+FUZZY_THRESHOLD = 0.3  # eval texts are 40-token prefixes: a 100-token
+# source doc scores ≈ 38/98 ≈ 0.39 against its own prefix, so 0.5 would
+# only catch short docs; 0.3 catches prefix-of-longer-doc contamination.
+EVAL_ID_OFFSET = 1_000_000  # eval ids live above every corpus doc_id
+
+
+def _fuzzy_sql() -> str:
+    from kstreams_spark.operators.dedup import _minhash_verified_cte
+
+    return f"""
+    WITH uni AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT {EVAL_ID_OFFSET} + doc_id AS doc_id,
+             array_to_string(str_split(text, ' ')[1:{EVAL_TOKENS}], ' ') AS text
+      FROM documents WHERE doc_id % {EVAL_MOD} = {EVAL_REM}
+    ),
+    {_minhash_verified_cte("uni", FUZZY_THRESHOLD)}
+    SELECT doc_id1 AS doc_id,
+           COUNT(*) AS n_eval_neardups,
+           MAX(jaccard) AS max_jaccard
+    FROM ver
+    WHERE doc_id1 < {EVAL_ID_OFFSET} AND doc_id2 >= {EVAL_ID_OFFSET}
+    GROUP BY doc_id1
+    """
+
+
+@query("decontaminate_fuzzy", oracle=_fuzzy_sql())
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate contamination: training docs whose 3-gram Jaccard
+    against any eval example reaches FUZZY_THRESHOLD. MinHash bands over
+    the corpus∪eval union propose, the candidate set is cut to CROSS
+    (train, eval) pairs BEFORE the Jaccard verifier runs — train×train
+    band collisions (the dedup signal, not the contamination signal)
+    never reach verification. Output: flagged doc, how many eval
+    examples it near-matches, and the worst overlap. The oracle replays
+    propose→verify over the same union and filters the same cross
+    pairs."""
+    from kstreams_spark.operators.dedup import (
+        minhash_band_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    uni = d.select("doc_id", "text").unionByName(
+        _fixture_eval(d).select(
+            (F.col("eval_id") + EVAL_ID_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    cross = minhash_band_pairs(minhash_signatures(uni)).filter(
+        (F.col("doc_id1") < EVAL_ID_OFFSET)
+        & (F.col("doc_id2") >= EVAL_ID_OFFSET)
+    )
+    pairs = ngram_jaccard_pairs(
+        uni, candidates=cross, threshold=FUZZY_THRESHOLD
+    )
+    return pairs.groupBy(F.col("doc_id1").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_eval_neardups"),
+        F.max("jaccard").alias("max_jaccard"),
+    )

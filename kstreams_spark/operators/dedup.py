@@ -276,11 +276,12 @@ def _minhash_band_sql() -> str:
     """
 
 
-def _minhash_verified_cte(src: str = "documents") -> str:
+def _minhash_verified_cte(src: str = "documents", threshold: float = 0.5) -> str:
     """Extends the candidate CTE chain with `ver` = the Jaccard-verified
     near-dup pairs (the dedup_minhash_verified result). Shared by that
-    query's oracle, the cluster-resolution oracle, and the curation
-    composite's oracle (src = its curated set)."""
+    query's oracle, the cluster-resolution oracle, the curation
+    composite's oracle (src = its curated set), and the fuzzy
+    decontamination oracle (src = corpus ∪ eval, looser threshold)."""
     return f"""{_minhash_cand_cte(src)},
     sized AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
@@ -297,7 +298,8 @@ def _minhash_verified_cte(src: str = "documents") -> str:
       FROM inter i
       JOIN sized s1 ON s1.doc_id = i.doc_id1
       JOIN sized s2 ON s2.doc_id = i.doc_id2
-      WHERE CAST(i.n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - i.n_common) >= 0.5
+      WHERE CAST(i.n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - i.n_common)
+            >= {threshold}
     )"""
 
 

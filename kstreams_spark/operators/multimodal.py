@@ -124,9 +124,10 @@ def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rec = decode_stub(bytes(payload))
             rec["doc_id"] = doc_id
             out.append(rec)
-        yield pd.DataFrame(out)[
-            ["doc_id", "n_bytes", "width", "height", "n_frames", "feature"]
-        ]
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "n_bytes", "width", "height", "n_frames", "feature"],
+        )
 
 
 def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,14 +141,46 @@ def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(decode_batch, DECODED_SCHEMA)
 
 
-@query("multimodal_decode")  # rows-only: the decode stub is not SQL-expressible
+@query(
+    "multimodal_decode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n, ascii(substr(text, i, 1)) % 4 AS bk
+      FROM t, LATERAL (SELECT unnest(generate_series(1, n)) AS i) u
+    ),
+    agg AS (
+      SELECT doc_id, n,
+             SUM(CASE WHEN bk = 0 THEN 1 ELSE 0 END) AS c0,
+             SUM(CASE WHEN bk = 1 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN bk = 2 THEN 1 ELSE 0 END) AS c2,
+             SUM(CASE WHEN bk = 3 THEN 1 ELSE 0 END) AS c3
+      FROM b GROUP BY doc_id, n
+    )
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_bytes,
+           CAST(16 + (n % 64) AS INTEGER) AS width,
+           CAST(16 + ((n // 64) % 64) AS INTEGER) AS height,
+           CAST(1 + (n % 8) AS INTEGER) AS n_frames,
+           CAST(CAST(CAST(c0 AS DOUBLE) / n AS REAL) AS DOUBLE) AS f0,
+           CAST(CAST(CAST(c1 AS DOUBLE) / n AS REAL) AS DOUBLE) AS f1,
+           CAST(CAST(CAST(c2 AS DOUBLE) / n AS REAL) AS DOUBLE) AS f2,
+           CAST(CAST(CAST(c3 AS DOUBLE) / n AS REAL) AS DOUBLE) AS f3
+    FROM agg
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode / feature-extract via mapInPandas. Driver contract: every
     result column is a hashable scalar — the 4-dim feature vector is
     unpacked to f0..f3 doubles (the array<float> variant stays available
-    as `decode_features` for internal consumers). Rows-only check: the
-    Python decode stub has no SQL twin; determinism is asserted in unit
-    tests instead."""
+    as `decode_features` for internal consumers). Since the stub payload
+    is the UTF-8 text (pure-ASCII corpus), the oracle replays the whole
+    stub — pseudo-dims from byte length, the %4 byte histogram, and the
+    float32 round-trip of the Arrow feature column (REAL cast) — so the
+    decode stub is hash-verified end-to-end, not rows-only (VERDICT r5
+    next-round #6)."""
     feats = decode_features(spark, sf_dir)
     return feats.select(
         "doc_id",
@@ -229,19 +262,45 @@ def resize_batch(target_bytes: int):
                 rec = resize_stub(bytes(payload), target_bytes)
                 rec["doc_id"] = doc_id
                 out.append(rec)
-            yield pd.DataFrame(out)[[f.name for f in RESIZED_SCHEMA.fields]]
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
     return run
 
 
-@query("multimodal_resize")  # rows-only: the resize stub is not SQL-expressible
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    s AS (
+      SELECT doc_id, text, n,
+             GREATEST(1, CAST(ceil(n / {RESIZE_TARGET_BYTES}.0) AS INT))
+               AS stride
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS orig_bytes,
+           CAST((n + stride - 1) // stride AS INTEGER) AS new_bytes,
+           CAST(stride AS INTEGER) AS stride,
+           CAST(GREATEST(1, (16 + (n % 64)) // stride) AS INTEGER)
+             AS new_width,
+           CAST(GREATEST(1, (16 + ((n // 64) % 64)) // stride) AS INTEGER)
+             AS new_height,
+           md5(array_to_string(
+             list_transform(generate_series(1, n, stride),
+                            i -> substr(text, i, 1)), '')) AS resized_md5
+    FROM s
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing over opaque binary payloads (the brief's third
     media verb next to decode and frame-sample): mapInPandas, one Arrow
     crossing per batch, scalar-only result columns for the driver's
-    canonicalizer. Deterministic by construction (stride decimation +
-    md5 identity), asserted in tests/test_io_extras.py; no SQL twin —
-    DuckDB has no stride-subscript over BLOBs."""
+    canonicalizer. Since the stub payload is the UTF-8 text (pure-ASCII
+    corpus), the oracle replays the stride decimation byte-for-byte —
+    including md5 of the decimated bytes — so the resize stub is
+    hash-verified end-to-end, not rows-only (VERDICT r5 next-round #6)."""
     d = load_table(spark, sf_dir, "documents")
     payloads = with_binary_payload(d).select("doc_id", "payload")
     return payloads.mapInPandas(
@@ -292,11 +351,14 @@ def synth_wav(doc_id: int, text_bytes: int) -> bytes:
     return encode_wav(_wav_samples(doc_id, n), WAV_SR)
 
 
-def wav_pcm(payload: bytes) -> tuple[int, list[int]]:
-    """Real RIFF parse returning the raw PCM: (sample_rate, samples).
-    Same validation as parse_wav."""
+def _wav_fmt_data(payload: bytes) -> tuple[tuple, bytes]:
+    """THE RIFF/WAVE chunk walk — single source of truth for header
+    validation, word-aligned chunk stepping, and fmt/data location
+    (extra chunks tolerated). Both parse_wav and wav_pcm consume this,
+    so an alignment or size-clamp fix lands in every consumer at once.
+    Returns (fmt tuple, data bytes); raises ValueError on malformed
+    input."""
     import struct
-    from array import array
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
@@ -306,12 +368,24 @@ def wav_pcm(payload: bytes) -> tuple[int, list[int]]:
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
+    return fmt, data
+
+
+def wav_pcm(payload: bytes) -> tuple[int, list[int]]:
+    """Real RIFF parse returning the raw PCM: (sample_rate, samples).
+    Same validation as parse_wav, plus the mono requirement of the
+    transform consumers."""
+    from array import array
+
+    fmt, data = _wav_fmt_data(payload)
     audio_format, channels, sr, _byte_rate, _block_align, bits = fmt
     if audio_format != 1 or bits != 16 or channels != 1:
         raise ValueError(f"unsupported format {audio_format}/{bits}/{channels}ch")
@@ -330,25 +404,12 @@ def downsample_wav_half(payload: bytes) -> bytes:
 
 def parse_wav(payload: bytes) -> dict:
     """Real RIFF parser (stdlib only): validates magic, walks chunks to
-    fmt/data (tolerating extra chunks), unpacks PCM16 and computes exact
-    integer features. Raises ValueError on malformed input."""
-    import struct
+    fmt/data (via the shared _wav_fmt_data walk), unpacks PCM16 and
+    computes exact integer features. Raises ValueError on malformed
+    input."""
     from array import array
 
-    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE file")
-    pos, fmt, data = 12, None, None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (size,) = struct.unpack_from("<I", payload, pos + 4)
-        body = payload[pos + 8 : pos + 8 + size]
-        if cid == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
-        elif cid == b"data":
-            data = body
-        pos += 8 + size + (size % 2)  # chunks are word-aligned
-    if fmt is None or data is None:
-        raise ValueError("missing fmt or data chunk")
+    fmt, data = _wav_fmt_data(payload)
     audio_format, channels, sr, _byte_rate, _block_align, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported format {audio_format}/{bits}")
@@ -402,7 +463,9 @@ def _payload_stage(synth):
                 {"doc_id": int(row.doc_id), "payload": synth(row)}
                 for row in pdf.itertuples()
             ]
-            yield pd.DataFrame(out)[["doc_id", "payload"]]
+            # columns= keeps empty batches correctly-columned (a bare
+            # pd.DataFrame([]) has no columns and the [] select raises)
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return run
 
@@ -416,7 +479,7 @@ def _transform_stage(fn):
                 {"doc_id": int(d), "payload": fn(bytes(p))}
                 for d, p in zip(pdf["doc_id"], pdf["payload"])
             ]
-            yield pd.DataFrame(out)[["doc_id", "payload"]]
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return run
 
@@ -434,7 +497,9 @@ def _decode_stage(fn, schema):
                 for rec in recs if isinstance(recs, list) else [recs]:
                     rec["doc_id"] = int(d)
                     out.append(rec)
-            yield pd.DataFrame(out)[out_cols]
+            # columns= keeps an all-rows-filtered batch (a frame-sampler
+            # that drops everything) empty but correctly-columned
+            yield pd.DataFrame(out, columns=out_cols)
 
     return run
 
@@ -789,12 +854,14 @@ def synth_avi(doc_id: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def parse_avi(payload: bytes) -> dict:
-    """Real AVI parser: validates RIFF/'AVI ', walks the nested LIST
-    structure to avih (dims, declared frame count) and strf (bpp), then
-    iterates the movi list's '00db' frames decoding bottom-up padded DIB
-    rows. Exact integer features; the checksum weights each frame by
-    (f + 1) so frame order and count are value-visible."""
+def _avi_layout(payload: bytes) -> dict:
+    """THE nested RIFF/AVI LIST walk — single source of truth for header
+    validation, word alignment, size clamping, avih/strf extraction and
+    '00db' frame location. parse_avi, parse_avi_frames and
+    avi_frame_grids all consume this, so a container-walk fix lands in
+    every consumer at once. Returns {w, h, row_size, frames: [(off,
+    size)]} with the declared-vs-content frame count and 24-bpp checks
+    already enforced; raises ValueError on malformed input."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -842,10 +909,24 @@ def parse_avi(payload: bytes) -> dict:
             f"frame count mismatch: header {declared_frames}, movi {len(frames)}"
         )
     row_size = (3 * w + 3) // 4 * 4
-    sum_r = sum_g = sum_b = checksum = 0
     for f, (off, size) in enumerate(frames):
         if size < row_size * h:
             raise ValueError(f"truncated frame {f}")
+    return {"w": w, "h": h, "row_size": row_size, "frames": frames}
+
+
+def parse_avi(payload: bytes) -> dict:
+    """Real AVI parser: validates RIFF/'AVI ', walks the nested LIST
+    structure to avih (dims, declared frame count) and strf (bpp) via
+    the shared _avi_layout walk, then decodes the movi list's '00db'
+    frames' bottom-up padded DIB rows. Exact integer features; the
+    checksum weights each frame by (f + 1) so frame order and count are
+    value-visible."""
+    lay = _avi_layout(payload)
+    w, h, row_size = lay["w"], lay["h"], lay["row_size"]
+    frames = lay["frames"]
+    sum_r = sum_g = sum_b = checksum = 0
+    for f, (off, _size) in enumerate(frames):
         for y in range(h):
             base = off + (h - 1 - y) * row_size
             for x in range(w):
@@ -935,32 +1016,12 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def parse_avi_frames(payload: bytes) -> list[dict]:
     """Per-frame decode of a parsed AVI: one record per frame with exact
     integer features (pixel sum and position-weighted checksum). Shares
-    all container handling with parse_avi via the same walk/scan logic —
-    here each frame stays separate instead of aggregating."""
-    import struct
-
-    full = parse_avi(payload)  # validates container + frame count
-    w, h = full["width"], full["height"]
-    row_size = (3 * w + 3) // 4 * 4
-
-    # re-walk to frame offsets (parse_avi validated them)
-    frames = []
-    pos = 12
-
-    def walk(start: int, end: int) -> None:
-        p, e = start, min(end, len(payload))
-        while p + 8 <= e:
-            cid = payload[p : p + 4]
-            (size,) = struct.unpack_from("<I", payload, p + 4)
-            if cid == b"LIST":
-                walk(p + 12, p + 8 + size)
-            elif cid == b"00db":
-                frames.append(p + 8)
-            p += 8 + size + (size % 2)
-
-    walk(pos, len(payload))
+    ALL container handling with parse_avi via _avi_layout — here each
+    frame stays separate instead of aggregating."""
+    lay = _avi_layout(payload)
+    w, h, row_size = lay["w"], lay["h"], lay["row_size"]
     out = []
-    for f, off in enumerate(frames):
+    for f, (off, _size) in enumerate(lay["frames"]):
         px_sum = checksum = 0
         for y in range(h):
             base = off + (h - 1 - y) * row_size
@@ -1063,28 +1124,12 @@ def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def avi_frame_grids(payload: bytes) -> tuple[int, list[list[list[tuple[int, int, int]]]]]:
     """Real AVI parse returning (width, per-frame pixel grids) — the
-    raw-pixel sibling of parse_avi/parse_avi_frames for transforms."""
-    import struct
-
-    full = parse_avi(payload)  # validates container + frame count
-    w, h = full["width"], full["height"]
-    row_size = (3 * w + 3) // 4 * 4
-    offsets: list[int] = []
-
-    def walk(start: int, end: int) -> None:
-        p, e = start, min(end, len(payload))
-        while p + 8 <= e:
-            cid = payload[p : p + 4]
-            (size,) = struct.unpack_from("<I", payload, p + 4)
-            if cid == b"LIST":
-                walk(p + 12, p + 8 + size)
-            elif cid == b"00db":
-                offsets.append(p + 8)
-            p += 8 + size + (size % 2)
-
-    walk(12, len(payload))
+    raw-pixel sibling of parse_avi/parse_avi_frames for transforms;
+    container handling shared via _avi_layout."""
+    lay = _avi_layout(payload)
+    w, h, row_size = lay["w"], lay["h"], lay["row_size"]
     grids = []
-    for off in offsets:
+    for off, _size in lay["frames"]:
         grid = []
         for y in range(h):
             base = off + (h - 1 - y) * row_size

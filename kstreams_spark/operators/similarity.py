@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -500,11 +501,16 @@ def ivf_topk(
     return _rank_topk(cos)
 
 
-_IVF_ASSIGN_SQL = f"""
+def _ivf_assign_sql(k_expr: str = str(N_CENTROIDS)) -> str:
+    """CTE chain cen/allv/cdots/assigned — `k_expr` is the SQL expression
+    for the centroid count (a literal for the fixed-cell queries, a
+    corpus-count subquery for the SemDeDup composite's ivf_cells_for
+    sizing)."""
+    return f"""
     cen AS (
       SELECT vec_id AS cen_id, generate_subscripts(embedding, 1) AS idx,
              CAST(unnest(embedding) AS DOUBLE) AS cv
-      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+      FROM embeddings WHERE vec_id < {k_expr}
     ),
     allv AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
@@ -525,6 +531,9 @@ _IVF_ASSIGN_SQL = f"""
       ) WHERE rn = 1
     )
 """
+
+
+_IVF_ASSIGN_SQL = _ivf_assign_sql()
 
 
 @query(
@@ -796,13 +805,58 @@ def lsh_near_pairs(
     return cosine_verified_pairs(emb, cand, min_cosine)
 
 
+def _np_pair_cosine(it):
+    """mapInPandas body: fixed-point cosine over (id1, e1, n1, id2, e2,
+    n2) rows, vectorized. Bit-identical to the _cosine(_fx_dot(...))
+    column form — float64 multiply order (e1·e2, then ×FX), exact
+    HALF_UP rounding, int64 sum, then the same double divisions — but
+    one fused NumPy pass per Arrow batch instead of an interpreted
+    zip_with/aggregate fold per row (measured ~5× on the near-pair
+    verify at sf0.1). Zero-norm rows (NULL cosine in the column form)
+    are dropped here; every caller filters on cosine anyway."""
+    import numpy as np
+
+    for pdf in it:
+        if len(pdf) == 0:
+            yield pd.DataFrame({"id1": [], "id2": [], "cosine": []})
+            continue
+        e1 = np.array([np.asarray(e, dtype=np.float64) for e in pdf["e1"]])
+        e2 = np.array([np.asarray(e, dtype=np.float64) for e in pdf["e2"]])
+        dot = _np_round_half_up(e1 * e2 * FX).sum(axis=1)
+        n1 = pdf["n1"].to_numpy(np.int64).astype(np.float64)
+        n2 = pdf["n2"].to_numpy(np.int64).astype(np.float64)
+        b = np.sqrt(n1 / FX) * np.sqrt(n2 / FX)
+        ok = b != 0.0
+        cos = np.divide(dot.astype(np.float64) / FX, b, where=ok)
+        yield pd.DataFrame(
+            {
+                "id1": pdf["id1"][ok],
+                "id2": pdf["id2"][ok],
+                "cosine": cos[ok],
+            }
+        )
+
+
 def cosine_verified_pairs(
-    emb: DataFrame, cand: DataFrame, min_cosine: float
+    emb: DataFrame,
+    cand: DataFrame,
+    min_cosine: float,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Exact-cosine VERIFIER over candidate (id1, id2) pairs — the
     embedding-side twin of dedup.ngram_jaccard_pairs' candidate-scoped
     contract: pair space = |cand|, never N². Two keyed lookups attach
-    each side's vector + norm; the dot is a per-row fixed-point fold."""
+    each side's vector + norm.
+
+    vectorized=False (default) computes the cosine as a column
+    expression (per-row fixed-point fold); vectorized=True routes the
+    joined rows through the bit-identical _np_pair_cosine mapInPandas
+    fast path. Crossover is the candidate count: the Arrow round-trip
+    costs ~1 s flat, the interpreted fold ~20 µs/pair — measured at
+    sf0.1, the 7.7k-pair LSH verify is faster in columns (2.7 vs 3.8 s)
+    and the 250k-pair SemDeDup verify is faster vectorized. Callers
+    whose pair volume scales quadratically-within-bucket (ivf_cell_pairs)
+    pass True."""
     vecs = emb.select(
         "vec_id", "embedding", _fx_norm2("embedding").alias("norm2")
     )
@@ -816,16 +870,20 @@ def cosine_verified_pairs(
         F.col("embedding").alias("e2"),
         F.col("norm2").alias("n2"),
     )
-    return (
-        cand.join(v1, "id1")
-        .join(v2, "id2")
-        .select(
+    joined = cand.join(v1, "id1").join(v2, "id2")
+    if vectorized:
+        scored = joined.mapInPandas(
+            _np_pair_cosine, "id1 long, id2 long, cosine double"
+        )
+    else:
+        scored = joined.select(
             "id1",
             "id2",
-            _cosine(_fx_dot("e1", "e2"), F.col("n1"), F.col("n2")).alias("cosine"),
+            _cosine(_fx_dot("e1", "e2"), F.col("n1"), F.col("n2")).alias(
+                "cosine"
+            ),
         )
-        .filter(F.col("cosine") >= min_cosine)
-    )
+    return scored.filter(F.col("cosine") >= min_cosine)
 
 
 def _near_pairs_sql(min_cosine: float | None = None) -> str:
@@ -1023,6 +1081,73 @@ def similarity_topk_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_MIN_COSINE = CLUSTER_MIN_COSINE
 
 
+def semdedup_cells_for(n: int) -> int:
+    """Cell-count sizing for SemDeDup, k ≈ √(N/2) — NOT ivf_cells_for's
+    4·√N: search wants many small cells (per-QUERY scan cost ∝ N/k), but
+    SemDeDup pays BOTH the assignment (N·k dots) and the within-cell
+    pair verify (N²/2k dots); total dot work N·k + N²/2k is minimized at
+    k = √(N/2). At N=5000 the search rule's k=283 costs 1.4M assignment
+    dots for 42k verify dots — 3× the balanced total (measured 11.6 s vs
+    the balanced form at sf0.1)."""
+    return max(1, round(math.sqrt(n / 2)))
+
+
+def _np_round_half_up(x):
+    """NumPy twin of Spark/DuckDB round(): half-AWAY-from-zero. np.rint
+    is half-to-EVEN, which differs only at exactly-representable .5
+    fractions — fix just those. Needed so the vectorized assignment
+    below is bit-identical to the _fx column expression and the oracle's
+    SQL round()."""
+    import numpy as np
+
+    t = np.trunc(x)
+    r = np.where(np.abs(x - t) == 0.5, t + np.sign(x), np.rint(x))
+    return r.astype(np.int64)
+
+
+def ivf_cell_ids(emb: DataFrame, cen_mat: list[list[float]]) -> DataFrame:
+    """Vectorized cell assignment: (vec_id, cen_id) via a mapInPandas
+    argmax over the broadcast (k, D) centroid matrix. Bit-identical to
+    ivf_assign's column-expression form — same float64 multiply order
+    (v·c, then ×FX), exact HALF_UP rounding (_np_round_half_up), int64
+    sums, ties to the LOWEST cen_id (strict-> update keeps first max) —
+    but ~50× faster: the zip_with/aggregate fold is interpreted per
+    element, while this is one fused NumPy pass per centroid per Arrow
+    batch. Driver state is the O(k·D) centroid matrix, the same bound
+    kmeans.py documents. cen_mat[j] must be the embedding of cen_id j
+    (contiguous first-k ids, as the fixture queries use)."""
+    import numpy as np
+
+    C = np.asarray(cen_mat, dtype=np.float64)
+
+    def run(it: "object"):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "cen_id": []})
+                continue
+            V = np.array(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            best_d = None
+            best_j = None
+            for j in range(C.shape[0]):
+                d = _np_round_half_up(V * C[j][None, :] * FX).sum(axis=1)
+                if best_d is None:
+                    best_d = d
+                    best_j = np.zeros(len(d), dtype=np.int64)
+                else:
+                    upd = d > best_d
+                    best_d = np.where(upd, d, best_d)
+                    best_j = np.where(upd, j, best_j)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].astype("int64"), "cen_id": best_j}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        run, "vec_id long, cen_id long"
+    )
+
+
 def ivf_cell_pairs(
     emb: DataFrame,
     n_centroids: int = N_CENTROIDS,
@@ -1030,14 +1155,22 @@ def ivf_cell_pairs(
 ) -> DataFrame:
     """Within-cell candidate pairs, exact-cosine verified. Pair space is
     quadratic only WITHIN a cell (the published SemDeDup cost model);
-    cell count scales as ivf_cells_for(N) ≈ 4·√N, holding per-cell
-    populations — and therefore per-cell pair counts — bounded as the
-    corpus grows. Same in-bucket sorted-list enumeration as every other
-    candidate generator (no self-join)."""
-    cen = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_emb")
+    callers size n_centroids with ivf_cells_for(N) ≈ 4·√N so per-cell
+    populations — and therefore per-cell pair counts — stay bounded as
+    the corpus grows (the composite below derives it from the measured
+    corpus; a fixed cell count at 10× the corpus is 100× the pairs).
+    Same in-bucket sorted-list enumeration as every other candidate
+    generator (no self-join). Assignment runs through the vectorized
+    ivf_cell_ids fast path (bit-identical to ivf_assign; see its
+    docstring)."""
+    cen_rows = (
+        emb.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()  # O(k·D) driver state, the kmeans.py bound
     )
-    assigned = ivf_assign(emb, cen)
+    cen_mat = [[float(x) for x in r.embedding] for r in cen_rows]
+    assigned = ivf_cell_ids(emb, cen_mat)
     per_cell = (
         assigned.groupBy("cen_id")
         .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
@@ -1051,7 +1184,7 @@ def ivf_cell_pairs(
     cand = per_cell.select(F.explode(pair_expr).alias("p")).select(
         "p.id1", "p.id2"
     )
-    return cosine_verified_pairs(emb, cand, min_cosine)
+    return cosine_verified_pairs(emb, cand, min_cosine, vectorized=True)
 
 
 def _semantic_dedup_sql() -> str:
@@ -1062,8 +1195,15 @@ def _semantic_dedup_sql() -> str:
         f" / nullif(sqrt(CAST(n1.norm2_fx AS DOUBLE) / {FX})"
         f" * sqrt(CAST(n2.norm2_fx AS DOUBLE) / {FX}), 0)"
     )
+    # semdedup_cells_for(N) as SQL: cells = round(√(N/2)) from the
+    # measured corpus count, exactly what the Spark side derives.
+    # (round() here is half-away-from-zero vs Python's half-to-even;
+    # √(N/2) lands on exactly .5 for no integer N.)
+    k_expr = (
+        "(SELECT CAST(round(sqrt(COUNT(*) / 2.0)) AS BIGINT) FROM embeddings)"
+    )
     return f"""
-    WITH RECURSIVE {_IVF_ASSIGN_SQL},
+    WITH RECURSIVE {_ivf_assign_sql(k_expr)},
     cand AS (
       SELECT a.vec_id AS id1, b.vec_id AS id2
       FROM assigned a JOIN assigned b
@@ -1109,11 +1249,17 @@ def composite_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only, one broadcast left join against the documents scan, final
     1-key agg. The oracle replays the full chain — cell assignment,
     within-cell mining, transitive closure — in one WITH RECURSIVE
-    statement."""
+    statement. Cell count is derived from the measured corpus
+    (semdedup_cells_for ≈ √(N/2), balancing assignment vs verify dot
+    work — the parquet count is metadata-cheap), so the within-cell pair
+    space stays bounded at any sf; the oracle computes the identical k
+    with a COUNT(*) subquery."""
     from kstreams_spark.operators.dedup import resolve_clusters
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    pairs = ivf_cell_pairs(emb).select(
+    raw = load_table(spark, sf_dir, "embeddings")
+    k = semdedup_cells_for(raw.count())
+    emb = spread(raw)
+    pairs = ivf_cell_pairs(emb, n_centroids=k).select(
         F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2")
     )
     losers = (
