@@ -45,3 +45,18 @@ def davg(col: Column | str) -> Column:
 
 DSUM_SQL = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
 DAVG_SQL = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({x})"
+
+
+def fence(df: DataFrame) -> DataFrame:
+    """Optimizer fence (LOCAL-ONLY artifact, same class as spread):
+    a lazy localCheckpoint that stops predicate pushdown, so a CPU-heavy
+    gate filter evaluates AFTER spread()'s exchange (full-width) instead
+    of being pushed into the fixture's unsplittable single-row-group
+    parquet scan (1 task). Measured on the curation composites at sf0.1:
+    the pushed Gopher-repetition gate ran 1-task at ~1.5 s; fenced it
+    runs 32-wide. On a real lake the scan splits by file/rowgroup and
+    scan-side gate evaluation is exactly what you want — a deployment
+    deletes the fence and keeps the filter. Bonus locally: downstream
+    iterative consumers (the CC loop's edge checkpoint) re-read the
+    fenced rows instead of re-running the scan chain."""
+    return df.localCheckpoint(eager=False)

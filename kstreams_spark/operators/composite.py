@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kstreams_spark.io import load_table
-from kstreams_spark.operators._util import dsum
+from kstreams_spark.operators._util import dsum, fence, spread
 from kstreams_spark.operators.dedup import (
     _cluster_labels_cte,
     ngram_jaccard_pairs,
@@ -220,7 +220,7 @@ def composite_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     text.py) runs in the same scan-shaped stage as the quality score."""
     from kstreams_spark.operators.sampling import _bucket_from
 
-    d = load_table(spark, sf_dir, "documents").withColumn(
+    d = fence(spread(load_table(spark, sf_dir, "documents"))).withColumn(
         "toks", F.split(F.col("text"), " ")
     )
     toks = F.col("toks")
@@ -335,7 +335,7 @@ def composite_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     CC over the PAIR graph only (batch-sized, not corpus-sized), one
     left-anti survivor join, final 2-key agg. The oracle replays every
     stage, transitive closure included, in one recursive-CTE statement."""
-    d = load_table(spark, sf_dir, "documents").withColumn(
+    d = fence(spread(load_table(spark, sf_dir, "documents"))).withColumn(
         "toks", F.split(F.col("text"), " ")
     )
     toks = F.col("toks")
@@ -443,7 +443,7 @@ def composite_curation_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kstreams_spark.operators.sampling import LANG_TOKEN_BUDGET
 
-    d = load_table(spark, sf_dir, "documents").withColumn(
+    d = fence(spread(load_table(spark, sf_dir, "documents"))).withColumn(
         "toks", F.split(F.col("text"), " ")
     )
     toks = F.col("toks")

@@ -218,3 +218,53 @@ def sample_token_budget_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= LANG_TOKEN_BUDGET)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
     )
+
+
+@query(
+    "sample_source_balance",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             {_BUCKET_SQL.format(key="CAST(doc_id AS VARCHAR)")} AS bucket
+      FROM documents
+    ),
+    c AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source),
+    m AS (SELECT MIN(n_total) AS min_cnt FROM c)
+    SELECT b.source,
+           MAX(c.n_total) AS n_total,
+           COUNT(*) AS n_kept
+    FROM b JOIN c USING (source), m
+    WHERE b.bucket * c.n_total < 256 * m.min_cnt
+    GROUP BY b.source
+    """,
+)
+def sample_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix rebalancing (the Pile/Dolma-style domain reweighting
+    stage): downsample every source to ≈ the smallest source's size, so
+    no single crawl dominates the mix. Acceptance is the hash bucket
+    test `bucket · n_source < 256 · min_count` — PURE INTEGER arithmetic
+    (no float rate, no rounding divergence), deterministic per document,
+    and stable under reruns. Two-pass shape: per-source counts (one tiny
+    agg, broadcast) → scan-speed filter → per-source kept counts. At
+    100 TB the counts table is KB-sized and the filter is a map-side
+    broadcast probe; generalizing to arbitrary target weights replaces
+    min_count with a weights table on the same inequality."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        "source",
+        _bucket_from(F.col("doc_id").cast("string")).alias("bucket"),
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    m = counts.agg(F.min("n_total").alias("min_cnt"))
+    kept = (
+        b.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(m))
+        .filter(
+            F.col("bucket") * F.col("n_total") < 256 * F.col("min_cnt")
+        )
+    )
+    return kept.groupBy("source").agg(
+        F.max("n_total").alias("n_total"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )

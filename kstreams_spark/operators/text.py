@@ -425,3 +425,57 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tfidf", "rk")
     )
+
+
+@query(
+    "text_rarity_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    ranked AS (
+      SELECT tok, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+      FROM vocab
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(rnk) AS DOUBLE) / COUNT(*) AS mean_rank,
+           MAX(rnk) AS max_rank
+    FROM tok JOIN ranked USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity scoring — the engine-portable stand-in for
+    LM-perplexity quality filters (which need log(), whose last-bit
+    rounding differs between libm builds — see the determinism rules):
+    rank the corpus vocabulary by descending frequency, then score each
+    doc by the mean and max rank of its tokens (duplicates count — a doc
+    of repeated rare tokens is still rare-heavy). High mean_rank = heavy
+    tail vocabulary; a curation gate thresholds it from either side
+    (gibberish above, boilerplate below).
+
+    Shuffle budget: ONE vocab count agg + ONE per-doc agg; the rank
+    table broadcasts (vocabulary-sized, not corpus-sized — web-scale
+    vocab is ~10⁷ rows ≪ corpus) and its ranking window, though
+    unpartitioned, sorts only that vocabulary table. All-integer ranks;
+    the only float op is one exact SUM/COUNT division."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), "tok")
+    ranked = vocab.withColumn("rnk", F.row_number().over(w)).select(
+        "tok", "rnk"
+    )
+    return (
+        tok.join(F.broadcast(ranked), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("rnk").cast("double") / F.count(F.lit(1))).alias(
+                "mean_rank"
+            ),
+            F.max("rnk").alias("max_rank"),
+        )
+    )
