@@ -94,6 +94,65 @@ def test_roundtrip_property(event_id, user_id, event_type, value):
     assert decode_sensor_record(buf) == (event_id, user_id, event_type, value)
 
 
+# --------------------------------------------------- vectorized twin parity
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.one_of(st.none(), st.text(max_size=20)),
+            st.one_of(st.none(), st.floats(allow_nan=False, width=64)),
+        ),
+        max_size=50,
+    )
+)
+def test_vectorized_batch_matches_scalar(rows):
+    """The NumPy batch codec (what the pandas UDFs actually run) must emit
+    byte-identical frames to the from-spec scalar reference, and decode
+    them back to the same tuples (None -> NaN in the float column, the
+    Arrow from_pandas null convention)."""
+    import numpy as np
+    import pandas as pd
+
+    from kstreams_spark.functions.avro_binary import (
+        decode_sensor_batch,
+        encode_sensor_batch,
+    )
+
+    eid = pd.Series([r[0] for r in rows], dtype=object).astype("int64")
+    uid = pd.Series([r[1] for r in rows], dtype=object).astype("int64")
+    et = pd.Series([r[2] for r in rows], dtype=object)
+    val = pd.Series([r[3] for r in rows], dtype="float64")
+    enc = encode_sensor_batch(eid, uid, et, val)
+    assert list(enc) == [encode_sensor_record(*r) for r in rows]
+    dec = decode_sensor_batch(enc)
+    for i, r in enumerate(rows):
+        e, u, t, v = decode_sensor_record(enc.iloc[i])
+        assert dec["event_id"].iloc[i] == e
+        assert dec["user_id"].iloc[i] == u
+        assert (dec["event_type"].iloc[i] is None and t is None) or dec[
+            "event_type"
+        ].iloc[i] == t
+        got_v = dec["value"].iloc[i]
+        if v is None:
+            assert np.isnan(got_v)
+        else:
+            assert got_v == v
+
+
+def test_vectorized_trailing_bytes_rejected():
+    import pandas as pd
+
+    from kstreams_spark.functions.avro_binary import decode_sensor_batch
+
+    buf = encode_sensor_record(1, 2, None, None) + b"\x00"
+    with pytest.raises(ValueError, match="trailing"):
+        decode_sensor_batch(pd.Series([buf], dtype=object))
+
+
 # ------------------------------------------------------------ spark round-trip
 
 
