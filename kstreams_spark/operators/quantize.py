@@ -1,0 +1,215 @@
+"""Scalar-quantized (int8) embedding search — the vector-compression
+path every 100 TB ANN deployment runs (FAISS SQ8 / ScaNN-style scans):
+store 1 byte per dimension instead of 4, scan in the compressed domain,
+re-rank survivors exactly.
+
+Spark-first decomposition:
+
+  1. per-dimension corpus min/max: ONE tiny groupBy(idx) over the
+     exploded vectors (64 rows out), folded into a single broadcast row
+     of per-dim quantizer params — no driver collect, the quantizer
+     ships to executors as a broadcast like any dimension table;
+  2. quantize: q[d] = clamp(floor((x[d]-mn)·255/(mx-mn))) via one
+     zip_with — scan-shaped, codegen, and the materialized q column is
+     4× smaller than the float32 source (the thing that matters at
+     100 TB: the ANN scan reads 25 TB instead of 100);
+  3. compressed-domain scoring: the RECONSTRUCTED dot product. With
+     x ≈ mn + q·Δ (Δ = (mx-mn)/255), x1·x2 decomposes into a
+     rank-constant Σmn², per-vector bias terms ΣmnΔq, and the cross
+     term ΣΔ²q1q2 — dropping the biases (i.e. ranking by Σq1q2 alone)
+     collapses recall when mn ≠ 0, so we keep them, as fixed-point
+     integers: A_d = round(mn_d·Δ_d·FX), B_d = round(Δ_d²·FX),
+     score = Σ A_d·(q1+q2) + B_d·q1·q2 — exact BIGINT arithmetic on
+     both engines (same trick as similarity.py's _fx_dot), magnitudes
+     ≲ D·FX·range² ≪ 2⁶³ for unit-scale embeddings;
+  4. top-k by integer score, ties to the lowest cid.
+
+Scoring is in the max-inner-product domain (as SQ scans are); cosine
+users pre-normalize vectors, and the production serving path composes
+this with similarity.py exactly like IVF does: coarse cells prune, the
+SQ8 scan scores the probed cells, the float re-ranker sees only the
+survivors. Quantization recall vs the exact-dot ranking is measured and
+pinned in tests/test_quantize.py.
+
+Determinism note: the quantizer's float expressions are written with
+identical operation order on both engines — ((v - mn) * 255.0) /
+(mx - mn) then floor; round((mn * Δ) * FX) for the constants — and every
+op is correctly-rounded IEEE, so codes and constants agree bit-for-bit;
+everything after is integer.
+
+Reference parity note: the reference app (BME680.java) has no analytics
+surface; this is part of the LLM-training-data extension the brief
+mandates (SURVEY.md §2.3 north-star ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kstreams_spark.io import load_table
+from kstreams_spark.operators._util import spread
+from kstreams_spark.operators.similarity import FX, N_QUERIES, TOP_K
+from kstreams_spark.registry import query
+
+
+def sq8_params(emb: DataFrame) -> DataFrame:
+    """One-row broadcastable DataFrame: params = array of per-dim
+    struct(mn, mx, a, b) where a/b are the fixed-point scoring constants
+    of the module docstring (step 3)."""
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("idx", "v")
+    ).select("idx", F.col("v").cast("double").alias("v"))
+    stats = ex.groupBy("idx").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    # Δ = (mx - mn) / 255.0;  a = round((mn·Δ)·FX);  b = round((Δ·Δ)·FX)
+    enriched = stats.select(
+        "idx",
+        "mn",
+        "mx",
+        ((F.col("mx") - F.col("mn")) / F.lit(255.0)).alias("delta"),
+    ).select(
+        "idx",
+        "mn",
+        "mx",
+        F.round((F.col("mn") * F.col("delta")) * F.lit(float(FX)))
+        .cast("long")
+        .alias("a"),
+        F.round((F.col("delta") * F.col("delta")) * F.lit(float(FX)))
+        .cast("long")
+        .alias("b"),
+    )
+    return enriched.agg(
+        F.array_sort(
+            F.collect_list(F.struct("idx", "mn", "mx", "a", "b"))
+        ).alias("s")
+    ).select(
+        F.expr(
+            "transform(s, x -> struct(x.mn AS mn, x.mx AS mx,"
+            " x.a AS a, x.b AS b))"
+        ).alias("params")
+    )
+
+
+def _quant(x, r):
+    lvl = F.floor(
+        ((x.cast("double") - r["mn"]) * F.lit(255.0)) / (r["mx"] - r["mn"])
+    )
+    return (
+        F.when(r["mx"] == r["mn"], F.lit(0))
+        .otherwise(F.least(F.lit(255), F.greatest(F.lit(0), lvl)))
+        .cast("long")
+    )
+
+
+def sq8_quantize(emb: DataFrame, params: DataFrame | None = None) -> DataFrame:
+    """(vec_id, embedding: array<float>) → (vec_id, q: array<long>).
+
+    Params are fitted on the corpus passed in unless an already-fitted
+    one-row params DataFrame is supplied — the same train/serve split
+    discipline any quantizer needs."""
+    p = params if params is not None else sq8_params(emb)
+    return emb.crossJoin(F.broadcast(p)).select(
+        "vec_id", F.zip_with("embedding", "params", _quant).alias("q")
+    )
+
+
+def sq8_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Compressed-domain top-k by the reconstructed-dot integer score.
+    The only shuffle is the per-query top-k window; scoring is a
+    codegen'd map over candidate × broadcast(queries) pairs reading
+    1-byte-scale codes."""
+    params = sq8_params(emb)
+    q8 = sq8_quantize(emb, params)
+    queries = q8.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+    )
+    # pre-zip the query codes with the scoring constants so the per-pair
+    # lambda is a single zip_with over (query-side struct, candidate code)
+    qz = queries.crossJoin(F.broadcast(params)).select(
+        "qid",
+        F.zip_with(
+            "qq",
+            "params",
+            lambda q, r: F.struct(
+                q.alias("q"), r["a"].alias("a"), r["b"].alias("b")
+            ),
+        ).alias("qz"),
+    )
+    scored = q8.select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    ).crossJoin(F.broadcast(qz)).select(
+        "qid",
+        "cid",
+        F.aggregate(
+            F.zip_with(
+                "qz",
+                "cq",
+                lambda z, c: z["a"] * (z["q"] + c) + z["b"] * z["q"] * c,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score_q"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_q").desc(), F.col("cid")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "score_q", "rank")
+    )
+
+
+@query(
+    "similarity_topk_sq8",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT idx, mn, mx,
+             CAST(round((mn * delta) * {FX}.0) AS BIGINT) AS a,
+             CAST(round((delta * delta) * {FX}.0) AS BIGINT) AS b
+      FROM (SELECT idx, MIN(v) AS mn, MAX(v) AS mx,
+                   (MAX(v) - MIN(v)) / 255.0 AS delta
+            FROM e GROUP BY idx)
+    ),
+    q8 AS (
+      SELECT e.vec_id, e.idx,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE LEAST(255, GREATEST(0,
+                         CAST(floor(((e.v - s.mn) * 255.0) / (s.mx - s.mn))
+                              AS BIGINT)))
+             END AS qv
+      FROM e JOIN stats s USING (idx)
+    ),
+    dots AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid,
+             SUM(s.a * (a.qv + b.qv) + s.b * a.qv * b.qv)::BIGINT AS score_q
+      FROM q8 a
+      JOIN q8 b USING (idx)
+      JOIN stats s USING (idx)
+      WHERE a.vec_id < {N_QUERIES}
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT qid, cid, score_q, rank FROM (
+      SELECT qid, cid, score_q,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score_q DESC, cid) AS rank
+      FROM dots
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 compressed-domain top-10 for the query vectors (vec_id < 10)
+    over the embeddings corpus. The oracle rebuilds the identical
+    quantizer and scoring constants from the same per-dim stats and
+    replays the integer scan — the whole pipeline is value-checked,
+    not just the shape."""
+    return sq8_topk(spread(load_table(spark, sf_dir, "embeddings")))
