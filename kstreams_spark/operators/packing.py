@@ -1,0 +1,213 @@
+"""Corpus → training/serving units: sequence packing and chunk windows.
+
+Two reshaping stages every LLM data pipeline runs after curation:
+
+- SEQUENCE PACKING (the GPT-style concat-and-chunk dataloader): docs are
+  concatenated in a deterministic order and sliced into fixed
+  context-length sequences; the output manifest says which token span of
+  which doc lands in which training sequence. Producing the manifest —
+  rather than materializing packed token arrays — is the Spark-shaped
+  form: it's a pure integer computation over (doc_id, n_tokens), and the
+  actual token movement happens at read time partition-locally.
+
+- CHUNK WINDOWS (the RAG/embedding indexer): overlapping fixed-stride
+  token windows per document, the unit an embedding model consumes.
+
+Scale posture (100 TB):
+- Packing is SHARDED (per-lang here; any shard key): the running-offset
+  window partitions and parallelizes, the same rewrite
+  sample_token_budget_sharded applies to the global token budget. Chunk
+  ids are per-shard; a training run enumerates (shard, chunk_id) pairs.
+  Cost: one token-count scan + one partitioned window + a bounded
+  explode (≤ spans-per-doc rows, each doc emits ≤ 1 + n/CTX rows).
+- Chunk windows are scan-shaped: explode over a per-doc sequence,
+  no shuffle at all.
+- All arithmetic is integer; the only division is floor(int/int) via
+  double, exact far past any real corpus size (< 2^53).
+
+Reference parity note: the reference app (BME680.java) has no analytics
+surface; this is part of the LLM-training-data extension the brief
+mandates (SURVEY.md §2.3 north-star ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kstreams_spark.io import load_table
+from kstreams_spark.registry import query
+
+CTX_LEN = 128  # tokens per packed training sequence (fixture-scale)
+WIN_TOKENS = 32  # chunk window width
+WIN_STRIDE = 24  # chunk window stride (8-token overlap)
+
+
+def _fdiv(a, b: int):
+    """floor(a / b) for non-negative ints, portable (double exact <2^53)."""
+    return F.floor(a / F.lit(float(b))).cast("long")
+
+
+def pack_sequences(
+    docs: DataFrame, ctx_len: int = CTX_LEN, shard_col: str = "lang"
+) -> DataFrame:
+    """(doc_id, text, shard) → packing manifest rows
+    (shard, chunk_id, doc_id, doc_off, chunk_off, n_span):
+    tokens [doc_off, doc_off+n_span) of doc_id occupy positions
+    [chunk_off, chunk_off+n_span) of training sequence chunk_id in its
+    shard. Docs are ordered by (md5(doc_id), doc_id) within the shard —
+    the same deterministic-permutation idiom as sample_token_budget."""
+    toks = docs.select(
+        F.col(shard_col).alias("shard"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = toks.select(
+        "shard",
+        "doc_id",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("off"),
+    )
+    spans = off.select(
+        "shard",
+        "doc_id",
+        "n",
+        "off",
+        F.explode(
+            F.sequence(
+                _fdiv(F.col("off"), ctx_len),
+                _fdiv(F.col("off") + F.col("n") - 1, ctx_len),
+            )
+        ).alias("chunk_id"),
+    )
+    chunk_start = F.col("chunk_id") * ctx_len
+    tok_start = F.greatest(F.col("off"), chunk_start)
+    tok_end = F.least(F.col("off") + F.col("n"), chunk_start + ctx_len)
+    return spans.select(
+        "shard",
+        "chunk_id",
+        "doc_id",
+        (tok_start - F.col("off")).alias("doc_off"),
+        (tok_start - chunk_start).alias("chunk_off"),
+        (tok_end - tok_start).alias("n_span"),
+    )
+
+
+@query(
+    "sample_sequence_pack",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang AS shard, doc_id,
+             len(str_split(text, ' '))::BIGINT AS n,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    offs AS (
+      SELECT shard, doc_id, n,
+             COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0) AS off
+      FROM toks
+    ),
+    spans AS (
+      SELECT shard, doc_id, n, off,
+             unnest(generate_series(
+               CAST(floor(off / {CTX_LEN}.0) AS BIGINT),
+               CAST(floor((off + n - 1) / {CTX_LEN}.0) AS BIGINT)
+             )) AS chunk_id
+      FROM offs
+    )
+    SELECT shard, chunk_id, doc_id,
+           GREATEST(off, chunk_id * {CTX_LEN}) - off AS doc_off,
+           GREATEST(off, chunk_id * {CTX_LEN}) - chunk_id * {CTX_LEN}
+             AS chunk_off,
+           LEAST(off + n, chunk_id * {CTX_LEN} + {CTX_LEN})
+             - GREATEST(off, chunk_id * {CTX_LEN}) AS n_span
+    FROM spans
+    """,
+)
+def sample_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing manifest over documents, sharded by lang
+    at CTX_LEN={CTX_LEN} tokens. Every token of every doc lands in
+    exactly one (chunk_id, chunk_off) slot; chunk token counts sum to
+    CTX_LEN except each shard's final chunk (invariants pinned in
+    tests/test_packing.py)."""
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_windows(
+    docs: DataFrame, width: int = WIN_TOKENS, stride: int = WIN_STRIDE
+) -> DataFrame:
+    """(doc_id, text) → overlapping token windows
+    (doc_id, win_id, start_tok, n_tok, chunk_text): win_id·stride is the
+    window start; the last window is the first one reaching the doc tail
+    (num windows = 1 + ceil(max(0, n-width)/stride)), so every token is
+    covered and no fully-redundant trailing window is emitted."""
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("l"),
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+    n_win = 1 + _fdiv(
+        F.greatest(F.col("n") - width, F.lit(0)) + (stride - 1), stride
+    )
+    wins = toks.select(
+        "doc_id",
+        "l",
+        "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_win - 1)).alias(
+            "win_id"
+        ),
+    )
+    start = F.col("win_id") * stride
+    n_tok = F.least(F.lit(width).cast("long"), F.col("n") - start)
+    return wins.select(
+        "doc_id",
+        "win_id",
+        start.alias("start_tok"),
+        n_tok.alias("n_tok"),
+        F.expr(
+            f"concat_ws(' ', slice(l, win_id * {stride} + 1,"
+            f" least({width}, n - win_id * {stride})))"
+        ).alias("chunk_text"),
+    )
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, str_split(text, ' ') AS l,
+             len(str_split(text, ' '))::BIGINT AS n
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, l, n,
+             unnest(generate_series(0,
+               CAST(floor((GREATEST(n - {WIN_TOKENS}, 0) + {WIN_STRIDE - 1})
+                          / {WIN_STRIDE}.0) AS BIGINT)
+             )) AS win_id
+      FROM toks
+    )
+    SELECT doc_id, win_id,
+           win_id * {WIN_STRIDE} AS start_tok,
+           LEAST({WIN_TOKENS}, n - win_id * {WIN_STRIDE}) AS n_tok,
+           array_to_string(
+             l[win_id * {WIN_STRIDE} + 1 :
+               win_id * {WIN_STRIDE} + LEAST({WIN_TOKENS},
+                                             n - win_id * {WIN_STRIDE})],
+             ' ') AS chunk_text
+    FROM wins
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping {WIN_TOKENS}-token windows at stride {WIN_STRIDE}
+    over documents — the embedding-indexer unit. Scan-shaped: per-doc
+    sequence explode, zero shuffles."""
+    return chunk_windows(load_table(spark, sf_dir, "documents"))
