@@ -115,21 +115,13 @@ def sq8_quantize(emb: DataFrame, params: DataFrame | None = None) -> DataFrame:
     )
 
 
-def sq8_topk(
-    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
-) -> DataFrame:
-    """Compressed-domain top-k by the reconstructed-dot integer score.
-    The only shuffle is the per-query top-k window; scoring is a
-    codegen'd map over candidate × broadcast(queries) pairs reading
-    1-byte-scale codes."""
-    params = sq8_params(emb)
-    q8 = sq8_quantize(emb, params)
-    queries = q8.filter(F.col("vec_id") < n_queries).select(
+def sq8_prezip(q8_queries: DataFrame, params: DataFrame) -> DataFrame:
+    """(qid := vec_id, q) → (qid, qz): query codes zipped with the
+    scoring constants, so the per-pair scorer is a single zip_with over
+    (query-side struct, candidate code)."""
+    return q8_queries.select(
         F.col("vec_id").alias("qid"), F.col("q").alias("qq")
-    )
-    # pre-zip the query codes with the scoring constants so the per-pair
-    # lambda is a single zip_with over (query-side struct, candidate code)
-    qz = queries.crossJoin(F.broadcast(params)).select(
+    ).crossJoin(F.broadcast(params)).select(
         "qid",
         F.zip_with(
             "qq",
@@ -139,21 +131,22 @@ def sq8_topk(
             ),
         ).alias("qz"),
     )
-    scored = q8.select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
-    ).crossJoin(F.broadcast(qz)).select(
-        "qid",
-        "cid",
-        F.aggregate(
-            F.zip_with(
-                "qz",
-                "cq",
-                lambda z, c: z["a"] * (z["q"] + c) + z["b"] * z["q"] * c,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("score_q"),
+
+
+def sq8_score(qz_col, cq_col):
+    """Reconstructed-dot integer score: Σ a·(q1+q2) + b·q1·q2."""
+    return F.aggregate(
+        F.zip_with(
+            qz_col,
+            cq_col,
+            lambda z, c: z["a"] * (z["q"] + c) + z["b"] * z["q"] * c,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
+
+
+def _rank_topk_q(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(
         F.col("score_q").desc(), F.col("cid")
     )
@@ -162,6 +155,24 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "score_q", "rank")
     )
+
+
+def sq8_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Compressed-domain top-k by the reconstructed-dot integer score.
+    The only shuffle is the per-query top-k window; scoring is a
+    codegen'd map over candidate × broadcast(queries) pairs reading
+    1-byte-scale codes."""
+    params = sq8_params(emb)
+    q8 = sq8_quantize(emb, params)
+    qz = sq8_prezip(q8.filter(F.col("vec_id") < n_queries), params)
+    scored = q8.select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    ).crossJoin(F.broadcast(qz)).select(
+        "qid", "cid", sq8_score("qz", "cq").alias("score_q")
+    )
+    return _rank_topk_q(scored, k)
 
 
 @query(
@@ -213,3 +224,126 @@ def similarity_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the integer scan — the whole pipeline is value-checked,
     not just the shape."""
     return sq8_topk(spread(load_table(spark, sf_dir, "embeddings")))
+
+
+def ivf_sq8_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
+    k: int = TOP_K,
+) -> DataFrame:
+    """The production serving shape this module's docstring promises:
+    IVF cells prune (similarity.ivf_assign — exact fixed-point
+    assignment, cell id = lake partition key at 100 TB), then the SQ8
+    integer scan scores ONLY the n_probe probed cells' codes. Per-query
+    work drops from N·D bytes to (n_probe·N/cells)·D quantized bytes —
+    both levers (cells, probes) keep their similarity.py sizing rules.
+
+    Shuffle budget: ivf_assign's groupBy(vec_id) + one broadcast join
+    attaching the Q·n_probe probe list (with pre-zipped query codes) to
+    the cell-keyed candidates + the top-k window. The candidate side is
+    never reshuffled — it joins on its own cell id."""
+    from kstreams_spark.operators.similarity import (
+        N_CENTROIDS,
+        N_PROBE,
+        _fx_dot,
+        ivf_assign,
+    )
+
+    n_centroids = N_CENTROIDS if n_centroids is None else n_centroids
+    n_probe = N_PROBE if n_probe is None else n_probe
+    cen = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_emb")
+    )
+    assigned = ivf_assign(emb, cen).select("vec_id", "cen_id")
+    params = sq8_params(emb)
+    q8 = sq8_quantize(emb, params)
+    # query probe list: top-n_probe cells by exact fixed-point dot
+    q_scored = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .crossJoin(F.broadcast(cen))
+        .select(
+            F.col("vec_id").alias("qid"),
+            "cen_id",
+            _fx_dot("embedding", "cen_emb").alias("d"),
+        )
+    )
+    wp = Window.partitionBy("qid").orderBy(F.col("d").desc(), F.col("cen_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("qid", "cen_id")
+    )
+    probe_q = probes.join(
+        sq8_prezip(q8.filter(F.col("vec_id") < n_queries), params), "qid"
+    )
+    cand = assigned.join(q8, "vec_id").select(
+        F.col("vec_id").alias("cid"), "cen_id", F.col("q").alias("cq")
+    )
+    scored = cand.join(F.broadcast(probe_q), "cen_id").select(
+        "qid", "cid", sq8_score("qz", "cq").alias("score_q")
+    )
+    return _rank_topk_q(scored, k)
+
+
+def _ivf_sq8_oracle() -> str:
+    from kstreams_spark.operators.similarity import (
+        N_PROBE,
+        _ivf_assign_sql,
+    )
+
+    return f"""
+    WITH {_ivf_assign_sql()},
+    probes AS (
+      SELECT vec_id AS qid, cen_id FROM (
+        SELECT vec_id, cen_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cen_id) AS rn
+        FROM cdots WHERE vec_id < {N_QUERIES}
+      ) WHERE rn <= {N_PROBE}
+    ),
+    stats AS (
+      SELECT idx, mn, mx,
+             CAST(round((mn * delta) * {FX}.0) AS BIGINT) AS a,
+             CAST(round((delta * delta) * {FX}.0) AS BIGINT) AS b
+      FROM (SELECT idx, MIN(v) AS mn, MAX(v) AS mx,
+                   (MAX(v) - MIN(v)) / 255.0 AS delta
+            FROM allv GROUP BY idx)
+    ),
+    q8 AS (
+      SELECT allv.vec_id, allv.idx,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE LEAST(255, GREATEST(0,
+                         CAST(floor(((allv.v - s.mn) * 255.0) / (s.mx - s.mn))
+                              AS BIGINT)))
+             END AS qv
+      FROM allv JOIN stats s USING (idx)
+    ),
+    dots AS (
+      SELECT p.qid, a.vec_id AS cid,
+             SUM(s.a * (qq.qv + cq.qv) + s.b * qq.qv * cq.qv)::BIGINT
+               AS score_q
+      FROM probes p
+      JOIN assigned a ON a.cen_id = p.cen_id
+      JOIN q8 qq ON qq.vec_id = p.qid
+      JOIN q8 cq ON cq.vec_id = a.vec_id AND cq.idx = qq.idx
+      JOIN stats s ON s.idx = qq.idx
+      GROUP BY p.qid, a.vec_id
+    )
+    SELECT qid, cid, score_q, rank FROM (
+      SELECT qid, cid, score_q,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score_q DESC, cid) AS rank
+      FROM dots
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@query("similarity_topk_ivf_sq8", oracle=_ivf_sq8_oracle())
+def similarity_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(n_probe=3) + SQ8: quantized in-cell scan over the probed
+    cells only — the composed production serving path. The oracle
+    replays cell assignment, probe selection, quantization, and the
+    integer reconstructed-dot scan end-to-end."""
+    return ivf_sq8_topk(spread(load_table(spark, sf_dir, "embeddings")))
