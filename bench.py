@@ -63,6 +63,9 @@ HEADLINE = [
     "decontaminate_against_eval",  # added r6: eval-overlap decontamination
     "dedup_paragraph_exact",  # added r6: paragraph-grain winner election
     "composite_semantic_dedup",  # added r6: SemDeDup cells->pairs->CC
+    "dedup_substring_rewrite",  # added r6: repeated-span removal (token grain)
+    "text_quality_classifier",  # added r6: broadcast-model margin scoring
+    "similarity_topk_ivf_sq8",  # added r6: quantized probed-cell ANN scan
 ]
 
 

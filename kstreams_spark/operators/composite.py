@@ -483,3 +483,144 @@ def composite_curation_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def _curation_classified_sql() -> str:
+    from kstreams_spark.operators.classify import (
+        N_BUCKETS,
+        _bucket_sql_duck,
+        _weight_sql_duck,
+    )
+    from kstreams_spark.operators.decontam import (
+        _EVAL_CTE,
+        DECON_N,
+    )
+    from kstreams_spark.operators.dedup import shingles_sql
+    from kstreams_spark.operators.sampling import LANG_TOKEN_BUDGET
+
+    return f"""
+    WITH w AS (
+      SELECT i::INT AS bucket, {_weight_sql_duck("i")}::BIGINT AS weight
+      FROM generate_series(0, {N_BUCKETS - 1}) t(i)
+    ),
+    tk AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+    ),
+    bk AS (SELECT doc_id, {_bucket_sql_duck("tok")}::INT AS bucket FROM tk),
+    margins AS (
+      SELECT bk.doc_id, SUM(w.weight) AS margin
+      FROM bk JOIN w USING (bucket) GROUP BY bk.doc_id
+    ),
+    quality AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d JOIN margins m USING (doc_id)
+      WHERE m.margin >= 0
+    ),
+    {_EVAL_CTE},
+    ev_sh AS (
+      SELECT doc_id AS eval_id, md5(shingle) AS sh
+      FROM ({shingles_sql(DECON_N, "eval_docs")})
+    ),
+    tr_sh AS (
+      SELECT doc_id, md5(shingle) AS sh
+      FROM ({shingles_sql(DECON_N, "quality")})
+    ),
+    hits AS (
+      SELECT DISTINCT t.doc_id FROM tr_sh t JOIN ev_sh e USING (sh)
+    ),
+    clean AS (
+      SELECT q.doc_id, q.lang,
+             len(str_split(q.text, ' '))::BIGINT AS n_tokens, q.text
+      FROM quality q LEFT JOIN hits h USING (doc_id)
+      WHERE h.doc_id IS NULL
+    ),
+    kept AS (
+      SELECT MIN(doc_id) AS doc_id,
+             min_by(lang, doc_id) AS lang,
+             MIN(n_tokens) AS n_tokens
+      FROM clean GROUP BY md5(text)
+    ),
+    running AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum_tokens
+      FROM kept
+    )
+    SELECT lang,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tokens)::BIGINT AS total_tokens
+    FROM running WHERE cum_tokens <= {LANG_TOKEN_BUDGET}
+    GROUP BY lang
+    """
+
+
+@query("composite_curation_classified", oracle=_curation_classified_sql())
+def composite_curation_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone curation chain with the MODEL-BASED stages in the
+    loop — what a production corpus build actually runs (CCNet/RefinedWeb
+    order): linear-classifier quality gate (classify.py, broadcast
+    int-weight model, margin >= 0) → benchmark decontamination drop
+    (decontam.py, 8-gram eval-overlap via broadcast shingle-hash probe)
+    → exact dedup (lowest doc_id per md5(text)) → per-language SHARDED
+    token budget (sampling.py's partitioned window — composites consume
+    the 100 TB form) → per-lang doc/token totals.
+
+    Stage order is the cost-correct one at scale: the map-side classifier
+    gate shrinks the corpus before the shingle stages; dedup precedes
+    budgeting so duplicates can't double-spend. The oracle replays every
+    stage (model synthesis included) in one CTE chain.
+
+    Shuffle budget: classifier per-doc agg (1), corpus shingle scan +
+    broadcast eval probe + per-doc distinct (1), dedup groupBy (1),
+    per-lang window (1), final agg (1). No joins ever carry text except
+    the scan-shaped shingle stream."""
+    from pyspark.sql import Window
+
+    from kstreams_spark.operators.classify import (
+        quality_classifier,
+        synthesized_weights,
+    )
+    from kstreams_spark.operators.decontam import _fixture_eval, decontaminate
+    from kstreams_spark.operators.sampling import LANG_TOKEN_BUDGET
+
+    d = fence(spread(load_table(spark, sf_dir, "documents")))
+    margins = quality_classifier(
+        d.select("doc_id", "text"), synthesized_weights(spark)
+    )
+    quality = d.join(
+        margins.filter(F.col("is_quality") == 1).select("doc_id"), "doc_id"
+    ).select("doc_id", "lang", "text")
+    flagged = (
+        decontaminate(quality.select("doc_id", "text"), _fixture_eval(d))
+        .select("doc_id")
+        .withColumn("hit", F.lit(1))
+    )
+    clean = (
+        quality.join(F.broadcast(flagged), "doc_id", "left")
+        .filter(F.col("hit").isNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            "text",
+        )
+    )
+    kept = clean.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.expr("min_by(lang, doc_id)").alias("lang"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sampled = kept.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
+        F.col("cum_tokens") <= LANG_TOKEN_BUDGET
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
