@@ -74,6 +74,13 @@ def pack_sequences(
         "n",
         F.coalesce(F.sum("n").over(w), F.lit(0)).alias("off"),
     )
+    return manifest_from_offsets(off, ctx_len)
+
+
+def manifest_from_offsets(off: DataFrame, ctx_len: int = CTX_LEN) -> DataFrame:
+    """(shard, doc_id, n, off) → manifest rows. Shared by the batch
+    packer above and the streaming packer (streaming/packing.py), which
+    injects per-shard BASE offsets carried across microbatches."""
     spans = off.select(
         "shard",
         "doc_id",
