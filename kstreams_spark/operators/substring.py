@@ -258,3 +258,77 @@ def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("long").alias("n_kept_tokens"),
     )
+
+
+@query(
+    "dedup_source_overlap",
+    oracle=f"""
+    WITH l AS (SELECT source, str_split(text, ' ') AS l FROM documents),
+    ps AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(l[i:i+{SPAN_N - 1}], ' ')) AS sh
+      FROM (SELECT source, l,
+                   unnest(generate_series(1, len(l) - {SPAN_N - 1})) AS i
+            FROM l WHERE len(l) >= {SPAN_N})
+    ),
+    sizes AS (SELECT source, COUNT(*)::BIGINT AS n_sh FROM ps GROUP BY source)
+    SELECT a.source AS source1, b.source AS source2,
+           COUNT(*)::BIGINT AS n_shared,
+           MIN(s1.n_sh) AS n_sh1, MIN(s2.n_sh) AS n_sh2
+    FROM ps a
+    JOIN ps b ON a.sh = b.sh AND a.source < b.source
+    JOIN sizes s1 ON s1.source = a.source
+    JOIN sizes s2 ON s2.source = b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication audit — the provenance report a corpus
+    build runs before mixing sources (how much of source B is already in
+    source A, e.g. a web crawl re-serving an encyclopedia): for every
+    source pair, the number of DISTINCT {SPAN_N}-token windows both
+    contain, with each side's distinct-window total so downstream can
+    compute containment ratios. Exact-doc dedup misses this entirely
+    when overlap is partial (the fixture has zero cross-source exact
+    dups but 22 overlapping source pairs at window grain).
+
+    Plan: per-source distinct shingles (reuses `dedup._shingles` with
+    source standing in the doc_id slot) → self equi-join on the 16-byte
+    window hash → per-pair count. Shuffle budget: the per-source
+    distinct (1) + the hash join (1) + pair agg; per-hash source lists
+    are bounded by the source count (dozens), so the join never
+    explodes. At 100 TB sources are a low-cardinality column — the
+    output is a #sources² report, driver-tiny."""
+    from kstreams_spark.operators.dedup import _shingles
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    ps = _shingles(
+        d.select(F.col("source").alias("doc_id"), "text"), SPAN_N
+    ).select(F.col("doc_id").alias("source"), F.md5("shingle").alias("sh"))
+    sizes = ps.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    a = ps.alias("a")
+    b = ps.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("source1"), F.col("b.source").alias("source2")
+    )
+    return (
+        pairs.groupBy("source1", "source2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "source1")
+                        .withColumnRenamed("n_sh", "n_sh1")),
+            "source1",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "source2")
+                        .withColumnRenamed("n_sh", "n_sh2")),
+            "source2",
+        )
+        .select("source1", "source2", "n_shared", "n_sh1", "n_sh2")
+    )

@@ -479,3 +479,111 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("rnk").alias("max_rank"),
         )
     )
+
+
+# --- Gopher rule set (the non-repetition gates) ---------------------------
+# Rahimi-style published thresholds: word count in [50, 100k], mean word
+# length in [3, 10], symbol-to-word ratio <= 0.1 (#/ellipsis), >= 80% of
+# words contain an alphabetic character. All gates are integer
+# cross-multiplications — no float ratios anywhere, so the oracle
+# hash-matches trivially and thresholds can't drift between engines.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN_LO = 3
+GOPHER_MEAN_LEN_HI = 10
+GOPHER_SYMBOL_DEN = 10  # n_symbol * 10 <= n_tokens  (ratio <= 0.1)
+GOPHER_ALPHA_NUM = 8  # n_alpha * 10 >= 8 * n_tokens (>= 80%)
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, str_split(text, ' ') AS toks,
+             len(str_split(text, ' '))::BIGINT AS n,
+             (length(text) - (len(str_split(text, ' ')) - 1))::BIGINT
+               AS total_chars
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n, total_chars,
+             len(list_filter(toks,
+                 x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT AS n_alpha,
+             len(list_filter(toks,
+                 x -> instr(x, '#') > 0 OR instr(x, '...') > 0))::BIGINT
+               AS n_symbol
+      FROM t
+    )
+    SELECT doc_id, n AS n_tokens, total_chars, n_alpha, n_symbol,
+      (CASE WHEN n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}
+            THEN 1 ELSE 0 END)::BIGINT AS ok_word_count,
+      (CASE WHEN total_chars >= {GOPHER_MEAN_LEN_LO} * n
+             AND total_chars <= {GOPHER_MEAN_LEN_HI} * n
+            THEN 1 ELSE 0 END)::BIGINT AS ok_mean_word_len,
+      (CASE WHEN n_symbol * {GOPHER_SYMBOL_DEN} <= n
+            THEN 1 ELSE 0 END)::BIGINT AS ok_symbol_ratio,
+      (CASE WHEN n_alpha * 10 >= {GOPHER_ALPHA_NUM} * n
+            THEN 1 ELSE 0 END)::BIGINT AS ok_alpha_words,
+      (CASE WHEN n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}
+             AND total_chars >= {GOPHER_MEAN_LEN_LO} * n
+             AND total_chars <= {GOPHER_MEAN_LEN_HI} * n
+             AND n_symbol * {GOPHER_SYMBOL_DEN} <= n
+             AND n_alpha * 10 >= {GOPHER_ALPHA_NUM} * n
+            THEN 1 ELSE 0 END)::BIGINT AS gopher_pass
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality gates text_quality_score doesn't carry: word
+    count [{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}], mean word length
+    [{GOPHER_MEAN_LEN_LO}, {GOPHER_MEAN_LEN_HI}] (via total_chars =
+    length(text) - spaces, so no per-token length pass), symbol-to-word
+    ratio (tokens containing '#' or '...'), and alphabetic-word fraction
+    (>= 80% of tokens contain [a-zA-Z] — the gate that kills lorem/digit
+    junk). Scan-shaped: one projection, higher-order filters, no shuffle,
+    no Python. Composes with the repetition gates exactly as in
+    composite_curation_pipeline."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("long")
+    t = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        n.alias("n"),
+        (F.length("text") - (n - 1)).cast("long").alias("total_chars"),
+    )
+    m = t.select(
+        "doc_id",
+        "n",
+        "total_chars",
+        F.size(
+            F.expr("filter(toks, x -> x rlike '[a-zA-Z]')")
+        ).cast("long").alias("n_alpha"),
+        F.size(
+            F.expr(
+                "filter(toks, x -> instr(x, '#') > 0 OR instr(x, '...') > 0)"
+            )
+        ).cast("long").alias("n_symbol"),
+    )
+    ok_wc = (F.col("n") >= GOPHER_MIN_WORDS) & (F.col("n") <= GOPHER_MAX_WORDS)
+    ok_len = (F.col("total_chars") >= GOPHER_MEAN_LEN_LO * F.col("n")) & (
+        F.col("total_chars") <= GOPHER_MEAN_LEN_HI * F.col("n")
+    )
+    ok_sym = F.col("n_symbol") * GOPHER_SYMBOL_DEN <= F.col("n")
+    ok_alpha = F.col("n_alpha") * 10 >= GOPHER_ALPHA_NUM * F.col("n")
+
+    def _flag(c):
+        return F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+    return m.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "total_chars",
+        "n_alpha",
+        "n_symbol",
+        _flag(ok_wc).alias("ok_word_count"),
+        _flag(ok_len).alias("ok_mean_word_len"),
+        _flag(ok_sym).alias("ok_symbol_ratio"),
+        _flag(ok_alpha).alias("ok_alpha_words"),
+        _flag(ok_wc & ok_len & ok_sym & ok_alpha).alias("gopher_pass"),
+    )
