@@ -80,7 +80,7 @@ def sq8_params(emb: DataFrame) -> DataFrame:
         .cast("long")
         .alias("b"),
     )
-    return enriched.agg(
+    one_row = enriched.agg(
         F.array_sort(
             F.collect_list(F.struct("idx", "mn", "mx", "a", "b"))
         ).alias("s")
@@ -90,6 +90,10 @@ def sq8_params(emb: DataFrame) -> DataFrame:
             " x.a AS a, x.b AS b))"
         ).alias("params")
     )
+    # materialize the one-row fit ONCE: every consumer (codes, query
+    # pre-zip, probes) cross-joins it, and without this the whole
+    # stats-scan subtree replans per consumer — 2-3 extra corpus scans
+    return one_row.localCheckpoint(eager=True)
 
 
 def _quant(x, r):

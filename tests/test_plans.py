@@ -186,3 +186,59 @@ def test_curation_neardup_no_cartesian(plan_spark, sf_dir):
     plan = physical_plan(q("composite_curation_neardup", plan_spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_classifier_model_join_broadcasts(plan_spark, sf_dir):
+    """text_quality_classifier: the (bucket, weight) model must ride a
+    BroadcastHashJoin — the token stream never shuffles to meet the
+    model; the only Exchange is the per-doc margin agg."""
+    df = q("text_quality_classifier", plan_spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies), (
+        strategies
+    )
+
+
+def test_substring_spans_no_cartesian_and_partial_agg(plan_spark, sf_dir):
+    """dedup_substring_spans: duplicated-window detection must be the
+    partial-aggregating groupBy(sh) (count+min shuffle one row per
+    DISTINCT shingle), joined back by key — never a window over the full
+    positional stream, never a cartesian."""
+    plan = physical_plan(q("dedup_substring_spans", plan_spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_min" in plan or "partial_count" in plan, plan
+    assert "windowspecdefinition(sh" not in plan, (
+        "duplicate detection regressed to a window over all occurrences"
+    )
+
+
+def test_sq8_scan_joins_are_broadcast(plan_spark, sf_dir):
+    """similarity_topk_sq8: quantizer params and the query codes must
+    broadcast — the candidate scan is one pass, the only Exchange is the
+    top-k window."""
+    df = q("similarity_topk_sq8", plan_spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # all BNLJs are broadcast one-row params / tiny query-codes joins:
+    # corpus×params, queries×params, prezip×params, candidates×queries
+    assert plan.count("BroadcastNestedLoopJoin") <= 4, plan
+    assert count_exchanges(df) <= 2, physical_plan(df)
+
+
+def test_sequence_pack_single_shuffle(plan_spark, sf_dir):
+    """sample_sequence_pack: one partitioned window (the per-shard
+    offsets) is the ONLY shuffle — the span explode is scan-shaped."""
+    n = count_exchanges(q("sample_sequence_pack", plan_spark, sf_dir))
+    assert n == 1, n
+
+
+def test_chunk_windows_zero_shuffle(plan_spark, sf_dir):
+    """text_chunk_windows is explode-only: no Exchange at all."""
+    n = count_exchanges(q("text_chunk_windows", plan_spark, sf_dir))
+    assert n == 0, n
+
+
+def test_gopher_rules_zero_shuffle(plan_spark, sf_dir):
+    """text_gopher_rules is one scan-shaped projection: no Exchange."""
+    n = count_exchanges(q("text_gopher_rules", plan_spark, sf_dir))
+    assert n == 0, n
