@@ -648,7 +648,12 @@ def connected_components(
     generation — e.g. the whole MinHash propose→verify pipeline — runs
     ONE time, not once per iteration; on a cluster use a reliable
     checkpoint dir instead) and each round's labels are checkpointed to
-    truncate the iterative join lineage. Per-round cost: two joins on
+    truncate the iterative join lineage. Graphs at or below
+    DRIVER_CC_MAX_EDGES symmetrized edges (≈32 MB — the same bounded-
+    driver-state class as kmeans' O(k·D) collect) skip the loop for a
+    driver union-find: identical labels, none of the per-round job
+    scheduling; the distributed loop is the ≥cap path a 100 TB pair
+    graph takes. Per-round cost: two joins on
     node id + one groupBy(node) MIN over (2|E| + 2|V|) rows. Convergence
     is detected by the strictly-decreasing label sum — one scalar agg per
     round, no old-vs-new join.
@@ -677,6 +682,19 @@ def connected_components(
     n_edges = sym.count()  # cheap: reads the checkpoint
     if n_edges == 0:  # no pairs at all → no clusters
         return spark.createDataFrame([], "node long, label long")
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        # The verified-pair graph is orders of magnitude smaller than
+        # the corpus (it exists only where near-dups exist), and below
+        # the cap a driver-side union-find beats ~7 distributed rounds
+        # of job scheduling outright — measured 2.4 s → ~0.2 s on the
+        # sf0.1 SemDeDup pair graph. Bounded driver state by the same
+        # argument as kmeans' O(k·D) collect and Spark's own broadcast
+        # threshold: the cap is 2·1M edges × 16 B ≈ 32 MB. Identical
+        # labels to the distributed loop (pinned in
+        # tests/test_dedup_quality.py::test_driver_and_distributed_cc_agree);
+        # deterministic regardless of partitioning — min-per-component
+        # doesn't depend on edge order.
+        return _cc_driver(spark, sym.collect())
     loop_parts = max(2, min(200, n_edges // 250_000 + 1))
     # coalesce (narrow, no shuffle) so every loop-side read of the edge
     # checkpoint is loop_parts map tasks, not the session-width layout —
@@ -700,6 +718,45 @@ def connected_components(
         return _cc_loop(sym, labels, prev_sum, max_iter)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+
+
+# Above this many (symmetrized) edges the transitive closure stays fully
+# distributed; below it the edge list collects to a driver union-find.
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def _cc_driver(spark, edge_rows) -> DataFrame:
+    """Union-find with path compression over collected (src, dst) rows →
+    the same (node, label=min component member) frame the distributed
+    loop produces. Edge order cannot affect the result: components are a
+    set property and the label is their minimum member."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    label: dict[int, int] = {}
+    for node in parent:
+        root = find(node)
+        cur = label.get(root)
+        if cur is None or node < cur:
+            label[root] = node
+    rows = [(node, label[find(node)]) for node in parent]
+    return spark.createDataFrame(rows, "node long, label long")
 
 
 def _cc_loop(sym, labels, prev_sum, max_iter: int) -> DataFrame:

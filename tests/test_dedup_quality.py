@@ -541,13 +541,16 @@ def test_cluster_resolution_transitive_chain(spark):
     assert {d for d, r in out.items() if r.is_kept} == {1, 20}
 
 
-def test_cluster_resolution_long_path_pointer_jumping(spark):
+def test_cluster_resolution_long_path_pointer_jumping(spark, monkeypatch):
     """A 200-node path graph (diameter 199): neighbor-only min-label
     propagation needs ~199 rounds; with the pointer-jumping shortcut the
     fixpoint must arrive within max_iter=12 ≈ log2(199) + slack. This
-    pins the O(log diameter) convergence claim, not just correctness."""
+    pins the O(log diameter) convergence claim, not just correctness.
+    (Driver fallback disabled so the DISTRIBUTED loop is what converges.)"""
+    from kstreams_spark.operators import dedup
     from kstreams_spark.operators.dedup import resolve_clusters
 
+    monkeypatch.setattr(dedup, "DRIVER_CC_MAX_EDGES", 0)
     n = 200
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_id1 long, doc_id2 long"
@@ -555,6 +558,32 @@ def test_cluster_resolution_long_path_pointer_jumping(spark):
     rows = resolve_clusters(pairs, max_iter=12).collect()
     assert len(rows) == n
     assert all(r.keep_id == 0 and r.n_members == n for r in rows)
+
+
+def test_driver_and_distributed_cc_agree(spark, monkeypatch):
+    """The small-graph driver union-find and the distributed min-label
+    loop must produce IDENTICAL (node, label) sets on the same graph —
+    the contract that makes the DRIVER_CC_MAX_EDGES dispatch invisible
+    to every consumer."""
+    import random
+
+    from kstreams_spark.operators import dedup
+
+    rng = random.Random(7)
+    edges = {(rng.randrange(300), rng.randrange(300)) for _ in range(250)}
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "doc_id1 long, doc_id2 long"
+    )
+    via_driver = {
+        (r.node, r.label)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    monkeypatch.setattr(dedup, "DRIVER_CC_MAX_EDGES", 0)
+    via_loop = {
+        (r.node, r.label)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert via_driver == via_loop and via_driver
 
 
 def test_cluster_resolution_empty_pairs(spark):
@@ -565,16 +594,19 @@ def test_cluster_resolution_empty_pairs(spark):
     assert resolve_clusters(pairs).count() == 0
 
 
-def test_cluster_resolution_restores_shuffle_conf(spark):
+def test_cluster_resolution_restores_shuffle_conf(spark, monkeypatch):
     """connected_components scopes spark.sql.shuffle.partitions to its
     loop (sized from the edge count) and must restore the session value
     on BOTH exits — normal convergence and the non-convergence raise —
     or it would silently rewrite the hosting session's parallelism (the
-    grading driver's session included)."""
+    grading driver's session included). (Driver fallback disabled: the
+    conf scoping exists only on the distributed path.)"""
     import pytest
 
+    from kstreams_spark.operators import dedup
     from kstreams_spark.operators.dedup import connected_components
 
+    monkeypatch.setattr(dedup, "DRIVER_CC_MAX_EDGES", 0)
     key = "spark.sql.shuffle.partitions"
     saved = spark.conf.get(key)
     try:
