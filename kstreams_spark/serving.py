@@ -218,3 +218,105 @@ def probe_ivf_index(
         ),
     )
     return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(k)
+
+
+# --- quantized IVF serving (IVF + SQ8, operators/quantize.py made physical)
+
+
+def write_ivf_sq8_index(
+    emb: DataFrame, path: str, centroids: list[list[float]]
+) -> None:
+    """Persist the CODES-ONLY quantized index: (vec_id, q) partitioned by
+    IVF cell, plus the fitted quantizer params as a one-row sidecar at
+    `<path>/_params`. A probe reads n_probe cells of 1-byte-scale codes —
+    the 4× IO cut of operators/quantize.py made physical; the float
+    re-ranker (when wanted) fetches survivors by id from the base table,
+    never from this index."""
+    from kstreams_spark.operators.kmeans import kmeans_assign
+    from kstreams_spark.operators.quantize import sq8_params, sq8_quantize
+
+    params = sq8_params(emb)
+    params.write.mode("overwrite").parquet(path + "/_params")
+    codes = sq8_quantize(emb, params)
+    assigned = kmeans_assign(emb, centroids).select("vec_id", "cen_id")
+    codes.join(assigned, "vec_id").write.mode("overwrite").partitionBy(
+        "cen_id"
+    ).parquet(path + "/cells")
+
+
+def load_sq8_params(spark: SparkSession, path: str) -> list[dict]:
+    """The fitted per-dim quantizer (mn, mx, a, b) as driver-side dicts."""
+    row = spark.read.parquet(path + "/_params").first()
+    return [r.asDict() for r in row.params]
+
+
+def quantize_query(vec: list[float], params: list[dict]) -> list[int]:
+    """Driver-side twin of operators/quantize._quant for ONE vector:
+    Python floats ARE IEEE doubles, and the expression order matches the
+    engine's — ((v - mn) * 255.0) / (mx - mn), then floor — so a stored
+    vector's driver-computed code equals its indexed code bit-for-bit
+    (pinned in tests/test_serving_sq8.py)."""
+    out = []
+    for v, p in zip(vec, params):
+        if p["mx"] == p["mn"]:
+            out.append(0)
+        else:
+            lvl = math.floor(((float(v) - p["mn"]) * 255.0) / (p["mx"] - p["mn"]))
+            out.append(max(0, min(255, int(lvl))))
+    return out
+
+
+def probe_ivf_sq8_index(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Top-k by the reconstructed-dot integer score, reading ONLY the
+    query's n_probe nearest cells' codes. Returns (vec_id, score_q)
+    ordered by score desc with vec_id tie-break."""
+    params = load_sq8_params(spark, path)
+    qq = quantize_query(query_vec, params)
+    dots = [
+        (
+            cid,
+            sum(
+                _round_half_away(float(v) * float(c) * FX)
+                for v, c in zip(query_vec, cen)
+            ),
+        )
+        for cid, cen in enumerate(centroids)
+    ]
+    cells = [
+        cid for cid, _ in sorted(dots, key=lambda t: (-t[1], t[0]))[:n_probe]
+    ]
+    # pre-fold the query side: per-dim struct(a·q1 +, b·q1) so the scan's
+    # lambda is one zip_with over (query-side struct, stored code)
+    qz = F.array(
+        *[
+            F.struct(
+                F.lit(int(p["a"])).alias("a"),
+                F.lit(int(p["a"]) * q).alias("aq"),
+                F.lit(int(p["b"]) * q).alias("bq"),
+            )
+            for q, p in zip(qq, params)
+        ]
+    )
+    postings = spark.read.parquet(path + "/cells").filter(
+        F.col("cen_id").isin(cells)
+    )
+    scored = postings.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                qz,
+                F.col("q"),
+                lambda z, c: z["aq"] + (z["a"] + z["bq"]) * c,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score_q"),
+    )
+    return scored.orderBy(F.col("score_q").desc(), "vec_id").limit(k)
