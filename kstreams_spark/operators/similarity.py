@@ -1274,3 +1274,179 @@ def composite_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("is_drop").alias("n_dropped"),
         (F.count(F.lit(1)) - F.count("is_drop")).alias("n_kept"),
     )
+
+
+# --- label-aware neighbor ops (contrastive-training data prep) ------------
+# The embeddings fixture carries a `label` column; these two queries are
+# the standard uses a training pipeline has for it: mining hard negatives
+# for contrastive losses (nearest vectors of a DIFFERENT class) and
+# scoring embedding quality by kNN label agreement.
+
+
+@query(
+    "similarity_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlab,
+             generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS cid, label AS clab,
+             generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS cv
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT q.qid, c.cid,
+             SUM(CAST(round(q.qv * c.cv * {FX}.0) AS BIGINT)) AS dot_fx
+      FROM q JOIN c ON q.idx = c.idx AND q.qlab <> c.clab
+      GROUP BY q.qid, c.cid
+    ),
+    norms AS ({_NORMS_SQL}),
+    cos AS ({_COS_SQL})
+    {_RANK_SQL}
+    """,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per query (vec_id < {N_QUERIES}), the top-10
+    most-similar vectors of a DIFFERENT label — the contrastive-training
+    negatives that actually move the loss. Same broadcast-queries ×
+    candidate scan as brute force; the label inequality filters BEFORE
+    the dot product is computed, so excluded same-class pairs cost
+    nothing. At scale this composes with the ANN index exactly like
+    top-k does (probe, filter label, re-rank)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlab"),
+        F.col("embedding").alias("q_emb"),
+        _fx_norm2("embedding").alias("nq2"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clab"),
+        F.col("embedding").alias("c_emb"),
+        _fx_norm2("embedding").alias("nc2"),
+    )
+    cos = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("clab") != F.col("qlab"))
+        .select(
+            "qid",
+            "cid",
+            _cosine(
+                _fx_dot("c_emb", "q_emb"), F.col("nq2"), F.col("nc2")
+            ).alias("cosine"),
+        )
+    )
+    return _rank_topk(cos)
+
+
+KNN_K = 10
+
+
+@query(
+    "similarity_knn_label_vote",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS cv
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT q.qid, c.cid,
+             SUM(CAST(round(q.qv * c.cv * {FX}.0) AS BIGINT)) AS dot_fx
+      FROM q JOIN c ON q.idx = c.idx AND q.qid <> c.cid
+      GROUP BY q.qid, c.cid
+    ),
+    norms AS ({_NORMS_SQL}),
+    cos AS ({_COS_SQL}),
+    topk AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, cid) AS rank
+        FROM cos
+      ) WHERE rank <= {KNN_K}
+    ),
+    votes AS (
+      SELECT t.qid, e.label, COUNT(*) AS cnt
+      FROM topk t JOIN embeddings e ON e.vec_id = t.cid
+      GROUP BY t.qid, e.label
+    ),
+    winner AS (
+      SELECT qid, label AS predicted_label, cnt AS n_votes FROM (
+        SELECT qid, label, cnt,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cnt DESC, label) AS rk
+        FROM votes
+      ) WHERE rk = 1
+    )
+    SELECT w.qid, e.label AS true_label, w.predicted_label,
+           w.n_votes::BIGINT AS n_votes,
+           (CASE WHEN w.predicted_label = e.label THEN 1 ELSE 0 END)::BIGINT
+             AS is_correct
+    FROM winner w JOIN embeddings e ON e.vec_id = w.qid
+    """,
+)
+def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality probe: each query's label predicted by majority
+    vote of its {KNN_K} nearest neighbors (self excluded), ties to the
+    lowest label — the standard kNN sanity metric a pipeline runs after
+    (re)embedding a corpus. Exact top-k; the vote is one extra tiny agg
+    + max_by on Q rows."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+        _fx_norm2("embedding").alias("nq2"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clab"),
+        F.col("embedding").alias("c_emb"),
+        _fx_norm2("embedding").alias("nc2"),
+    )
+    cos = (
+        c.crossJoin(F.broadcast(q.drop("true_label")))
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            "clab",
+            _cosine(
+                _fx_dot("c_emb", "q_emb"), F.col("nq2"), F.col("nc2")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    topk = cos.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= KNN_K
+    )
+    votes = topk.groupBy("qid", "clab").agg(F.count(F.lit(1)).alias("cnt"))
+    winner = votes.groupBy("qid").agg(
+        F.expr(
+            "max_by(clab, named_struct('c', cnt, 't', -clab))"
+        ).alias("predicted_label"),
+        F.max("cnt").cast("long").alias("n_votes"),
+    )
+    return winner.join(
+        q.select("qid", "true_label"), "qid"
+    ).select(
+        "qid",
+        "true_label",
+        "predicted_label",
+        "n_votes",
+        F.when(F.col("predicted_label") == F.col("true_label"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_correct"),
+    )

@@ -116,3 +116,14 @@ def test_ivf_sq8_candidates_come_from_probed_cells_only(spark):
     full = {(r.qid, r.cid) for r in sq8_topk(emb).collect()}
     ivf = {(r.qid, r.cid) for r in out}
     assert len(full & ivf) / len(full) >= 0.8
+
+
+def test_hard_negatives_exclude_query_label(spark):
+    from kstreams_spark.operators.similarity import (
+        similarity_hard_negatives,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in similarity_hard_negatives(spark, SF).collect():
+        assert labels[r.cid] != labels[r.qid], (r.qid, r.cid)
