@@ -113,3 +113,22 @@ def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFr
         .option("pathGlobFilter", glob)
         .load(path)
     )
+
+
+def write_curated_lake(
+    curated: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("split", "lang"),
+) -> None:
+    """Publish a curated corpus in the layout a training run reads it:
+    PARTITIONED BY (split, lang) — so a dataloader pulling
+    (train, 'en') prunes every other directory at the file listing, and
+    per-language token accounting is a partition-scoped scan. Pair with
+    sortWithinPartitions on a stable key before calling for
+    reproducible file contents.
+
+    At 100 TB partition columns must stay low-cardinality
+    (split × lang ≈ dozens of dirs); high-cardinality affinity
+    (doc-hash locality) belongs in bucketing (`write_bucketed`) or
+    file-level sorting, never the directory tree."""
+    curated.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

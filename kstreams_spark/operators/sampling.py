@@ -268,3 +268,86 @@ def sample_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_total").alias("n_total"),
         F.count(F.lit(1)).alias("n_kept"),
     )
+
+
+# Deterministic fixture weights for the weighted-mix query: integer
+# "parts" in 1..4 derived from md5('mix' || source) — the model-loader
+# seam pattern (classify.py): real usage passes any (source, weight)
+# DataFrame; the fixture synthesizes one the oracle can rebuild.
+_WT_SQL_SPARK = (
+    "1 + (instr('0123456789abcdef',"
+    " substr(md5(concat('mix', source)), 1, 1)) - 1) % 4"
+)
+_WT_SQL_DUCK = (
+    "1 + (instr('0123456789abcdef',"
+    " substr(md5('mix' || source), 1, 1)) - 1) % 4"
+)
+
+
+@query(
+    "sample_source_weighted",
+    oracle=f"""
+    WITH c AS (SELECT source, COUNT(*) AS n_total FROM documents
+               GROUP BY source),
+    cw AS (SELECT source, n_total, ({_WT_SQL_DUCK})::BIGINT AS wt FROM c),
+    m AS (SELECT n_total AS n_m, wt AS w_m FROM cw
+          ORDER BY CAST(n_total AS DOUBLE) / wt, source LIMIT 1),
+    b AS (
+      SELECT doc_id, source,
+             {{bucket}} AS bucket
+      FROM documents
+    )
+    SELECT b.source,
+           MAX(cw.n_total)::BIGINT AS n_total,
+           MAX(cw.wt)::BIGINT AS weight,
+           COUNT(*)::BIGINT AS n_kept
+    FROM b JOIN cw USING (source), m
+    WHERE b.bucket * m.w_m * cw.n_total < 256 * cw.wt * m.n_m
+    GROUP BY b.source
+    """.format(
+        bucket=_BUCKET_SQL.format(key="CAST(doc_id AS VARCHAR)")
+    ),
+)
+def sample_source_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-target source mixing (the DoReMi/Pile domain-weights
+    stage, generalizing sample_source_balance exactly as its docstring
+    prescribes): given integer weight PARTS W_s, the achievable mix
+    without upsampling is set by the binding source m = argmin n_s/W_s;
+    every source keeps rate (W_s·n_m)/(W_m·n_s), i.e. doc accepted iff
+    bucket·W_m·n_s < 256·W_s·n_m — still pure integer arithmetic, no
+    float rates. The binding source itself keeps everything.
+
+    Two tiny broadcast tables (counts, weights) + a scan-speed filter;
+    the argmin row is one ORDER BY ... LIMIT 1 over #sources rows (the
+    double ratio compare is deterministic on both engines; ties break on
+    source)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    cw = counts.withColumn("wt", F.expr(_WT_SQL_SPARK).cast("long"))
+    m = (
+        cw.orderBy(
+            (F.col("n_total").cast("double") / F.col("wt")), "source"
+        )
+        .limit(1)
+        .select(
+            F.col("n_total").alias("n_m"), F.col("wt").alias("w_m")
+        )
+    )
+    b = d.select(
+        "doc_id",
+        "source",
+        _bucket_from(F.col("doc_id").cast("string")).alias("bucket"),
+    )
+    kept = (
+        b.join(F.broadcast(cw), "source")
+        .crossJoin(F.broadcast(m))
+        .filter(
+            F.col("bucket") * F.col("w_m") * F.col("n_total")
+            < 256 * F.col("wt") * F.col("n_m")
+        )
+    )
+    return kept.groupBy("source").agg(
+        F.max("n_total").cast("long").alias("n_total"),
+        F.max("wt").cast("long").alias("weight"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )

@@ -114,6 +114,46 @@ def _dup_starts_sql(n: int) -> str:
 """
 
 
+def coverage_stats(
+    dup: DataFrame, base: DataFrame, n: int = SPAN_N
+) -> DataFrame:
+    """dup = (doc_id, pos) duplicated starts; base = (doc_id, n_tokens)
+    → (doc_id, n_tokens, n_dup_starts, covered_tokens, is_flagged).
+    Overlapping windows merge via the sorted-starts identity
+    covered = Σ min(n, next_start - start) — one lead() window per doc;
+    every base doc gets a row (zeros when clean); is_flagged is the
+    all-integer cross-multiplication covered·FLAG_DEN >= n_tokens.
+    Shared by the batch query below and the streaming ingest-time index
+    (streaming/substring.py)."""
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    cov = dup.select(
+        "doc_id",
+        "pos",
+        F.least(
+            F.lit(n),
+            F.coalesce(F.lead("pos").over(w_doc) - F.col("pos"), F.lit(n)),
+        ).alias("covered"),
+    )
+    per_doc = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_starts"),
+        F.sum("covered").alias("covered_tokens"),
+    )
+    j = base.join(per_doc, "doc_id", "left")
+    covered = F.coalesce(F.col("covered_tokens"), F.lit(0))
+    return j.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_dup_starts"), F.lit(0))
+        .cast("long")
+        .alias("n_dup_starts"),
+        covered.cast("long").alias("covered_tokens"),
+        F.when(covered * FLAG_DEN >= F.col("n_tokens"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_flagged"),
+    )
+
+
 @query(
     "dedup_substring_spans",
     oracle=f"""
@@ -143,48 +183,17 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repeated-span coverage: how many token positions sit
     inside an 8-token window that appears >= 2 times anywhere in the
     corpus (within-doc repeats count — they are the paper's target too).
-    Overlapping windows are merged via the sorted-starts identity
-    covered = Σ min(n, next_start - start), one lead() window per doc.
-    Every doc gets a row (zeros when clean); is_flagged is the all-integer
-    cross-multiplication covered*{FLAG_DEN} >= n_tokens, no float ratio.
+    See coverage_stats for the merge identity and output contract.
 
     Shuffle budget: groupBy(sh) with map-side partial agg + join back on
     sh + one per-doc window/agg. See module docstring for the 100 TB
     skew story."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    dup = duplicated_starts(d, SPAN_N)
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    cov = dup.select(
-        "doc_id",
-        "pos",
-        F.least(
-            F.lit(SPAN_N),
-            F.coalesce(
-                F.lead("pos").over(w_doc) - F.col("pos"), F.lit(SPAN_N)
-            ),
-        ).alias("covered"),
-    )
-    per_doc = cov.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_dup_starts"),
-        F.sum("covered").alias("covered_tokens"),
-    )
+    dup = duplicated_starts(d, SPAN_N).select("doc_id", "pos")
     base = d.select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    j = base.join(per_doc, "doc_id", "left")
-    covered = F.coalesce(F.col("covered_tokens"), F.lit(0))
-    return j.select(
-        "doc_id",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.coalesce(F.col("n_dup_starts"), F.lit(0))
-        .cast("long")
-        .alias("n_dup_starts"),
-        covered.cast("long").alias("covered_tokens"),
-        F.when(covered * FLAG_DEN >= F.col("n_tokens"), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("is_flagged"),
-    )
+    return coverage_stats(dup, base, SPAN_N)
 
 
 @query(
