@@ -155,3 +155,69 @@ def gapfill_daily_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(daily, "day", "left").select(
         "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_orders")
     )
+
+
+MAD_K = 3  # flag |value - median| > K * MAD
+
+
+@query(
+    "events_outlier_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           COUNT(*)::BIGINT AS n_events,
+           SUM(CASE WHEN abs(e.value - m.med) > {MAD_K} * d.mad
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           MIN(m.med) AS med_value,
+           MIN(d.mad) AS mad_value
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on the sensor stream — the adaptive form
+    of the reference's FIXED alert threshold (BME680.java's hard-coded
+    temperature cutoff): per event_type, flag readings more than
+    {MAD_K}×MAD from the median. Median/MAD (not mean/stddev) so the
+    outliers being hunted can't drag the threshold toward themselves.
+
+    Two exact-percentile passes (median, then median absolute
+    deviation) with the per-type statistics broadcast back — the same
+    linear-interpolation percentile both engines share
+    (percentile_exact). At 100 TB swap `approx_quantiles` in for the
+    two exact percentiles (same plan shape, GK sketch instead of sort)
+    and accept its documented layout sensitivity — thresholds don't
+    need bit-exact medians; the oracle gate does."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad")
+    )
+    j = with_med.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("med")) > MAD_K * F.col("mad"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        F.min("med").alias("med_value"),
+        F.min("mad").alias("mad_value"),
+    )
