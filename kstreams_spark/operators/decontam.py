@@ -212,24 +212,17 @@ def _fuzzy_sql() -> str:
     """
 
 
-@query("decontaminate_fuzzy", oracle=_fuzzy_sql())
-def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate contamination: training docs whose 3-gram Jaccard
-    against any eval example reaches FUZZY_THRESHOLD. MinHash bands over
-    the corpus∪eval union propose, the candidate set is cut to CROSS
-    (train, eval) pairs BEFORE the Jaccard verifier runs — train×train
-    band collisions (the dedup signal, not the contamination signal)
-    never reach verification. Output: flagged doc, how many eval
-    examples it near-matches, and the worst overlap. The oracle replays
-    propose→verify over the same union and filters the same cross
-    pairs."""
+def fuzzy_eval_flags(d: DataFrame) -> DataFrame:
+    """The fuzzy-contamination pipeline body (shared by the registered
+    query below and composite_contamination_report): corpus∪eval MinHash
+    propose → cross-pair cut → Jaccard verify → per-doc
+    (n_eval_neardups, max_jaccard)."""
     from kstreams_spark.operators.dedup import (
         minhash_band_pairs,
         minhash_signatures,
         ngram_jaccard_pairs,
     )
 
-    d = spread(load_table(spark, sf_dir, "documents"))
     uni = d.select("doc_id", "text").unionByName(
         _fixture_eval(d).select(
             (F.col("eval_id") + EVAL_ID_OFFSET).alias("doc_id"), "text"
@@ -245,4 +238,95 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("doc_id1").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_eval_neardups"),
         F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+@query("decontaminate_fuzzy", oracle=_fuzzy_sql())
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate contamination: training docs whose 3-gram Jaccard
+    against any eval example reaches FUZZY_THRESHOLD. MinHash bands over
+    the corpus∪eval union propose, the candidate set is cut to CROSS
+    (train, eval) pairs BEFORE the Jaccard verifier runs — train×train
+    band collisions (the dedup signal, not the contamination signal)
+    never reach verification. Output: flagged doc, how many eval
+    examples it near-matches, and the worst overlap. The oracle replays
+    propose→verify over the same union and filters the same cross
+    pairs."""
+    return fuzzy_eval_flags(spread(load_table(spark, sf_dir, "documents")))
+
+
+def _report_sql() -> str:
+    from kstreams_spark.operators.dedup import _minhash_verified_cte
+
+    return f"""
+    WITH {_decontam_hits_sql()},
+    exact AS (
+      SELECT doc_id, COUNT(DISTINCT sh) AS n_hit_ngrams
+      FROM hits GROUP BY doc_id
+    ),
+    uni AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT {EVAL_ID_OFFSET} + doc_id AS doc_id,
+             array_to_string(str_split(text, ' ')[1:{EVAL_TOKENS}], ' ') AS text
+      FROM documents WHERE doc_id % {EVAL_MOD} = {EVAL_REM}
+    ),
+    {_minhash_verified_cte("uni", FUZZY_THRESHOLD)},
+    fuzzy AS (
+      SELECT doc_id1 AS doc_id,
+             COUNT(*) AS n_eval_neardups,
+             MAX(jaccard) AS max_jaccard
+      FROM ver
+      WHERE doc_id1 < {EVAL_ID_OFFSET} AND doc_id2 >= {EVAL_ID_OFFSET}
+      GROUP BY doc_id1
+    )
+    SELECT COALESCE(e.doc_id, f.doc_id) AS doc_id,
+           COALESCE(e.n_hit_ngrams, 0)::BIGINT AS n_hit_ngrams,
+           COALESCE(f.n_eval_neardups, 0)::BIGINT AS n_eval_neardups,
+           f.max_jaccard AS max_jaccard,
+           (CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS flagged_exact,
+           (CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS flagged_fuzzy
+    FROM exact e FULL JOIN fuzzy f ON e.doc_id = f.doc_id
+    """
+
+
+@query("composite_contamination_report", oracle=_report_sql())
+def composite_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit table a lab reviews before a training run: one row per
+    doc flagged by EITHER decontamination signal — exact 8-gram overlap
+    (n_hit_ngrams) and/or fuzzy near-duplication (n_eval_neardups,
+    max_jaccard) — with per-signal flags, full-outer joined so each
+    signal's misses are visible against the other's hits. Reuses both
+    registered pipelines wholesale; the only new work is the tiny
+    full-outer join of the two flag sets."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    exact = (
+        decontaminate(d, _fixture_eval(d))
+        .select("doc_id", "n_hit_ngrams")
+    )
+    fuzzy = fuzzy_eval_flags(d)
+    j = exact.alias("e").join(
+        fuzzy.alias("f"),
+        F.col("e.doc_id") == F.col("f.doc_id"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("e.doc_id"), F.col("f.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("e.n_hit_ngrams"), F.lit(0))
+        .cast("long")
+        .alias("n_hit_ngrams"),
+        F.coalesce(F.col("f.n_eval_neardups"), F.lit(0))
+        .cast("long")
+        .alias("n_eval_neardups"),
+        F.col("f.max_jaccard").alias("max_jaccard"),
+        F.when(F.col("e.doc_id").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("flagged_exact"),
+        F.when(F.col("f.doc_id").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("flagged_fuzzy"),
     )
