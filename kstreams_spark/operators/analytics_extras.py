@@ -221,3 +221,114 @@ def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("med").alias("med_value"),
         F.min("mad").alias("mad_value"),
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+      FROM events
+    ),
+    first_week AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, u.week) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT u.user_id)::BIGINT AS n_users
+    FROM uw u JOIN first_week f USING (user_id)
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts — the product-analytics staple: users
+    grouped by their first-activity week, counted in every later week
+    they return. Offsets divide exactly (weeks align on Monday on both
+    engines), so the arithmetic stays integral.
+
+    Shuffle budget: the distinct (1) + per-user min (1, co-partitioned)
+    + final 2-key agg. At 100 TB the distinct is the cost — pre-bucket
+    the events lake by user_id and both user-keyed stages co-locate."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    j = uw.join(first, "user_id")
+    return j.groupBy(
+        "cohort_week",
+        (F.datediff("week", "cohort_week") / 7)
+        .cast("long")
+        .alias("week_offset"),
+    ).agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1)::BIGINT AS n_view,
+           (SELECT COUNT(*) FROM s2)::BIGINT AS n_view_click,
+           (SELECT COUNT(*) FROM s3)::BIGINT AS n_view_click_purchase
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel (view → click → purchase, each step strictly
+    AFTER the previous step's first completion): per-user sequential
+    first-completion times via two user-keyed join+min stages, then one
+    global count per stage. Min-based throughout — deterministic under
+    any partitioning. At 100 TB each stage is a user-keyed equi-join
+    over shrinking survivor sets (the funnel property does the
+    pruning)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+        .crossJoin(
+            s2.agg(F.count(F.lit(1)).cast("long").alias("n_view_click"))
+        )
+        .crossJoin(
+            s3.agg(
+                F.count(F.lit(1))
+                .cast("long")
+                .alias("n_view_click_purchase")
+            )
+        )
+    )
