@@ -624,3 +624,129 @@ def composite_curation_classified(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+def _curation_manifest_sql() -> str:
+    from kstreams_spark.operators.packing import CTX_LEN
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, str_split(text, ' ') AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, text,
+             0.4 * (CASE WHEN len(toks) > 100 THEN 1.0
+                         ELSE CAST(len(toks) AS DOUBLE) / 100 END)
+           + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.3 * (CASE WHEN list_contains(toks, 'the')
+                          OR list_contains(toks, 'a')
+                         THEN 1.0 ELSE 0.0 END) AS quality,
+             {_DUCK_DUP2} AS dup2
+      FROM t
+    ),
+    filtered AS (SELECT * FROM scored
+                 WHERE quality >= 0.5 AND dup2 <= {DUP2_GATE}),
+    kept AS (
+      SELECT MIN(doc_id) AS doc_id,
+             min_by(lang, doc_id) AS lang,
+             min_by(text, doc_id) AS text
+      FROM filtered GROUP BY md5(text)
+    ),
+    splits AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN bucket < 204 THEN 'train'
+                  WHEN bucket < 230 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM (SELECT *,
+              (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+              AS bucket
+            FROM kept)
+    ),
+    toks2 AS (
+      SELECT split || '/' || lang AS shard, doc_id,
+             len(str_split(text, ' '))::BIGINT AS n,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM splits
+    ),
+    offs AS (
+      SELECT shard, doc_id, n,
+             COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0) AS off
+      FROM toks2
+    ),
+    spans AS (
+      SELECT shard, doc_id, n, off,
+             unnest(generate_series(
+               CAST(floor(off / {CTX_LEN}.0) AS BIGINT),
+               CAST(floor((off + n - 1) / {CTX_LEN}.0) AS BIGINT)
+             )) AS chunk_id
+      FROM offs
+    )
+    SELECT shard, chunk_id, doc_id,
+           GREATEST(off, chunk_id * {CTX_LEN}) - off AS doc_off,
+           GREATEST(off, chunk_id * {CTX_LEN}) - chunk_id * {CTX_LEN}
+             AS chunk_off,
+           LEAST(off + n, chunk_id * {CTX_LEN} + {CTX_LEN})
+             - GREATEST(off, chunk_id * {CTX_LEN}) AS n_span
+    FROM spans
+    """
+
+
+@query("composite_curation_manifest", oracle=_curation_manifest_sql())
+def composite_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From raw corpus to DATALOADER MANIFEST in one plan — the artifact
+    a training run actually mounts: quality + repetition gates → exact
+    dedup (winner per md5(text)) → hash-stable split assignment →
+    concat-and-chunk sequence packing per (split, lang) shard
+    (operators/packing.py, CTX_LEN tokens per training sequence). Row =
+    one doc span in one training sequence of one shard.
+
+    Dedup precedes splitting (no text in two splits), splitting precedes
+    packing (no training sequence mixes splits) — order is the
+    leakage-safety argument, stated in plan form. Shuffle budget: dedup
+    groupBy (1) + the per-shard packing window (1); gates and split
+    assignment are scan-speed expressions."""
+    from kstreams_spark.operators.packing import pack_sequences
+    from kstreams_spark.operators.sampling import _bucket_from
+
+    d = fence(spread(load_table(spark, sf_dir, "documents"))).withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    toks = F.col("toks")
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    len_score = F.when(n_tokens > 100, 1.0).otherwise(
+        n_tokens.cast("double") / 100
+    )
+    stop_score = F.when(
+        F.array_contains(toks, "the") | F.array_contains(toks, "a"), 1.0
+    ).otherwise(0.0)
+    filtered = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        (0.4 * len_score + 0.3 * ttr + 0.3 * stop_score).alias("quality"),
+        F.expr(_SPARK_DUP2).alias("dup2"),
+    ).filter((F.col("quality") >= 0.5) & (F.col("dup2") <= DUP2_GATE))
+    kept = filtered.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.expr("min_by(lang, doc_id)").alias("lang"),
+        F.expr("min_by(text, doc_id)").alias("text"),
+    )
+    bucket = _bucket_from(F.col("doc_id").cast("string"))
+    sharded = kept.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.when(bucket < 204, "train")
+            .when(bucket < 230, "validation")
+            .otherwise("test"),
+            F.lit("/"),
+            F.col("lang"),
+        ).alias("shard"),
+    )
+    return pack_sequences(sharded, shard_col="shard").select(
+        "shard", "chunk_id", "doc_id", "doc_off", "chunk_off", "n_span"
+    )
