@@ -66,6 +66,8 @@ HEADLINE = [
     "dedup_substring_rewrite",  # added r6: repeated-span removal (token grain)
     "text_quality_classifier",  # added r6: broadcast-model margin scoring
     "similarity_topk_ivf_sq8",  # added r6: quantized probed-cell ANN scan
+    "composite_curation_classified",  # added r6: classifier+decontam chain
+    "composite_curation_manifest",  # added r6: corpus -> dataloader manifest
 ]
 
 
