@@ -11,8 +11,10 @@ Reproduces the reference's delivery semantics (BME680.java:167-176,269-286):
 Deployment shape: used from ``foreachBatch`` — ONE client per batch
 function invocation (i.e., per executor-side partition task when used via
 foreachPartition, or driver-side in small topologies), never per record.
-paho-mqtt is imported lazily and optional; with no client factory and no
-paho installed, constructing the sink raises ImportError.
+The default client is paho-mqtt when installed; otherwise the from-spec
+MQTT 3.1.1 wire client (sinks/mqtt_wire.py — QoS-0 subset over raw
+sockets, golden-frame + live-TCP tested), so the sink delivers for real
+in either environment.
 """
 
 from __future__ import annotations
@@ -44,17 +46,18 @@ class MqttAlertSink:
         self._factory = client_factory or self._paho_factory
         self._client: object | None = None
 
-    def _paho_factory(self):  # pragma: no cover - paho absent in test env
+    def _paho_factory(self):
         try:
-            import paho.mqtt.client as mqtt
-        except ImportError as e:
-            raise ImportError(
-                "paho-mqtt not installed; pass client_factory= for tests "
-                "or install paho-mqtt for deployment"
-            ) from e
+            import paho.mqtt.client as mqtt  # pragma: no cover - absent here
+        except ImportError:
+            # fall back to the from-spec wire client (mqtt_wire.py): the
+            # QoS-0 subset the reference uses, over raw sockets
+            from kstreams_spark.sinks.mqtt_wire import wire_client_factory
+
+            return wire_client_factory(self.broker_url)()
         host = self.broker_url.split("://")[-1].split(":")[0]
         port = int(self.broker_url.rsplit(":", 1)[-1])
-        client = mqtt.Client(clean_session=True)
+        client = mqtt.Client(clean_session=True)  # pragma: no cover
         client.reconnect_delay_set(min_delay=1, max_delay=10)
         client.connect(host, port, keepalive=60)
         return client

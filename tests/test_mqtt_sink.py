@@ -67,7 +67,12 @@ def test_close_disconnects():
     assert client.disconnected
 
 
-def test_missing_paho_raises_without_factory():
-    sink = MqttAlertSink()  # no factory, no paho in this container
-    with pytest.raises(ImportError):
+def test_missing_paho_falls_back_to_wire_client():
+    """paho is absent in this container: the default factory now falls
+    back to the from-spec wire client (sinks/mqtt_wire.py) instead of
+    raising ImportError — with no broker listening, the failure surfaces
+    as the socket's connection error, proving a real dial was attempted
+    (the delivery round-trip itself is tested in test_mqtt_wire.py)."""
+    sink = MqttAlertSink(broker_url="tcp://127.0.0.1:1")  # nothing listens
+    with pytest.raises(OSError):
         sink.publish("x")
