@@ -4,16 +4,17 @@
 
 Writes the canonical BME680-style records (JSON / bare-scalar / garbage /
 null — BME680.java:103-131's wire mix) to a file stream, runs
-ReferenceTopology with the default EXECUTOR-SIDE alert path (file-spool
-MQTT stand-in) and a parquet forward sink, drains the stream, and prints
-what each sink saw. The same topology runs against real Kafka + MQTT by
-swapping the source for sensor_stream_from_kafka and the sink factory
-for MqttAlertSink (see MIGRATION.md).
+ReferenceTopology with the default EXECUTOR-SIDE alert path publishing
+over REAL MQTT — the from-spec 3.1.1 wire client dialing an in-process
+TCP broker (sinks/mqtt_wire.py) — and a parquet forward sink, drains
+the stream, and prints what each sink saw, including the broker's
+retained message. The same topology runs against real Kafka + an
+external broker by swapping the source for sensor_stream_from_kafka
+and the broker URL (see MIGRATION.md).
 """
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import sys
@@ -21,7 +22,8 @@ import tempfile
 from functools import partial
 
 from kstreams_spark.session import get_session
-from kstreams_spark.sinks.spool import FileSpoolSink
+from kstreams_spark.sinks.mqtt import ALERT_TOPIC, MqttAlertSink
+from kstreams_spark.sinks.mqtt_wire import InProcessBroker
 from kstreams_spark.sources.streams import sensor_stream_from_files
 from kstreams_spark.streaming.topology import ReferenceTopology
 
@@ -38,37 +40,47 @@ RECORDS = [
 def main(workdir: str | None = None) -> int:
     workdir = workdir or tempfile.mkdtemp(prefix="kstreams_demo_")
     src = os.path.join(workdir, "in")
-    spool = os.path.join(workdir, "alerts")
     fwd = os.path.join(workdir, "out")
     os.makedirs(src, exist_ok=True)
-    os.makedirs(spool, exist_ok=True)
     with open(os.path.join(src, "batch-0.json"), "w") as f:
         for k, v in RECORDS:
             f.write(json.dumps({"key": k, "value": v}) + "\n")
 
     spark = get_session(app_name="kstreams_demo", cores=4)
+    broker = InProcessBroker()
     topo = ReferenceTopology(
-        alert_sink_factory=partial(FileSpoolSink, spool),
+        alert_sink_factory=partial(
+            MqttAlertSink, broker_url=f"tcp://127.0.0.1:{broker.port}"
+        ),
         forward_sink=lambda df: df.write.mode("append").parquet(fwd),
     )
     query = topo.start(sensor_stream_from_files(spark, src))
     query.processAllAvailable()
     query.stop()
 
-    alerts = []
-    for path in glob.glob(os.path.join(spool, "task-*.txt")):
-        with open(path) as f:
-            alerts += [line for line in f.read().splitlines() if line]
+    import time
+
+    for _ in range(100):  # broker threads drain asynchronously
+        with broker._lock:
+            if len(broker.published) >= 2:
+                break
+        time.sleep(0.05)
+    alerts = sorted(p[1].decode() for p in broker.published)
+    retained = broker.retained.get(ALERT_TOPIC, b"").decode()
+    broker.close()
     forwarded = spark.read.parquet(fwd).count()
 
     print(f"demo workdir: {workdir}")
     print(f"records in : {len(RECORDS)}")
     print(f"forwarded  : {forwarded} (pass-through sink, R3)")
-    print(f"alerts     : {sorted(alerts)} (executor-side publish, R2+R11)")
-    ok = forwarded == len(RECORDS) and sorted(alerts) == [
-        "Temperature warning 82.74",
-        "Temperature warning 88.50",
-    ]
+    print(f"alerts     : {alerts} (executor tasks -> real MQTT frames, R2+R11)")
+    print(f"retained   : {retained!r} (QoS-0 retained last-write-wins)")
+    ok = (
+        forwarded == len(RECORDS)
+        and alerts
+        == ["Temperature warning 82.74", "Temperature warning 88.50"]
+        and retained in alerts
+    )
     print("DEMO OK" if ok else "DEMO MISMATCH")
     return 0 if ok else 1
 
