@@ -117,3 +117,65 @@ def test_rewrite_keeps_one_occurrence_and_drops_exact_dup(spark, tmp_path):
     # doc 3: exact copy of doc 1 -> every window's winner is in doc 1 ->
     # vaporized (no row at all)
     assert 3 not in out
+
+
+# ---------------------------------------------------------- property twin
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["w0", "w1", "w2"]  # tiny alphabet forces window collisions
+
+
+def _py_coverage(texts: list[str], n: int) -> dict[int, int]:
+    """Brute-force coverage twin: duplicated n-windows -> per-doc count
+    of token positions covered by at least one duplicated window."""
+    from collections import Counter
+
+    occ: Counter[tuple[str, ...]] = Counter()
+    toks = [t.split(" ") for t in texts]
+    for tk in toks:
+        for i in range(len(tk) - n + 1):
+            occ[tuple(tk[i : i + n])] += 1
+    out = {}
+    for doc_id, tk in enumerate(toks):
+        covered = set()
+        for i in range(len(tk) - n + 1):
+            if occ[tuple(tk[i : i + n])] >= 2:
+                covered.update(range(i, i + n))
+        out[doc_id] = len(covered)
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=4, max_size=14).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_coverage_matches_bruteforce_twin(spark, texts):
+    """The lead()-window merge identity equals brute-force set coverage
+    on random collision-heavy corpora (n=4 so short docs participate)."""
+    n = 4
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    from kstreams_spark.operators.substring import (
+        coverage_stats,
+        duplicated_starts,
+    )
+    from pyspark.sql import functions as F
+
+    dup = duplicated_starts(docs, n).select("doc_id", "pos")
+    base = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    got = {
+        r.doc_id: r.covered_tokens
+        for r in coverage_stats(dup, base, n).collect()
+    }
+    assert got == _py_coverage(texts, n)
