@@ -152,3 +152,54 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     fastText model would ride."""
     d = spread(load_table(spark, sf_dir, "documents"))
     return quality_classifier(d, synthesized_weights(spark))
+
+
+@query(
+    "classifier_margin_by_lang",
+    oracle=f"""
+    WITH w AS (
+      SELECT i::INT AS bucket, {_weight_sql_duck("i")}::BIGINT AS weight
+      FROM generate_series(0, {N_BUCKETS - 1}) t(i)
+    ),
+    toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+    ),
+    b AS (SELECT doc_id, {_bucket_sql_duck("tok")}::INT AS bucket FROM toks),
+    m AS (
+      SELECT b.doc_id, SUM(w.weight) AS margin
+      FROM b JOIN w USING (bucket) GROUP BY b.doc_id
+    )
+    SELECT d.lang,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN m.margin >= 0 THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+           quantile_cont(m.margin, 0.25) AS margin_q25,
+           quantile_cont(m.margin, 0.5) AS margin_median,
+           quantile_cont(m.margin, 0.75) AS margin_q75
+    FROM documents d JOIN m USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def classifier_margin_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-monitoring report for the quality classifier: per-language
+    margin quartiles + pass counts — the calibration check a curation
+    run does before trusting one decision threshold across languages (a
+    classifier trained on one language family systematically shifts
+    margins on others; the quartiles make that visible BEFORE the gate
+    drops half a language). Exact percentiles over integer margins —
+    the shared portable percentile semantics."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    m = quality_classifier(
+        d.select("doc_id", "text"), synthesized_weights(spark)
+    ).select("doc_id", "margin")
+    j = d.select("doc_id", "lang").join(m, "doc_id")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("margin") >= 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_pass"),
+        F.percentile("margin", 0.25).alias("margin_q25"),
+        F.percentile("margin", 0.5).alias("margin_median"),
+        F.percentile("margin", 0.75).alias("margin_q75"),
+    )

@@ -274,3 +274,42 @@ def test_curated_lake_prunes_split_and_lang(plan_spark, sf_dir, tmp_path):
     assert {(r.split, r.lang) for r in df.select("split", "lang").collect()} == {
         ("train", "en")
     }
+
+
+def test_runtime_bloom_filter_joins_under_scale_confs(plan_spark, sf_dir):
+    """At 100 TB Spark injects a runtime BLOOM FILTER on the fact side of
+    a selective fact⋈dim sort-merge join (bloom_filter_agg on the
+    filtered dim → might_contain pushed into the fact scan) — rows that
+    can't match never reach the shuffle. It stays off at fixture size
+    only because of the application-side SCAN SIZE threshold (default
+    10 GB); this test pins the capability by dropping that threshold to
+    0 and forcing SMJ, i.e. exactly the conditions a real lake meets
+    with DEFAULT confs."""
+    from kstreams_spark.io import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: plan_spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            plan_spark.conf.set(k, v)
+        o = load_table(plan_spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(plan_spark, sf_dir, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = physical_plan(j)
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                plan_spark.conf.unset(k)
+            else:
+                plan_spark.conf.set(k, v)
