@@ -1322,3 +1322,75 @@ def composite_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_samples").alias("total_samples"),
         F.max("peak").alias("max_peak"),
     )
+
+
+def avi_motion(payload: bytes) -> dict:
+    """Inter-frame motion: Σ over consecutive frame pairs of the
+    per-pixel absolute difference of channel-summed values. Shares the
+    container walk with parse_avi via _avi_layout."""
+    lay = _avi_layout(payload)
+    w, h, row_size = lay["w"], lay["h"], lay["row_size"]
+    frames = []
+    for off, _size in lay["frames"]:
+        vals = []
+        for y in range(h):
+            base = off + (h - 1 - y) * row_size
+            for x in range(w):
+                o = base + 3 * x
+                vals.append(payload[o] + payload[o + 1] + payload[o + 2])
+        frames.append(vals)
+    motion = sum(
+        abs(a - b)
+        for f in range(1, len(frames))
+        for a, b in zip(frames[f], frames[f - 1])
+    )
+    return {"n_frames": len(frames), "motion_sum": motion}
+
+
+MOTION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("motion_sum", T.LongType()),
+    ]
+)
+
+
+@query(
+    "multimodal_video_motion",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 3 AS k,
+             5 + doc_id % 6 AS w, 4 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, k, f, x, y,
+             ((doc_id * 31 + f * 53 + y * 17 + x * 7 + 0 * 131) % 256)
+           + ((doc_id * 31 + f * 53 + y * 17 + x * 7 + 1 * 131) % 256)
+           + ((doc_id * 31 + f * 53 + y * 17 + x * 7 + 2 * 131) % 256) AS v
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, k - 1)) AS f) tf,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    )
+    SELECT a.doc_id,
+           CAST(MIN(a.k) AS INTEGER) AS n_frames,
+           SUM(ABS(b.v - a.v)) AS motion_sum
+    FROM px a
+    JOIN px b ON b.doc_id = a.doc_id AND b.x = a.x AND b.y = a.y
+             AND b.f = a.f + 1
+    GROUP BY a.doc_id
+    """,
+)
+def multimodal_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static-clip detection — the media-curation gate that drops
+    slideshows and frozen feeds: per clip, the summed absolute per-pixel
+    change between consecutive REAL decoded frames (channel-summed
+    values; a static clip scores 0). The oracle replays the synthesized
+    pixels and the frame-pair deltas in SQL, so a decoder that repeated
+    or reordered frames would hash-mismatch, not just look wrong."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return _video_payloads(d).mapInPandas(
+        _decode_stage(avi_motion, MOTION_SCHEMA), MOTION_SCHEMA
+    )
