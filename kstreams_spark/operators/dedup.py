@@ -852,3 +852,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAM_MAX)
         .select("doc_id1", "doc_id2", "hamming")
     )
+
+
+@query(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_cluster_labels_cte()},
+    sizes AS (
+      SELECT keep_id, COUNT(*) AS n_members FROM labels GROUP BY keep_id
+    )
+    SELECT n_members::BIGINT AS cluster_size,
+           COUNT(*)::BIGINT AS n_clusters,
+           SUM(n_members)::BIGINT AS n_docs,
+           SUM(n_members - 1)::BIGINT AS n_droppable
+    FROM sizes GROUP BY n_members
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup-impact report a
+    corpus build reads before committing to a threshold: how many
+    clusters of each size exist, how many docs they hold, and how many
+    are droppable (size − 1 per cluster — the storage/token saving the
+    dedup pass buys). A long tail of giant clusters usually means
+    boilerplate, not true duplication, and argues for tightening the
+    Jaccard threshold; this histogram is how you see it. One extra tiny
+    two-level agg on top of the resolution machinery."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(
+        d, candidates=minhash_band_pairs(minhash_signatures(d))
+    ).select("doc_id1", "doc_id2")
+    sizes = (
+        resolve_clusters(pairs)
+        .filter(F.col("is_kept"))
+        .select("n_members")
+    )
+    return sizes.groupBy(
+        F.col("n_members").cast("long").alias("cluster_size")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("n_members").cast("long").alias("n_docs"),
+        F.sum(F.col("n_members") - 1).cast("long").alias("n_droppable"),
+    )

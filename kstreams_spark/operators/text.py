@@ -587,3 +587,56 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         _flag(ok_alpha).alias("ok_alpha_words"),
         _flag(ok_wc & ok_len & ok_sym & ok_alpha).alias("gopher_pass"),
     )
+
+
+@query(
+    "text_mixed_language_flag",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             list_sort([{_lang_score_sql("en")}, {_lang_score_sql("de")},
+                        {_lang_score_sql("es")}, {_lang_score_sql("fr")},
+                        {_lang_score_sql("zh")}]) AS s
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           s[5]::BIGINT AS best_score,
+           s[4]::BIGINT AS second_score,
+           (CASE WHEN s[4] >= 1 AND s[5] - s[4] <= 1 THEN 1 ELSE 0 END)::BIGINT
+             AS is_mixed
+    FROM scored
+    """,
+)
+def text_mixed_language_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language detection — the curation gate that keeps
+    code-switched / boilerplate-contaminated documents out of
+    single-language buckets: a doc is 'mixed' when its SECOND-best
+    language profile scores within 1 of the best (and is non-zero), i.e.
+    the language-id margin is too thin to trust. Same scan-shaped
+    profile scoring as text_language_id — the margin is read off the
+    sorted score list, no extra pass."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    arr = F.array(
+        *[
+            sum(
+                F.when(F.array_contains(toks, w), 1).otherwise(0)
+                for w in LANG_PROFILES[lang]
+            ).cast("long")
+            for lang in ("en", "de", "es", "fr", "zh")
+        ]
+    )
+    s = F.sort_array(arr)
+    best = F.element_at(s, 5)
+    second = F.element_at(s, 4)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        best.alias("best_score"),
+        second.alias("second_score"),
+        F.when((second >= 1) & (best - second <= 1), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_mixed"),
+    )
