@@ -105,15 +105,10 @@ def quality_classifier(docs: DataFrame, weights: DataFrame) -> DataFrame:
     )
 
 
-# DuckDB twins of the expression generators. `instr`, `substr`, `md5`,
-# and string concat behave identically; only the int→string cast spelling
-# differs (CAST(x AS VARCHAR)).
-def _bucket_sql_duck(tok_sql: str) -> str:
-    h = f"md5({tok_sql})"
-    return (
-        f"({_hexval_sql(h, 1)} * 256 + {_hexval_sql(h, 2)} * 16 "
-        f"+ {_hexval_sql(h, 3)})"
-    )
+# DuckDB twin of the weight generator — the only expression whose
+# spelling differs between engines (int→string cast). The bucket
+# expression is engine-identical, so the oracles use bucket_sql itself.
+_bucket_sql_duck = bucket_sql
 
 
 def _weight_sql_duck(bucket_sql_: str) -> str:

@@ -688,10 +688,11 @@ def connected_components(
         # the cap a driver-side union-find beats ~7 distributed rounds
         # of job scheduling outright — measured 2.4 s → ~0.2 s on the
         # sf0.1 SemDeDup pair graph. Bounded driver state by the same
-        # argument as kmeans' O(k·D) collect and Spark's own broadcast
-        # threshold: the cap is 2·1M edges × 16 B ≈ 32 MB. Identical
-        # labels to the distributed loop (pinned in
-        # tests/test_dedup_quality.py::test_driver_and_distributed_cc_agree);
+        # argument as kmeans' O(k·D) collect: collect() materializes
+        # Row objects (~100-150 B each, ~10× the raw 16 B/edge), so the
+        # cap is set where 500k Rows ≈ 50-75 MB transient heap — not by
+        # the raw-bytes figure. Identical labels to the distributed loop
+        # (tests/test_dedup_quality.py::test_driver_and_distributed_cc_agree);
         # deterministic regardless of partitioning — min-per-component
         # doesn't depend on edge order.
         return _cc_driver(spark, sym.collect())
@@ -721,8 +722,9 @@ def connected_components(
 
 
 # Above this many (symmetrized) edges the transitive closure stays fully
-# distributed; below it the edge list collects to a driver union-find.
-DRIVER_CC_MAX_EDGES = 2_000_000
+# distributed; below it the edge list collects to a driver union-find
+# (sized for collect()'s Row-object overhead — see the dispatch comment).
+DRIVER_CC_MAX_EDGES = 500_000
 
 
 def _cc_driver(spark, edge_rows) -> DataFrame:

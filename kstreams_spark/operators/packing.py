@@ -57,24 +57,41 @@ def pack_sequences(
     [chunk_off, chunk_off+n_span) of training sequence chunk_id in its
     shard. Docs are ordered by (md5(doc_id), doc_id) within the shard —
     the same deterministic-permutation idiom as sample_token_budget."""
+    return manifest_from_offsets(shard_offsets(docs, shard_col), ctx_len)
+
+
+def shard_offsets(
+    docs: DataFrame, shard_col: str = "lang", base: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, text, <shard_col>) → (shard, doc_id, n, off): per-shard
+    exclusive running token offsets in (md5(doc_id), doc_id) order — the
+    deterministic-permutation idiom. `base` (a small (shard, base) frame)
+    shifts every shard's offsets, which is how the STREAMING packer
+    (streaming/packing.py) continues exactly where the previous
+    microbatch left off; batch and streaming share this one definition,
+    so the ordering key and window frame cannot drift apart."""
     toks = docs.select(
         F.col(shard_col).alias("shard"),
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
+    if base is not None:
+        toks = toks.join(F.broadcast(base), "shard", "left")
+        base_off = F.coalesce(F.col("base"), F.lit(0))
+    else:
+        base_off = F.lit(0)
     w = (
         Window.partitionBy("shard")
         .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    off = toks.select(
+    return toks.select(
         "shard",
         "doc_id",
         "n",
-        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("off"),
+        (base_off + F.coalesce(F.sum("n").over(w), F.lit(0))).alias("off"),
     )
-    return manifest_from_offsets(off, ctx_len)
 
 
 def manifest_from_offsets(off: DataFrame, ctx_len: int = CTX_LEN) -> DataFrame:
@@ -156,11 +173,11 @@ def chunk_windows(
     window start; the last window is the first one reaching the doc tail
     (num windows = 1 + ceil(max(0, n-width)/stride)), so every token is
     covered and no fully-redundant trailing window is emitted."""
+    # project the token array ONCE (dedup._shingles' convention) and
+    # derive everything — n, window count, slice bounds — from it
     toks = docs.select(
-        "doc_id",
-        F.split("text", " ").alias("l"),
-        F.size(F.split("text", " ")).cast("long").alias("n"),
-    )
+        "doc_id", F.split("text", " ").alias("l")
+    ).withColumn("n", F.size("l").cast("long"))
     n_win = 1 + _fdiv(
         F.greatest(F.col("n") - width, F.lit(0)) + (stride - 1), stride
     )
@@ -172,16 +189,18 @@ def chunk_windows(
             "win_id"
         ),
     )
-    start = F.col("win_id") * stride
-    n_tok = F.least(F.lit(width).cast("long"), F.col("n") - start)
-    return wins.select(
+    start = (F.col("win_id") * stride).alias("start_tok")
+    n_tok = F.least(
+        F.lit(width).cast("long"), F.col("n") - F.col("win_id") * stride
+    ).alias("n_tok")
+    return wins.select("doc_id", "win_id", start, n_tok, "l").select(
         "doc_id",
         "win_id",
-        start.alias("start_tok"),
-        n_tok.alias("n_tok"),
+        "start_tok",
+        "n_tok",
         F.expr(
-            f"concat_ws(' ', slice(l, win_id * {stride} + 1,"
-            f" least({width}, n - win_id * {stride})))"
+            "concat_ws(' ', slice(l, CAST(start_tok AS INT) + 1,"
+            " CAST(n_tok AS INT)))"
         ).alias("chunk_text"),
     )
 

@@ -251,8 +251,8 @@ def ivf_sq8_topk(
     from kstreams_spark.operators.similarity import (
         N_CENTROIDS,
         N_PROBE,
-        _fx_dot,
         ivf_assign,
+        query_probe_cells,
     )
 
     n_centroids = N_CENTROIDS if n_centroids is None else n_centroids
@@ -263,22 +263,8 @@ def ivf_sq8_topk(
     assigned = ivf_assign(emb, cen).select("vec_id", "cen_id")
     params = sq8_params(emb)
     q8 = sq8_quantize(emb, params)
-    # query probe list: top-n_probe cells by exact fixed-point dot
-    q_scored = (
-        emb.filter(F.col("vec_id") < n_queries)
-        .crossJoin(F.broadcast(cen))
-        .select(
-            F.col("vec_id").alias("qid"),
-            "cen_id",
-            _fx_dot("embedding", "cen_emb").alias("d"),
-        )
-    )
-    wp = Window.partitionBy("qid").orderBy(F.col("d").desc(), F.col("cen_id"))
-    probes = (
-        q_scored.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= n_probe)
-        .select("qid", "cen_id")
-    )
+    # probe selection is the ONE shared definition (similarity.py)
+    probes = query_probe_cells(emb, cen, n_queries, n_probe)
     probe_q = probes.join(
         sq8_prezip(q8.filter(F.col("vec_id") < n_queries), params), "qid"
     )

@@ -394,6 +394,39 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CENTROIDS = 16  # vec_id < 16 serve as fixed centroids (k-means-lite)
 
 
+def query_probe_cells(
+    emb: DataFrame,
+    cen: DataFrame,
+    n_queries: int,
+    n_probe: int,
+    with_embedding: bool = False,
+) -> DataFrame:
+    """Per query (vec_id < n_queries): the n_probe nearest cells by exact
+    fixed-point dot, ties to the lowest cen_id → (qid, cen_id[, q_emb]).
+    The ONE definition of probe selection — shared by ivf_topk and the
+    quantized scan (quantize.ivf_sq8_topk), so the ranking rule cannot
+    drift between consumers or from the oracles' ROW_NUMBER twin."""
+    q_scored = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .crossJoin(F.broadcast(cen))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q_emb"),
+            "cen_id",
+            _fx_dot("embedding", "cen_emb").alias("cen_dot"),
+        )
+    )
+    w_probe = Window.partitionBy("qid").orderBy(
+        F.col("cen_dot").desc(), F.col("cen_id")
+    )
+    cols = ["qid", "cen_id"] + (["q_emb"] if with_embedding else [])
+    return (
+        q_scored.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select(*cols)
+    )
+
+
 def ivf_assign(emb: DataFrame, cen: DataFrame) -> DataFrame:
     """Corpus cell assignment: nearest centroid by fixed-point dot, ties
     to the lower cen_id. ONE partial-aggregating groupBy(vec_id) max_by
@@ -462,24 +495,9 @@ def ivf_topk(
     # Query-side probe list: rank ALL cells per query, keep the n_probe
     # nearest. Q×k rows — driver-tiny, so the window sort is free; the
     # result broadcasts to the candidate join.
-    q_scored = (
-        emb.filter(F.col("vec_id") < n_queries)
-        .crossJoin(F.broadcast(cen))
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("q_emb"),
-            "cen_id",
-            _fx_dot("embedding", "cen_emb").alias("cen_dot"),
-        )
-    )
-    w_probe = Window.partitionBy("qid").orderBy(
-        F.col("cen_dot").desc(), F.col("cen_id")
-    )
-    probes = (
-        q_scored.withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= n_probe)
-        .select("qid", "q_emb", _fx_norm2("q_emb").alias("nq2"), "cen_id")
-    )
+    probes = query_probe_cells(
+        emb, cen, n_queries, n_probe, with_embedding=True
+    ).select("qid", "q_emb", _fx_norm2("q_emb").alias("nq2"), "cen_id")
     # Each candidate lives in exactly one cell and a query's probe cells
     # are distinct, so the equi-join yields each (qid, cid) at most once.
     cos = (

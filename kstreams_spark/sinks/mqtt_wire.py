@@ -134,14 +134,19 @@ class MqttWireClient:
         sock = socket.create_connection(
             (self.host, self.port), timeout=self.timeout
         )
-        sock.sendall(
-            connect_packet(self.client_id, self.keepalive, clean_session=True)
-        )
-        frame = self._recv_exact(sock, 4)
-        _, rc = parse_connack(frame)
-        if rc != 0:
-            sock.close()
-            raise ConnectionError(f"broker refused connection, rc={rc}")
+        try:
+            sock.sendall(
+                connect_packet(
+                    self.client_id, self.keepalive, clean_session=True
+                )
+            )
+            frame = self._recv_exact(sock, 4)
+            _, rc = parse_connack(frame)
+            if rc != 0:
+                raise ConnectionError(f"broker refused connection, rc={rc}")
+        except BaseException:
+            sock.close()  # no fd leak on CONNACK read/parse failure either
+            raise
         self._sock = sock
 
     @staticmethod
@@ -245,7 +250,14 @@ class InProcessBroker:
                 if not head:
                     return
                 ptype = head[0]
-                length = decode_remaining_length(lambda: conn.recv(1)[0])
+
+                def _read1() -> int:
+                    b = conn.recv(1)
+                    if not b:  # peer closed mid-frame: surface as OSError
+                        raise ConnectionError("peer closed mid-frame")
+                    return b[0]
+
+                length = decode_remaining_length(_read1)
                 body = b""
                 while len(body) < length:
                     chunk = conn.recv(length - len(body))

@@ -122,7 +122,19 @@ class StreamingKMeans:
                 F.count(F.lit(1)).alias("n"),
             )
         )
-        rows = stats.collect()  # k×D rows — bounded driver state
+        # scope the shuffle width to the k×D result (the iterative-loop
+        # width rule, CLAUDE.md): a vanilla 200-wide session would pay
+        # 200 near-empty tasks per microbatch for a few-hundred-row agg
+        spark = batch_df.sparkSession
+        saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(2, min(32, self.k * len(self._init[0]) // 256 + 1))),
+        )
+        try:
+            rows = stats.collect()  # k×D rows — bounded driver state
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         self.state_sink.process_batch(
             batch_df.sparkSession.createDataFrame(
                 rows, "cen_id int, dim int, sum_fx long, n long"

@@ -32,7 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kstreams_spark.operators.packing import CTX_LEN, manifest_from_offsets
+from kstreams_spark.operators.packing import (
+    CTX_LEN,
+    manifest_from_offsets,
+    shard_offsets,
+)
 from kstreams_spark.streaming.exactly_once import ExactlyOnceParquetSink
 
 
@@ -77,38 +81,17 @@ class StreamingSequencePacker:
         self.batches_seen += 1
         if self.sink.is_committed(epoch_id):
             return  # replayed epoch: neither output nor offsets advance
-        from pyspark.sql import Window
-
         spark = batch_df.sparkSession
-        toks = batch_df.select(
-            F.col(self.shard_col).alias("shard"),
-            "doc_id",
-            F.size(F.split("text", " ")).cast("long").alias("n"),
-            F.md5(F.col("doc_id").cast("string")).alias("h"),
-        )
         base = spark.createDataFrame(
             list(self.offsets.items()), "shard string, base long"
         )
-        w = (
-            Window.partitionBy("shard")
-            .orderBy("h", "doc_id")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        off = (
-            toks.join(F.broadcast(base), "shard", "left")
-            .withColumn(
-                "off",
-                F.coalesce(F.col("base"), F.lit(0))
-                + F.coalesce(F.sum("n").over(w), F.lit(0)),
-            )
-            .select("shard", "doc_id", "n", "off")
-        )
+        off = shard_offsets(batch_df, self.shard_col, base=base)
         manifest = manifest_from_offsets(off, self.ctx_len)
         # advance amounts computed BEFORE the commit (tiny: one row per
         # shard in the batch), applied to the dict only after it
         advances = {
             r.shard: r.total
-            for r in toks.groupBy("shard")
+            for r in off.groupBy("shard")
             .agg(F.sum("n").alias("total"))
             .collect()
         }
