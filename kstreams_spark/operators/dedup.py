@@ -895,3 +895,73 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_members").cast("long").alias("n_docs"),
         F.sum(F.col("n_members") - 1).cast("long").alias("n_droppable"),
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH {_minhash_cand_cte()},
+    sized AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_id1, c.doc_id2, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.doc_id1
+      JOIN sh s2 ON s2.doc_id = c.doc_id2 AND s2.shingle = s1.shingle
+      GROUP BY c.doc_id1, c.doc_id2
+    )
+    SELECT i.doc_id1, i.doc_id2, i.n_common,
+           CAST(i.n_common AS DOUBLE) / LEAST(s1.n_sh, s2.n_sh)
+             AS containment
+    FROM inter i
+    JOIN sized s1 ON s1.doc_id = i.doc_id1
+    JOIN sized s2 ON s2.doc_id = i.doc_id2
+    WHERE CAST(i.n_common AS DOUBLE) / LEAST(s1.n_sh, s2.n_sh)
+          >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT-scored near-dup pairs: |∩| / min(|A|, |B|) — the
+    metric that catches a document embedded inside a much longer one
+    (quotes, scraped mirrors with added boilerplate), which symmetric
+    Jaccard structurally misses: a doc fully contained in one 4× its
+    size scores Jaccard ≈ 0.25 but containment 1.0. Same candidate-
+    scoped propose→verify shape as dedup_minhash_verified (the MinHash
+    bands propose; only the scoring formula differs), so the pair space
+    stays |candidates|, never N². One caveat is inherited from MinHash:
+    band recall is tuned for resemblance, not containment — at 100 TB a
+    containment-first pipeline adds the shingle-hash inclusion probe
+    (decontam.py's shape) as a second candidate generator."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    cand = minhash_band_pairs(minhash_signatures(d))
+    doc_sets = (
+        _shingles(d, 3, distinct=False)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shs"))
+    )
+    s1 = doc_sets.select(
+        F.col("doc_id").alias("doc_id1"), F.col("shs").alias("shs1")
+    )
+    s2 = doc_sets.select(
+        F.col("doc_id").alias("doc_id2"), F.col("shs").alias("shs2")
+    )
+    scored = (
+        cand.join(s1, "doc_id1")
+        .join(s2, "doc_id2")
+        .select(
+            "doc_id1",
+            "doc_id2",
+            F.size(F.array_intersect("shs1", "shs2")).alias("n_common"),
+            F.least(F.size("shs1"), F.size("shs2")).alias("n_min"),
+        )
+    )
+    cont = F.col("n_common").cast("double") / F.col("n_min")
+    return (
+        scored.withColumn("containment", cont)
+        .filter(
+            (F.col("n_common") > 0) & (cont >= CONTAINMENT_THRESHOLD)
+        )
+        .select("doc_id1", "doc_id2", "n_common", "containment")
+    )
