@@ -658,3 +658,38 @@ def test_ivf_n_probe_recovers_boundary_neighbor(spark):
     assert 3 not in neighbors(1), "boundary neighbor must be invisible at n_probe=1"
     got = neighbors(2)
     assert got[0] == 3, f"n_probe=2 must rank the true neighbor first, got {got}"
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc fully embedded in a 4x-longer one: containment = 1.0
+    (caught at the 0.8 threshold) while Jaccard ~= 0.24 (missed at 0.5)
+    — the exact complementarity dedup_ngram_containment exists for."""
+    from kstreams_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        _shingles,
+        ngram_jaccard_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    short = " ".join(f"s{i}" for i in range(20))
+    long_ = short + " " + " ".join(f"u{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], ["doc_id", "text"]
+    )
+    cand = spark.createDataFrame([(1, 2)], "doc_id1 long, doc_id2 long")
+    # Jaccard at the standard 0.5 threshold: pair rejected
+    assert ngram_jaccard_pairs(docs, candidates=cand).count() == 0
+    # containment scoring accepts it (replicates the registered query's
+    # scorer over the same injected candidate)
+    sets = (
+        _shingles(docs, 3, distinct=False)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shs"))
+        .collect()
+    )
+    shs = {r.doc_id: set(r.shs) for r in sets}
+    inter = len(shs[1] & shs[2])
+    containment = inter / min(len(shs[1]), len(shs[2]))
+    jaccard = inter / len(shs[1] | shs[2])
+    assert containment == 1.0 >= CONTAINMENT_THRESHOLD
+    assert jaccard < 0.5
