@@ -351,3 +351,56 @@ def sample_source_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("wt").cast("long").alias("weight"),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
+
+
+@query(
+    "sample_source_temperature",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             {_BUCKET_SQL.format(key="CAST(doc_id AS VARCHAR)")} AS bucket
+      FROM documents
+    ),
+    c AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source),
+    m AS (SELECT MIN(n_total) AS min_cnt FROM c)
+    SELECT b.source,
+           MAX(c.n_total)::BIGINT AS n_total,
+           COUNT(*)::BIGINT AS n_kept
+    FROM b JOIN c USING (source), m
+    WHERE b.bucket * b.bucket * c.n_total < 65536 * m.min_cnt
+    GROUP BY b.source
+    """,
+)
+def sample_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling at α = 1/2 (the T5/mT5 multilingual recipe:
+    sample source s with probability ∝ n_s^α, softening big-source
+    dominance without flattening to uniform): each source keeps rate
+    √(n_min/n_s) — between `sample_source_balance`'s full equalization
+    (rate n_min/n_s, α→0 behavior) and no rebalancing at all (α=1).
+
+    The fractional power stays EXACT INTEGER arithmetic by squaring the
+    acceptance inequality: keep iff bucket² · n_s < 256² · n_min — no
+    float rates, no sqrt, deterministic per document (and the bucket²
+    trick generalizes: α = p/q needs bucket^q · n_s^p < 256^q ·
+    n_min^p). Same two-pass shape as the other mixers: tiny broadcast
+    counts + scan-speed filter."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        "source",
+        _bucket_from(F.col("doc_id").cast("string")).alias("bucket"),
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    m = counts.agg(F.min("n_total").alias("min_cnt"))
+    kept = (
+        b.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(m))
+        .filter(
+            F.col("bucket") * F.col("bucket") * F.col("n_total")
+            < 65536 * F.col("min_cnt")
+        )
+    )
+    return kept.groupBy("source").agg(
+        F.max("n_total").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
