@@ -253,3 +253,68 @@ def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.filter(F.col("is_err") == 1).select(
         "event_id", "user_id", "asof_click_id"
     )
+
+
+TIME_BAND_S = 300  # pair events within ±5 minutes
+
+
+@query(
+    "join_events_time_band",
+    oracle=f"""
+    SELECT a.event_type AS type1, b.event_type AS type2,
+           COUNT(*)::BIGINT AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(epoch(b.ts) - epoch(a.ts)) <= {TIME_BAND_S}
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def join_events_time_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded temporal self-join — 'pairs of events by the same user
+    within ±{TIME_BAND_S} s' (co-occurrence mining, burst detection),
+    the join shape a naive theta formulation turns into a per-user
+    cross product. The scalable plan BUCKETS time at the band width and
+    EXPLODES one side into its 3 adjacent buckets, so the pair space
+    becomes a (user, bucket) EQUI-join; the exact |Δ| ≤ band predicate
+    filters the bucket-adjacent candidates after the join. Each
+    unordered pair surfaces exactly once (the left side explodes, the
+    right side keeps its true bucket, id1 < id2 orients). The oracle is
+    the naive theta join — hash-matching it proves the bucketed rewrite
+    exact, the same proof shape the salted-skew queries use.
+
+    At 100 TB: candidates per event = its user's events in 3 buckets —
+    bounded by activity rate × band, never the user's whole history;
+    the equi-join shuffles on (user_id, bucket), AQE handles hot users.
+
+    Shuffle budget: the (user, bucket) equi-join (1) + final 2-key agg
+    (1); the 3× explode is scan-shaped."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    bucket = F.floor(F.col("sec") / TIME_BAND_S).cast("long")
+    left = ev.select(
+        "user_id",
+        F.col("event_id").alias("id1"),
+        F.col("event_type").alias("type1"),
+        F.col("sec").alias("sec1"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bucket"),
+    )
+    right = ev.select(
+        "user_id",
+        F.col("event_id").alias("id2"),
+        F.col("event_type").alias("type2"),
+        F.col("sec").alias("sec2"),
+        bucket.alias("bucket"),
+    )
+    pairs = left.join(right, ["user_id", "bucket"]).filter(
+        (F.col("id1") < F.col("id2"))
+        & (F.abs(F.col("sec2") - F.col("sec1")) <= TIME_BAND_S)
+    )
+    return pairs.groupBy("type1", "type2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
