@@ -25,6 +25,7 @@ from kstreams_spark.operators.dedup import (
 )
 from kstreams_spark.operators.text import (
     DUP2_GATE,
+    c4_quality_expr,
     duck_dup_char_frac,
     duck_ngram_arr,
     spark_dup_char_frac,
@@ -224,19 +225,11 @@ def composite_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks", F.split(F.col("text"), " ")
     )
     toks = F.col("toks")
-    n_tokens = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
-    len_score = F.when(n_tokens > 100, 1.0).otherwise(
-        n_tokens.cast("double") / 100
-    )
-    stop_score = F.when(
-        F.array_contains(toks, "the") | F.array_contains(toks, "a"), 1.0
-    ).otherwise(0.0)
     scored = d.select(
         "doc_id",
         "lang",
         "text",
-        (0.4 * len_score + 0.3 * ttr + 0.3 * stop_score).alias("quality"),
+        c4_quality_expr(toks).alias("quality"),
         F.expr(_SPARK_DUP2).alias("dup2"),
     )
     filtered = scored.filter(
@@ -339,19 +332,11 @@ def composite_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks", F.split(F.col("text"), " ")
     )
     toks = F.col("toks")
-    n_tokens = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
-    len_score = F.when(n_tokens > 100, 1.0).otherwise(
-        n_tokens.cast("double") / 100
-    )
-    stop_score = F.when(
-        F.array_contains(toks, "the") | F.array_contains(toks, "a"), 1.0
-    ).otherwise(0.0)
     scored = d.select(
         "doc_id",
         "lang",
         "text",
-        (0.4 * len_score + 0.3 * ttr + 0.3 * stop_score).alias("quality"),
+        c4_quality_expr(toks).alias("quality"),
         F.expr(_SPARK_DUP2).alias("dup2"),
     )
     filtered = scored.filter(
@@ -447,20 +432,12 @@ def composite_curation_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks", F.split(F.col("text"), " ")
     )
     toks = F.col("toks")
-    n_tokens = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
-    len_score = F.when(n_tokens > 100, 1.0).otherwise(
-        n_tokens.cast("double") / 100
-    )
-    stop_score = F.when(
-        F.array_contains(toks, "the") | F.array_contains(toks, "a"), 1.0
-    ).otherwise(0.0)
     scored = d.select(
         "doc_id",
         "lang",
         "text",
-        n_tokens.alias("n_tokens"),
-        (0.4 * len_score + 0.3 * ttr + 0.3 * stop_score).alias("quality"),
+        F.size(toks).alias("n_tokens"),
+        c4_quality_expr(toks).alias("quality"),
         F.expr(_SPARK_DUP2).alias("dup2"),
     )
     filtered = scored.filter(
@@ -715,19 +692,11 @@ def composite_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks", F.split(F.col("text"), " ")
     )
     toks = F.col("toks")
-    n_tokens = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
-    len_score = F.when(n_tokens > 100, 1.0).otherwise(
-        n_tokens.cast("double") / 100
-    )
-    stop_score = F.when(
-        F.array_contains(toks, "the") | F.array_contains(toks, "a"), 1.0
-    ).otherwise(0.0)
     filtered = d.select(
         "doc_id",
         "lang",
         "text",
-        (0.4 * len_score + 0.3 * ttr + 0.3 * stop_score).alias("quality"),
+        c4_quality_expr(toks).alias("quality"),
         F.expr(_SPARK_DUP2).alias("dup2"),
     ).filter((F.col("quality") >= 0.5) & (F.col("dup2") <= DUP2_GATE))
     kept = filtered.groupBy(F.md5("text")).agg(

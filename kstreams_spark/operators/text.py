@@ -640,3 +640,21 @@ def text_mixed_language_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_mixed"),
     )
+
+
+def c4_quality_expr(toks: F.Column) -> F.Column:
+    """The C4-shaped quality scalar every curation composite gates on
+    (0.4·length-saturation + 0.3·type-token-ratio + 0.3·stopword
+    presence) — ONE definition consumed by text_quality_score, all the
+    curation composites (composite.py), and the streaming ingest gate
+    (streaming/gates.py), so the gate semantics cannot drift between the
+    batch pipelines and their streaming twin."""
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    len_score = F.when(n_tokens > 100, 1.0).otherwise(
+        n_tokens.cast("double") / 100
+    )
+    stop_score = F.when(
+        F.array_contains(toks, "the") | F.array_contains(toks, "a"), 1.0
+    ).otherwise(0.0)
+    return 0.4 * len_score + 0.3 * ttr + 0.3 * stop_score

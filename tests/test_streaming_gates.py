@@ -1,0 +1,82 @@
+"""Streaming curation gate (streaming/gates.py): kept/dropped partition
+the stream, the decision matches the batch composites' gate exactly
+(shared expression, pinned here), and replay cannot duplicate."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from kstreams_spark.io import load_table
+from kstreams_spark.operators.text import DUP2_GATE, c4_quality_expr
+from kstreams_spark.operators.text import spark_dup_char_frac, spark_ngram_arr
+from kstreams_spark.streaming.gates import QUALITY_GATE, StreamingCurationGate
+
+
+def _batch_kept_ids(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    scored = d.select(
+        "doc_id",
+        c4_quality_expr(F.col("toks")).alias("quality"),
+        F.expr(spark_dup_char_frac(spark_ngram_arr(2))).alias("dup2"),
+    )
+    return {
+        r.doc_id
+        for r in scored.filter(
+            (F.col("quality") >= QUALITY_GATE)
+            & (F.col("dup2") <= DUP2_GATE)
+        ).collect()
+    }
+
+
+def test_stream_matches_batch_gate(spark, tmp_path, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    gate = StreamingCurationGate(
+        str(tmp_path / "kept"), str(tmp_path / "dropped")
+    )
+    rows = docs.collect()
+    chunk = (len(rows) + 2) // 3
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for i in range(3):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, docs.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(src, f"b{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "b*"))
+    )
+    q = gate.attach(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert gate.batches_seen >= 2
+    kept = {r.doc_id for r in gate.kept(spark).collect()}
+    dropped = {r.doc_id for r in gate.dropped(spark).collect()}
+    assert kept == _batch_kept_ids(spark, sf_dir)
+    assert kept | dropped == {r.doc_id for r in rows}
+    assert kept.isdisjoint(dropped)
+    # the audit side carries the scores
+    r0 = gate.dropped(spark).first()
+    assert hasattr(r0, "quality") and hasattr(r0, "dup2")
+
+
+def test_replayed_epoch_is_idempotent(spark, tmp_path, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    gate = StreamingCurationGate(
+        str(tmp_path / "kept"), str(tmp_path / "dropped")
+    )
+    gate.process_batch(docs, epoch_id=0)
+    n_k, n_d = gate.kept(spark).count(), gate.dropped(spark).count()
+    gate.process_batch(docs, epoch_id=0)
+    assert gate.kept(spark).count() == n_k
+    assert gate.dropped(spark).count() == n_d
