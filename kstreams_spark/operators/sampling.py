@@ -404,3 +404,39 @@ def sample_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_total").cast("long").alias("n_total"),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
+
+
+EXACT_K = 100  # fixture sample size
+
+
+@query(
+    "sample_exact_k",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT {EXACT_K}
+    """,
+)
+def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic sample — 'give me exactly 100 docs' (eval
+    subsets, spot-check batches), where the rate-based samplers can only
+    promise k in expectation: the first k documents in (md5(doc_id),
+    doc_id) order. Hash order IS a uniform permutation, so this is a
+    uniform sample that is reproducible across engines, runs, and
+    cluster sizes, and ~stable under corpus growth (a new doc displaces
+    at most one old member). TakeOrderedAndProject keeps it scalable:
+    per-partition top-k heaps, driver merges P·k rows — no global
+    sort (the same plan shape sort_limit_topk pins)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .limit(EXACT_K)
+        .drop("h")
+    )
