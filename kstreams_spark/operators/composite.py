@@ -405,7 +405,7 @@ def composite_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens
+           SUM(n_tokens)::BIGINT AS total_tokens
     FROM running WHERE cum_tokens <= {{LANG_BUDGET}}
     GROUP BY lang
     """.format(
@@ -662,11 +662,11 @@ def _curation_manifest_sql() -> str:
       FROM offs
     )
     SELECT shard, chunk_id, doc_id,
-           GREATEST(off, chunk_id * {CTX_LEN}) - off AS doc_off,
-           GREATEST(off, chunk_id * {CTX_LEN}) - chunk_id * {CTX_LEN}
+           (GREATEST(off, chunk_id * {CTX_LEN}) - off)::BIGINT AS doc_off,
+           (GREATEST(off, chunk_id * {CTX_LEN}) - chunk_id * {CTX_LEN})::BIGINT
              AS chunk_off,
-           LEAST(off + n, chunk_id * {CTX_LEN} + {CTX_LEN})
-             - GREATEST(off, chunk_id * {CTX_LEN}) AS n_span
+           (LEAST(off + n, chunk_id * {CTX_LEN} + {CTX_LEN})
+             - GREATEST(off, chunk_id * {CTX_LEN}))::BIGINT AS n_span
     FROM spans
     """
 

@@ -539,9 +539,9 @@ def _audio_payloads(d: DataFrame) -> DataFrame:
            {WAV_SR} AS sample_rate,
            CAST(n AS INTEGER) AS n_samples,
            (n * 1000) // {WAV_SR} AS duration_ms,
-           SUM(s * s) AS sum_sq,
+           SUM(s * s)::BIGINT AS sum_sq,
            CAST(MAX(ABS(s)) AS INTEGER) AS peak,
-           SUM(s) AS checksum
+           SUM(s)::BIGINT AS checksum
     FROM samples GROUP BY doc_id, n
     """,
 )
@@ -734,8 +734,8 @@ def _image_payloads(d):
            CAST(w AS INTEGER) AS width,
            CAST(h AS INTEGER) AS height,
            CAST(w * h AS INTEGER) AS n_pixels,
-           SUM(r) AS sum_r, SUM(g) AS sum_g, SUM(b) AS sum_b,
-           SUM((y * w + x) * (b + g + r)) AS px_checksum
+           SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g, SUM(b)::BIGINT AS sum_b,
+           SUM((y * w + x) * (b + g + r))::BIGINT AS px_checksum
     FROM px GROUP BY doc_id, w, h
     """,
 )
@@ -776,8 +776,8 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(w2 AS INTEGER) AS width,
            CAST(h2 AS INTEGER) AS height,
            CAST(w2 * h2 AS INTEGER) AS n_pixels,
-           SUM(r) AS sum_r, SUM(g) AS sum_g, SUM(b) AS sum_b,
-           SUM((y * w2 + x) * (b + g + r)) AS px_checksum
+           SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g, SUM(b)::BIGINT AS sum_b,
+           SUM((y * w2 + x) * (b + g + r))::BIGINT AS px_checksum
     FROM px GROUP BY doc_id, w2, h2
     """,
 )
@@ -993,8 +993,8 @@ def _video_payloads(d):
            CAST(w AS INTEGER) AS width,
            CAST(h AS INTEGER) AS height,
            CAST(k AS INTEGER) AS n_frames,
-           SUM(r) AS sum_r, SUM(g) AS sum_g, SUM(b) AS sum_b,
-           SUM((f + 1) * (y * w + x) * (b + g + r)) AS px_checksum
+           SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g, SUM(b)::BIGINT AS sum_b,
+           SUM((f + 1) * (y * w + x) * (b + g + r))::BIGINT AS px_checksum
     FROM px GROUP BY doc_id, k, w, h
     """,
 )
@@ -1065,8 +1065,8 @@ FRAME_SCHEMA = T.StructType(
     )
     SELECT doc_id,
            CAST(f AS INTEGER) AS frame_idx,
-           SUM(v) AS frame_sum,
-           SUM((y * w + x) * v) AS frame_checksum
+           SUM(v)::BIGINT AS frame_sum,
+           SUM((y * w + x) * v)::BIGINT AS frame_checksum
     FROM px GROUP BY doc_id, f
     """,
 )
@@ -1100,9 +1100,9 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
            {WAV_SR // 2} AS sample_rate,
            CAST(n2 AS INTEGER) AS n_samples,
            (n2 * 1000) // {WAV_SR // 2} AS duration_ms,
-           SUM(s * s) AS sum_sq,
+           SUM(s * s)::BIGINT AS sum_sq,
            CAST(MAX(ABS(s)) AS INTEGER) AS peak,
-           SUM(s) AS checksum
+           SUM(s)::BIGINT AS checksum
     FROM samples GROUP BY doc_id, n2
     """,
 )
@@ -1222,8 +1222,8 @@ def resize_avi_half(payload: bytes) -> bytes:
            CAST(w2 AS INTEGER) AS width,
            CAST(h2 AS INTEGER) AS height,
            CAST(k AS INTEGER) AS n_frames,
-           SUM(r) AS sum_r, SUM(g) AS sum_g, SUM(b) AS sum_b,
-           SUM((f + 1) * (y * w2 + x) * (b + g + r)) AS px_checksum
+           SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g, SUM(b)::BIGINT AS sum_b,
+           SUM((f + 1) * (y * w2 + x) * (b + g + r))::BIGINT AS px_checksum
     FROM px GROUP BY doc_id, k, w2, h2
     """,
 )
@@ -1277,7 +1277,7 @@ CLIP_PEAK = 32000  # |sample| at/above this counts as clipping
     )
     SELECT lang,
            COUNT(*) AS n_clips,
-           SUM(n) AS total_samples,
+           SUM(n)::BIGINT AS total_samples,
            CAST(MAX(peak) AS INTEGER) AS max_peak
     FROM kept GROUP BY lang
     """,
@@ -1376,7 +1376,7 @@ MOTION_SCHEMA = T.StructType(
     )
     SELECT a.doc_id,
            CAST(MIN(a.k) AS INTEGER) AS n_frames,
-           SUM(ABS(b.v - a.v)) AS motion_sum
+           SUM(ABS(b.v - a.v))::BIGINT AS motion_sum
     FROM px a
     JOIN px b ON b.doc_id = a.doc_id AND b.x = a.x AND b.y = a.y
              AND b.f = a.f + 1

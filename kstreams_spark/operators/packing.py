@@ -148,11 +148,11 @@ def manifest_from_offsets(off: DataFrame, ctx_len: int = CTX_LEN) -> DataFrame:
       FROM offs
     )
     SELECT shard, chunk_id, doc_id,
-           GREATEST(off, chunk_id * {CTX_LEN}) - off AS doc_off,
-           GREATEST(off, chunk_id * {CTX_LEN}) - chunk_id * {CTX_LEN}
+           (GREATEST(off, chunk_id * {CTX_LEN}) - off)::BIGINT AS doc_off,
+           (GREATEST(off, chunk_id * {CTX_LEN}) - chunk_id * {CTX_LEN})::BIGINT
              AS chunk_off,
-           LEAST(off + n, chunk_id * {CTX_LEN} + {CTX_LEN})
-             - GREATEST(off, chunk_id * {CTX_LEN}) AS n_span
+           (LEAST(off + n, chunk_id * {CTX_LEN} + {CTX_LEN})
+             - GREATEST(off, chunk_id * {CTX_LEN}))::BIGINT AS n_span
     FROM spans
     """,
 )

@@ -129,7 +129,7 @@ TOKEN_BUDGET = 10_000  # fixture budget; bites at every sf (sf0.01 corpus ≈ 27
                                           AND CURRENT ROW) AS cum_tokens
       FROM toks
     )
-    SELECT doc_id, n_tokens, cum_tokens
+    SELECT doc_id, n_tokens::BIGINT AS n_tokens, cum_tokens::BIGINT AS cum_tokens
     FROM running WHERE cum_tokens <= {TOKEN_BUDGET}
     """,
 )
@@ -153,7 +153,7 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
     from pyspark.sql import Window
@@ -187,7 +187,7 @@ LANG_TOKEN_BUDGET = 2_000  # per-language fixture budget
                                           AND CURRENT ROW) AS cum_tokens
       FROM toks
     )
-    SELECT doc_id, lang, n_tokens, cum_tokens
+    SELECT doc_id, lang, n_tokens::BIGINT AS n_tokens, cum_tokens::BIGINT AS cum_tokens
     FROM running WHERE cum_tokens <= {LANG_TOKEN_BUDGET}
     """,
 )
@@ -203,7 +203,7 @@ def sample_token_budget_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         "lang",
-        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
     from pyspark.sql import Window

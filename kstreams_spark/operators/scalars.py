@@ -112,7 +112,7 @@ def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
            greatest(l_tax, l_discount) AS max_rate,
            least(l_tax, l_discount) AS min_rate,
-           sign(l_discount - 0.05) AS disc_sign
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
     FROM lineitem WHERE l_suppkey <= 3
     """,
 )
@@ -178,7 +178,8 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                            [event_type, CAST(user_id % 5 AS VARCHAR)]),
                        'bucket')[1] AS m_bucket,
            cardinality(MAP(['type', 'bucket'],
-                           [event_type, CAST(user_id % 5 AS VARCHAR)])) AS m_size,
+                           [event_type, CAST(user_id % 5 AS VARCHAR)]))::BIGINT
+             AS m_size,
            array_to_string(map_keys(MAP(['type', 'bucket'],
                            [event_type, CAST(user_id % 5 AS VARCHAR)])), ',') AS m_keys,
            array_to_string(map_values(MAP(['type', 'bucket'],
@@ -204,7 +205,7 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.element_at(m, "type").alias("m_type"),
         F.element_at(m, "bucket").alias("m_bucket"),
-        F.size(m).alias("m_size"),
+        F.size(m).cast("long").alias("m_size"),
         F.concat_ws(",", F.map_keys(m)).alias("m_keys"),
         F.concat_ws(",", F.map_values(m)).alias("m_vals"),
     )

@@ -16,12 +16,23 @@ from pyspark.sql import SparkSession
 
 
 def _canon_cell(v: Any) -> Any:
+    # Numeric cells are tagged by dtype CLASS ("i"/"f") so an integer-typed
+    # Spark column never matches a float-typed oracle column even when the
+    # values coincide (Python's 1992 == 1992.0 would otherwise pass). The
+    # grading driver hashes values after engine-side serialization, where
+    # bigint 1992 and float64 1992.0 differ — this keeps the replica
+    # STRICTLY at-least-as-strict (round-6 red row composite_curation_budget
+    # was exactly an uncast DuckDB HUGEINT sum surfacing as float64).
     if v is None:
         return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        return ("f", v)
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime().isoformat()
     if isinstance(v, datetime):
