@@ -693,3 +693,107 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
     jaccard = inter / len(shs[1] | shs[2])
     assert containment == 1.0 >= CONTAINMENT_THRESHOLD
     assert jaccard < 0.5
+
+
+def test_overcap_split_bounds_cells(spark):
+    """VERDICT r6 #3: the SemDeDup occupancy cap. The balanced cell rule
+    lets per-cell population grow as √(2N); split_overcap_cells must
+    HARD-bound one task's pair space at cap·(cap-1)/2 regardless of
+    distribution, keep planted near-duplicate recall inside split cells,
+    and the oracle CTE chain (_cell_cand_sql) must replay the split
+    bit-for-bit — the fixture corpus never triggers it (mean occupancy
+    crosses SEMDEDUP_MAX_CELL only past ~2M vectors), so this synthetic
+    corpus is the split path's only value-level gate."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kstreams_spark.operators.similarity import (
+        _cell_cand_sql,
+        _ivf_assign_sql,
+        ivf_cell_ids,
+        ivf_cell_pairs,
+        split_overcap_cells,
+    )
+
+    K, CAP = 4, 20
+
+    def corpus(n_clusters, n_copies, seed=11):
+        # tightly clustered on purpose: the adversarial shape where a
+        # nearest-sub-centroid re-split fails (identical vectors glue)
+        rng = np.random.default_rng(seed)
+        rows = []
+        for c in range(n_clusters):
+            base = rng.normal(size=16)
+            base /= np.linalg.norm(base)
+            for k in range(n_copies):
+                v = (base + rng.normal(scale=0.02, size=16)).astype(np.float32)
+                rows.append((c + n_clusters * k, [float(x) for x in v]))
+        return rows
+
+    for n_clusters, n_copies in ((40, 25), (40, 250)):  # 1x and 10x
+        rows = corpus(n_clusters, n_copies)
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        emb.cache()
+        cen = [
+            [float(x) for x in r.embedding]
+            for r in emb.filter(F.col("vec_id") < K).orderBy("vec_id").collect()
+        ]
+        split = split_overcap_cells(emb, ivf_cell_ids(emb, cen), CAP)
+        pops = split.groupBy("cen_id", "sub_id").count().toPandas()
+        assert int(pops["count"].max()) <= CAP, (
+            f"occupancy {int(pops['count'].max())} exceeds cap {CAP} "
+            f"at N={len(rows)} — per-task pair space unbounded"
+        )
+
+    # --- recall inside split cells (1x corpus): every planted cluster
+    # must still contribute verified near-pairs — block cuts cost only
+    # boundary pairs, never a whole cluster.
+    rows = corpus(40, 25)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb.cache()
+    cen = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < K).orderBy("vec_id").collect()
+    ]
+    ver = ivf_cell_pairs(
+        emb, n_centroids=K, min_cosine=0.9, max_cell=CAP
+    ).toPandas()
+    cluster_of = {vid: vid % 40 for vid, _ in rows}
+    hit = {cluster_of[r.id1] for r in ver.itertuples() if cluster_of[r.id1] == cluster_of[r.id2]}
+    assert len(hit) == 40, f"only {len(hit)}/40 planted clusters rejoined"
+
+    # --- Spark vs DuckDB parity of the split CTEs: candidate sets equal
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [vid for vid, _ in rows],
+            "embedding": [np.asarray(v, dtype=np.float64) for _, v in rows],
+        }
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    sql = f"""
+    WITH {_ivf_assign_sql(str(K))},
+    {_cell_cand_sql(CAP)}
+    SELECT id1, id2 FROM cand
+    """
+    oracle_pairs = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
+    assigned = split_overcap_cells(emb, ivf_cell_ids(emb, cen), CAP)
+    a1 = assigned.select(
+        F.col("vec_id").alias("id1"), "cen_id", "sub_id"
+    )
+    a2 = assigned.select(
+        F.col("vec_id").alias("id2"), "cen_id", "sub_id"
+    )
+    spark_pairs = {
+        (r.id1, r.id2)
+        for r in a1.join(a2, ["cen_id", "sub_id"])
+        .filter(F.col("id1") < F.col("id2"))
+        .collect()
+    }
+    assert spark_pairs == oracle_pairs, (
+        f"split-path candidate sets diverge: spark-only "
+        f"{sorted(spark_pairs - oracle_pairs)[:5]}, oracle-only "
+        f"{sorted(oracle_pairs - spark_pairs)[:5]}"
+    )
