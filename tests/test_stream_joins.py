@@ -156,3 +156,118 @@ def test_interval_left_join_emits_nulls_after_watermark(spark, tmp_path):
     rows = {(r.error_id, r.click_id) for r in spark.sql("SELECT * FROM lsj_out").collect()}
     # the 10:00 error emits with NULL click once the watermark passed it
     assert (100, None) in rows, rows
+
+
+def test_interval_right_join_emits_nulls_after_watermark(spark, tmp_path):
+    """Right-outer stream-stream join — the mirror of the left_outer
+    pin: an unmatched RIGHT row (click with no error in its window) is
+    held until the watermark passes, then emitted with null left
+    columns. SURVEY §2.2 claims inner/left/right/full; VERDICT r6 #4
+    flagged right/full as supported-but-unpinned."""
+    err_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("l_ts", T.TimestampType()),
+            T.StructField("error_id", T.LongType()),
+        ]
+    )
+    click_schema = T.StructType(
+        [
+            T.StructField("r_user_id", T.LongType()),
+            T.StructField("r_ts", T.TimestampType()),
+            T.StructField("click_id", T.LongType()),
+        ]
+    )
+    d1, d2 = str(tmp_path / "r_errors"), str(tmp_path / "r_clicks")
+    _write(d1, [{"user_id": 2, "l_ts": "2024-01-01 10:00:00", "error_id": 100}])
+    _write(d2, [{"r_user_id": 1, "r_ts": "2024-01-01 10:00:00", "click_id": 10}])
+
+    errors = spark.readStream.schema(err_schema).json(d1)
+    clicks = spark.readStream.schema(click_schema).json(d2)
+    joined = interval_join_stream(
+        errors, clicks, window="10 minutes", watermark="5 minutes",
+        join_type="right_outer",
+    )
+    q = (
+        joined.select("error_id", "click_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rsj_out")
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("SELECT count(*) n FROM rsj_out").collect()[0].n == 0
+
+    # distinct filename: the file source tracks seen files by name, so a
+    # second _write to part.json would be invisible (left test uses b2.json)
+    with open(os.path.join(d1, "b2.json"), "w") as f:
+        f.write(json.dumps({"user_id": 9, "l_ts": "2024-01-01 12:00:00", "error_id": 900}) + "\n")
+    with open(os.path.join(d2, "b2.json"), "w") as f:
+        f.write(json.dumps({"r_user_id": 9, "r_ts": "2024-01-01 12:00:00", "click_id": 90}) + "\n")
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r.error_id, r.click_id) for r in spark.sql("SELECT * FROM rsj_out").collect()}
+    assert (None, 10) in rows, rows
+
+
+def test_interval_full_join_emits_nulls_both_sides(spark, tmp_path):
+    """Full-outer stream-stream join: unmatched rows on BOTH sides emit
+    with nulls once the watermark clears them, and matched rows emit
+    joined — all three classes from one query."""
+    err_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("l_ts", T.TimestampType()),
+            T.StructField("error_id", T.LongType()),
+        ]
+    )
+    click_schema = T.StructType(
+        [
+            T.StructField("r_user_id", T.LongType()),
+            T.StructField("r_ts", T.TimestampType()),
+            T.StructField("click_id", T.LongType()),
+        ]
+    )
+    d1, d2 = str(tmp_path / "f_errors"), str(tmp_path / "f_clicks")
+    _write(
+        d1,
+        [
+            {"user_id": 1, "l_ts": "2024-01-01 10:05:00", "error_id": 100},
+            {"user_id": 3, "l_ts": "2024-01-01 10:00:00", "error_id": 300},
+        ],
+    )
+    _write(
+        d2,
+        [
+            {"r_user_id": 1, "r_ts": "2024-01-01 10:00:00", "click_id": 10},
+            {"r_user_id": 4, "r_ts": "2024-01-01 10:00:00", "click_id": 40},
+        ],
+    )
+
+    errors = spark.readStream.schema(err_schema).json(d1)
+    clicks = spark.readStream.schema(click_schema).json(d2)
+    joined = interval_join_stream(
+        errors, clicks, window="10 minutes", watermark="5 minutes",
+        join_type="full_outer",
+    )
+    q = (
+        joined.select("error_id", "click_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("fsj_out")
+        .start()
+    )
+    q.processAllAvailable()
+
+    with open(os.path.join(d1, "b2.json"), "w") as f:
+        f.write(json.dumps({"user_id": 9, "l_ts": "2024-01-01 12:00:00", "error_id": 900}) + "\n")
+    with open(os.path.join(d2, "b2.json"), "w") as f:
+        f.write(json.dumps({"r_user_id": 9, "r_ts": "2024-01-01 12:00:00", "click_id": 90}) + "\n")
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r.error_id, r.click_id) for r in spark.sql("SELECT * FROM fsj_out").collect()}
+    assert (100, 10) in rows, rows       # user 1: click in error's window
+    assert (300, None) in rows, rows     # error with no click
+    assert (None, 40) in rows, rows      # click with no error
