@@ -96,6 +96,43 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
+# Env probe for the real-decode dependencies the compressed-format stubs
+# stand in for (mirrors functions/avro_codec.py's jar gate): the message
+# names the exact artifacts so a deployment knows what to install, and
+# tests/test_env_probes.py pins the wording against drift.
+COMPRESSED_DECODE_GUIDANCE = (
+    "Compressed-media decode (JPEG/MP3/H.264) needs codec libraries not "
+    "present in this environment: install 'Pillow' (import PIL) for "
+    "images, 'soundfile' for audio, and the 'ffmpeg' CLI for video, then "
+    "swap decode_stub for the real decoder — the mapInPandas plumbing "
+    "(schema, Arrow batching, partitioning) is identical either way."
+)
+
+
+def compressed_codecs_available() -> dict[str, bool]:
+    """Per-dependency availability probe; auto-activates real decode
+    paths in environments that ship the libraries."""
+    import importlib.util
+    import shutil
+
+    return {
+        "PIL": importlib.util.find_spec("PIL") is not None,
+        "soundfile": importlib.util.find_spec("soundfile") is not None,
+        "ffmpeg": shutil.which("ffmpeg") is not None,
+    }
+
+
+def require_compressed_codecs() -> None:
+    """Fail fast with actionable guidance (not an opaque ImportError
+    mid-job) when a caller asks for real compressed-media decode."""
+    avail = compressed_codecs_available()
+    if not all(avail.values()):
+        missing = ", ".join(k for k, v in avail.items() if not v)
+        raise NotImplementedError(
+            f"{COMPRESSED_DECODE_GUIDANCE} (missing here: {missing})"
+        )
+
+
 def decode_stub(payload: bytes) -> dict:
     """Deterministic fake decoder (image/audio libs absent in this
     container; a real deployment swaps this for PIL/ffmpeg/soundfile).
