@@ -824,6 +824,78 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_clusters(ngram_jaccard_pairs(d))
 
 
+@query(
+    "dedup_cluster_best_quality",
+    oracle=f"""
+    WITH RECURSIVE {_cluster_labels_cte()},
+    scored AS (
+      SELECT doc_id,
+             0.4 * (CASE WHEN len(toks) > 100 THEN 1.0
+                         ELSE CAST(len(toks) AS DOUBLE) / 100 END)
+           + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.3 * (CASE WHEN list_contains(toks, 'the')
+                          OR list_contains(toks, 'a')
+                         THEN 1.0 ELSE 0.0 END) AS quality
+      FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+    ),
+    ranked AS (
+      SELECT l.doc_id, l.keep_id,
+             ROW_NUMBER() OVER (PARTITION BY l.keep_id
+                                ORDER BY s.quality DESC, l.doc_id) AS rn
+      FROM labels l JOIN scored s USING (doc_id)
+    ),
+    winners AS (SELECT keep_id, doc_id AS best_id FROM ranked WHERE rn = 1)
+    SELECT r.doc_id, r.keep_id, w.best_id,
+           CAST(r.doc_id = w.best_id AS BOOLEAN) AS is_kept
+    FROM ranked r JOIN winners w USING (keep_id)
+    """,
+)
+def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor election: the near-dup clusters of
+    dedup_cluster_resolution, but the kept member is the HIGHEST-QUALITY
+    doc (shared c4_quality_expr, ties → lowest doc_id) instead of the
+    lowest doc_id — what a production curation run actually wants: when
+    five copies of a page differ by boilerplate, keep the cleanest one,
+    not the first-crawled one. keep_id stays the min-label cluster id
+    (stable across re-runs), best_id is the elected survivor.
+
+    The quality scalar is portable across engines because it is pure
+    rational arithmetic evaluated in the same operation order (the same
+    argument the curation composites' >= 0.5 gate rests on). Shuffle
+    budget adds ONE window (per-cluster rank) + one broadcast-size join
+    over the CC chain; quality is computed scan-side on the documents
+    table, never on the pair graph."""
+    from kstreams_spark.operators.text import c4_quality_expr
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    labels = connected_components(ngram_jaccard_pairs(d)).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("keep_id")
+    )
+    scored = load_table(spark, sf_dir, "documents").select(
+        "doc_id", c4_quality_expr(F.split("text", " ")).alias("quality")
+    )
+    ranked = (
+        labels.join(scored, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("keep_id").orderBy(
+                    F.col("quality").desc(), "doc_id"
+                )
+            ),
+        )
+    )
+    winners = ranked.filter(F.col("rn") == 1).select(
+        "keep_id", F.col("doc_id").alias("best_id")
+    )
+    return ranked.join(winners, "keep_id").select(
+        "doc_id",
+        "keep_id",
+        "best_id",
+        (F.col("doc_id") == F.col("best_id")).alias("is_kept"),
+    )
+
+
 @query("dedup_simhash", oracle=_simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming ≤ 3, corpus-wide, via pigeonhole

@@ -199,3 +199,89 @@ def dedup_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return reassemble(kept, _totals(d))
+
+
+# --- boilerplate removal (CCNet / RefinedWeb recipe) ----------------------
+# Dedup keeps ONE winner occurrence of a repeated paragraph; boilerplate
+# removal drops EVERY occurrence once a paragraph appears in enough
+# distinct documents (nav bars, cookie banners, license headers) — the
+# two ops are complementary passes over the same segmentation. Threshold
+# expressed in DOCUMENTS (not occurrences) so one spammy doc repeating
+# its own footer can't promote that footer to corpus boilerplate.
+BOILER_MIN_DOCS = 3
+
+
+@query(
+    "text_boilerplate_top",
+    oracle=f"""
+    WITH {_paras_cte()},
+    freq AS (
+      SELECT md5(para) AS h, MIN(para) AS para,
+             COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+      FROM paras GROUP BY md5(para)
+    )
+    SELECT h, para, n_docs, n_occurrences
+    FROM freq WHERE n_docs >= {BOILER_MIN_DOCS}
+    ORDER BY n_docs DESC, n_occurrences DESC, h
+    LIMIT 20
+    """,
+)
+def text_boilerplate_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate AUDIT a curator reads before rewriting: the most
+    document-spanning repeated paragraphs with doc and occurrence
+    counts. Shuffle budget: one groupBy on md5(para) (16-byte keys +
+    one para payload via MIN), then TakeOrderedAndProject — the LIMIT
+    has a total order (n_docs, n_occurrences, h)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    freq = (
+        paragraph_rows(d)
+        .groupBy(F.md5("para").alias("h"))
+        .agg(
+            F.min("para").alias("para"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+    )
+    return freq.orderBy(
+        F.col("n_docs").desc(), F.col("n_occurrences").desc(), "h"
+    ).limit(20)
+
+
+@query(
+    "text_boilerplate_rewrite",
+    oracle=f"""
+    WITH {_paras_cte()},
+    freq AS (
+      SELECT md5(para) AS h, COUNT(DISTINCT doc_id) AS n_docs
+      FROM paras GROUP BY md5(para)
+    ),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.para
+      FROM paras p JOIN freq f ON md5(p.para) = f.h
+      WHERE f.n_docs < {BOILER_MIN_DOCS}
+    ),
+    {_REASSEMBLE_SQL.format(k=PARA_TOKENS)}
+    """,
+)
+def text_boilerplate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL: any paragraph appearing in >= BOILER_MIN_DOCS
+    distinct documents is dropped from every document (no winner — that
+    is dedup_paragraph_exact's job for legitimate content); per-doc
+    output is the reassembled cleaned text, and a doc that was pure
+    boilerplate keeps an empty row. Shuffle budget: the md5(para)
+    frequency groupBy (hash + counts only), one hash-equi join back
+    (boilerplate sets can reach 10^7 hashes at corpus scale, so the join
+    stays a shuffle hash join rather than assuming broadcastability),
+    one reassembly groupBy."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    paras = paragraph_rows(d)
+    freq = paras.groupBy(F.md5("para").alias("h")).agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    kept = (
+        paras.join(freq, F.md5(paras.para) == freq.h)
+        .filter(F.col("n_docs") < BOILER_MIN_DOCS)
+        .select("doc_id", "pos", "para")
+    )
+    return reassemble(kept, _totals(d))

@@ -658,3 +658,74 @@ def c4_quality_expr(toks: F.Column) -> F.Column:
         F.array_contains(toks, "the") | F.array_contains(toks, "a"), 1.0
     ).otherwise(0.0)
     return 0.4 * len_score + 0.3 * ttr + 0.3 * stop_score
+
+
+VOCAB_TOP_K = 100
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH counts AS (
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    total AS (SELECT SUM(n)::BIGINT AS total_toks FROM counts),
+    topk AS (
+      SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT {VOCAB_TOP_K}
+    ),
+    ranked AS (
+      SELECT tok, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank,
+             SUM(n) OVER (ORDER BY n DESC, tok
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)::BIGINT AS cum_n
+      FROM topk
+    )
+    SELECT r.rank, r.tok, r.n, r.cum_n,
+           CAST(r.cum_n AS DOUBLE) / t.total_toks AS coverage
+    FROM ranked r CROSS JOIN total t
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage curve — the first artifact of
+    tokenizer training: the top-{VOCAB_TOP_K} corpus tokens by frequency
+    with rank, count, and CUMULATIVE corpus-coverage fraction (how much
+    of the token stream a vocab prefix of that size explains). The
+    integer division cum/total is evaluated as one double divide of two
+    exact BIGINTs — portable across engines.
+
+    Scale shape: the frequency agg is map-side-combined on the token
+    column; the global window runs over the TOP-K ROWS ONLY (top-k via
+    TakeOrderedAndProject first, then a {VOCAB_TOP_K}-row cumsum — never
+    an unpartitioned window over the full vocabulary, which would be
+    10^8 rows in one task at corpus scale); the corpus total is a 1-row
+    broadcast cross join."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("total_toks"))
+    topk = counts.orderBy(F.col("n").desc(), "tok").limit(VOCAB_TOP_K)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    ranked = topk.select(
+        F.row_number().over(w).alias("rank"),
+        "tok",
+        "n",
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum_n"),
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "tok",
+        "n",
+        "cum_n",
+        (F.col("cum_n").cast("double") / F.col("total_toks")).alias("coverage"),
+    )
