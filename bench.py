@@ -68,6 +68,9 @@ HEADLINE = [
     "similarity_topk_ivf_sq8",  # added r6: quantized probed-cell ANN scan
     "composite_curation_classified",  # added r6: classifier+decontam chain
     "composite_curation_manifest",  # added r6: corpus -> dataloader manifest
+    "similarity_topk_ivf_pq",  # added r7: IVFPQ 16-bit ADC scan over probed cells
+    "dedup_cluster_best_quality",  # added r7: quality-aware survivor election
+    "text_boilerplate_rewrite",  # added r7: cross-doc boilerplate removal
 ]
 
 

@@ -422,15 +422,16 @@ def pq_encode(emb: DataFrame, cb, m: int = PQ_M) -> DataFrame:
     )
 
 
-@query(
-    "similarity_topk_pq",
-    oracle=f"""
-    WITH sub AS (
+def _pq_ctes(src: str = "embeddings") -> str:
+    """CTE chain sub → cb → dist → codes → lut: the PQ encode + per-query
+    LUT replayed in SQL, shared by the flat-scan and IVF-composed oracles.
+    `src` must expose (vec_id, embedding)."""
+    return f"""sub AS (
       SELECT vec_id, idx, CAST(unnest_v AS DOUBLE) AS v,
              CAST(floor((idx - 1) / {64 // PQ_M}) AS BIGINT) AS m
       FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
                    unnest(embedding) AS unnest_v
-            FROM embeddings)
+            FROM {src})
     ),
     cb AS (SELECT vec_id AS code, m, idx, v FROM sub WHERE vec_id < {PQ_K}),
     dist AS (
@@ -453,18 +454,59 @@ def pq_encode(emb: DataFrame, cb, m: int = PQ_M) -> DataFrame:
       FROM sub q JOIN cb c ON c.m = q.m AND c.idx = q.idx
       WHERE q.vec_id < {N_QUERIES}
       GROUP BY q.vec_id, c.m, c.code
-    ),
-    dots AS (
-      SELECT l.qid, x.vec_id AS cid, SUM(l.pdot)::BIGINT AS score_q
-      FROM codes x JOIN lut l ON l.m = x.m AND l.code = x.code
-      GROUP BY l.qid, x.vec_id
-    )
+    )"""
+
+
+_PQ_RANK_SQL = f"""
     SELECT qid, cid, score_q, rank FROM (
       SELECT qid, cid, score_q,
              ROW_NUMBER() OVER (PARTITION BY qid
                                 ORDER BY score_q DESC, cid) AS rank
       FROM dots
     ) WHERE rank <= {TOP_K}
+"""
+
+
+def pq_query_lut(emb: DataFrame, cb, n_queries: int = N_QUERIES) -> DataFrame:
+    """Per-query ADC lookup table (qid, m, code, pdot) — Q·M·K fixed-
+    point entries computed driver-side from the O(k·D) codebook state
+    with the bit-identical NumPy twin of the oracle arithmetic, returned
+    as a broadcastable DataFrame."""
+    import numpy as np
+
+    from kstreams_spark.operators.similarity import _np_round_half_up
+
+    q_rows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    dsub = cb.shape[1] // PQ_M
+    lut_rows = []
+    for r in q_rows:
+        q = np.asarray([float(x) for x in r.embedding], dtype=np.float64)
+        for mi in range(PQ_M):
+            qs = q[mi * dsub : (mi + 1) * dsub]
+            for j in range(PQ_K):
+                cs = cb[j, mi * dsub : (mi + 1) * dsub]
+                pdot = int(_np_round_half_up(qs * cs * 1e12).sum())
+                lut_rows.append((r.vec_id, mi, j, pdot))
+    return emb.sparkSession.createDataFrame(
+        lut_rows, "qid long, m long, code long, pdot long"
+    )
+
+
+@query(
+    "similarity_topk_pq",
+    oracle=f"""
+    WITH {_pq_ctes()},
+    dots AS (
+      SELECT l.qid, x.vec_id AS cid, SUM(l.pdot)::BIGINT AS score_q
+      FROM codes x JOIN lut l ON l.m = x.m AND l.code = x.code
+      GROUP BY l.qid, x.vec_id
+    )
+    {_PQ_RANK_SQL}
     """,
 )
 def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,34 +529,79 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     cb = pq_codebooks(emb)
     codes = pq_encode(emb, cb)
-
-    import numpy as np
-
-    from kstreams_spark.operators.similarity import _np_round_half_up
-
-    # LUT driver-side: queries are the first N_QUERIES corpus vectors,
-    # already in the O(k·D) collected codebook bound's state class.
-    q_rows = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
-    )
-    dsub = cb.shape[1] // PQ_M
-    lut_rows = []
-    for r in q_rows:
-        q = np.asarray([float(x) for x in r.embedding], dtype=np.float64)
-        for mi in range(PQ_M):
-            qs = q[mi * dsub : (mi + 1) * dsub]
-            for j in range(PQ_K):
-                cs = cb[j, mi * dsub : (mi + 1) * dsub]
-                pdot = int(_np_round_half_up(qs * cs * 1e12).sum())
-                lut_rows.append((r.vec_id, mi, j, pdot))
-    lut = emb.sparkSession.createDataFrame(
-        lut_rows, "qid long, m long, code long, pdot long"
-    )
+    lut = pq_query_lut(emb, cb)
     scored = (
         codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("pdot").cast("long").alias("score_q"))
+    )
+    return _rank_topk_q(scored, TOP_K)
+
+
+def _ivf_pq_oracle() -> str:
+    from kstreams_spark.operators.similarity import N_PROBE, _ivf_assign_sql
+
+    return f"""
+    WITH {_ivf_assign_sql()},
+    probes AS (
+      SELECT vec_id AS qid, cen_id FROM (
+        SELECT vec_id, cen_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cen_id) AS rn
+        FROM cdots WHERE vec_id < {N_QUERIES}
+      ) WHERE rn <= {N_PROBE}
+    ),
+    {_pq_ctes()},
+    dots AS (
+      SELECT p.qid, a.vec_id AS cid, SUM(l.pdot)::BIGINT AS score_q
+      FROM probes p
+      JOIN assigned a ON a.cen_id = p.cen_id
+      JOIN codes x ON x.vec_id = a.vec_id
+      JOIN lut l ON l.qid = p.qid AND l.m = x.m AND l.code = x.code
+      GROUP BY p.qid, a.vec_id
+    )
+    {_PQ_RANK_SQL}
+    """
+
+
+@query("similarity_topk_ivf_pq", oracle=_ivf_pq_oracle())
+def similarity_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ — the full FAISS IVFPQ serving shape: coarse cells prune
+    the corpus (similarity.ivf_assign, n_probe cells per query), the PQ
+    code scan scores ONLY the probed cells' candidates via the broadcast
+    ADC LUT. Per-query work = (n_probe·N/cells) candidates × M integer
+    lookups over 16-BIT codes — the cheapest scan in the family; recall
+    recovered by probing more cells and float-re-ranking survivors
+    (serving.py's pattern).
+
+    Shuffle budget: ivf_assign groupBy (1) + pq_encode (mapInPandas,
+    scan-shaped) + ONE broadcast probe-list join on cen_id + ONE
+    broadcast LUT join + the per-(qid,cid) sum and top-k window. The
+    candidate side is never reshuffled — it joins on its own cell id,
+    which at 100 TB is the lake partition key, so probing prunes
+    PARTITIONS, not rows."""
+    from kstreams_spark.operators.similarity import (
+        N_CENTROIDS,
+        N_PROBE,
+        ivf_assign,
+        query_probe_cells,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cen = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cen_id"), F.col("embedding").alias("cen_emb")
+    )
+    assigned = ivf_assign(emb, cen).select("vec_id", "cen_id")
+    probes = query_probe_cells(emb, cen, N_QUERIES, N_PROBE).select(
+        "qid", "cen_id"
+    )
+    cb = pq_codebooks(emb)
+    codes = pq_encode(emb, cb)
+    lut = pq_query_lut(emb, cb)
+    cand = assigned.join(codes, "vec_id")
+    scored = (
+        cand.join(F.broadcast(probes), "cen_id")
+        .join(F.broadcast(lut), ["qid", "m", "code"])
         .groupBy("qid", F.col("vec_id").alias("cid"))
         .agg(F.sum("pdot").cast("long").alias("score_q"))
     )

@@ -176,3 +176,57 @@ def test_pq_recall_and_code_size(spark):
     # coarser than SQ8's 0.99-recall 64-byte codes - the compression end
     # of the recall/size frontier, not a serving-quality ranker by itself
     assert recall >= 0.3, recall
+
+
+def test_ivf_pq_candidates_come_from_probed_cells_only(spark):
+    """IVFPQ composition: every returned candidate must live in one of
+    its query's n_probe cells (the pruning contract), and the PQ ranking
+    inside the probed cells must agree with the flat PQ scan restricted
+    to those cells (the composition adds pruning, never re-scoring)."""
+    from kstreams_spark.operators.similarity import (
+        N_CENTROIDS,
+        N_PROBE,
+        N_QUERIES,
+        _fx_dot,
+        ivf_assign,
+    )
+    from kstreams_spark.registry import QUERIES, load_all
+
+    load_all()
+    emb = load_table(spark, SF, "embeddings")
+    out = QUERIES["similarity_topk_ivf_pq"](spark, SF).collect()
+    cen = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cen_id"),
+        F.col("embedding").alias("cen_emb"),
+    )
+    cell = {
+        r.vec_id: r.cen_id
+        for r in ivf_assign(emb, cen).select("vec_id", "cen_id").collect()
+    }
+    q_scored = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cen))
+        .select(
+            F.col("vec_id").alias("qid"),
+            "cen_id",
+            _fx_dot("embedding", "cen_emb").alias("d"),
+        )
+        .collect()
+    )
+    probed: dict[int, set[int]] = {}
+    for qid in {r.qid for r in q_scored}:
+        ranked = sorted(
+            (r for r in q_scored if r.qid == qid),
+            key=lambda r: (-r.d, r.cen_id),
+        )
+        probed[qid] = {r.cen_id for r in ranked[:N_PROBE]}
+    for r in out:
+        assert cell[r.cid] in probed[r.qid], (r.qid, r.cid)
+    # scores agree with the flat PQ scan on the shared (qid, cid) pairs
+    flat = {
+        (r.qid, r.cid): r.score_q
+        for r in QUERIES["similarity_topk_pq"](spark, SF).collect()
+    }
+    for r in out:
+        if (r.qid, r.cid) in flat:
+            assert flat[(r.qid, r.cid)] == r.score_q, (r.qid, r.cid)
