@@ -729,3 +729,80 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_n",
         (F.col("cum_n").cast("double") / F.col("total_toks")).alias("coverage"),
     )
+
+
+# Multi-term keyword retrieval. Scoring is tf·idf with an INTEGER idf
+# surrogate (docs·1000 // df, exact floor division in both engines) —
+# the repo's standing rule keeps transcendentals (a log-based BM25 idf)
+# out of oracle-checked queries because engine libms differ in the last
+# ulp; the integer surrogate preserves the idf ORDERING (rarer term →
+# larger weight), which is what the ranking consumes.
+SEARCH_TERMS = ("spark", "window", "scan")
+SEARCH_TOP_K = 20
+IDF_SCALE = 1000
+
+
+@query(
+    "search_topk_keywords",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok IN {SEARCH_TERMS}
+      GROUP BY doc_id, tok
+    ),
+    idf AS (
+      SELECT tok,
+             (SELECT n_docs FROM n) * {IDF_SCALE}
+               // COUNT(DISTINCT doc_id) AS w
+      FROM tf GROUP BY tok
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             SUM(t.tf * i.w)::BIGINT AS score,
+             COUNT(*) AS n_terms_hit
+      FROM tf t JOIN idf i USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, score, n_terms_hit
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {SEARCH_TOP_K}
+    """,
+)
+def search_topk_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search over the corpus: top-{SEARCH_TOP_K} documents for a
+    multi-term query, scored Σ_t tf(doc,t)·idf_int(t) with the integer
+    idf surrogate above; ties → lowest doc_id (every LIMIT here has a
+    total order). The op the engine's text side lacked: tfidf_top_terms
+    profiles the CORPUS, this ranks DOCS for a query.
+
+    Scale shape: the token explode filters to the query terms BEFORE the
+    first shuffle (scan-side IN-list — the selective predicate reaches
+    the scan), tf is one groupBy, idf is a |terms|-row agg broadcast
+    back, the final ranking is TakeOrderedAndProject. Nothing scales
+    with vocabulary; everything scales with posting-list size."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    n_docs = d.count()  # metadata-cheap; drives the integer idf constant
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok").isin(*SEARCH_TERMS))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # exact integer floor division (Spark DIV == DuckDB // on BIGINTs);
+    # no float intermediary anywhere in the score
+    idf = tf.groupBy("tok").agg(
+        F.expr(
+            f"CAST({n_docs * IDF_SCALE} DIV count(DISTINCT doc_id) AS BIGINT)"
+        ).alias("w")
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("w")).cast("long").alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(SEARCH_TOP_K)

@@ -320,3 +320,116 @@ def probe_ivf_sq8_index(
         ).alias("score_q"),
     )
     return scored.orderBy(F.col("score_q").desc(), "vec_id").limit(k)
+
+
+# --- PQ serving (IVF + PQ, operators/quantize.py's 16-bit codes physical)
+
+
+def write_ivf_pq_index(
+    emb: DataFrame, path: str, centroids: list[list[float]], codebooks
+) -> None:
+    """Persist the PQ index: (vec_id, codes array — one sub-code per
+    subspace, M·log2(K)=16 bits of payload per vector) partitioned by
+    IVF cell, plus the codebooks as a sidecar at `<path>/_codebook`
+    (rows (m, code, cvec)). A probe reads n_probe cells of 2-byte-scale
+    codes — 16× less IO than even the SQ8 index; the float re-ranker
+    fetches survivors by id from the base table."""
+    from kstreams_spark.operators.kmeans import kmeans_assign
+    from kstreams_spark.operators.quantize import PQ_M, pq_encode
+
+    import numpy as np
+
+    C = np.asarray(codebooks, dtype=np.float64)
+    k, d = C.shape
+    dsub = d // PQ_M
+    cb_rows = [
+        (mi, j, [float(x) for x in C[j, mi * dsub : (mi + 1) * dsub]])
+        for mi in range(PQ_M)
+        for j in range(k)
+    ]
+    emb.sparkSession.createDataFrame(
+        cb_rows, "m long, code long, cvec array<double>"
+    ).write.mode("overwrite").parquet(path + "/_codebook")
+
+    codes = (
+        pq_encode(emb, codebooks)
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, code))), "
+                "x -> x.code)"
+            ).alias("codes")
+        )
+    )
+    assigned = kmeans_assign(emb, centroids).select("vec_id", "cen_id")
+    codes.join(assigned, "vec_id").write.mode("overwrite").partitionBy(
+        "cen_id"
+    ).parquet(path + "/cells")
+
+
+def probe_ivf_pq_index(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Top-k by the ADC integer score, reading ONLY the query's n_probe
+    nearest cells' codes: the (m, code) → partial-dot LUT is computed
+    driver-side from the codebook sidecar (the bit-exact twin of
+    operators/quantize.pq_query_lut), shipped as a 2-D array literal,
+    and the scan is zip_with(codes, lut, lookup) + fold — M integer
+    lookups per candidate, zero floats. Returns (vec_id, score_q)."""
+    cb = (
+        spark.read.parquet(path + "/_codebook")
+        .orderBy("m", "code")
+        .collect()
+    )
+    n_m = max(r.m for r in cb) + 1
+    n_k = max(r.code for r in cb) + 1
+    lut: list[list[int]] = [[0] * n_k for _ in range(n_m)]
+    dsub = len(query_vec) // n_m
+    for r in cb:
+        qs = query_vec[r.m * dsub : (r.m + 1) * dsub]
+        lut[r.m][r.code] = sum(
+            _round_half_away(float(v) * float(c) * FX)
+            for v, c in zip(qs, r.cvec)
+        )
+    dots = [
+        (
+            cid,
+            sum(
+                _round_half_away(float(v) * float(c) * FX)
+                for v, c in zip(query_vec, cen)
+            ),
+        )
+        for cid, cen in enumerate(centroids)
+    ]
+    cells = [
+        cid for cid, _ in sorted(dots, key=lambda t: (-t[1], t[0]))[:n_probe]
+    ]
+    lut_lit = F.array(
+        *[
+            F.array(*[F.lit(int(x)) for x in row])
+            for row in lut
+        ]
+    )
+    postings = spark.read.parquet(path + "/cells").filter(
+        F.col("cen_id").isin(cells)
+    )
+    scored = postings.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                lut_lit,
+                lambda c, row: F.element_at(row, (c + 1).cast("int")).cast(
+                    "long"
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score_q"),
+    )
+    return scored.orderBy(F.col("score_q").desc(), "vec_id").limit(k)
