@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kstreams_spark.io import load_table
+from kstreams_spark.operators._util import spread
 from kstreams_spark.registry import query
 
 # first two md5 hex chars → uniform 0..255 bucket, portable to any engine
@@ -439,4 +440,135 @@ def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h", "doc_id")
         .limit(EXACT_K)
         .drop("h")
+    )
+
+
+# --- hashed importance selection (DSIR-shaped, Xie et al. 2023) -----------
+# Data Selection via Importance Resampling scores raw docs by how
+# target-like their hashed n-gram features are. The published form uses
+# log-likelihood ratios of bucket probabilities; logs are engine-libm-
+# dependent (the standing transcendental rule), so this is the INTEGER-
+# RATIO form: per-bucket weight = round-down of
+#   SCALE · p_target(b) / p_raw(b)
+#   = ((t_b + 1) · (r_tot + B) · SCALE) // ((r_b + 1) · (t_tot + B))
+# (add-one smoothing over B buckets), and a doc's importance is the SUM
+# of its tokens' weights — selected when its mean per-token importance
+# (integer-divided, units of 1/SCALE) meets the CORPUS-MEAN rate, an
+# empirical baseline that stays meaningful even when target and raw
+# distributions nearly coincide (the theoretical baseline of exactly 1
+# selects nothing under floor-division bias in that regime).
+# Ordering by Σ ratios differs from ordering by Σ log-ratios (the ratio
+# form over-weights individually-extreme buckets), which is the price of
+# exactness; the selection SEMANTICS (more-target-like than baseline) are
+# preserved. BIGINT magnitudes hold to ~1e9-doc corpora ((t+1)·r_tot·SCALE
+# ≲ 2^63); past that, swap the two products to DECIMAL(38,0) on both
+# engines — the expressions are otherwise unchanged.
+IMP_SCALE = 1_000_000
+IMP_TARGET_LANG = "en"
+
+
+def _importance_oracle() -> str:
+    from kstreams_spark.operators.classify import N_BUCKETS, bucket_sql
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             {bucket_sql("tok")} AS bucket
+      FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS tok
+            FROM documents)
+    ),
+    counts AS (
+      SELECT bucket,
+             COUNT(*) AS r,
+             SUM(CASE WHEN lang = '{IMP_TARGET_LANG}' THEN 1 ELSE 0 END) AS t
+      FROM toks GROUP BY bucket
+    ),
+    tot AS (
+      SELECT SUM(r) + {N_BUCKETS} AS r_tot,
+             SUM(t) + {N_BUCKETS} AS t_tot FROM counts
+    ),
+    weights AS (
+      SELECT c.bucket,
+             ((c.t + 1) * tt.r_tot * {IMP_SCALE})
+               // ((c.r + 1) * tt.t_tot) AS w
+      FROM counts c CROSS JOIN tot tt
+    ),
+    scored AS (
+      SELECT tk.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(w.w)::BIGINT AS imp_score
+      FROM toks tk JOIN weights w USING (bucket)
+      GROUP BY tk.doc_id
+    ),
+    tot2 AS (
+      SELECT SUM(imp_score) AS s_tot, SUM(n_tokens) AS n_tot FROM scored
+    )
+    SELECT doc_id, n_tokens, imp_score,
+           CASE WHEN imp_score // n_tokens >= s_tot // n_tot
+                THEN 1 ELSE 0 END AS is_selected
+    FROM scored CROSS JOIN tot2
+    """
+
+
+@query("sample_importance_hashed", oracle=_importance_oracle())
+def sample_importance_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance selection: hash every token into the
+    classifier's 4096 md5 buckets, estimate target (lang =
+    '{IMP_TARGET_LANG}') vs corpus bucket distributions in ONE agg,
+    convert to integer importance weights (header comment), score each
+    doc by its token-weight sum, select docs whose mean importance beats
+    the corpus baseline. (doc_id, n_tokens, imp_score, is_selected) —
+    every value exact integer arithmetic.
+
+    Shuffle budget: one bucket agg (4096 rows out), a 1-row totals cross
+    join, ONE broadcast weights join back onto the scan-shaped token
+    stream, one per-doc agg. The same shape as text_quality_classifier —
+    a learned model swap away from it: DSIR is 'the model IS the
+    target/raw count ratio'."""
+    from kstreams_spark.operators.classify import N_BUCKETS, bucket_sql
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id", "lang", F.expr(bucket_sql("tok")).cast("long").alias("bucket")
+    )
+    counts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.sum(
+            F.when(F.col("lang") == IMP_TARGET_LANG, 1).otherwise(0)
+        ).alias("t"),
+    )
+    tot = counts.agg(
+        (F.sum("r") + N_BUCKETS).alias("r_tot"),
+        (F.sum("t") + N_BUCKETS).alias("t_tot"),
+    )
+    weights = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            f"CAST(((t + 1) * r_tot * {IMP_SCALE}) DIV ((r + 1) * t_tot) "
+            f"AS BIGINT)"
+        ).alias("w"),
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").cast("long").alias("imp_score"),
+        )
+    )
+    tot2 = scored.agg(
+        F.sum("imp_score").alias("s_tot"), F.sum("n_tokens").alias("n_tot")
+    )
+    return scored.crossJoin(F.broadcast(tot2)).select(
+        "doc_id",
+        "n_tokens",
+        "imp_score",
+        F.when(
+            F.expr("imp_score DIV n_tokens") >= F.expr("s_tot DIV n_tot"), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_selected"),
     )

@@ -797,3 +797,27 @@ def test_overcap_split_bounds_cells(spark):
         f"{sorted(spark_pairs - oracle_pairs)[:5]}, oracle-only "
         f"{sorted(oracle_pairs - spark_pairs)[:5]}"
     )
+
+
+def test_importance_selection_favors_target_lang(spark, sf_dir):
+    """DSIR-shaped hashed importance (sample_importance_hashed): target
+    (en) documents must be selected at a strictly higher rate than the
+    rest of the corpus — the integer-ratio weights pick up the (weak)
+    lang signal in the fixture's hashed-bucket distributions (measured
+    0.62 vs ~0.38 at both sf0.001 and sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from kstreams_spark.io import load_table
+    from kstreams_spark.registry import QUERIES, load_all
+
+    load_all()
+    sel = QUERIES["sample_importance_hashed"](spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rates = {
+        r.is_en: r.rate
+        for r in sel.join(d, "doc_id")
+        .groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("is_selected").alias("rate"))
+        .collect()
+    }
+    assert rates[True] > rates[False] + 0.1, rates
