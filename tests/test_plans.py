@@ -313,3 +313,60 @@ def test_runtime_bloom_filter_joins_under_scale_confs(plan_spark, sf_dir):
                 plan_spark.conf.unset(k)
             else:
                 plan_spark.conf.set(k, v)
+
+
+def test_search_topk_is_take_ordered(plan_spark, sf_dir):
+    """search_topk_keywords: the term IN-filter must reach the scan side
+    (applied before the first shuffle), the idf join must broadcast, and
+    the final LIMIT must be TakeOrderedAndProject — never a global sort."""
+    df = q("search_topk_keywords", plan_spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    strategies = join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies), (
+        strategies
+    )
+
+
+def test_boilerplate_rewrite_no_cartesian(plan_spark, sf_dir):
+    """text_boilerplate_rewrite: paragraph-hash frequency join + the
+    reassembly — hash equi-joins only, no cartesian anywhere."""
+    plan = physical_plan(q("text_boilerplate_rewrite", plan_spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_importance_weights_join_broadcasts(plan_spark, sf_dir):
+    """sample_importance_hashed: the 4096-bucket weights table (and the
+    1-row totals) must broadcast onto the token stream — same contract
+    as the quality classifier's model join."""
+    df = q("sample_importance_hashed", plan_spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    strategies = join_strategies(df)
+    # the weights equi-join broadcasts; the only BNLJs are the 1-row
+    # totals cross joins (corpus-independent)
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert all(
+        s in ("BroadcastHashJoin", "BroadcastNestedLoopJoin")
+        for s in strategies
+    ), strategies
+    assert strategies.count("BroadcastNestedLoopJoin") <= 2, strategies
+
+
+def test_ivf_pq_scan_joins_broadcast(plan_spark, sf_dir):
+    """similarity_topk_ivf_pq: the probe list and the ADC LUT must both
+    broadcast onto the cell-keyed candidate side — the code table is
+    never reshuffled to meet them."""
+    df = q("similarity_topk_ivf_pq", plan_spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    strategies = join_strategies(df)
+    # hash joins (probe list, LUT, codes) all broadcast; the two BNLJs
+    # are ivf_assign's tiny centroid-table crosses (same as sq8's plan)
+    assert strategies and all(
+        s in ("BroadcastHashJoin", "BroadcastNestedLoopJoin")
+        for s in strategies
+    ), strategies
+    assert strategies.count("BroadcastNestedLoopJoin") <= 2, strategies
+    assert "BroadcastHashJoin" in strategies, strategies
