@@ -332,3 +332,64 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+PROFILE_COLS = {
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "events": ["event_id", "user_id", "event_type", "value", "props"],
+}
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for tbl, cols in PROFILE_COLS.items():
+        for c in cols:
+            parts.append(
+                f"""SELECT '{tbl}' AS tbl, '{c}' AS col,
+                    COUNT(*) AS n_rows,
+                    (COUNT(*) - COUNT({c}))::BIGINT AS n_nulls,
+                    COUNT(DISTINCT {c})::BIGINT AS n_distinct
+                    FROM {tbl}"""
+            )
+    return " UNION ALL ".join(parts)
+
+
+@query("profile_tables", oracle=_profile_oracle())
+def profile_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling audit — the first query run against an unfamiliar
+    lake: per (table, column) row count, null count, and exact distinct
+    count for the two content tables. All integers; no typed min/max in
+    the output (cross-engine value formatting is the hash risk class,
+    and counts are what gate a pipeline run).
+
+    Scale shape: ONE aggregate pass per table computes every column's
+    three counts (count-distinct expands to the standard two-phase
+    partial_count under whole-stage codegen — still a single scan of
+    each table), then the per-column rows are literal projections
+    unioned together. Nothing is per-row Python; adding a column is one
+    list entry."""
+    outs = []
+    for tbl, cols in PROFILE_COLS.items():
+        t = load_table(spark, sf_dir, tbl)
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.count(F.lit(1)).alias(f"{c}__rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+                F.countDistinct(c).alias(f"{c}__distinct"),
+            ]
+        row = t.agg(*aggs)
+        for c in cols:
+            outs.append(
+                row.select(
+                    F.lit(tbl).alias("tbl"),
+                    F.lit(c).alias("col"),
+                    F.col(f"{c}__rows").cast("long").alias("n_rows"),
+                    F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+                    F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
