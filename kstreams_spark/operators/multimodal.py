@@ -1431,3 +1431,96 @@ def multimodal_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _video_payloads(d).mapInPandas(
         _decode_stage(avi_motion, MOTION_SCHEMA), MOTION_SCHEMA
     )
+
+
+# --- energy-windowed activity segmentation (VAD baseline) -----------------
+# Voice-activity detection's classic baseline: fixed windows of W
+# samples, a window is "active" when its energy Σ s² clears a threshold.
+# Real VAD adds spectral features — this is the honest integer-exact
+# core a curation pipeline gates on (drop silence-only clips, trim
+# leading/trailing silence), computed by PARSING the real WAV bytes.
+ACT_WINDOW = 16  # samples per window
+# uniform int16 noise has E[s²] ≈ 3.57e8 → window energy ≈ 5.7e9; this
+# threshold splits fixture windows roughly in half, so both branches of
+# the gate are exercised at every sf
+ACT_THRESHOLD = ACT_WINDOW * 330_000_000
+
+ACTIVITY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_windows", T.LongType()),
+        T.StructField("n_active", T.LongType()),
+        T.StructField("first_active", T.LongType()),
+        T.StructField("last_active", T.LongType()),
+        T.StructField("active_energy", T.LongType()),
+    ]
+)
+
+
+def _wav_activity(payload: bytes) -> dict:
+    _, samples = wav_pcm(payload)
+    n_windows = (len(samples) + ACT_WINDOW - 1) // ACT_WINDOW
+    n_active = 0
+    first_active = -1
+    last_active = -1
+    active_energy = 0
+    for w in range(n_windows):
+        chunk = samples[w * ACT_WINDOW : (w + 1) * ACT_WINDOW]
+        e = sum(s * s for s in chunk)
+        if e >= ACT_THRESHOLD:
+            n_active += 1
+            active_energy += e
+            if first_active < 0:
+                first_active = w
+            last_active = w
+    return {
+        "n_windows": n_windows,
+        "n_active": n_active,
+        "first_active": first_active,
+        "last_active": last_active,
+        "active_energy": active_energy,
+    }
+
+
+@query(
+    "multimodal_audio_activity",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, (octet_length(encode(text)) % 100) + 50 AS n
+      FROM documents WHERE doc_id < 200
+    ),
+    samples AS (
+      SELECT doc_id, n, i // {ACT_WINDOW} AS w,
+             ((doc_id * 7919 + i * 104729) % 65521) - 32760 AS s
+      FROM docs, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) t
+    ),
+    wins AS (
+      SELECT doc_id, w, SUM(s * s) AS e
+      FROM samples GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_windows,
+           SUM(CASE WHEN e >= {ACT_THRESHOLD} THEN 1 ELSE 0 END)::BIGINT
+             AS n_active,
+           COALESCE(MIN(CASE WHEN e >= {ACT_THRESHOLD} THEN w END), -1)::BIGINT
+             AS first_active,
+           COALESCE(MAX(CASE WHEN e >= {ACT_THRESHOLD} THEN w END), -1)::BIGINT
+             AS last_active,
+           COALESCE(SUM(CASE WHEN e >= {ACT_THRESHOLD} THEN e END), 0)::BIGINT
+             AS active_energy
+    FROM wins GROUP BY doc_id
+    """,
+)
+def multimodal_audio_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-windowed activity over REAL decoded audio: synth → WAV
+    bytes → chunk-walk parse → per-{ACT_WINDOW}-sample window energies →
+    active-window stats (count, first/last index for silence trimming,
+    total active energy). The oracle replays the window arithmetic in
+    SQL, so a windowing/off-by-one bug in the parser side fails the
+    value hash. Same staged mapInPandas shape as every real-codec query;
+    the trailing partial window is included (its energy is over the
+    remaining samples only)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return _audio_payloads(d).mapInPandas(
+        _decode_stage(_wav_activity, ACTIVITY_SCHEMA), ACTIVITY_SCHEMA
+    )
