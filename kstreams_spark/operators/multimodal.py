@@ -1524,3 +1524,120 @@ def multimodal_audio_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audio_payloads(d).mapInPandas(
         _decode_stage(_wav_activity, ACTIVITY_SCHEMA), ACTIVITY_SCHEMA
     )
+
+
+# --- perceptual image hash (aHash) + hash-bucketed near-dup pairs ---------
+# Average-hash, the classic perceptual image fingerprint: downsample to
+# AHASH_DIM × AHASH_DIM (nearest neighbor), threshold each cell's gray
+# sum against the mean (integer cross-multiply — no division), pack the
+# bits. Identical images at different encodings collide; near-identical
+# ones land within small Hamming distance. 4×4 (16 bits) here because
+# the fixture BMPs are 5–10 × 4–6 px; production uses 8×8/64-bit through
+# the identical machinery.
+AHASH_DIM = 4
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("n_set", T.LongType()),
+    ]
+)
+
+
+def _bmp_ahash(payload: bytes) -> dict:
+    grid = bmp_pixel_grid(payload)
+    h, w = len(grid), len(grid[0])
+    grays = []
+    for y2 in range(AHASH_DIM):
+        for x2 in range(AHASH_DIM):
+            b, g, r = grid[(y2 * h) // AHASH_DIM][(x2 * w) // AHASH_DIM]
+            grays.append(b + g + r)
+    total = sum(grays)
+    ahash = 0
+    n_set = 0
+    for i, gray in enumerate(grays):
+        if gray * (AHASH_DIM * AHASH_DIM) >= total:
+            ahash |= 1 << i
+            n_set += 1
+    return {"ahash": ahash, "n_set": n_set}
+
+
+def _ahash_cte() -> str:
+    d = AHASH_DIM
+    gray = " + ".join(
+        f"((doc_id * 31 + ((y2 * h) // {d}) * 17 "
+        f"+ ((x2 * w) // {d}) * 7 + {c} * 131) % 256)"
+        for c in range(3)
+    )
+    return f"""dims AS (
+      SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    samp AS (
+      SELECT doc_id, x2, y2, {gray} AS gray
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, {d - 1})) AS x2) tx,
+           LATERAL (SELECT unnest(generate_series(0, {d - 1})) AS y2) ty
+    ),
+    tot AS (SELECT doc_id, SUM(gray) AS total FROM samp GROUP BY doc_id),
+    hashes AS (
+      SELECT s.doc_id,
+             SUM(CASE WHEN s.gray * {d * d} >= t.total
+                      THEN (1::BIGINT << (s.y2 * {d} + s.x2)) ELSE 0
+                 END)::BIGINT AS ahash,
+             SUM(CASE WHEN s.gray * {d * d} >= t.total THEN 1 ELSE 0
+                 END)::BIGINT AS n_set
+      FROM samp s JOIN tot t USING (doc_id) GROUP BY s.doc_id
+    )"""
+
+
+@query(
+    "multimodal_image_ahash",
+    oracle=f"""
+    WITH {_ahash_cte()}
+    SELECT doc_id, ahash, n_set FROM hashes
+    """,
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hash per image, computed from the REALLY-parsed BMP
+    pixel grid (bottom-up un-flip, padding stride, BGR — a parser bug
+    flips hash bits and fails the value hash). The oracle replays
+    synthesis + nearest-neighbor sampling + mean-threshold bit packing
+    in SQL."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return _image_payloads(d).mapInPandas(
+        _decode_stage(_bmp_ahash, AHASH_SCHEMA), AHASH_SCHEMA
+    )
+
+
+@query(
+    "multimodal_image_ahash_pairs",
+    oracle=f"""
+    WITH {_ahash_cte()}
+    SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, a.ahash
+    FROM hashes a JOIN hashes b
+      ON a.ahash = b.ahash AND a.doc_id < b.doc_id
+    """,
+)
+def multimodal_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup candidate pairs: bucket by EXACT aHash (the
+    image-side analogue of dedup_exact's md5 buckets — same in-bucket
+    sorted-list enumeration, no self-join, pair space quadratic only
+    within a hash bucket). A production 64-bit aHash adds the simhash
+    pigeonhole chunk trick for Hamming ≤ k; at 16 bits exact equality is
+    the meaningful grain."""
+    hashes = multimodal_image_ahash(spark, sf_dir)
+    per_bucket = (
+        hashes.groupBy("ahash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS doc_id1, y AS doc_id2))))"
+    )
+    return per_bucket.select(
+        "ahash", F.explode(pair_expr).alias("p")
+    ).select("p.doc_id1", "p.doc_id2", "ahash")
