@@ -1641,3 +1641,102 @@ def multimodal_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.select(
         "ahash", F.explode(pair_expr).alias("p")
     ).select("p.doc_id1", "p.doc_id2", "ahash")
+
+
+# --- scene-cut detection ---------------------------------------------------
+# The shot-boundary baseline every video-curation pipeline runs before
+# frame sampling (one keyframe per scene beats every-Nth-frame): a cut
+# falls between consecutive frames whose per-pixel mean absolute change
+# clears SCENE_PER_PX (integer cross-multiply against n_pixels — no
+# division). Real detectors add histograms/edges; this is the
+# integer-exact core over REAL decoded frames.
+SCENE_PER_PX = 250
+
+SCENES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_cuts", T.LongType()),
+        T.StructField("n_scenes", T.LongType()),
+        T.StructField("max_delta", T.LongType()),
+    ]
+)
+
+
+def avi_scenes(payload: bytes) -> dict:
+    """Per frame-pair delta (as avi_motion, shared _avi_layout walk) →
+    cut flags → scene count. A clip with no cuts is one scene."""
+    lay = _avi_layout(payload)
+    w, h, row_size = lay["w"], lay["h"], lay["row_size"]
+    frames = []
+    for off, _size in lay["frames"]:
+        vals = []
+        for y in range(h):
+            base = off + (h - 1 - y) * row_size
+            for x in range(w):
+                o = base + 3 * x
+                vals.append(payload[o] + payload[o + 1] + payload[o + 2])
+        frames.append(vals)
+    n_px = w * h
+    n_cuts = 0
+    max_delta = 0
+    for f in range(1, len(frames)):
+        delta = sum(abs(a - b) for a, b in zip(frames[f], frames[f - 1]))
+        max_delta = max(max_delta, delta)
+        if delta >= SCENE_PER_PX * n_px:
+            n_cuts += 1
+    return {
+        "n_frames": len(frames),
+        "n_cuts": n_cuts,
+        "n_scenes": n_cuts + 1,
+        "max_delta": max_delta,
+    }
+
+
+@query(
+    "multimodal_video_scenes",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 3 AS k,
+             5 + doc_id % 6 AS w, 4 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, k, w, h, f, x, y,
+             ((doc_id * 31 + f * 53 + y * 17 + x * 7 + 0 * 131) % 256)
+           + ((doc_id * 31 + f * 53 + y * 17 + x * 7 + 1 * 131) % 256)
+           + ((doc_id * 31 + f * 53 + y * 17 + x * 7 + 2 * 131) % 256) AS v
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, k - 1)) AS f) tf,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    ),
+    deltas AS (
+      SELECT a.doc_id, MIN(a.k) AS k, MIN(a.w * a.h) AS n_px, b.f AS f,
+             SUM(ABS(b.v - a.v)) AS delta
+      FROM px a
+      JOIN px b ON b.doc_id = a.doc_id AND b.x = a.x AND b.y = a.y
+               AND b.f = a.f + 1
+      GROUP BY a.doc_id, b.f
+    )
+    SELECT doc_id,
+           CAST(MIN(k) AS INTEGER) AS n_frames,
+           SUM(CASE WHEN delta >= {SCENE_PER_PX} * n_px THEN 1 ELSE 0
+               END)::BIGINT AS n_cuts,
+           (SUM(CASE WHEN delta >= {SCENE_PER_PX} * n_px THEN 1 ELSE 0
+                END) + 1)::BIGINT AS n_scenes,
+           MAX(delta)::BIGINT AS max_delta
+    FROM deltas GROUP BY doc_id
+    """,
+)
+def multimodal_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over REAL decoded AVI frames: per consecutive
+    frame pair the summed absolute pixel change, a cut when the
+    per-pixel mean clears SCENE_PER_PX, scenes = cuts + 1. The oracle
+    replays pixels, pair deltas, and the threshold in SQL — a decoder
+    that dropped or duplicated a frame changes the cut structure and
+    fails the value hash."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return _video_payloads(d).mapInPandas(
+        _decode_stage(avi_scenes, SCENES_SCHEMA), SCENES_SCHEMA
+    )
