@@ -1740,3 +1740,153 @@ def multimodal_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _video_payloads(d).mapInPandas(
         _decode_stage(avi_scenes, SCENES_SCHEMA), SCENES_SCHEMA
     )
+
+
+@query(
+    "composite_media_curation_full",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             0.4 * (CASE WHEN len(toks) > 100 THEN 1.0
+                         ELSE CAST(len(toks) AS DOUBLE) / 100 END)
+           + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.3 * (CASE WHEN list_contains(toks, 'the')
+                          OR list_contains(toks, 'a')
+                         THEN 1.0 ELSE 0.0 END) AS q
+      FROM (SELECT doc_id, lang, str_split(text, ' ') AS toks
+            FROM documents WHERE doc_id < 200)
+    ),
+    adocs AS (
+      SELECT doc_id, (octet_length(encode(text)) % 100) + 50 AS n
+      FROM documents WHERE doc_id < 200
+    ),
+    asamples AS (
+      SELECT doc_id, n, i // {ACT_WINDOW} AS w,
+             ((doc_id * 7919 + i * 104729) % 65521) - 32760 AS s
+      FROM adocs, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) t
+    ),
+    audio AS (
+      SELECT doc_id, MAX(ABS(s)) AS peak
+      FROM asamples GROUP BY doc_id
+    ),
+    awins AS (
+      SELECT doc_id, w, SUM(s * s) AS e FROM asamples GROUP BY doc_id, w
+    ),
+    activity AS (
+      SELECT doc_id,
+             COUNT(*) AS n_windows,
+             SUM(CASE WHEN e >= {ACT_THRESHOLD} THEN 1 ELSE 0 END) AS n_active
+      FROM awins GROUP BY doc_id
+    ),
+    vdims AS (
+      SELECT doc_id, 2 + doc_id % 3 AS k,
+             5 + doc_id % 6 AS w, 4 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    vpx AS (
+      SELECT doc_id, f, x, y,
+             ((doc_id * 31 + f * 53 + y * 17 + x * 7 + 0 * 131) % 256)
+           + ((doc_id * 31 + f * 53 + y * 17 + x * 7 + 1 * 131) % 256)
+           + ((doc_id * 31 + f * 53 + y * 17 + x * 7 + 2 * 131) % 256) AS v
+      FROM vdims,
+           LATERAL (SELECT unnest(generate_series(0, k - 1)) AS f) tf,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    ),
+    motion AS (
+      SELECT a.doc_id, SUM(ABS(b.v - a.v)) AS motion_sum
+      FROM vpx a
+      JOIN vpx b ON b.doc_id = a.doc_id AND b.x = a.x AND b.y = a.y
+               AND b.f = a.f + 1
+      GROUP BY a.doc_id
+    ),
+    {_ahash_cte()},
+    winners AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY ahash ORDER BY doc_id) AS rn
+        FROM hashes) WHERE rn = 1
+    )
+    SELECT q.lang,
+           COUNT(*)::BIGINT AS n_kept,
+           SUM(ac.n_active)::BIGINT AS active_windows,
+           MAX(au.peak)::BIGINT AS max_peak
+    FROM q
+    JOIN audio au USING (doc_id)
+    JOIN activity ac USING (doc_id)
+    JOIN motion mo USING (doc_id)
+    JOIN winners wi USING (doc_id)
+    WHERE q.q >= 0.5
+      AND au.peak < {CLIP_PEAK}
+      AND ac.n_active * 4 >= ac.n_windows
+      AND mo.motion_sum > 0
+    GROUP BY q.lang
+    """,
+)
+def composite_media_curation_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The whole-modality curation capstone: FOUR real-decode gates and
+    one image-dedup winner election feed a single survivors table —
+    text quality ≥ 0.5, audio not clipping (peak < {CLIP_PEAK}) and
+    ≥ 25 % energy-active windows (silence gate), video not static
+    (motion > 0), and one doc per perceptual-hash bucket (aHash winner,
+    lowest doc_id). Per-language survivor stats out. Every modality's
+    evidence comes from PARSING real bytes (WAV chunk walk, BMP un-flip,
+    AVI container walk); the oracle replays all four syntheses plus the
+    gates in one statement, so the cross-modality join is value-checked
+    end-to-end.
+
+    Shuffle budget: the three decode paths are narrow mapInPandas over
+    the same scan; one window for the aHash winner; the gate joins are
+    doc_id-aligned (broadcastable at the media-table grain); final
+    groupBy(lang)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    from kstreams_spark.operators.text import c4_quality_expr
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        c4_quality_expr(F.split("text", " ")).alias("q"),
+    ).filter(F.col("q") >= 0.5)
+    audio = (
+        _audio_payloads(d)
+        .mapInPandas(_decode_stage(_wav_features, AUDIO_SCHEMA), AUDIO_SCHEMA)
+        .select("doc_id", "peak")
+        .filter(F.col("peak") < CLIP_PEAK)
+    )
+    activity = (
+        _audio_payloads(d)
+        .mapInPandas(_decode_stage(_wav_activity, ACTIVITY_SCHEMA), ACTIVITY_SCHEMA)
+        .select("doc_id", "n_active", "n_windows")
+        .filter(F.col("n_active") * 4 >= F.col("n_windows"))
+    )
+    motion = (
+        _video_payloads(d)
+        .mapInPandas(_decode_stage(avi_motion, MOTION_SCHEMA), MOTION_SCHEMA)
+        .select("doc_id", "motion_sum")
+        .filter(F.col("motion_sum") > 0)
+    )
+    winners = (
+        _image_payloads(d)
+        .mapInPandas(_decode_stage(_bmp_ahash, AHASH_SCHEMA), AHASH_SCHEMA)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("ahash").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    kept = (
+        scored.join(audio, "doc_id")
+        .join(activity, "doc_id")
+        .join(motion, "doc_id")
+        .join(winners, "doc_id")
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_active").cast("long").alias("active_windows"),
+        F.max("peak").cast("long").alias("max_peak"),
+    )
