@@ -71,6 +71,8 @@ HEADLINE = [
     "similarity_topk_ivf_pq",  # added r7: IVFPQ 16-bit ADC scan over probed cells
     "dedup_cluster_best_quality",  # added r7: quality-aware survivor election
     "text_boilerplate_rewrite",  # added r7: cross-doc boilerplate removal
+    "composite_media_curation_full",  # added r7: 4-gate whole-modality capstone
+    "sample_importance_hashed",  # added r7: DSIR-shaped integer importance
 ]
 
 

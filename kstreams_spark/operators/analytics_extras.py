@@ -393,3 +393,120 @@ def profile_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _corpus_report_oracle() -> str:
+    davg_q = (
+        "CAST(SUM(CAST(0.4 * (CASE WHEN len(toks) > 100 THEN 1.0 "
+        "ELSE CAST(len(toks) AS DOUBLE) / 100 END) "
+        "+ 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) "
+        "+ 0.3 * (CASE WHEN list_contains(toks, 'the') "
+        "OR list_contains(toks, 'a') THEN 1.0 ELSE 0.0 END) "
+        "AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, text, lang, source,
+                      str_split(text, ' ') AS toks FROM documents)
+    SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM t
+    UNION ALL
+    SELECT 'n_tokens', CAST(SUM(len(toks))::BIGINT AS DOUBLE) FROM t
+    UNION ALL
+    SELECT 'distinct_text_ratio',
+           CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) FROM t
+    UNION ALL
+    SELECT 'mean_quality', {davg_q} FROM t
+    UNION ALL
+    SELECT 'source_hhi',
+           CAST(SUM(n * n)::BIGINT AS DOUBLE)
+             / (SUM(n)::BIGINT * SUM(n)::BIGINT)
+    FROM (SELECT COUNT(*) AS n FROM t GROUP BY source)
+    UNION ALL
+    SELECT 'lang_hhi',
+           CAST(SUM(n * n)::BIGINT AS DOUBLE)
+             / (SUM(n)::BIGINT * SUM(n)::BIGINT)
+    FROM (SELECT COUNT(*) AS n FROM t GROUP BY lang)
+    """
+
+
+@query("composite_corpus_report", oracle=_corpus_report_oracle())
+def composite_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus health card — the one-table summary a dataset release
+    ships: doc/token counts, exact-dup ratio (distinct md5(text) /
+    docs), mean C4 quality (DECIMAL-exact mean, the standing float-agg
+    rule), and source/language concentration as HHI (Σ pᵢ² — the
+    Herfindahl index; entropy needs log, which the transcendental rule
+    keeps out of oracle-checked queries, and HHI ranks concentration the
+    same way). One row per metric, value always DOUBLE (each an exact
+    integer/decimal ratio evaluated as one division — portable).
+
+    Scale shape: every metric is an aggregate over one scan of
+    documents (the HHIs add a tiny per-source/per-lang pre-agg);
+    map-side partial aggregation everywhere; output is 6 rows."""
+    from kstreams_spark.operators.text import c4_quality_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.split("text", " ").alias("toks"),
+    )
+    q = c4_quality_expr(F.col("toks"))
+
+    def one(metric, col_df):
+        return col_df.select(
+            F.lit(metric).alias("metric"), F.col("value").cast("double")
+        )
+
+    rows = [
+        one("n_docs", t.agg(F.count(F.lit(1)).cast("double").alias("value"))),
+        one(
+            "n_tokens",
+            t.agg(F.sum(F.size("toks")).cast("long").cast("double").alias("value")),
+        ),
+        one(
+            "distinct_text_ratio",
+            t.agg(
+                (
+                    F.countDistinct(F.md5("text")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("value")
+            ),
+        ),
+        one(
+            "mean_quality",
+            t.agg(
+                (
+                    F.sum(q.cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("value")
+            ),
+        ),
+        one(
+            "source_hhi",
+            t.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                (
+                    F.sum(F.col("n") * F.col("n")).cast("long").cast("double")
+                    / (F.sum("n").cast("long") * F.sum("n").cast("long"))
+                ).alias("value")
+            ),
+        ),
+        one(
+            "lang_hhi",
+            t.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                (
+                    F.sum(F.col("n") * F.col("n")).cast("long").cast("double")
+                    / (F.sum("n").cast("long") * F.sum("n").cast("long"))
+                ).alias("value")
+            ),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
