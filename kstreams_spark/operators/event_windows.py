@@ -181,3 +181,82 @@ def stream_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("first_ts"),
         )
     )
+
+
+# Spike detection: a bucket is a spike when its count exceeds SPIKE_X ×
+# the trailing-window average — the analytic twin of the reference's
+# periodic ops monitor (R14, BME680.java's scheduled status print): the
+# monitor WATCHES rates, this query FLAGS the anomalous ones. Integer
+# cross-multiply (n · window > SPIKE_X · trailing_sum) — no division.
+SPIKE_TRAIL = 6  # trailing buckets (preceding, excluding current)
+SPIKE_X = 3
+
+
+@query(
+    "events_rate_spike",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    trailed AS (
+      SELECT event_type, bucket, n,
+             COUNT(n) OVER w AS n_trail,
+             COALESCE(SUM(n) OVER w, 0) AS trail_sum
+      FROM buckets
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN {SPIKE_TRAIL} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket, n,
+           n_trail::BIGINT AS n_trail,
+           trail_sum::BIGINT AS trail_sum,
+           CASE WHEN n_trail > 0
+                 AND n * n_trail > {SPIKE_X} * trail_sum
+                THEN 1 ELSE 0 END AS is_spike
+    FROM trailed
+    """,
+)
+def events_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly event counts flagged against the trailing
+    {SPIKE_TRAIL}-bucket average: spike when n > {SPIKE_X}× the trailing
+    mean (integer cross-multiply; buckets with no history never flag).
+    ONE shuffle (the bucket agg) + one partitioned window over the tiny
+    bucket table — the window input is |types|·|hours| rows, not events.
+    Streaming twin: the same flag over windowed counts with a watermark,
+    state bounded by SPIKE_TRAIL buckets per type."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-SPIKE_TRAIL, -1)
+    )
+    trailed = buckets.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.count("n").over(w).cast("long").alias("n_trail"),
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("trail_sum"),
+    )
+    return trailed.select(
+        "event_type",
+        "bucket",
+        "n",
+        "n_trail",
+        "trail_sum",
+        F.when(
+            (F.col("n_trail") > 0)
+            & (F.col("n") * F.col("n_trail") > SPIKE_X * F.col("trail_sum")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_spike"),
+    )
