@@ -237,3 +237,72 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     over documents — the embedding-indexer unit. Scan-shaped: per-doc
     sequence explode, zero shuffles."""
     return chunk_windows(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "sample_pack_efficiency",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang AS shard, doc_id,
+             len(str_split(text, ' '))::BIGINT AS n,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    offs AS (
+      SELECT shard, doc_id, n,
+             COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0) AS off
+      FROM toks
+    ),
+    spans AS (
+      SELECT shard, doc_id, n, off,
+             unnest(generate_series(
+               CAST(floor(off / {CTX_LEN}.0) AS BIGINT),
+               CAST(floor((off + n - 1) / {CTX_LEN}.0) AS BIGINT)
+             )) AS chunk_id
+      FROM offs
+    ),
+    chunks AS (
+      SELECT shard, chunk_id,
+             SUM(LEAST(off + n, chunk_id * {CTX_LEN} + {CTX_LEN})
+                 - GREATEST(off, chunk_id * {CTX_LEN}))::BIGINT AS fill,
+             COUNT(*)::BIGINT AS n_docs_in_chunk
+      FROM spans GROUP BY shard, chunk_id
+    )
+    SELECT shard,
+           COUNT(*)::BIGINT AS n_chunks,
+           SUM(CASE WHEN fill = {CTX_LEN} THEN 1 ELSE 0 END)::BIGINT
+             AS n_full,
+           SUM(fill)::BIGINT AS total_tokens,
+           (COUNT(*) * {CTX_LEN} - SUM(fill))::BIGINT AS padding_waste,
+           MAX(n_docs_in_chunk)::BIGINT AS max_docs_per_chunk
+    FROM chunks GROUP BY shard
+    """,
+)
+def sample_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over the sequence-pack manifest — the
+    metric packing exists to optimize, measured: per shard the chunk
+    count, full-chunk count, packed tokens, PADDING WASTE (tokens the
+    dataloader pads because the shard's last chunk is partial — with
+    concat-and-chunk this is at most CTX_LEN−1 per shard, the report's
+    checkable guarantee), and the max docs crossing one training
+    sequence (attention-mask fragmentation). Re-aggregates the same
+    manifest sample_sequence_pack emits; one extra groupBy pair on the
+    already-partitioned (shard, chunk_id) keys."""
+    m = pack_sequences(load_table(spark, sf_dir, "documents"))
+    chunks = m.groupBy("shard", "chunk_id").agg(
+        F.sum("n_span").cast("long").alias("fill"),
+        F.count(F.lit(1)).cast("long").alias("n_docs_in_chunk"),
+    )
+    return chunks.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("fill") == CTX_LEN, 1).otherwise(0))
+        .cast("long")
+        .alias("n_full"),
+        F.sum("fill").cast("long").alias("total_tokens"),
+        (F.count(F.lit(1)) * CTX_LEN - F.sum("fill"))
+        .cast("long")
+        .alias("padding_waste"),
+        F.max("n_docs_in_chunk").cast("long").alias("max_docs_per_chunk"),
+    )

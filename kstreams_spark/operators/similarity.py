@@ -1590,3 +1590,104 @@ def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_correct"),
     )
+
+
+@query(
+    "similarity_triplets",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlab,
+             generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS cid, label AS clab,
+             generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS cv
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT q.qid, MIN(q.qlab) AS qlab, c.cid, MIN(c.clab) AS clab,
+             SUM(CAST(round(q.qv * c.cv * {FX}.0) AS BIGINT)) AS dot_fx
+      FROM q JOIN c ON q.idx = c.idx AND q.qid <> c.cid
+      GROUP BY q.qid, c.cid
+    ),
+    pos AS (
+      SELECT qid, cid AS pos_id, dot_fx::BIGINT AS pos_fx FROM (
+        SELECT qid, cid, dot_fx,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY dot_fx DESC, cid) AS rn
+        FROM dots WHERE qlab = clab) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT qid, cid AS neg_id, dot_fx::BIGINT AS neg_fx FROM (
+        SELECT qid, cid, dot_fx,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY dot_fx DESC, cid) AS rn
+        FROM dots WHERE qlab <> clab) WHERE rn = 1
+    )
+    SELECT p.qid, p.pos_id, p.pos_fx, n.neg_id, n.neg_fx,
+           CASE WHEN p.pos_fx > n.neg_fx THEN 1 ELSE 0 END AS margin_ok
+    FROM pos p JOIN neg n USING (qid)
+    """,
+)
+def similarity_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining — the artifact contrastive training consumes:
+    per anchor (vec_id < {N_QUERIES}), the nearest SAME-label vector
+    (positive, self excluded) and the nearest DIFFERENT-label vector
+    (the hard negative), with fixed-point scores and a margin_ok flag
+    (positive closer than negative — the triplet is already satisfied;
+    a training run weights the violated ones). Composes the
+    hard-negatives and knn-vote machinery into one output.
+
+    Scale shape: ONE broadcast-queries × corpus scan computes all dots;
+    both elections are per-qid windows over the scored rows; at index
+    scale the scan is replaced by two ANN probes (label-filtered) over
+    the serving index, same downstream shape."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlab"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clab"),
+        F.col("embedding").alias("c_emb"),
+    )
+    dots = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "qlab",
+            "cid",
+            "clab",
+            _fx_dot("q_emb", "c_emb").alias("dot_fx"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot_fx").desc(), "cid")
+    pos = (
+        dots.filter(F.col("qlab") == F.col("clab"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("cid").alias("pos_id"), F.col("dot_fx").alias("pos_fx"))
+    )
+    neg = (
+        dots.filter(F.col("qlab") != F.col("clab"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("cid").alias("neg_id"), F.col("dot_fx").alias("neg_fx"))
+    )
+    return pos.join(neg, "qid").select(
+        "qid",
+        "pos_id",
+        "pos_fx",
+        "neg_id",
+        "neg_fx",
+        F.when(F.col("pos_fx") > F.col("neg_fx"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("margin_ok"),
+    )
