@@ -606,3 +606,115 @@ def similarity_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("pdot").cast("long").alias("score_q"))
     )
     return _rank_topk_q(scored, TOP_K)
+
+
+PQ_RERANK_POOL = 50  # PQ-scan survivors handed to the exact re-ranker
+
+
+@query(
+    "similarity_topk_pq_rerank",
+    oracle=f"""
+    WITH {_pq_ctes()},
+    pqdots AS (
+      SELECT l.qid, x.vec_id AS cid, SUM(l.pdot)::BIGINT AS score_q
+      FROM codes x JOIN lut l ON l.m = x.m AND l.code = x.code
+      GROUP BY l.qid, x.vec_id
+    ),
+    pool AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score_q DESC, cid) AS rn
+        FROM pqdots) WHERE rn <= {PQ_RERANK_POOL}
+    ),
+    dots AS (
+      SELECT p.qid, p.cid,
+             SUM(CAST(round(q.v * c.v * {FX}.0) AS BIGINT)) AS dot_fx
+      FROM pool p
+      JOIN sub q ON q.vec_id = p.qid
+      JOIN sub c ON c.vec_id = p.cid AND c.idx = q.idx
+      GROUP BY p.qid, p.cid
+    ),
+    norms AS (
+      SELECT vec_id,
+             SUM(CAST(round(v * v * {FX}.0) AS BIGINT)) AS norm2_fx
+      FROM sub GROUP BY vec_id
+    ),
+    cos AS (
+      SELECT d.qid, d.cid,
+             (CAST(d.dot_fx AS DOUBLE) / {FX})
+               / nullif(sqrt(CAST(nq.norm2_fx AS DOUBLE) / {FX})
+                        * sqrt(CAST(nc.norm2_fx AS DOUBLE) / {FX}), 0)
+               AS cosine
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.qid
+      JOIN norms nc ON nc.vec_id = d.cid
+    )
+    SELECT qid, cid, cosine, rank FROM (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, cid) AS rank
+      FROM cos
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production TWO-STAGE serving shape materialized as one query:
+    the 16-bit PQ/ADC scan proposes a {PQ_RERANK_POOL}-candidate pool
+    per query (cheap integer lookups over compressed codes), then the
+    EXACT fixed-point cosine re-ranks only those survivors to the final
+    top-{TOP_K} — every quantizer docstring's 'float re-ranker fetches
+    survivors by id' made concrete. Per-query exact work is
+    {PQ_RERANK_POOL}·D instead of N·D; recall is the pool's to lose
+    (pinned >= the raw PQ scan's in tests/test_quantize.py).
+
+    Shuffle budget: the PQ scan (broadcast LUT + one agg + pool window)
+    + two keyed lookups attaching vectors/norms to pool rows + the final
+    top-k window. The re-rank joins on vec_id — at serving scale the id
+    lookup against the base table, never a second corpus scan."""
+    from kstreams_spark.operators.similarity import (
+        _cosine,
+        _fx_dot,
+        _fx_norm2,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cb = pq_codebooks(emb)
+    codes = pq_encode(emb, cb)
+    lut = pq_query_lut(emb, cb)
+    pq_scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("pdot").cast("long").alias("score_q"))
+    )
+    pool = _rank_topk_q(pq_scored, PQ_RERANK_POOL).select("qid", "cid")
+    vecs = emb.select(
+        "vec_id", "embedding", _fx_norm2("embedding").alias("norm2")
+    )
+    qv = vecs.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("nq2"),
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("nc2"),
+    )
+    scored = (
+        pool.join(F.broadcast(qv), "qid")
+        .join(cv, "cid")
+        .select(
+            "qid",
+            "cid",
+            _cosine(
+                _fx_dot("q_emb", "c_emb"), F.col("nq2"), F.col("nc2")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "cid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "cid", "cosine", "rank")
+    )

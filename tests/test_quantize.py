@@ -230,3 +230,42 @@ def test_ivf_pq_candidates_come_from_probed_cells_only(spark):
     for r in out:
         if (r.qid, r.cid) in flat:
             assert flat[(r.qid, r.cid)] == r.score_q, (r.qid, r.cid)
+
+
+def test_pq_rerank_recall_at_least_raw_pq(spark):
+    """Two-stage PQ->exact re-rank: recall vs the exact top-k must be at
+    least the raw PQ scan's (the pool can only help), and in practice
+    much higher - the reason the two-stage shape exists."""
+    from kstreams_spark.registry import QUERIES, load_all
+
+    load_all()
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    dots = c.crossJoin(F.broadcast(q)).select(
+        "qid", "cid", _fx_dot("qe", "ce").alias("d")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d").desc(), F.col("cid"))
+    exact = {
+        (r.qid, r.cid)
+        for r in dots.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= TOP_K)
+        .collect()
+    }
+    raw = {
+        (r.qid, r.cid)
+        for r in QUERIES["similarity_topk_pq"](spark, SF).collect()
+    }
+    rr = {
+        (r.qid, r.cid)
+        for r in QUERIES["similarity_topk_pq_rerank"](spark, SF).collect()
+    }
+    recall_raw = len(exact & raw) / len(exact)
+    recall_rr = len(exact & rr) / len(exact)
+    print(f"pq recall raw={recall_raw:.2f} reranked={recall_rr:.2f}")
+    assert recall_rr >= recall_raw
+    assert recall_rr >= 0.6
