@@ -185,3 +185,89 @@ def timeout_summary_stream(
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+# --- trailing-window rate-spike monitor -----------------------------------
+# Streaming twin of operators/event_windows.py::events_rate_spike (which
+# itself is the analytic twin of the reference's R14 periodic ops
+# monitor): per event_type, hourly bucket counts arrive (an upstream
+# tumbling-window agg or a pre-bucketed feed) and each bucket is flagged
+# against the trailing SPIKE_TRAIL buckets' sum held in state — a
+# bounded deque per key, the applyInPandasWithState analogue of the
+# batch query's ROWS BETWEEN frame.
+
+SPIKE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("bucket", T.TimestampType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("n_trail", T.LongType()),
+        T.StructField("trail_sum", T.LongType()),
+        T.StructField("is_spike", T.LongType()),
+    ]
+)
+
+# trailing counts as a fixed-width array (index 0 = oldest); -1 = empty
+SPIKE_STATE_SCHEMA = T.StructType(
+    [T.StructField("trail", T.ArrayType(T.LongType()))]
+)
+
+
+def make_rate_spike_fn(trail: int, spike_x: int):
+    """applyInPandasWithState body: per key, fold bucket counts in
+    bucket order through a bounded trailing deque."""
+
+    def fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
+        (deque,) = state.get if state.exists else ([],)
+        deque = list(deque or [])
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        out_rows: list[dict[str, object]] = []
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True).sort_values("bucket")
+            for _, row in whole.iterrows():
+                n = int(row["n"])
+                n_trail = len(deque)
+                trail_sum = sum(deque)
+                is_spike = int(
+                    n_trail > 0 and n * n_trail > spike_x * trail_sum
+                )
+                out_rows.append(
+                    {
+                        "event_type": key[0],
+                        "bucket": row["bucket"],
+                        "n": n,
+                        "n_trail": n_trail,
+                        "trail_sum": trail_sum,
+                        "is_spike": is_spike,
+                    }
+                )
+                deque.append(n)
+                if len(deque) > trail:
+                    deque.pop(0)
+        state.update(([int(x) for x in deque],))
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return fn
+
+
+def rate_spike_stream(
+    bucket_counts: DataFrame, trail: int | None = None, spike_x: int | None = None
+) -> DataFrame:
+    """(event_type, bucket timestamp, n long) stream of CLOSED bucket
+    counts → spike-flagged rows. Buckets must arrive per key in
+    non-decreasing bucket order across batches (the upstream
+    watermarked tumbling agg emits exactly that); within a batch any
+    order is fine — the fold sorts. State per key is ≤ `trail` longs."""
+    from kstreams_spark.operators.event_windows import SPIKE_TRAIL, SPIKE_X
+
+    return bucket_counts.groupBy("event_type").applyInPandasWithState(
+        make_rate_spike_fn(
+            SPIKE_TRAIL if trail is None else trail,
+            SPIKE_X if spike_x is None else spike_x,
+        ),
+        outputStructType=SPIKE_OUTPUT_SCHEMA,
+        stateStructType=SPIKE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

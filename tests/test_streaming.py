@@ -367,3 +367,71 @@ def test_demo_runs_end_to_end(spark, tmp_path):
     from kstreams_spark.demo import main
 
     assert main(str(tmp_path / "demo")) == 0
+
+
+def test_rate_spike_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Streaming rate-spike monitor: feeding the batch query's own
+    hourly bucket counts through the stateful stream (split across two
+    microbatches on the time axis) reproduces the batch operator's
+    flags exactly - the ROWS frame and the state deque are the same
+    fold."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kstreams_spark.registry import QUERIES, load_all
+    from kstreams_spark.streaming.stateful import rate_spike_stream
+
+    load_all()
+    batch = QUERIES["events_rate_spike"](spark, sf_dir).orderBy(
+        "event_type", "bucket"
+    )
+    want = {
+        (r.event_type, r.bucket): (r.n, r.n_trail, r.trail_sum, r.is_spike)
+        for r in batch.collect()
+    }
+    buckets = sorted({b for (_, b) in want})
+    split_at = buckets[len(buckets) // 2]
+    rows = [
+        {
+            "event_type": et,
+            "bucket": b.strftime("%Y-%m-%d %H:%M:%S"),
+            "n": want[(et, b)][0],
+        }
+        for (et, b) in want
+    ]
+    d = str(tmp_path / "spike_in")
+    _os.makedirs(d)
+    with open(_os.path.join(d, "b0.json"), "w") as f:
+        for r in rows:
+            if r["bucket"] <= split_at.strftime("%Y-%m-%d %H:%M:%S"):
+                f.write(_json.dumps(r) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("bucket", T.TimestampType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(d)
+    q = (
+        rate_spike_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("spike_out")
+        .start()
+    )
+    q.processAllAvailable()
+    with open(_os.path.join(d, "b1.json"), "w") as f:
+        for r in rows:
+            if r["bucket"] > split_at.strftime("%Y-%m-%d %H:%M:%S"):
+                f.write(_json.dumps(r) + "\n")
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.event_type, r.bucket): (r.n, r.n_trail, r.trail_sum, r.is_spike)
+        for r in spark.sql("SELECT * FROM spike_out").collect()
+    }
+    assert got == want and got
