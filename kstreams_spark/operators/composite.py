@@ -719,3 +719,153 @@ def composite_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(sharded, shard_col="shard").select(
         "shard", "chunk_id", "doc_id", "doc_off", "chunk_off", "n_span"
     )
+
+
+def _curation_importance_sql() -> str:
+    from kstreams_spark.operators.classify import N_BUCKETS, bucket_sql
+    from kstreams_spark.operators.sampling import IMP_SCALE, IMP_TARGET_LANG
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, str_split(text, ' ') AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, text, len(toks) AS n_tokens,
+             0.4 * (CASE WHEN len(toks) > 100 THEN 1.0
+                         ELSE CAST(len(toks) AS DOUBLE) / 100 END)
+           + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.3 * (CASE WHEN list_contains(toks, 'the')
+                          OR list_contains(toks, 'a')
+                         THEN 1.0 ELSE 0.0 END) AS quality,
+             {_DUCK_DUP2} AS dup2
+      FROM t
+    ),
+    filtered AS (SELECT * FROM scored
+                 WHERE quality >= 0.5 AND dup2 <= {DUP2_GATE}),
+    kept AS (
+      SELECT MIN(doc_id) AS doc_id,
+             min_by(lang, doc_id) AS lang,
+             MIN(text) AS text
+      FROM filtered GROUP BY md5(text)
+    ),
+    ktoks AS (
+      SELECT doc_id, lang, {bucket_sql("tok")} AS bucket
+      FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS tok
+            FROM kept)
+    ),
+    counts AS (
+      SELECT bucket, COUNT(*) AS r,
+             SUM(CASE WHEN lang = '{IMP_TARGET_LANG}' THEN 1 ELSE 0 END) AS t
+      FROM ktoks GROUP BY bucket
+    ),
+    tot AS (
+      SELECT SUM(r) + {N_BUCKETS} AS r_tot,
+             SUM(t) + {N_BUCKETS} AS t_tot FROM counts
+    ),
+    weights AS (
+      SELECT c.bucket,
+             ((c.t + 1) * tt.r_tot * {IMP_SCALE})
+               // ((c.r + 1) * tt.t_tot) AS w
+      FROM counts c CROSS JOIN tot tt
+    ),
+    dscore AS (
+      SELECT tk.doc_id, MIN(tk.lang) AS lang,
+             COUNT(*) AS n_tokens, SUM(w.w)::BIGINT AS imp_score
+      FROM ktoks tk JOIN weights w USING (bucket)
+      GROUP BY tk.doc_id
+    ),
+    tot2 AS (
+      SELECT SUM(imp_score) AS s_tot, SUM(n_tokens) AS n_tot FROM dscore
+    )
+    SELECT lang,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tokens)::BIGINT AS total_tokens
+    FROM dscore CROSS JOIN tot2
+    WHERE imp_score // n_tokens >= s_tot // n_tot
+    GROUP BY lang
+    """
+
+
+@query("composite_curation_importance", oracle=_curation_importance_sql())
+def composite_curation_importance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation chain ending with MODEL-FREE data selection: quality
+    + repetition gates → exact dedup → DSIR-shaped hashed-importance
+    selection over the SURVIVORS (weights fitted on the deduped pool —
+    fitting on the raw corpus would let duplicate text skew the raw
+    distribution the ratio divides by) → per-lang doc/token totals of
+    the selected set. The fourth ending in the capstone family next to
+    budget (token quota), classified (learned model), and manifest
+    (packing); selection here needs NO labels beyond the lang column
+    and no trained weights.
+
+    Shuffle budget: gate scan → dedup groupBy (1) → bucket agg (4096
+    rows) → broadcast weights join → per-doc agg (1) → broadcast totals
+    → final lang agg. Same overflow/baseline arguments as
+    sample_importance_hashed (its docstring)."""
+    from kstreams_spark.operators.classify import N_BUCKETS, bucket_sql
+    from kstreams_spark.operators.sampling import IMP_SCALE, IMP_TARGET_LANG
+
+    d = fence(spread(load_table(spark, sf_dir, "documents"))).withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    toks = F.col("toks")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        c4_quality_expr(toks).alias("quality"),
+        F.expr(_SPARK_DUP2).alias("dup2"),
+    )
+    filtered = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("dup2") <= DUP2_GATE)
+    )
+    kept = filtered.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.expr("min_by(lang, doc_id)").alias("lang"),
+        F.min("text").alias("text"),
+    )
+    ktoks = kept.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(bucket_sql("tok")).cast("long").alias("bucket"),
+    )
+    counts = ktoks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.sum(
+            F.when(F.col("lang") == IMP_TARGET_LANG, 1).otherwise(0)
+        ).alias("t"),
+    )
+    tot = counts.agg(
+        (F.sum("r") + N_BUCKETS).alias("r_tot"),
+        (F.sum("t") + N_BUCKETS).alias("t_tot"),
+    )
+    weights = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            f"CAST(((t + 1) * r_tot * {IMP_SCALE}) DIV ((r + 1) * t_tot) "
+            f"AS BIGINT)"
+        ).alias("w"),
+    )
+    dscore = (
+        ktoks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").cast("long").alias("imp_score"),
+        )
+    )
+    tot2 = dscore.agg(
+        F.sum("imp_score").alias("s_tot"), F.sum("n_tokens").alias("n_tot")
+    )
+    selected = dscore.crossJoin(F.broadcast(tot2)).filter(
+        F.expr("imp_score DIV n_tokens") >= F.expr("s_tot DIV n_tot")
+    )
+    return selected.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )

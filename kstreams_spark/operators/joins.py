@@ -318,3 +318,77 @@ def join_events_time_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("type1", "type2").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+ASOF_TOLERANCE_S = 124_000  # ~median same-user error->click gap at sf0.01,
+# so the staleness gate accepts AND rejects in comparable volume at the
+# driver's sf (a 10-minute production tolerance leaves the fixture's
+# sparse per-user stream almost entirely unmatched)
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+             CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP)
+             END AS click_ts
+      FROM events WHERE event_type IN ('error', 'click')
+    ), filled AS (
+      SELECT *,
+             last_value(click_id IGNORE NULLS) OVER w AS m_id,
+             last_value(click_ts IGNORE NULLS) OVER w AS m_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_err, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN m_id IS NOT NULL
+                 AND date_diff('second', m_ts, ts) <= {ASOF_TOLERANCE_S}
+                THEN m_id END AS asof_click_id,
+           CASE WHEN m_id IS NOT NULL
+                 AND date_diff('second', m_ts, ts) <= {ASOF_TOLERANCE_S}
+                THEN date_diff('second', m_ts, ts) END AS lag_s
+    FROM filled WHERE is_err = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (the pandas merge_asof / Flink interval
+    semantics the plain as-of lacks): each error matches the latest
+    same-user click at-or-before it ONLY if that click is within
+    {ASOF_TOLERANCE_S} s — a stale match is as wrong as none. Same
+    single-shuffle union + last(ignorenulls) fill as
+    join_asof_latest_order (the matched click's id AND timestamp fill
+    from the same last non-null row, so they stay consistent), plus a
+    scan-side staleness predicate; still never materializes candidate
+    pairs. lag_s reports match staleness (both engines: whole-second
+    boundary diff)."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("error", "click")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias(
+            "click_id"
+        ),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_err", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn(
+        "m_id", F.last("click_id", ignorenulls=True).over(w)
+    ).withColumn("m_ts", F.last("click_ts", ignorenulls=True).over(w))
+    lag = F.col("ts").cast("long") - F.col("m_ts").cast("long")
+    ok = F.col("m_id").isNotNull() & (lag <= ASOF_TOLERANCE_S)
+    return filled.filter(F.col("is_err") == 1).select(
+        "event_id",
+        "user_id",
+        F.when(ok, F.col("m_id")).alias("asof_click_id"),
+        F.when(ok, lag).alias("lag_s"),
+    )
