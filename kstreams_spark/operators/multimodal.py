@@ -1890,3 +1890,111 @@ def composite_media_curation_full(
         F.sum("n_active").cast("long").alias("active_windows"),
         F.max("peak").cast("long").alias("max_peak"),
     )
+
+
+KEYFRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("scene_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sum", T.LongType()),
+    ]
+)
+
+
+def avi_keyframes(payload: bytes) -> list[dict]:
+    """One keyframe per scene: frame 0 plus every frame opening a cut
+    (per-pixel mean change >= SCENE_PER_PX from its predecessor, the
+    avi_scenes rule). Shares _avi_layout; per-frame features match
+    parse_avi_frames' frame_sum."""
+    lay = _avi_layout(payload)
+    w, h, row_size = lay["w"], lay["h"], lay["row_size"]
+    frames = []
+    sums = []
+    for off, _size in lay["frames"]:
+        vals = []
+        s = 0
+        for y in range(h):
+            base = off + (h - 1 - y) * row_size
+            for x in range(w):
+                o = base + 3 * x
+                v = payload[o] + payload[o + 1] + payload[o + 2]
+                vals.append(v)
+                s += v
+        frames.append(vals)
+        sums.append(s)
+    n_px = w * h
+    out = []
+    scene = 0
+    for f in range(len(frames)):
+        if f == 0:
+            is_cut = True
+        else:
+            delta = sum(abs(a - b) for a, b in zip(frames[f], frames[f - 1]))
+            is_cut = delta >= SCENE_PER_PX * n_px
+            if is_cut:
+                scene += 1
+        if is_cut:
+            out.append(
+                {"scene_id": scene, "frame_idx": f, "frame_sum": sums[f]}
+            )
+    return out
+
+
+@query(
+    "multimodal_video_keyframes",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 3 AS k,
+             5 + doc_id % 6 AS w, 4 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, k, w, h, f, x, y,
+             ((doc_id * 31 + f * 53 + y * 17 + x * 7 + 0 * 131) % 256)
+           + ((doc_id * 31 + f * 53 + y * 17 + x * 7 + 1 * 131) % 256)
+           + ((doc_id * 31 + f * 53 + y * 17 + x * 7 + 2 * 131) % 256) AS v
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, k - 1)) AS f) tf,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    ),
+    fsum AS (
+      SELECT doc_id, f, SUM(v) AS frame_sum, MIN(w * h) AS n_px
+      FROM px GROUP BY doc_id, f
+    ),
+    deltas AS (
+      SELECT a.doc_id, b.f AS f, SUM(ABS(b.v - a.v)) AS delta
+      FROM px a
+      JOIN px b ON b.doc_id = a.doc_id AND b.x = a.x AND b.y = a.y
+               AND b.f = a.f + 1
+      GROUP BY a.doc_id, b.f
+    ),
+    cuts AS (
+      SELECT s.doc_id, s.f, s.frame_sum,
+             CASE WHEN s.f = 0 THEN 1
+                  WHEN d.delta >= {SCENE_PER_PX} * s.n_px THEN 1
+                  ELSE 0 END AS is_cut
+      FROM fsum s LEFT JOIN deltas d ON d.doc_id = s.doc_id AND d.f = s.f
+    )
+    SELECT doc_id,
+           (SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY f
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) - 1)::BIGINT
+             AS scene_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           frame_sum::BIGINT AS frame_sum
+    FROM cuts WHERE is_cut = 1
+    """,
+)
+def multimodal_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-per-scene sampling — what the scene detector exists FOR:
+    one representative frame (the scene's first) per detected scene,
+    replacing every-Nth-frame sampling with content-aware selection.
+    Rows are (doc_id, scene_id, frame_idx, frame_sum) over REAL decoded
+    AVI frames; the oracle replays frame sums, pair deltas, the cut rule,
+    and the running scene numbering."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return _video_payloads(d).mapInPandas(
+        _decode_stage(avi_keyframes, KEYFRAME_SCHEMA), KEYFRAME_SCHEMA
+    )
