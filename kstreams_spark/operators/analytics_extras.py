@@ -11,7 +11,7 @@ sequence generator, no data-dependent floats anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kstreams_spark.io import load_table
@@ -510,3 +510,82 @@ def composite_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+SESSION_GAP_S = 1800  # classic 30-minute inactivity gap
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, sec, event_type,
+             CASE WHEN LAG(sec) OVER w IS NULL
+                       OR sec - LAG(sec) OVER w > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+    ),
+    sess AS (
+      SELECT user_id, sec, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no::BIGINT AS session_no,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           MIN(sec) AS start_s,
+           (MAX(sec) - MIN(sec))::BIGINT AS dur_s
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization — the batch twin of the streaming session
+    window (streaming/windows.py::session_agg_stream, Kafka Streams'
+    SessionWindows.with(inactivityGap)): a new session starts when a
+    user's gap since their previous event exceeds {SESSION_GAP_S} s;
+    session ids are the running count of session starts.
+
+    Determinism with tied timestamps: the start flag depends only on the
+    PREVIOUS DISTINCT second (tied rows see gap 0), and the running sum
+    uses the default RANGE frame, so all rows of one second share a
+    session id regardless of how either engine orders ties — the
+    session-level aggregates are tie-order invariant.
+
+    Shuffle budget at 100 TB: ONE shuffle on user_id serves both windows
+    and the final (user_id, session_no) aggregation (same prefix key, no
+    second exchange); per-user state is a sort, never a collect. Skewed
+    power users are bounded by their own event volume, not the corpus.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | (F.col("sec") - F.lag("sec").over(w) > SESSION_GAP_S),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("sec")
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("sec").alias("start_s"),
+        (F.max("sec") - F.min("sec")).cast("long").alias("dur_s"),
+    )
