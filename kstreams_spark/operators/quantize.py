@@ -718,3 +718,186 @@ def similarity_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "cid", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (1-bit sign) quantization — the compression extreme of the
+# frontier (float32 → SQ8 4× → PQ 32× → BQ 32× with a pure XOR+popcount
+# scan). 64 dims pack into one 64-bit sign code, stored as TWO 32-bit
+# words in BIGINTs because DuckDB's `1::BIGINT << 63` overflows (checked)
+# — the split costs one extra xor/popcount per pair and removes every
+# sign-bit subtlety on both engines. Hamming distance approximates angular
+# distance for sign codes (Charikar STOC'02 random-hyperplane duality:
+# P[sign bits differ] = θ/π per dim); like PQ, the scan proposes and an
+# exact fixed-point re-rank disposes.
+
+BQ_POOL = 50  # Hamming-scan survivors handed to the exact re-ranker
+
+
+def bq_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, w0, w1): the 64-dim sign pattern (x > 0) packed little-
+    endian into two 32-bit words. One transform+aggregate per word —
+    scan-shaped, codegen, no shuffle; the materialized code column is
+    32× smaller than the float32 source, which is the whole point: the
+    ANN scan reads 3 TB where the corpus is 100."""
+    def word(lo: int):
+        return F.expr(
+            f"aggregate(transform(embedding, (x, i) -> "
+            f"IF(i >= {lo} AND i < {lo + 32} AND CAST(x AS DOUBLE) > 0.0D, "
+            f"shiftleft(CAST(1 AS BIGINT), i - {lo}), CAST(0 AS BIGINT))), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+
+    return emb.select("vec_id", word(0).alias("w0"), word(32).alias("w1"))
+
+
+def bq_hamming_pool(
+    codes: DataFrame, n_queries: int = N_QUERIES, pool: int = BQ_POOL
+) -> DataFrame:
+    """Per query, the `pool` nearest codes by Hamming distance
+    (ties to the lowest cid): candidates × broadcast(query codes) with
+    xor+popcount scoring — integer-only, whole-stage codegen — then one
+    per-qid top-pool window. The only shuffle is that window."""
+    q = codes.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    ham = codes.select(
+        F.col("vec_id").alias("cid"), "w0", "w1"
+    ).crossJoin(F.broadcast(q)).select(
+        "qid",
+        "cid",
+        (
+            F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0")))
+            + F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
+        ).cast("long").alias("hamming"),
+    )
+    w = Window.partitionBy("qid").orderBy("hamming", "cid")
+    return (
+        ham.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool)
+        .select("qid", "cid")
+    )
+
+
+@query(
+    "similarity_topk_bq_rerank",
+    oracle=f"""
+    WITH sub AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id,
+             SUM(CASE WHEN idx <= 32 AND v > 0
+                      THEN (CAST(1 AS BIGINT) << (idx - 1)) ELSE 0
+                 END)::BIGINT AS w0,
+             SUM(CASE WHEN idx > 32 AND v > 0
+                      THEN (CAST(1 AS BIGINT) << (idx - 33)) ELSE 0
+                 END)::BIGINT AS w1
+      FROM sub GROUP BY vec_id
+    ),
+    ham AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             (bit_count(xor(q.w0, c.w0))
+              + bit_count(xor(q.w1, c.w1)))::BIGINT AS hamming
+      FROM codes c, codes q WHERE q.vec_id < {N_QUERIES}
+    ),
+    pool AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY hamming, cid) AS rn
+        FROM ham) WHERE rn <= {BQ_POOL}
+    ),
+    dots AS (
+      SELECT p.qid, p.cid,
+             SUM(CAST(round(q.v * c.v * {FX}.0) AS BIGINT)) AS dot_fx
+      FROM pool p
+      JOIN sub q ON q.vec_id = p.qid
+      JOIN sub c ON c.vec_id = p.cid AND c.idx = q.idx
+      GROUP BY p.qid, p.cid
+    ),
+    norms AS (
+      SELECT vec_id,
+             SUM(CAST(round(v * v * {FX}.0) AS BIGINT)) AS norm2_fx
+      FROM sub GROUP BY vec_id
+    ),
+    cos AS (
+      SELECT d.qid, d.cid,
+             (CAST(d.dot_fx AS DOUBLE) / {FX})
+               / nullif(sqrt(CAST(nq.norm2_fx AS DOUBLE) / {FX})
+                        * sqrt(CAST(nc.norm2_fx AS DOUBLE) / {FX}), 0)
+               AS cosine
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.qid
+      JOIN norms nc ON nc.vec_id = d.cid
+    )
+    SELECT qid, cid, cosine, rank FROM (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, cid) AS rank
+      FROM cos
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_topk_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized two-stage search: the 64-bit sign-code Hamming
+    scan (xor+popcount, 32× compressed reads) proposes a {BQ_POOL}-
+    candidate pool per query; the exact fixed-point cosine re-ranks only
+    those survivors to the final top-{TOP_K}. Module-header rationale;
+    recall vs the exact scan is measured and pinned in
+    tests/test_quantize.py (sign codes keep more angular information
+    than 16-bit PQ at fixture scale).
+
+    Shuffle budget: pool window + re-rank's two keyed vec_id lookups +
+    final top-k window — identical shape to similarity_topk_pq_rerank,
+    only the proposer changes. At 100 TB the Hamming scan composes with
+    IVF cells exactly like sq8/pq (cells prune partitions, codes scan
+    within), and the 8-byte codes of a 10⁹-vector corpus fit executor
+    page cache (8 GB total) — the scan is CPU-popcount-bound, the ideal
+    place to be.
+
+    Reference parity note: BME680.java has no analytics surface; this is
+    the SURVEY §2.3 north-star similarity family's compression endpoint.
+    """
+    from kstreams_spark.operators.similarity import (
+        _cosine,
+        _fx_dot,
+        _fx_norm2,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    pool = bq_hamming_pool(bq_codes(emb))
+    vecs = emb.select(
+        "vec_id", "embedding", _fx_norm2("embedding").alias("norm2")
+    )
+    qv = vecs.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm2").alias("nq2"),
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm2").alias("nc2"),
+    )
+    scored = (
+        pool.join(F.broadcast(qv), "qid")
+        .join(cv, "cid")
+        .select(
+            "qid",
+            "cid",
+            _cosine(
+                _fx_dot("q_emb", "c_emb"), F.col("nq2"), F.col("nc2")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "cid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "cid", "cosine", "rank")
+    )

@@ -269,3 +269,40 @@ def test_pq_rerank_recall_at_least_raw_pq(spark):
     print(f"pq recall raw={recall_raw:.2f} reranked={recall_rr:.2f}")
     assert recall_rr >= recall_raw
     assert recall_rr >= 0.6
+
+
+def test_bq_codes_match_numpy_twin_bitwise(spark):
+    """The engine's transform/aggregate sign-pack must equal the NumPy
+    twin bit-for-bit: word w = sum(1 << (i-lo)) over dims with x > 0 in
+    [lo, lo+32) — the same codes a driver-side query encoder would
+    compute (the serving seam)."""
+    from kstreams_spark.operators.quantize import bq_codes
+
+    emb = load_table(spark, SF, "embeddings")
+    got = {
+        r.vec_id: (r.w0, r.w1) for r in bq_codes(emb).collect()
+    }
+    for r in emb.collect():
+        v = np.asarray(r.embedding, dtype=np.float32).astype(np.float64)
+        w0 = sum(1 << i for i in range(32) if v[i] > 0)
+        w1 = sum(1 << i for i in range(32) if v[32 + i] > 0)
+        assert got[r.vec_id] == (w0, w1), r.vec_id
+
+
+def test_bq_rerank_recall(spark):
+    """Sign codes keep angular rank information: the Hamming-pool →
+    exact re-rank's recall vs the exact cosine top-k. Measured 0.73 at
+    this SF (vs 0.65 for 16-bit PQ re-rank: 64 sign bits > 16 PQ bits);
+    0.55 floor leaves room for fixture drift."""
+    from kstreams_spark.registry import QUERIES, load_all
+
+    load_all()
+    exact = {
+        (r.qid, r.cid)
+        for r in QUERIES["similarity_topk_bruteforce"](spark, SF).collect()
+    }
+    bq = {
+        (r.qid, r.cid)
+        for r in QUERIES["similarity_topk_bq_rerank"](spark, SF).collect()
+    }
+    assert len(bq & exact) / len(exact) >= 0.55
