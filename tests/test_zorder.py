@@ -1,0 +1,134 @@
+"""Z-order layout: the physical payoff (parquet-stat file skipping) that
+SQL can't express — write the same rows z-ordered and linearly sorted,
+then count which files a single-dim predicate must touch according to the
+parquet footer (min, max) stats each engine's scan pruning consults."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from kstreams_spark.io import load_table
+from kstreams_spark.operators.layout import (
+    Z_BITS,
+    with_zvalue,
+    write_zordered,
+    zorder_expr,
+)
+
+SF = "/root/testdata/sf0.001"
+N_FILES = 16
+
+
+def _files_touched(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
+    """(files whose [min,max] for `col` intersects [lo,hi], total files)
+    — the file-level analogue of row-group pruning."""
+    touched = total = 0
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        total += 1
+        if not (fmax < lo or fmin > hi):
+            touched += 1
+    return touched, total
+
+
+def test_zordered_write_skips_files_on_both_dims(spark, tmp_path):
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "zordered")
+    lpath = str(tmp_path / "linear")
+    write_zordered(li, zpath, "l_orderkey", "l_partkey", n_files=N_FILES)
+    (
+        li.repartitionByRange(N_FILES, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    # nothing lost, layout only
+    assert spark.read.parquet(zpath).count() == li.count()
+
+    # a ~10% band on the NON-leading dim: the linear layout must touch
+    # (almost) every file; the z-ordered one skips most of them.
+    pk = li.agg(
+        F.min("l_partkey").alias("lo"), F.max("l_partkey").alias("hi")
+    ).first()
+    width = (pk.hi - pk.lo) // 10
+    p0 = pk.lo + 4 * width
+    p1 = p0 + width
+    z_touch, z_total = _files_touched(zpath, "l_partkey", p0, p1)
+    l_touch, l_total = _files_touched(lpath, "l_partkey", p0, p1)
+    assert z_total == l_total > 1
+    assert l_touch >= l_total - 1  # partkey uncorrelated with sort key
+    assert z_touch <= l_touch // 2  # the skip the layout buys
+
+    # and the leading dim still prunes too (z-order is not a trade-away):
+    ok = li.agg(
+        F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+    ).first()
+    width = (ok.hi - ok.lo) // 10
+    o0 = ok.lo + 4 * width
+    z_touch_a, _ = _files_touched(zpath, "l_orderkey", o0, o0 + width)
+    assert z_touch_a <= z_total // 2
+
+
+def test_zvalue_matches_python_twin(spark):
+    """zorder_expr bit-interleave equals the trivial Python twin on the
+    grid coordinates — pinning the curve itself, not just its stats."""
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_orderkey").alias("a"), F.col("l_partkey").alias("b")
+    )
+    rows = (
+        with_zvalue(li, "a", "b")
+        .limit(0)  # schema check only below; full check on a sample
+        .columns
+    )
+    assert rows == ["a", "b", "z"]
+
+    sample = with_zvalue(li, "a", "b").orderBy("a", "b").limit(200).collect()
+    bounds = li.agg(
+        F.min("a").alias("mna"),
+        F.max("a").alias("mxa"),
+        F.min("b").alias("mnb"),
+        F.max("b").alias("mxb"),
+    ).first()
+
+    def twin(a: int, b: int) -> int:
+        ga = (a - bounds.mna) * (1 << Z_BITS) // (bounds.mxa - bounds.mna + 1)
+        gb = (b - bounds.mnb) * (1 << Z_BITS) // (bounds.mxb - bounds.mnb + 1)
+        z = 0
+        for i in range(Z_BITS):
+            z |= ((ga >> i) & 1) << (2 * i)
+            z |= ((gb >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in sample:
+        assert r.z == twin(r.a, r.b), (r.a, r.b)
+
+
+def test_zorder_expr_interleaves_known_bits(spark):
+    df = spark.range(1).select(
+        zorder_expr(F.lit(0b1010), F.lit(0b0110)).alias("z")
+    )
+    # a bits at even positions, b bits at odd: a=1010, b=0110
+    # z = a3<<6 | b2<<5 | a2<<4? — spell it out:
+    expect = (
+        ((0b1010 >> 0 & 1) << 0)
+        | ((0b0110 >> 0 & 1) << 1)
+        | ((0b1010 >> 1 & 1) << 2)
+        | ((0b0110 >> 1 & 1) << 3)
+        | ((0b1010 >> 2 & 1) << 4)
+        | ((0b0110 >> 2 & 1) << 5)
+        | ((0b1010 >> 3 & 1) << 6)
+        | ((0b0110 >> 3 & 1) << 7)
+    )
+    assert df.first().z == expect
