@@ -133,3 +133,48 @@ def udf_python_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return d.select("doc_id", checksum("source").alias("src_checksum"))
+
+
+@query(
+    "udtf_bigram_explode",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, str_split(text, ' ') AS ts
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(pos AS INT) AS pos,
+           ts[pos] || ' ' || ts[pos + 1] AS bigram
+    FROM (SELECT doc_id, ts,
+                 unnest(generate_series(1, len(ts) - 1)) AS pos
+          FROM toks WHERE len(ts) >= 2)
+    """,
+)
+def udtf_bigram_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 UDTF API) — the last
+    extension seam of the UDF surface: one input row fans out to N output
+    rows via a generator `eval`, consumed with SQL LATERAL so the left
+    side's columns stay in scope. The worked example emits positional
+    bigrams (the same values the built-in transform/sequence expression
+    in text_top_bigrams produces — the oracle replays them), bounded to
+    doc_id < 50 like the row-wise UDF demo: UDTFs are row-at-a-time
+    Python and NOT the hot path; production n-gram fan-out stays in
+    explode()+codegen."""
+
+    @F.udtf(returnType="pos int, bigram string")
+    class BigramExplode:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield i + 1, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("kstreams_bigram_explode", BigramExplode)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("_kstreams_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.bigram
+        FROM _kstreams_udtf_docs d,
+             LATERAL kstreams_bigram_explode(d.text) t
+        """
+    )
