@@ -7,7 +7,7 @@ STABLE as the corpus grows (a document's membership never changes).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kstreams_spark.io import load_table
@@ -571,4 +571,62 @@ def sample_importance_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("long")
         .alias("is_selected"),
+    )
+
+
+N_EPOCHS = 3  # epochs materialized by the shuffle-manifest demo
+SHUFFLE_HEAD = 5  # manifest head rows kept per (epoch, shard)
+
+
+@query(
+    "sample_epoch_shuffle",
+    oracle=f"""
+    WITH e AS (SELECT unnest(generate_series(0, {N_EPOCHS - 1})) AS epoch),
+    r AS (
+      SELECT e.epoch, d.lang, d.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.epoch, d.lang
+               ORDER BY md5(CAST(e.epoch AS VARCHAR) || ':'
+                            || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS pos
+      FROM documents d, e
+    )
+    SELECT epoch::BIGINT AS epoch, lang, pos::BIGINT AS pos, doc_id
+    FROM r WHERE pos <= {SHUFFLE_HEAD}
+    """,
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch reshuffle — the dataloader's epoch order
+    as data: epoch e's order over a shard is md5(e:doc_id) ascending
+    (ties to doc_id), so every epoch is a DIFFERENT pseudo-random
+    permutation, yet any worker on any engine reconstructs the same one
+    from (epoch, doc_id) alone — no RNG state to checkpoint, restarts
+    and engine migrations keep their place mid-epoch. The registered
+    demo materializes the first {SHUFFLE_HEAD} positions of each
+    (epoch, lang) shard for {N_EPOCHS} epochs (value-visible: the heads
+    differ across epochs).
+
+    Scale shape: the 3-row epoch spine is a broadcast cross join; the
+    rank window is partitioned by (epoch, shard) — the same sharded-
+    window form as sample_token_budget_sharded, never a global order. A
+    production run doesn't rank at all: it SORTS each shard's file list
+    by the same md5 key at plan time (write_curated_lake partitions =
+    shards) and streams; the hash IS the shuffle."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    epochs = spark.range(N_EPOCHS).select(F.col("id").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs))
+    w = Window.partitionBy("epoch", "lang").orderBy(
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+        "doc_id",
+    )
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("pos") <= SHUFFLE_HEAD)
+        .select("epoch", "lang", "pos", "doc_id")
     )
