@@ -73,6 +73,11 @@ HEADLINE = [
     "text_boilerplate_rewrite",  # added r7: cross-doc boilerplate removal
     "composite_media_curation_full",  # added r7: 4-gate whole-modality capstone
     "sample_importance_hashed",  # added r7: DSIR-shaped integer importance
+    "similarity_topk_bq_rerank",  # added r7: 1-bit Hamming scan + exact re-rank
+    "layout_zorder_locality",  # added r7: Morton-curve layout locality
+    "events_sessionize",  # added r7: gap-based sessionization
+    "multimodal_video_keyframes",  # added r7: scene-cut keyframe sampling
+    "composite_curation_importance",  # added r7: gates->dedup->DSIR selection
 ]
 
 

@@ -1,0 +1,223 @@
+"""Hybrid retrieval — lexical + vector search fused by Reciprocal Rank
+Fusion (Cormack et al., SIGIR'09), the production search shape every
+RAG/rerank stack runs: a keyword (BM25-family) retriever and an
+embedding ANN retriever each propose a candidate list, and the fused
+rank order beats either alone because their failure modes are disjoint
+(lexical misses paraphrase, vector misses rare exact terms).
+
+Spark-first decomposition (every stage an existing family's shape):
+  - lexical leg: distinct (doc, token) postings filtered to the QUERY
+    docs' tokens before the first shuffle, integer idf
+    (n_docs·1000 DIV df — logs stay out of oracle-checked queries by
+    standing rule), per-(query, candidate) Σidf over shared distinct
+    tokens, per-query rank window;
+  - vector leg: the exact fixed-point cosine of similarity.py
+    (candidates × broadcast queries, zip_with dot), per-query rank
+    window;
+  - fusion: FULL OUTER join of the two top-L lists on (qid, cid),
+    RRF score Σ 1/(K + r) computed as exact integer floor divisions
+    RRF_SCALE DIV (K + r) — a retriever's missing candidate
+    contributes 0 (rank coalesced to 0 in the OUTPUT columns too, so
+    no nullable-int → float dtype hazard crosses the oracle).
+
+At 100 TB each leg is independently the family's documented scale path
+(posting-list equi-join; ANN via the IVF/BQ proposers instead of the
+exact scan — same pool contract), and the fusion joins two ≤ Q·L-row
+lists: driver-negligible. K = 60 per the original paper.
+
+Reference parity note: BME680.java has no retrieval surface; this is
+the SURVEY §2.3 north-star families composed into their serving shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kstreams_spark.io import load_table
+from kstreams_spark.operators._util import spread
+from kstreams_spark.operators.similarity import (
+    FX,
+    N_QUERIES,
+    TOP_K,
+    _cosine,
+    _fx_dot,
+    _fx_norm2,
+)
+from kstreams_spark.registry import query
+
+RRF_K = 60  # the paper's constant
+RRF_SCALE = int(1e12)  # fixed-point numerator for 1/(K+r)
+POOL_L = 20  # per-retriever candidate-list depth
+IDF_SCALE = 1000  # integer idf surrogate: n_docs*1000 DIV df
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    lex AS (
+      SELECT q.doc_id AS qid, c.doc_id AS cid,
+             SUM((nd.n * {IDF_SCALE}) // df.df)::BIGINT AS score_lex
+      FROM toks q
+      JOIN toks c ON c.tok = q.tok AND c.doc_id <> q.doc_id
+      JOIN df ON df.tok = q.tok
+      CROSS JOIN nd
+      WHERE q.doc_id < {N_QUERIES}
+      GROUP BY q.doc_id, c.doc_id
+    ),
+    lexr AS (
+      SELECT qid, cid, rl FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score_lex DESC, cid) AS rl
+        FROM lex) WHERE rl <= {POOL_L}
+    ),
+    sub AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             SUM(CAST(round(q.v * c.v * {FX}.0) AS BIGINT)) AS dot_fx
+      FROM sub q JOIN sub c ON c.idx = q.idx AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    norms AS (
+      SELECT vec_id,
+             SUM(CAST(round(v * v * {FX}.0) AS BIGINT)) AS norm2_fx
+      FROM sub GROUP BY vec_id
+    ),
+    cos AS (
+      SELECT d.qid, d.cid,
+             (CAST(d.dot_fx AS DOUBLE) / {FX})
+               / nullif(sqrt(CAST(nq.norm2_fx AS DOUBLE) / {FX})
+                        * sqrt(CAST(nc.norm2_fx AS DOUBLE) / {FX}), 0)
+               AS cosine
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.qid
+      JOIN norms nc ON nc.vec_id = d.cid
+    ),
+    vecr AS (
+      SELECT qid, cid, rv FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, cid) AS rv
+        FROM cos) WHERE rv <= {POOL_L}
+    ),
+    fused AS (
+      SELECT COALESCE(l.qid, v.qid) AS qid,
+             COALESCE(l.cid, v.cid) AS cid,
+             COALESCE(l.rl, 0)::BIGINT AS r_lex,
+             COALESCE(v.rv, 0)::BIGINT AS r_vec,
+             (CASE WHEN l.rl IS NULL THEN 0
+                   ELSE {RRF_SCALE} // ({RRF_K} + l.rl) END
+              + CASE WHEN v.rv IS NULL THEN 0
+                     ELSE {RRF_SCALE} // ({RRF_K} + v.rv) END
+             )::BIGINT AS rrf_fx
+      FROM lexr l FULL OUTER JOIN vecr v
+        ON v.qid = l.qid AND v.cid = l.cid
+    )
+    SELECT qid, cid, r_lex, r_vec, rrf_fx, rank FROM (
+      SELECT qid, cid, r_lex, r_vec, rrf_fx,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY rrf_fx DESC, cid) AS rank
+      FROM fused) WHERE rank <= {TOP_K}
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search over the query docs (doc_id < {N_QUERIES}, whose
+    embeddings share the id space): lexical top-{POOL_L} (Σ integer-idf
+    over shared distinct tokens) ⊕ vector top-{POOL_L} (exact fixed-
+    point cosine), fused with integer RRF, final top-{TOP_K} per query.
+    Self-matches excluded from both legs. Module header for the shuffle
+    budget and the 100 TB substitutions (ANN proposer for the exact
+    scan; posting lists pre-filtered to query tokens)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    n_docs = d.count()  # metadata-cheap scalar, drives the idf constant
+
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    df_t = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qt = toks.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("qid"), "tok"
+    )
+    lex = (
+        toks.select(F.col("doc_id").alias("cid"), "tok")
+        .join(F.broadcast(qt), "tok")
+        .filter(F.col("cid") != F.col("qid"))
+        .join(F.broadcast(df_t), "tok")
+        .groupBy("qid", "cid")
+        .agg(
+            F.sum(F.expr(f"CAST({n_docs * IDF_SCALE} DIV df AS BIGINT)"))
+            .cast("long")
+            .alias("score_lex")
+        )
+    )
+    wl = Window.partitionBy("qid").orderBy(F.col("score_lex").desc(), "cid")
+    lexr = (
+        lex.withColumn("rl", F.row_number().over(wl))
+        .filter(F.col("rl") <= POOL_L)
+        .select("qid", "cid", "rl")
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        _fx_norm2("embedding").alias("nq2"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        _fx_norm2("embedding").alias("nc2"),
+    )
+    cos = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            _cosine(
+                _fx_dot("c_emb", "q_emb"), F.col("nq2"), F.col("nc2")
+            ).alias("cosine"),
+        )
+    )
+    wv = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "cid")
+    vecr = (
+        cos.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") <= POOL_L)
+        .select("qid", "cid", "rv")
+    )
+
+    fused = (
+        lexr.join(vecr, ["qid", "cid"], "full")
+        .select(
+            "qid",
+            "cid",
+            F.coalesce(F.col("rl"), F.lit(0)).cast("long").alias("r_lex"),
+            F.coalesce(F.col("rv"), F.lit(0)).cast("long").alias("r_vec"),
+            (
+                F.when(
+                    F.col("rl").isNull(), F.lit(0).cast("long")
+                ).otherwise(F.expr(f"CAST({RRF_SCALE} DIV ({RRF_K} + rl) AS BIGINT)"))
+                + F.when(
+                    F.col("rv").isNull(), F.lit(0).cast("long")
+                ).otherwise(F.expr(f"CAST({RRF_SCALE} DIV ({RRF_K} + rv) AS BIGINT)"))
+            ).alias("rrf_fx"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("rrf_fx").desc(), "cid")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "cid", "r_lex", "r_vec", "rrf_fx", "rank")
+    )
