@@ -589,3 +589,92 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sec").alias("start_s"),
         (F.max("sec") - F.min("sec")).cast("long").alias("dur_s"),
     )
+
+
+CMS_D = 4  # count-min hash rows
+CMS_W = 16  # buckets per row — small so fixture-scale collisions are visible
+
+
+@query(
+    "sketch_countmin_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(str_split(text, ' ')) AS tok FROM documents
+    ),
+    cells AS (
+      SELECT r, tok,
+             (instr('0123456789abcdef',
+                    substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 1)) - 1)
+               % {CMS_W} AS bucket
+      FROM toks, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS r)
+    ),
+    sketch AS (
+      SELECT r, bucket, COUNT(*) AS cnt FROM cells GROUP BY r, bucket
+    ),
+    exact AS (
+      SELECT tok, COUNT(*) AS exact FROM toks GROUP BY tok
+    ),
+    probe AS (
+      SELECT e.tok, s.r, s.cnt
+      FROM exact e,
+           (SELECT unnest(generate_series(0, {CMS_D - 1})) AS r) rs
+      JOIN sketch s
+        ON s.r = rs.r
+       AND s.bucket = (instr('0123456789abcdef',
+                             substr(md5(CAST(rs.r AS VARCHAR) || ':' || e.tok),
+                                    1, 1)) - 1) % {CMS_W}
+    )
+    SELECT p.tok,
+           MIN(p.cnt)::BIGINT AS est,
+           MIN(e.exact)::BIGINT AS exact,
+           (MIN(p.cnt) - MIN(e.exact))::BIGINT AS overcount
+    FROM probe p JOIN exact e ON e.tok = p.tok
+    GROUP BY p.tok
+    """,
+)
+def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan '05) over corpus
+    tokens, with every estimate audited against the exact count: est =
+    min over {CMS_D} hash rows of the {CMS_W}-bucket cell counts;
+    overcount = est − exact ≥ 0 always (one-sided error), and the min
+    across rows is what shrinks it. {CMS_W} buckets is deliberately tiny
+    so fixture-scale collisions make the overcount column non-zero —
+    value-visible, not just schema-visible.
+
+    Why this sketch is in the registry while GK percentile is banned
+    (CLAUDE.md invariant): CMS cells are COUNTS — merge = addition,
+    exactly associative/commutative, so the sketch is partition-order
+    and shuffle-width invariant by construction (the drift gate's
+    nondeterminism classes can't touch it). HLL shares this property
+    (max of registers); GK's merge does not.
+
+    Scale shape: the sketch build is one scan + a {CMS_D}·{CMS_W}-cell
+    aggregation — memory O(d·w) REGARDLESS of vocabulary (the reason to
+    use CMS at 100 TB where the exact groupBy's hash table is the
+    bottleneck); probes broadcast-join the 64-cell table. The exact
+    side here is the audit, not the production path."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    rows = spark.range(CMS_D).select(F.col("id").cast("int").alias("r"))
+
+    def bucket(r, tok):
+        h = F.md5(F.concat(r.cast("string"), F.lit(":"), tok))
+        return (
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+        ) % CMS_W
+
+    cells = toks.crossJoin(F.broadcast(rows)).select(
+        "r", bucket(F.col("r"), F.col("tok")).alias("bucket")
+    )
+    sketch = cells.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
+    probe = (
+        exact.crossJoin(F.broadcast(rows))
+        .withColumn("bucket", bucket(F.col("r"), F.col("tok")))
+        .join(F.broadcast(sketch), ["r", "bucket"])
+    )
+    return probe.groupBy("tok").agg(
+        F.min("cnt").cast("long").alias("est"),
+        F.min("exact").cast("long").alias("exact"),
+        (F.min("cnt") - F.min("exact")).cast("long").alias("overcount"),
+    )
