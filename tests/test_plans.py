@@ -370,3 +370,78 @@ def test_ivf_pq_scan_joins_broadcast(plan_spark, sf_dir):
     ), strategies
     assert strategies.count("BroadcastNestedLoopJoin") <= 2, strategies
     assert "BroadcastHashJoin" in strategies, strategies
+
+
+def test_bq_rerank_scan_joins_broadcast(plan_spark, sf_dir):
+    """similarity_topk_bq_rerank: the query codes broadcast onto the
+    Hamming scan (the only BNLJ — queries are a 10-row side) and the
+    re-rank's vector lookups are broadcast/equi joins; never a cartesian
+    or a shuffled nested loop."""
+    df = q("similarity_topk_bq_rerank", plan_spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    strategies = join_strategies(df)
+    assert strategies and all(
+        s in ("BroadcastHashJoin", "BroadcastNestedLoopJoin")
+        for s in strategies
+    ), strategies
+
+
+def test_zordered_write_is_one_range_exchange(plan_spark, sf_dir):
+    """write_zordered's plan: exactly the bounds aggregate's tiny
+    exchange pair plus ONE rangepartitioning exchange for the z-sort —
+    the same write cost as any sorted publish."""
+    from kstreams_spark.operators.layout import with_zvalue
+
+    li = registry.QUERIES  # noqa: F841  (registry warm — q() idiom)
+    src = (
+        plan_spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+    )
+    df = (
+        with_zvalue(src, "l_orderkey", "l_partkey")
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+    )
+    plan = physical_plan(df)
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop join is the broadcast 1-row bounds attach
+    strategies = join_strategies(df)
+    assert all(s == "BroadcastNestedLoopJoin" for s in strategies), strategies
+
+
+def test_hybrid_rrf_no_cartesian_and_lex_broadcasts(plan_spark, sf_dir):
+    """search_hybrid_rrf: the lexical leg's query-token and df tables
+    broadcast onto the posting scan; the vector leg's queries broadcast
+    onto the candidate scan; the fusion joins two tiny ranked lists —
+    no cartesian, no shuffled nested loop."""
+    df = q("search_hybrid_rrf", plan_spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies, strategies
+
+
+def test_sessionize_single_user_exchange(plan_spark, sf_dir):
+    """events_sessionize: the lag window, the running sum, and the final
+    per-(user, session) aggregation must all reuse ONE hashpartitioning
+    exchange on user_id — same-prefix keys, no second shuffle."""
+    df = q("events_sessionize", plan_spark, sf_dir)
+    plan = physical_plan(df)
+    n_exchanges = count_exchanges(df)
+    assert n_exchanges == 1, f"{n_exchanges} exchanges:\n{plan}"
+
+
+def test_countmin_probe_joins_broadcast(plan_spark, sf_dir):
+    """sketch_countmin_tokens: the 64-cell sketch and the 4-row hash-row
+    spine broadcast onto the probe side — the sketch is never shuffled."""
+    df = q("sketch_countmin_tokens", plan_spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert all(
+        s in ("BroadcastHashJoin", "BroadcastNestedLoopJoin")
+        for s in strategies
+    ), strategies
