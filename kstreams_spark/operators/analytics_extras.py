@@ -678,3 +678,62 @@ def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("exact").cast("long").alias("exact"),
         (F.min("cnt") - F.min("exact")).cast("long").alias("overcount"),
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type AS to_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY sec, event_id) AS from_type
+      FROM e
+    ),
+    trans AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    tot AS (SELECT from_type, SUM(n) AS n_from FROM trans GROUP BY from_type)
+    SELECT t.from_type, t.to_type, t.n,
+           CAST(t.n AS DOUBLE) / tot.n_from AS p
+    FROM trans t JOIN tot USING (from_type)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence — the behavioral-model shape behind funnels (events_funnel
+    asks one fixed path; this measures ALL paths). Lag order is total
+    (sec, then unique event_id), so the pair extraction is deterministic
+    under timestamp ties on both engines; p is one IEEE division of
+    exact counts.
+
+    Scale: one user_id shuffle for the lag window, then a ≤|types|²
+    aggregation and a |types|-row broadcast join — the matrix is tiny
+    regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = trans.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
+    return trans.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from")).alias("p"),
+    )

@@ -806,3 +806,67 @@ def search_topk_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("score").desc(), "doc_id").limit(SEARCH_TOP_K)
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text,
+                 '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe,
+             length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars)::BIGINT AS total_chars,
+           SUM(n_bpe)::BIGINT AS total_bpe,
+           SUM(n_words)::BIGINT AS total_words,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe) AS chars_per_token,
+           CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_words) AS tokens_per_word
+    FROM t GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the multilingual-tokenizer
+    audit (how many BPE-ish tokens a word costs per language decides
+    who pays more compute per sentence; high-fertility languages argue
+    for vocabulary rebalancing). chars/token and tokens/word are single
+    IEEE divisions of exact integer sums — deterministic on both
+    engines (agg_moments_exact's rule). Scan + one small agg; nothing
+    scales with vocabulary."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pat = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    t = d.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+        ).alias("n_bpe"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).alias("n_words"),
+    )
+    g = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_bpe").cast("long").alias("total_bpe"),
+        F.sum("n_words").cast("long").alias("total_words"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_bpe",
+        "total_words",
+        (F.col("total_chars").cast("double") / F.col("total_bpe")).alias(
+            "chars_per_token"
+        ),
+        (F.col("total_bpe").cast("double") / F.col("total_words")).alias(
+            "tokens_per_word"
+        ),
+    )
