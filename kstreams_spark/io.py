@@ -132,3 +132,81 @@ def write_curated_lake(
     (doc-hash locality) belongs in bucketing (`write_bucketed`) or
     file-level sorting, never the directory tree."""
     curated.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: merge every file's parquet schema into the
+    superset (columns absent from older files surface as NULL). The read
+    path for a long-lived lake whose writers gained columns over time —
+    without mergeSchema, Spark trusts one random footer and silently
+    drops the new columns from old-file scans. Costs one footer read per
+    file at planning; at 100 TB pair it with a table format or a pinned
+    schema registry, but the merge semantics are the same."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def _lake_recover(path: str) -> None:
+    """Heal an interrupted delete_where(): per partition dir, a crash
+    left either (a) both `<dir>` and `<dir>.old-del` (committed staged
+    swap — drop the displaced copy) or (b) only `<dir>.old-del` (crashed
+    between the two renames — restore it). Same displace-swap contract
+    as streaming/exactly_once.compact."""
+    import glob as _glob
+    import shutil
+
+    for old in _glob.glob(os.path.join(path, "**", "*.old-del"), recursive=True):
+        live = old[: -len(".old-del")]
+        if os.path.isdir(live):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, live)
+    for tmp in _glob.glob(os.path.join(path, "**", "*.new-del"), recursive=True):
+        shutil.rmtree(tmp)
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    partition_cols: tuple[str, ...] = ("split", "lang"),
+) -> int:
+    """Copy-on-write delete from a partitioned lake (the compliance /
+    GDPR-erasure op; Delta's DELETE re-expressed over plain parquet):
+    find the partition directories that CONTAIN matching rows (one
+    partition-pruned scan), rewrite ONLY those directories without the
+    matching rows, and swap each in crash-safely (displace-swap;
+    `_lake_recover` heals any crash point to all-old or all-new per
+    partition). Untouched partitions keep their exact files — at 100 TB
+    the rewrite cost is proportional to the data that changes, not the
+    lake.
+
+    `condition` is a SQL predicate over DATA columns only (partition
+    columns are not present inside partition files; route partition-
+    level deletes to a directory drop instead). Returns rows deleted.
+    """
+    import shutil
+
+    _lake_recover(path)
+    df = spark.read.parquet(path)
+    affected = (
+        df.filter(condition).select(*partition_cols).distinct().collect()
+    )
+    deleted = 0
+    for row in affected:
+        subdir = os.path.join(
+            path, *[f"{c}={row[c]}" for c in partition_cols]
+        )
+        sub = spark.read.parquet(subdir)
+        keep = sub.filter(f"NOT ({condition})")
+        n_before = sub.count()
+        n_after = keep.count()
+        if n_after == n_before:
+            continue
+        staged = subdir + ".new-del"
+        keep.write.mode("overwrite").parquet(staged)
+        old = subdir + ".old-del"
+        os.rename(subdir, old)
+        os.rename(staged, subdir)
+        shutil.rmtree(old)
+        deleted += n_before - n_after
+    return deleted
