@@ -120,3 +120,69 @@ def text_scrub_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("scrubbed_email"),
         F.regexp_replace(num_text, "[0-9]{3,}", "<NUM>").alias("scrubbed_nums"),
     )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 9
+    ),
+    v2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 3 THEN text || ' [rev2]'
+                      ELSE text END) AS h
+      FROM documents WHERE doc_id % 10 <> 0
+    )
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'insert'
+                WHEN v2.doc_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           v1.h AS old_md5, v2.h AS new_md5
+    FROM v1 FULL OUTER JOIN v2 ON v2.doc_id = v1.doc_id
+    WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.h <> v2.h
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the CDC read (Delta's table_changes / CDF)
+    derived from two plain-parquet snapshots: full-outer join on the
+    key, rows classified insert / delete / update by presence and
+    content-hash inequality, unchanged rows dropped. The two snapshots
+    are synthesized deterministically from `documents` (v1 misses the
+    %10=9 docs, v2 drops the %10=0 docs and revises the %7=3 docs) so
+    every change class carries volume and the oracle replays the whole
+    derivation.
+
+    Scale shape: each side reduces to (key, 16-byte md5) AT THE SCAN —
+    the join shuffles hashes, never documents; with both snapshots
+    bucketed on the key (io.write_bucketed) the exchange disappears
+    entirely. The streaming twin is the KeyedUpsertSink's MERGE; this is
+    its audit/backfill read."""
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 10 != 9).select(
+        F.col("doc_id").alias("k1"), F.md5("text").alias("old_md5")
+    )
+    v2 = d.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("k2"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("new_md5"),
+    )
+    j = v1.join(v2, v1.k1 == v2.k2, "full")
+    return (
+        j.select(
+            F.coalesce(F.col("k1"), F.col("k2")).alias("doc_id"),
+            F.when(F.col("k1").isNull(), "insert")
+            .when(F.col("k2").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            "old_md5",
+            "new_md5",
+        )
+        .filter(
+            F.col("change_type").isin("insert", "delete")
+            | (F.col("old_md5") != F.col("new_md5"))
+        )
+    )
