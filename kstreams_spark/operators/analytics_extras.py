@@ -737,3 +737,126 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("n_from")).alias("p"),
     )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    ),
+    seq AS (
+      SELECT event_type, day, value,
+             LEAD(sec) OVER (PARTITION BY event_type, day
+                             ORDER BY sec, event_id) - sec AS dt
+      FROM e
+    )
+    SELECT event_type, day,
+           CAST(SUM(CAST(value * dt AS DECIMAL(18,6))) AS DOUBLE)
+             / NULLIF(SUM(dt), 0) AS twa,
+           COUNT(*) AS n_holds,
+           SUM(dt)::BIGINT AS covered_s
+    FROM seq WHERE dt IS NOT NULL
+    GROUP BY event_type, day
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TimescaleDB's time_weight('locf') /
+    a TWAP bar): each reading holds until the next one, so its weight is
+    that duration — the right average for irregularly-sampled sensors,
+    where the plain mean over-counts bursts (the reference's BME680
+    readings are exactly this shape). Per (event_type, day):
+    twa = Σ value·dt / Σ dt over last-observation-carried-forward holds;
+    a day's final reading carries no within-day weight (boundary
+    truncation — the standard continuous-aggregate convention).
+
+    Determinism: value·dt is one IEEE multiply (exact), the sum goes
+    through DECIMAL(18,6) (the dsum rule), dt from the unique
+    (sec, event_id) order. Scale: windows and the final agg share the
+    (event_type, day) key — one shuffle, partitions bounded by a day of
+    one type's events, never the corpus."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.date_trunc("day", "ts").alias("day"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("sec", "event_id")
+    seq = ev.withColumn("dt", F.lead("sec").over(w) - F.col("sec")).filter(
+        F.col("dt").isNotNull()
+    )
+    return seq.groupBy("event_type", "day").agg(
+        (
+            F.sum((F.col("value") * F.col("dt")).cast("decimal(18,6)"))
+            .cast("double")
+            / F.nullif(F.sum("dt"), F.lit(0))
+        ).alias("twa"),
+        F.count(F.lit(1)).alias("n_holds"),
+        F.sum("dt").cast("long").alias("covered_s"),
+    )
+
+
+@query(
+    "events_ohlc_daily",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, day, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY sec, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY sec DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT event_type, day,
+           MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM ranked GROUP BY event_type, day
+    """,
+)
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars (open-high-low-close) per (event_type, day) — the
+    classic downsampling rollup for sensor/market series, and the other
+    half of the hypertable-rollup pair with events_time_weighted_avg.
+    Open/close are elected by ROW_NUMBER over the unique (sec, event_id)
+    order (first ascending / first descending) — deterministic under
+    timestamp ties, unlike bare arg_min on a tied timestamp. Both
+    windows and the final agg share the (event_type, day) partition key:
+    one shuffle total (same contract as sessionize, plan-pinned)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.date_trunc("day", "ts").alias("day"),
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy("sec", "event_id")
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.col("sec").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "day").agg(
+        F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -445,3 +445,13 @@ def test_countmin_probe_joins_broadcast(plan_spark, sf_dir):
         s in ("BroadcastHashJoin", "BroadcastNestedLoopJoin")
         for s in strategies
     ), strategies
+
+
+def test_timeseries_rollups_single_exchange(plan_spark, sf_dir):
+    """events_time_weighted_avg / events_ohlc_daily: the hold/rank
+    windows and the final aggregation share the (event_type, day) key —
+    one exchange each."""
+    for name in ("events_time_weighted_avg", "events_ohlc_daily"):
+        df = q(name, plan_spark, sf_dir)
+        n = count_exchanges(df)
+        assert n == 1, f"{name}: {n} exchanges\n{physical_plan(df)}"
