@@ -525,7 +525,7 @@ SESSION_GAP_S = 1800  # classic 30-minute inactivity gap
     flagged AS (
       SELECT user_id, sec, event_type,
              CASE WHEN LAG(sec) OVER w IS NULL
-                       OR sec - LAG(sec) OVER w > {SESSION_GAP_S}
+                       OR sec - LAG(sec) OVER w >= {SESSION_GAP_S}
                   THEN 1 ELSE 0 END AS new_s
       FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY sec)
@@ -547,8 +547,13 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization — the batch twin of the streaming session
     window (streaming/windows.py::session_agg_stream, Kafka Streams'
     SessionWindows.with(inactivityGap)): a new session starts when a
-    user's gap since their previous event exceeds {SESSION_GAP_S} s;
-    session ids are the running count of session starts.
+    user's gap since their previous event reaches {SESSION_GAP_S} s —
+    gap >= GAP, exactly Spark session_window's join rule (an event joins
+    a session iff ts < window_end = last + gap), so the streaming twin
+    (streaming/windows.py::session_agg_stream) produces the SAME
+    sessions (parity pinned in tests/test_streaming.py on
+    second-truncated input, the grid this query's unix_timestamp floor
+    computes on); session ids are the running count of session starts.
 
     Determinism with tied timestamps: the start flag depends only on the
     PREVIOUS DISTINCT second (tied rows see gap 0), and the running sum
@@ -571,7 +576,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_s",
         F.when(
             F.lag("sec").over(w).isNull()
-            | (F.col("sec") - F.lag("sec").over(w) > SESSION_GAP_S),
+            | (F.col("sec") - F.lag("sec").over(w) >= SESSION_GAP_S),
             1,
         ).otherwise(0),
     )

@@ -435,3 +435,44 @@ def test_rate_spike_stream_matches_batch(spark, tmp_path, sf_dir):
         for r in spark.sql("SELECT * FROM spike_out").collect()
     }
     assert got == want and got
+
+
+def test_session_stream_matches_batch_sessionize(spark, tmp_path, sf_dir):
+    """session_agg_stream (session_window, 30-min gap) must produce the
+    SAME sessions as the batch events_sessionize on the same replayed
+    data. Input timestamps are truncated to whole seconds first — the
+    grid the batch query's unix_timestamp floor computes gaps on — so
+    both modes see identical gap arithmetic; the batch >= gap rule is
+    session_window's own join rule."""
+    from pyspark.sql import functions as F
+
+    from kstreams_spark.io import load_table
+    from kstreams_spark.registry import QUERIES
+    from kstreams_spark.streaming.windows import session_agg_stream
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("second", "ts")
+    )
+    stream_dir = str(tmp_path / "events_sessionize")
+    ev.write.mode("overwrite").parquet(stream_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(stream_dir)
+    q = (
+        session_agg_stream(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.user_id, int(r.session_start.timestamp()), r.n_events)
+        for r in spark.sql("SELECT * FROM session_out").collect()
+    }
+    want = {
+        (r.user_id, r.start_s, r.n_events)
+        for r in QUERIES["events_sessionize"](spark, sf_dir).collect()
+    }
+    assert got == want
