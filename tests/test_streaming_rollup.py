@@ -1,0 +1,58 @@
+"""StreamingOhlcRollup: incremental continuous-aggregate maintenance
+must equal the batch events_ohlc_daily under ANY microbatch split, and
+its epoch-keyed partials must make replay a no-op."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kstreams_spark.io import load_table
+from kstreams_spark.registry import QUERIES, load_all
+from kstreams_spark.streaming.rollup import StreamingOhlcRollup
+
+load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _batch_bars(spark):
+    return {
+        (r.event_type, r.day): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in QUERIES["events_ohlc_daily"](spark, SF).collect()
+    }
+
+
+def _stream_bars(roll, spark):
+    return {
+        (r.event_type, r.day): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in roll.bars(spark).collect()
+    }
+
+
+def test_single_batch_matches_batch_query(spark, tmp_path):
+    ev = load_table(spark, SF, "events")
+    roll = StreamingOhlcRollup(str(tmp_path / "bars"))
+    roll.process_batch(ev, 0)
+    assert _stream_bars(roll, spark) == _batch_bars(spark)
+
+
+def test_cross_batch_merge_matches_batch_query(spark, tmp_path):
+    """Split WITHIN days (event_id parity) so every bar's open/close
+    election must merge across epochs — the semigroup path, not the
+    disjoint-keys shortcut."""
+    ev = load_table(spark, SF, "events")
+    roll = StreamingOhlcRollup(str(tmp_path / "bars"))
+    roll.process_batch(ev.filter(F.col("event_id") % 2 == 0), 0)
+    roll.process_batch(ev.filter(F.col("event_id") % 2 == 1), 1)
+    assert _stream_bars(roll, spark) == _batch_bars(spark)
+
+
+def test_replayed_epoch_is_noop(spark, tmp_path):
+    ev = load_table(spark, SF, "events")
+    roll = StreamingOhlcRollup(str(tmp_path / "bars"))
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    roll.process_batch(half, 0)
+    before = _stream_bars(roll, spark)
+    roll.process_batch(half, 0)  # crash-replay of a committed epoch
+    roll.process_batch(half.limit(3), 0)  # even a DIFFERENT replay body
+    assert _stream_bars(roll, spark) == before
