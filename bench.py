@@ -78,6 +78,9 @@ HEADLINE = [
     "events_sessionize",  # added r7: gap-based sessionization
     "multimodal_video_keyframes",  # added r7: scene-cut keyframe sampling
     "composite_curation_importance",  # added r7: gates->dedup->DSIR selection
+    "search_hybrid_rrf",  # added r7: lexical+vector RRF fusion
+    "cdc_snapshot_diff",  # added r7: hash-diff CDC read
+    "events_time_weighted_avg",  # added r7: LOCF time-weighted rollup
 ]
 
 

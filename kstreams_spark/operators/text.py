@@ -870,3 +870,79 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_per_word"
         ),
     )
+
+
+@query(
+    "text_weighted_median_doclen",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             length(text) - length(replace(text, ' ', '')) + 1 AS w
+      FROM documents
+    ),
+    o AS (
+      SELECT lang, doc_id, n_chars, w,
+             SUM(w) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY lang) AS tw
+      FROM t
+    ),
+    sel AS (
+      SELECT lang, n_chars, tw,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rn_sel
+      FROM o WHERE 2 * cw >= tw
+    )
+    SELECT lang, n_chars AS wmedian_chars, tw::BIGINT AS total_tokens
+    FROM sel WHERE rn_sel = 1
+    """,
+)
+def text_weighted_median_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median — the percentile family's weighted form, which
+    neither engine ships natively: per language, the document length at
+    which half the corpus TOKENS sit (corpus shape by volume, not by doc
+    count — a few giant docs move this where the plain median never
+    budges). Selection is the classic running-weight rule: sort by
+    (value, unique tie-break), first row where 2·cum_w ≥ total_w. All
+    integer comparisons; fully deterministic.
+
+    Scale: one lang shuffle serves the two weight windows and the
+    selection window (same-prefix keys); per-partition work is a sort —
+    the exact-percentile caveat (sorting a language's docs) applies, and
+    the production swap is the same GK-class tradeoff documented at
+    subqueries.approx_quantiles."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).alias("w"),
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("lang")
+    o = t.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    wsel = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    sel = (
+        o.filter(2 * F.col("cw") >= F.col("tw"))
+        .withColumn("rn_sel", F.row_number().over(wsel))
+        .filter(F.col("rn_sel") == 1)
+    )
+    return sel.select(
+        "lang",
+        F.col("n_chars").alias("wmedian_chars"),
+        F.col("tw").cast("long").alias("total_tokens"),
+    )

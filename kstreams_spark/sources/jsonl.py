@@ -1,0 +1,101 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API) — the
+newest extension seam on the scan side, demonstrated end-to-end with a
+JSONL reader: one InputPartition PER FILE (so a directory of N files
+scans N-wide with no driver involvement beyond the listing), lazy
+line-by-line parse in each task, schema either user-provided or inferred
+from the first record.
+
+Where this seam matters at 100 TB: a format Spark has no native reader
+for (proprietary ticks, scientific formats, an internal RPC) plugs into
+the DataFrame API at full parallelism — partitions define the split,
+Catalyst still prunes columns above it, and everything downstream
+(joins, aggs, the oracle-checked operators) is unchanged. The built-in
+`spark.read.json` remains the right call for actual JSON (JVM-side,
+pushdown-capable); this module is the worked example of the API, pinned
+against it in tests/test_jsonl_source.py.
+
+Reference parity note: the reference's source is a Kafka topic of JSON
+strings (BME680.java:152); this is the same payload shape arriving as
+files through a user-defined scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_TYPE_MAP = [
+    (bool, "boolean"),
+    (int, "bigint"),
+    (float, "double"),
+    (str, "string"),
+]
+
+
+def _infer_field(v: object) -> str:
+    for py_t, sql_t in _TYPE_MAP:
+        if isinstance(v, py_t):
+            return sql_t
+    return "string"  # null / nested → stringly-typed fallback
+
+
+def _list_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(path, n)
+        for n in os.listdir(path)
+        if n.endswith(".jsonl") and not n.startswith((".", "_"))
+    )
+
+
+class JsonlFilePartition(InputPartition):
+    def __init__(self, file_path: str) -> None:
+        self.file_path = file_path
+
+
+class JsonlReader(DataSourceReader):
+    def __init__(self, schema, options: dict[str, str]) -> None:
+        self.field_names = schema.fieldNames()
+        self.path = options["path"]
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # one split per file: the scan parallelism IS the file layout
+        return [JsonlFilePartition(f) for f in _list_files(self.path)]
+
+    def read(self, partition: JsonlFilePartition) -> Iterator[tuple]:
+        with open(partition.file_path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                yield tuple(rec.get(name) for name in self.field_names)
+
+
+class JsonlDataSource(DataSource):
+    """`spark.dataSource.register(JsonlDataSource)` then
+    `spark.read.format("kstreams_jsonl").load(path)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kstreams_jsonl"
+
+    def schema(self) -> str:
+        """Called only when the user gave no schema: infer field names
+        and types from the first record of the first file (sorted-key
+        order for determinism)."""
+        files = _list_files(self.options["path"])
+        if not files:
+            raise ValueError(f"no .jsonl files under {self.options['path']}")
+        with open(files[0], encoding="utf-8") as fh:
+            first = json.loads(next(iter(fh)))
+        return ", ".join(
+            f"{k} {_infer_field(v)}" for k, v in sorted(first.items())
+        )
+
+    def reader(self, schema) -> JsonlReader:
+        return JsonlReader(schema, self.options)
