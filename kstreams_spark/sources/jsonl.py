@@ -25,7 +25,13 @@ import json
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 _TYPE_MAP = [
     (bool, "boolean"),
@@ -99,3 +105,54 @@ class JsonlDataSource(DataSource):
 
     def reader(self, schema) -> JsonlReader:
         return JsonlReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool) -> "JsonlWriter":
+        return JsonlWriter(schema, self.options, overwrite)
+
+
+class JsonlCommitMessage(WriterCommitMessage):
+    def __init__(self, tmp_path: str, count: int) -> None:
+        self.tmp_path = tmp_path
+        self.count = count
+
+
+class JsonlWriter(DataSourceWriter):
+    """Two-phase commit, the same shape every exactly-once sink in this
+    repo uses (streaming/exactly_once.py): each task stages its
+    partition to an underscore-prefixed temp file (invisible to the
+    reader's listing) and reports it in a commit message; only the
+    driver's commit() publishes — all-or-nothing, a failed task's
+    partial file is swept by abort() and never becomes visible."""
+
+    def __init__(self, schema, options: dict[str, str], overwrite: bool) -> None:
+        self.field_names = schema.fieldNames()
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> JsonlCommitMessage:
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_staged-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    json.dumps(dict(zip(self.field_names, row))) + "\n"
+                )
+                n += 1
+        return JsonlCommitMessage(tmp_path=tmp, count=n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for old in _list_files(self.path):
+                os.remove(old)
+        for i, m in enumerate(m for m in messages if m is not None):
+            os.rename(
+                m.tmp_path, os.path.join(self.path, f"part-{i:05d}.jsonl")
+            )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)

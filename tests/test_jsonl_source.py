@@ -74,3 +74,32 @@ def test_feeds_registered_operators(spark, tmp_path):
         .collect()
     )
     assert [(r.lang, r.n) for r in agg] == [("l0", 12), ("l1", 9), ("l2", 9)]
+
+
+def test_writer_round_trip_and_overwrite(spark, tmp_path):
+    """The writer half of the seam: two-phase commit (staged temp files
+    → driver publish), overwrite semantics, and read-your-writes."""
+    from pyspark.sql import functions as F
+
+    spark.dataSource.register(JsonlDataSource)
+    out = str(tmp_path / "out_jsonl")
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("l"), (F.col("id") % 3).cast("string")).alias("lang"),
+    ).repartition(4)
+    df.write.format("kstreams_jsonl").mode("overwrite").save(out)
+
+    back = spark.read.format("kstreams_jsonl").load(out)
+    assert back.rdd.getNumPartitions() == 4  # one part file per task
+    assert {(r.doc_id, r.lang) for r in back.collect()} == {
+        (r.doc_id, r.lang) for r in df.collect()
+    }
+
+    # overwrite replaces, never appends
+    df.limit(5).repartition(1).write.format("kstreams_jsonl").mode(
+        "overwrite"
+    ).save(out)
+    assert spark.read.format("kstreams_jsonl").load(out).count() == 5
+    import glob as _glob
+
+    assert not _glob.glob(f"{out}/_staged-*")  # nothing left staged
