@@ -392,3 +392,76 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("m_id")).alias("asof_click_id"),
         F.when(ok, lag).alias("lag_s"),
     )
+
+
+BASKET_CAP = 50  # drop pathological baskets: pair space is O(k²) per order
+BASKET_TOP_K = 50
+
+
+@query(
+    "orders_market_basket",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    sized AS (
+      SELECT l_orderkey FROM items GROUP BY l_orderkey
+      HAVING COUNT(*) BETWEEN 2 AND {BASKET_CAP}
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a
+      JOIN sized s ON s.l_orderkey = a.l_orderkey
+      JOIN items b ON b.l_orderkey = a.l_orderkey
+                  AND b.l_partkey > a.l_partkey
+    ),
+    sup AS (
+      SELECT part_a, part_b, COUNT(*) AS support
+      FROM pairs GROUP BY part_a, part_b
+    )
+    SELECT part_a, part_b, support, rk FROM (
+      SELECT part_a, part_b, support,
+             ROW_NUMBER() OVER (ORDER BY support DESC, part_a, part_b) AS rk
+      FROM sup
+    ) WHERE rk <= {BASKET_TOP_K}
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the Apriori support-counting core):
+    top-{BASKET_TOP_K} part pairs bought together in one order. The
+    pair space is O(k²) per basket, so baskets over {BASKET_CAP}
+    distinct items are dropped FIRST (sized CTE) — the standard
+    frequent-itemset guard; without it one pathological 10⁵-item basket
+    materializes 10¹⁰ pairs from a single join key (same flood-valve
+    reasoning as dedup's max_bucket). Reference: the self-join on
+    l_orderkey is an equi-join both sides co-partition on; the global
+    top-k is TakeOrdered over the (small) distinct-pair support table.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sized = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter((F.col("k") >= 2) & (F.col("k") <= BASKET_CAP))
+        .select("l_orderkey")
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(sized, "l_orderkey")
+        .join(b, "l_orderkey")
+        .filter(F.col("part_b") > F.col("part_a"))
+    )
+    sup = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    w = Window.orderBy(
+        F.col("support").desc(), F.col("part_a"), F.col("part_b")
+    )
+    return (
+        sup.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BASKET_TOP_K)
+    )
