@@ -15,7 +15,7 @@ Float determinism: aggregated doubles use exact DECIMAL(18,6) accumulation
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kstreams_spark.io import load_table
@@ -175,4 +175,40 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("spend"),
         )
         .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+    ),
+    r AS (
+      SELECT source, lang, n,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n DESC, lang) AS rn
+      FROM c
+    )
+    SELECT source, lang AS mode_lang, n AS mode_count FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode (most frequent value) per group — the aggregate both
+    engines ship only approximately or with undefined ties: count
+    sub-groups, elect per group by (count DESC, value) so ties are
+    deterministic. Two aggregations sharing the `source` key prefix +
+    a window over the (tiny) distinct-combination table; the raw data
+    is touched once."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "lang")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("mode_lang"),
+            F.col("n").alias("mode_count"),
+        )
     )
