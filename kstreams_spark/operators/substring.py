@@ -341,3 +341,60 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source1", "source2", "n_shared", "n_sh1", "n_sh2")
     )
+
+
+NOVEL_NUM, NOVEL_DEN = 4, 5  # flag novel when n_unique*5 >= n_windows*4
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(l[i:i+{SPAN_N - 1}], ' ')) AS sh
+      FROM (SELECT doc_id, l,
+                   unnest(generate_series(1, len(l) - {SPAN_N - 1})) AS i
+            FROM toks WHERE len(l) >= {SPAN_N})
+    ),
+    cnt AS (SELECT sh, COUNT(*) AS nd FROM sh GROUP BY sh)
+    SELECT s.doc_id,
+           COUNT(*) AS n_windows,
+           SUM(CASE WHEN c.nd = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+           (CASE WHEN SUM(CASE WHEN c.nd = 1 THEN 1 ELSE 0 END) * {NOVEL_DEN}
+                      >= COUNT(*) * {NOVEL_NUM}
+                 THEN 1 ELSE 0 END)::BIGINT AS is_novel
+    FROM sh s JOIN cnt c USING (sh)
+    GROUP BY s.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the inverse signal of the
+    repeated-span dedup machinery above: the fraction of a doc's
+    DISTINCT {SPAN_N}-token windows that appear in NO other document.
+    Low novelty means the doc is assembled from corpus-shared text
+    (boilerplate, near-dups the cluster pass hasn't caught, templated
+    spam); a curation pass can gate on it the way Gopher gates on
+    repetition. Flag rule is the usual integer cross-multiplication
+    (novel iff n_unique/{NOVEL_DEN} ≥ {NOVEL_NUM}·n_windows — no
+    floats).
+
+    Scale shape identical to dedup_substring_spans: the shuffle carries
+    16-byte window hashes (never text), one groupBy(sh) counts document
+    frequency, one hash-join attributes it back, one groupBy(doc_id)
+    reduces — all partial-aggregated."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sh = positional_shingles(d).select("doc_id", "sh").distinct()
+    cnt = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("nd"))
+    uniq = F.sum(F.when(F.col("nd") == 1, 1).otherwise(0)).cast("long")
+    return (
+        sh.join(cnt, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            uniq.alias("n_unique"),
+            (uniq * NOVEL_DEN >= F.count(F.lit(1)) * NOVEL_NUM)
+            .cast("long")
+            .alias("is_novel"),
+        )
+    )
