@@ -901,3 +901,59 @@ def similarity_topk_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "cid", "cosine", "rank")
     )
+
+
+def _recall_report_oracle() -> str:
+    """Composes the already-registered bruteforce and BQ oracles as
+    derived tables (DuckDB allows nested WITH in a subquery) — the
+    report's oracle replays BOTH pipelines and the overlap count."""
+    from kstreams_spark.registry import ORACLES
+
+    bf = ORACLES["similarity_topk_bruteforce"]
+    bq = ORACLES["similarity_topk_bq_rerank"]
+    return f"""
+    WITH ex AS (SELECT qid, cid FROM ({bf}) t),
+    ap AS (SELECT qid, cid FROM ({bq}) t)
+    SELECT ex.qid,
+           COUNT(*) AS n_exact,
+           SUM(CASE WHEN ap.cid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hits,
+           CAST(SUM(CASE WHEN ap.cid IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS recall
+    FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.cid = ex.cid
+    GROUP BY ex.qid
+    """
+
+
+@query("similarity_recall_report", oracle=_recall_report_oracle())
+def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-quality self-measurement as a first-class query ("measure,
+    don't guess" made operational): per-query recall@{TOP_K} of the
+    compressed two-stage scan (similarity_topk_bq_rerank) against the
+    exact ranking — the number an ANN deployment alerts on when a
+    quantizer refit or corpus drift degrades it. Runs both pipelines
+    (each its documented scale shape) and joins two 10-row-per-query
+    lists; the recall is one IEEE division of exact counts. The oracle
+    replays BOTH pipelines end-to-end, so a hash match certifies the
+    report, not just the scan."""
+    from kstreams_spark.operators.similarity import (
+        similarity_topk_bruteforce,
+    )
+
+    ex = similarity_topk_bruteforce(spark, sf_dir).select("qid", "cid")
+    ap = similarity_topk_bq_rerank(spark, sf_dir).select(
+        "qid", F.col("cid").alias("ap_cid")
+    )
+    j = ex.join(
+        ap,
+        (ap.qid == ex.qid) & (ap.ap_cid == ex.cid),
+        "left",
+    ).select(ex.qid.alias("qid"), "cid", "ap_cid")
+    hits = F.sum(
+        F.when(F.col("ap_cid").isNotNull(), 1).otherwise(0)
+    ).cast("long")
+    return j.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        hits.alias("n_hits"),
+        (hits.cast("double") / F.count(F.lit(1))).alias("recall"),
+    )
