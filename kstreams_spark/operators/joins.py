@@ -465,3 +465,84 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         sup.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= BASKET_TOP_K)
     )
+
+
+FUZZY_MOD = 3  # every 3rd customer contributes a corrupted probe name
+
+
+@query(
+    "join_fuzzy_match_names",
+    oracle=f"""
+    WITH probes AS (
+      SELECT c_custkey AS probe_key,
+             substr(c_name, 1, (c_custkey % (length(c_name) - 1)) + 1 - 1)
+               || substr(c_name, (c_custkey % (length(c_name) - 1)) + 1 + 1)
+               AS probe_name
+      FROM customer WHERE c_custkey % {FUZZY_MOD} = 0
+    )
+    SELECT p.probe_key, c.c_custkey AS base_key,
+           p.probe_name, c.c_name AS base_name,
+           levenshtein(p.probe_name, c.c_name)::BIGINT AS dist
+    FROM probes p, customer c
+    WHERE levenshtein(p.probe_name, c.c_name) <= 1
+    """,
+)
+def join_fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching (record linkage): match 1-char-corrupted
+    probe names back to the customer table at edit distance ≤ 1 — via
+    DELETION-NEIGHBORHOOD BLOCKING (the SymSpell/FastSS trick): two
+    strings within Levenshtein 1 (insert/delete/substitute) always share
+    a member of their 1-deletion neighborhoods (string itself included),
+    so hashing every name's len+1 deletion variants and equi-joining on
+    the variant hash proposes ALL qualifying pairs; the built-in
+    levenshtein (both engines ship it) verifies. Probes are synthesized
+    deterministically (every {FUZZY_MOD}rd customer, drop the
+    (custkey mod len-1)+1-th char).
+
+    THE ORACLE IS THE NAIVE THETA JOIN (probes × customers, levenshtein
+    ≤ 1) — the hash match proves the blocked rewrite finds exactly the
+    naive pairs (recall 1 at d ≤ 1), the same proof shape as the banded
+    temporal join and the salted-skew queries. Scale: the blocking join
+    shuffles (len+1)·N 16-byte variant hashes instead of computing N·M
+    edit distances — the difference between a hash join and a cartesian
+    at 100 TB."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    drop_pos = (F.col("c_custkey") % (F.length("c_name") - 1)) + 1
+    probes = cust.filter(F.col("c_custkey") % FUZZY_MOD == 0).select(
+        F.col("c_custkey").alias("probe_key"),
+        F.concat(
+            F.expr("substr(c_name, 1, (c_custkey % (length(c_name) - 1)) + 1 - 1)"),
+            F.expr("substr(c_name, (c_custkey % (length(c_name) - 1)) + 1 + 1)"),
+        ).alias("probe_name"),
+    )
+
+    def variants(name_col: str, key_cols: list[str]) -> DataFrame:
+        src = probes if name_col == "probe_name" else cust
+        return src.select(
+            *key_cols,
+            F.col(name_col),
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(0, length({name_col})), "
+                    f"i -> md5(concat(substr({name_col}, 1, i), "
+                    f"substr({name_col}, i + 2)))))"
+                )
+            ).alias("vh"),
+        )
+
+    pv = variants("probe_name", ["probe_key"])
+    cv = variants("c_name", ["c_custkey"])
+    cand = (
+        pv.join(cv, "vh")
+        .select("probe_key", "probe_name", "c_custkey", "c_name")
+        .distinct()
+    )
+    return cand.filter(
+        F.levenshtein("probe_name", "c_name") <= 1
+    ).select(
+        "probe_key",
+        F.col("c_custkey").alias("base_key"),
+        "probe_name",
+        F.col("c_name").alias("base_name"),
+        F.levenshtein("probe_name", "c_name").cast("long").alias("dist"),
+    )
