@@ -56,3 +56,35 @@ def test_replayed_epoch_is_noop(spark, tmp_path):
     roll.process_batch(half, 0)  # crash-replay of a committed epoch
     roll.process_batch(half.limit(3), 0)  # even a DIFFERENT replay body
     assert _stream_bars(roll, spark) == before
+
+
+def test_attach_drives_rollup_through_real_stream(spark, tmp_path):
+    """The foreachBatch wiring end-to-end: a rate-limited file stream
+    (one parquet file per microbatch) must land the same bars as the
+    batch query."""
+    import glob
+    import os
+    import shutil
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    # two plain files under src → two microbatches at maxFilesPerTrigger=1
+    for name, half in (("a", 0), ("b", 1)):
+        staging = str(tmp_path / f"stage_{name}")
+        ev.filter(F.col("event_id") % 2 == half).coalesce(1).write.parquet(
+            staging
+        )
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        shutil.move(part, f"{src}/{name}.parquet")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    roll = StreamingOhlcRollup(str(tmp_path / "bars"))
+    q = roll.attach(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert _stream_bars(roll, spark) == _batch_bars(spark)
