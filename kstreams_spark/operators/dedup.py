@@ -1037,3 +1037,65 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id1", "doc_id2", "n_common", "containment")
     )
+
+
+def _triangle_oracle() -> str:
+    """Composes the registered verified-pairs oracle as a derived table
+    (nested WITH — same technique as similarity_recall_report)."""
+    from kstreams_spark.registry import ORACLES
+
+    verified = ORACLES["dedup_minhash_verified"]
+    return f"""
+    WITH p AS (SELECT doc_id1 AS a, doc_id2 AS b FROM ({verified}) t),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM p e1
+      JOIN p e2 ON e2.a = e1.b
+      JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    m AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, COUNT(*) AS n_triangles FROM m GROUP BY doc_id
+    """
+
+
+@query("dedup_triangle_count", oracle=_triangle_oracle())
+def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the verified near-dup graph — the classic
+    distributed-graph primitive (Suri & Vassilvitskii WWW'11), here
+    answering a curation question the cluster-size histogram can't: how
+    CLIQUE-LIKE are the dup clusters? A chain of borderline pairs and a
+    tight mutual-duplicate clique have the same component size but very
+    different triangle counts — high triangle density says the verifier
+    threshold is finding real duplicate groups, not daisy-chains.
+
+    Canonical pairs (a < b) make each triangle enumerable exactly once
+    as a < b < c: two self-joins walk a→b→c, a third checks the closing
+    (a, c) edge — hash equi-joins on doc ids, work bounded by Σ deg(v)²
+    over the (sparse, verified) pair graph, never corpus-quadratic. The
+    oracle composes the registered verified-pairs oracle and replays the
+    same walk."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    p = ngram_jaccard_pairs(d).select(
+        F.col("doc_id1").alias("a"), F.col("doc_id2").alias("b")
+    )
+    e1 = p
+    e2 = p.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = p.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")),
+        )
+        .select("a", "b", "c")
+    )
+    m = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return m.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
