@@ -865,3 +865,118 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "events_session_funnel",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, sec, event_type,
+             CASE WHEN LAG(sec) OVER w IS NULL
+                       OR sec - LAG(sec) OVER w >= {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+    ),
+    sess AS (
+      SELECT user_id, sec, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec) AS sn
+      FROM flagged
+    ),
+    s1 AS (
+      SELECT user_id, sn, MIN(sec) AS t1 FROM sess
+      WHERE event_type = 'view' GROUP BY user_id, sn
+    ),
+    s2 AS (
+      SELECT s.user_id, s.sn, MIN(s.sec) AS t2
+      FROM sess s JOIN s1 ON s1.user_id = s.user_id AND s1.sn = s.sn
+      WHERE s.event_type = 'click' AND s.sec > s1.t1
+      GROUP BY s.user_id, s.sn
+    ),
+    s3 AS (
+      SELECT s.user_id, s.sn, MIN(s.sec) AS t3
+      FROM sess s JOIN s2 ON s2.user_id = s.user_id AND s2.sn = s.sn
+      WHERE s.event_type = 'purchase' AND s.sec > s2.t2
+      GROUP BY s.user_id, s.sn
+    )
+    SELECT (SELECT COUNT(DISTINCT (user_id, sn)) FROM sess)::BIGINT
+             AS n_sessions,
+           (SELECT COUNT(*) FROM s1)::BIGINT AS n_view,
+           (SELECT COUNT(*) FROM s2)::BIGINT AS n_view_click,
+           (SELECT COUNT(*) FROM s3)::BIGINT AS n_view_click_purchase
+    """,
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel WITHIN sessions — composing sessionize's gap labeling
+    with the ordered-step funnel changes the question from "did this
+    user ever convert" (events_funnel, lifetime grain) to "how many
+    VISITS convert" (the product-analytics number): each (user, session)
+    must see view → click → purchase strictly in order inside the same
+    session. Same min-based shrinking-survivor stages at (user_id,
+    session_no) grain; the session labeling and every stage share the
+    user_id shuffle prefix. (Fixture note: full in-session conversion is
+    rare by construction — n_view/n_view_click carry volume at sf0.01,
+    the terminal stage legitimately counts 0; the lifetime-grain
+    events_funnel exercises the 3-deep volume path.)"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec")
+    sess = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | (F.col("sec") - F.lag("sec").over(w) >= SESSION_GAP_S),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sn",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("sec")
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    s1 = (
+        sess.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "sn")
+        .agg(F.min("sec").alias("t1"))
+    )
+    s2 = (
+        sess.filter(F.col("event_type") == "click")
+        .join(s1, ["user_id", "sn"])
+        .filter(F.col("sec") > F.col("t1"))
+        .groupBy("user_id", "sn")
+        .agg(F.min("sec").alias("t2"))
+    )
+    s3 = (
+        sess.filter(F.col("event_type") == "purchase")
+        .join(s2, ["user_id", "sn"])
+        .filter(F.col("sec") > F.col("t2"))
+        .groupBy("user_id", "sn")
+        .agg(F.min("sec").alias("t3"))
+    )
+    n_sessions = (
+        sess.select("user_id", "sn")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+    return (
+        n_sessions.crossJoin(
+            s1.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+        )
+        .crossJoin(
+            s2.agg(F.count(F.lit(1)).cast("long").alias("n_view_click"))
+        )
+        .crossJoin(
+            s3.agg(
+                F.count(F.lit(1)).cast("long").alias("n_view_click_purchase")
+            )
+        )
+    )
