@@ -189,3 +189,41 @@ def scalar_null_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
             "typed_or_default"
         ),
     )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (l_orderkey & l_partkey)::BIGINT AS b_and,
+           (l_orderkey | l_partkey)::BIGINT AS b_or,
+           xor(l_orderkey, l_partkey)::BIGINT AS b_xor,
+           (~l_orderkey)::BIGINT AS b_not,
+           (l_orderkey << 3)::BIGINT AS shl3,
+           (l_orderkey >> 2)::BIGINT AS shr2,
+           bit_count(l_orderkey)::BIGINT AS popcnt,
+           ((l_orderkey >> 5) & 1)::BIGINT AS bit5
+    FROM lineitem WHERE l_suppkey <= 2
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar battery — and/or/xor/not, shifts, popcount, bit
+    probe — the integer toolbox the BQ sign-code scan and the Z-order
+    interleave are built from, exercised as first-class columns (two's-
+    complement semantics agree across engines on BIGINT; shifts bounded
+    far under the DuckDB 1<<63 overflow edge documented in quantize.py).
+    Pure scan-shaped codegen."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 2)
+    ok = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ok.bitwiseAND(F.col("l_partkey")).cast("long").alias("b_and"),
+        ok.bitwiseOR(F.col("l_partkey")).cast("long").alias("b_or"),
+        ok.bitwiseXOR(F.col("l_partkey")).cast("long").alias("b_xor"),
+        F.bitwise_not(ok).cast("long").alias("b_not"),
+        F.shiftleft(ok, 3).cast("long").alias("shl3"),
+        F.shiftright(ok, 2).cast("long").alias("shr2"),
+        F.bit_count(ok).cast("long").alias("popcnt"),
+        F.shiftright(ok, 5).bitwiseAND(F.lit(1)).cast("long").alias("bit5"),
+    )
