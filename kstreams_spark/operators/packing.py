@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kstreams_spark.io import load_table
+from kstreams_spark.operators._util import spread
 from kstreams_spark.registry import query
 
 CTX_LEN = 128  # tokens per packed training sequence (fixture-scale)
@@ -305,4 +306,80 @@ def sample_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("padding_waste"),
         F.max("n_docs_in_chunk").cast("long").alias("max_docs_per_chunk"),
+    )
+
+
+EPOCH_MANIFEST_EPOCHS = 2
+EPOCH_MANIFEST_HEAD = 10
+
+
+def _epoch_manifest_oracle() -> str:
+    """Composes the registered packing oracle as a derived table
+    (nested WITH) and ranks its distinct chunks per (epoch, shard)."""
+    from kstreams_spark.registry import ORACLES
+
+    pack = ORACLES["sample_sequence_pack"]
+    return f"""
+    WITH chunks AS (
+      SELECT DISTINCT shard, chunk_id FROM ({pack}) t
+    ),
+    e AS (SELECT unnest(generate_series(0, {EPOCH_MANIFEST_EPOCHS - 1}))
+            AS epoch),
+    r AS (
+      SELECT e.epoch, c.shard, c.chunk_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.epoch, c.shard
+               ORDER BY md5(CAST(e.epoch AS VARCHAR) || ':'
+                            || CAST(c.chunk_id AS VARCHAR)), c.chunk_id
+             ) AS seq_pos
+      FROM chunks c, e
+    )
+    SELECT epoch::BIGINT AS epoch, shard, seq_pos::BIGINT AS seq_pos,
+           chunk_id
+    FROM r WHERE seq_pos <= {EPOCH_MANIFEST_HEAD}
+    """
+
+
+@query("composite_dataloader_epoch", oracle=_epoch_manifest_oracle())
+def composite_dataloader_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The artifact a training run actually consumes, composed from two
+    registered pieces: the packing manifest's fixed-CTX_LEN training
+    sequences (sample_sequence_pack), ordered per epoch by the
+    deterministic md5(epoch:chunk) permutation (sample_epoch_shuffle's
+    idiom at CHUNK grain — shuffling packed sequences, not documents, is
+    what preserves intra-sequence token contiguity). Registered demo:
+    the first {EPOCH_MANIFEST_HEAD} sequence positions of each
+    (epoch, shard) for {EPOCH_MANIFEST_EPOCHS} epochs; the oracle
+    composes the packing oracle as a derived table and replays the
+    ranking, so the hash certifies the whole chain.
+
+    Scale: chunks-per-shard rank windows are (epoch, shard)-partitioned;
+    a production loader sorts each shard's chunk list by the same key at
+    plan time instead of ranking (sample_epoch_shuffle's docstring)."""
+    chunks = (
+        pack_sequences(
+            spread(load_table(spark, sf_dir, "documents"))
+        )
+        .select("shard", "chunk_id")
+        .distinct()
+    )
+    epochs = (
+        chunks.sparkSession.range(EPOCH_MANIFEST_EPOCHS)
+        .select(F.col("id").alias("epoch"))
+    )
+    keyed = chunks.crossJoin(F.broadcast(epochs))
+    w = Window.partitionBy("epoch", "shard").orderBy(
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("chunk_id").cast("string"),
+            )
+        ),
+        "chunk_id",
+    )
+    return (
+        keyed.withColumn("seq_pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("seq_pos") <= EPOCH_MANIFEST_HEAD)
+        .select("epoch", "shard", "seq_pos", "chunk_id")
     )
