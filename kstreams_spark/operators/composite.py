@@ -13,7 +13,7 @@ Q-shapes (adapted to the fixture schema, decimal-exact aggregates):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kstreams_spark.io import load_table
@@ -868,4 +868,86 @@ def composite_curation_importance(
     return selected.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+LATE_DAYS = 90
+WAIT_TOP_K = 20
+
+
+@query(
+    "composite_waiting_suppliers",
+    oracle=f"""
+    WITH late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+    ),
+    pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    waiting AS (
+      SELECT s.l_suppkey, s.l_orderkey
+      FROM late s
+      WHERE EXISTS (SELECT 1 FROM pairs a
+                    WHERE a.l_orderkey = s.l_orderkey
+                      AND a.l_suppkey <> s.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM late t
+                        WHERE t.l_orderkey = s.l_orderkey
+                          AND t.l_suppkey <> s.l_suppkey)
+    )
+    SELECT suppkey, numwait, rk FROM (
+      SELECT l_suppkey AS suppkey, COUNT(*) AS numwait,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_suppkey) AS rk
+      FROM waiting GROUP BY l_suppkey
+    ) WHERE rk <= {WAIT_TOP_K}
+    """,
+)
+def composite_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape (suppliers who kept waiting multi-supplier
+    orders: their line shipped late and NO other supplier's did) —
+    the classic double-correlated EXISTS + NOT EXISTS on the same fact
+    table, the optimizer stress case. 'Late' adapted to the fixture
+    columns: l_shipdate > o_orderdate + {LATE_DAYS} days on finished
+    ('F') orders.
+
+    Spark-first rewrite: instead of two correlated subqueries, ONE
+    order-grain aggregate (n_supps, n_late_supps per order) joined back
+    — s is the blamed supplier iff n_supps > 1 AND n_late_supps = 1.
+    THE ORACLE KEEPS THE LITERAL EXISTS/NOT-EXISTS FORM, so the hash
+    match proves the aggregate rewrite equivalent — the repo's standard
+    rewrite-proof shape. One orders-side broadcast-joined scan, one
+    per-order agg, one keyed join; no correlated re-scans anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    joined = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    late = (
+        joined.filter(
+            F.col("l_shipdate") > F.date_add("o_orderdate", LATE_DAYS)
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps")
+    )
+    late_per_order = late.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_late")
+    )
+    waiting = (
+        late.join(per_order, "l_orderkey")
+        .join(late_per_order, "l_orderkey")
+        .filter((F.col("n_supps") > 1) & (F.col("n_late") == 1))
+    )
+    w = Window.orderBy(F.col("numwait").desc(), F.col("suppkey"))
+    return (
+        waiting.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WAIT_TOP_K)
     )
