@@ -1998,3 +1998,73 @@ def multimodal_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _video_payloads(d).mapInPandas(
         _decode_stage(avi_keyframes, KEYFRAME_SCHEMA), KEYFRAME_SCHEMA
     )
+
+
+NORM_PEAK = 30000  # peak-normalization target magnitude (PCM16 headroom)
+
+
+def normalize_wav_peak(payload: bytes, target: int = NORM_PEAK) -> bytes:
+    """REAL loudness (peak) normalization: parse the WAV, scale every
+    sample so the loudest magnitude lands exactly on `target`, re-encode.
+    Integer-only: s' = sign(s)·(|s|·target // peak) — the sign split
+    keeps floor division on non-negative operands, where Python, Spark
+    and DuckDB agree (negative-operand floor-vs-trunc is an engine
+    divergence this module never enters). Silent clips pass through."""
+    sr, samples = wav_pcm(payload)
+    peak = max((abs(s) for s in samples), default=0)
+    if peak == 0:
+        return encode_wav(samples, sr)
+    out = [
+        (abs(s) * target // peak) if s >= 0 else -(abs(s) * target // peak)
+        for s in samples
+    ]
+    return encode_wav(out, sr)
+
+
+@query(
+    "multimodal_audio_normalize",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, (octet_length(encode(text)) % 100) + 50 AS n
+      FROM documents WHERE doc_id < 200
+    ),
+    samples AS (
+      SELECT doc_id, n,
+             ((doc_id * 7919 + i * 104729) % 65521) - 32760 AS s
+      FROM docs, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) t
+    ),
+    peaks AS (
+      SELECT doc_id, MAX(ABS(s)) AS peak FROM samples GROUP BY doc_id
+    ),
+    norm AS (
+      SELECT s.doc_id, s.n,
+             CASE WHEN s.s >= 0
+                  THEN (ABS(s.s) * {NORM_PEAK}) // p.peak
+                  ELSE -((ABS(s.s) * {NORM_PEAK}) // p.peak)
+             END AS s
+      FROM samples s JOIN peaks p USING (doc_id)
+    )
+    SELECT doc_id,
+           {WAV_SR} AS sample_rate,
+           CAST(n AS INTEGER) AS n_samples,
+           (n * 1000) // {WAV_SR} AS duration_ms,
+           SUM(s * s)::BIGINT AS sum_sq,
+           CAST(MAX(ABS(s)) AS INTEGER) AS peak,
+           SUM(s)::BIGINT AS checksum
+    FROM norm GROUP BY doc_id, n
+    """,
+)
+def multimodal_audio_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak normalization through the REAL codec (the audio-transform
+    matrix's gain cell, next to downsample): decode → integer rescale to
+    a {NORM_PEAK} peak → re-encode → feature-extract by RE-PARSING. The
+    re-parsed peak column equals {NORM_PEAK} for every clip (the
+    normalization's post-condition, value-visible), and the oracle
+    replays synth → peak → rescale → features entirely in SQL. Same
+    staged mapInPandas shape as every media transform here."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        _audio_payloads(d)
+        .mapInPandas(_transform_stage(normalize_wav_peak), MEDIA_PAYLOAD_SCHEMA)
+        .mapInPandas(_decode_stage(_wav_features, AUDIO_SCHEMA), AUDIO_SCHEMA)
+    )
