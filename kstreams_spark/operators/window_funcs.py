@@ -187,3 +187,71 @@ def window_cume_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.percent_rank().over(w).alias("pr"),
     )
+
+
+@query(
+    "orders_active_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT o_custkey,
+             CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d
+      FROM orders
+    ),
+    grp AS (
+      SELECT o_custkey, d,
+             CAST(epoch(d) AS BIGINT) // 86400
+               - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d)
+               AS isl
+      FROM days
+    ),
+    islands AS (
+      SELECT o_custkey, MIN(d) AS streak_start,
+             COUNT(*) AS streak_days
+      FROM grp GROUP BY o_custkey, isl
+    ),
+    best AS (
+      SELECT o_custkey, streak_start, streak_days,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY streak_days DESC, streak_start)
+               AS rn
+      FROM islands
+    )
+    SELECT o_custkey, streak_start, streak_days
+    FROM best WHERE rn = 1 AND streak_days >= 2
+    """,
+)
+def orders_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each customer's LONGEST run of consecutive
+    order days, via the classic day-number-minus-row-number trick
+    (consecutive days share the difference, so the difference IS the
+    island id — no self-joins, no recursion). Ties broken to the
+    earliest streak; single-day 'streaks' filtered so the output is the
+    interesting tail. epoch(d)//86400 is exact on day-truncated UTC
+    timestamps in both engines.
+
+    One o_custkey shuffle serves the distinct, the numbering window,
+    the island aggregation, and the best-streak election — the same
+    shared-prefix contract as sessionize (sessionize islands time by
+    gap; this islands the CALENDAR by continuity)."""
+    o = load_table(spark, sf_dir, "orders")
+    days = o.select(
+        "o_custkey", F.date_trunc("day", "o_orderdate").alias("d")
+    ).distinct()
+    wn = Window.partitionBy("o_custkey").orderBy("d")
+    grp = days.withColumn(
+        "isl",
+        (F.unix_timestamp("d") / 86400).cast("long")
+        - F.row_number().over(wn),
+    )
+    islands = grp.groupBy("o_custkey", "isl").agg(
+        F.min("d").alias("streak_start"),
+        F.count(F.lit(1)).alias("streak_days"),
+    )
+    wb = Window.partitionBy("o_custkey").orderBy(
+        F.col("streak_days").desc(), "streak_start"
+    )
+    return (
+        islands.withColumn("rn", F.row_number().over(wb))
+        .filter((F.col("rn") == 1) & (F.col("streak_days") >= 2))
+        .select("o_custkey", "streak_start", "streak_days")
+    )
