@@ -2068,3 +2068,74 @@ def multimodal_audio_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_transform_stage(normalize_wav_peak), MEDIA_PAYLOAD_SCHEMA)
         .mapInPandas(_decode_stage(_wav_features, AUDIO_SCHEMA), AUDIO_SCHEMA)
     )
+
+
+BRIGHT_NUM, BRIGHT_DEN = 3, 2  # brighten 1.5x, clamped to 255
+
+
+def brighten_avi(payload: bytes) -> bytes:
+    """REAL per-pixel video transform: parse the AVI, scale every
+    channel by {BRIGHT_NUM}/{BRIGHT_DEN} with a 255 clamp (integer
+    arithmetic — min(255, v*3//2), floor on non-negative operands where
+    all engines agree), re-encode the container."""
+    _w, grids = avi_frame_grids(payload)
+    out = [
+        [
+            [
+                tuple(
+                    min(255, v * BRIGHT_NUM // BRIGHT_DEN) for v in px
+                )
+                for px in row
+            ]
+            for row in grid
+        ]
+        for grid in grids
+    ]
+    return encode_avi_from_grids(out)
+
+
+@query(
+    "multimodal_video_brightness",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 3 AS k,
+             5 + doc_id % 6 AS w, 4 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, k, w, h, f, x, y,
+             LEAST(255, ((doc_id * 31 + f * 53 + y * 17 + x * 7 + 0 * 131)
+                         % 256) * {BRIGHT_NUM} // {BRIGHT_DEN}) AS b,
+             LEAST(255, ((doc_id * 31 + f * 53 + y * 17 + x * 7 + 1 * 131)
+                         % 256) * {BRIGHT_NUM} // {BRIGHT_DEN}) AS g,
+             LEAST(255, ((doc_id * 31 + f * 53 + y * 17 + x * 7 + 2 * 131)
+                         % 256) * {BRIGHT_NUM} // {BRIGHT_DEN}) AS r
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, k - 1)) AS f) tf,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(k AS INTEGER) AS n_frames,
+           SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g,
+           SUM(b)::BIGINT AS sum_b,
+           SUM((f + 1) * (y * w + x) * (b + g + r))::BIGINT AS px_checksum
+    FROM px GROUP BY doc_id, k, w, h
+    """,
+)
+def multimodal_video_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pixel video transform through the REAL codec (the video
+    twin of the audio gain cell): decode every frame, brighten
+    {BRIGHT_NUM}/{BRIGHT_DEN}× with a 255 clamp, re-encode, re-parse.
+    The clamp makes the transform NON-LINEAR, so the oracle can't
+    shortcut through sums — it replays the per-pixel LEAST(255, ·)
+    before aggregating, and the (f+1)-weighted checksum keeps frame
+    order observable through the round-trip."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        _video_payloads(d)
+        .mapInPandas(_transform_stage(brighten_avi), MEDIA_PAYLOAD_SCHEMA)
+        .mapInPandas(_decode_stage(parse_avi, VIDEO_SCHEMA), VIDEO_SCHEMA)
+    )
