@@ -81,6 +81,10 @@ HEADLINE = [
     "search_hybrid_rrf",  # added r7: lexical+vector RRF fusion
     "cdc_snapshot_diff",  # added r7: hash-diff CDC read
     "events_time_weighted_avg",  # added r7: LOCF time-weighted rollup
+    "composite_waiting_suppliers",  # added r7: Q21-shape aggregate rewrite
+    "text_ngram_novelty",  # added r7: per-doc unique-window fraction
+    "join_fuzzy_match_names",  # added r7: deletion-neighborhood blocking
+    "dedup_triangle_count",  # added r7: verified-graph triangle walk
 ]
 
 

@@ -455,3 +455,22 @@ def test_timeseries_rollups_single_exchange(plan_spark, sf_dir):
         df = q(name, plan_spark, sf_dir)
         n = count_exchanges(df)
         assert n == 1, f"{name}: {n} exchanges\n{physical_plan(df)}"
+
+
+def test_fuzzy_match_blocks_instead_of_cartesian(plan_spark, sf_dir):
+    """join_fuzzy_match_names: the deletion-neighborhood rewrite must be
+    hash equi-joins on variant hashes — the naive probes×customers
+    cartesian (the oracle's form) must NOT appear in the plan."""
+    df = q("join_fuzzy_match_names", plan_spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    strategies = join_strategies(df)
+    assert strategies, "expected hash joins in the blocking plan"
+
+
+def test_triangle_walk_is_hash_joins(plan_spark, sf_dir):
+    """dedup_triangle_count: the a→b→c walk + closing edge are doc-id
+    equi-joins over the sparse verified graph — never a cartesian."""
+    plan = physical_plan(q("dedup_triangle_count", plan_spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
