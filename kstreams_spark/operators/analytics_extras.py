@@ -980,3 +980,72 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "orders_revenue_gini_by_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nationkey, c.c_custkey,
+             CAST(round(SUM(o.o_totalprice) * 100) AS BIGINT) AS rev_fx
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, c.c_custkey
+    ),
+    ranked AS (
+      SELECT nationkey, rev_fx,
+             ROW_NUMBER() OVER (PARTITION BY nationkey
+                                ORDER BY rev_fx, c_custkey) AS rk
+      FROM rev
+    ),
+    agg AS (
+      SELECT nationkey,
+             COUNT(*) AS n,
+             SUM(rev_fx)::BIGINT AS s,
+             SUM(rk * rev_fx)::BIGINT AS s1
+      FROM ranked GROUP BY nationkey
+    )
+    SELECT nationkey, n,
+           CAST((2 * s1 - (n + 1) * s) AS DOUBLE) / (n * s) AS gini
+    FROM agg WHERE s > 0
+    """,
+)
+def orders_revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per nation — the inequality
+    metric behind 'do a few customers carry this market', computed
+    EXACTLY: revenue in integer cents (o_totalprice has 2 decimals, so
+    ×100 then round is exact), the rank-sum identity
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the within-nation
+    (revenue, custkey) order, one IEEE division at the end. The rank
+    window is NATION-partitioned — the per-group form of a metric whose
+    global version would need the unpartitioned-sort class SCALE.md
+    reserves for demos; magnitudes stay ≤ ~1e16 ≪ 2^63 at fixture and
+    cluster scale alike (cents × ranks both grow linearly in customers
+    per nation — re-shard by sub-market before ranks approach 2^31)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "c_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("rev_fx")
+        )
+    )
+    w = Window.partitionBy("nationkey").orderBy("rev_fx", "c_custkey")
+    ranked = rev.withColumn("rk", F.row_number().over(w))
+    agg = ranked.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev_fx").cast("long").alias("s"),
+        F.sum(F.col("rk") * F.col("rev_fx")).cast("long").alias("s1"),
+    )
+    return agg.filter(F.col("s") > 0).select(
+        "nationkey",
+        "n",
+        (
+            (2 * F.col("s1") - (F.col("n") + 1) * F.col("s")).cast("double")
+            / (F.col("n") * F.col("s"))
+        ).alias("gini"),
+    )
