@@ -2139,3 +2139,62 @@ def multimodal_video_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_transform_stage(brighten_avi), MEDIA_PAYLOAD_SCHEMA)
         .mapInPandas(_decode_stage(parse_avi, VIDEO_SCHEMA), VIDEO_SCHEMA)
     )
+
+
+def crop_bmp_center(payload: bytes) -> bytes:
+    """REAL geometry transform: parse the BMP, cut the central region
+    (trim w//4 columns and h//4 rows from each side — always ≥1 pixel
+    left at fixture dims), re-encode a complete BMP."""
+    grid = bmp_pixel_grid(payload)
+    h, w = len(grid), len(grid[0])
+    x0, y0 = w // 4, h // 4
+    w2, h2 = w - 2 * x0, h - 2 * y0
+    return encode_bmp(
+        [[grid[y0 + y][x0 + x] for x in range(w2)] for y in range(h2)]
+    )
+
+
+@query(
+    "multimodal_image_crop",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             5 + doc_id % 6 AS w, 4 + doc_id % 3 AS h,
+             (5 + doc_id % 6) // 4 AS x0, (4 + doc_id % 3) // 4 AS y0,
+             (5 + doc_id % 6) - 2 * ((5 + doc_id % 6) // 4) AS w2,
+             (4 + doc_id % 3) - 2 * ((4 + doc_id % 3) // 4) AS h2
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w2, h2, x, y,
+             (doc_id * 31 + (y0 + y) * 17 + (x0 + x) * 7 + 0 * 131) % 256 AS b,
+             (doc_id * 31 + (y0 + y) * 17 + (x0 + x) * 7 + 1 * 131) % 256 AS g,
+             (doc_id * 31 + (y0 + y) * 17 + (x0 + x) * 7 + 2 * 131) % 256 AS r
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w2 - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h2 - 1)) AS y) ty
+    )
+    SELECT doc_id,
+           CAST(w2 AS INTEGER) AS width,
+           CAST(h2 AS INTEGER) AS height,
+           CAST(w2 * h2 AS INTEGER) AS n_pixels,
+           SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g,
+           SUM(b)::BIGINT AS sum_b,
+           SUM((y * w2 + x) * (b + g + r))::BIGINT AS px_checksum
+    FROM px GROUP BY doc_id, w2, h2
+    """,
+)
+def multimodal_image_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Center crop through the REAL codec — the geometry cell of the
+    image transform matrix (resize scales, crop cuts): parse, keep the
+    central (w − 2·w//4) × (h − 2·h//4) region, re-encode, re-parse.
+    The position-weighted checksum re-bases on the CROPPED coordinates,
+    so an off-by-one in the crop origin (the classic crop bug) shifts
+    every term and hash-mismatches; the oracle replays the shifted
+    channel synthesis per pixel."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        _image_payloads(d)
+        .mapInPandas(_transform_stage(crop_bmp_center), MEDIA_PAYLOAD_SCHEMA)
+        .mapInPandas(_decode_stage(parse_bmp, IMAGE_SCHEMA), IMAGE_SCHEMA)
+    )
