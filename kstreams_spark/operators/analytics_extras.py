@@ -1049,3 +1049,58 @@ def orders_revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
             / (F.col("n") * F.col("s"))
         ).alias("gini"),
     )
+
+
+@query(
+    "orders_cohort_revenue",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP))
+               AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    joined AS (
+      SELECT f.cohort,
+             (CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) * 12
+              + CAST(EXTRACT(month FROM o.o_orderdate) AS BIGINT))
+             - (CAST(EXTRACT(year FROM f.cohort) AS BIGINT) * 12
+                + CAST(EXTRACT(month FROM f.cohort) AS BIGINT))
+               AS month_offset,
+             o.o_totalprice AS price
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    )
+    SELECT cohort, month_offset,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM joined GROUP BY cohort, month_offset
+    """,
+)
+def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue cohort analysis — the money-side twin of the
+    events_retention_cohorts activity grid: customers grouped by FIRST-
+    order month, revenue laid out by months-since-acquisition. Reading
+    down a column compares cohort quality at equal age; reading across a
+    row shows a cohort's decay — the LTV input. Month arithmetic is
+    pure integers (y·12+m deltas, no interval subtraction ambiguity);
+    revenue is the DECIMAL(18,6) exact-sum rule. One customer-keyed
+    first-order aggregate joined back (same key → co-partitioned), then
+    a ≤cohorts×offsets aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    mo = (
+        F.year("o_orderdate") * 12
+        + F.month("o_orderdate")
+        - (F.year("cohort") * 12 + F.month("cohort"))
+    ).cast("long")
+    joined = o.join(firsts, "o_custkey").select(
+        "cohort", mo.alias("month_offset"), F.col("o_totalprice").alias("price")
+    )
+    return joined.groupBy("cohort", "month_offset").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("price").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
