@@ -1104,3 +1104,63 @@ def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "composite_segment_revenue_trend",
+    oracle="""
+    WITH m AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT segment, month, n_orders, revenue,
+           revenue - LAG(revenue) OVER w AS mom_delta,
+           (revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w AS mom_pct
+    FROM m
+    WINDOW w AS (PARTITION BY segment ORDER BY month)
+    """,
+)
+def composite_segment_revenue_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Month-over-month revenue trend per market segment — the BI
+    dashboard staple composing a dimension join (broadcast customer →
+    orders), an exact-decimal monthly rollup, and a trend window
+    (lag delta + growth rate). Determinism: the monthly revenue is the
+    DECIMAL exact-sum rule; the MoM delta and ratio are then single
+    IEEE subtract/divide of identical doubles on both engines — derived
+    floats are safe exactly when every input float is already
+    bit-identical. The lag window rides the (segment, month) grain
+    (tiny), not raw orders."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "segment",
+        "month",
+        "n_orders",
+        "revenue",
+        (F.col("revenue") - prev).alias("mom_delta"),
+        ((F.col("revenue") - prev) / prev).alias("mom_pct"),
+    )
