@@ -476,3 +476,57 @@ def test_session_stream_matches_batch_sessionize(spark, tmp_path, sf_dir):
         for r in QUERIES["events_sessionize"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_session_window_append_emits_only_closed_sessions(spark, tmp_path):
+    """Production session-window mode: APPEND + watermark — a session
+    emits exactly once, only after the watermark passes its end; the
+    still-open session is withheld. (The parity test above uses complete
+    mode; this pins the late-data/finalization semantics, Kafka Streams'
+    suppress-until-window-close.)"""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from kstreams_spark.streaming.windows import session_agg_stream
+
+    rows1 = [
+        (1, datetime(2024, 1, 1, 10, 0, 0)),
+        (1, datetime(2024, 1, 1, 10, 10, 0)),
+    ]
+    rows2 = [(1, datetime(2024, 1, 1, 13, 0, 0))]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for name, rows in (("a", rows1), ("b", rows2)):
+        staging = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        shutil.move(part, f"{src}/{name}.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        session_agg_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("session_append_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = [
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.sql("SELECT * FROM session_append_out").collect()
+    ]
+    # the 10:00 session closed (watermark reached 12:50 > 10:40); the
+    # 13:00 session is still open and must NOT appear
+    assert got == [(1, datetime(2024, 1, 1, 10, 0, 0), 2)]
