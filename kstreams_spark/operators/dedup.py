@@ -1078,9 +1078,16 @@ def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the (sparse, verified) pair graph, never corpus-quadratic. The
     oracle composes the registered verified-pairs oracle and replays the
     same walk."""
+    from kstreams_spark.operators._util import fence
+
     d = spread(load_table(spark, sf_dir, "documents"))
-    p = ngram_jaccard_pairs(d).select(
-        F.col("doc_id1").alias("a"), F.col("doc_id2").alias("b")
+    # the verified-pairs subtree is the expensive part and feeds all
+    # THREE walk sides — unfenced it executes 3× (plan audit: 27 scans,
+    # 46 exchanges); one fence materializes the sparse edge list once
+    p = fence(
+        ngram_jaccard_pairs(d).select(
+            F.col("doc_id1").alias("a"), F.col("doc_id2").alias("b")
+        )
     )
     e1 = p
     e2 = p.select(F.col("a").alias("b"), F.col("b").alias("c"))

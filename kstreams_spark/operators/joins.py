@@ -437,7 +437,11 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_orderkey is an equi-join both sides co-partition on; the global
     top-k is TakeOrdered over the (small) distinct-pair support table.
     """
-    items = (
+    from kstreams_spark.operators._util import fence
+
+    # items feeds the size filter and BOTH pair sides — fence so the
+    # distinct computes once (plan audit: 3 scans unfenced)
+    items = fence(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()

@@ -384,6 +384,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency, one hash-join attributes it back, one groupBy(doc_id)
     reduces — all partial-aggregated."""
     d = spread(load_table(spark, sf_dir, "documents"))
+    # (A/B'd: fencing the distinct window set measured SLOWER — the
+    # join-back reuses the distinct's exchange naturally; checkpoint
+    # write cost isn't paid back. Two scans is the right plan here.)
     sh = positional_shingles(d).select("doc_id", "sh").distinct()
     cnt = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("nd"))
     uniq = F.sum(F.when(F.col("nd") == 1, 1).otherwise(0)).cast("long")
