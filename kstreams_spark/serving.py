@@ -433,3 +433,85 @@ def probe_ivf_pq_index(
         ).alias("score_q"),
     )
     return scored.orderBy(F.col("score_q").desc(), "vec_id").limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Keyword (inverted-postings) serving index — the lexical half of the
+# hybrid serving stack (operators/retrieval.py fuses this family with
+# the ANN probes above). The layout IS the index: postings partitioned
+# by an md5 token bucket, so a query's terms prune to |terms| partition
+# directories; each term's COMPLETE posting list lives inside its
+# bucket, so document frequency (hence the exact integer idf) is
+# computable from the pruned scan alone — no global pass at query time.
+
+POSTINGS_BUCKETS = 64
+
+
+def _tok_bucket(tok) -> F.Column:
+    h = F.md5(tok)
+    d1 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    d2 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1
+    return (d1 * 16 + d2) % POSTINGS_BUCKETS
+
+
+def tok_bucket_py(tok: str) -> int:
+    """Driver-side twin of `_tok_bucket` (same md5-prefix arithmetic)."""
+    import hashlib
+
+    h = hashlib.md5(tok.encode()).hexdigest()
+    hexd = "0123456789abcdef"
+    return (hexd.index(h[0]) * 16 + hexd.index(h[1])) % POSTINGS_BUCKETS
+
+
+def write_postings_index(docs: DataFrame, path: str) -> None:
+    """Persist (tok, doc_id, tf) partitioned by the letter-prefixed
+    token bucket (the 'b'-prefix rule: bare digits would be
+    type-inferred as ints on read), plus a 1-row `_meta` sidecar with
+    the corpus doc count that drives the idf constant."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    postings = tf.withColumn(
+        "part", F.concat(F.lit("p"), _tok_bucket(F.col("tok")))
+    )
+    postings.write.mode("overwrite").partitionBy("part").parquet(path)
+    docs.agg(F.count(F.lit(1)).alias("n_docs")).write.mode(
+        "overwrite"
+    ).parquet(path + "_meta")
+
+
+def probe_postings_index(
+    spark: SparkSession,
+    path: str,
+    terms: tuple[str, ...],
+    k: int = 20,
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """Multi-term keyword query against the persisted index: read ONLY
+    the terms' bucket partitions (PartitionFilters — pinned in
+    tests/test_serving_postings.py), derive each term's exact df from
+    its complete in-bucket posting list, score Σ tf·(n_docs·scale DIV
+    df), return the top-k by (score desc, doc_id) — the same scoring
+    contract as the batch `search_topk_keywords`, equality pinned."""
+    n_docs = spark.read.parquet(path + "_meta").first().n_docs
+    parts = sorted({f"p{tok_bucket_py(t)}" for t in terms})
+    postings = (
+        spark.read.parquet(path)
+        .filter(F.col("part").isin(parts))
+        .filter(F.col("tok").isin(*terms))
+    )
+    idf = postings.groupBy("tok").agg(
+        F.expr(
+            f"CAST({n_docs * idf_scale} DIV count(DISTINCT doc_id) AS BIGINT)"
+        ).alias("w")
+    )
+    scored = (
+        postings.join(F.broadcast(idf), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("w")).cast("long").alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
