@@ -210,3 +210,45 @@ def delete_where(
         shutil.rmtree(old)
         deleted += n_before - n_after
     return deleted
+
+
+def compact_lake(
+    spark: SparkSession,
+    path: str,
+    n_files: int = 1,
+    partition_cols: tuple[str, ...] = ("split", "lang"),
+) -> int:
+    """Small-files compaction (the table format's OPTIMIZE, over plain
+    parquet): rewrite each leaf partition directory that holds more than
+    `n_files` files into exactly `n_files`, one displace-swap per
+    directory (same crash contract as delete_where — `_lake_recover`
+    heals every crash point to all-old or all-new per partition).
+    Returns the number of directories compacted.
+
+    Why per-partition: the unit of both the rewrite cost and the swap
+    atomicity is one leaf directory — a lake-wide rewrite would hold the
+    whole dataset in flight for one rename. Streaming sinks get the
+    same service from ExactlyOnceParquetSink.compact(), which must also
+    preserve epoch markers; this is the batch lake's simpler case."""
+    import glob as _glob
+    import shutil
+
+    _lake_recover(path)
+    compacted = 0
+    pattern = os.path.join(path, *["*"] * len(partition_cols))
+    for subdir in sorted(_glob.glob(pattern)):
+        if not os.path.isdir(subdir):
+            continue
+        files = _glob.glob(os.path.join(subdir, "*.parquet"))
+        if len(files) <= n_files:
+            continue
+        staged = subdir + ".new-del"
+        spark.read.parquet(subdir).coalesce(n_files).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        old = subdir + ".old-del"
+        os.rename(subdir, old)
+        os.rename(staged, subdir)
+        shutil.rmtree(old)
+        compacted += 1
+    return compacted

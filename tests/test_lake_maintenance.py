@@ -127,3 +127,36 @@ def test_read_evolved_merges_schemas(spark, tmp_path):
     assert merged.filter("batch = 1 AND quality = 7").count() == (
         merged.filter("batch = 1").count()
     )
+
+
+def test_compact_lake_merges_small_files(spark, tmp_path):
+    from kstreams_spark.io import compact_lake
+
+    path = str(tmp_path / "lake")
+    d = load_table(spark, SF, "documents").withColumn(
+        "split",
+        F.when(F.col("doc_id") % 10 < 8, "train").otherwise("test"),
+    )
+    # force a small-files layout: many tasks per partition dir
+    write_curated_lake(d.repartition(8), path)
+    before = spark.read.parquet(path)
+    rows_before = sorted(r.doc_id for r in before.select("doc_id").collect())
+    multi = [
+        p
+        for p in glob.glob(f"{path}/*/*")
+        if os.path.isdir(p)
+        and len(glob.glob(os.path.join(p, "*.parquet"))) > 1
+    ]
+    assert multi, "fixture should produce multi-file partitions"
+
+    n = compact_lake(spark, path, n_files=1)
+    assert n == len(multi)
+    for p in glob.glob(f"{path}/*/*"):
+        if os.path.isdir(p):
+            assert len(glob.glob(os.path.join(p, "*.parquet"))) == 1
+    after = spark.read.parquet(path)
+    assert sorted(r.doc_id for r in after.select("doc_id").collect()) == (
+        rows_before
+    )
+    # idempotent: second run is a no-op
+    assert compact_lake(spark, path, n_files=1) == 0
