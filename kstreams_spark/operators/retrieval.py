@@ -229,3 +229,60 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "cid", "r_lex", "r_vec", "rrf_fx", "rank")
     )
+
+
+def _hybrid_lift_oracle() -> str:
+    """Nested-CTE composition of the registered hybrid and exact-cosine
+    oracles (the similarity_recall_report technique)."""
+    from kstreams_spark.registry import ORACLES
+
+    hy = ORACLES["search_hybrid_rrf"]
+    bf = ORACLES["similarity_topk_bruteforce"]
+    return f"""
+    WITH hy AS (SELECT qid, cid, r_lex, r_vec FROM ({hy}) t),
+    ex AS (SELECT qid, cid FROM ({bf}) t)
+    SELECT hy.qid,
+           SUM(CASE WHEN ex.cid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_exact_overlap,
+           SUM(CASE WHEN hy.r_lex > 0 AND hy.r_vec = 0
+                    THEN 1 ELSE 0 END)::BIGINT AS n_lex_only,
+           SUM(CASE WHEN hy.r_vec > 0 AND hy.r_lex = 0
+                    THEN 1 ELSE 0 END)::BIGINT AS n_vec_only,
+           SUM(CASE WHEN hy.r_lex > 0 AND hy.r_vec > 0
+                    THEN 1 ELSE 0 END)::BIGINT AS n_both
+    FROM hy LEFT JOIN ex ON ex.qid = hy.qid AND ex.cid = hy.cid
+    GROUP BY hy.qid
+    """
+
+
+@query("search_hybrid_lift", oracle=_hybrid_lift_oracle())
+def search_hybrid_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fusion-quality report: per query, where the hybrid top-{TOP_K}
+    came from (lexical-only / vector-only / both legs) and how much of
+    the exact semantic top-{TOP_K} it retains — the number that says
+    whether adding the lexical leg helps or trades away semantic recall
+    on this corpus. Composes two registered pipelines; both replayed by
+    the oracle, so the hash certifies the evaluation itself (the
+    recall_report contract, applied to fusion)."""
+    hy = search_hybrid_rrf(spark, sf_dir).select(
+        "qid", "cid", "r_lex", "r_vec"
+    )
+    from kstreams_spark.operators.similarity import (
+        similarity_topk_bruteforce,
+    )
+
+    ex = similarity_topk_bruteforce(spark, sf_dir).select(
+        F.col("qid").alias("eqid"), F.col("cid").alias("ecid")
+    )
+    j = hy.join(
+        ex,
+        (F.col("eqid") == F.col("qid")) & (F.col("ecid") == F.col("cid")),
+        "left",
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return j.groupBy("qid").agg(
+        flag(F.col("ecid").isNotNull()).alias("n_exact_overlap"),
+        flag((F.col("r_lex") > 0) & (F.col("r_vec") == 0)).alias("n_lex_only"),
+        flag((F.col("r_vec") > 0) & (F.col("r_lex") == 0)).alias("n_vec_only"),
+        flag((F.col("r_lex") > 0) & (F.col("r_vec") > 0)).alias("n_both"),
+    )
