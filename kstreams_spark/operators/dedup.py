@@ -1106,3 +1106,40 @@ def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("doc_id")))
     )
     return m.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _jaccard_bands_oracle() -> str:
+    from kstreams_spark.registry import ORACLES
+
+    verified = ORACLES["dedup_minhash_verified"]
+    return f"""
+    WITH p AS (SELECT jaccard FROM ({verified}) t)
+    SELECT CASE WHEN jaccard >= 0.9 THEN '0.9+'
+                WHEN jaccard >= 0.7 THEN '0.7-0.9'
+                ELSE '0.5-0.7' END AS band,
+           COUNT(*) AS n_pairs
+    FROM p GROUP BY 1
+    """
+
+
+@query("dedup_jaccard_bands", oracle=_jaccard_bands_oracle())
+def dedup_jaccard_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration report: the verified near-dup pairs bucketed
+    by Jaccard band. Tightening the dedup threshold to 0.7 or 0.9 drops
+    exactly the lower bands' pair volume — this table is the evidence a
+    threshold decision cites (a fat 0.5–0.7 band means the current
+    cutoff is doing real work; an empty one means it can tighten for
+    free). Derived from ONE run of the registered propose→verify
+    pipeline; the band comparison on the fixed-point-derived jaccard
+    doubles is engine-identical because the values themselves are
+    (oracle composes the verified-pairs oracle)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    p = ngram_jaccard_pairs(d).select("jaccard")
+    band = (
+        F.when(F.col("jaccard") >= 0.9, "0.9+")
+        .when(F.col("jaccard") >= 0.7, "0.7-0.9")
+        .otherwise("0.5-0.7")
+    )
+    return p.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
