@@ -88,3 +88,43 @@ def test_attach_drives_rollup_through_real_stream(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert _stream_bars(roll, spark) == _batch_bars(spark)
+
+
+def _batch_twap(spark):
+    return {
+        (r.event_type, r.day): (r.twa, r.n_holds, r.covered_s)
+        for r in QUERIES["events_time_weighted_avg"](spark, SF).collect()
+    }
+
+
+def _stream_twap(roll, spark):
+    return {
+        (r.event_type, r.day): (r.twa, r.n_holds, r.covered_s)
+        for r in roll.bars(spark).collect()
+    }
+
+
+def test_twap_time_split_matches_batch(spark, tmp_path):
+    """TWAP's bridge merge: epochs split at a TIME boundary (the
+    continuous-aggregate contract) must reproduce the batch query
+    exactly, including the cross-boundary LOCF hold weights."""
+    from kstreams_spark.streaming.rollup import StreamingTwapRollup
+
+    ev = load_table(spark, SF, "events")
+    mid = ev.agg(F.percentile_approx("ts", 0.5).alias("m")).first().m
+    roll = StreamingTwapRollup(str(tmp_path / "twap"))
+    roll.process_batch(ev.filter(F.col("ts") <= mid), 0)
+    roll.process_batch(ev.filter(F.col("ts") > mid), 1)
+    assert _stream_twap(roll, spark) == _batch_twap(spark)
+
+
+def test_twap_single_batch_and_replay(spark, tmp_path):
+    from kstreams_spark.streaming.rollup import StreamingTwapRollup
+
+    ev = load_table(spark, SF, "events")
+    roll = StreamingTwapRollup(str(tmp_path / "twap"))
+    roll.process_batch(ev, 0)
+    want = _batch_twap(spark)
+    assert _stream_twap(roll, spark) == want
+    roll.process_batch(ev.limit(5), 0)  # replay with a different body
+    assert _stream_twap(roll, spark) == want
