@@ -1164,3 +1164,104 @@ def composite_segment_revenue_trend(
         (F.col("revenue") - prev).alias("mom_delta"),
         ((F.col("revenue") - prev) / prev).alias("mom_pct"),
     )
+
+
+@query(
+    "histogram_2d_part",
+    oracle="""
+    SELECT p_size AS size_bucket,
+           CAST(floor(p_retailprice / 250.0) AS BIGINT) * 250 AS price_lo,
+           COUNT(*) AS n,
+           MIN(p_retailprice) AS lo,
+           MAX(p_retailprice) AS hi
+    FROM part
+    GROUP BY 1, 2
+    """,
+)
+def histogram_2d_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (the heatmap shape): part counts over the
+    size × price-band grid — one partial+final aggregation regardless
+    of grid resolution, same contract as the 1-D histogram; the joint
+    distribution view a single-axis histogram can't give (is price
+    driven by size?)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy(
+        F.col("p_size").alias("size_bucket"),
+        (F.floor(F.col("p_retailprice") / 250.0).cast("bigint") * 250).alias(
+            "price_lo"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p_retailprice").alias("lo"),
+        F.max("p_retailprice").alias("hi"),
+    )
+
+
+@query(
+    "events_autocorr_lag1",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, value AS x,
+             LAG(value) OVER (PARTITION BY event_type
+                              ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                       event_id) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(18,6))) AS DOUBLE) AS syy
+      FROM seq WHERE y IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r1
+    FROM s
+    """,
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per sensor type — is the series persistent
+    (r₁ → 1), mean-reverting (r₁ < 0), or white noise (r₁ ≈ 0)? The
+    statistic that says whether LOCF holds (events_time_weighted_avg's
+    premise) are justified. Pearson r over (xₜ, xₜ₋₁) pairs from the
+    unique (sec, event_id) lag order, computed from exact DECIMAL sums
+    with the closed form evaluated in IEEE doubles — agg_moments_exact's
+    determinism recipe applied to a bivariate statistic. One event_type
+    shuffle serves the lag window and the moment aggregation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").alias("x"),
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+    seq = ev.select(
+        "event_type", "x", F.lag("x").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+
+    def dsum2(c):
+        return F.sum(c.cast("decimal(18,6)")).cast("double")
+
+    s = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum2(F.col("x")).alias("sx"),
+        dsum2(F.col("y")).alias("sy"),
+        dsum2(F.col("x") * F.col("y")).alias("sxy"),
+        dsum2(F.col("x") * F.col("x")).alias("sxx"),
+        dsum2(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        "event_type",
+        "n",
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("r1"),
+    )
