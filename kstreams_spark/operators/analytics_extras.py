@@ -1265,3 +1265,68 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("r1"),
     )
+
+
+@query(
+    "part_brand_type_chi2",
+    oracle="""
+    WITH obs AS (
+      SELECT p_brand, p_type, COUNT(*) AS o FROM part GROUP BY 1, 2
+    ),
+    rows_t AS (SELECT p_brand, SUM(o) AS rt FROM obs GROUP BY p_brand),
+    cols_t AS (SELECT p_type, SUM(o) AS ct FROM obs GROUP BY p_type),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+      SELECT obs.p_brand, obs.p_type, obs.o,
+             CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n AS e
+      FROM obs JOIN rows_t USING (p_brand)
+               JOIN cols_t USING (p_type)
+               CROSS JOIN tot
+    )
+    SELECT p_brand, p_type, o, e,
+           (o - e) * (o - e) / e AS contrib
+    FROM cells
+    """,
+)
+def part_brand_type_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency cells for brand ⊥ type — the categorical
+    independence test behind 'is this attribute informative': per cell,
+    observed count, expected count rt·ct/n under independence, and the
+    (o−e)²/e contribution (big contributions point at the dependent
+    cells). Expected/contrib are chains of single IEEE ops over exact
+    integer marginals — deterministic without decimal detours. Three
+    aggregations over the 150-cell grid; marginals broadcast back.
+    (The scalar Σcontrib is left to the reader via dsum — summing the
+    derived doubles raw would be partition-order-dependent, the one
+    float-summation trap this repo's rules exist for.)"""
+    p = load_table(spark, sf_dir, "part")
+    obs = p.groupBy("p_brand", "p_type").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("p_brand").agg(F.sum("o").alias("rt"))
+    ct = obs.groupBy("p_type").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), "p_brand")
+        .join(F.broadcast(ct), "p_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p_brand",
+            "p_type",
+            "o",
+            (
+                F.col("rt").cast("double")
+                * F.col("ct").cast("double")
+                / F.col("n")
+            ).alias("e"),
+        )
+    )
+    return cells.select(
+        "p_brand",
+        "p_type",
+        "o",
+        "e",
+        (
+            (F.col("o") - F.col("e"))
+            * (F.col("o") - F.col("e"))
+            / F.col("e")
+        ).alias("contrib"),
+    )
