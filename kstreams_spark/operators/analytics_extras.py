@@ -1330,3 +1330,50 @@ def part_brand_type_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("e")
         ).alias("contrib"),
     )
+
+
+@query(
+    "events_hourly_profile",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, SUM(n) AS tot FROM h GROUP BY event_type)
+    SELECT h.event_type, h.hour_of_day, h.n,
+           CAST(h.n AS DOUBLE) / t.tot AS share,
+           ROW_NUMBER() OVER (PARTITION BY h.event_type
+                              ORDER BY h.n DESC, h.hour_of_day) AS rk
+    FROM h JOIN t USING (event_type)
+    """,
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type — the baseline the
+    rate-spike monitor (events_rate_spike) implicitly compares against,
+    made explicit: per-hour counts, traffic share (one IEEE division of
+    exact counts), and peak ranking (ties to the earlier hour). Hours
+    extract under the UTC session pin, so both engines bucket
+    identically. One (type, hour) aggregation — ≤ types·24 rows — plus
+    a broadcast totals join and a tiny rank window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+    )
+    h = ev.groupBy("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = h.groupBy("event_type").agg(F.sum("n").cast("long").alias("tot"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), "hour_of_day"
+    )
+    return (
+        h.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "hour_of_day",
+            "n",
+            (F.col("n").cast("double") / F.col("tot")).alias("share"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+    )
