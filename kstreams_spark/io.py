@@ -183,6 +183,12 @@ def delete_where(
     `condition` is a SQL predicate over DATA columns only (partition
     columns are not present inside partition files; route partition-
     level deletes to a directory drop instead). Returns rows deleted.
+
+    NULL semantics match SQL DELETE: a row is removed only when the
+    predicate is TRUE; rows where it evaluates NULL are KEPT (the keep
+    filter is NOT coalesce(cond, false), not NOT cond — the latter
+    drops NULL-evaluating rows and did so inconsistently, only inside
+    rewritten partitions).
     """
     import shutil
 
@@ -197,7 +203,7 @@ def delete_where(
             path, *[f"{c}={row[c]}" for c in partition_cols]
         )
         sub = spark.read.parquet(subdir)
-        keep = sub.filter(f"NOT ({condition})")
+        keep = sub.filter(~F.coalesce(F.expr(condition), F.lit(False)))
         n_before = sub.count()
         n_after = keep.count()
         if n_after == n_before:

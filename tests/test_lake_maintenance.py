@@ -98,6 +98,31 @@ def test_delete_where_recovers_from_crash_points(spark, tmp_path):
     assert spark.read.parquet(path).count() == total
 
 
+def test_delete_where_keeps_null_evaluating_rows(spark, tmp_path):
+    """SQL DELETE semantics: remove only where the predicate is TRUE —
+    rows where it evaluates NULL stay, and the returned count excludes
+    them (ADVICE r7: NOT(cond) dropped NULL rows, but only in rewritten
+    partitions)."""
+    path = str(tmp_path / "lake")
+    d = load_table(spark, SF, "documents").withColumn(
+        "split",
+        F.when(F.col("doc_id") % 10 < 8, "train").otherwise("test"),
+    ).withColumn(
+        "flag", F.when(F.col("doc_id") % 3 == 0, F.col("doc_id") % 2)
+    )  # flag is NULL for 2/3 of rows, 0/1 otherwise
+    write_curated_lake(d, path, partition_cols=("split", "lang"))
+    before = spark.read.parquet(path)
+    n_true = before.filter("flag = 1").count()
+    n_null = before.filter("flag IS NULL").count()
+    assert n_true and n_null
+
+    n_deleted = delete_where(spark, path, "flag = 1")
+    assert n_deleted == n_true
+    after = spark.read.parquet(path)
+    assert after.filter("flag = 1").count() == 0
+    assert after.filter("flag IS NULL").count() == n_null
+
+
 def test_delete_where_noop_when_no_match(spark, tmp_path):
     path = str(tmp_path / "lake")
     _docs_lake(spark, path)
@@ -160,3 +185,64 @@ def test_compact_lake_merges_small_files(spark, tmp_path):
     )
     # idempotent: second run is a no-op
     assert compact_lake(spark, path, n_files=1) == 0
+
+
+def test_compact_lake_reader_parity_across_swap_window(spark, tmp_path):
+    """OPTIMIZE inherits delete_where's read-availability contract
+    (VERDICT r7 task 7): at every crash/interleave point of the
+    displace-swap, a reader that first runs `_lake_recover` sees the
+    complete row set — either the old layout or the compacted one,
+    never a partial partition."""
+    from kstreams_spark.io import compact_lake
+
+    path = str(tmp_path / "lake")
+    d = load_table(spark, SF, "documents").withColumn(
+        "split",
+        F.when(F.col("doc_id") % 10 < 8, "train").otherwise("test"),
+    )
+    write_curated_lake(d.repartition(8), path)
+    rows = sorted(
+        r.doc_id for r in spark.read.parquet(path).select("doc_id").collect()
+    )
+    part = next(
+        p
+        for p in sorted(glob.glob(f"{path}/*/*"))
+        if os.path.isdir(p)
+        and len(glob.glob(os.path.join(p, "*.parquet"))) > 1
+    )
+
+    # window A: staged compacted copy exists, swap not begun. A reader
+    # must not double-count: raw recursive read would see both copies,
+    # the recover step drops the uncommitted stage.
+    staged = part + ".new-del"
+    spark.read.parquet(part).coalesce(1).write.parquet(staged)
+    _lake_recover(path)
+    assert not os.path.isdir(staged)
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(path).select("doc_id").collect()
+    )
+    assert got == rows
+
+    # window B: live dir displaced, compacted copy not yet moved in —
+    # recover restores the displaced original.
+    spark.read.parquet(part).coalesce(1).write.parquet(staged)
+    os.rename(part, part + ".old-del")
+    _lake_recover(path)
+    assert os.path.isdir(part) and not os.path.isdir(part + ".old-del")
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(path).select("doc_id").collect()
+    )
+    assert got == rows
+
+    # window C: swap committed, displaced original not yet removed —
+    # recover drops the stale copy; rows unchanged, layout compacted.
+    spark.read.parquet(part).coalesce(1).write.parquet(staged)
+    os.rename(part, part + ".old-del")
+    os.rename(staged, part)
+    _lake_recover(path)
+    assert not os.path.isdir(part + ".old-del")
+    assert len(glob.glob(os.path.join(part, "*.parquet"))) == 1
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(path).select("doc_id").collect()
+    )
+    assert got == rows
