@@ -97,10 +97,19 @@ class JsonlDataSource(DataSource):
         files = _list_files(self.options["path"])
         if not files:
             raise ValueError(f"no .jsonl files under {self.options['path']}")
-        with open(files[0], encoding="utf-8") as fh:
-            first = json.loads(next(iter(fh)))
-        return ", ".join(
-            f"{k} {_infer_field(v)}" for k, v in sorted(first.items())
+        for f in files:  # skip empty files (an empty task's part)
+            with open(f, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        first = json.loads(line)
+                        return ", ".join(
+                            f"{k} {_infer_field(v)}"
+                            for k, v in sorted(first.items())
+                        )
+        raise ValueError(
+            f"all .jsonl files under {self.options['path']} are empty; "
+            "provide an explicit schema"
         )
 
     def reader(self, schema) -> JsonlReader:
@@ -125,9 +134,16 @@ class JsonlWriter(DataSourceWriter):
     partial file is swept by abort() and never becomes visible."""
 
     def __init__(self, schema, options: dict[str, str], overwrite: bool) -> None:
+        import uuid
+
         self.field_names = schema.fieldNames()
         self.path = options["path"]
         self.overwrite = overwrite
+        # per-commit token in the published names: append-mode commits
+        # must not collide with an earlier commit's part files (a bare
+        # part-00000 from commit 2 would silently os.rename over commit
+        # 1's rows — ADVICE r7)
+        self.commit_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> JsonlCommitMessage:
         import uuid
@@ -143,16 +159,35 @@ class JsonlWriter(DataSourceWriter):
                 n += 1
         return JsonlCommitMessage(tmp_path=tmp, count=n)
 
+    def _sweep_orphans(self, keep: set[str]) -> None:
+        """Remove staged files no surviving commit message references —
+        a failed/speculative task attempt stages a file but its message
+        never reaches the driver, so abort()'s message loop alone leaks
+        it forever (invisible to readers, but accumulating — ADVICE r7)."""
+        import glob as _glob
+
+        for f in _glob.glob(os.path.join(self.path, "_staged-*.jsonl")):
+            if f not in keep:
+                os.remove(f)
+
     def commit(self, messages) -> None:
         if self.overwrite:
             for old in _list_files(self.path):
                 os.remove(old)
-        for i, m in enumerate(m for m in messages if m is not None):
+        live = [m for m in messages if m is not None and m.count > 0]
+        for i, m in enumerate(live):
             os.rename(
-                m.tmp_path, os.path.join(self.path, f"part-{i:05d}.jsonl")
+                m.tmp_path,
+                os.path.join(
+                    self.path, f"part-{self.commit_id}-{i:05d}.jsonl"
+                ),
             )
+        # empty tasks' staged files and orphaned attempts both fall to
+        # the sweep — nothing unpublished survives a commit
+        self._sweep_orphans(keep=set())
 
     def abort(self, messages) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
+        self._sweep_orphans(keep=set())

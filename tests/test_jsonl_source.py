@@ -103,3 +103,47 @@ def test_writer_round_trip_and_overwrite(spark, tmp_path):
     import glob as _glob
 
     assert not _glob.glob(f"{out}/_staged-*")  # nothing left staged
+
+
+def test_writer_append_mode_accumulates(spark, tmp_path):
+    """Append-mode commits must not collide on published names: each
+    commit's files carry a per-commit token, so a second append never
+    renames over the first commit's rows (ADVICE r7)."""
+    from pyspark.sql import functions as F
+
+    spark.dataSource.register(JsonlDataSource)
+    out = str(tmp_path / "out_jsonl")
+    df = spark.range(10).select(F.col("id").alias("doc_id")).repartition(2)
+    df.write.format("kstreams_jsonl").mode("append").save(out)
+    df.selectExpr("doc_id + 100 AS doc_id").repartition(2).write.format(
+        "kstreams_jsonl"
+    ).mode("append").save(out)
+
+    back = spark.read.format("kstreams_jsonl").load(out)
+    assert back.count() == 20
+    assert {r.doc_id for r in back.collect()} == set(range(10)) | {
+        i + 100 for i in range(10)
+    }
+
+
+def test_writer_sweeps_orphaned_staged_files(spark, tmp_path):
+    """A staged file whose commit message never reached the driver (a
+    failed/speculative task attempt) must not accumulate forever: both
+    commit() and abort() sweep unreferenced _staged-* files (ADVICE r7)."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark.dataSource.register(JsonlDataSource)
+    out = str(tmp_path / "out_jsonl")
+    os.makedirs(out)
+    orphan = os.path.join(out, "_staged-deadbeef.jsonl")
+    with open(orphan, "w", encoding="utf-8") as fh:
+        fh.write('{"doc_id": 999}\n')
+
+    spark.range(5).select(F.col("id").alias("doc_id")).write.format(
+        "kstreams_jsonl"
+    ).mode("append").save(out)
+    assert not _glob.glob(f"{out}/_staged-*")
+    assert spark.read.format("kstreams_jsonl").load(out).count() == 5
