@@ -222,7 +222,12 @@ class StreamingTwapRollup:
             ).alias("dt"),
             F.sum("n_obs").alias("n_rows"),
         )
-        return agg.filter(F.col("dt") > 0).select(
+        # group retention must match the batch twin's WHERE dt IS NOT
+        # NULL: a day with >=2 events is emitted even when they all
+        # share one second (dt sums to 0 → twa NULL via the nullif,
+        # covered_s 0). Filtering dt > 0 dropped that degenerate group
+        # stream-side only (ADVICE r7).
+        return agg.filter(F.col("n_rows") >= 2).select(
             "event_type",
             "day",
             (

@@ -118,6 +118,53 @@ def test_twap_time_split_matches_batch(spark, tmp_path):
     assert _stream_twap(roll, spark) == _batch_twap(spark)
 
 
+def test_twap_degenerate_one_second_day_matches_batch(spark, tmp_path):
+    """Stream/batch parity on the degenerate group the dt>0 filter used
+    to drop (ADVICE r7): a day whose >=2 events all share one second is
+    emitted by the batch twin (twa NULL, covered_s 0) — bars() must
+    retain it too, keyed on n_rows >= 2 not dt > 0."""
+    import datetime as _dt
+    import os
+
+    from kstreams_spark.streaming.rollup import StreamingTwapRollup
+
+    rows = [
+        # degenerate day: 3 events, one shared second
+        (1, _dt.datetime(2026, 1, 1, 12, 0, 0), 1, "gauge", 5.0, "{}"),
+        (2, _dt.datetime(2026, 1, 1, 12, 0, 0), 1, "gauge", 6.0, "{}"),
+        (3, _dt.datetime(2026, 1, 1, 12, 0, 0), 1, "gauge", 7.0, "{}"),
+        # normal day for contrast
+        (4, _dt.datetime(2026, 1, 2, 12, 0, 0), 1, "gauge", 1.0, "{}"),
+        (5, _dt.datetime(2026, 1, 2, 12, 0, 10), 1, "gauge", 3.0, "{}"),
+        # singleton day: emitted by NEITHER side
+        (6, _dt.datetime(2026, 1, 3, 12, 0, 0), 1, "gauge", 9.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf_dir = str(tmp_path / "sf_tiny")
+    os.makedirs(sf_dir)
+    ev.coalesce(1).write.parquet(sf_dir + "/events.parquet")
+
+    want = {
+        (r.event_type, r.day): (r.twa, r.n_holds, r.covered_s)
+        for r in QUERIES["events_time_weighted_avg"](spark, sf_dir).collect()
+    }
+    assert len(want) == 2  # degenerate + normal day, no singleton
+    deg = want[("gauge", _dt.datetime(2026, 1, 1))]
+    assert deg[0] is None and deg[2] == 0
+
+    from kstreams_spark.io import load_table
+
+    loaded = load_table(spark, sf_dir, "events")
+    roll = StreamingTwapRollup(str(tmp_path / "twap"))
+    roll.process_batch(loaded.filter(F.col("event_id") <= 2), 0)
+    roll.process_batch(loaded.filter(F.col("event_id") > 2), 1)
+    assert _stream_twap(roll, spark) == want
+
+
 def test_twap_single_batch_and_replay(spark, tmp_path):
     from kstreams_spark.streaming.rollup import StreamingTwapRollup
 
