@@ -60,3 +60,61 @@ def fence(df: DataFrame) -> DataFrame:
     iterative consumers (the CC loop's edge checkpoint) re-read the
     fenced rows instead of re-running the scan chain."""
     return df.localCheckpoint(eager=False)
+
+
+def global_row_number(
+    df: DataFrame, order: list[Column], out_col: str, n_ranges: int = 32
+) -> DataFrame:
+    """Global row_number over `order` (which must be a TOTAL order — a
+    unique tie-break column is the caller's contract) WITHOUT an
+    unpartitioned window: an unpartitioned `Window.orderBy` funnels the
+    whole table through ONE task, a straggler the moment the table is
+    big enough to matter. Two-phase instead (the packing
+    per-shard-offsets pattern, packing.py:shard_offsets):
+
+      1. `repartitionByRange(n_ranges, order)` — contiguous slices of
+         the total order; `spark_partition_id()` is monotone in it.
+      2. per-range row_number (partitioned window, no global sort) +
+         per-range counts collected driver-side (n_ranges rows — a
+         bounded collect) turned into broadcast prefix offsets.
+
+    Rank values are INVARIANT to where the sampled range bounds fall:
+    any contiguous split of a total order yields the same global rank,
+    so nondeterministic bound sampling can't leak into the result (the
+    drift gate varies shuffle width over this). The persist pins one
+    partitioning instance across the offsets job and the rank job.
+
+    Sizing: n_ranges ~ rows/1e6 at scale; the default 32 matches the
+    local session. The rank column is BIGINT (offset + row_number)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    parts = (
+        df.repartitionByRange(n_ranges, *order)
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = {
+        r._gr_pid: r.c
+        for r in parts.groupBy("_gr_pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off = F.broadcast(
+        df.sparkSession.createDataFrame(
+            offsets or [(0, 0)], "_gr_pid int, _gr_off long"
+        )
+    )
+    w = Window.partitionBy("_gr_pid").orderBy(*order)
+    return (
+        parts.join(off, "_gr_pid")
+        .withColumn(
+            out_col,
+            (F.col("_gr_off") + F.row_number().over(w)).cast("long"),
+        )
+        .drop("_gr_pid", "_gr_off")
+    )

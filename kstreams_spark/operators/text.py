@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kstreams_spark.io import load_table
-from kstreams_spark.operators._util import spread
+from kstreams_spark.operators._util import global_row_number, spread
 from kstreams_spark.registry import query
 
 # tiny per-language stopword profiles for the lang-id heuristic
@@ -456,18 +456,22 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail vocabulary; a curation gate thresholds it from either side
     (gibberish above, boilerplate below).
 
-    Shuffle budget: ONE vocab count agg + ONE per-doc agg; the rank
-    table broadcasts (vocabulary-sized, not corpus-sized — web-scale
-    vocab is ~10⁷ rows ≪ corpus) and its ranking window, though
-    unpartitioned, sorts only that vocabulary table. All-integer ranks;
-    the only float op is one exact SUM/COUNT division."""
+    Shuffle budget: ONE vocab count agg + the two-phase rank's range
+    exchange + ONE per-doc agg; the rank table broadcasts
+    (vocabulary-sized, not corpus-sized — web-scale vocab is ~10⁷ rows
+    ≪ corpus). The global (cnt DESC, tok) rank is computed WITHOUT an
+    unpartitioned window (the old single-task sort of the full
+    vocabulary was a straggler at exactly the moment the broadcast is
+    also at its limit): see `global_row_number` — range-partition by
+    the total order, rank within each range, add broadcast prefix
+    offsets (the packing per-shard-offsets pattern). All-integer
+    ranks; the only float op is one exact SUM/COUNT division."""
     d = spread(load_table(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), "tok")
-    ranked = vocab.withColumn("rnk", F.row_number().over(w)).select(
-        "tok", "rnk"
-    )
+    ranked = global_row_number(
+        vocab, [F.col("cnt").desc(), F.col("tok")], "rnk"
+    ).select("tok", "rnk")
     return (
         tok.join(F.broadcast(ranked), "tok")
         .groupBy("doc_id")

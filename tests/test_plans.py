@@ -474,3 +474,15 @@ def test_triangle_walk_is_hash_joins(plan_spark, sf_dir):
     equi-joins over the sparse verified graph — never a cartesian."""
     plan = physical_plan(q("dedup_triangle_count", plan_spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rarity_rank_has_no_single_partition_window(plan_spark, sf_dir):
+    """text_rarity_score: the global vocabulary rank must be the
+    two-phase range-partitioned form (VERDICT r7 task 3) — a full-vocab
+    row_number through ONE task is a straggler at web-scale vocab. The
+    plan must show the range exchange + a pid-partitioned Window and no
+    Exchange SinglePartition anywhere."""
+    plan = physical_plan(q("text_rarity_score", plan_spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan, plan
+    assert "_gr_pid" in plan, plan
