@@ -478,6 +478,72 @@ def test_session_stream_matches_batch_sessionize(spark, tmp_path, sf_dir):
     assert got == want
 
 
+def test_tumbling_append_suppresses_until_window_closes(spark, tmp_path):
+    """Kafka Streams 2.x suppress(untilWindowCloses) twin (VERDICT r7
+    task 5): in append mode a tumbling window emits NOTHING while open —
+    even across multiple microbatches of updates — then EXACTLY ONE
+    final row once the watermark passes its end, carrying the merged
+    aggregate of every update. (Update-mode re-emission is the
+    refinement mapping; this pins the final-result alerting shape the
+    reference's trucking growth path uses.)"""
+    from pyspark.sql import types as T
+
+    from kstreams_spark.streaming.windows import tumbling_agg_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    d = str(tmp_path / "supp")
+    os.makedirs(d)
+
+    def feed(name, rows):
+        with open(os.path.join(d, name), "w") as f:
+            for ts, v in rows:
+                f.write(
+                    json.dumps(
+                        {"ts": ts, "event_type": "x", "value": v}
+                    )
+                    + "\n"
+                )
+
+    feed("b1.json", [("2024-01-01 10:05:00", 1.0), ("2024-01-01 10:40:00", 2.0)])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    q = (
+        tumbling_agg_stream(stream, window_size="1 hour", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("suppress_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # window [10:00, 11:00) is open (watermark 10:30) → suppressed
+    assert spark.sql("SELECT * FROM suppress_out").count() == 0
+
+    # a second microbatch UPDATES the same open window; watermark moves
+    # to 10:40 — still inside, still suppressed
+    feed("b2.json", [("2024-01-01 10:50:00", 4.0)])
+    q.processAllAvailable()
+    assert spark.sql("SELECT * FROM suppress_out").count() == 0
+
+    # watermark passes 11:00 → exactly one FINAL row, all three updates
+    feed("b3.json", [("2024-01-01 12:00:00", 8.0)])
+    q.processAllAvailable()
+    q.stop()
+    got = [
+        (str(r.window_start), r.event_type, r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM suppress_out").collect()
+    ]
+    assert got == [("2024-01-01 10:00:00", "x", 3, 7.0)]
+
+
 def test_session_window_append_emits_only_closed_sessions(spark, tmp_path):
     """Production session-window mode: APPEND + watermark — a session
     emits exactly once, only after the watermark passes its end; the
