@@ -509,9 +509,10 @@ def join_fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     temporal join and the salted-skew queries. Scale: the blocking join
     shuffles (len+1)·N 16-byte variant hashes instead of computing N·M
     edit distances — the difference between a hash join and a cartesian
-    at 100 TB."""
+    at 100 TB. The blocking/verify core is `fuzzy_match_pairs` (recall
+    and the d>1 limit pinned on a planted corpus in
+    tests/test_fuzzy_recall.py)."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    drop_pos = (F.col("c_custkey") % (F.length("c_name") - 1)) + 1
     probes = cust.filter(F.col("c_custkey") % FUZZY_MOD == 0).select(
         F.col("c_custkey").alias("probe_key"),
         F.concat(
@@ -519,9 +520,32 @@ def join_fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(c_name, (c_custkey % (length(c_name) - 1)) + 1 + 1)"),
         ).alias("probe_name"),
     )
+    return fuzzy_match_pairs(probes, cust)
 
-    def variants(name_col: str, key_cols: list[str]) -> DataFrame:
-        src = probes if name_col == "probe_name" else cust
+
+def fuzzy_match_pairs(probes: DataFrame, base: DataFrame) -> DataFrame:
+    """Deletion-neighborhood blocked fuzzy match at edit distance ≤ 1:
+    probes(probe_key, probe_name) × base(c_custkey, c_name) →
+    (probe_key, base_key, probe_name, base_name, dist).
+
+    Recall contract (pinned in tests/test_fuzzy_recall.py): EXACTLY the
+    Levenshtein-≤1 pairs — every single insert/delete/substitute (and
+    exact match) is proposed, because two strings within distance 1
+    always share a 1-deletion variant. Pairs at distance ≥ 2 are OUT OF
+    SCOPE by design: the verify filter is ≤ 1, and the 1-deletion
+    neighborhood can't guarantee proposals past d=1 anyway (d≤2 would
+    need the O(len²) 2-deletion neighborhood — the standard SymSpell
+    depth/cost trade).
+
+    Verifier-input valve: candidates must also pass the length-bucket
+    prefilter |len(probe) − len(base)| ≤ 1. The variant equi-join
+    already implies it for REAL variants, but making it explicit costs
+    one integer compare and caps the verify set under adversarial
+    collisions (md5-equal variants of very different strings), so the
+    levenshtein stage's input is bounded by construction, not by hash
+    luck."""
+
+    def variants(src: DataFrame, name_col: str, key_cols: list[str]) -> DataFrame:
         return src.select(
             *key_cols,
             F.col(name_col),
@@ -534,10 +558,13 @@ def join_fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vh"),
         )
 
-    pv = variants("probe_name", ["probe_key"])
-    cv = variants("c_name", ["c_custkey"])
+    pv = variants(probes, "probe_name", ["probe_key"])
+    cv = variants(base, "c_name", ["c_custkey"])
     cand = (
         pv.join(cv, "vh")
+        .filter(
+            F.abs(F.length("probe_name") - F.length("c_name")) <= 1
+        )
         .select("probe_key", "probe_name", "c_custkey", "c_name")
         .distinct()
     )
