@@ -96,6 +96,7 @@ HEADLINE = [
     "text_ngram_novelty",  # added r7: per-doc unique-window fraction
     "join_fuzzy_match_names",  # added r7: deletion-neighborhood blocking
     "dedup_triangle_count",  # added r7: verified-graph triangle walk
+    "composite_training_rehearsal",  # added r8: manifest->epoch order->batched reads
 ]
 
 
