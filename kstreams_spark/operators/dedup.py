@@ -1143,3 +1143,113 @@ def dedup_jaccard_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.groupBy(band.alias("band")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+PR_BASE = 10**9  # fixed-point initial rank per node
+PR_ITERS = 3  # power-iteration rounds (unrolled in the oracle)
+
+
+def _pagerank_oracle() -> str:
+    """Composes the verified-pairs oracle, then unrolls the integer
+    power iteration — one CTE per round, same arithmetic as the engine."""
+    from kstreams_spark.registry import ORACLES
+
+    verified = ORACLES["dedup_minhash_verified"]
+    teleport = (15 * PR_BASE) // 100
+    prev = "r0"
+    iters = []
+    for i in range(1, PR_ITERS + 1):
+        iters.append(f"""
+    i{i} AS (
+      SELECT d.node, d.deg,
+             {teleport} + (85 * SUM(r.r // r.deg)) // 100 AS r
+      FROM deg d
+      JOIN e ON e.dst = d.node
+      JOIN {prev} r ON r.node = e.src
+      GROUP BY d.node, d.deg
+    )""")
+        prev = f"i{i}"
+    return f"""
+    WITH p AS (SELECT doc_id1 AS a, doc_id2 AS b FROM ({verified}) t),
+    e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT node, deg, {PR_BASE}::BIGINT AS r FROM deg),
+    {",".join(iters)}
+    SELECT node AS doc_id, deg::BIGINT AS degree, r::BIGINT AS pr_fx
+    FROM {prev}
+    """
+
+
+@query("dedup_pagerank_centrality", oracle=_pagerank_oracle())
+def dedup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the verified near-dup graph ({PR_ITERS}
+    power-iteration rounds, damping 0.85) — the graph primitive the CC /
+    triangle pair can't express: WHICH node anchors a cluster. High-rank
+    nodes are template/boilerplate hubs (one page near-duplicating many)
+    — exactly the docs a curation pass should inspect before electing
+    survivors, and a ranking signal dedup_cluster_best_quality can
+    consume. Complements triangles (cliquishness) with influence.
+
+    Determinism: pure 64-bit integer fixed-point — init {PR_BASE} per
+    node, each round r' = (15·base)//100 + (85·Σ r(u) DIV deg(u))//100
+    over in-neighbors; integer floor-division is identical in both
+    engines (positive operands) and integer sums are order-independent,
+    so a float-free PageRank survives any partitioning (drift-safe).
+    Fixed iteration count keeps the oracle expressible as {PR_ITERS}
+    unrolled CTEs — certified end-to-end including the propose→verify
+    edge generation.
+
+    Scale: the edge list is fenced ONCE (the expensive MinHash
+    propose→verify subtree runs one time, not once per round — the
+    triangle-count lesson); each round is one equi-join on node id +
+    one partial-agg SUM over 2|E| rows, bounded by the (sparse) dup
+    graph, never the corpus. At 100 TB graph scale, add the CC loop's
+    measured-width scoping (dedup.py:connected_components) — at fixture
+    scale {PR_ITERS} rounds of tiny joins don't warrant the conf dance.
+    """
+    from kstreams_spark.operators._util import fence
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    p = fence(
+        ngram_jaccard_pairs(d).select(
+            F.col("doc_id1").alias("a"), F.col("doc_id2").alias("b")
+        )
+    )
+    return pagerank_fixed(p)
+
+
+def pagerank_fixed(pairs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """The integer power iteration over an undirected (a, b) pair set —
+    see dedup_pagerank_centrality for the arithmetic contract. Exposed
+    for planted-graph tests (hub-dominance pinned in
+    tests/test_dedup_quality.py)."""
+    e = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    )
+    teleport = (15 * PR_BASE) // 100
+    r = deg.withColumn("r", F.lit(PR_BASE).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(
+                r.select(F.col("node").alias("src"), "deg", "r"), "src"
+            )
+            .select(
+                F.col("dst").alias("node"), F.expr("r DIV deg").alias("c")
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        r = deg.join(summed, "node").select(
+            "node",
+            "deg",
+            (F.lit(teleport) + F.expr("(85 * s) DIV 100"))
+            .cast("long")
+            .alias("r"),
+        )
+    return r.select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").cast("long").alias("degree"),
+        F.col("r").alias("pr_fx"),
+    )

@@ -821,3 +821,37 @@ def test_importance_selection_favors_target_lang(spark, sf_dir):
         .collect()
     }
     assert rates[True] > rates[False] + 0.1, rates
+
+
+def test_pagerank_hub_dominates_planted_star(spark):
+    """dedup.pagerank_fixed on a planted star-plus-chain: the star hub
+    (degree 5) must out-rank every leaf and every chain node, and ranks
+    must be identical across shuffle widths (pure-integer arithmetic)."""
+    from kstreams_spark.operators.dedup import PR_BASE, pagerank_fixed
+
+    pairs = spark.createDataFrame(
+        # star: hub 0 — leaves 1..5; chain: 10-11-12
+        [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12)],
+        "a long, b long",
+    )
+    got = {r.doc_id: (r.degree, r.pr_fx) for r in pagerank_fixed(pairs).collect()}
+    assert got[0][0] == 5
+    hub = got[0][1]
+    for node, (_, pr) in got.items():
+        if node != 0:
+            assert pr < hub, (node, pr, hub)
+    # leaves are symmetric: identical ranks
+    assert len({got[i][1] for i in range(1, 6)}) == 1
+    # ranks stay in fixed-point range and above the teleport floor
+    assert all(pr >= (15 * PR_BASE) // 100 for _, pr in got.values())
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = {
+            r.doc_id: (r.degree, r.pr_fx)
+            for r in pagerank_fixed(pairs).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert again == got
