@@ -178,3 +178,80 @@ def udtf_bigram_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL kstreams_bigram_explode(d.text) t
         """
     )
+
+
+@query(
+    "udf_cogroup_asof",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT p.user_id, p.event_id AS purchase_id,
+             CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+             v.event_id AS view_id, CAST(v.ts AS TIMESTAMP) AS view_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.user_id, p.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+    )
+    SELECT user_id, purchase_id, purchase_ts, view_id, view_ts
+    FROM m WHERE rn = 1
+    """,
+)
+def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — the two-relation half of the grouped-map
+    seam (groupBy(k).cogroup(other.groupBy(k)).applyInPandas, Spark's
+    KeyValueGroupedDataset.cogroup surface): both sides shuffle ONCE on
+    the key and arrive as a pandas-frame pair per key. Worked example is
+    last-touch attribution: per user, each purchase as-of-merged to the
+    latest prior view (pandas merge_asof, backward, ties to the larger
+    event_id via the (ts, event_id) sort — merge_asof keeps the LAST
+    sorted match, which is exactly the oracle's ORDER BY ts DESC,
+    event_id DESC rn=1 election). The built-in as-of operator family
+    (join_asof_latest_order / join_asof_tolerance) is the hot-path form;
+    this pins the extension seam against the same SQL semantics.
+
+    Scale: one hash shuffle per side on user_id, per-key pandas frames
+    (groups must fit executor memory — user-grain event history does);
+    Arrow-batched both directions."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    v = ev.filter(F.col("event_type") == "view").drop("event_type")
+
+    out_cols = ["user_id", "purchase_id", "purchase_ts", "view_id", "view_ts"]
+
+    def per_user(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=out_cols)
+        left = left.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        right = (
+            right.sort_values(["ts", "event_id"])
+            .rename(columns={"event_id": "view_id", "ts": "view_ts"})
+            .reset_index(drop=True)
+        )
+        m = pd.merge_asof(
+            left,
+            right[["view_ts", "view_id"]],
+            left_on="ts",
+            right_on="view_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        ).dropna(subset=["view_id"])
+        m = m.rename(columns={"event_id": "purchase_id", "ts": "purchase_ts"})
+        m["view_id"] = m["view_id"].astype("int64")
+        return m[out_cols]
+
+    return (
+        p.groupBy("user_id")
+        .cogroup(v.groupBy("user_id"))
+        .applyInPandas(
+            per_user,
+            schema="user_id long, purchase_id long, purchase_ts timestamp, "
+            "view_id long, view_ts timestamp",
+        )
+    )
