@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kstreams_spark.io import load_table
+from kstreams_spark.operators._util import dsum
 from kstreams_spark.registry import query
 
 
@@ -1376,4 +1377,77 @@ def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("tot")).alias("share"),
         )
         .withColumn("rk", F.row_number().over(w))
+    )
+
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@query(
+    "events_winsorized_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, {WINSOR_LO}) AS p_lo,
+             quantile_cont(value, {WINSOR_HI}) AS p_hi
+      FROM events GROUP BY event_type
+    ),
+    c AS (
+      SELECT e.event_type, q.p_lo, q.p_hi, e.value,
+             LEAST(GREATEST(e.value, q.p_lo), q.p_hi) AS wv
+      FROM events e JOIN q USING (event_type)
+    )
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_events,
+           SUM(CASE WHEN value < p_lo THEN 1 ELSE 0 END)::BIGINT
+             AS n_clamped_lo,
+           SUM(CASE WHEN value > p_hi THEN 1 ELSE 0 END)::BIGINT
+             AS n_clamped_hi,
+           MIN(p_lo) AS p_lo, MIN(p_hi) AS p_hi,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS mean_raw,
+           CAST(SUM(CAST(wv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS mean_winsorized
+    FROM c GROUP BY event_type
+    """,
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per event type — the fat-tail-proof
+    mean the raw average isn't: values clamped at the exact
+    [P{int(WINSOR_LO * 100)}, P{int(WINSOR_HI * 100)}] percentiles, both
+    means reported side by side with the clamp counts (how much tail the
+    clamp actually touched — the report a telemetry SLO or a
+    quality-score normalizer cites before trusting an average).
+    Completes the robust-stats family: MAD flags outliers
+    (events_outlier_mad), this measures WITH and WITHOUT them.
+
+    Determinism: exact interpolated percentiles (F.percentile ↔
+    quantile_cont, the events_outlier_mad-proven pairing); the clamp is
+    least/greatest on already-identical doubles; both means go through
+    DECIMAL(18,6) (dsum rule). Plan: one percentile agg broadcast back
+    + one final agg — two shuffles at (event_type) grain, the MAD
+    shape; at 100 TB swap approx_quantiles in for the two percentiles
+    and keep the clamp/mean pass unchanged."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", WINSOR_LO).alias("p_lo"),
+        F.percentile("value", WINSOR_HI).alias("p_hi"),
+    )
+    c = ev.join(F.broadcast(q), "event_type").withColumn(
+        "wv",
+        F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi")),
+    )
+    return c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("value") < F.col("p_lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clamped_lo"),
+        F.sum(F.when(F.col("value") > F.col("p_hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clamped_hi"),
+        F.min("p_lo").alias("p_lo"),
+        F.min("p_hi").alias("p_hi"),
+        (dsum("value") / F.count(F.lit(1))).alias("mean_raw"),
+        (dsum("wv") / F.count(F.lit(1))).alias("mean_winsorized"),
     )
