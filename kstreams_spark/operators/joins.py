@@ -577,3 +577,71 @@ def fuzzy_match_pairs(probes: DataFrame, base: DataFrame) -> DataFrame:
         F.col("c_name").alias("base_name"),
         F.levenshtein("probe_name", "c_name").cast("long").alias("dist"),
     )
+
+
+FANOUT_TOP_K = 20
+
+
+@query(
+    "join_fanout_profile",
+    oracle=f"""
+    WITH a AS (
+      SELECT user_id AS k, COUNT(*) AS n_events FROM events GROUP BY user_id
+    ),
+    b AS (
+      SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders
+      GROUP BY o_custkey
+    ),
+    f AS (
+      SELECT a.k, a.n_events, b.n_orders,
+             a.n_events * b.n_orders AS fanout
+      FROM a JOIN b USING (k)
+    ),
+    t AS (SELECT SUM(fanout) AS total FROM f)
+    SELECT k, n_events, n_orders, fanout::BIGINT AS fanout,
+           CAST((fanout * 1000000) // t.total AS BIGINT) AS fanout_ppm
+    FROM f, t
+    ORDER BY fanout DESC, k
+    LIMIT {FANOUT_TOP_K}
+    """,
+)
+def join_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fan-out pre-flight — the measure-don't-guess step BEFORE a
+    many-to-many join: per shared key, |left|·|right| is exactly the
+    rows that key will emit, so the top offenders (with their
+    parts-per-million share of the total output) tell you whether the
+    join needs salting, a key-skew AQE hint, or a rethink — from two
+    COUNT aggregations, never by running the join. Worked pair:
+    events.user_id × orders.o_custkey (the activity-vs-orders
+    enrichment join).
+
+    Scale: the profile's inputs are the per-key COUNT tables (≪ the
+    fact tables); their equi-join output is |shared keys| rows and the
+    top-k is TakeOrderedAndProject. All integer; the share uses integer
+    DIV in ppm so no float division enters the hash. The companion
+    salted executions live in skew_salted_agg / skew_salted_broadcast_join
+    — this is the diagnostic that says when to reach for them."""
+    a = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    f = a.join(b, "k").withColumn(
+        "fanout", (F.col("n_events") * F.col("n_orders")).cast("long")
+    )
+    t = f.agg(F.sum("fanout").alias("total"))
+    return (
+        f.crossJoin(F.broadcast(t))
+        .withColumn(
+            "fanout_ppm",
+            F.expr("(fanout * 1000000) DIV total").cast("long"),
+        )
+        .select("k", "n_events", "n_orders", "fanout", "fanout_ppm")
+        .orderBy(F.col("fanout").desc(), "k")
+        .limit(FANOUT_TOP_K)
+    )
