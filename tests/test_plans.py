@@ -486,3 +486,16 @@ def test_rarity_rank_has_no_single_partition_window(plan_spark, sf_dir):
     assert "SinglePartition" not in plan, plan
     assert "rangepartitioning" in plan, plan
     assert "_gr_pid" in plan, plan
+
+
+def test_fanout_profile_is_count_tables_plus_take_ordered(plan_spark, sf_dir):
+    """join_fanout_profile: the profile must join the per-key COUNT
+    tables (partial+final aggs below the join), broadcast the 1-row
+    total, and top-k via TakeOrderedAndProject — never sort globally or
+    join the fact tables themselves."""
+    df = q("join_fanout_profile", plan_spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # both fact scans feed HashAggregates before any join
+    assert plan.count("HashAggregate") >= 4, plan
