@@ -97,6 +97,7 @@ HEADLINE = [
     "join_fuzzy_match_names",  # added r7: deletion-neighborhood blocking
     "dedup_triangle_count",  # added r7: verified-graph triangle walk
     "composite_training_rehearsal",  # added r8: manifest->epoch order->batched reads
+    "dedup_pagerank_centrality",  # added r8: fixed-point PageRank on the dup graph
 ]
 
 

@@ -186,3 +186,86 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("old_md5") != F.col("new_md5"))
         )
     )
+
+
+@query(
+    "join_scd2_pointintime",
+    oracle="""
+    WITH v AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             o_orderdate AS valid_from,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS valid_to
+      FROM orders
+    ),
+    f AS (
+      SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT f.event_id, f.user_id,
+           v.o_orderkey AS version_key,
+           v.o_totalprice AS version_price
+    FROM f JOIN v ON v.o_custkey = f.user_id
+                 AND f.d >= v.valid_from
+                 AND (v.valid_to IS NULL OR f.d < v.valid_to)
+    """,
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 join — the feature-store enrichment that keeps
+    training data leakage-free: each event joins the dimension VERSION
+    effective AT ITS OWN time (here: the customer's latest order as of
+    the event date), never a later one. Joining "current" dimension
+    values into historical facts is the classic label-leakage bug; this
+    is the correct temporal form, consuming the ranges
+    scd2_effective_ranges builds.
+
+    THE ORACLE IS THE NAIVE RANGE JOIN (fact date BETWEEN each
+    version's [valid_from, valid_to)) — the hash match proves the
+    scalable rewrite exact. The engine never materializes ranges or
+    candidate pairs: versions and facts UNION into one timeline per
+    key, ONE shuffle+sort on (key, date, kind, id), and
+    last(ignorenulls) carries the in-effect version onto every fact row
+    (the join_asof_latest_order pattern, pointed at a version
+    timeline). Same-date ties resolve identically on both paths:
+    versions sort before facts, and among same-date versions the
+    max-orderkey one both owns the non-empty range (naive) and is the
+    LOCF survivor (engine). Cost = sort of |facts|+|versions| — the
+    shape that survives 100 TB where per-key BETWEEN joins explode."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("d"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("ord"),
+        F.col("o_orderkey").alias("vkey"),
+        F.col("o_totalprice").alias("vprice"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").cast("date").alias("d"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("ord"),
+        F.lit(None).cast("long").alias("vkey"),
+        F.lit(None).cast("double").alias("vprice"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("d", "kind", "ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = o.unionByName(ev).select(
+        "k",
+        "kind",
+        "event_id",
+        F.last("vkey", ignorenulls=True).over(w).alias("version_key"),
+        F.last("vprice", ignorenulls=True).over(w).alias("version_price"),
+    )
+    return filled.filter(
+        (F.col("kind") == 1) & F.col("version_key").isNotNull()
+    ).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        "version_key",
+        "version_price",
+    )
