@@ -131,6 +131,28 @@ def main() -> None:
 
     probes = _bench_serving_probes(spark, sf_dir)
 
+    detail_line, summary_line = format_output(times, probes, sf)
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
+        fh.write(detail_line)
+    print(detail_line)
+    # LAST line: compact summary only — must survive any stdout tail
+    # window (the driver parses the final line; see module docstring).
+    print(summary_line)
+
+
+# The driver tail-captures stdout and parses the LAST line; r7's single
+# 58-query line arrived front-truncated ("parsed": null). The contract
+# below is pinned by tests/test_bench_contract.py: the summary line must
+# stay well under any plausible tail window NO MATTER how many headline
+# queries accumulate.
+SUMMARY_MAX_BYTES = 1024
+
+
+def format_output(
+    times: dict[str, float], probes: dict[str, float], sf: float
+) -> tuple[str, str]:
+    """(detail_line, summary_line): full per-query map on its own line /
+    sidecar, compact fixed-size summary for the driver's tail parser."""
     detail = {
         "metric": "headline_queries_detail",
         "unit": "sec",
@@ -138,12 +160,6 @@ def main() -> None:
         "queries": times,
         "probes": probes,
     }
-    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
-        json.dump(detail, fh, indent=1, sort_keys=True)
-    print(json.dumps(detail))
-
-    # LAST line: compact summary only — must survive any stdout tail
-    # window (the driver parses the final line; see module docstring).
     out = {
         "metric": "headline_queries_total_time",
         "value": round(sum(times.values()), 3),
@@ -153,7 +169,7 @@ def main() -> None:
         "probes": probes,
         "detail": "BENCH_DETAIL.json",
     }
-    print(json.dumps(out))
+    return json.dumps(detail), json.dumps(out)
 
 
 def _bench_serving_probes(spark, sf_dir: str) -> dict[str, float]:

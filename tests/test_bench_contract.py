@@ -1,0 +1,46 @@
+"""The bench output contract the grading driver depends on
+(VERDICT r7 task 1): the LAST stdout line is a compact JSON summary that
+fits any tail-capture window regardless of how many headline queries
+accumulate; the per-query map lives on its own earlier line and in
+BENCH_DETAIL.json. (BENCH_r07 parsed as null because the single line
+outgrew the window — this pins the fix.)"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def test_summary_line_is_bounded_and_parseable():
+    # worst-case realistic future: 500 headline queries
+    times = {f"query_with_a_rather_long_name_{i:03d}": 123.456 for i in range(500)}
+    probes = {
+        "probe_postings_index": 0.418,
+        "probe_ivf_sq8_index": 0.704,
+        "probe_ivf_pq_index": 0.353,
+    }
+    detail_line, summary_line = bench.format_output(times, probes, 0.1)
+
+    assert len(summary_line.encode()) <= bench.SUMMARY_MAX_BYTES, len(
+        summary_line
+    )
+    out = json.loads(summary_line)
+    assert out["metric"] == "headline_queries_total_time"
+    assert out["unit"] == "sec"
+    assert out["n_queries"] == 500
+    assert abs(out["value"] - 500 * 123.456) < 0.01
+    assert set(out["probes"]) == set(probes)
+
+    det = json.loads(detail_line)
+    assert det["queries"] == times and det["probes"] == probes
+
+
+def test_headline_names_are_registered():
+    """Every headline entry must resolve — a typo'd name silently
+    shrinks the bench (the filter drops unknowns)."""
+    from kstreams_spark import registry
+
+    registry.load_all()
+    missing = [n for n in bench.HEADLINE if n not in registry.QUERIES]
+    assert not missing, missing
