@@ -1691,3 +1691,108 @@ def similarity_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("margin_ok"),
     )
+
+
+@query(
+    "similarity_label_separability",
+    oracle=f"""
+    WITH el AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    cen AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(v AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS c
+      FROM el GROUP BY label, dim
+    ),
+    dots AS (
+      SELECT el.vec_id, el.label AS vlab, cen.label AS clab,
+             SUM(CAST(round(el.v * cen.c * {FX}.0) AS BIGINT)) AS dot_fx
+      FROM el JOIN cen ON cen.dim = el.dim
+      GROUP BY el.vec_id, el.label, cen.label
+    ),
+    own AS (SELECT vec_id, vlab, dot_fx AS own_fx FROM dots
+            WHERE vlab = clab),
+    other AS (
+      SELECT vec_id, MAX(dot_fx) AS best_other_fx
+      FROM dots WHERE vlab <> clab GROUP BY vec_id
+    )
+    SELECT o.vlab AS label, COUNT(*) AS n,
+           SUM(CASE WHEN o.own_fx > t.best_other_fx THEN 1 ELSE 0 END)::BIGINT
+             AS n_separated
+    FROM own o JOIN other t USING (vec_id)
+    GROUP BY o.vlab
+    """,
+)
+def similarity_label_separability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space class-separability report — the health card an
+    embedding column gets before anyone trains on it: per label, how
+    many vectors sit closer (by dot) to their OWN label's centroid than
+    to the best other centroid. Labels whose separated fraction is low
+    are entangled in embedding space — the signal that kNN features,
+    classifier heads, or label-filtered retrieval over this column will
+    underperform, measured without training anything.
+
+    Determinism: centroids from exact per-dim DECIMAL(18,12) sums
+    divided once (single IEEE op); every vector×centroid dot is the
+    fixed-point fold (round(v·c·FX) per term, exact integer sum) — the
+    similarity family's standard arithmetic, so the comparison own >
+    best_other is engine-identical. The oracle replays centroid fitting
+    AND scoring.
+
+    Scale: per-label per-dim partial+final agg (≤ |labels|·D cells)
+    builds the centroids; they broadcast as L arrays (L·D doubles —
+    ivf_cells_for's broadcastability argument); the scoring pass is one
+    scan of N×L zip_with folds, no shuffle beyond the final ≤|labels|
+    agg. The oracle's dim-join formulation would shuffle N·D·L rows —
+    the broadcast-array fold is the Spark-first shape."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    el = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "v_raw"),
+    ).select(
+        "vec_id", "label", "dim", F.col("v_raw").cast("double").alias("v")
+    )
+    cen = el.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("v").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cen_arr = cen.groupBy(F.col("label").alias("clab")).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, c))), x -> x.c)"
+        ).alias("cvec")
+    )
+    dots = emb.crossJoin(F.broadcast(cen_arr)).select(
+        "vec_id",
+        F.col("label").alias("vlab"),
+        "clab",
+        _fx_dot("embedding", "cvec").alias("dot_fx"),
+    )
+    own = dots.filter(F.col("vlab") == F.col("clab")).select(
+        "vec_id", "vlab", F.col("dot_fx").alias("own_fx")
+    )
+    other = (
+        dots.filter(F.col("vlab") != F.col("clab"))
+        .groupBy("vec_id")
+        .agg(F.max("dot_fx").alias("best_other_fx"))
+    )
+    return (
+        own.join(other, "vec_id")
+        .groupBy(F.col("vlab").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("own_fx") > F.col("best_other_fx"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_separated"),
+        )
+    )
