@@ -1451,3 +1451,120 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dsum("value") / F.count(F.lit(1))).alias("mean_raw"),
         (dsum("wv") / F.count(F.lit(1))).alias("mean_winsorized"),
     )
+
+
+RFM_BUCKETS = 4
+
+
+def _rfm_rank_sql(metric: str, order: str, alias: str) -> str:
+    """Quartile via explicit rank arithmetic ((rnk-1)·B DIV n)+1 — NOT
+    SQL NTILE, whose remainder distribution differs; the formula is the
+    one the engine's two-phase rank computes, identical in both engines
+    on integers."""
+    return f"""
+      SELECT c, ((rnk - 1) * {RFM_BUCKETS}) // n + 1 AS {alias} FROM (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY {order}) AS rnk,
+               COUNT(*) OVER () AS n
+        FROM m
+      ) {metric}
+    """
+
+
+@query(
+    "orders_rfm_segmentation",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS d0 FROM orders),
+    m AS (
+      SELECT o_custkey AS c,
+             date_diff('day', MAX(o_orderdate), MIN(mx.d0))::BIGINT
+               AS r_days,
+             COUNT(*)::BIGINT AS f_orders,
+             CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 100)
+                  AS BIGINT) AS m_cents
+      FROM orders, mx GROUP BY o_custkey
+    ),
+    r AS ({_rfm_rank_sql("rr", "r_days, c", "r_score")}),
+    f AS ({_rfm_rank_sql("ff", "f_orders DESC, c", "f_score")}),
+    mm AS ({_rfm_rank_sql("mo", "m_cents DESC, c", "m_score")})
+    SELECT m.c AS custkey, m.r_days, m.f_orders, m.m_cents,
+           r.r_score::BIGINT AS r_score, f.f_score::BIGINT AS f_score,
+           mm.m_score::BIGINT AS m_score,
+           (r.r_score * 100 + f.f_score * 10 + mm.m_score)::BIGINT AS rfm
+    FROM m JOIN r ON r.c = m.c JOIN f ON f.c = m.c JOIN mm ON mm.c = m.c
+    """,
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-analytics staple: per customer,
+    Recency (days since last order, against the corpus max date),
+    Frequency (order count), Monetary (exact integer cents), each
+    scored into {RFM_BUCKETS} quartiles, composed as the familiar
+    3-digit RFM code; bucket 1 = most recent / most frequent / highest
+    spend, so 111 is the champion segment.
+
+    Quartiles use explicit rank arithmetic ((rnk−1)·B DIV n)+1 rather
+    than SQL NTILE (whose remainder-bucket placement is a different
+    convention), and each global rank is the TWO-PHASE form
+    (global_row_number — range exchange + broadcast prefix offsets, no
+    single-partition window) over the per-customer AGGREGATE table,
+    which is ≪ the orders fact. All integer: day diffs, counts, cents
+    (DECIMAL sum ×100 rounded once), rank arithmetic.
+
+    Scale: one groupBy(custkey) over orders (+ broadcast 1-row max
+    date), then three small-table rank passes; output is one row per
+    customer."""
+    from kstreams_spark.operators._util import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("d0"))
+    m = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.datediff(F.min("d0"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("r_days"),
+            F.count(F.lit(1)).cast("long").alias("f_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")) * 100
+            )
+            .cast("long")
+            .alias("m_cents"),
+        )
+    )
+    n = m.agg(F.count(F.lit(1)).alias("n"))
+
+    def score(df, order, alias):
+        ranked = global_row_number(df, order, "_rnk")
+        return ranked.crossJoin(F.broadcast(n)).select(
+            "c",
+            (
+                F.expr(f"((_rnk - 1) * {RFM_BUCKETS}) DIV n") + 1
+            )
+            .cast("long")
+            .alias(alias),
+        )
+
+    r = score(m, [F.col("r_days"), F.col("c")], "r_score")
+    f = score(m, [F.col("f_orders").desc(), F.col("c")], "f_score")
+    mo = score(m, [F.col("m_cents").desc(), F.col("c")], "m_score")
+    return (
+        m.join(r, "c")
+        .join(f, "c")
+        .join(mo, "c")
+        .select(
+            F.col("c").alias("custkey"),
+            "r_days",
+            "f_orders",
+            "m_cents",
+            "r_score",
+            "f_score",
+            "m_score",
+            (
+                F.col("r_score") * 100
+                + F.col("f_score") * 10
+                + F.col("m_score")
+            )
+            .cast("long")
+            .alias("rfm"),
+        )
+    )
