@@ -118,3 +118,58 @@ def global_row_number(
         )
         .drop("_gr_pid", "_gr_off")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order: list[Column],
+    value_col: str,
+    out_col: str,
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Global running SUM(value) over a TOTAL order, two-phase like
+    `global_row_number` (same contract: unique tie-break, rank/prefix
+    invariant to range bounds): per-range running sums + broadcast
+    per-range value-total prefix offsets. The scalable form of
+    `SUM(x) OVER (ORDER BY ...)` — the Pareto/ABC and token-budget
+    shape — without the single-task window. Output column is BIGINT;
+    the caller keeps values integer (the dsum rule's integer cousin)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    parts = (
+        df.repartitionByRange(n_ranges, *order)
+        .withColumn("_gp_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = {
+        r._gp_pid: r.s
+        for r in parts.groupBy("_gp_pid")
+        .agg(F.sum(value_col).cast("long").alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid] or 0
+    off = F.broadcast(
+        df.sparkSession.createDataFrame(
+            offsets or [(0, 0)], "_gp_pid int, _gp_off long"
+        )
+    )
+    w = (
+        Window.partitionBy("_gp_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parts.join(off, "_gp_pid")
+        .withColumn(
+            out_col,
+            (
+                F.col("_gp_off")
+                + F.sum(value_col).over(w).cast("long")
+            ).cast("long"),
+        )
+        .drop("_gp_pid", "_gp_off")
+    )

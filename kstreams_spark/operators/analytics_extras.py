@@ -1568,3 +1568,92 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rfm"),
         )
     )
+
+
+ABC_A_PCT = 80  # cumulative-revenue share boundaries (integer percent)
+ABC_B_PCT = 95
+
+
+@query(
+    "lineitem_abc_classification",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey AS partkey,
+             CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,6))) * 100) AS BIGINT)
+               AS rev_cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    run AS (
+      SELECT partkey, rev_cents,
+             ROW_NUMBER() OVER (ORDER BY rev_cents DESC, partkey)
+               AS rnk,
+             SUM(rev_cents) OVER (ORDER BY rev_cents DESC, partkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cum_cents,
+             SUM(rev_cents) OVER () AS total_cents
+      FROM rev
+    )
+    SELECT partkey, rev_cents, rnk::BIGINT AS rnk,
+           cum_cents::BIGINT AS cum_cents,
+           CASE WHEN cum_cents * 100 <= {ABC_A_PCT} * total_cents THEN 'A'
+                WHEN cum_cents * 100 <= {ABC_B_PCT} * total_cents THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM run
+    """,
+)
+def lineitem_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue — the inventory
+    analytics staple: rank parts by exact-cents revenue, take the
+    global running share, class A while cumulative ≤ {ABC_A_PCT}%, B to
+    {ABC_B_PCT}%, C after (the 80/20 rule as a materialized label).
+
+    Both global passes are TWO-PHASE (operators/_util): the rank via
+    global_row_number, the running sum via global_prefix_sum — one
+    range exchange feeds per-range windows plus broadcast prefix
+    offsets, so there is NO single-partition window even though the
+    semantics are a full-table ORDER BY. Inputs are per-part aggregates
+    (≪ lineitem); the class boundaries are integer cross-products
+    (cum·100 ≤ pct·total), no float share ever computed.
+
+    The oracle keeps the classic single-window SQL form — the hash
+    match proves the two-phase rewrite exact, the
+    rewrite-proof pattern."""
+    from kstreams_spark.operators._util import (
+        global_prefix_sum,
+        global_row_number,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("rev_cents")
+    )
+    order = [F.col("rev_cents").desc(), F.col("partkey")]
+    ranked = global_row_number(rev, order, "rnk")
+    run = global_prefix_sum(ranked, order, "rev_cents", "cum_cents")
+    total = rev.agg(F.sum("rev_cents").cast("long").alias("total_cents"))
+    return run.crossJoin(F.broadcast(total)).select(
+        "partkey",
+        "rev_cents",
+        "rnk",
+        "cum_cents",
+        F.when(
+            F.col("cum_cents") * 100 <= ABC_A_PCT * F.col("total_cents"),
+            "A",
+        )
+        .when(
+            F.col("cum_cents") * 100 <= ABC_B_PCT * F.col("total_cents"),
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+    )

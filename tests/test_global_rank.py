@@ -69,3 +69,48 @@ def test_degenerate_inputs(spark):
         for r in global_row_number(few, order, "rnk", n_ranges=32).collect()
     )
     assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_prefix_sum_matches_unpartitioned_window(spark):
+    from kstreams_spark.operators._util import global_prefix_sum
+
+    df = spark.range(3000).select(
+        (F.col("id") % 17).alias("k"),
+        F.col("id").alias("tok"),
+        ((F.col("id") * 7) % 101).alias("v"),
+    )
+    order = [F.col("k").desc(), F.col("tok")]
+    got = {
+        (r.tok, r.run)
+        for r in global_prefix_sum(df, order, "v", "run").collect()
+    }
+    w = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.tok, r.run)
+        for r in df.withColumn(
+            "run", F.sum("v").over(w).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_prefix_sum_width_invariant_and_degenerate(spark):
+    from kstreams_spark.operators._util import global_prefix_sum
+
+    order = [F.col("v")]
+    empty = spark.createDataFrame([], "v long")
+    assert global_prefix_sum(empty, order, "v", "run").count() == 0
+    few = spark.createDataFrame([(3,), (1,), (2,)], "v long")
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        got = sorted(
+            (r.v, r.run)
+            for r in global_prefix_sum(few, order, "v", "run").collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert got == [(1, 1), (2, 3), (3, 6)]
