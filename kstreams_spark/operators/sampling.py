@@ -145,28 +145,26 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     budgeted in TOKENS, which is what an LLM training job actually
     consumes.
 
-    Shuffle budget: one unpartitioned running-sum window — the same cost
-    class as window_running_sum and the documented exception to the
-    'avoid unpartitioned windows' rule (SCALE.md): the budget semantics
-    are inherently a global prefix. At 100 TB, budget per shard instead
-    (partitionBy a shard key → the window parallelizes) and accept
-    per-shard budget granularity."""
+    Shuffle budget: the budget semantics are inherently a GLOBAL prefix
+    sum, but since r8 that no longer means a single-task window: the
+    running total is the two-phase `global_prefix_sum` (range exchange
+    + per-range windows + broadcast prefix offsets, operators/_util),
+    so the full-corpus order costs one range exchange of (doc_id, n, h)
+    triples. The sharded variant (sample_token_budget_sharded) remains
+    the form that also shards the BUDGET itself."""
+    from kstreams_spark.operators._util import global_prefix_sum
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
-    from pyspark.sql import Window
-
-    w = (
-        Window.orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = global_prefix_sum(
+        toks, [F.col("h"), F.col("doc_id")], "n_tokens", "cum_tokens"
     )
-    return (
-        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
-        .select("doc_id", "n_tokens", "cum_tokens")
+    return run.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
+        "doc_id", "n_tokens", "cum_tokens"
     )
 
 

@@ -499,3 +499,12 @@ def test_fanout_profile_is_count_tables_plus_take_ordered(plan_spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     # both fact scans feed HashAggregates before any join
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_token_budget_has_no_single_partition_window(plan_spark, sf_dir):
+    """sample_token_budget: the global running sum must be the
+    two-phase global_prefix_sum form (r8) — range exchange + pid
+    windows, no Exchange SinglePartition."""
+    plan = physical_plan(q("sample_token_budget", plan_spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan, plan
