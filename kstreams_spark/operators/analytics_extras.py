@@ -1657,3 +1657,105 @@ def lineitem_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@query(
+    "events_session_features",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, sec, event_type,
+             CASE WHEN LAG(sec) OVER w IS NULL
+                       OR sec - LAG(sec) OVER w >= {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+    ),
+    sess AS (
+      SELECT user_id, sec, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec)
+               AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no::BIGINT AS session_no,
+           MIN(sec) AS start_s,
+           (MAX(sec) - MIN(sec))::BIGINT AS dur_s,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+             AS n_view,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+             AS n_click,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+             AS n_purchase,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+             AS n_error,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT
+             AS n_signup,
+           CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                         END) > 0 THEN 1 ELSE 0 END::BIGINT AS converted
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def events_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session ML feature table — the feature-engineering step
+    between raw events and a conversion/churn model: every
+    (user, session) becomes one row of start, duration, event count,
+    per-type conditional counts (the pivoted one-hot totals), and the
+    `converted` label. Uses EXACTLY events_sessionize's gap/tie
+    semantics (same {SESSION_GAP_S} s rule, same RANGE-frame session
+    id), so these features join 1:1 onto any sessionized artifact —
+    funnels, the streaming session window's output, retention labels.
+    Pair with join_scd2_pointintime to add leakage-free dimension
+    features at session start time.
+
+    All integer (conditional SUMs, second deltas). Shuffle budget:
+    the sessionize argument verbatim — ONE user_id exchange serves the
+    gap windows and the (user, session) aggregation; the type counts
+    add zero shuffles (same grouping keys)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | (F.col("sec") - F.lag("sec").over(w) >= SESSION_GAP_S),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("sec")
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+    def n_of(t: str):
+        return (
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{t}")
+        )
+
+    agg = sess.groupBy("user_id", "session_no").agg(
+        F.min("sec").alias("start_s"),
+        (F.max("sec") - F.min("sec")).cast("long").alias("dur_s"),
+        F.count(F.lit(1)).alias("n_events"),
+        n_of("view"),
+        n_of("click"),
+        n_of("purchase"),
+        n_of("error"),
+        n_of("signup"),
+    )
+    return agg.withColumn(
+        "converted",
+        F.when(F.col("n_purchase") > 0, 1).otherwise(0).cast("long"),
+    )
