@@ -951,3 +951,78 @@ def composite_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= WAIT_TOP_K)
     )
+
+
+def _feature_snapshot_oracle() -> str:
+    """Composes the session-features and RFM oracles as derived tables
+    (nested WITH — the registered-oracle-reuse technique), left-joined
+    with COALESCEd scores so the whole training table is one certified
+    hash."""
+    from kstreams_spark.registry import ORACLES
+
+    sf = ORACLES["events_session_features"]
+    rfm = ORACLES["orders_rfm_segmentation"]
+    return f"""
+    WITH sf AS ({sf}), rfm AS ({rfm})
+    SELECT sf.user_id, sf.session_no, sf.start_s, sf.dur_s, sf.n_events,
+           sf.n_view, sf.n_click, sf.n_purchase, sf.converted,
+           COALESCE(rfm.r_score, 0)::BIGINT AS r_score,
+           COALESCE(rfm.f_score, 0)::BIGINT AS f_score,
+           COALESCE(rfm.m_score, 0)::BIGINT AS m_score,
+           CASE WHEN rfm.custkey IS NULL THEN 0 ELSE 1 END::BIGINT
+             AS has_order_history
+    FROM sf LEFT JOIN rfm ON rfm.custkey = sf.user_id
+    """
+
+
+@query("composite_feature_snapshot", oracle=_feature_snapshot_oracle())
+def composite_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ML TRAINING TABLE — the round-8 feature operators composed
+    into the artifact a conversion model trains on: one row per
+    (user, session) carrying the behavioral features
+    (events_session_features: duration, per-type counts, the converted
+    label) enriched with the user's commercial profile
+    (orders_rfm_segmentation's R/F/M quartile scores; COALESCEd to 0
+    with an explicit has_order_history flag for users with no orders —
+    the nullable-int trap stays out of the hash). The oracle nests both
+    registered oracles as derived tables, so the hash certifies the
+    entire chain: sessionization, feature extraction, RFM ranking, and
+    the enrichment join.
+
+    Leakage note (the reason this composite exists): RFM here is a
+    CORPUS-WIDE profile, fine for a within-corpus propensity model; a
+    deployed per-event-time feature would swap the RFM leg for
+    join_scd2_pointintime's as-of form — the docstrings form the
+    decision record.
+
+    Scale: session features shuffle once on user_id; RFM is three
+    small-table rank passes; the enrichment is an equi-join of
+    session-grain rows against the per-customer profile (broadcastable
+    at dim scale)."""
+    from kstreams_spark.registry import QUERIES
+
+    sf = QUERIES["events_session_features"](spark, sf_dir)
+    rfm = QUERIES["orders_rfm_segmentation"](spark, sf_dir).select(
+        F.col("custkey"), "r_score", "f_score", "m_score"
+    )
+    j = sf.join(
+        F.broadcast(rfm), sf.user_id == rfm.custkey, "left"
+    )
+    return j.select(
+        "user_id",
+        "session_no",
+        "start_s",
+        "dur_s",
+        "n_events",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        "converted",
+        F.coalesce(F.col("r_score"), F.lit(0)).cast("long").alias("r_score"),
+        F.coalesce(F.col("f_score"), F.lit(0)).cast("long").alias("f_score"),
+        F.coalesce(F.col("m_score"), F.lit(0)).cast("long").alias("m_score"),
+        F.when(F.col("custkey").isNull(), 0)
+        .otherwise(1)
+        .cast("long")
+        .alias("has_order_history"),
+    )
