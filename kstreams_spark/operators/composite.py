@@ -1026,3 +1026,106 @@ def composite_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("has_order_history"),
     )
+
+
+@query(
+    "composite_promo_revenue_share",
+    oracle="""
+    SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS month,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE)
+             AS promo_share
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY date_trunc('month', l.l_shipdate)
+    """,
+)
+def composite_promo_revenue_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q14 shape — monthly promo-part revenue share: lineitem ⋈
+    broadcast(part), conditional DECIMAL sums per ship month, share =
+    ONE division of two already-exact doubles (the deterministic float
+    class). The fact side never shuffles for the join; the only
+    exchange is the ≤months-sized final agg. Both branches of the
+    conditional go through DECIMAL(18,6) (raw-float CASE sums are the
+    r6 red-row class)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    agg = j.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("month")
+    ).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "month",
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_share"
+        ),
+    )
+
+
+LATE_SHIP_DAYS = 30
+
+
+@query(
+    "composite_late_ship_priority",
+    oracle=f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def composite_late_ship_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q4 shape — orders with at least one line shipped more than
+    {LATE_SHIP_DAYS} days after the order date, counted by priority
+    (the fixture has no commitdate, so order-date lag stands in for
+    Q4's commit/receipt test; the shape is identical). The correlated
+    EXISTS is a LEFT-SEMI join on orderkey with the lag predicate as
+    the join condition — each order counted once no matter how many
+    late lines — then a ≤|priorities| aggregate. Spark plans the semi
+    join hash-partitioned on orderkey; no correlated re-scan, the Q21
+    rewrite argument at Q4 scale."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    sem = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAY")
+        ),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
