@@ -126,6 +126,7 @@ def global_prefix_sum(
     value_col: str,
     out_col: str,
     n_ranges: int = 32,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Global running SUM(value) over a TOTAL order, two-phase like
     `global_row_number` (same contract: unique tie-break, rank/prefix
@@ -133,7 +134,13 @@ def global_prefix_sum(
     per-range value-total prefix offsets. The scalable form of
     `SUM(x) OVER (ORDER BY ...)` — the Pareto/ABC and token-budget
     shape — without the single-task window. Output column is BIGINT;
-    the caller keeps values integer (the dsum rule's integer cousin)."""
+    the caller keeps values integer (the dsum rule's integer cousin).
+
+    `rank_col`: also emit the global row_number — the per-range count
+    rides the same bounded collect and the rank window shares the
+    prefix window's sort, so rank+prefix together cost ONE range
+    exchange instead of chaining global_row_number → global_prefix_sum
+    (two)."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
@@ -143,18 +150,22 @@ def global_prefix_sum(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     totals = {
-        r._gp_pid: r.s
+        r._gp_pid: (r.s, r.c)
         for r in parts.groupBy("_gp_pid")
-        .agg(F.sum(value_col).cast("long").alias("s"))
+        .agg(
+            F.sum(value_col).cast("long").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
         .collect()
     }
-    offsets, acc = [], 0
+    offsets, acc, racc = [], 0, 0
     for pid in sorted(totals):
-        offsets.append((pid, acc))
-        acc += totals[pid] or 0
+        offsets.append((pid, acc, racc))
+        acc += totals[pid][0] or 0
+        racc += totals[pid][1]
     off = F.broadcast(
         df.sparkSession.createDataFrame(
-            offsets or [(0, 0)], "_gp_pid int, _gp_off long"
+            offsets or [(0, 0, 0)], "_gp_pid int, _gp_off long, _gp_roff long"
         )
     )
     w = (
@@ -162,7 +173,7 @@ def global_prefix_sum(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         parts.join(off, "_gp_pid")
         .withColumn(
             out_col,
@@ -171,5 +182,11 @@ def global_prefix_sum(
                 + F.sum(value_col).over(w).cast("long")
             ).cast("long"),
         )
-        .drop("_gp_pid", "_gp_off")
     )
+    if rank_col is not None:
+        wr = Window.partitionBy("_gp_pid").orderBy(*order)
+        out = out.withColumn(
+            rank_col,
+            (F.col("_gp_roff") + F.row_number().over(wr)).cast("long"),
+        )
+    return out.drop("_gp_pid", "_gp_off", "_gp_roff")

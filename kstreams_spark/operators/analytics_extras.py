@@ -1619,10 +1619,7 @@ def lineitem_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle keeps the classic single-window SQL form — the hash
     match proves the two-phase rewrite exact, the
     rewrite-proof pattern."""
-    from kstreams_spark.operators._util import (
-        global_prefix_sum,
-        global_row_number,
-    )
+    from kstreams_spark.operators._util import global_prefix_sum
 
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
@@ -1638,8 +1635,9 @@ def lineitem_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rev_cents")
     )
     order = [F.col("rev_cents").desc(), F.col("partkey")]
-    ranked = global_row_number(rev, order, "rnk")
-    run = global_prefix_sum(ranked, order, "rev_cents", "cum_cents")
+    run = global_prefix_sum(
+        rev, order, "rev_cents", "cum_cents", rank_col="rnk"
+    )
     total = rev.agg(F.sum("rev_cents").cast("long").alias("total_cents"))
     return run.crossJoin(F.broadcast(total)).select(
         "partkey",
