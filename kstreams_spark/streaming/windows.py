@@ -75,3 +75,50 @@ def watermarked_dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicates(
         (keys or ["user_id", "event_type"]) + ["ts"]
     )
+
+
+def session_features_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of the batch per-session ML feature table
+    (operators/analytics_extras.py::events_session_features): the same
+    session_window grouping as session_agg_stream, widened with the
+    per-type one-hot counts and the converted label — the feature rows
+    a live propensity model consumes, emitted once per closed session
+    in append mode (the suppress-until-window-closes shape). Parity
+    with the batch query's (count, per-type, converted) columns on
+    second-truncated input is pinned in tests/test_streaming.py."""
+
+    def n_of(t: str):
+        return (
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{t}")
+        )
+
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            n_of("view"),
+            n_of("click"),
+            n_of("purchase"),
+            n_of("error"),
+            n_of("signup"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        "n_events",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        "n_error",
+        "n_signup",
+        F.when(F.col("n_purchase") > 0, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("converted"),
+    )

@@ -596,3 +596,66 @@ def test_session_window_append_emits_only_closed_sessions(spark, tmp_path):
     # the 10:00 session closed (watermark reached 12:50 > 10:40); the
     # 13:00 session is still open and must NOT appear
     assert got == [(1, datetime(2024, 1, 1, 10, 0, 0), 2)]
+
+
+def test_session_features_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Streaming per-session features == the batch feature table on
+    second-truncated events (the grid both sides compute on): same
+    sessions, same one-hot counts, same converted label."""
+    import glob
+    import shutil
+
+    from kstreams_spark.io import load_table
+    from kstreams_spark.registry import QUERIES
+    from kstreams_spark.streaming.windows import session_features_stream
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id",
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts"),
+        "event_type",
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    staging = str(tmp_path / "stage")
+    ev.coalesce(1).write.parquet(staging)
+    (part,) = glob.glob(f"{staging}/part-*.parquet")
+    shutil.move(part, f"{src}/a.parquet")
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        session_features_stream(stream, gap="30 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_feat_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.user_id, int(r.session_start.timestamp())): (
+            r.n_events,
+            r.n_view,
+            r.n_click,
+            r.n_purchase,
+            r.n_error,
+            r.n_signup,
+            r.converted,
+        )
+        for r in spark.sql("SELECT * FROM sess_feat_out").collect()
+    }
+    want = {
+        (r.user_id, r.start_s): (
+            r.n_events,
+            r.n_view,
+            r.n_click,
+            r.n_purchase,
+            r.n_error,
+            r.n_signup,
+            r.converted,
+        )
+        for r in QUERIES["events_session_features"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == want
