@@ -1757,3 +1757,46 @@ def events_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "converted",
         F.when(F.col("n_purchase") > 0, 1).otherwise(0).cast("long"),
     )
+
+
+@query(
+    "events_value_deciles",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           generate_subscripts(qs, 1)::BIGINT AS decile,
+           unnest(qs) AS value
+    FROM q
+    """,
+)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile table per event type — the distribution summary a
+    monitoring dashboard or a feature-binning step reads: the nine
+    interior deciles as rows (event_type, decile 1–9, value), from ONE
+    exact multi-percentile aggregate per group (F.percentile with an
+    array argument computes all nine in a single pass over the sorted
+    group — not nine windows). Exact interpolated percentiles are the
+    engine-portable pair (quantile_cont, the MAD/winsorized-proven
+    pairing); the explode is 0-based in Spark and 1-based in DuckDB's
+    generate_subscripts, aligned by the +1 here (the ordinality
+    gotcha). At 100 TB swap approx_quantiles in, same output grain."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.percentile(
+            "value",
+            F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+        ).alias("qs")
+    )
+    return q.select(
+        "event_type",
+        F.posexplode("qs").alias("pos", "value"),
+    ).select(
+        "event_type",
+        (F.col("pos") + 1).cast("long").alias("decile"),
+        "value",
+    )

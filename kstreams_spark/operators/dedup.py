@@ -1253,3 +1253,87 @@ def pagerank_fixed(pairs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
         F.col("deg").cast("long").alias("degree"),
         F.col("r").alias("pr_fx"),
     )
+
+
+def _capture_report_oracle() -> str:
+    """Composes the full-recall blocked ground truth and the MinHash
+    propose→verify pipeline (both registered oracles) into the capture
+    report. The theoretical capture probability 1-(1-j²)⁴ is spelled as
+    the same nested multiplication chain the engine computes —
+    identical parenthesization, no pow()."""
+    from kstreams_spark.registry import ORACLES
+
+    truth = ORACLES["dedup_ngram_jaccard"]
+    prop = ORACLES["dedup_minhash_verified"]
+    p_expr = (
+        "(1 - ((1 - t.jaccard * t.jaccard) * (1 - t.jaccard * t.jaccard))"
+        " * ((1 - t.jaccard * t.jaccard) * (1 - t.jaccard * t.jaccard)))"
+    )
+    return f"""
+    WITH truth AS ({truth}),
+    prop AS (SELECT doc_id1, doc_id2 FROM ({prop}) v),
+    m AS (
+      SELECT CASE WHEN t.jaccard >= 0.9 THEN '0.9+'
+                  WHEN t.jaccard >= 0.7 THEN '0.7-0.9'
+                  ELSE '0.5-0.7' END AS band,
+             CASE WHEN p.doc_id1 IS NOT NULL THEN 1 ELSE 0 END AS captured,
+             {p_expr} AS p_capture
+      FROM truth t LEFT JOIN prop p USING (doc_id1, doc_id2)
+    )
+    SELECT band, COUNT(*) AS n_truth,
+           SUM(captured)::BIGINT AS n_captured,
+           CAST((SUM(captured) * 1000000) // COUNT(*) AS BIGINT)
+             AS capture_ppm,
+           CAST(SUM(CAST(p_capture AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS expected_capture
+    FROM m GROUP BY band
+    """
+
+
+@query("dedup_minhash_capture_report", oracle=_capture_report_oracle())
+def dedup_minhash_capture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH capture calibration — theory vs measurement for the MinHash
+    band configuration (r=2 rows × b={N_BANDS} bands): per Jaccard band
+    of the FULL-RECALL ground truth (source-blocked shingle-sharing
+    pairs, the fixture-scale exhaustive generator), the fraction the
+    propose→verify pipeline actually captured, next to the S-curve
+    expectation E[1-(1-j²)⁴]. A measured capture far under the expected
+    column means the banding (not the verifier) is losing pairs — the
+    evidence that buys more bands; matching columns certify the config.
+    The ANN side's twin is similarity_recall_report; this is the
+    dedup-side "measure, don't guess" artifact.
+
+    Determinism: capture flags are integers; the expected probability
+    is the SAME nested multiplication chain in both engines (no pow —
+    transcendental-free), and its mean goes through DECIMAL(18,6).
+    Scale: both legs are the registered pipelines (bounded candidate
+    spaces); the report join is truth-pair-sized."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    truth = ngram_jaccard_pairs(
+        d, candidates=blocked_shingle_candidates(d, 3)
+    ).select("doc_id1", "doc_id2", "jaccard")
+    prop = ngram_jaccard_pairs(d).select("doc_id1", "doc_id2").withColumn(
+        "captured", F.lit(1)
+    )
+    jj = F.col("jaccard") * F.col("jaccard")
+    m1 = F.lit(1.0) - jj
+    m2 = m1 * m1
+    p_capture = F.lit(1.0) - m2 * m2
+    m = truth.join(prop, ["doc_id1", "doc_id2"], "left").select(
+        F.when(F.col("jaccard") >= 0.9, "0.9+")
+        .when(F.col("jaccard") >= 0.7, "0.7-0.9")
+        .otherwise("0.5-0.7")
+        .alias("band"),
+        F.coalesce(F.col("captured"), F.lit(0)).alias("captured"),
+        p_capture.alias("p_capture"),
+    )
+    return m.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.sum("captured").cast("long").alias("n_captured"),
+        F.expr("CAST((SUM(captured) * 1000000) DIV COUNT(*) AS BIGINT)")
+        .alias("capture_ppm"),
+        (
+            F.sum(F.col("p_capture").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("expected_capture"),
+    )
