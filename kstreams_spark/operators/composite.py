@@ -1129,3 +1129,73 @@ def composite_late_ship_priority(
     return sem.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_late_orders")
     )
+
+
+_Q19_DISJUNCTS_SQL = """(
+      (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 15)
+      OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+          AND l.l_quantity BETWEEN 10 AND 25)
+      OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 50
+          AND l.l_quantity BETWEEN 20 AND 40)
+    )"""
+
+
+@query(
+    "composite_disjunctive_revenue",
+    oracle=f"""
+    SELECT p.p_brand,
+           COUNT(*)::BIGINT AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {_Q19_DISJUNCTS_SQL}
+    GROUP BY p.p_brand
+    """,
+)
+def composite_disjunctive_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q19 shape — revenue under an OR-of-ANDs predicate mixing
+    both tables' columns (brand × size-range × quantity-range
+    disjuncts, adapted to the fixture's columns). The optimizer
+    exercise Q19 exists for: Catalyst must split the disjunction into
+    the single-table conjuncts it implies (every branch constrains
+    p_brand/p_size and l_quantity), push those to BOTH scans, and
+    evaluate only the residual cross-table OR after the broadcast join
+    — `constraint propagation through a disjunction`, asserted in
+    tests/test_plans.py (each scan shows pushed filters; the join is
+    broadcast, never a nested loop). DECIMAL revenue; one ≤|brands|
+    final agg."""
+    li = load_table(spark, sf_dir, "lineitem").alias("l")
+    p = load_table(spark, sf_dir, "part").alias("p")
+    cond = (
+        (
+            (F.col("p.p_brand") == "Brand#12")
+            & F.col("p.p_size").between(1, 15)
+            & F.col("l.l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p.p_brand") == "Brand#23")
+            & F.col("p.p_size").between(10, 30)
+            & F.col("l.l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p.p_brand") == "Brand#34")
+            & F.col("p.p_size").between(20, 50)
+            & F.col("l.l_quantity").between(20, 40)
+        )
+    )
+    j = li.join(
+        F.broadcast(p), F.col("p.p_partkey") == F.col("l.l_partkey")
+    ).filter(cond)
+    return j.groupBy("p.p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            (F.col("l.l_extendedprice") * (1 - F.col("l.l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

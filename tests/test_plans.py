@@ -508,3 +508,18 @@ def test_token_budget_has_no_single_partition_window(plan_spark, sf_dir):
     plan = physical_plan(q("sample_token_budget", plan_spark, sf_dir))
     assert "SinglePartition" not in plan, plan
     assert "rangepartitioning" in plan, plan
+
+
+def test_disjunctive_revenue_pushes_or_constraints_to_both_scans(
+    plan_spark, sf_dir
+):
+    """composite_disjunctive_revenue (Q19 shape): Catalyst must derive
+    the single-table disjunctions implied by the OR-of-ANDs and push
+    them into BOTH scans, and the join must be broadcast — never a
+    nested loop over unfiltered facts."""
+    df = q("composite_disjunctive_revenue", plan_spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed, pushed
+    assert "p_brand" in pushed and "p_size" in pushed, pushed
+    strategies = join_strategies(df)
+    assert strategies == ["BroadcastHashJoin"], strategies
