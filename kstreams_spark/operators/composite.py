@@ -1199,3 +1199,102 @@ def composite_disjunctive_revenue(
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "composite_customer_order_distribution",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def composite_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 — the distribution-of-counts shape: how many customers
+    placed exactly k orders, INCLUDING k=0 (the left join is the whole
+    point — an inner join silently drops the idle customers, usually
+    the segment the question is about). Two aggregations: per-customer
+    count (shuffle on custkey, partial+final), then the ≤max-k
+    histogram. The fact side shuffles once; no window anywhere."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+IDLE_DAYS = 365
+
+
+@query(
+    "composite_idle_balance_audit",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    ),
+    mx AS (SELECT MAX(o_orderdate) AS d0 FROM orders)
+    SELECT c.c_nationkey,
+           COUNT(*)::BIGINT AS n_idle_rich,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             AS idle_balance
+    FROM customer c, avg_bal, mx
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate > mx.d0 - INTERVAL {{IDLE_DAYS}} DAY)
+    GROUP BY c.c_nationkey
+    """.format(IDLE_DAYS=IDLE_DAYS),
+)
+def composite_idle_balance_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape — the lost-revenue audit: customers whose account
+    balance beats the positive-balance average yet placed NO order in
+    the timeline's last {IDLE_DAYS} days (every fixture customer has
+    SOME order, so Q22's literal no-orders-ever test is structurally
+    empty — recency-idle is the same shape with a live answer; nation
+    stands in for Q22's phone country code). Plan: both scalars (the
+    DECIMAL mean and the max date) are 1-row broadcasts so the
+    threshold compares are engine-identical; the NOT EXISTS is a
+    LEFT-ANTI join on custkey with the recency predicate on the right
+    side BEFORE the join (anti-join against the filtered orders — the
+    predicate-inside-EXISTS placement); the final agg is ≤|nations|
+    rows. No correlated re-scan, no window."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("a")
+    )
+    mx = o.agg(F.max("o_orderdate").alias("d0"))
+    recent = o.crossJoin(F.broadcast(mx)).filter(
+        F.col("o_orderdate")
+        > F.col("d0") - F.expr(f"INTERVAL {IDLE_DAYS} DAY")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("a")
+    )
+    idle = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_idle_rich"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("idle_balance"),
+    )
