@@ -1337,3 +1337,64 @@ def dedup_minhash_capture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("expected_capture"),
     )
+
+
+K_FOLDS = 5
+
+
+def _kfold_oracle() -> str:
+    from kstreams_spark.operators.sampling import _BUCKET_SQL
+
+    bucket = _BUCKET_SQL.format(key="CAST(g.group_key AS VARCHAR)")
+    return f"""
+    WITH RECURSIVE {_cluster_labels_cte()},
+    g AS (
+      SELECT d.doc_id,
+             COALESCE(l.keep_id, d.doc_id) AS group_key,
+             CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END AS in_cluster
+      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    )
+    SELECT g.doc_id, g.group_key, g.in_cluster::BIGINT AS in_cluster,
+           CAST(({bucket}) % {K_FOLDS} AS BIGINT) AS fold
+    FROM g
+    """
+
+
+@query("sample_kfold_cluster_safe", oracle=_kfold_oracle())
+def sample_kfold_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe {K_FOLDS}-fold cross-validation assignment: the fold
+    is hashed from the near-dup CLUSTER id (the CC keep_id; singletons
+    are their own group), so every member of a duplicate cluster lands
+    in the SAME fold — naive per-doc fold hashing puts near-identical
+    docs on both sides of a CV split and inflates every validation
+    metric, the same leakage argument dedup-before-split makes for
+    train/test (composite_curation_pipeline), applied to k-fold. Folds
+    are md5-hash-stable: reproducible across engines, runs, and corpus
+    growth (a new doc changes only its own group's fold membership).
+
+    Oracle replays the full chain: propose → verify → WITH RECURSIVE
+    closure → group key → md5 fold. Scale: the pair pipeline is the
+    bounded candidate machinery; the label attach is one LEFT join of
+    the (sparse) labels onto the corpus; fold hashing is scan-shaped."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    labels = resolve_clusters(ngram_jaccard_pairs(d)).select(
+        "doc_id", "keep_id"
+    )
+    from kstreams_spark.operators.sampling import _bucket_from
+
+    g = d.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("keep_id"), F.col("doc_id")).alias("group_key"),
+        F.when(F.col("keep_id").isNull(), 0)
+        .otherwise(1)
+        .cast("long")
+        .alias("in_cluster"),
+    )
+    return g.select(
+        "doc_id",
+        "group_key",
+        "in_cluster",
+        (_bucket_from(F.col("group_key").cast("string")) % K_FOLDS)
+        .cast("long")
+        .alias("fold"),
+    )
