@@ -479,3 +479,88 @@ def composite_training_rehearsal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.sum("n_span").cast("long").alias("n_tokens"),
     )
+
+
+PASSAGE_TOP_K = 20
+
+
+def _passage_oracle() -> str:
+    """Composes the chunk-windows oracle as a derived table, scores each
+    window by query-term occurrences, elects the best window per doc,
+    and takes the global top passages."""
+    from kstreams_spark.operators.text import SEARCH_TERMS
+    from kstreams_spark.registry import ORACLES
+
+    wins = ORACLES["text_chunk_windows"]
+    terms = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    return f"""
+    WITH w AS ({wins}),
+    scored AS (
+      SELECT doc_id, win_id, chunk_text,
+             len(list_filter(str_split(chunk_text, ' '),
+                             x -> x IN ({terms})))::BIGINT AS score
+      FROM w
+    ),
+    best AS (
+      SELECT doc_id, win_id, chunk_text, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, win_id) AS rn
+      FROM scored WHERE score > 0
+    )
+    SELECT doc_id, win_id, score, chunk_text AS passage, rank FROM (
+      SELECT doc_id, win_id, score, chunk_text,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM best WHERE rn = 1
+    ) WHERE rank <= {PASSAGE_TOP_K}
+    """
+
+
+@query("search_best_passages", oracle=_passage_oracle())
+def search_best_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage retrieval — the RAG step AFTER document ranking: within
+    each document, elect the best fixed-width token window for the
+    query (score = query-term occurrences in the window, the
+    chunk-windows grid text_chunk_windows defines — windows overlap by
+    stride, so a term cluster straddling a boundary still gets a
+    window that contains it), then return the global top
+    {PASSAGE_TOP_K} passages with their text. Document-level retrieval
+    (search_topk_keywords / the hybrid RRF) says WHICH docs; this says
+    WHERE IN THEM to read — the snippet a RAG prompt actually embeds.
+
+    Scale: window scoring is scan-shaped (the chunk explode + one
+    filter-count per window, no shuffle); the per-doc election
+    partitions by doc_id; the global top-k is row_number + rank ≤ K —
+    the TakeOrderedAndProject rewrite class. At serving scale the doc
+    set entering this operator is the (tiny) retrieval output, not the
+    corpus; the oracle composes the registered chunk-windows oracle so
+    the grid cannot drift from the indexer's."""
+    from kstreams_spark.operators.text import SEARCH_TERMS
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w = chunk_windows(d)
+    terms = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    scored = w.select(
+        "doc_id",
+        "win_id",
+        "chunk_text",
+        F.expr(
+            f"CAST(size(filter(split(chunk_text, ' '), "
+            f"x -> x IN ({terms}))) AS BIGINT)"
+        ).alias("score"),
+    ).filter(F.col("score") > 0)
+    wd = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "win_id")
+    best = scored.withColumn("rn", F.row_number().over(wd)).filter(
+        F.col("rn") == 1
+    )
+    wg = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        best.withColumn("rank", F.row_number().over(wg))
+        .filter(F.col("rank") <= PASSAGE_TOP_K)
+        .select(
+            "doc_id",
+            "win_id",
+            "score",
+            F.col("chunk_text").alias("passage"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -950,3 +950,4 @@ def text_weighted_median_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("wmedian_chars"),
         F.col("tw").cast("long").alias("total_tokens"),
     )
+
