@@ -98,6 +98,10 @@ HEADLINE = [
     "dedup_triangle_count",  # added r7: verified-graph triangle walk
     "composite_training_rehearsal",  # added r8: manifest->epoch order->batched reads
     "dedup_pagerank_centrality",  # added r8: fixed-point PageRank on the dup graph
+    "join_scd2_pointintime",  # added r8: union+LOCF point-in-time enrichment
+    "lineitem_abc_classification",  # added r8: two-phase global prefix Pareto
+    "composite_feature_snapshot",  # added r8: session features x RFM training table
+    "similarity_label_separability",  # added r8: N x L centroid-dot health card
 ]
 
 
