@@ -564,3 +564,105 @@ def search_best_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def _rag_context_oracle() -> str:
+    """Composes the registered keyword-retrieval oracle AND the
+    chunk-windows oracle: the full doc-rank → passage-elect chain in
+    one certified hash."""
+    from kstreams_spark.operators.text import SEARCH_TERMS
+    from kstreams_spark.registry import ORACLES
+
+    topdocs = ORACLES["search_topk_keywords"]
+    wins = ORACLES["text_chunk_windows"]
+    terms = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    return f"""
+    WITH topdocs AS ({topdocs}),
+    ranked_docs AS (
+      SELECT doc_id, score AS doc_score, n_terms_hit,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+               AS retrieval_rank
+      FROM topdocs
+    ),
+    w AS ({wins}),
+    scored AS (
+      SELECT w.doc_id, w.win_id, w.chunk_text,
+             len(list_filter(str_split(w.chunk_text, ' '),
+                             x -> x IN ({terms})))::BIGINT AS passage_score
+      FROM w JOIN ranked_docs rd ON rd.doc_id = w.doc_id
+    ),
+    best AS (
+      SELECT doc_id, win_id, chunk_text, passage_score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY passage_score DESC, win_id) AS rn
+      FROM scored
+    )
+    SELECT rd.retrieval_rank::BIGINT AS retrieval_rank, rd.doc_id,
+           rd.doc_score, rd.n_terms_hit,
+           b.win_id, b.passage_score, b.chunk_text AS passage
+    FROM ranked_docs rd JOIN best b
+      ON b.doc_id = rd.doc_id AND b.rn = 1
+    """
+
+
+@query("composite_rag_context", oracle=_rag_context_oracle())
+def composite_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly — the serving chain end-to-end in one plan:
+    keyword retrieval ranks the documents (search_topk_keywords, the
+    postings-index shape), then WITHIN each retrieved doc the best
+    passage for the same query is elected (the chunk-windows grid), and
+    the output is exactly what a RAG prompt builder consumes: one row
+    per retrieved doc with its retrieval rank, doc score, and the
+    passage text to embed. Both stages share the query terms, so the
+    passage always contains the evidence the ranker scored. The oracle
+    nests BOTH registered oracles — retrieval and grid — one hash for
+    the whole chain.
+
+    Scale: passage scoring runs only over the top-k docs' windows (the
+    join against the ≤k retrieval output prunes the grid before any
+    scoring — at serving scale the windows come from the pruned doc
+    fetch, the training-rehearsal read path); elections partition by
+    doc_id; no global window anywhere (retrieval_rank orders ≤k rows)."""
+    from kstreams_spark.operators.text import SEARCH_TERMS
+    from kstreams_spark.registry import QUERIES
+
+    topdocs = QUERIES["search_topk_keywords"](spark, sf_dir)
+    ranked_docs = topdocs.select(
+        F.col("doc_id"),
+        F.col("score").alias("doc_score"),
+        "n_terms_hit",
+    ).withColumn(
+        "retrieval_rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("doc_score").desc(), "doc_id"))
+        .cast("long"),
+    )
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w = chunk_windows(d).join(
+        F.broadcast(ranked_docs.select("doc_id")), "doc_id"
+    )
+    terms = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    scored = w.select(
+        "doc_id",
+        "win_id",
+        "chunk_text",
+        F.expr(
+            f"CAST(size(filter(split(chunk_text, ' '), "
+            f"x -> x IN ({terms}))) AS BIGINT)"
+        ).alias("passage_score"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.col("passage_score").desc(), "win_id"
+    )
+    best = scored.withColumn("rn", F.row_number().over(wd)).filter(
+        F.col("rn") == 1
+    )
+    return ranked_docs.join(best, "doc_id").select(
+        "retrieval_rank",
+        "doc_id",
+        "doc_score",
+        "n_terms_hit",
+        "win_id",
+        "passage_score",
+        F.col("chunk_text").alias("passage"),
+    )
