@@ -102,6 +102,7 @@ HEADLINE = [
     "lineitem_abc_classification",  # added r8: two-phase global prefix Pareto
     "composite_feature_snapshot",  # added r8: session features x RFM training table
     "similarity_label_separability",  # added r8: N x L centroid-dot health card
+    "composite_rag_context",  # added r8: retrieval -> passage election chain
 ]
 
 
