@@ -62,6 +62,35 @@ def fence(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+def _pin_partitioning(df: DataFrame) -> DataFrame:
+    """Materialize ONE partitioning instance that both the offsets job
+    and the rank job of the two-phase helpers observe.
+
+    Why not persist: MEMORY_AND_DISK cache does not survive executor
+    loss — a recompute re-runs repartitionByRange with freshly sampled
+    range bounds, so rows can land in different pids than the collected
+    offsets assumed, silently corrupting global ranks/prefix sums on a
+    real cluster (the local drift gate cannot exercise executor loss).
+
+    Pin instead, fail-safe either way:
+      * checkpoint dir configured (any at-scale deployment points it at
+        shared storage) → reliable `checkpoint()` — durable: lost
+        partitions re-READ the materialized files, never re-sample.
+      * no checkpoint dir (local/dev) → `localCheckpoint(eager=True)` —
+        lineage is TRUNCATED, so a lost block fails the job loudly
+        instead of recomputing into a silent wrong answer. Blocks are
+        freed by the ContextCleaner when the result DataFrame is GC'd
+        (a truncated-lineage RDD cannot be manually unpersisted)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        ckpt_dir = sc.getCheckpointDir()
+    except AttributeError:  # pragma: no cover - very old PySpark
+        ckpt_dir = None
+    if ckpt_dir:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def global_row_number(
     df: DataFrame, order: list[Column], out_col: str, n_ranges: int = 32
 ) -> DataFrame:
@@ -81,18 +110,18 @@ def global_row_number(
     Rank values are INVARIANT to where the sampled range bounds fall:
     any contiguous split of a total order yields the same global rank,
     so nondeterministic bound sampling can't leak into the result (the
-    drift gate varies shuffle width over this). The persist pins one
-    partitioning instance across the offsets job and the rank job.
+    drift gate varies shuffle width over this). `_pin_partitioning`
+    pins one partitioning instance across the offsets job and the rank
+    job — durably (reliable checkpoint) or fail-loud (local
+    checkpoint), never recompute-dependent.
 
     Sizing: n_ranges ~ rows/1e6 at scale; the default 32 matches the
     local session. The rank column is BIGINT (offset + row_number)."""
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    parts = (
+    parts = _pin_partitioning(
         df.repartitionByRange(n_ranges, *order)
         .withColumn("_gr_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = {
         r._gr_pid: r.c
@@ -140,14 +169,13 @@ def global_prefix_sum(
     rides the same bounded collect and the rank window shares the
     prefix window's sort, so rank+prefix together cost ONE range
     exchange instead of chaining global_row_number → global_prefix_sum
-    (two)."""
-    from pyspark import StorageLevel
+    (two). Partitioning pinned via `_pin_partitioning` (durable or
+    fail-loud, never recompute-dependent — see its docstring)."""
     from pyspark.sql import Window
 
-    parts = (
+    parts = _pin_partitioning(
         df.repartitionByRange(n_ranges, *order)
         .withColumn("_gp_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     totals = {
         r._gp_pid: (r.s, r.c)

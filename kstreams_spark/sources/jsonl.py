@@ -133,23 +133,38 @@ class JsonlWriter(DataSourceWriter):
     driver's commit() publishes — all-or-nothing, a failed task's
     partial file is swept by abort() and never becomes visible."""
 
+    # A foreign staged file (another writer's commit_id) is swept only if
+    # it has sat unpublished this long past our own job start — a crashed
+    # past job's debris, not a concurrent append's in-flight staging.
+    # Assumption documented: a concurrent writer publishes within this
+    # grace of staging its last file; if writers can stall longer between
+    # staging and commit, run single-writer per directory.
+    STALE_GRACE_S = 3600.0
+
     def __init__(self, schema, options: dict[str, str], overwrite: bool) -> None:
+        import time
         import uuid
 
         self.field_names = schema.fieldNames()
         self.path = options["path"]
         self.overwrite = overwrite
-        # per-commit token in the published names: append-mode commits
-        # must not collide with an earlier commit's part files (a bare
-        # part-00000 from commit 2 would silently os.rename over commit
-        # 1's rows — ADVICE r7)
+        # per-commit token in BOTH the published and the staged names:
+        # append-mode commits must not collide with an earlier commit's
+        # part files (a bare part-00000 from commit 2 would silently
+        # os.rename over commit 1's rows — ADVICE r7), and the orphan
+        # sweep must not delete a CONCURRENT writer's in-flight staged
+        # files out from under its commit (ADVICE r8)
         self.commit_id = uuid.uuid4().hex[:12]
+        self.started_at = time.time()
 
     def write(self, iterator) -> JsonlCommitMessage:
         import uuid
 
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f"_staged-{uuid.uuid4().hex}.jsonl")
+        tmp = os.path.join(
+            self.path,
+            f"_staged-{self.commit_id}-{uuid.uuid4().hex}.jsonl",
+        )
         n = 0
         with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:
@@ -163,12 +178,32 @@ class JsonlWriter(DataSourceWriter):
         """Remove staged files no surviving commit message references —
         a failed/speculative task attempt stages a file but its message
         never reaches the driver, so abort()'s message loop alone leaks
-        it forever (invisible to readers, but accumulating — ADVICE r7)."""
+        it forever (invisible to readers, but accumulating — ADVICE r7).
+
+        Scope (ADVICE r8): unconditionally sweep only THIS writer's
+        staging (`_staged-<commit_id>-*`); a concurrent append job's
+        staged files must survive our commit or its own os.rename fails.
+        Foreign staged files are swept only when stale — older than
+        STALE_GRACE_S before our own start — i.e. debris from a crashed
+        job, never a live one. Residual (documented, not fixable from
+        the driver): a speculative attempt of THIS job still running
+        after our commit restages one orphan; it ages into a later
+        writer's stale sweep."""
         import glob as _glob
 
-        for f in _glob.glob(os.path.join(self.path, "_staged-*.jsonl")):
+        cutoff = self.started_at - self.STALE_GRACE_S
+        mine = os.path.join(self.path, f"_staged-{self.commit_id}-*.jsonl")
+        for f in _glob.glob(mine):
             if f not in keep:
                 os.remove(f)
+        for f in _glob.glob(os.path.join(self.path, "_staged-*.jsonl")):
+            if f in keep or f"_staged-{self.commit_id}-" in os.path.basename(f):
+                continue
+            try:
+                if os.path.getmtime(f) < cutoff:
+                    os.remove(f)
+            except OSError:
+                pass  # raced with its owner's commit/abort — theirs
 
     def commit(self, messages) -> None:
         if self.overwrite:
@@ -182,8 +217,9 @@ class JsonlWriter(DataSourceWriter):
                     self.path, f"part-{self.commit_id}-{i:05d}.jsonl"
                 ),
             )
-        # empty tasks' staged files and orphaned attempts both fall to
-        # the sweep — nothing unpublished survives a commit
+        # empty tasks' staged files and orphaned attempts of THIS job
+        # fall to the sweep — nothing of ours unpublished survives a
+        # commit; foreign in-flight staging does
         self._sweep_orphans(keep=set())
 
     def abort(self, messages) -> None:

@@ -97,6 +97,58 @@ def test_prefix_sum_matches_unpartitioned_window(spark):
     assert got == want
 
 
+def test_pin_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    """ADVICE r8 (medium): the partitioning pin must not be a
+    MEMORY_AND_DISK persist (a recompute after executor loss would
+    re-sample range bounds and silently mis-rank). With a checkpoint
+    dir configured the pin must be a RELIABLE checkpoint — files land
+    under the dir, and ranks stay correct."""
+    import os
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # test session has none
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        df = spark.range(500).select(
+            (F.col("id") % 5).alias("cnt"), F.col("id").alias("tok")
+        )
+        order = [F.col("cnt").desc(), F.col("tok")]
+        got = {
+            (r.tok, r.rnk)
+            for r in global_row_number(df, order, "rnk").collect()
+        }
+        assert got == {
+            (r.tok, r.rnk)
+            for r in df.withColumn(
+                "rnk",
+                F.row_number().over(Window.orderBy(*order)).cast("long"),
+            ).collect()
+        }
+        ckpt_files = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(tmp_path / "ckpt")
+            for f in files
+        ]
+        assert ckpt_files, "reliable checkpoint wrote no files"
+    finally:
+        # PySpark has no unsetCheckpointDir; clear the JVM-side option so
+        # other tests keep the no-dir (localCheckpoint) path.
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty()
+        )
+    assert sc.getCheckpointDir() is None
+
+
+def test_pin_truncates_lineage_without_dir(spark):
+    """Without a checkpoint dir the pin must be an EAGER localCheckpoint:
+    lineage truncated (plan scans an ExistingRDD, not the original
+    range), so block loss fails loudly instead of re-sampling bounds."""
+    df = spark.range(200).select(F.col("id").alias("v"))
+    out = global_row_number(df, [F.col("v")], "rnk")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+
+
 def test_prefix_sum_width_invariant_and_degenerate(spark):
     from kstreams_spark.operators._util import global_prefix_sum
 

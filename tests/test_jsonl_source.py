@@ -126,10 +126,37 @@ def test_writer_append_mode_accumulates(spark, tmp_path):
     }
 
 
-def test_writer_sweeps_orphaned_staged_files(spark, tmp_path):
+def test_writer_sweeps_stale_orphaned_staged_files(spark, tmp_path):
     """A staged file whose commit message never reached the driver (a
-    failed/speculative task attempt) must not accumulate forever: both
-    commit() and abort() sweep unreferenced _staged-* files (ADVICE r7)."""
+    failed/speculative task attempt) must not accumulate forever: the
+    sweep removes this writer's own staging plus any FOREIGN staged file
+    stale past the grace window (ADVICE r7 + r8)."""
+    import glob as _glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    spark.dataSource.register(JsonlDataSource)
+    out = str(tmp_path / "out_jsonl")
+    os.makedirs(out)
+    orphan = os.path.join(out, "_staged-deadbeefdead-feed.jsonl")
+    with open(orphan, "w", encoding="utf-8") as fh:
+        fh.write('{"doc_id": 999}\n')
+    stale = time.time() - 2 * 3600  # older than STALE_GRACE_S
+    os.utime(orphan, (stale, stale))
+
+    spark.range(5).select(F.col("id").alias("doc_id")).write.format(
+        "kstreams_jsonl"
+    ).mode("append").save(out)
+    assert not _glob.glob(f"{out}/_staged-*")
+    assert spark.read.format("kstreams_jsonl").load(out).count() == 5
+
+
+def test_writer_sweep_spares_concurrent_staging(spark, tmp_path):
+    """ADVICE r8: the sweep must NOT delete a concurrent append job's
+    in-flight staged files — a recent foreign `_staged-<other-commit>-*`
+    survives our commit (its own commit publishes it later)."""
     import glob as _glob
     import os
 
@@ -138,12 +165,13 @@ def test_writer_sweeps_orphaned_staged_files(spark, tmp_path):
     spark.dataSource.register(JsonlDataSource)
     out = str(tmp_path / "out_jsonl")
     os.makedirs(out)
-    orphan = os.path.join(out, "_staged-deadbeef.jsonl")
-    with open(orphan, "w", encoding="utf-8") as fh:
-        fh.write('{"doc_id": 999}\n')
+    inflight = os.path.join(out, "_staged-aaaabbbbcccc-0001.jsonl")
+    with open(inflight, "w", encoding="utf-8") as fh:
+        fh.write('{"doc_id": 123}\n')  # fresh mtime = a live writer
 
     spark.range(5).select(F.col("id").alias("doc_id")).write.format(
         "kstreams_jsonl"
     ).mode("append").save(out)
-    assert not _glob.glob(f"{out}/_staged-*")
+    assert _glob.glob(f"{out}/_staged-aaaabbbbcccc-*")  # survived
+    # invisible to readers until its owner publishes it
     assert spark.read.format("kstreams_jsonl").load(out).count() == 5
