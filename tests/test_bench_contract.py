@@ -31,9 +31,27 @@ def test_summary_line_is_bounded_and_parseable():
     assert out["n_queries"] == 500
     assert abs(out["value"] - 500 * 123.456) < 0.01
     assert set(out["probes"]) == set(probes)
+    # no canary query in this synthetic map -> ratio is null, key present
+    assert "canary_ratio" in out and out["canary_ratio"] is None
 
     det = json.loads(detail_line)
     assert det["queries"] == times and det["probes"] == probes
+
+
+def test_canary_ratio_normalizes_machine_state():
+    """VERDICT r8 task 1: the summary carries canary_ratio = (this run's
+    total over the 5 pinned trivial queries) / CANARY_REF_TOTAL_S, so a
+    reader can divide any cross-round delta by the machine-state factor."""
+    times = {c: 1.0 for c in bench.CANARY}
+    times["composite_curation_pipeline"] = 9.0
+    _, summary_line = bench.format_output(times, {}, 0.1)
+    out = json.loads(summary_line)
+    want = round(len(bench.CANARY) * 1.0 / bench.CANARY_REF_TOTAL_S, 3)
+    assert out["canary_ratio"] == want
+
+    # canaries must stay registered headline queries (a renamed canary
+    # silently degrades the ratio to a partial sum)
+    assert set(bench.CANARY) <= set(bench.HEADLINE)
 
 
 def test_headline_names_are_registered():
