@@ -1298,3 +1298,163 @@ def composite_idle_balance_audit(
         .cast("double")
         .alias("idle_balance"),
     )
+
+
+Q17_BRAND = "Brand#12"
+Q17_QTY_FRACTION = 0.2  # Q17's "less than 20% of the part's average"
+
+
+@query(
+    "composite_small_qty_revenue",
+    oracle=f"""
+    SELECT COUNT(*)::BIGINT AS n_small_qty_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = '{Q17_BRAND}'
+      AND l.l_quantity < {Q17_QTY_FRACTION} * (
+        SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*)
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def composite_small_qty_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17 shape — small-quantity-order revenue: lines of one
+    brand's parts whose quantity falls under {Q17_QTY_FRACTION}× that
+    PART's average quantity (the correlated per-group scalar threshold;
+    the fixture has no p_container, so the brand filter alone plays
+    Q17's brand+container role). The naive plan re-scans lineitem per
+    part for the correlated AVG.
+
+    Spark-first rewrite — ONE scan of lineitem total (plan-pinned in
+    tests/test_plans.py): broadcast the brand's partkeys into the scan,
+    then compute the per-part average as a PARTITIONED WINDOW over the
+    surviving rows (for a given partkey the window partition holds all
+    of that part's lines, exactly the correlated subquery's set) — one
+    shuffle on partkey, no self-join, no second scan. THE ORACLE KEEPS
+    THE LITERAL CORRELATED FORM, so the hash match proves the
+    window rewrite (the repo's rewrite-proof pattern). Exactness: the
+    threshold average is DECIMAL-sum→DOUBLE / COUNT (both engines
+    divide the same two numbers; the {Q17_QTY_FRACTION}× multiply is
+    one IEEE op), revenue is DECIMAL-accumulated."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p_sel = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == Q17_BRAND)
+        .select("p_partkey")
+    )
+    brand_lines = li.join(
+        F.broadcast(p_sel), li.l_partkey == F.col("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    small = brand_lines.withColumn("_avg_qty", avg_qty).filter(
+        F.col("l_quantity") < Q17_QTY_FRACTION * F.col("_avg_qty")
+    )
+    return small.agg(
+        F.count(F.lit(1)).cast("long").alias("n_small_qty_lines"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / 7.0
+        ).alias("avg_yearly"),
+    )
+
+
+Q20_PART_PREFIX = "small"
+Q20_NATION_PREFIX = "NATION_1"  # 11 of the 25 fixture nations
+Q20_RECENT_CUTOFF = "2001-01-01"  # the timeline's last year (max ship 2001-11)
+
+
+@query(
+    "composite_excess_supply_suppliers",
+    oracle=f"""
+    WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name LIKE '{Q20_NATION_PREFIX}%'
+      AND s.s_suppkey IN (
+        SELECT sp.l_suppkey FROM supply sp
+        WHERE sp.l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_name LIKE '{Q20_PART_PREFIX}%')
+          AND 2 * (SELECT COALESCE(SUM(CAST(l.l_quantity AS DECIMAL(18,6))),
+                                   CAST(0 AS DECIMAL(18,6)))
+                   FROM lineitem l
+                   WHERE l.l_partkey = sp.l_partkey
+                     AND l.l_suppkey = sp.l_suppkey
+                     AND l.l_shipdate >= TIMESTAMP '{Q20_RECENT_CUTOFF}')
+              > (SELECT SUM(CAST(l.l_quantity AS DECIMAL(18,6)))
+                 FROM lineitem l
+                 WHERE l.l_partkey = sp.l_partkey
+                   AND l.l_suppkey = sp.l_suppkey))
+    """,
+)
+def composite_excess_supply_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 shape — the nested-semi chain over aggregated facts:
+    suppliers (in a nation group) who, for some '{Q20_PART_PREFIX}…'
+    part they supply, shipped MORE THAN HALF their lifetime quantity of
+    that part in the timeline's final year. The fixture has no partsupp
+    table, so the supply relation is the distinct (l_partkey,
+    l_suppkey) pairs and Q20's ps_availqty-vs-half-recent-shipments
+    test becomes recent-vs-half-lifetime on the same pair — identical
+    structure: part-name IN filter → per-(part,supplier) correlated
+    aggregate threshold → supplier semi join → nation filter.
+
+    Spark-first: ONE scan of lineitem total (plan-pinned) — broadcast
+    the part-prefix keys into the scan, ONE groupBy (l_partkey,
+    l_suppkey) computing lifetime and recent DECIMAL quantity sums
+    together (the correlated pair of subqueries collapses into two
+    aggregates of one pass), filter 2·recent > lifetime exactly in
+    DECIMAL, then a left-semi into the nation-filtered suppliers. The
+    oracle keeps the literal nested IN + twice-correlated scalar form
+    — the hash match proves the collapse."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    p_sel = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(Q20_PART_PREFIX))
+        .select("p_partkey")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    pairs = (
+        li.join(F.broadcast(p_sel), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(qty).alias("qty_total"),
+            F.sum(
+                F.when(
+                    F.col("l_shipdate")
+                    >= F.lit(Q20_RECENT_CUTOFF).cast("timestamp"),
+                    qty,
+                ).otherwise(zero)
+            ).alias("qty_recent"),
+        )
+    )
+    excess_supps = (
+        pairs.filter(2 * F.col("qty_recent") > F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    n_sel = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").startswith(Q20_NATION_PREFIX))
+        .select("n_nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n_sel), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return s.join(
+        excess_supps, s.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")

@@ -523,3 +523,29 @@ def test_disjunctive_revenue_pushes_or_constraints_to_both_scans(
     assert "p_brand" in pushed and "p_size" in pushed, pushed
     strategies = join_strategies(df)
     assert strategies == ["BroadcastHashJoin"], strategies
+
+
+def test_q17_shape_single_lineitem_scan(plan_spark, sf_dir):
+    """composite_small_qty_revenue (Q17 shape): the correlated per-part
+    AVG threshold must NOT re-scan lineitem — one lineitem scan feeding
+    a broadcast brand-filter join and a partitioned window; no
+    CartesianProduct, no unpartitioned window over the facts."""
+    df = q("composite_small_qty_revenue", plan_spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q20_shape_single_lineitem_scan(plan_spark, sf_dir):
+    """composite_excess_supply_suppliers (Q20 shape): the twice-
+    correlated per-pair quantity subqueries must collapse into ONE
+    lineitem scan + one (partkey, suppkey) aggregate; part filter is a
+    broadcast join into the scan; the supplier membership test is a
+    semi join."""
+    df = q("composite_excess_supply_suppliers", plan_spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftSemi" in plan or "left_semi" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
