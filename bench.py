@@ -103,6 +103,9 @@ HEADLINE = [
     "composite_feature_snapshot",  # added r8: session features x RFM training table
     "similarity_label_separability",  # added r8: N x L centroid-dot health card
     "composite_rag_context",  # added r8: retrieval -> passage election chain
+    "composite_feature_snapshot_pit",  # added r9: leakage-free as-of training table
+    "composite_small_qty_revenue",  # added r9: Q17 shape, single-scan window rewrite
+    "composite_excess_supply_suppliers",  # added r9: Q20 shape, nested semi collapse
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------

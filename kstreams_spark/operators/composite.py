@@ -1300,6 +1300,128 @@ def composite_idle_balance_audit(
     )
 
 
+def _feature_snapshot_pit_oracle() -> str:
+    """Nested-CTE oracle in the NAIVE form: session features joined to a
+    theta LEFT JOIN on (custkey match AND order strictly before session
+    start), re-aggregated per session — the per-key BETWEEN shape that
+    explodes at scale. The engine's union+LOCF single-shuffle rewrite
+    must hash-match it (the rewrite-proof pattern, as in
+    join_scd2_pointintime)."""
+    from kstreams_spark.registry import ORACLES
+
+    sf = ORACLES["events_session_features"]
+    return f"""
+    WITH sf AS ({sf}),
+    o AS (
+      SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS osec,
+             CAST(o_totalprice AS DECIMAL(18,6)) AS price
+      FROM orders
+    )
+    SELECT sf.user_id, sf.session_no, sf.start_s, sf.dur_s, sf.n_events,
+           sf.n_view, sf.n_click, sf.n_purchase, sf.converted,
+           COALESCE((sf.start_s - MAX(o.osec)) // 86400, 0)::BIGINT
+             AS r_days_pit,
+           COUNT(o.osec)::BIGINT AS f_orders_pit,
+           COALESCE(CAST(round(SUM(o.price) * 100) AS BIGINT), 0)
+             AS m_cents_pit,
+           CASE WHEN COUNT(o.osec) > 0 THEN 1 ELSE 0 END::BIGINT
+             AS has_order_history
+    FROM sf LEFT JOIN o
+      ON o.o_custkey = sf.user_id AND o.osec < sf.start_s
+    GROUP BY sf.user_id, sf.session_no, sf.start_s, sf.dur_s, sf.n_events,
+             sf.n_view, sf.n_click, sf.n_purchase, sf.converted
+    """
+
+
+@query("composite_feature_snapshot_pit", oracle=_feature_snapshot_pit_oracle())
+def composite_feature_snapshot_pit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DEPLOY-GRADE training table — composite_feature_snapshot's
+    own docstring prescribes this swap: the commercial profile is
+    computed PER EVENT TIME, from orders STRICTLY BEFORE each session's
+    start (r_days_pit = days since the last prior order at session
+    start; f_orders_pit / m_cents_pit = prior order count / exact
+    cents), so no feature can derive from anything the model would not
+    have seen at inference time. Raw R/F/M values, not corpus quartile
+    scores: point-in-time quartiles would rank each session against the
+    FULL snapshot population — itself a subtle leak — and a trainer
+    normalizes features anyway.
+
+    Spark-first (the join_scd2_pointintime union+LOCF idiom, pointed at
+    running aggregates): orders and session rows UNION into one
+    per-user timeline, ONE shuffle+sort on (user, sec, kind, id), and
+    running SUM/COUNT/LAST(ignorenulls) carry the prior-order profile
+    onto every session row. Session rows sort BEFORE same-second orders
+    (kind 0 < 1), which IS the strict `<` cut — tie semantics pinned by
+    tests/test_feature_pit.py's planted same-second order. The oracle
+    keeps the naive theta-join + re-aggregate form. Cost = sort of
+    |sessions|+|orders| per user key; the naive form's per-key range
+    join explodes at 100 TB."""
+    from kstreams_spark.registry import QUERIES
+
+    feat_cols = [
+        "session_no",
+        "start_s",
+        "dur_s",
+        "n_events",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        "converted",
+    ]
+    sf = QUERIES["events_session_features"](spark, sf_dir)
+    s_rows = sf.select(
+        F.col("user_id").alias("k"),
+        F.col("start_s").alias("sec"),
+        F.lit(0).alias("kind"),
+        F.col("session_no").alias("ord"),
+        F.lit(None).cast("long").alias("osec"),
+        F.lit(None).cast("decimal(18,6)").alias("price"),
+        *feat_cols,
+    )
+    o_rows = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.unix_timestamp("o_orderdate").alias("sec"),
+        F.lit(1).alias("kind"),
+        F.col("o_orderkey").alias("ord"),
+        F.unix_timestamp("o_orderdate").alias("osec"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("price"),
+        *[F.lit(None).cast("long").alias(c) for c in feat_cols],
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("sec", "kind", "ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    timeline = s_rows.unionByName(o_rows).select(
+        "k",
+        "kind",
+        "sec",
+        *feat_cols,
+        F.last("osec", ignorenulls=True).over(w).alias("last_osec"),
+        F.count("osec").over(w).alias("f_prior"),
+        F.sum("price").over(w).alias("m_prior"),
+    )
+    out = timeline.filter(F.col("kind") == 0)
+    return out.select(
+        F.col("k").alias("user_id"),
+        *feat_cols,
+        F.coalesce(
+            F.expr("(sec - last_osec) DIV 86400"), F.lit(0)
+        )
+        .cast("long")
+        .alias("r_days_pit"),
+        F.col("f_prior").cast("long").alias("f_orders_pit"),
+        F.coalesce(
+            F.round(F.col("m_prior") * 100).cast("long"), F.lit(0)
+        ).alias("m_cents_pit"),
+        F.when(F.col("f_prior") > 0, 1).otherwise(0).cast("long").alias(
+            "has_order_history"
+        ),
+    )
+
+
 Q17_BRAND = "Brand#12"
 Q17_QTY_FRACTION = 0.2  # Q17's "less than 20% of the part's average"
 
