@@ -23,8 +23,10 @@ budget.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as FWindow
 from pyspark.sql import functions as F
 
 from kstreams_spark.operators.similarity import (
@@ -463,20 +465,36 @@ def tok_bucket_py(tok: str) -> int:
     return (hexd.index(h[0]) * 16 + hexd.index(h[1])) % POSTINGS_BUCKETS
 
 
-def write_postings_index(docs: DataFrame, path: str) -> None:
-    """Persist (tok, doc_id, tf) partitioned by the letter-prefixed
-    token bucket (the 'b'-prefix rule: bare digits would be
-    type-inferred as ints on read), plus a 1-row `_meta` sidecar with
-    the corpus doc count that drives the idf constant."""
+def _postings_rows(docs: DataFrame, epoch: int) -> DataFrame:
+    """(tok, doc_id, tf, epoch, part) posting rows for one corpus slice."""
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    postings = tf.withColumn(
-        "part", F.concat(F.lit("p"), _tok_bucket(F.col("tok")))
+    return tf.select(
+        "tok",
+        "doc_id",
+        "tf",
+        F.lit(epoch).cast("long").alias("epoch"),
+        F.concat(F.lit("p"), _tok_bucket(F.col("tok"))).alias("part"),
     )
-    postings.write.mode("overwrite").partitionBy("part").parquet(path)
-    docs.agg(F.count(F.lit(1)).alias("n_docs")).write.mode(
+
+
+def write_postings_index(docs: DataFrame, path: str) -> None:
+    """Persist (tok, doc_id, tf, epoch=0) partitioned by the
+    letter-prefixed token bucket (the 'b'-prefix rule: bare digits would
+    be type-inferred as ints on read), plus two sidecars: a 1-row
+    `<path>_meta` with the live doc count that drives the idf constant,
+    and the `<path>_docs` manifest (doc_id, epoch) that incremental
+    maintenance (upsert_postings_delta / compact_postings_index)
+    resolves against."""
+    _postings_rows(docs, epoch=0).write.mode("overwrite").partitionBy(
+        "part"
+    ).parquet(path)
+    docs.select(
+        "doc_id", F.lit(0).cast("long").alias("epoch")
+    ).write.mode("overwrite").parquet(path + "_docs")
+    docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).write.mode(
         "overwrite"
     ).parquet(path + "_meta")
 
@@ -496,10 +514,26 @@ def probe_postings_index(
     contract as the batch `search_topk_keywords`, equality pinned."""
     n_docs = spark.read.parquet(path + "_meta").first().n_docs
     parts = sorted({f"p{tok_bucket_py(t)}" for t in terms})
-    postings = (
+    # Pull the terms' rows PLUS tombstones (null-tok rows an upsert fans
+    # into every bucket at a doc's re-ingest epoch): within the pruned
+    # buckets, a doc's live epoch is its max epoch, and only rows at that
+    # epoch score — stale postings of a replaced doc (including tokens
+    # its new text no longer contains) resolve away LOCALLY, without any
+    # manifest lookup on the query path. dropDuplicates on the full key
+    # makes a replayed (crash-rerun) delta append invisible. A fresh or
+    # freshly-compacted index has one epoch per doc and no tombstones, so
+    # both steps are no-op passes over the pruned rows.
+    raw = (
         spark.read.parquet(path)
         .filter(F.col("part").isin(parts))
-        .filter(F.col("tok").isin(*terms))
+        .filter(F.col("tok").isin(*terms) | F.col("tok").isNull())
+        .dropDuplicates(["tok", "doc_id", "epoch"])
+    )
+    live_w = FWindow.partitionBy("doc_id")
+    postings = (
+        raw.withColumn("_live_e", F.max("epoch").over(live_w))
+        .filter((F.col("epoch") == F.col("_live_e")) & F.col("tok").isNotNull())
+        .drop("_live_e")
     )
     idf = postings.groupBy("tok").agg(
         F.expr(
@@ -515,3 +549,153 @@ def probe_postings_index(
         )
     )
     return scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
+
+
+# --- incremental postings maintenance (VERDICT r8 task 3) -------------------
+# At 100 TB the index is MAINTAINED, not rebuilt: a day's corpus delta
+# appends epoch-keyed postings into the same bucket layout, probes stay
+# correct at every point (the resolution pass above), and compaction
+# periodically rewrites each bucket back to the fresh-build physical form
+# with the lake layer's displace-swap crash contract.
+
+
+def upsert_postings_delta(docs: DataFrame, path: str, epoch: int) -> None:
+    """Apply one corpus delta (new docs AND re-ingested revisions of
+    existing docs) to a live postings index, without touching the base
+    files:
+
+    1. append the delta's posting rows at `epoch` into the bucket
+       partitions (same layout — probes prune identically);
+    2. append one TOMBSTONE row (tok=NULL, tf=0) per delta doc into
+       EVERY bucket: a replaced doc's stale rows live in the buckets of
+       its OLD tokens, which are unknown without reading the base, so
+       the marker that bumps the doc's per-bucket max epoch goes to all
+       POSTINGS_BUCKETS buckets — O(buckets) rows per doc, vs O(index)
+       to look the old tokens up;
+    3. append (doc_id, epoch) to the `_docs` manifest;
+    4. recompute the live doc count from the manifest (idempotent under
+       re-runs — never incremental arithmetic on the old value) and
+       displace-swap `_meta`.
+
+    Crash contract (single maintainer, the JSONL-writer assumption):
+    re-run the SAME (delta, epoch) to completion — every step is
+    append-or-swap and duplicates are invisible (probe dropDuplicates;
+    compaction dedups; the doc count is a DISTINCT). `epoch` must be
+    strictly greater than any previously applied epoch."""
+    import shutil
+
+    spark = docs.sparkSession
+    _postings_recover(path)
+    rows = _postings_rows(docs, epoch=epoch)
+    tombstones = docs.select("doc_id").crossJoin(
+        F.broadcast(
+            spark.range(POSTINGS_BUCKETS).select(
+                F.concat(F.lit("p"), F.col("id")).alias("part")
+            )
+        )
+    ).select(
+        F.lit(None).cast("string").alias("tok"),
+        "doc_id",
+        F.lit(0).cast("long").alias("tf"),
+        F.lit(epoch).cast("long").alias("epoch"),
+        "part",
+    )
+    rows.unionByName(tombstones).write.mode("append").partitionBy(
+        "part"
+    ).parquet(path)
+    docs.select(
+        "doc_id", F.lit(epoch).cast("long").alias("epoch")
+    ).write.mode("append").parquet(path + "_docs")
+    n_live = (
+        spark.read.parquet(path + "_docs").select("doc_id").distinct().count()
+    )
+    staged = path + "_meta.new-del"
+    spark.createDataFrame([(n_live,)], "n_docs long").write.mode(
+        "overwrite"
+    ).parquet(staged)
+    old = path + "_meta.old-del"
+    os.rename(path + "_meta", old)
+    os.rename(staged, path + "_meta")
+    shutil.rmtree(old)
+
+
+def compact_postings_index(spark: SparkSession, path: str) -> int:
+    """Fold applied deltas back into the fresh-build physical form:
+    drop superseded rows (epoch < the doc's manifest max), tombstones,
+    and replay duplicates, rewrite each bucket to one file, and resolve
+    the `_docs` manifest to one row per live doc. Probe results are
+    IDENTICAL before, during, and after (the bit-twin contract — pinned
+    in tests/test_postings_upsert.py, including mid-swap windows): the
+    probe's resolution pass is a no-op on compacted buckets, so
+    compaction buys back the probe-side resolution work and the
+    tombstone/stale IO, it never changes answers.
+
+    Crash contract = io.compact_lake's: one displace-swap per bucket
+    dir, `_postings_recover` heals any interruption to all-old or
+    all-new per dir; every intermediate mix still probes correctly
+    because uncompacted dirs carry their tombstones. Returns the number
+    of bucket directories rewritten."""
+    import glob as _glob
+    import shutil
+
+    _postings_recover(path)
+    live = (
+        spark.read.parquet(path + "_docs")
+        .groupBy("doc_id")
+        .agg(F.max("epoch").alias("_live_e"))
+    )
+    rewritten = 0
+    for subdir in sorted(_glob.glob(os.path.join(path, "part=*"))):
+        if not os.path.isdir(subdir):
+            continue
+        sub = spark.read.parquet(subdir)
+        resolved = (
+            sub.dropDuplicates(["tok", "doc_id", "epoch"])
+            .join(live, "doc_id")
+            .filter((F.col("epoch") == F.col("_live_e")) & F.col("tok").isNotNull())
+            .select("tok", "doc_id", "tf", "epoch")
+        )
+        n_files = len(_glob.glob(os.path.join(subdir, "*.parquet")))
+        if n_files <= 1 and resolved.count() == sub.count():
+            continue
+        staged = subdir + ".new-del"
+        resolved.coalesce(1).write.mode("overwrite").parquet(staged)
+        old = subdir + ".old-del"
+        os.rename(subdir, old)
+        os.rename(staged, subdir)
+        shutil.rmtree(old)
+        rewritten += 1
+    staged = path + "_docs.new-del"
+    live.select("doc_id", F.col("_live_e").alias("epoch")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(staged)
+    old = path + "_docs.old-del"
+    os.rename(path + "_docs", old)
+    os.rename(staged, path + "_docs")
+    shutil.rmtree(old)
+    return rewritten
+
+
+def _postings_recover(path: str) -> None:
+    """Heal an interrupted compact/upsert swap: same rename contract as
+    io._lake_recover, over the bucket dirs AND the `_meta`/`_docs`
+    sidecars (which live as path-suffixed siblings)."""
+    import glob as _glob
+    import shutil
+
+    for old in (
+        _glob.glob(os.path.join(path, "*.old-del"))
+        + _glob.glob(path + "_meta.old-del")
+        + _glob.glob(path + "_docs.old-del")
+    ):
+        live = old[: -len(".old-del")]
+        if os.path.isdir(live):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, live)
+    for tmp in (
+        _glob.glob(os.path.join(path, "*.new-del"))
+        + _glob.glob(path + "_meta.new-del")
+        + _glob.glob(path + "_docs.new-del")
+    ):
+        shutil.rmtree(tmp)
