@@ -101,11 +101,14 @@ DECODED_SCHEMA = T.StructType(
 # names the exact artifacts so a deployment knows what to install, and
 # tests/test_env_probes.py pins the wording against drift.
 COMPRESSED_DECODE_GUIDANCE = (
-    "Compressed-media decode (JPEG/MP3/H.264) needs codec libraries not "
-    "present in this environment: install 'Pillow' (import PIL) for "
-    "images, 'soundfile' for audio, and the 'ffmpeg' CLI for video, then "
-    "swap decode_stub for the real decoder — the mapInPandas plumbing "
-    "(schema, Arrow batching, partitioning) is identical either way."
+    "Compressed-media decode (MP3/H.264) needs codec libraries not "
+    "present in this environment: install 'soundfile' for audio and the "
+    "'ffmpeg' CLI for video, then swap decode_stub for the real decoder "
+    "— the mapInPandas plumbing (schema, Arrow batching, partitioning) "
+    "is identical either way. JPEG no longer needs this gate: baseline "
+    "decode is real and pure-stdlib (operators/jpeg_codec.py, r9); "
+    "install 'Pillow' (import PIL) only to trade it for a native-speed "
+    "codec behind the same (bytes -> grid) seam."
 )
 
 
@@ -789,6 +792,66 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_stage(parse_bmp, IMAGE_SCHEMA), IMAGE_SCHEMA
     )
 
+
+
+def _jpeg_payloads(d):
+    """documents → (doc_id, payload binary) of complete baseline JPEGs
+    (real entropy-coded bitstreams, operators/jpeg_codec.py)."""
+    from kstreams_spark.operators.jpeg_codec import synth_jpeg
+
+    return d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_jpeg(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+
+
+@query(
+    "multimodal_image_decode_jpeg",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w, h, x, y,
+             (doc_id * 37 + (x // 8) * 101 + (y // 8) * 53) % 256 AS v
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS INTEGER) AS n_pixels,
+           SUM(v)::BIGINT AS sum_r, SUM(v)::BIGINT AS sum_g,
+           SUM(v)::BIGINT AS sum_b,
+           SUM((y * w + x) * 3 * v)::BIGINT AS px_checksum
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-image decode that is NOT a stub (r9 — retires the
+    JPEG leg of the env-gated guidance): a complete baseline JPEG is
+    synthesized per doc (real Huffman entropy coding, DC differentials,
+    byte stuffing — operators/jpeg_codec.encode_jpeg) and
+    feature-extracted by REALLY decoding it: marker/DQT/DHT/SOF0/SOS
+    parse, canonical Huffman decode with 0xFF00 unstuffing, dequant,
+    2-D IDCT, JFIF YCbCr→RGB. The fixtures are tile-constant grayscale
+    on the 8×8 grid, which makes the lossy pipeline exactly lossless
+    (DC-only blocks, unit quantization, Cb=Cr=128 — jpeg_codec module
+    docstring carries the proof), so the DuckDB oracle replays the tile
+    synthesis per pixel and the hash certifies the full
+    encode→bitstream→decode chain. The general lossy path (AC
+    coefficients, standard Annex-K tables, restarts, 4:2:0 upsampling)
+    is pinned with bounded-error tests in tests/test_jpeg_codec.py.
+    mapInPandas staged like every multimodal op; at 100 TB the decode
+    fn swaps for libjpeg-turbo behind the same (bytes → grid) seam."""
+    from kstreams_spark.operators.jpeg_codec import parse_jpeg_features
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return _jpeg_payloads(d).mapInPandas(
+        _decode_stage(parse_jpeg_features, IMAGE_SCHEMA), IMAGE_SCHEMA
+    )
 
 
 @query(

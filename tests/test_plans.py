@@ -479,12 +479,14 @@ def test_triangle_walk_is_hash_joins(plan_spark, sf_dir):
 def test_rarity_rank_has_no_single_partition_window(plan_spark, sf_dir):
     """text_rarity_score: the global vocabulary rank must be the
     two-phase range-partitioned form (VERDICT r7 task 3) — a full-vocab
-    row_number through ONE task is a straggler at web-scale vocab. The
-    plan must show the range exchange + a pid-partitioned Window and no
+    row_number through ONE task is a straggler at web-scale vocab. Since
+    the r9 pin hardening (ADVICE r8) the range exchange runs inside the
+    checkpoint's own job, so the final plan shows the PINNED partitioning
+    (Scan ExistingRDD) feeding a pid-partitioned Window — and still no
     Exchange SinglePartition anywhere."""
     plan = physical_plan(q("text_rarity_score", plan_spark, sf_dir))
     assert "SinglePartition" not in plan, plan
-    assert "rangepartitioning" in plan, plan
+    assert "ExistingRDD" in plan, plan
     assert "_gr_pid" in plan, plan
 
 
@@ -503,11 +505,13 @@ def test_fanout_profile_is_count_tables_plus_take_ordered(plan_spark, sf_dir):
 
 def test_token_budget_has_no_single_partition_window(plan_spark, sf_dir):
     """sample_token_budget: the global running sum must be the
-    two-phase global_prefix_sum form (r8) — range exchange + pid
-    windows, no Exchange SinglePartition."""
+    two-phase global_prefix_sum form (r8) — pinned range partitioning
+    (Scan ExistingRDD since the r9 checkpoint hardening) + pid windows,
+    no Exchange SinglePartition."""
     plan = physical_plan(q("sample_token_budget", plan_spark, sf_dir))
     assert "SinglePartition" not in plan, plan
-    assert "rangepartitioning" in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "_gp_pid" in plan, plan
 
 
 def test_disjunctive_revenue_pushes_or_constraints_to_both_scans(
