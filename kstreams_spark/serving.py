@@ -226,24 +226,43 @@ def probe_ivf_index(
 
 
 def write_ivf_sq8_index(
-    emb: DataFrame, path: str, centroids: list[list[float]]
+    emb: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    params: DataFrame | None = None,
 ) -> None:
-    """Persist the CODES-ONLY quantized index: (vec_id, q) partitioned by
-    IVF cell, plus the fitted quantizer params as a one-row sidecar at
-    `<path>/_params`. A probe reads n_probe cells of 1-byte-scale codes —
-    the 4× IO cut of operators/quantize.py made physical; the float
-    re-ranker (when wanted) fetches survivors by id from the base table,
-    never from this index."""
+    """Persist the CODES-ONLY quantized index: (vec_id, q, epoch=0)
+    partitioned by IVF cell, plus three sidecars: the fitted quantizer
+    params (one row, `<path>/_params`), the coarse centroids
+    (`<path>/_centroids` — incremental maintenance re-reads them so a
+    delta assigns into the SAME cells), and the `<path>/_vecs` manifest
+    (vec_id, cen_id, epoch) maintenance resolves against. A probe reads
+    n_probe cells of 1-byte-scale codes — the 4× IO cut of
+    operators/quantize.py made physical; the float re-ranker (when
+    wanted) fetches survivors by id from the base table, never from
+    this index.
+
+    `params`: pass an already-fitted quantizer to freeze it (the
+    train-once contract incremental maintenance relies on — refitting
+    the quantizer IS a rebuild, by definition); default fits on `emb`."""
     from kstreams_spark.operators.kmeans import kmeans_assign
     from kstreams_spark.operators.quantize import sq8_params, sq8_quantize
 
-    params = sq8_params(emb)
-    params.write.mode("overwrite").parquet(path + "/_params")
-    codes = sq8_quantize(emb, params)
+    spark = emb.sparkSession
+    p = params if params is not None else sq8_params(emb)
+    p.write.mode("overwrite").parquet(path + "/_params")
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cen_id long, cvec array<double>",
+    ).write.mode("overwrite").parquet(path + "/_centroids")
+    codes = sq8_quantize(emb, p)
     assigned = kmeans_assign(emb, centroids).select("vec_id", "cen_id")
-    codes.join(assigned, "vec_id").write.mode("overwrite").partitionBy(
-        "cen_id"
-    ).parquet(path + "/cells")
+    codes.join(assigned, "vec_id").withColumn(
+        "epoch", F.lit(0).cast("long")
+    ).write.mode("overwrite").partitionBy("cen_id").parquet(path + "/cells")
+    assigned.withColumn("epoch", F.lit(0).cast("long")).write.mode(
+        "overwrite"
+    ).parquet(path + "/_vecs")
 
 
 def load_sq8_params(spark: SparkSession, path: str) -> list[dict]:
@@ -306,8 +325,8 @@ def probe_ivf_sq8_index(
             for q, p in zip(qq, params)
         ]
     )
-    postings = spark.read.parquet(path + "/cells").filter(
-        F.col("cen_id").isin(cells)
+    postings = _resolve_live_codes(
+        spark.read.parquet(path + "/cells").filter(F.col("cen_id").isin(cells))
     )
     scored = postings.select(
         "vec_id",
@@ -322,6 +341,156 @@ def probe_ivf_sq8_index(
         ).alias("score_q"),
     )
     return scored.orderBy(F.col("score_q").desc(), "vec_id").limit(k)
+
+
+def _resolve_live_codes(raw: DataFrame) -> DataFrame:
+    """Probe-local live-row resolution for the quantized-cell indexes
+    (the postings resolution, on vectors): within the probed cells a
+    vector's live epoch is its max epoch — a re-ingested vector's
+    tombstone (q=NULL) sits in its OLD cell, so stale codes resolve away
+    with no manifest on the query path; dedupe on the full row makes a
+    crash-rerun delta invisible. A fresh or freshly-compacted index has
+    one epoch per vector and no tombstones: both steps are no-ops."""
+    w = FWindow.partitionBy("vec_id")
+    return (
+        raw.dropDuplicates(["vec_id", "epoch", "q"])
+        .withColumn("_live_e", F.max("epoch").over(w))
+        .filter((F.col("epoch") == F.col("_live_e")) & F.col("q").isNotNull())
+        .drop("_live_e")
+    )
+
+
+def upsert_ivf_sq8_delta(emb: DataFrame, path: str, epoch: int) -> None:
+    """Apply one corpus delta (new vectors AND re-embedded revisions) to
+    a live IVF-SQ8 index without touching the base files or refitting
+    anything: quantize with the FROZEN `_params`, assign into the FROZEN
+    `_centroids` cells, append (vec_id, q, epoch) code rows, drop ONE
+    tombstone (q=NULL) into each replaced vector's PREVIOUS cell (looked
+    up in the `_vecs` manifest — maintenance-time work; a revision may
+    move cells, and the old cell is where the stale code hides from a
+    probe that never reads the new cell), and append the manifest rows.
+
+    Crash contract (single maintainer): re-run the SAME (delta, epoch)
+    to completion — appends dedupe at probe/compaction, the tombstone a
+    re-run aims at the already-updated manifest cell is harmless (a
+    same-cell tombstone loses to the real row at the same epoch), and
+    `epoch` must exceed every previously applied one."""
+    spark = emb.sparkSession
+    _ivf_recover(path)
+    from kstreams_spark.operators.kmeans import kmeans_assign
+    from kstreams_spark.operators.quantize import sq8_quantize
+
+    params = spark.read.parquet(path + "/_params")
+    centroids = [
+        [float(x) for x in r.cvec]
+        for r in spark.read.parquet(path + "/_centroids")
+        .orderBy("cen_id")
+        .collect()
+    ]
+    codes = sq8_quantize(emb, params)
+    assigned = kmeans_assign(emb, centroids).select("vec_id", "cen_id")
+    rows = codes.join(assigned, "vec_id").withColumn(
+        "epoch", F.lit(epoch).cast("long")
+    )
+    prev_cell = (
+        spark.read.parquet(path + "/_vecs")
+        .groupBy("vec_id")
+        .agg(F.max_by("cen_id", "epoch").alias("cen_id"))
+        .join(emb.select("vec_id"), "vec_id", "left_semi")
+    )
+    tombstones = prev_cell.select(
+        "vec_id",
+        F.lit(None).cast("array<bigint>").alias("q"),
+        F.lit(epoch).cast("long").alias("epoch"),
+        "cen_id",
+    )
+    rows.select("vec_id", "q", "epoch", "cen_id").unionByName(
+        tombstones
+    ).write.mode("append").partitionBy("cen_id").parquet(path + "/cells")
+    assigned.withColumn("epoch", F.lit(epoch).cast("long")).write.mode(
+        "append"
+    ).parquet(path + "/_vecs")
+
+
+def compact_ivf_sq8_index(spark: SparkSession, path: str) -> int:
+    """Fold applied deltas back to the fresh-build physical form: per
+    cell, keep only each vector's manifest-latest row, drop tombstones
+    and replay duplicates, coalesce to one file, displace-swap
+    (io.compact_lake's crash contract via `_ivf_recover`); then resolve
+    the `_vecs` manifest to one row per live vector. Probe answers are
+    identical before, during, and after. Returns cells rewritten."""
+    import glob as _glob
+    import shutil
+
+    _ivf_recover(path)
+    live = (
+        spark.read.parquet(path + "/_vecs")
+        .groupBy("vec_id")
+        .agg(
+            F.max("epoch").alias("_live_e"),
+            F.max_by("cen_id", "epoch").alias("_live_cell"),
+        )
+    )
+    rewritten = 0
+    for subdir in sorted(_glob.glob(os.path.join(path, "cells", "cen_id=*"))):
+        if not os.path.isdir(subdir):
+            continue
+        cell = int(subdir.rsplit("=", 1)[1])
+        sub = spark.read.parquet(subdir)
+        resolved = (
+            sub.dropDuplicates(["vec_id", "epoch", "q"])
+            .join(live, "vec_id")
+            .filter(
+                (F.col("epoch") == F.col("_live_e"))
+                & (F.col("_live_cell") == cell)
+                & F.col("q").isNotNull()
+            )
+            .select("vec_id", "q", "epoch")
+        )
+        n_files = len(_glob.glob(os.path.join(subdir, "*.parquet")))
+        if n_files <= 1 and resolved.count() == sub.count():
+            continue
+        staged = subdir + ".new-del"
+        resolved.coalesce(1).write.mode("overwrite").parquet(staged)
+        old = subdir + ".old-del"
+        os.rename(subdir, old)
+        os.rename(staged, subdir)
+        shutil.rmtree(old)
+        rewritten += 1
+    staged = path + "/_vecs.new-del"
+    live.select(
+        "vec_id",
+        F.col("_live_cell").alias("cen_id"),
+        F.col("_live_e").alias("epoch"),
+    ).coalesce(1).write.mode("overwrite").parquet(staged)
+    old = path + "/_vecs.old-del"
+    os.rename(path + "/_vecs", old)
+    os.rename(staged, path + "/_vecs")
+    shutil.rmtree(old)
+    return rewritten
+
+
+def _ivf_recover(path: str) -> None:
+    """Heal an interrupted IVF compact/upsert swap — the
+    `_postings_recover` rename contract over the cell dirs and the
+    `_vecs` manifest."""
+    import glob as _glob
+    import shutil
+
+    for old in (
+        _glob.glob(os.path.join(path, "cells", "*.old-del"))
+        + _glob.glob(path + "/_vecs.old-del")
+    ):
+        live = old[: -len(".old-del")]
+        if os.path.isdir(live):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, live)
+    for tmp in (
+        _glob.glob(os.path.join(path, "cells", "*.new-del"))
+        + _glob.glob(path + "/_vecs.new-del")
+    ):
+        shutil.rmtree(tmp)
 
 
 # --- PQ serving (IVF + PQ, operators/quantize.py's 16-bit codes physical)

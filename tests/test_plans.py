@@ -553,3 +553,16 @@ def test_q20_shape_single_lineitem_scan(plan_spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "LeftSemi" in plan or "left_semi" in plan.lower(), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_feature_snapshot_pit_is_one_timeline_sort(plan_spark, sf_dir):
+    """composite_feature_snapshot_pit: the as-of profile must be the
+    union+LOCF running-window form — a single user-partitioned Window
+    over the unioned timeline, never a per-key range join (no
+    BroadcastNestedLoopJoin / CartesianProduct), and no unpartitioned
+    window."""
+    plan = physical_plan(q("composite_feature_snapshot_pit", plan_spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "Union" in plan, plan
