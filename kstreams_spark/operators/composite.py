@@ -1300,6 +1300,134 @@ def composite_idle_balance_audit(
     )
 
 
+Q18_QTY_THRESHOLD = 250  # ~top 1.5% of per-order quantity sums
+Q18_TOP_K = 100
+
+
+@query(
+    "composite_large_volume_orders",
+    oracle=f"""
+    SELECT custkey, orderkey, totalprice, total_qty, rk FROM (
+      SELECT o.o_custkey AS custkey, o.o_orderkey AS orderkey,
+             o.o_totalprice AS totalprice,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_qty,
+             ROW_NUMBER() OVER (ORDER BY o.o_totalprice DESC, o.o_orderkey)
+               AS rk
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > {Q18_QTY_THRESHOLD}
+      )
+      GROUP BY o.o_custkey, o.o_orderkey, o.o_totalprice
+    ) WHERE rk <= {Q18_TOP_K}
+    """,
+)
+def composite_large_volume_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q18 shape — large-volume orders: the top-{Q18_TOP_K} orders
+    (by price, orderkey tie-break) whose total line quantity exceeds
+    {Q18_QTY_THRESHOLD}, with that total in the output. The classic
+    IN-over-grouped-HAVING whose naive form aggregates lineitem TWICE
+    (once inside the membership subquery, again for the output SUM).
+
+    Spark-first: ONE lineitem scan, ONE (orderkey) aggregate — the
+    HAVING aggregate IS the output value, so the membership test
+    becomes a filter on the agg and the re-join/re-group disappears;
+    orders attaches custkey/price by a keyed join against the
+    ≤filtered-orders aggregate. THE ORACLE KEEPS THE LITERAL
+    IN + re-join + re-group FORM (rewrite-proof). Quantity compare and
+    sum are DECIMAL-exact; the top-k is the row_number-rank≤K class
+    (WindowGroupLimit pushes the limit below the sort)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_qty")
+        )
+        .filter(F.col("_qty") > Q18_QTY_THRESHOLD)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), "o_custkey", "o_totalprice"
+    )
+    j = o.join(big, o.o_orderkey == big.l_orderkey)
+    w = Window.orderBy(F.col("totalprice").desc(), F.col("orderkey"))
+    return (
+        j.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("_qty").cast("double").alias("total_qty"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= Q18_TOP_K)
+    )
+
+
+Q15_QUARTER = ("1999-01-01", "1999-04-01")
+
+
+@query(
+    "composite_top_revenue_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{Q15_QUARTER[0]}'
+        AND l_shipdate < TIMESTAMP '{Q15_QUARTER[1]}'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN rev ON rev.suppkey = s.s_suppkey
+    WHERE rev.r = (SELECT MAX(r) FROM rev)
+    """,
+)
+def composite_top_revenue_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q15 shape — the quarter's top supplier(s): the revenue
+    view joined against its own scalar MAX (ties all returned, Q15's
+    contract). The naive form evaluates the view twice — once for the
+    scalar, once for the equality — i.e. scans lineitem twice.
+
+    Spark-first: ONE lineitem scan (plan-pinned) — the quarter filter
+    pushes to the scan, ONE (suppkey) DECIMAL aggregate, and the scalar
+    MAX rides an unpartitioned window OVER THE AGGREGATE, whose input
+    is supplier-grain (≤|suppliers| rows — a dim-bounded
+    single-partition pass, the documented exception class; the fact
+    table never goes near it). Revenue equality compares in DECIMAL
+    (exact in both engines); the output casts to DOUBLE once."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_QUARTER[0]).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_QUARTER[1]).cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("r")
+    )
+    w = Window.partitionBy()  # supplier-grain input: dim-bounded
+    top = rev.withColumn("_mx", F.max("r").over(w)).filter(
+        F.col("r") == F.col("_mx")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(F.broadcast(top), s.s_suppkey == top.suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("r").cast("double").alias("total_revenue"),
+        )
+    )
+
+
 def _feature_snapshot_pit_oracle() -> str:
     """Nested-CTE oracle in the NAIVE form: session features joined to a
     theta LEFT JOIN on (custkey match AND order strictly before session

@@ -566,3 +566,27 @@ def test_feature_snapshot_pit_is_one_timeline_sort(plan_spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "Union" in plan, plan
+
+
+def test_q18_shape_single_lineitem_scan(plan_spark, sf_dir):
+    """composite_large_volume_orders (Q18 shape): the HAVING aggregate
+    doubles as the output SUM, so lineitem is scanned and aggregated
+    exactly ONCE; the top-k limit is pushed below the rank window
+    (TakeOrderedAndProject feeds the row_number), never a global
+    materialized sort."""
+    plan = physical_plan(q("composite_large_volume_orders", plan_spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q15_shape_single_lineitem_scan_pushed_quarter(plan_spark, sf_dir):
+    """composite_top_revenue_supplier (Q15 shape): the revenue view is
+    computed once — ONE lineitem scan with the quarter filter PUSHED to
+    it; the scalar MAX rides a window over the supplier-grain aggregate
+    (dim-bounded, the documented single-partition exception class)."""
+    df = q("composite_top_revenue_supplier", plan_spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, pushed
