@@ -95,6 +95,76 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGE_TOP_K = 30
+
+
+@query(
+    "text_bpe_merge_pairs",
+    oracle=f"""
+    WITH w AS (
+      SELECT tok, COUNT(*)::BIGINT AS cnt FROM (
+        SELECT unnest(str_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> '' GROUP BY tok
+    ),
+    p AS (
+      SELECT substr(w.tok, g.i, 2) AS pair, w.cnt
+      FROM w, LATERAL (SELECT unnest(generate_series(1, length(w.tok) - 1))
+                       AS i) g
+      WHERE length(w.tok) >= 2
+    ),
+    agg AS (SELECT pair, SUM(cnt)::BIGINT AS pair_count FROM p GROUP BY pair)
+    SELECT pair, pair_count, rk FROM (
+      SELECT pair, pair_count,
+             ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rk
+      FROM agg
+    ) WHERE rk <= {BPE_MERGE_TOP_K}
+    """,
+)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training iteration, distributed (Sennrich et al. 2016's
+    merge-candidate count — what a tokenizer-training job actually runs
+    over a corpus): the top-{BPE_MERGE_TOP_K} adjacent character pairs
+    by corpus frequency, which ARE the first merge candidates.
+
+    The scalable form is the classic weighting trick: pair enumeration
+    runs over the DISTINCT word vocabulary (≪ corpus tokens — web-scale
+    vocab is ~10⁷ rows against ~10¹² tokens) with each word's pairs
+    weighted by its corpus count, so the expensive explode touches
+    vocab-sized data. Shuffle budget: ONE word-count agg over the token
+    stream (hash-sized rows), ONE pair agg over the vocabulary, then
+    the row_number-rank≤K class (limit pushed below the window).
+    Pair extraction is a sequence/transform/substring expression —
+    codegen, no Python. Guard: Spark's sequence(1, 0) steps BACKWARD
+    (yields [1, 0]), so short words are filtered before the transform
+    rather than relying on an empty sequence."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = (
+        words.filter(F.length("tok") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1), "
+                    "i -> substring(tok, i, 2))"
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+    )
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BPE_MERGE_TOP_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Intra-document repetition metrics (Gopher rules; Rae et al. 2021 §A1.1):
 # repeated-line fraction + repeated-n-gram character fraction, n = 2..4.
