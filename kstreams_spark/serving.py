@@ -343,82 +343,144 @@ def probe_ivf_sq8_index(
     return scored.orderBy(F.col("score_q").desc(), "vec_id").limit(k)
 
 
-def _resolve_live_codes(raw: DataFrame) -> DataFrame:
+def _resolve_live_codes(raw: DataFrame, code_col: str = "q") -> DataFrame:
     """Probe-local live-row resolution for the quantized-cell indexes
     (the postings resolution, on vectors): within the probed cells a
     vector's live epoch is its max epoch — a re-ingested vector's
-    tombstone (q=NULL) sits in its OLD cell, so stale codes resolve away
-    with no manifest on the query path; dedupe on the full row makes a
-    crash-rerun delta invisible. A fresh or freshly-compacted index has
-    one epoch per vector and no tombstones: both steps are no-ops."""
+    tombstone (NULL code) sits in its OLD cell, so stale codes resolve
+    away with no manifest on the query path; dedupe on the full row
+    makes a crash-rerun delta invisible. A fresh or freshly-compacted
+    index has one epoch per vector and no tombstones: both steps are
+    no-ops."""
     w = FWindow.partitionBy("vec_id")
     return (
-        raw.dropDuplicates(["vec_id", "epoch", "q"])
+        raw.dropDuplicates(["vec_id", "epoch", code_col])
         .withColumn("_live_e", F.max("epoch").over(w))
-        .filter((F.col("epoch") == F.col("_live_e")) & F.col("q").isNotNull())
+        .filter(
+            (F.col("epoch") == F.col("_live_e"))
+            & F.col(code_col).isNotNull()
+        )
         .drop("_live_e")
     )
 
 
-def upsert_ivf_sq8_delta(emb: DataFrame, path: str, epoch: int) -> None:
-    """Apply one corpus delta (new vectors AND re-embedded revisions) to
-    a live IVF-SQ8 index without touching the base files or refitting
-    anything: quantize with the FROZEN `_params`, assign into the FROZEN
-    `_centroids` cells, append (vec_id, q, epoch) code rows, drop ONE
-    tombstone (q=NULL) into each replaced vector's PREVIOUS cell (looked
-    up in the `_vecs` manifest — maintenance-time work; a revision may
-    move cells, and the old cell is where the stale code hides from a
-    probe that never reads the new cell), and append the manifest rows.
+def _upsert_quantized_cells(
+    coded: DataFrame, path: str, epoch: int, code_col: str, code_type: str
+) -> None:
+    """Shared delta-apply for the quantized-cell indexes: append the
+    already-coded delta rows (vec_id, <code>, cen_id) at `epoch`, drop
+    ONE tombstone (NULL code) into each replaced vector's PREVIOUS cell
+    (looked up in the `_vecs` manifest — maintenance-time work; a
+    revision may move cells, and the old cell is where the stale code
+    hides from a probe that never reads the new cell), and append the
+    manifest rows.
 
     Crash contract (single maintainer): re-run the SAME (delta, epoch)
     to completion — appends dedupe at probe/compaction, the tombstone a
     re-run aims at the already-updated manifest cell is harmless (a
     same-cell tombstone loses to the real row at the same epoch), and
     `epoch` must exceed every previously applied one."""
+    spark = coded.sparkSession
+    rows = coded.select(
+        "vec_id", code_col, F.lit(epoch).cast("long").alias("epoch"), "cen_id"
+    )
+    prev_cell = (
+        spark.read.parquet(path + "/_vecs")
+        .groupBy("vec_id")
+        .agg(F.max_by("cen_id", "epoch").alias("cen_id"))
+        .join(coded.select("vec_id"), "vec_id", "left_semi")
+    )
+    tombstones = prev_cell.select(
+        "vec_id",
+        F.lit(None).cast(code_type).alias(code_col),
+        F.lit(epoch).cast("long").alias("epoch"),
+        "cen_id",
+    )
+    rows.unionByName(tombstones).write.mode("append").partitionBy(
+        "cen_id"
+    ).parquet(path + "/cells")
+    coded.select("vec_id", "cen_id").withColumn(
+        "epoch", F.lit(epoch).cast("long")
+    ).write.mode("append").parquet(path + "/_vecs")
+
+
+def upsert_ivf_sq8_delta(emb: DataFrame, path: str, epoch: int) -> None:
+    """Apply one corpus delta (new vectors AND re-embedded revisions) to
+    a live IVF-SQ8 index without touching the base files or refitting
+    anything: quantize with the FROZEN `_params`, assign into the FROZEN
+    `_centroids` cells, then the shared `_upsert_quantized_cells`
+    append + targeted-tombstone + manifest protocol (crash contract in
+    its docstring)."""
     spark = emb.sparkSession
     _ivf_recover(path)
     from kstreams_spark.operators.kmeans import kmeans_assign
     from kstreams_spark.operators.quantize import sq8_quantize
 
     params = spark.read.parquet(path + "/_params")
-    centroids = [
+    centroids = _read_centroids(spark, path)
+    codes = sq8_quantize(emb, params)
+    assigned = kmeans_assign(emb, centroids).select("vec_id", "cen_id")
+    _upsert_quantized_cells(
+        codes.join(assigned, "vec_id"), path, epoch, "q", "array<bigint>"
+    )
+
+
+def upsert_ivf_pq_delta(emb: DataFrame, path: str, epoch: int) -> None:
+    """IVF-PQ twin of `upsert_ivf_sq8_delta`: encode the delta with the
+    FROZEN `_codebook` sidecar (per-subspace nearest codeword), assign
+    into the FROZEN `_centroids` cells, then the shared append +
+    targeted-tombstone + manifest protocol."""
+    spark = emb.sparkSession
+    _ivf_recover(path)
+    from kstreams_spark.operators.kmeans import kmeans_assign
+    from kstreams_spark.operators.quantize import pq_encode
+
+    cb_rows = (
+        spark.read.parquet(path + "/_codebook").orderBy("m", "code").collect()
+    )
+    n_m = max(r.m for r in cb_rows) + 1
+    n_k = max(r.code for r in cb_rows) + 1
+    dsub = len(cb_rows[0].cvec)
+    codebooks = [[0.0] * (n_m * dsub) for _ in range(n_k)]
+    for r in cb_rows:
+        codebooks[r.code][r.m * dsub : (r.m + 1) * dsub] = [
+            float(x) for x in r.cvec
+        ]
+    centroids = _read_centroids(spark, path)
+    codes = (
+        pq_encode(emb, codebooks, m=n_m)
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, code))), "
+                "x -> x.code)"
+            ).alias("codes")
+        )
+    )
+    assigned = kmeans_assign(emb, centroids).select("vec_id", "cen_id")
+    _upsert_quantized_cells(
+        codes.join(assigned, "vec_id"), path, epoch, "codes", "array<bigint>"
+    )
+
+
+def _read_centroids(spark: SparkSession, path: str) -> list[list[float]]:
+    return [
         [float(x) for x in r.cvec]
         for r in spark.read.parquet(path + "/_centroids")
         .orderBy("cen_id")
         .collect()
     ]
-    codes = sq8_quantize(emb, params)
-    assigned = kmeans_assign(emb, centroids).select("vec_id", "cen_id")
-    rows = codes.join(assigned, "vec_id").withColumn(
-        "epoch", F.lit(epoch).cast("long")
-    )
-    prev_cell = (
-        spark.read.parquet(path + "/_vecs")
-        .groupBy("vec_id")
-        .agg(F.max_by("cen_id", "epoch").alias("cen_id"))
-        .join(emb.select("vec_id"), "vec_id", "left_semi")
-    )
-    tombstones = prev_cell.select(
-        "vec_id",
-        F.lit(None).cast("array<bigint>").alias("q"),
-        F.lit(epoch).cast("long").alias("epoch"),
-        "cen_id",
-    )
-    rows.select("vec_id", "q", "epoch", "cen_id").unionByName(
-        tombstones
-    ).write.mode("append").partitionBy("cen_id").parquet(path + "/cells")
-    assigned.withColumn("epoch", F.lit(epoch).cast("long")).write.mode(
-        "append"
-    ).parquet(path + "/_vecs")
 
 
-def compact_ivf_sq8_index(spark: SparkSession, path: str) -> int:
-    """Fold applied deltas back to the fresh-build physical form: per
-    cell, keep only each vector's manifest-latest row, drop tombstones
-    and replay duplicates, coalesce to one file, displace-swap
-    (io.compact_lake's crash contract via `_ivf_recover`); then resolve
-    the `_vecs` manifest to one row per live vector. Probe answers are
-    identical before, during, and after. Returns cells rewritten."""
+def _compact_quantized_cells(
+    spark: SparkSession, path: str, code_col: str
+) -> int:
+    """Shared compaction for the quantized-cell indexes: per cell, keep
+    only each vector's manifest-latest row, drop tombstones and replay
+    duplicates, coalesce to one file, displace-swap (io.compact_lake's
+    crash contract via `_ivf_recover`); then resolve the `_vecs`
+    manifest to one row per live vector. Probe answers are identical
+    before, during, and after. Returns cells rewritten."""
     import glob as _glob
     import shutil
 
@@ -438,14 +500,14 @@ def compact_ivf_sq8_index(spark: SparkSession, path: str) -> int:
         cell = int(subdir.rsplit("=", 1)[1])
         sub = spark.read.parquet(subdir)
         resolved = (
-            sub.dropDuplicates(["vec_id", "epoch", "q"])
+            sub.dropDuplicates(["vec_id", "epoch", code_col])
             .join(live, "vec_id")
             .filter(
                 (F.col("epoch") == F.col("_live_e"))
                 & (F.col("_live_cell") == cell)
-                & F.col("q").isNotNull()
+                & F.col(code_col).isNotNull()
             )
-            .select("vec_id", "q", "epoch")
+            .select("vec_id", code_col, "epoch")
         )
         n_files = len(_glob.glob(os.path.join(subdir, "*.parquet")))
         if n_files <= 1 and resolved.count() == sub.count():
@@ -468,6 +530,14 @@ def compact_ivf_sq8_index(spark: SparkSession, path: str) -> int:
     os.rename(staged, path + "/_vecs")
     shutil.rmtree(old)
     return rewritten
+
+
+def compact_ivf_sq8_index(spark: SparkSession, path: str) -> int:
+    return _compact_quantized_cells(spark, path, "q")
+
+
+def compact_ivf_pq_index(spark: SparkSession, path: str) -> int:
+    return _compact_quantized_cells(spark, path, "codes")
 
 
 def _ivf_recover(path: str) -> None:
@@ -518,9 +588,14 @@ def write_ivf_pq_index(
         for mi in range(PQ_M)
         for j in range(k)
     ]
-    emb.sparkSession.createDataFrame(
+    spark = emb.sparkSession
+    spark.createDataFrame(
         cb_rows, "m long, code long, cvec array<double>"
     ).write.mode("overwrite").parquet(path + "/_codebook")
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cen_id long, cvec array<double>",
+    ).write.mode("overwrite").parquet(path + "/_centroids")
 
     codes = (
         pq_encode(emb, codebooks)
@@ -533,9 +608,12 @@ def write_ivf_pq_index(
         )
     )
     assigned = kmeans_assign(emb, centroids).select("vec_id", "cen_id")
-    codes.join(assigned, "vec_id").write.mode("overwrite").partitionBy(
-        "cen_id"
-    ).parquet(path + "/cells")
+    codes.join(assigned, "vec_id").withColumn(
+        "epoch", F.lit(0).cast("long")
+    ).write.mode("overwrite").partitionBy("cen_id").parquet(path + "/cells")
+    assigned.withColumn("epoch", F.lit(0).cast("long")).write.mode(
+        "overwrite"
+    ).parquet(path + "/_vecs")
 
 
 def probe_ivf_pq_index(
@@ -586,8 +664,11 @@ def probe_ivf_pq_index(
             for row in lut
         ]
     )
-    postings = spark.read.parquet(path + "/cells").filter(
-        F.col("cen_id").isin(cells)
+    postings = _resolve_live_codes(
+        spark.read.parquet(path + "/cells").filter(
+            F.col("cen_id").isin(cells)
+        ),
+        code_col="codes",
     )
     scored = postings.select(
         "vec_id",
