@@ -1796,3 +1796,81 @@ def similarity_label_separability(
             .alias("n_separated"),
         )
     )
+
+
+# --- re-embedding drift report (r9) ----------------------------------------
+# The QA step before an incremental index upsert or rebuild: when a new
+# embedding-model version re-embeds the corpus, per-vector old↔new cosine
+# tells you whether the delta is a refresh (high cosine — upsert the
+# changed vectors into the live index, serving.upsert_ivf_*_delta) or a
+# model change (drift everywhere — retrain quantizer/centroids, i.e. a
+# rebuild by the train-once contract).
+
+DRIFT_COS_FLOOR = 0.995  # below this, a vector counts as drifted
+
+
+@query(
+    "similarity_reembed_drift",
+    oracle=f"""
+    WITH px AS (
+      SELECT vec_id, CAST(v AS DOUBLE) AS a,
+             CAST(v AS DOUBLE)
+               * (1.0 + ((vec_id + idx - 1) % 9 - 4) * (vec_id % 5) / 100.0) AS b
+      FROM (SELECT vec_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS idx
+            FROM embeddings)
+    ),
+    agg AS (
+      SELECT vec_id,
+             SUM(CAST(round(a * b * {FX}.0) AS BIGINT)) AS dot_fx,
+             SUM(CAST(round(a * a * {FX}.0) AS BIGINT)) AS n1_fx,
+             SUM(CAST(round(b * b * {FX}.0) AS BIGINT)) AS n2_fx
+      FROM px GROUP BY vec_id
+    )
+    SELECT vec_id,
+           (dot_fx / {FX}.0)
+             / NULLIF(sqrt(n1_fx / {FX}.0) * sqrt(n2_fx / {FX}.0), 0.0)
+             AS cos_old_new,
+           CASE WHEN (dot_fx / {FX}.0)
+                     / NULLIF(sqrt(n1_fx / {FX}.0) * sqrt(n2_fx / {FX}.0),
+                              0.0) < {DRIFT_COS_FLOOR}
+                THEN 1 ELSE 0 END::BIGINT AS drifted
+    FROM agg
+    """,
+)
+def similarity_reembed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-embedding drift report — per vector, the cosine between the
+    current embedding and its (here: deterministically synthesized)
+    re-embedded version, plus a drifted flag at {DRIFT_COS_FLOOR}. The
+    v2 synthesis perturbs each element by a vec/dim-keyed factor whose
+    AMPLITUDE also varies by vector (0-20%), so the fixture spans
+    exact copies, refresh-grade, and drifted vectors; a real run
+    joins the two embedding versions on vec_id instead — same one
+    zip_with scan per vector, no shuffle at all (the join is the only
+    exchange, and it vanishes when both versions are bucketed on
+    vec_id).
+
+    Exactness: fixed-point int64 dot/norms per row (fold order
+    irrelevant — long addition is associative), ONE float division
+    chain mirrored token-for-token in the oracle; the perturbation
+    factor is integer arithmetic scaled by the same literal in both
+    engines. Spark's transform index is 0-based, DuckDB's
+    generate_subscripts 1-based — aligned by (idx - 1), the standing
+    ordinality rule."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    a = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    b = F.expr(
+        "transform(embedding, (x, i) -> CAST(x AS DOUBLE) "
+        "* (1.0 + ((vec_id + i) % 9 - 4) * (vec_id % 5) / 100.0))"
+    )
+    withv = emb.select("vec_id", a.alias("a"), b.alias("b"))
+    cos = _cosine(
+        _fx_dot("a", "b"), _fx_norm2("a"), _fx_norm2("b")
+    )
+    return withv.select(
+        "vec_id",
+        cos.alias("cos_old_new"),
+        F.when(cos < DRIFT_COS_FLOOR, 1).otherwise(0).cast("long").alias(
+            "drifted"
+        ),
+    )
