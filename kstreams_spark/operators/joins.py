@@ -645,3 +645,74 @@ def join_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("fanout").desc(), "k")
         .limit(FANOUT_TOP_K)
     )
+
+
+# --- salted hot-key join (r9) -----------------------------------------------
+
+SALT_R = 8  # salt fan-out: each dim row replicates R ways
+
+
+@query(
+    "join_salted_hotkey_revenue",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*)::BIGINT AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def join_salted_hotkey_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join, as a query (SCALE.md's 'skewed keys → salting'
+    advice made executable): per-brand revenue through a fact⋈dim join
+    whose key is deliberately SALTED — the fact side appends a
+    deterministic salt ∈ [0, {R}) (hash of the row's unique key), the
+    dim side replicates each row {R}× with every salt value, and the
+    join runs on (key, salt). A hot key's rows now land in {R}
+    partitions instead of one: the straggler task becomes {R} even
+    tasks, at the cost of an {R}× dim explode (dims are small — that's
+    the trade). THE ORACLE IS THE PLAIN UNSALTED JOIN — the hash match
+    proves salting is answer-invariant, which is the entire point of
+    the technique. The merge hint forces the SortMergeJoin this pattern
+    exists for (a broadcast join never has the problem — salting is for
+    the shuffle-join regime where the dim outgrew the broadcast
+    threshold); plan-pinned: SMJ on BOTH keys, salt included.
+
+    At 100 TB: prefer AQE's skew-join split (automatic, no explode)
+    when one side is merely skewed; reach for explicit salting when the
+    aggregation itself keys on the hot column (AQE cannot split a
+    hash-aggregate's key) or on engines without AQE."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_extendedprice",
+        "l_discount",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_R))
+        .cast("int")
+        .alias("salt"),
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand")
+        .crossJoin(
+            F.broadcast(
+                load_table(spark, sf_dir, "part")
+                .sparkSession.range(SALT_R)
+                .select(F.col("id").cast("int").alias("salt"))
+            )
+        )
+    )
+    j = li.join(
+        p.hint("merge"),
+        (li.l_partkey == p.p_partkey) & (li.salt == p.salt),
+    )
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -590,3 +590,15 @@ def test_q15_shape_single_lineitem_scan_pushed_quarter(plan_spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1, plan
     pushed = " ".join(pushed_filters(df))
     assert "l_shipdate" in pushed, pushed
+
+
+def test_salted_join_is_smj_on_both_keys(plan_spark, sf_dir):
+    """join_salted_hotkey_revenue: the join must be a SortMergeJoin (the
+    shuffle-join regime salting exists for — the merge hint holds even
+    though the fixture dim would broadcast) keyed on BOTH (partkey,
+    salt), with the dim side replicated by the salt-range join."""
+    plan = physical_plan(q("join_salted_hotkey_revenue", plan_spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    i = plan.index("SortMergeJoin")
+    head = plan[i : i + 120]
+    assert "salt" in head and "partkey" in head, head
