@@ -854,6 +854,94 @@ def multimodal_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jpeg16_dims(doc_id: int) -> tuple[int, int]:
+    """16..32 × 16..24 for the resize chain — tiles are 16×16-aligned so
+    the 2×-downsampled grid is 8×8-tile-aligned (each re-encoded block
+    stays constant; a HALVED 8-tile would straddle two source tiles and
+    put AC energy into the second encode, breaking exactness — found by
+    the oracle on the first cut)."""
+    return 16 + doc_id % 17, 16 + doc_id % 9
+
+
+def _synth_jpeg16(doc_id: int) -> bytes:
+    from kstreams_spark.operators.jpeg_codec import encode_jpeg
+
+    w, h = _jpeg16_dims(doc_id)
+    grid = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            v = (doc_id * 37 + (x // 16) * 101 + (y // 16) * 53) % 256
+            row.append((v, v, v))
+        grid.append(row)
+    return encode_jpeg(grid)
+
+
+@query(
+    "multimodal_image_resize_jpeg",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             ((16 + doc_id % 17) + 1) // 2 AS w2,
+             ((16 + doc_id % 9) + 1) // 2 AS h2
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w2, h2, x, y,
+             (doc_id * 37 + ((2 * x) // 16) * 101 + ((2 * y) // 16) * 53)
+               % 256 AS v
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w2 - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h2 - 1)) AS y) ty
+    )
+    SELECT doc_id,
+           CAST(w2 AS INTEGER) AS width,
+           CAST(h2 AS INTEGER) AS height,
+           CAST(w2 * h2 AS INTEGER) AS n_pixels,
+           SUM(v)::BIGINT AS sum_r, SUM(v)::BIGINT AS sum_g,
+           SUM(v)::BIGINT AS sum_b,
+           SUM((y * w2 + x) * 3 * v)::BIGINT AS px_checksum
+    FROM px GROUP BY doc_id, w2, h2
+    """,
+)
+def multimodal_image_resize_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full COMPRESSED-image transform chain, every hop real:
+    synthesize a baseline JPEG → DECODE it → nearest-neighbor
+    2×-downsample the pixel grid → RE-ENCODE a complete JPEG → decode
+    THAT and feature-extract. Four codec passes per doc, so the oracle
+    (which replays the resampled tile arithmetic in SQL) certifies
+    encode→decode round-trip stability through a transform, not just
+    one hop. Exactness needs 16×16-aligned source tiles (see
+    `_jpeg16_dims` — nearest-neighbor (2x, 2y) sampling halves tiles,
+    so only a 16-tile stays block-constant after re-encode). Same
+    staging/plumbing as the BMP resize twin
+    (`multimodal_image_resize`)."""
+    from kstreams_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        parse_jpeg_features,
+    )
+
+    def resize_half(payload: bytes) -> bytes:
+        grid = decode_jpeg(payload)
+        h, w = len(grid), len(grid[0])
+        return encode_jpeg(
+            [
+                [grid[2 * y][2 * x] for x in range((w + 1) // 2)]
+                for y in range((h + 1) // 2)
+            ]
+        )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: _synth_jpeg16(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+    return payloads.mapInPandas(
+        _transform_stage(resize_half), MEDIA_PAYLOAD_SCHEMA
+    ).mapInPandas(_decode_stage(parse_jpeg_features, IMAGE_SCHEMA), IMAGE_SCHEMA)
+
+
 @query(
     "multimodal_image_resize",
     oracle="""

@@ -197,3 +197,38 @@ def test_marker_segments_are_well_formed():
             saw_sos = True
         pos += 2 + ln
     assert pos < len(raw)
+
+
+def test_property_roundtrip_random_images_unit_quant():
+    """Hypothesis bound on arbitrary content: any small RGB image
+    roundtrips within ±6 per channel under unit quantization, including
+    the clamp extremes 0/255. (Hypothesis found adversarial
+    saturated-pixel patterns where the chained roundings — RGB→YCbCr
+    quantized to ints, FDCT/IDCT float rounding, YCbCr→RGB — compound
+    to 4; ±6 is the honest bound with margin, vs the ±3 that holds on
+    natural-ish gradients/noise in the fixed tests above.)"""
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:  # pragma: no cover
+        pytest.skip("hypothesis not installed")
+
+    px = st.tuples(
+        st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 3),
+        st.integers(1, 3),
+        st.data(),
+    )
+    def run(bw, bh, data):
+        w, h = bw * 5 + 1, bh * 4 + 1  # ragged dims on purpose
+        grid = [
+            [data.draw(px) for _ in range(w)] for _ in range(h)
+        ]
+        dec = decode_jpeg(encode_jpeg(grid))
+        assert len(dec) == h and len(dec[0]) == w
+        assert _max_err(grid, dec) <= 6
+
+    run()
