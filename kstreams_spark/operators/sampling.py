@@ -628,3 +628,83 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= SHUFFLE_HEAD)
         .select("epoch", "lang", "pos", "doc_id")
     )
+
+
+# --- mixture plan (r9) ------------------------------------------------------
+
+MIX_SCALE = 1_000_000  # rates/factors in parts-per-million
+
+
+@query(
+    "sample_mixture_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             SUM(len(str_split(text, ' ')))::BIGINT AS avail,
+             (1 + (CAST(substr(source, 4, 8) AS BIGINT) % 5))::BIGINT AS w
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(avail)::BIGINT AS total, SUM(w)::BIGINT AS sumw
+            FROM t)
+    SELECT t.source,
+           t.avail AS avail_tokens,
+           t.w AS weight,
+           (tot.total * t.w) // tot.sumw AS need_tokens,
+           LEAST({MIX_SCALE},
+                 ((tot.total * t.w) // tot.sumw) * {MIX_SCALE} // t.avail)
+             AS rate_ppm,
+           ((tot.total * t.w) // tot.sumw) * {MIX_SCALE} // t.avail
+             AS sample_factor_ppm,
+           (((tot.total * t.w) // tot.sumw) + t.avail - 1) // t.avail
+             AS epochs
+    FROM t, tot
+    """,
+)
+def sample_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATA-MIXING PLAN — the artifact between "here is my corpus"
+    and "here is my training mixture" (the DoReMi/Pile-style recipe
+    table): per source, the available token supply, the target weight
+    (fixture: keyed off the source index), the token NEED to hit that
+    weight at constant total size, and the two execution knobs a
+    dataloader consumes — `rate_ppm` (the downsample rate, capped at
+    unity) and `epochs` (the repeat count an UPsampled source needs,
+    ceil(need/avail)); `sample_factor_ppm` is the uncapped ratio for
+    audit. The rate/weighted/temperature samplers in this module are
+    the per-doc EXECUTORS of such a plan; this query computes the plan
+    itself.
+
+    All integer: token sums, cross-multiplied shares, floor divisions
+    (DIV ↔ //, the standing rule). Shuffle budget: ONE source agg
+    (≤|sources| rows) + a broadcast 1-row totals join; at 100 TB the
+    token supply census is the only corpus-touching pass."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("avail"),
+        F.max(
+            F.expr("1 + (try_cast(substr(source, 4, 8) AS BIGINT) % 5)")
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    tot = t.agg(
+        F.sum("avail").cast("long").alias("total"),
+        F.sum("w").cast("long").alias("sumw"),
+    )
+    j = t.crossJoin(F.broadcast(tot))
+    need = F.expr("(total * w) DIV sumw")
+    return j.select(
+        "source",
+        F.col("avail").alias("avail_tokens"),
+        F.col("w").alias("weight"),
+        need.alias("need_tokens"),
+        F.least(
+            F.lit(MIX_SCALE).cast("long"),
+            F.expr(f"((total * w) DIV sumw) * {MIX_SCALE} DIV avail"),
+        ).alias("rate_ppm"),
+        F.expr(f"((total * w) DIV sumw) * {MIX_SCALE} DIV avail").alias(
+            "sample_factor_ppm"
+        ),
+        F.expr("(((total * w) DIV sumw) + avail - 1) DIV avail").alias(
+            "epochs"
+        ),
+    )
