@@ -1800,3 +1800,59 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("long").alias("decile"),
         "value",
     )
+
+
+@query(
+    "events_anomaly_days",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             COUNT(*)::BIGINT AS n_events
+      FROM events GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(n_events, 0.5) AS med FROM daily),
+    mad AS (SELECT quantile_cont(abs(n_events - med.med), 0.5) AS mad
+            FROM daily, med)
+    SELECT daily.day, daily.n_events,
+           CASE WHEN abs(daily.n_events - med.med) > {MAD_K} * mad.mad
+                THEN 1 ELSE 0 END::BIGINT AS anomalous
+    FROM daily, med, mad
+    """,
+)
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOLUME anomaly detection — events_outlier_mad's time-series twin:
+    instead of flagging individual readings by value, flag DAYS whose
+    event count sits more than {MAD_K}×MAD from the median daily count
+    (the traffic-drop/spike pager alert; robust statistics so an outage
+    day can't drag its own threshold). The day grain makes the stats
+    input tiny (≤ timeline days), so both percentile passes run over a
+    bounded table and the daily census is the only corpus-touching agg.
+    At 100 TB the census is one partial+final count per (day) — the
+    cheapest aggregate there is; everything downstream is broadcast
+    1-row scalars."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    med = daily.agg(F.percentile("n_events", 0.5).alias("med"))
+    with_med = daily.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.percentile(F.abs(F.col("n_events") - F.col("med")), 0.5).alias(
+            "mad"
+        )
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "n_events",
+            F.when(
+                F.abs(F.col("n_events") - F.col("med"))
+                > MAD_K * F.col("mad"),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("anomalous"),
+        )
+    )
