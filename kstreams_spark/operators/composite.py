@@ -1708,3 +1708,529 @@ def composite_excess_supply_suppliers(
     return s.join(
         excess_supps, s.s_suppkey == F.col("l_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+# --- TPC-H Q7/Q8/Q9 shapes (r9 — the multi-dimension join family) -----------
+
+Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+@query(
+    "composite_nation_trade_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, yr,
+           CAST(SUM(CAST(ep * (1 - dc) AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+             l.l_extendedprice AS ep, l.l_discount AS dc
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE (n1.n_name = '{Q7_NATIONS[0]}' AND n2.n_name = '{Q7_NATIONS[1]}')
+         OR (n1.n_name = '{Q7_NATIONS[1]}' AND n2.n_name = '{Q7_NATIONS[0]}')
+    ) GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def composite_nation_trade_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume: revenue between two
+    named nations in BOTH directions, by (supplier nation, customer
+    nation, ship year). The five-table join where join ORDER decides
+    everything: supplier/nation and customer/nation legs are broadcast
+    dims (each pre-filtered to the two nations, so the fact stream
+    thins at the earliest possible join), and lineitem⋈orders is the
+    one genuine fact-fact shuffle. DECIMAL revenue, integer year."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*Q7_NATIONS)
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("yr"),
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+Q8_MARKET_REGION = "ASIA"
+Q8_SHARE_NATION = "NATION_12"  # an ASIA nation (regionkey 2)
+
+
+@query(
+    "composite_market_share",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             n1.n_name AS supp_nation,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18,6)) AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      WHERE r.r_name = '{Q8_MARKET_REGION}'
+    )
+    SELECT yr,
+           CAST(SUM(CASE WHEN supp_nation = '{Q8_SHARE_NATION}'
+                         THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END)
+                AS DOUBLE) AS nation_revenue,
+           CAST(SUM(rev) AS DOUBLE) AS market_revenue,
+           CAST(SUM(CASE WHEN supp_nation = '{Q8_SHARE_NATION}'
+                         THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END)
+                AS DOUBLE) / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+    FROM base GROUP BY yr
+    """,
+)
+def composite_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: within one REGION's
+    customer market, the fraction of revenue supplied by one nation,
+    per order year. The conditional-share-of-conditional-sum pattern:
+    both numerator and denominator are DECIMAL sums in ONE aggregation
+    (never two passes), the share is one division of two exact doubles.
+    Customer→nation→region is a chained broadcast dim leg that thins
+    the fact stream before the orders join; supplier nation is a
+    broadcast lookup for the CASE."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q8_MARKET_REGION
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    )
+    agg = j.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr")
+    ).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == Q8_SHARE_NATION, rev).otherwise(
+                zero
+            )
+        )
+        .cast("double")
+        .alias("nation_revenue"),
+        F.sum(rev).cast("double").alias("market_revenue"),
+    )
+    return agg.select(
+        "yr",
+        "nation_revenue",
+        "market_revenue",
+        (F.col("nation_revenue") / F.col("market_revenue")).alias(
+            "mkt_share"
+        ),
+    )
+
+
+Q9_PART_SUBSTR = "gear"
+
+
+@query(
+    "composite_product_profit",
+    oracle=f"""
+    SELECT nation, yr,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))
+                    - CAST(p.p_retailprice * l.l_quantity
+                           AS DECIMAL(18,6))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey,
+    LATERAL (SELECT n.n_name AS nation,
+                    CAST(year(o.o_orderdate) AS BIGINT) AS yr) x
+    WHERE p.p_name LIKE '%{Q9_PART_SUBSTR}%'
+    GROUP BY nation, yr
+    """,
+)
+def composite_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-line profit by supplier nation and
+    order year for parts matching a name substring (the fixture has no
+    partsupp supplycost, so cost = p_retailprice × quantity — the same
+    revenue-minus-cost DECIMAL arithmetic, sourced from the part dim).
+    Join order: the part-name filter broadcasts into the scan FIRST
+    (it's the selective predicate), supplier/nation broadcast, and
+    lineitem⋈orders is the lone fact shuffle. Each term is cast to
+    DECIMAL(18,6) BEFORE the subtraction — a raw-double difference
+    would reintroduce the float-sum class the dsum rule exists for."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(Q9_PART_SUBSTR))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    amount = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,6)"
+        )
+        - (F.col("p_retailprice") * F.col("l_quantity")).cast(
+            "decimal(18,6)"
+        )
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return j.groupBy(
+        "nation", F.year("o_orderdate").cast("long").alias("yr")
+    ).agg(F.sum(amount).cast("double").alias("profit"))
+
+
+# --- TPC-H Q2/Q11/Q16 shapes over a SYNTHESIZED supply relation (r9) --------
+# The fixture ships no partsupp table; the supply relation is the distinct
+# (l_partkey, l_suppkey) pairs with md5-derived integer cost/availability
+# (engine-identical arithmetic both sides — the _BUCKET_SQL idiom widened
+# to 4 hex digits), which preserves exactly what Q2/Q11/Q16 exercise:
+# per-(part, supplier) attributes that are NOT functionally determined by
+# either key alone.
+
+
+def _hex_int_sql(hcol: str, start: int, n: int) -> str:
+    """SQL for the integer value of `n` hex digits of md5 column `hcol`
+    starting at 1-based `start` — instr/substr arithmetic valid verbatim
+    in BOTH Spark SQL and DuckDB."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({hcol}, {start + i}, 1)) - 1)"
+        f" * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    )
+    return f"({terms})"
+
+
+_COST_EXPR = f"CAST(100 + {_hex_int_sql('h', 1, 4)} % 50000 AS BIGINT)"
+_AVAIL_EXPR = f"CAST(1 + {_hex_int_sql('h', 5, 4)} % 9999 AS BIGINT)"
+
+_SUPPLY_SQL = f"""
+      SELECT partkey, suppkey, {_COST_EXPR} AS cost_cents,
+             {_AVAIL_EXPR} AS availqty
+      FROM (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey,
+                   md5(CAST(l_partkey AS VARCHAR) || ':'
+                       || CAST(l_suppkey AS VARCHAR)) AS h
+            FROM lineitem)
+"""
+
+
+def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _SUPPLY_SQL (same md5-digit arithmetic)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .distinct()
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat(
+                    F.col("partkey").cast("string"),
+                    F.lit(":"),
+                    F.col("suppkey").cast("string"),
+                )
+            ),
+        )
+    )
+    return li.select(
+        "partkey",
+        "suppkey",
+        F.expr(_COST_EXPR).alias("cost_cents"),
+        F.expr(_AVAIL_EXPR).alias("availqty"),
+    )
+
+
+Q2_REGION = "EUROPE"
+Q2_SIZE_MAX = 10
+Q2_TOP_K = 100
+
+
+@query(
+    "composite_min_cost_supplier",
+    oracle=f"""
+    WITH supply AS ({_SUPPLY_SQL}),
+    esup AS (
+      SELECT sp.partkey, sp.suppkey, sp.cost_cents, s.s_name, s.s_acctbal
+      FROM supply sp
+      JOIN supplier s ON s.s_suppkey = sp.suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = '{Q2_REGION}'
+    )
+    SELECT partkey, suppkey, s_name, cost_cents, s_acctbal, rk FROM (
+      SELECT e.*, ROW_NUMBER() OVER (ORDER BY e.s_acctbal DESC,
+                                     e.suppkey, e.partkey) AS rk
+      FROM esup e
+      JOIN part p ON p.p_partkey = e.partkey
+      WHERE p.p_size <= {Q2_SIZE_MAX}
+        AND e.cost_cents = (SELECT MIN(e2.cost_cents) FROM esup e2
+                            WHERE e2.partkey = e.partkey)
+    ) WHERE rk <= {Q2_TOP_K}
+    """,
+)
+def composite_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the minimum-cost supplier: for each small part,
+    the {Q2_REGION}-region supplier(s) whose supply cost equals that
+    part's regional minimum, top-{Q2_TOP_K} by account balance. The
+    classic correlated scalar MIN over the same relation being
+    selected from.
+
+    Spark-first: the region-filtered supply table is computed ONCE; the
+    per-part minimum is a partitioned window over it (supply is
+    pair-grain ≪ lineitem), the equality filter replaces the correlated
+    re-scan, parts broadcast, and the top-k is the rank≤K class. THE
+    ORACLE KEEPS THE LITERAL CORRELATED FORM."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q2_REGION
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    esup = _supply(spark, sf_dir).join(
+        F.broadcast(s), F.col("suppkey") == s.s_suppkey
+    )
+    w_min = Window.partitionBy("partkey")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= Q2_SIZE_MAX)
+        .select("p_partkey")
+    )
+    best = (
+        esup.withColumn("_mn", F.min("cost_cents").over(w_min))
+        .filter(F.col("cost_cents") == F.col("_mn"))
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+    )
+    w_rk = Window.orderBy(
+        F.col("s_acctbal").desc(), F.col("suppkey"), F.col("partkey")
+    )
+    return (
+        best.select("partkey", "suppkey", "s_name", "cost_cents", "s_acctbal")
+        .withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= Q2_TOP_K)
+    )
+
+
+Q11_NATION_PREFIX = "NATION_2"  # NATION_2 + NATION_20..24: 6 nations
+Q11_SHARE_PPM = 800  # parts holding > 0.08% of the tracked stock value
+
+
+@query(
+    "composite_important_stock",
+    oracle=f"""
+    WITH supply AS ({_SUPPLY_SQL}),
+    nsup AS (
+      SELECT sp.partkey, sp.cost_cents * sp.availqty AS value_cents
+      FROM supply sp
+      JOIN supplier s ON s.s_suppkey = sp.suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name LIKE '{Q11_NATION_PREFIX}%'
+    ),
+    pv AS (
+      SELECT partkey, SUM(value_cents)::BIGINT AS part_value
+      FROM nsup GROUP BY partkey
+    ),
+    tot AS (SELECT SUM(part_value)::BIGINT AS total_value FROM pv)
+    SELECT pv.partkey, pv.part_value
+    FROM pv, tot
+    WHERE pv.part_value * 1000000 > tot.total_value * {Q11_SHARE_PPM}
+    """,
+)
+def composite_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — important stock: parts whose supply value
+    (cost × availability) within a nation group exceeds a fixed share
+    of the group's total — the HAVING-against-a-scalar-subquery
+    pattern. Spark-first: ONE supply pass feeds both the per-part agg
+    and (via a second tiny agg over it) the total; the threshold is an
+    integer cross-multiplication (value·10⁶ > total·ppm), no float
+    share ever computed; the 1-row total broadcasts."""
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").startswith(Q11_NATION_PREFIX)
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey")
+    )
+    pv = (
+        _supply(spark, sf_dir)
+        .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
+        .groupBy("partkey")
+        .agg(
+            F.sum(F.col("cost_cents") * F.col("availqty"))
+            .cast("long")
+            .alias("part_value")
+        )
+    )
+    tot = pv.agg(F.sum("part_value").cast("long").alias("total_value"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("part_value") * 1_000_000
+            > F.col("total_value") * Q11_SHARE_PPM
+        )
+        .select("partkey", "part_value")
+    )
+
+
+Q16_EXCLUDED_BRAND = "Brand#3"
+Q16_COMPLAINT_MOD = 13  # suppkey % 13 == 0 plays Q16's complaints list
+
+
+@query(
+    "composite_supplier_part_counts",
+    oracle=f"""
+    WITH supply AS ({_SUPPLY_SQL})
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT sp.suppkey)::BIGINT AS supplier_cnt
+    FROM supply sp JOIN part p ON p.p_partkey = sp.partkey
+    WHERE p.p_brand <> '{Q16_EXCLUDED_BRAND}'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND sp.suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_suppkey % {Q16_COMPLAINT_MOD} = 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def composite_supplier_part_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 shape — supplier diversity per (brand, type, size)
+    excluding one brand, one type family, and a blacklist (suppliers
+    with 'complaints' — adapted to a modulus set): the COUNT(DISTINCT)
+    + NOT IN combination. The NOT IN is a LEFT-ANTI join against the
+    (non-null-key) blacklist — the only correct general translation
+    (with nullable keys NOT IN means NOT EXISTS + null-check; the
+    docstring records the distinction the fixture doesn't exercise).
+    One supply pass, broadcast part dim, one distinct-count agg."""
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % Q16_COMPLAINT_MOD == 0)
+        .select("s_suppkey")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != Q16_EXCLUDED_BRAND)
+            & ~F.col("p_type").startswith("PROMO")
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        _supply(spark, sf_dir)
+        .join(F.broadcast(bad), F.col("suppkey") == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "composite_forecast_revenue_change",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue_delta,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1999-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def composite_forecast_revenue_change(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q6 — the forecast-revenue-change query, verbatim shape:
+    one scan, every predicate pushed (year band, discount band,
+    quantity cap — all scan-level in PushedFilters), one DECIMAL sum of
+    price×discount. The query exists to prove the engine never does
+    more than the minimum: no join, no window, one partial+final agg.
+    Completes the TPC-H shape family — every one of the 22 queries now
+    has a fixture-adapted twin in this registry."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
