@@ -106,6 +106,9 @@ HEADLINE = [
     "composite_feature_snapshot_pit",  # added r9: leakage-free as-of training table
     "composite_small_qty_revenue",  # added r9: Q17 shape, single-scan window rewrite
     "composite_excess_supply_suppliers",  # added r9: Q20 shape, nested semi collapse
+    "composite_product_profit",  # added r9: Q9 shape, multi-dim broadcast legs
+    "composite_min_cost_supplier",  # added r9: Q2 shape over synthesized supply
+    "multimodal_image_decode_jpeg",  # added r9: real baseline JPEG decode chain
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------
