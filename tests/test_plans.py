@@ -602,3 +602,21 @@ def test_salted_join_is_smj_on_both_keys(plan_spark, sf_dir):
     i = plan.index("SortMergeJoin")
     head = plan[i : i + 120]
     assert "salt" in head and "partkey" in head, head
+
+
+def test_q7_q8_q9_dims_broadcast_single_fact_shuffle(plan_spark, sf_dir):
+    """Q7/Q8/Q9 shapes: every dimension leg (supplier/customer/nation/
+    region/part) must broadcast — the only shuffle join allowed is the
+    lineitem⋈orders fact join (Q9's orders join included); no cartesian
+    anywhere."""
+    for name in (
+        "composite_nation_trade_volume",
+        "composite_market_share",
+        "composite_product_profit",
+    ):
+        df = q(name, plan_spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        strategies = join_strategies(df)
+        non_bcast = [s for s in strategies if s != "BroadcastHashJoin"]
+        assert len(non_bcast) <= 1, (name, strategies)
