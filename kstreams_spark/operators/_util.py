@@ -77,7 +77,15 @@ def _pin_partitioning(df: DataFrame) -> DataFrame:
         shared storage) → reliable `checkpoint(eager=True)` — durable:
         lost partitions re-READ the materialized files, never re-sample
         (eager, because a LAZY reliable checkpoint recomputes lineage a
-        second time for the file write).
+        second time for the file write). Storage hygiene (ADVICE r9):
+        Spark deletes a reliable checkpoint's files only when
+        `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+        FALSE) — a long-lived driver that calls the two-phase helpers
+        repeatedly without that conf accumulates one materialized copy
+        of the ranged data per call in the checkpoint dir. At-scale
+        deployments that configure a checkpoint dir MUST also set that
+        conf (or sweep the dir externally); local/dev runs take the
+        localCheckpoint path, whose blocks the ContextCleaner frees.
       * no checkpoint dir (local/dev) → `localCheckpoint(eager=False)` —
         materializes during the FIRST action (the offsets collect) and
         truncates lineage there, so both jobs see one partitioning

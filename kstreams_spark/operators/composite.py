@@ -2101,7 +2101,8 @@ Q11_SHARE_PPM = 800  # parts holding > 0.08% of the tracked stock value
     tot AS (SELECT SUM(part_value)::BIGINT AS total_value FROM pv)
     SELECT pv.partkey, pv.part_value
     FROM pv, tot
-    WHERE pv.part_value * 1000000 > tot.total_value * {Q11_SHARE_PPM}
+    WHERE pv.part_value::DECIMAL(38,0) * 1000000
+          > tot.total_value::DECIMAL(38,0) * {Q11_SHARE_PPM}
     """,
 )
 def composite_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2110,8 +2111,11 @@ def composite_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the group's total — the HAVING-against-a-scalar-subquery
     pattern. Spark-first: ONE supply pass feeds both the per-part agg
     and (via a second tiny agg over it) the total; the threshold is an
-    integer cross-multiplication (value·10⁶ > total·ppm), no float
-    share ever computed; the 1-row total broadcasts."""
+    exact cross-multiplication (value·10⁶ > total·ppm) in
+    DECIMAL(38,0) — BIGINT would overflow once total_value exceeds
+    ~1.15e16 (plausible at the 100 TB posture: cost_cents·availqty
+    summed over 1e8+ parts; ADVICE r9) — no float share ever computed;
+    the 1-row total broadcasts."""
     n = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name").startswith(Q11_NATION_PREFIX)
     )
@@ -2134,8 +2138,8 @@ def composite_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pv.crossJoin(F.broadcast(tot))
         .filter(
-            F.col("part_value") * 1_000_000
-            > F.col("total_value") * Q11_SHARE_PPM
+            F.col("part_value").cast("decimal(38,0)") * 1_000_000
+            > F.col("total_value").cast("decimal(38,0)") * Q11_SHARE_PPM
         )
         .select("partkey", "part_value")
     )

@@ -1843,7 +1843,8 @@ def similarity_reembed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     current embedding and its (here: deterministically synthesized)
     re-embedded version, plus a drifted flag at {DRIFT_COS_FLOOR}. The
     v2 synthesis perturbs each element by a vec/dim-keyed factor whose
-    AMPLITUDE also varies by vector (0-20%), so the fixture spans
+    AMPLITUDE also varies by vector (0-16%: |((vec_id+i)%9-4)| ≤ 4
+    times (vec_id%5) ≤ 4, over 100), so the fixture spans
     exact copies, refresh-grade, and drifted vectors; a real run
     joins the two embedding versions on vec_id instead — same one
     zip_with scan per vector, no shuffle at all (the join is the only

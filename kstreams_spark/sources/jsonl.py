@@ -17,6 +17,14 @@ against it in tests/test_jsonl_source.py.
 Reference parity note: the reference's source is a Kafka topic of JSON
 strings (BME680.java:152); this is the same payload shape arriving as
 files through a user-defined scan.
+
+Concurrency contract (write side): appends from concurrent jobs are safe
+as long as every writer publishes within `staleGraceSeconds` (writer
+option, default 3600) of staging its last part file — the orphan sweep
+treats older foreign `_staged-*` files as crashed-job debris and removes
+them, which would fail a slower concurrent writer's commit rename. If
+writers can stall longer between staging and commit, raise the option or
+fall back to single-writer per directory.
 """
 
 from __future__ import annotations
@@ -138,7 +146,9 @@ class JsonlWriter(DataSourceWriter):
     # past job's debris, not a concurrent append's in-flight staging.
     # Assumption documented: a concurrent writer publishes within this
     # grace of staging its last file; if writers can stall longer between
-    # staging and commit, run single-writer per directory.
+    # staging and commit, raise the grace via the `staleGraceSeconds`
+    # writer option (sized to the slowest stage→commit gap in the fleet)
+    # or run single-writer per directory (ADVICE r9).
     STALE_GRACE_S = 3600.0
 
     def __init__(self, schema, options: dict[str, str], overwrite: bool) -> None:
@@ -148,6 +158,9 @@ class JsonlWriter(DataSourceWriter):
         self.field_names = schema.fieldNames()
         self.path = options["path"]
         self.overwrite = overwrite
+        self.stale_grace_s = float(
+            options.get("stalegraceseconds", self.STALE_GRACE_S)
+        )
         # per-commit token in BOTH the published and the staged names:
         # append-mode commits must not collide with an earlier commit's
         # part files (a bare part-00000 from commit 2 would silently
@@ -191,7 +204,7 @@ class JsonlWriter(DataSourceWriter):
         writer's stale sweep."""
         import glob as _glob
 
-        cutoff = self.started_at - self.STALE_GRACE_S
+        cutoff = self.started_at - self.stale_grace_s
         mine = os.path.join(self.path, f"_staged-{self.commit_id}-*.jsonl")
         for f in _glob.glob(mine):
             if f not in keep:

@@ -140,9 +140,12 @@ def test_pin_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
 
 
 def test_pin_truncates_lineage_without_dir(spark):
-    """Without a checkpoint dir the pin must be an EAGER localCheckpoint:
-    lineage truncated (plan scans an ExistingRDD, not the original
-    range), so block loss fails loudly instead of re-sampling bounds."""
+    """Without a checkpoint dir the pin must be a LAZY localCheckpoint
+    (materialized at the offsets collect — _pin_partitioning's documented
+    rationale: eager would cost one extra full pass for no additional
+    guarantee): lineage truncated (plan scans an ExistingRDD, not the
+    original range), so block loss fails loudly instead of re-sampling
+    bounds."""
     df = spark.range(200).select(F.col("id").alias("v"))
     out = global_row_number(df, [F.col("v")], "rnk")
     plan = out._jdf.queryExecution().executedPlan().toString()
