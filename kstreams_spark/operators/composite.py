@@ -2238,3 +2238,142 @@ def composite_forecast_revenue_change(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
         )
     )
+
+
+# --- TPC-H Q12 shape over SYNTHESIZED shipping columns (r10) ----------------
+# The fixture ships no l_shipmode / l_commitdate / l_receiptdate; they are
+# synthesized deterministically from (l_orderkey, l_linenumber) md5 digits —
+# the _SUPPLY_SQL idiom (engine-identical arithmetic both sides) — which
+# preserves exactly what Q12 exercises: a late-delivery predicate chain over
+# three per-line dates plus two-way conditional counts per mode. TPC-H's own
+# generator draws commitdate from orderdate+[30,90] and receiptdate from
+# shipdate+[1,30]; the synthesis mirrors those distributions, so commitdate
+# genuinely depends on the ORDERS side and the predicate cannot collapse to
+# a lineitem-only filter (the join is load-bearing, as in real Q12).
+
+Q12_MODES = ("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB")
+Q12_SELECTED = ("MAIL", "SHIP")
+Q12_YEAR_START = "1997-01-01"
+Q12_YEAR_END = "1998-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+_Q12_MODE_CASE = (
+    f"CASE ({_hex_int_sql('lh', 1, 2)} % {len(Q12_MODES)}) "
+    + " ".join(f"WHEN {i} THEN '{m}'" for i, m in enumerate(Q12_MODES))
+    + " END"
+)
+_Q12_COMMIT_DAYS = f"(30 + {_hex_int_sql('lh', 3, 2)} % 61)"
+_Q12_RECEIPT_DAYS = f"(1 + {_hex_int_sql('lh', 5, 2)} % 30)"
+_Q12_EPOCH = "DATE '1970-01-01'"
+
+
+@query(
+    "composite_shipmode_priority",
+    oracle=f"""
+    WITH lx AS (
+      SELECT l_orderkey,
+             {_Q12_MODE_CASE} AS shipmode,
+             ship_day,
+             ship_day + {_Q12_RECEIPT_DAYS} AS receipt_day,
+             {_Q12_COMMIT_DAYS} AS commit_days
+      FROM (SELECT l_orderkey,
+                   datediff('day', {_Q12_EPOCH}, CAST(l_shipdate AS DATE))
+                     AS ship_day,
+                   md5(CAST(l_orderkey AS VARCHAR) || ':'
+                       || CAST(l_linenumber AS VARCHAR)) AS lh
+            FROM lineitem)
+    )
+    SELECT shipmode,
+           SUM(CASE WHEN o.o_orderpriority IN {Q12_HIGH}
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN {Q12_HIGH}
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM lx JOIN orders o ON o.o_orderkey = lx.l_orderkey
+    WHERE lx.shipmode IN {Q12_SELECTED}
+      AND lx.receipt_day
+          >= datediff('day', {_Q12_EPOCH}, DATE '{Q12_YEAR_START}')
+      AND lx.receipt_day
+          <  datediff('day', {_Q12_EPOCH}, DATE '{Q12_YEAR_END}')
+      AND datediff('day', {_Q12_EPOCH}, CAST(o.o_orderdate AS DATE))
+          + lx.commit_days < lx.receipt_day
+      AND lx.ship_day
+          < datediff('day', {_Q12_EPOCH}, CAST(o.o_orderdate AS DATE))
+            + lx.commit_days
+    GROUP BY shipmode
+    """,
+)
+def composite_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — shipping modes and order priority: for the two
+    selected ship modes, count lines delivered late-committed
+    (shipdate < commitdate < receiptdate) in the receipt-year window,
+    split into high- vs low-priority orders. Closes the TPC-H family at
+    22/22 (VERDICT r9 task 6) — Q12 was the one shape the fixture's
+    missing columns blocked; see the synthesis note above.
+
+    Spark-first plan (one lineitem scan, one shuffle): every
+    lineitem-only predicate — the 2-of-7 mode filter and the
+    receipt-year window (receipt_day derives from shipdate alone) —
+    thins the fact stream to ~4% BEFORE the single lineitem⋈orders
+    exchange; the commitdate predicates need o_orderdate (the synthesis
+    keeps Q12's orders-side dependency) and run post-join; map-side
+    partial aggregation collapses to ≤2 groups. All date logic is
+    integer day arithmetic (datediff vs epoch) — no interval types, no
+    TZ sensitivity, identical in both engines. Reference parity: the
+    reference's DSL ceiling covers groupBy+aggregate over a filtered
+    join (SURVEY §2.2); this is that shape at TPC-H Q12 semantics."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("ship_day"),
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("lh"),
+    )
+    year_lo = F.datediff(
+        F.lit(Q12_YEAR_START).cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    year_hi = F.datediff(
+        F.lit(Q12_YEAR_END).cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    lx = li.select(
+        "l_orderkey",
+        "ship_day",
+        F.expr(_Q12_MODE_CASE).alias("shipmode"),
+        (F.col("ship_day") + F.expr(_Q12_RECEIPT_DAYS)).alias("receipt_day"),
+        F.expr(_Q12_COMMIT_DAYS).alias("commit_days"),
+    ).filter(
+        F.col("shipmode").isin(*Q12_SELECTED)
+        & (F.col("receipt_day") >= year_lo)
+        & (F.col("receipt_day") < year_hi)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("order_day"),
+    )
+    commit_day = F.col("order_day") + F.col("commit_days")
+    high = F.col("o_orderpriority").isin(*Q12_HIGH)
+    return (
+        lx.join(o, lx.l_orderkey == o.o_orderkey)
+        .filter((commit_day < F.col("receipt_day")) & (F.col("ship_day") < commit_day))
+        .groupBy("shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )

@@ -294,10 +294,17 @@ def probe_ivf_sq8_index(
     centroids: list[list[float]],
     k: int = 10,
     n_probe: int = 1,
+    max_epoch: int | None = None,
 ) -> DataFrame:
     """Top-k by the reconstructed-dot integer score, reading ONLY the
     query's n_probe nearest cells' codes. Returns (vec_id, score_q)
-    ordered by score desc with vec_id tie-break."""
+    ordered by score desc with vec_id tie-break.
+
+    `max_epoch` caps visibility at a committed epoch (rows above it —
+    an in-flight or crashed ingest's appends — are filtered before
+    live-row resolution): the snapshot-read half of the multi-index
+    atomic-ingest contract (streaming/hybrid.py). None = read
+    everything, the single-index behavior."""
     params = load_sq8_params(spark, path)
     qq = quantize_query(query_vec, params)
     dots = [
@@ -325,9 +332,12 @@ def probe_ivf_sq8_index(
             for q, p in zip(qq, params)
         ]
     )
-    postings = _resolve_live_codes(
-        spark.read.parquet(path + "/cells").filter(F.col("cen_id").isin(cells))
+    raw = spark.read.parquet(path + "/cells").filter(
+        F.col("cen_id").isin(cells)
     )
+    if max_epoch is not None:
+        raw = raw.filter(F.col("epoch") <= max_epoch)
+    postings = _resolve_live_codes(raw)
     scored = postings.select(
         "vec_id",
         F.aggregate(

@@ -30,12 +30,16 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from kstreams_spark.serving import (
+    compact_ivf_pq_index,
     compact_ivf_sq8_index,
     compact_postings_index,
+    probe_ivf_pq_index,
     probe_ivf_sq8_index,
     probe_postings_index,
+    upsert_ivf_pq_delta,
     upsert_ivf_sq8_delta,
     upsert_postings_delta,
+    write_ivf_pq_index,
     write_ivf_sq8_index,
     write_postings_index,
 )
@@ -145,3 +149,49 @@ class StreamingIvfSq8Maintainer(_EpochMarkedMaintainer):
 
     def compact(self, spark: SparkSession) -> int:
         return compact_ivf_sq8_index(spark, self.index_dir)
+
+
+class StreamingIvfPqMaintainer(_EpochMarkedMaintainer):
+    """foreachBatch maintainer for a live IVF-PQ ANN index — closes the
+    ingest matrix (VERDICT r9 task 3: postings and IVF-SQ8 had streaming
+    maintainers; IVF-PQ had only the batch upsert, serving.py:428).
+    The stream carries (vec_id, embedding) rows; every batch encodes
+    with the base build's FROZEN `_codebook` sidecar (per-subspace
+    nearest codeword) and assigns into its FROZEN `_centroids` cells —
+    the same train-once contract as SQ8, so a stream-built index is the
+    bit-twin of a batch rebuild with the same sidecars."""
+
+    def bootstrap(
+        self,
+        emb: DataFrame,
+        centroids: list[list[float]],
+        codebooks,
+    ) -> None:
+        if os.path.isdir(self.index_dir):
+            raise ValueError("bootstrap requires a fresh index_dir")
+        write_ivf_pq_index(emb, self.index_dir, centroids, codebooks)
+
+    def _apply(self, batch_df: DataFrame, epoch: int) -> None:
+        upsert_ivf_pq_delta(
+            batch_df.select("vec_id", "embedding"), self.index_dir, epoch=epoch
+        )
+
+    def probe(
+        self,
+        spark: SparkSession,
+        query_vec: list[float],
+        k: int = 10,
+        n_probe: int = 1,
+    ) -> DataFrame:
+        centroids = [
+            [float(x) for x in r.cvec]
+            for r in spark.read.parquet(self.index_dir + "/_centroids")
+            .orderBy("cen_id")
+            .collect()
+        ]
+        return probe_ivf_pq_index(
+            spark, self.index_dir, query_vec, centroids, k=k, n_probe=n_probe
+        )
+
+    def compact(self, spark: SparkSession) -> int:
+        return compact_ivf_pq_index(spark, self.index_dir)

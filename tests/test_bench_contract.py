@@ -20,7 +20,11 @@ def test_summary_line_is_bounded_and_parseable():
         "probe_ivf_sq8_index": 0.704,
         "probe_ivf_pq_index": 0.353,
     }
-    detail_line, summary_line = bench.format_output(times, probes, 0.1)
+    passes = {n: [t + 0.5, t] for n, t in times.items()}
+    probe_passes = {k: [v + 0.1, v] for k, v in probes.items()}
+    detail_line, summary_line = bench.format_output(
+        times, probes, 0.1, passes=passes, probe_passes=probe_passes
+    )
 
     assert len(summary_line.encode()) <= bench.SUMMARY_MAX_BYTES, len(
         summary_line
@@ -33,9 +37,24 @@ def test_summary_line_is_bounded_and_parseable():
     assert set(out["probes"]) == set(probes)
     # no canary query in this synthetic map -> ratio is null, key present
     assert "canary_ratio" in out and out["canary_ratio"] is None
+    # the spread lives ONLY in the detail sidecar — the summary line must
+    # not grow with it (VERDICT r9 task 1)
+    assert "passes" not in out
 
     det = json.loads(detail_line)
     assert det["queries"] == times and det["probes"] == probes
+    assert det["passes"] == passes and det["probe_passes"] == probe_passes
+
+
+def test_passes_optional_for_backcompat():
+    """format_output without passes (older callers / partial re-runs)
+    still emits the keys, empty — BENCH_DETAIL readers can rely on their
+    presence."""
+    _, summary = bench.format_output({"q": 1.0}, {}, 0.1)
+    det_line, _ = bench.format_output({"q": 1.0}, {}, 0.1)
+    det = json.loads(det_line)
+    assert det["passes"] == {} and det["probe_passes"] == {}
+    assert json.loads(summary)["n_queries"] == 1
 
 
 def test_canary_ratio_normalizes_machine_state():

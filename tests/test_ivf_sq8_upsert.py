@@ -138,3 +138,46 @@ def test_compaction_restores_fresh_form_and_answers(spark, idx):
         assert len(glob.glob(os.path.join(sub, "*.parquet"))) == 1, sub
     assert compact_ivf_sq8_index(spark, inc) == 0  # idempotent
     assert _probe(spark, inc, vec, cents, 4) == before
+
+
+def test_fitted_centroid_composed_path(spark, tmp_path_factory):
+    """The documented PRODUCTION path, composed end-to-end (VERDICT r9
+    task 4 — every other maintained-index test plants hand-made
+    centroids): kmeans_fit on the base corpus → write_ivf_sq8_index with
+    the FITTED centroids → upsert a delta → compact → probes byte-equal
+    an index rebuilt from the current corpus with the SAME fitted
+    centroids and frozen quantizer. Proves fitted (iterated, normalized)
+    centroids flow through the freeze/upsert/compact contract exactly
+    like planted ones — by construction they are just float lists, and
+    this pins that no step re-fits or perturbs them."""
+    from kstreams_spark.operators.kmeans import kmeans_fit
+
+    root = tmp_path_factory.mktemp("ivf_sq8_fitted")
+    inc, rebuilt = str(root / "inc"), str(root / "rebuilt")
+    base, delta, current = _corpus(spark)
+    cents = kmeans_fit(base, k=8, iters=2)  # the real fit, not a plant
+    frozen = sq8_params(base)
+    write_ivf_sq8_index(base, inc, cents, params=frozen)
+    upsert_ivf_sq8_delta(delta, inc, epoch=1)
+    assert compact_ivf_sq8_index(spark, inc) > 0
+    write_ivf_sq8_index(current, rebuilt, cents, params=frozen)
+    vec = [
+        float(x)
+        for x in load_table(spark, SF, "embeddings")
+        .filter(F.col("vec_id") == 3)
+        .first()
+        .embedding
+    ]
+    for n_probe in (1, 3):
+        got = _probe(spark, inc, vec, cents, n_probe)
+        assert got == _probe(spark, rebuilt, vec, cents, n_probe)
+        assert len(got) == K
+    # the sidecar carries the fitted centroids verbatim (what the
+    # maintainer's probe() reads back)
+    stored = [
+        [float(x) for x in r.cvec]
+        for r in spark.read.parquet(inc + "/_centroids")
+        .orderBy("cen_id")
+        .collect()
+    ]
+    assert stored == [[float(x) for x in c] for c in cents]

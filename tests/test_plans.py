@@ -620,3 +620,37 @@ def test_q7_q8_q9_dims_broadcast_single_fact_shuffle(plan_spark, sf_dir):
         strategies = join_strategies(df)
         non_bcast = [s for s in strategies if s != "BroadcastHashJoin"]
         assert len(non_bcast) <= 1, (name, strategies)
+
+
+def test_q12_shape_single_scans_filter_before_exchange(plan_spark, sf_dir):
+    """composite_shipmode_priority (Q12 shape): one lineitem scan, one
+    orders scan, and the lineitem-only predicates (mode 2-of-7,
+    receipt-year window) must run on the lineitem leg BELOW the join so
+    ~96% of lines never reach it. The commitdate predicates depend on
+    o_orderdate and legitimately sit at/above the join; no cartesian, no
+    window. The join STRATEGY is Catalyst's call — at fixture scale
+    orders broadcasts (correct), at 100 TB AQE picks SMJ; the pin is the
+    join KEY and the filter placement, not the strategy."""
+    plan = physical_plan(q("composite_shipmode_priority", plan_spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("orders.parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    lines = plan.splitlines()
+    join_at = [
+        i
+        for i, ln in enumerate(lines)
+        if "Join" in ln and "l_orderkey" in ln and "o_orderkey" in ln
+    ]
+    assert join_at, plan
+    # the mode/receipt filter runs on the lineitem CHILD of the join
+    # (the tree prints children below the join node), so the thinned
+    # stream is what reaches the join — never a post-join shipmode
+    # filter. Catalyst inlines the aliases, so match the literal IN-list
+    # of the collapsed CASE expression inside a Filter node.
+    filt_at = [
+        i
+        for i, ln in enumerate(lines)
+        if "Filter" in ln and "IN (MAIL,SHIP)" in ln
+    ]
+    assert filt_at and filt_at[0] > join_at[0], plan
