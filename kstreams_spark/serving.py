@@ -633,6 +633,7 @@ def probe_ivf_pq_index(
     centroids: list[list[float]],
     k: int = 10,
     n_probe: int = 1,
+    max_epoch: int | None = None,
 ) -> DataFrame:
     """Top-k by the ADC integer score, reading ONLY the query's n_probe
     nearest cells' codes: the (m, code) → partial-dot LUT is computed
@@ -674,12 +675,12 @@ def probe_ivf_pq_index(
             for row in lut
         ]
     )
-    postings = _resolve_live_codes(
-        spark.read.parquet(path + "/cells").filter(
-            F.col("cen_id").isin(cells)
-        ),
-        code_col="codes",
+    raw = spark.read.parquet(path + "/cells").filter(
+        F.col("cen_id").isin(cells)
     )
+    if max_epoch is not None:  # snapshot read — see probe_ivf_sq8_index
+        raw = raw.filter(F.col("epoch") <= max_epoch)
+    postings = _resolve_live_codes(raw, code_col="codes")
     scored = postings.select(
         "vec_id",
         F.aggregate(
@@ -765,14 +766,32 @@ def probe_postings_index(
     terms: tuple[str, ...],
     k: int = 20,
     idf_scale: int = 1000,
+    max_epoch: int | None = None,
 ) -> DataFrame:
     """Multi-term keyword query against the persisted index: read ONLY
     the terms' bucket partitions (PartitionFilters — pinned in
     tests/test_serving_postings.py), derive each term's exact df from
     its complete in-bucket posting list, score Σ tf·(n_docs·scale DIV
     df), return the top-k by (score desc, doc_id) — the same scoring
-    contract as the batch `search_topk_keywords`, equality pinned."""
-    n_docs = spark.read.parquet(path + "_meta").first().n_docs
+    contract as the batch `search_topk_keywords`, equality pinned.
+
+    `max_epoch` caps visibility at a committed epoch — posting rows AND
+    tombstones above it are filtered before live-row resolution, and
+    n_docs is recomputed as-of the cap from the `_docs` manifest
+    (`_meta` already includes any in-flight epoch; the manifest scan is
+    the price of a snapshot read and only the capped path pays it).
+    This is the snapshot-read half of the multi-index atomic-ingest
+    contract (streaming/hybrid.py). None = read everything."""
+    if max_epoch is None:
+        n_docs = spark.read.parquet(path + "_meta").first().n_docs
+    else:
+        n_docs = (
+            spark.read.parquet(path + "_docs")
+            .filter(F.col("epoch") <= max_epoch)
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
     parts = sorted({f"p{tok_bucket_py(t)}" for t in terms})
     # Pull the terms' rows PLUS tombstones (null-tok rows an upsert fans
     # into every bucket at a doc's re-ingest epoch): within the pruned
@@ -787,8 +806,10 @@ def probe_postings_index(
         spark.read.parquet(path)
         .filter(F.col("part").isin(parts))
         .filter(F.col("tok").isin(*terms) | F.col("tok").isNull())
-        .dropDuplicates(["tok", "doc_id", "epoch"])
     )
+    if max_epoch is not None:
+        raw = raw.filter(F.col("epoch") <= max_epoch)
+    raw = raw.dropDuplicates(["tok", "doc_id", "epoch"])
     live_w = FWindow.partitionBy("doc_id")
     postings = (
         raw.withColumn("_live_e", F.max("epoch").over(live_w))

@@ -1,0 +1,270 @@
+"""Cross-index atomic ingest for the hybrid serving stack (VERDICT r9
+task 2). A hybrid (RRF) query reads the keyword postings index AND a
+vector index together; with per-index maintainers each committing its
+own epoch markers, a crash between the two foreachBatch bodies leaves
+the hybrid view TORN — the lexical leg sees document D, the vector leg
+doesn't, and nothing ever reconciles the two until the stream restarts.
+
+`HybridIngestMaintainer` closes that window with two mechanisms:
+
+1. **One marker for all indexes (write side).** A single microbatch
+   upserts every participating index (postings, IVF-SQ8, optionally
+   IVF-PQ) and only then commits ONE epoch marker — marker-last over
+   the whole group, on the same `_EpochMarkedMaintainer` skeleton the
+   per-index maintainers use. A crash anywhere before the marker means
+   the epoch is uncommitted for EVERY index; the foreachBatch replay
+   re-applies the same (delta, epoch) to every index — idempotent under
+   each index's upsert crash contract — and commits.
+
+2. **Snapshot reads at the committed epoch (probe side).** Probes cap
+   visibility at `visible_epoch()` (derived from the group's markers):
+   delta rows above the cap — a crashed or in-flight ingest's appends —
+   are filtered out of every leg before live-row resolution, so both
+   legs of a hybrid query always see the SAME prefix of committed
+   epochs. All-or-nothing: either both legs see epoch N, or neither
+   does. `probe_hybrid` reads the marker ONCE and hands the same cap to
+   both legs — the snapshot point of the whole fused query.
+
+Epoch arithmetic: the base build owns data epoch 0 and is visible with
+no markers; batch `epoch_id` writes data at `epoch_id + 1` and its
+marker makes `visible_epoch() == epoch_id + 1`. Markers commit in batch
+order (Structured Streaming serializes foreachBatch), so a max over
+marker ids is a valid snapshot bound.
+
+At 100 TB this is the multi-index transaction a serving deployment
+needs: one ingest pipeline feeding N index families with a shared
+commit point, probes reading a consistent snapshot with one driver-side
+directory listing (no manifest join on the data path), and per-index
+compaction unchanged because it only folds COMMITTED epochs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kstreams_spark.operators.retrieval import RRF_K, RRF_SCALE
+from kstreams_spark.serving import (
+    compact_ivf_pq_index,
+    compact_ivf_sq8_index,
+    compact_postings_index,
+    probe_ivf_pq_index,
+    probe_ivf_sq8_index,
+    probe_postings_index,
+    upsert_ivf_pq_delta,
+    upsert_ivf_sq8_delta,
+    upsert_postings_delta,
+    write_ivf_pq_index,
+    write_ivf_sq8_index,
+    write_postings_index,
+)
+from kstreams_spark.streaming.postings import _EpochMarkedMaintainer
+
+
+class HybridIngestMaintainer(_EpochMarkedMaintainer):
+    """Multi-index maintainer: one stream of (doc_id, text, embedding)
+    rows feeds a postings index, an IVF-SQ8 index, and (optionally) an
+    IVF-PQ index under a SINGLE per-epoch commit marker. Documents and
+    vectors share the id space (vec_id = doc_id) — the join key the
+    hybrid fusion needs anyway."""
+
+    def __init__(self, root: str) -> None:
+        super().__init__(root)
+        self.postings_dir = os.path.join(root, "postings")
+        self.sq8_dir = os.path.join(root, "sq8")
+        self.pq_dir = os.path.join(root, "pq")
+
+    # -- write side ---------------------------------------------------
+
+    def bootstrap(
+        self,
+        docs: DataFrame,
+        centroids: list[list[float]],
+        params: DataFrame | None = None,
+        codebooks=None,
+    ) -> None:
+        """Build every participating index at data epoch 0 from one
+        (doc_id, text, embedding) corpus. `codebooks` non-None opts the
+        IVF-PQ leg into the group. Quantizer params / codebooks /
+        centroids are FROZEN here — the per-index train-once contract."""
+        if os.path.isdir(self.postings_dir):
+            raise ValueError("bootstrap requires a fresh root")
+        write_postings_index(docs.select("doc_id", "text"), self.postings_dir)
+        emb = self._emb_view(docs)
+        write_ivf_sq8_index(emb, self.sq8_dir, centroids, params=params)
+        if codebooks is not None:
+            write_ivf_pq_index(emb, self.pq_dir, centroids, codebooks)
+
+    @staticmethod
+    def _emb_view(docs: DataFrame) -> DataFrame:
+        return docs.select(F.col("doc_id").alias("vec_id"), "embedding")
+
+    def _apply(self, batch_df: DataFrame, epoch: int) -> None:
+        """All participating indexes, fixed order, marker afterwards
+        (in the inherited process_batch). Order is correctness-neutral —
+        nothing below the group marker is probe-visible — but fixed
+        order keeps crash states enumerable for the recovery test."""
+        upsert_postings_delta(
+            batch_df.select("doc_id", "text"), self.postings_dir, epoch=epoch
+        )
+        emb = self._emb_view(batch_df)
+        upsert_ivf_sq8_delta(emb, self.sq8_dir, epoch=epoch)
+        if os.path.isdir(self.pq_dir):
+            upsert_ivf_pq_delta(emb, self.pq_dir, epoch=epoch)
+
+    def visible_epoch(self) -> int:
+        """Highest committed DATA epoch: max group marker id + 1, or 0
+        (the base build) when no batch has committed. One directory
+        listing — the only metadata read a snapshot probe pays."""
+        if not os.path.isdir(self.marker_root):
+            return 0
+        ids = [
+            int(n.split("=", 1)[1])
+            for n in os.listdir(self.marker_root)
+            if n.startswith("epoch=")
+        ]
+        return max(ids) + 1 if ids else 0
+
+    # -- read side (all legs capped at ONE snapshot epoch) ------------
+
+    def _centroids(self, spark: SparkSession, path: str) -> list[list[float]]:
+        return [
+            [float(x) for x in r.cvec]
+            for r in spark.read.parquet(path + "/_centroids")
+            .orderBy("cen_id")
+            .collect()
+        ]
+
+    def probe_lexical(
+        self,
+        spark: SparkSession,
+        terms: tuple[str, ...],
+        k: int = 20,
+        max_epoch: int | None = None,
+    ) -> DataFrame:
+        e = self.visible_epoch() if max_epoch is None else max_epoch
+        return probe_postings_index(
+            spark, self.postings_dir, terms, k=k, max_epoch=e
+        )
+
+    def probe_vector(
+        self,
+        spark: SparkSession,
+        query_vec: list[float],
+        k: int = 10,
+        n_probe: int = 1,
+        index: str = "sq8",
+        max_epoch: int | None = None,
+    ) -> DataFrame:
+        e = self.visible_epoch() if max_epoch is None else max_epoch
+        if index == "pq":
+            return probe_ivf_pq_index(
+                spark,
+                self.pq_dir,
+                query_vec,
+                self._centroids(spark, self.pq_dir),
+                k=k,
+                n_probe=n_probe,
+                max_epoch=e,
+            )
+        return probe_ivf_sq8_index(
+            spark,
+            self.sq8_dir,
+            query_vec,
+            self._centroids(spark, self.sq8_dir),
+            k=k,
+            n_probe=n_probe,
+            max_epoch=e,
+        )
+
+    def probe_hybrid(
+        self,
+        spark: SparkSession,
+        terms: tuple[str, ...],
+        query_vec: list[float],
+        k: int = 10,
+        pool: int = 20,
+        n_probe: int = 2,
+        index: str = "sq8",
+    ) -> DataFrame:
+        """RRF-fused hybrid query over the maintained indexes — the
+        serving twin of operators/retrieval.search_hybrid_rrf, same
+        integer fusion (RRF_SCALE DIV (RRF_K + rank), absent leg adds
+        0). The snapshot epoch is read ONCE and caps BOTH legs — the
+        atomicity contract this class exists for. Each leg is a
+        pool-sized top list, so the rank windows are bounded by `pool`
+        (the documented driver-bounded single-partition exception
+        class). Returns (doc_id, r_lex, r_vec, rrf_fx) ordered by
+        (rrf_fx desc, doc_id), top-k."""
+        from pyspark.sql import Window
+
+        e = self.visible_epoch()
+        lex = self.probe_lexical(spark, terms, k=pool, max_epoch=e).select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+            .alias("rl"),
+        )
+        vec = self.probe_vector(
+            spark, query_vec, k=pool, n_probe=n_probe, index=index, max_epoch=e
+        ).select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("score_q").desc(), "vec_id"))
+            .alias("rv"),
+        )
+        leg = lambda r: F.when(  # noqa: E731
+            F.col(r).isNull(), F.lit(0).cast("long")
+        ).otherwise(F.expr(f"CAST({RRF_SCALE} DIV ({RRF_K} + {r}) AS BIGINT)"))
+        fused = lex.join(vec, "doc_id", "full").select(
+            "doc_id",
+            F.coalesce(F.col("rl"), F.lit(0)).cast("long").alias("r_lex"),
+            F.coalesce(F.col("rv"), F.lit(0)).cast("long").alias("r_vec"),
+            (leg("rl") + leg("rv")).alias("rrf_fx"),
+        )
+        return fused.orderBy(F.col("rrf_fx").desc(), "doc_id").limit(k)
+
+    # -- maintenance --------------------------------------------------
+
+    def _max_applied_epoch(self, spark: SparkSession) -> int:
+        """Highest epoch any index has PHYSICALLY applied (manifest
+        sidecars) — exceeds visible_epoch() exactly when a crash left an
+        uncommitted partial apply behind."""
+        es = [
+            spark.read.parquet(self.postings_dir + "_docs")
+            .agg(F.max("epoch"))
+            .first()[0],
+            spark.read.parquet(self.sq8_dir + "/_vecs")
+            .agg(F.max("epoch"))
+            .first()[0],
+        ]
+        if os.path.isdir(self.pq_dir):
+            es.append(
+                spark.read.parquet(self.pq_dir + "/_vecs")
+                .agg(F.max("epoch"))
+                .first()[0]
+            )
+        return max(e for e in es if e is not None)
+
+    def compact(self, spark: SparkSession) -> dict[str, int]:
+        """Fold every index's committed deltas (stream STOPPED, single
+        actor — the per-index contract). The per-index compactors fold
+        EVERYTHING on disk, so compacting while a crashed epoch's
+        uncommitted rows are still present would publish them — this
+        refuses loudly instead: restart the stream first (the replay
+        re-applies and commits the epoch), then compact."""
+        applied, visible = self._max_applied_epoch(spark), self.visible_epoch()
+        if applied > visible:
+            raise ValueError(
+                f"uncommitted epoch {applied} on disk (visible {visible}): "
+                "replay the stream to commit it before compacting"
+            )
+        out = {
+            "postings": compact_postings_index(spark, self.postings_dir),
+            "sq8": compact_ivf_sq8_index(spark, self.sq8_dir),
+        }
+        if os.path.isdir(self.pq_dir):
+            out["pq"] = compact_ivf_pq_index(spark, self.pq_dir)
+        return out
