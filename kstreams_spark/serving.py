@@ -398,6 +398,9 @@ def _upsert_quantized_cells(
         spark.read.parquet(path + "/_vecs")
         .groupBy("vec_id")
         .agg(F.max_by("cen_id", "epoch").alias("cen_id"))
+        # cen_id -1 marks a deletion (_delete_quantized_vecs): a vector
+        # re-ingested after erasure has no live old rows to tombstone
+        .filter(F.col("cen_id") >= 0)
         .join(coded.select("vec_id"), "vec_id", "left_semi")
     )
     tombstones = prev_cell.select(
@@ -412,6 +415,58 @@ def _upsert_quantized_cells(
     coded.select("vec_id", "cen_id").withColumn(
         "epoch", F.lit(epoch).cast("long")
     ).write.mode("append").parquet(path + "/_vecs")
+
+
+def _delete_quantized_vecs(
+    vec_ids: DataFrame, path: str, epoch: int, code_col: str, code_type: str
+) -> None:
+    """Index-side erasure for the quantized-cell indexes (VERDICT r9
+    task 5 — the serving twin of io.delete_where): drop one NULL-code
+    tombstone at `epoch` into each deleted vector's CURRENT cell (the
+    same targeted mechanics an upsert uses for moved vectors — probes
+    resolve the vector away immediately, no index rewrite), and append a
+    cen_id = -1 manifest row so compaction knows the vector's live cell
+    is NOWHERE: `_compact_quantized_cells` then physically removes every
+    row (data and tombstones) and drops the manifest entry — no trace.
+
+    Crash contract: same as the upsert — re-run the SAME (ids, epoch) to
+    completion; duplicate tombstones and manifest rows are invisible to
+    probes and folded by compaction. `epoch` must exceed every
+    previously applied one, and one epoch must not both delete and
+    re-ingest the same vec_id (batch = one intent per key)."""
+    spark = vec_ids.sparkSession
+    _ivf_recover(path)
+    ids = vec_ids.select("vec_id")
+    prev_cell = (
+        spark.read.parquet(path + "/_vecs")
+        .groupBy("vec_id")
+        .agg(F.max_by("cen_id", "epoch").alias("cen_id"))
+        .filter(F.col("cen_id") >= 0)  # already-deleted: nothing to hide
+        .join(ids, "vec_id", "left_semi")
+    )
+    prev_cell.select(
+        "vec_id",
+        F.lit(None).cast(code_type).alias(code_col),
+        F.lit(epoch).cast("long").alias("epoch"),
+        "cen_id",
+    ).write.mode("append").partitionBy("cen_id").parquet(path + "/cells")
+    ids.select(
+        "vec_id",
+        F.lit(-1).cast("long").alias("cen_id"),
+        F.lit(epoch).cast("long").alias("epoch"),
+    ).write.mode("append").parquet(path + "/_vecs")
+
+
+def delete_ivf_sq8_vecs(vec_ids: DataFrame, path: str, epoch: int) -> None:
+    """Erase vectors from a live IVF-SQ8 index — see
+    `_delete_quantized_vecs` for the contract."""
+    _delete_quantized_vecs(vec_ids, path, epoch, "q", "array<bigint>")
+
+
+def delete_ivf_pq_vecs(vec_ids: DataFrame, path: str, epoch: int) -> None:
+    """Erase vectors from a live IVF-PQ index — see
+    `_delete_quantized_vecs` for the contract."""
+    _delete_quantized_vecs(vec_ids, path, epoch, "codes", "array<bigint>")
 
 
 def upsert_ivf_sq8_delta(emb: DataFrame, path: str, epoch: int) -> None:
@@ -530,7 +585,10 @@ def _compact_quantized_cells(
         shutil.rmtree(old)
         rewritten += 1
     staged = path + "/_vecs.new-del"
-    live.select(
+    # _live_cell -1 = erased (_delete_quantized_vecs): its rows are gone
+    # from every cell above, and dropping the manifest row here removes
+    # the last trace of the vector from the index
+    live.filter(F.col("_live_cell") >= 0).select(
         "vec_id",
         F.col("_live_cell").alias("cen_id"),
         F.col("_live_e").alias("epoch"),
@@ -777,7 +835,7 @@ def probe_postings_index(
 
     `max_epoch` caps visibility at a committed epoch — posting rows AND
     tombstones above it are filtered before live-row resolution, and
-    n_docs is recomputed as-of the cap from the `_docs` manifest
+    n_docs is recomputed as-of the cap from the `_docs`/`_dels` sidecars
     (`_meta` already includes any in-flight epoch; the manifest scan is
     the price of a snapshot read and only the capped path pays it).
     This is the snapshot-read half of the multi-index atomic-ingest
@@ -785,13 +843,7 @@ def probe_postings_index(
     if max_epoch is None:
         n_docs = spark.read.parquet(path + "_meta").first().n_docs
     else:
-        n_docs = (
-            spark.read.parquet(path + "_docs")
-            .filter(F.col("epoch") <= max_epoch)
-            .select("doc_id")
-            .distinct()
-            .count()
-        )
+        n_docs = _live_postings_docs(spark, path, max_epoch).count()
     parts = sorted({f"p{tok_bucket_py(t)}" for t in terms})
     # Pull the terms' rows PLUS tombstones (null-tok rows an upsert fans
     # into every bucket at a doc's re-ingest epoch): within the pruned
@@ -840,6 +892,91 @@ def probe_postings_index(
 # with the lake layer's displace-swap crash contract.
 
 
+def _live_postings_docs(
+    spark: SparkSession, path: str, max_epoch: int | None = None
+) -> DataFrame:
+    """(doc_id, _live_e) of the docs alive under ingest-vs-delete
+    resolution: a doc is live iff its latest `_docs` ingest epoch beats
+    its latest `_dels` erasure epoch (an absent `_dels` sidecar — any
+    index that never saw a delete — means everything ingested is live).
+    `max_epoch` caps both sides for snapshot reads. One epoch never both
+    deletes and re-ingests a doc (the delete_postings_docs contract), so
+    strict > is well-defined."""
+    docs = spark.read.parquet(path + "_docs")
+    if max_epoch is not None:
+        docs = docs.filter(F.col("epoch") <= max_epoch)
+    live = docs.groupBy("doc_id").agg(F.max("epoch").alias("_live_e"))
+    if os.path.isdir(path + "_dels"):
+        dels = spark.read.parquet(path + "_dels")
+        if max_epoch is not None:
+            dels = dels.filter(F.col("epoch") <= max_epoch)
+        de = dels.groupBy("doc_id").agg(F.max("epoch").alias("_del_e"))
+        live = (
+            live.join(de, "doc_id", "left")
+            .filter(
+                F.col("_del_e").isNull() | (F.col("_live_e") > F.col("_del_e"))
+            )
+            .drop("_del_e")
+        )
+    return live
+
+
+def _swap_meta(spark: SparkSession, path: str, n_live: int) -> None:
+    """Displace-swap the `_meta` doc-count sidecar (idempotent under
+    re-runs — the count is recomputed, never incremented)."""
+    import shutil
+
+    staged = path + "_meta.new-del"
+    spark.createDataFrame([(n_live,)], "n_docs long").write.mode(
+        "overwrite"
+    ).parquet(staged)
+    old = path + "_meta.old-del"
+    os.rename(path + "_meta", old)
+    os.rename(staged, path + "_meta")
+    shutil.rmtree(old)
+
+
+def delete_postings_docs(docs: DataFrame, path: str, epoch: int) -> None:
+    """Index-side erasure for the postings index (VERDICT r9 task 5 —
+    the GDPR twin of io.delete_where on the serving side): hide every
+    posting of the given doc_ids immediately, remove them physically at
+    the next compaction.
+
+    1. append one tombstone row (tok=NULL) per doc into EVERY bucket at
+       `epoch` — the all-bucket mechanics a re-ingest already uses: the
+       doc's per-bucket live epoch becomes the tombstone epoch, where
+       only NULL-tok rows exist, so probes score nothing for it;
+    2. append (doc_id, epoch) to the `_dels` sidecar — the liveness
+       marker `_live_postings_docs` resolves against `_docs` (ingest
+       after delete resurrects, delete after ingest erases);
+    3. recompute the live doc count (idf's n_docs shrinks — scores must
+       byte-equal an index built without the doc) and swap `_meta`.
+
+    Crash contract: same as the upsert — re-run the SAME (ids, epoch)
+    to completion; every step is append-or-swap and duplicates are
+    invisible. One epoch must not both delete and re-ingest a doc."""
+    spark = docs.sparkSession
+    _postings_recover(path)
+    ids = docs.select("doc_id")
+    ids.crossJoin(
+        F.broadcast(
+            spark.range(POSTINGS_BUCKETS).select(
+                F.concat(F.lit("p"), F.col("id")).alias("part")
+            )
+        )
+    ).select(
+        F.lit(None).cast("string").alias("tok"),
+        "doc_id",
+        F.lit(0).cast("long").alias("tf"),
+        F.lit(epoch).cast("long").alias("epoch"),
+        "part",
+    ).write.mode("append").partitionBy("part").parquet(path)
+    ids.select(
+        "doc_id", F.lit(epoch).cast("long").alias("epoch")
+    ).write.mode("append").parquet(path + "_dels")
+    _swap_meta(spark, path, _live_postings_docs(spark, path).count())
+
+
 def upsert_postings_delta(docs: DataFrame, path: str, epoch: int) -> None:
     """Apply one corpus delta (new docs AND re-ingested revisions of
     existing docs) to a live postings index, without touching the base
@@ -863,8 +1000,6 @@ def upsert_postings_delta(docs: DataFrame, path: str, epoch: int) -> None:
     append-or-swap and duplicates are invisible (probe dropDuplicates;
     compaction dedups; the doc count is a DISTINCT). `epoch` must be
     strictly greater than any previously applied epoch."""
-    import shutil
-
     spark = docs.sparkSession
     _postings_recover(path)
     rows = _postings_rows(docs, epoch=epoch)
@@ -887,17 +1022,7 @@ def upsert_postings_delta(docs: DataFrame, path: str, epoch: int) -> None:
     docs.select(
         "doc_id", F.lit(epoch).cast("long").alias("epoch")
     ).write.mode("append").parquet(path + "_docs")
-    n_live = (
-        spark.read.parquet(path + "_docs").select("doc_id").distinct().count()
-    )
-    staged = path + "_meta.new-del"
-    spark.createDataFrame([(n_live,)], "n_docs long").write.mode(
-        "overwrite"
-    ).parquet(staged)
-    old = path + "_meta.old-del"
-    os.rename(path + "_meta", old)
-    os.rename(staged, path + "_meta")
-    shutil.rmtree(old)
+    _swap_meta(spark, path, _live_postings_docs(spark, path).count())
 
 
 def compact_postings_index(spark: SparkSession, path: str) -> int:
@@ -920,11 +1045,10 @@ def compact_postings_index(spark: SparkSession, path: str) -> int:
     import shutil
 
     _postings_recover(path)
-    live = (
-        spark.read.parquet(path + "_docs")
-        .groupBy("doc_id")
-        .agg(F.max("epoch").alias("_live_e"))
-    )
+    # delete-aware liveness: erased docs are absent from `live`, so the
+    # inner join below drops EVERY row of theirs (data and tombstones)
+    # from the rewritten buckets — physical removal, no trace
+    live = _live_postings_docs(spark, path)
     rewritten = 0
     for subdir in sorted(_glob.glob(os.path.join(path, "part=*"))):
         if not os.path.isdir(subdir):
@@ -954,6 +1078,15 @@ def compact_postings_index(spark: SparkSession, path: str) -> int:
     os.rename(path + "_docs", old)
     os.rename(staged, path + "_docs")
     shutil.rmtree(old)
+    if os.path.isdir(path + "_dels"):
+        staged = path + "_dels.new-del"
+        spark.createDataFrame([], "doc_id long, epoch long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(staged)
+        old = path + "_dels.old-del"
+        os.rename(path + "_dels", old)
+        os.rename(staged, path + "_dels")
+        shutil.rmtree(old)
     return rewritten
 
 
@@ -968,6 +1101,7 @@ def _postings_recover(path: str) -> None:
         _glob.glob(os.path.join(path, "*.old-del"))
         + _glob.glob(path + "_meta.old-del")
         + _glob.glob(path + "_docs.old-del")
+        + _glob.glob(path + "_dels.old-del")
     ):
         live = old[: -len(".old-del")]
         if os.path.isdir(live):
@@ -978,5 +1112,6 @@ def _postings_recover(path: str) -> None:
         _glob.glob(os.path.join(path, "*.new-del"))
         + _glob.glob(path + "_meta.new-del")
         + _glob.glob(path + "_docs.new-del")
+        + _glob.glob(path + "_dels.new-del")
     ):
         shutil.rmtree(tmp)
