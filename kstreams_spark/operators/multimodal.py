@@ -16,9 +16,11 @@ Decode honesty varies by FORMAT, stated per operator:
   parsing the bytes — and because the synthesized content is simple
   integer arithmetic, the DuckDB oracle replays it and value-checks the
   binary round-trip end-to-end.
-- COMPRESSED formats (JPEG/MP3/H.264…) stay behind `decode_stub` (a
-  deterministic fake): PIL/ffmpeg/soundfile are absent from this
-  container. The Spark-side plumbing (schema, Arrow batch iteration,
+- COMPRESSED formats: JPEG (r9, `operators/jpeg_codec.py`) and PNG
+  (r10, `operators/png_codec.py`) decode for REAL — both are pure-stdlib
+  (T.81 Huffman/IDCT; zlib + unfilter). Only MP3/H.264 stay behind
+  `decode_stub` (a deterministic fake): ffmpeg/soundfile are absent from
+  this container and no stdlib entropy decoder exists for them. The Spark-side plumbing (schema, Arrow batch iteration,
   partition shape) is identical to the real paths and tested.
 
 Scale posture: binary payloads ride in parquet as plain binary columns;
@@ -105,10 +107,12 @@ COMPRESSED_DECODE_GUIDANCE = (
     "present in this environment: install 'soundfile' for audio and the "
     "'ffmpeg' CLI for video, then swap decode_stub for the real decoder "
     "— the mapInPandas plumbing (schema, Arrow batching, partitioning) "
-    "is identical either way. JPEG no longer needs this gate: baseline "
-    "decode is real and pure-stdlib (operators/jpeg_codec.py, r9); "
-    "install 'Pillow' (import PIL) only to trade it for a native-speed "
-    "codec behind the same (bytes -> grid) seam."
+    "is identical either way. JPEG and PNG no longer need this gate: "
+    "baseline JPEG decode is real and pure-stdlib "
+    "(operators/jpeg_codec.py, r9), as is PNG — zlib ships in-box "
+    "(operators/png_codec.py, r10); install 'Pillow' (import PIL) only "
+    "to trade them for native-speed codecs behind the same "
+    "(bytes -> grid) seam."
 )
 
 
@@ -940,6 +944,69 @@ def multimodal_image_resize_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         _transform_stage(resize_half), MEDIA_PAYLOAD_SCHEMA
     ).mapInPandas(_decode_stage(parse_jpeg_features, IMAGE_SCHEMA), IMAGE_SCHEMA)
+
+
+def _png_payloads(d):
+    """documents → (doc_id, payload binary) of complete PNGs (real
+    zlib-deflated, CRC'd, filter-cycled files — operators/png_codec.py)."""
+    from kstreams_spark.operators.png_codec import synth_png
+
+    return d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_png(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+
+
+@query(
+    "multimodal_image_decode_png",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 6 + doc_id % 7 AS w, 4 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w, h, x, y,
+             (doc_id * 23 + y * 19 + x * 11 + 0 * 109) % 256 AS r,
+             (doc_id * 23 + y * 19 + x * 11 + 1 * 109) % 256 AS g,
+             (doc_id * 23 + y * 19 + x * 11 + 2 * 109) % 256 AS b
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS INTEGER) AS n_pixels,
+           SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g,
+           SUM(b)::BIGINT AS sum_b,
+           SUM((y * w + x) * (r + g + b))::BIGINT AS px_checksum
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG decode that is NOT a stub (r10 — retires the PNG leg of the
+    env-gated guidance; MP3/H.264 are now the only gated formats): a
+    complete 8-bit truecolor PNG is synthesized per doc (real DEFLATE
+    via stdlib zlib, CRC32 on every chunk, per-row filter types cycling
+    through all five of None/Sub/Up/Average/Paeth keyed by
+    (doc_id + y) % 5, the zlib stream split across multiple IDAT chunks,
+    an ancillary tEXt chunk planted — operators/png_codec.py) and
+    feature-extracted by REALLY decoding it: CRC-verified chunk walk,
+    IDAT concatenation, inflate, per-scanline unfilter. PNG is LOSSLESS,
+    so the DuckDB oracle replays the channel synthesis per pixel with no
+    fixture constraint (unlike JPEG's tile-constant trick) and the
+    position-weighted checksum certifies the full
+    encode→bitstream→decode chain — a parser that ignores filter bytes,
+    botches one of the five reconstructions, inflates only the first
+    IDAT, or mis-strides scanlines fails the hash. mapInPandas staged
+    like every multimodal op; at 100 TB the decode fn swaps for
+    PIL/libspng behind the same (bytes → grid) seam."""
+    from kstreams_spark.operators.png_codec import parse_png_features
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return _png_payloads(d).mapInPandas(
+        _decode_stage(parse_png_features, IMAGE_SCHEMA), IMAGE_SCHEMA
+    )
 
 
 @query(

@@ -40,9 +40,10 @@ def test_compressed_codec_guidance_names_libraries():
     g = multimodal.COMPRESSED_DECODE_GUIDANCE
     for artifact in ("Pillow", "PIL", "soundfile", "ffmpeg"):
         assert artifact in g, f"guidance no longer names {artifact}"
-    # r9: the JPEG leg is retired — baseline decode is real and
-    # pure-stdlib; the guidance must say so instead of gating it
+    # r9/r10: the JPEG and PNG legs are retired — decode is real and
+    # pure-stdlib; the guidance must say so instead of gating them
     assert "jpeg_codec" in g
+    assert "png_codec" in g
 
 
 def test_require_compressed_codecs_raises_or_passes():
