@@ -36,6 +36,12 @@ needs: one ingest pipeline feeding N index families with a shared
 commit point, probes reading a consistent snapshot with one driver-side
 directory listing (no manifest join on the data path), and per-index
 compaction unchanged because it only folds COMMITTED epochs.
+
+r10 extends the same transaction to ERASURE: batches may carry an `op`
+column and delete rows erase a doc from every participating index under
+the same single marker (see the class docstring) — the GDPR request
+path gets the identical all-or-nothing guarantee as ingest, proven by
+the torn-delete crash test in tests/test_hybrid_erasure.py.
 """
 
 from __future__ import annotations
@@ -50,6 +56,9 @@ from kstreams_spark.serving import (
     compact_ivf_pq_index,
     compact_ivf_sq8_index,
     compact_postings_index,
+    delete_ivf_pq_vecs,
+    delete_ivf_sq8_vecs,
+    delete_postings_docs,
     probe_ivf_pq_index,
     probe_ivf_sq8_index,
     probe_postings_index,
@@ -68,7 +77,21 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
     rows feeds a postings index, an IVF-SQ8 index, and (optionally) an
     IVF-PQ index under a SINGLE per-epoch commit marker. Documents and
     vectors share the id space (vec_id = doc_id) — the join key the
-    hybrid fusion needs anyway."""
+    hybrid fusion needs anyway.
+
+    CDC mode (r10 — erasure rides the same atomic commit): a batch MAY
+    carry an `op` column ('upsert' | 'delete'); delete rows erase the
+    doc from EVERY participating index (serving.delete_postings_docs /
+    delete_ivf_*_vecs — same tombstone mechanics, physically removed at
+    the next compact()) at the batch's epoch, under the same single
+    group marker — so an erasure request is all-or-nothing to a hybrid
+    reader exactly like an ingest, and a crash mid-delete can't leave a
+    doc hidden from one leg but scoring on the other (the GDPR torn-read
+    twin). With an optional monotonic `seq` column, conflicting same-key
+    rows within one batch resolve LAST-WINS before applying (one tiny
+    per-batch agg); without `seq` the feed must be key-compacted (at
+    most one row per doc_id per batch) — the per-index one-intent-per-
+    key-per-epoch contract, surfaced instead of assumed."""
 
     def __init__(self, root: str) -> None:
         super().__init__(root)
@@ -101,18 +124,59 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
     def _emb_view(docs: DataFrame) -> DataFrame:
         return docs.select(F.col("doc_id").alias("vec_id"), "embedding")
 
-    def _apply(self, batch_df: DataFrame, epoch: int) -> None:
-        """All participating indexes, fixed order, marker afterwards
-        (in the inherited process_batch). Order is correctness-neutral —
-        nothing below the group marker is probe-visible — but fixed
-        order keeps crash states enumerable for the recovery test."""
-        upsert_postings_delta(
-            batch_df.select("doc_id", "text"), self.postings_dir, epoch=epoch
+    @staticmethod
+    def _resolve_cdc(batch_df: DataFrame) -> DataFrame:
+        """LAST-WINS per doc_id by `seq` when present (an update+delete
+        of one key inside one microbatch is legal CDC; the per-index
+        contract needs ONE intent per key per epoch). One groupBy over a
+        microbatch-sized frame."""
+        if "seq" not in batch_df.columns:
+            return batch_df
+        return (
+            batch_df.groupBy("doc_id")
+            .agg(
+                F.max_by(F.struct("op", "text", "embedding"), "seq").alias(
+                    "_last"
+                )
+            )
+            .select("doc_id", "_last.op", "_last.text", "_last.embedding")
         )
-        emb = self._emb_view(batch_df)
-        upsert_ivf_sq8_delta(emb, self.sq8_dir, epoch=epoch)
-        if os.path.isdir(self.pq_dir):
-            upsert_ivf_pq_delta(emb, self.pq_dir, epoch=epoch)
+
+    def _apply(self, batch_df: DataFrame, epoch: int) -> None:
+        """All participating indexes, fixed order (postings upsert →
+        vector upserts → postings delete → vector deletes), marker
+        afterwards (in the inherited process_batch). Order is
+        correctness-neutral — nothing below the group marker is
+        probe-visible — but fixed order keeps crash states enumerable
+        for the recovery tests."""
+        if "op" in batch_df.columns:
+            batch_df = self._resolve_cdc(batch_df)
+            ops = {r.op for r in batch_df.select("op").distinct().collect()}
+            unknown = ops - {"upsert", "delete"}
+            if unknown:
+                raise ValueError(f"unknown CDC op values: {sorted(unknown)}")
+            ups = batch_df.filter(F.col("op") == "upsert")
+            dels = batch_df.filter(F.col("op") == "delete") if "delete" in ops else None
+            if "upsert" not in ops:
+                ups = None
+        else:
+            ups, dels = batch_df, None
+        has_pq = os.path.isdir(self.pq_dir)
+        if ups is not None:
+            upsert_postings_delta(
+                ups.select("doc_id", "text"), self.postings_dir, epoch=epoch
+            )
+            emb = self._emb_view(ups)
+            upsert_ivf_sq8_delta(emb, self.sq8_dir, epoch=epoch)
+            if has_pq:
+                upsert_ivf_pq_delta(emb, self.pq_dir, epoch=epoch)
+        if dels is not None:
+            ids = dels.select("doc_id")
+            vids = dels.select(F.col("doc_id").alias("vec_id"))
+            delete_postings_docs(ids, self.postings_dir, epoch=epoch)
+            delete_ivf_sq8_vecs(vids, self.sq8_dir, epoch=epoch)
+            if has_pq:
+                delete_ivf_pq_vecs(vids, self.pq_dir, epoch=epoch)
 
     def visible_epoch(self) -> int:
         """Highest committed DATA epoch: max group marker id + 1, or 0
@@ -240,6 +304,14 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
             .agg(F.max("epoch"))
             .first()[0],
         ]
+        if os.path.isdir(self.postings_dir + "_dels"):
+            # a delete-only epoch leaves no trace in _docs; its erasure
+            # markers land here (IVF deletes write _vecs rows, covered)
+            es.append(
+                spark.read.parquet(self.postings_dir + "_dels")
+                .agg(F.max("epoch"))
+                .first()[0]
+            )
         if os.path.isdir(self.pq_dir):
             es.append(
                 spark.read.parquet(self.pq_dir + "/_vecs")
