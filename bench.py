@@ -115,6 +115,8 @@ HEADLINE = [
     "composite_min_cost_supplier",  # added r9: Q2 shape over synthesized supply
     "multimodal_image_decode_jpeg",  # added r9: real baseline JPEG decode chain
     "composite_shipmode_priority",  # added r10: Q12 shape, filter-below-join fact join
+    "multimodal_image_decode_png",  # added r10: real PNG decode (zlib+unfilter)
+    "text_bigram_surprise",  # added r10: bigram-LM perplexity-proxy gate
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------

@@ -1021,3 +1021,122 @@ def text_weighted_median_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tw").cast("long").alias("total_tokens"),
     )
 
+
+
+# --- bigram-LM surprise (CCNet-style perplexity-proxy gate) ----------------
+SURPRISE_TRAIN_MOD = 10  # docs with doc_id % 10 < 8 train the LM
+SURPRISE_OOV_BITS = 24  # charge for a context never seen in training
+
+
+@query(
+    "text_bigram_surprise",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, str_split(text, ' ') AS l FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+      FROM tok,
+           LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) g
+      WHERE len(l) >= 2
+    ),
+    big AS (
+      SELECT w1, w2, COUNT(*)::BIGINT AS big_n FROM pairs
+      WHERE doc_id % {SURPRISE_TRAIN_MOD} < 8 GROUP BY w1, w2
+    ),
+    ctx AS (SELECT w1, SUM(big_n)::BIGINT AS ctx_n FROM big GROUP BY w1),
+    scored AS (
+      SELECT p.doc_id,
+             CASE WHEN b.big_n IS NOT NULL
+                  THEN (length(bin(c.ctx_n)) - 1)
+                       - (length(bin(b.big_n)) - 1)
+                  WHEN c.ctx_n IS NOT NULL THEN length(bin(c.ctx_n))
+                  ELSE {SURPRISE_OOV_BITS} END AS bits,
+             CASE WHEN c.ctx_n IS NULL THEN 1 ELSE 0 END AS is_oov,
+             CASE WHEN c.ctx_n IS NOT NULL AND b.big_n IS NULL
+                  THEN 1 ELSE 0 END AS is_unseen
+      FROM pairs p
+      LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+      LEFT JOIN ctx c ON p.w1 = c.w1
+    )
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_bigrams,
+           SUM(bits)::BIGINT AS bits_total,
+           SUM(is_unseen)::BIGINT AS unseen_bigrams,
+           SUM(is_oov)::BIGINT AS oov_bigrams,
+           (SUM(bits)::BIGINT * 1000) // COUNT(*)::BIGINT
+             AS bits_per_bigram_x1000
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality gate, the CCNet shape (Wenzek et al.
+    2020: score every document by a language model trained on a trusted
+    slice, gate on the score) made ENGINE-EXACT: the repo's determinism
+    rules ban libm log() (text_rarity_score's docstring carries the
+    argument), so the per-bigram cost is the INTEGER bit-length
+    surrogate floor(log2(ctx_n)) - floor(log2(big_n)) — within ±1 bit of
+    the true -log2 P(w2|w1) under MLE — computed as length(bin(x)) - 1,
+    identical unpadded-binary semantics in Spark and DuckDB. Bigrams
+    unseen in training charge floor(log2(ctx_n)) + 1 bits (one count of
+    smoothing mass); contexts never seen in training charge a flat
+    {SURPRISE_OOV_BITS} bits. The LM trains on doc_id % 10 < 8 (the
+    hash-split idiom, modulo-simple here) and SCORES ALL DOCS — the
+    train-on-A/apply-to-all pattern every learned curation filter
+    needs; held-out docs (doc_id % 10 >= 8) get honest OOV charges.
+    Output per doc (>= 2 tokens): bigram count, total bits,
+    unseen/OOV counts, and the gate scalar bits_per_bigram_x1000
+    (integer DIV — fluent text scores low, gibberish high).
+
+    Shuffle budget: one (w1,w2) count agg over the exploded train pairs,
+    one w1 re-agg OVER THE REDUCED BIGRAM TABLE (never the raw pairs),
+    the scoring join shuffled on (w1,w2), the ctx join broadcast-sized
+    (vocabulary-sized, ~1e7 rows at web scale vs ~1e11 pairs), one final
+    doc_id agg. All columns integer; no Python, no floats anywhere."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    pairs = (
+        d.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 2), "
+                    "i -> struct(element_at(split(text, ' '), i + 1) AS w1, "
+                    "element_at(split(text, ' '), i + 2) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    big = (
+        pairs.filter(F.col("doc_id") % SURPRISE_TRAIN_MOD < 8)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("big_n"))
+    )
+    ctx = big.groupBy("w1").agg(F.sum("big_n").alias("ctx_n"))
+    msb = lambda c: F.length(F.bin(c)) - 1  # noqa: E731
+    bits = (
+        F.when(F.col("big_n").isNotNull(), msb(F.col("ctx_n")) - msb(F.col("big_n")))
+        .when(F.col("ctx_n").isNotNull(), msb(F.col("ctx_n")) + 1)
+        .otherwise(F.lit(SURPRISE_OOV_BITS))
+    )
+    scored = (
+        pairs.join(big, ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .select(
+            "doc_id",
+            bits.cast("long").alias("bits"),
+            F.when(F.col("ctx_n").isNull(), 1).otherwise(0).alias("is_oov"),
+            F.when(
+                F.col("ctx_n").isNotNull() & F.col("big_n").isNull(), 1
+            ).otherwise(0).alias("is_unseen"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bits").alias("bits_total"),
+        F.sum("is_unseen").cast("long").alias("unseen_bigrams"),
+        F.sum("is_oov").cast("long").alias("oov_bigrams"),
+        F.expr("sum(bits) * 1000 DIV count(1)").alias("bits_per_bigram_x1000"),
+    )
