@@ -1052,6 +1052,69 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_image_resize_png",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             ((6 + doc_id % 7) + 1) // 2 AS w2,
+             ((4 + doc_id % 4) + 1) // 2 AS h2
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w2, h2, x, y,
+             (doc_id * 23 + (2*y) * 19 + (2*x) * 11 + 0 * 109) % 256 AS r,
+             (doc_id * 23 + (2*y) * 19 + (2*x) * 11 + 1 * 109) % 256 AS g,
+             (doc_id * 23 + (2*y) * 19 + (2*x) * 11 + 2 * 109) % 256 AS b
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w2 - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h2 - 1)) AS y) ty
+    )
+    SELECT doc_id,
+           CAST(w2 AS INTEGER) AS width,
+           CAST(h2 AS INTEGER) AS height,
+           CAST(w2 * h2 AS INTEGER) AS n_pixels,
+           SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g,
+           SUM(b)::BIGINT AS sum_b,
+           SUM((y * w2 + x) * (r + g + b))::BIGINT AS px_checksum
+    FROM px GROUP BY doc_id, w2, h2
+    """,
+)
+def multimodal_image_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG transform chain, every hop real (the JPEG/BMP resize
+    twins' sibling): synthesize a PNG → DECODE (chunk walk, inflate,
+    unfilter) → nearest-neighbor 2×-downsample the pixel grid →
+    RE-ENCODE a complete PNG (fresh deflate, fresh filters — the
+    re-encoder's default y%5 cycle, NOT the source's (doc_id+y)%5, so
+    the second decode exercises a different filter sequence than the
+    first) → decode THAT and feature-extract. Four codec passes per
+    doc; PNG is lossless so NO alignment constraint is needed (unlike
+    `_jpeg16_dims`) — the oracle replays the (2x, 2y) resampled channel
+    arithmetic exactly on the standard `_png_dims` fixtures."""
+    from kstreams_spark.operators.png_codec import (
+        encode_png,
+        parse_png_features,
+        png_pixel_grid,
+    )
+
+    def resize_half(payload: bytes) -> bytes:
+        grid = png_pixel_grid(payload)
+        h, w = len(grid), len(grid[0])
+        return encode_png(
+            [
+                [grid[2 * y][2 * x] for x in range((w + 1) // 2)]
+                for y in range((h + 1) // 2)
+            ]
+        )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        _png_payloads(d)
+        .mapInPandas(_transform_stage(resize_half), MEDIA_PAYLOAD_SCHEMA)
+        .mapInPandas(_decode_stage(parse_png_features, IMAGE_SCHEMA), IMAGE_SCHEMA)
+    )
+
+
 # --------------------------------------------------------------------------
 # Real video path, completing the modality trio: a minimal but VALID
 # AVI — RIFF('AVI ') with LIST(hdrl){avih, LIST(strl){strh,strf}} and

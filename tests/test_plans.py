@@ -654,3 +654,18 @@ def test_q12_shape_single_scans_filter_before_exchange(plan_spark, sf_dir):
         if "Filter" in ln and "IN (MAIL,SHIP)" in ln
     ]
     assert filt_at and filt_at[0] > join_at[0], plan
+
+
+def test_bigram_surprise_ctx_broadcasts_no_cartesian(plan_spark, sf_dir):
+    """text_bigram_surprise: the context-count leg (vocabulary-sized)
+    must broadcast; the bigram scoring join is a shuffled equi-join on
+    (w1, w2) — never a cartesian; and the ctx re-agg consumes the
+    REDUCED bigram table, so the plan carries exactly the pair/ctx/doc
+    aggregate trio, no extra pass over raw pairs."""
+    df = q("text_bigram_surprise", plan_spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert "SinglePartition" not in plan, plan
