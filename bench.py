@@ -117,6 +117,7 @@ HEADLINE = [
     "composite_shipmode_priority",  # added r10: Q12 shape, filter-below-join fact join
     "multimodal_image_decode_png",  # added r10: real PNG decode (zlib+unfilter)
     "text_bigram_surprise",  # added r10: bigram-LM perplexity-proxy gate
+    "composite_curation_perplexity",  # added r10: CCNet lang-id x ppl terciles
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------

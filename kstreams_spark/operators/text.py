@@ -355,9 +355,9 @@ def _lang_score_sql(lang: str) -> str:
     return f"({hits})"
 
 
-@query(
-    "text_language_id",
-    oracle=f"""
+# the lang-id oracle, as a nestable statement (reused verbatim by the
+# composite CCNet pipeline at the bottom of this module)
+_LANGID_SQL = f"""
     WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents),
     scored AS (
       SELECT doc_id, lang,
@@ -374,8 +374,10 @@ def _lang_score_sql(lang: str) -> str:
              WHEN s_fr THEN 'fr' ELSE 'zh' END AS pred_lang,
            greatest(s_en, s_de, s_es, s_fr, s_zh) AS best_score
     FROM scored
-    """,
-)
+    """
+
+
+@query("text_language_id", oracle=_LANGID_SQL)
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID: score each language by profile-token
     hits, argmax with a fixed precedence order (en>de>es>fr>zh on ties).
@@ -1027,10 +1029,9 @@ def text_weighted_median_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
 SURPRISE_TRAIN_MOD = 10  # docs with doc_id % 10 < 8 train the LM
 SURPRISE_OOV_BITS = 24  # charge for a context never seen in training
 
-
-@query(
-    "text_bigram_surprise",
-    oracle=f"""
+# the per-doc surprise oracle, as a nestable statement (the composite
+# CCNet pipeline below embeds it verbatim as a CTE body)
+_SURPRISE_SQL = f"""
     WITH tok AS (
       SELECT doc_id, str_split(text, ' ') AS l FROM documents
     ),
@@ -1067,8 +1068,10 @@ SURPRISE_OOV_BITS = 24  # charge for a context never seen in training
            (SUM(bits)::BIGINT * 1000) // COUNT(*)::BIGINT
              AS bits_per_bigram_x1000
     FROM scored GROUP BY doc_id
-    """,
-)
+    """
+
+
+@query("text_bigram_surprise", oracle=_SURPRISE_SQL)
 def text_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality gate, the CCNet shape (Wenzek et al.
     2020: score every document by a language model trained on a trusted
@@ -1140,3 +1143,75 @@ def text_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_oov").cast("long").alias("oov_bigrams"),
         F.expr("sum(bits) * 1000 DIV count(1)").alias("bits_per_bigram_x1000"),
     )
+
+
+@query(
+    "composite_curation_perplexity",
+    oracle=f"""
+    WITH sup AS ({_SURPRISE_SQL}),
+    lid AS ({_LANGID_SQL}),
+    j AS (
+      SELECT l.pred_lang, s.doc_id, s.n_bigrams, s.bits_per_bigram_x1000 AS bpb,
+             ntile(3) OVER (PARTITION BY l.pred_lang
+                            ORDER BY s.bits_per_bigram_x1000, s.doc_id) AS t
+      FROM sup s JOIN lid l ON s.doc_id = l.doc_id
+    )
+    SELECT pred_lang,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_bigrams)::BIGINT AS total_bigrams,
+           MIN(bpb)::BIGINT AS min_bits_x1000,
+           MAX(bpb)::BIGINT AS max_bits_x1000,
+           SUM(bpb)::BIGINT // COUNT(*)::BIGINT AS mean_bits_x1000
+    FROM j GROUP BY pred_lang, t
+    """,
+)
+def composite_curation_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet pipeline end-to-end (Wenzek et al. 2020 — the paper's
+    actual flow, not just its scoring stage): language-ID every doc,
+    score every doc with the split-trained bigram LM, then bucket each
+    LANGUAGE's docs into perplexity terciles (head = most fluent third,
+    middle, tail) and report per-(lang, bucket) corpus statistics — the
+    table a curation run reads to decide which buckets feed training.
+    Oracle nests BOTH registered oracles verbatim (_SURPRISE_SQL +
+    _LANGID_SQL), so one hash certifies lang-id, LM scoring, tercile
+    assignment, and the rollup together. Tercile assignment is ntile(3)
+    over the total order (bits, doc_id) — rank-based and tie-broken, so
+    both engines assign identically; docs with < 2 tokens carry no LM
+    score and drop at the inner join (the surprise op's documented
+    grain).
+
+    Shuffle budget: the surprise pipeline's budget + one doc-grain join
+    + ONE per-language window sort (the tercile cutpoints — CCNet
+    computes exactly this; at 100 TB the standard swap is sampled
+    cutpoints broadcast as thresholds, trading exactness for one pass,
+    behind the same bucket-label contract) + the final tiny agg."""
+    lang = text_language_id(spark, sf_dir).select("doc_id", "pred_lang")
+    sup = text_bigram_surprise(spark, sf_dir).select(
+        "doc_id", "n_bigrams", "bits_per_bigram_x1000"
+    )
+    w = Window.partitionBy("pred_lang").orderBy(
+        "bits_per_bigram_x1000", "doc_id"
+    )
+    j = (
+        sup.join(lang, "doc_id")
+        .select(
+            "pred_lang",
+            "n_bigrams",
+            F.col("bits_per_bigram_x1000").alias("bpb"),
+            F.ntile(3).over(w).alias("t"),
+        )
+    )
+    bucket = (
+        F.when(F.col("t") == 1, "head")
+        .when(F.col("t") == 2, "middle")
+        .otherwise("tail")
+    )
+    return j.groupBy("pred_lang", bucket.alias("ppl_bucket"), "t").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").alias("total_bigrams"),
+        F.min("bpb").alias("min_bits_x1000"),
+        F.max("bpb").alias("max_bits_x1000"),
+        F.expr("sum(bpb) DIV count(1)").alias("mean_bits_x1000"),
+    ).drop("t")
