@@ -1095,10 +1095,26 @@ def text_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     one w1 re-agg OVER THE REDUCED BIGRAM TABLE (never the raw pairs),
     the scoring join shuffled on (w1,w2), the ctx join broadcast-sized
     (vocabulary-sized, ~1e7 rows at web scale vs ~1e11 pairs), one final
-    doc_id agg. All columns integer; no Python, no floats anywhere."""
+    doc_id agg. All columns integer; no Python, no floats anywhere.
+
+    The body is composed from bigram_pairs / surprise_lm_counts /
+    surprise_per_doc so the streaming twin
+    (streaming/gates.py::StreamingPerplexityGate) scores with LITERALLY
+    the same expressions — batch/stream agreement is structural."""
     d = spread(load_table(spark, sf_dir, "documents"))
+    pairs = bigram_pairs(d)
+    big, ctx = surprise_lm_counts(
+        pairs.filter(F.col("doc_id") % SURPRISE_TRAIN_MOD < 8)
+    )
+    return surprise_per_doc(pairs, big, ctx)
+
+
+def bigram_pairs(d: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) → exploded (doc_id, w1, w2) bigram rows;
+    docs with < 2 whitespace tokens drop (the sequence(1,0)-backward
+    guard). Shared by the batch op and the streaming gate."""
     toks = F.split(F.col("text"), " ")
-    pairs = (
+    return (
         d.filter(F.size(toks) >= 2)
         .select(
             "doc_id",
@@ -1112,12 +1128,23 @@ def text_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "p.w1", "p.w2")
     )
-    big = (
-        pairs.filter(F.col("doc_id") % SURPRISE_TRAIN_MOD < 8)
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("big_n"))
+
+
+def surprise_lm_counts(train_pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train the bigram LM: (w1, w2, big_n) and its w1 re-agg
+    (w1, ctx_n) — the ctx pass runs over the REDUCED bigram table."""
+    big = train_pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("big_n")
     )
     ctx = big.groupBy("w1").agg(F.sum("big_n").alias("ctx_n"))
+    return big, ctx
+
+
+def surprise_per_doc(
+    pairs: DataFrame, big: DataFrame, ctx: DataFrame
+) -> DataFrame:
+    """Score (doc_id, w1, w2) rows against a frozen LM — the exact
+    integer bit arithmetic of text_bigram_surprise's contract."""
     msb = lambda c: F.length(F.bin(c)) - 1  # noqa: E731
     bits = (
         F.when(F.col("big_n").isNotNull(), msb(F.col("ctx_n")) - msb(F.col("big_n")))

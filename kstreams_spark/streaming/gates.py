@@ -79,3 +79,75 @@ class StreamingCurationGate:
 
     def dropped(self, spark: SparkSession) -> DataFrame:
         return self.dropped_sink.result(spark)
+
+
+class StreamingPerplexityGate:
+    """The learned-filter deploy path (r10 — the ingest-time twin of
+    text_bigram_surprise, composed from the SAME expressions via
+    operators/text.bigram_pairs / surprise_per_doc, so batch and stream
+    cannot disagree about a score): fit() trains the bigram LM once and
+    persists it as two parquet tables — the model-loader seam, exactly
+    how a CCNet-style filter ships to an ingest cluster — then every
+    arriving document is scored against the FROZEN model and split on
+    the bits_per_bigram_x1000 threshold before it reaches the lake.
+
+    Statefulness: NONE beyond the frozen model — scoring is a pure
+    function of (batch, model), so replay semantics come entirely from
+    the epoch-keyed sink and per-batch cost is batch-bigrams × the two
+    model joins (ctx broadcast, bigram join shuffled on (w1, w2)). Docs
+    with < 2 tokens carry no LM score and are dropped by bigram_pairs —
+    route them through StreamingCurationGate's length gates instead."""
+
+    def __init__(
+        self, model_dir: str, scored_dir: str, max_bits_x1000: int
+    ) -> None:
+        self.model_dir = model_dir
+        self.max_bits_x1000 = max_bits_x1000
+        self.sink = ExactlyOnceParquetSink(scored_dir)
+        self.batches_seen = 0
+
+    def fit(self, train_docs: DataFrame) -> None:
+        """Train-once: persist (w1, w2, big_n) and (w1, ctx_n). Refit =
+        a new model_dir (frozen-model contract, like the quantizers)."""
+        import os
+
+        from kstreams_spark.operators.text import (
+            bigram_pairs,
+            surprise_lm_counts,
+        )
+
+        if os.path.isdir(os.path.join(self.model_dir, "big")):
+            raise ValueError("fit requires a fresh model_dir")
+        big, ctx = surprise_lm_counts(bigram_pairs(train_docs))
+        big.write.parquet(os.path.join(self.model_dir, "big"))
+        ctx.coalesce(1).write.parquet(os.path.join(self.model_dir, "ctx"))
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from kstreams_spark.operators.text import (
+            bigram_pairs,
+            surprise_per_doc,
+        )
+        import os
+
+        self.batches_seen += 1
+        spark = batch_df.sparkSession
+        big = spark.read.parquet(os.path.join(self.model_dir, "big"))
+        ctx = spark.read.parquet(os.path.join(self.model_dir, "ctx"))
+        scored = surprise_per_doc(bigram_pairs(batch_df), big, ctx)
+        self.sink.process_batch(
+            scored.withColumn(
+                "is_kept",
+                F.col("bits_per_bigram_x1000") <= F.lit(self.max_bits_x1000),
+            ),
+            epoch_id,
+        )
+
+    def attach(self, stream: DataFrame, checkpoint_dir: str):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+
+    def scored(self, spark: SparkSession) -> DataFrame:
+        return self.sink.result(spark)

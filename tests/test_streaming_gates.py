@@ -80,3 +80,65 @@ def test_replayed_epoch_is_idempotent(spark, tmp_path, sf_dir):
     gate.process_batch(docs, epoch_id=0)
     assert gate.kept(spark).count() == n_k
     assert gate.dropped(spark).count() == n_d
+
+
+class TestStreamingPerplexityGate:
+    def _fit_gate(self, spark, tmp_path, sf_dir, thr=9000):
+        from kstreams_spark.operators.text import SURPRISE_TRAIN_MOD
+        from kstreams_spark.streaming.gates import StreamingPerplexityGate
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        gate = StreamingPerplexityGate(
+            str(tmp_path / "model"), str(tmp_path / "scored"), thr
+        )
+        gate.fit(docs.filter(F.col("doc_id") % SURPRISE_TRAIN_MOD < 8))
+        return gate, docs
+
+    def test_stream_scores_equal_batch_op(self, spark, tmp_path, sf_dir):
+        """Bit-twin: the frozen-model streaming score of every doc must
+        EQUAL text_bigram_surprise's row for it (same LM slice, shared
+        expressions) — including held-out docs' OOV charges."""
+        from kstreams_spark.operators.text import text_bigram_surprise
+
+        gate, docs = self._fit_gate(spark, tmp_path, sf_dir)
+        gate.process_batch(docs, 0)
+        got = {
+            r.doc_id: (
+                r.n_bigrams,
+                r.bits_total,
+                r.unseen_bigrams,
+                r.oov_bigrams,
+                r.bits_per_bigram_x1000,
+            )
+            for r in gate.scored(spark).collect()
+        }
+        want = {
+            r.doc_id: (
+                r.n_bigrams,
+                r.bits_total,
+                r.unseen_bigrams,
+                r.oov_bigrams,
+                r.bits_per_bigram_x1000,
+            )
+            for r in text_bigram_surprise(spark, sf_dir).collect()
+        }
+        assert got == want
+
+    def test_threshold_split_and_replay(self, spark, tmp_path, sf_dir):
+        gate, docs = self._fit_gate(spark, tmp_path, sf_dir, thr=8000)
+        gate.process_batch(docs.filter(F.col("doc_id") < 200), 0)
+        out = gate.scored(spark)
+        rows = out.collect()
+        assert rows
+        for r in rows:
+            assert r.is_kept == (r.bits_per_bigram_x1000 <= 8000)
+        n = out.count()
+        gate.process_batch(docs.filter(F.col("doc_id") < 200), 0)  # replay
+        assert gate.scored(spark).count() == n
+
+    def test_refit_refused(self, spark, tmp_path, sf_dir):
+        import pytest as _pytest
+
+        gate, docs = self._fit_gate(spark, tmp_path, sf_dir)
+        with _pytest.raises(ValueError, match="fresh model_dir"):
+            gate.fit(docs)
