@@ -2262,6 +2262,16 @@ _Q12_MODE_CASE = (
     + " ".join(f"WHEN {i} THEN '{m}'" for i, m in enumerate(Q12_MODES))
     + " END"
 )
+# Spark-side twin of _Q12_MODE_CASE, same values: Catalyst rewrites
+# CASE-key-WHEN into CASE WHEN key=v..., duplicating the md5-digit
+# scrutinee into all 7 branches (~3 s/600k rows measured, r10); indexing
+# a literal array evaluates the digits ONCE. The oracle keeps the CASE
+# (DuckDB has no element_at; engine values are identical either way).
+_Q12_MODE_SPARK = (
+    "element_at(array("
+    + ", ".join(f"'{m}'" for m in Q12_MODES)
+    + f"), CAST({_hex_int_sql('lh', 1, 2)} % {len(Q12_MODES)} AS INT) + 1)"
+)
 _Q12_COMMIT_DAYS = f"(30 + {_hex_int_sql('lh', 3, 2)} % 61)"
 _Q12_RECEIPT_DAYS = f"(1 + {_hex_int_sql('lh', 5, 2)} % 30)"
 _Q12_EPOCH = "DATE '1970-01-01'"
@@ -2345,7 +2355,7 @@ def composite_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     lx = li.select(
         "l_orderkey",
         "ship_day",
-        F.expr(_Q12_MODE_CASE).alias("shipmode"),
+        F.expr(_Q12_MODE_SPARK).alias("shipmode"),
         (F.col("ship_day") + F.expr(_Q12_RECEIPT_DAYS)).alias("receipt_day"),
         F.expr(_Q12_COMMIT_DAYS).alias("commit_days"),
     ).filter(
