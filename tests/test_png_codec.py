@@ -153,3 +153,31 @@ def test_features_match_direct_pixel_math():
     assert feats["px_checksum"] == sum(
         (y * w + x) * sum(g[y][x]) for y in range(h) for x in range(w)
     )
+
+
+def test_roundtrip_property_random_grids():
+    """Hypothesis: ANY 8-bit RGB grid with ANY per-row filter choice
+    roundtrips exactly — PNG is lossless, so this is the codec's whole
+    contract in one property."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 10),
+        st.integers(1, 8),
+        st.randoms(use_true_random=False),
+    )
+    def prop(w, h, rng):
+        g = [
+            [
+                (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+                for _ in range(w)
+            ]
+            for _ in range(h)
+        ]
+        filters = [rng.randrange(5) for _ in range(h)]
+        payload = encode_png(g, row_filter=lambda y: filters[y])
+        assert png_pixel_grid(payload) == g
+
+    prop()
