@@ -1242,3 +1242,160 @@ def composite_curation_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("bpb").alias("max_bits_x1000"),
         F.expr("sum(bpb) DIV count(1)").alias("mean_bits_x1000"),
     ).drop("t")
+
+
+# --- multi-round BPE training (the iterative extension of
+# text_bpe_merge_pairs: LEARN merges, don't just rank candidates) -----------
+BPE_TRAIN_ROUNDS = 3
+# one merge application = literal non-overlapping replace, applied 3x.
+# SQL builder shared verbatim between the oracle and the docstring's
+# contract; engine side mirrors it with F.replace (also literal).
+_BPE_PAD = "' ' || {col} || ' '"
+
+
+def _bpe_merge_sql(col: str) -> str:
+    """DuckDB SQL: apply the round's (s1, s2) merge to spaced-symbol
+    column `col` — pad, replace ' s1 s2 '→' s1s2 ' three times, trim."""
+    out = f"' ' || {col} || ' '"
+    for _ in range(3):
+        out = (
+            f"replace({out}, ' ' || s1 || ' ' || s2 || ' ', "
+            f"' ' || s1 || s2 || ' ')"
+        )
+    return f"trim({out})"
+
+
+def _bpe_vocab_sql() -> str:
+    return """
+      SELECT array_to_string(str_split(tok, ''), ' ') AS spaced, cnt FROM (
+        SELECT tok, COUNT(*)::BIGINT AS cnt FROM (
+          SELECT unnest(str_split(text, ' ')) AS tok FROM documents
+        ) WHERE tok <> '' GROUP BY tok)
+    """
+
+
+def _bpe_round_sql(prev: str, r: int) -> str:
+    """CTE fragments for one training round over vocab CTE `prev`."""
+    return f"""
+    p{r} AS (
+      SELECT l[i] AS s1, l[i + 1] AS s2, SUM(cnt)::BIGINT AS pair_count
+      FROM (SELECT str_split(spaced, ' ') AS l, cnt FROM {prev}),
+           LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) g
+      WHERE len(l) >= 2 GROUP BY s1, s2
+    ),
+    t{r} AS (SELECT s1, s2, pair_count FROM p{r}
+             ORDER BY pair_count DESC, s1, s2 LIMIT 1),
+    v{r} AS (SELECT {_bpe_merge_sql("spaced")} AS spaced, cnt
+             FROM {prev}, t{r}),
+    c{r} AS (SELECT SUM(cnt * len(str_split(spaced, ' ')))::BIGINT
+               AS corpus_symbols_after FROM v{r})"""
+
+
+_BPE_TRAIN_SQL = (
+    f"WITH v0 AS ({_bpe_vocab_sql()}),"
+    + ",".join(_bpe_round_sql(f"v{r - 1}", r) for r in range(1, BPE_TRAIN_ROUNDS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_round, s1 AS w1, s2 AS w2, pair_count, "
+        f"corpus_symbols_after FROM t{r}, c{r}"
+        for r in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+)
+
+
+@query("text_bpe_train_merges", oracle=_BPE_TRAIN_SQL)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, BPE_TRAIN_ROUNDS (= 3) merge rounds
+    distributed (Sennrich et al. 2016 — the iterative loop
+    text_bpe_merge_pairs only ranks candidates for): each round counts
+    adjacent symbol pairs over the weighted vocabulary, elects the
+    global top pair (count DESC, pair ASC — total order), applies the
+    merge to every word, and re-counts on the merged vocabulary. The
+    output is the learned merge table itself — (round, pair, count) plus
+    the weighted corpus symbol count after each round, the compression
+    curve a tokenizer trainer monitors.
+
+    Everything stays declarative — the per-round top pair is a 1-row
+    broadcast cross join (the scalar-spine pattern), never a collect;
+    per-round cost is one vocab-sized pair agg + a top-1
+    TakeOrderedAndProject + a vocab-sized rewrite projection, so the
+    round loop scales with ROUNDS × vocab, never corpus (the classic
+    distinct-vocab-with-counts weighting trick).
+
+    Merge semantics, stated exactly: one application = literal
+    NON-OVERLAPPING left-to-right replace of ' s1 s2 ' in the padded
+    spaced-symbol string, run 3 times (both engines' replace() is the
+    same scan, so parity is structural). This equals textbook BPE
+    everywhere except same-symbol runs ≥ 4 (e.g. 'aaaa' under merge
+    (a,a) keeps an alternating single — boundary sharing), a documented,
+    engine-identical approximation; the exact fold needs per-word
+    sequential state neither engine's SQL has."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat_ws(" ", F.split(F.col("tok"), "")).alias("spaced"),
+            "cnt",
+        )
+    )
+
+    def sym_pairs(v: DataFrame) -> DataFrame:
+        return (
+            v.filter(F.size(F.split("spaced", " ")) >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(split(spaced, ' ')) - 2),"
+                        " i -> struct("
+                        "element_at(split(spaced, ' '), i + 1) AS s1, "
+                        "element_at(split(spaced, ' '), i + 2) AS s2))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .select("p.s1", "p.s2", "cnt")
+        )
+
+    def merge3(spaced, s1, s2):
+        pat = F.concat(F.lit(" "), s1, F.lit(" "), s2, F.lit(" "))
+        rep = F.concat(F.lit(" "), s1, s2, F.lit(" "))
+        out = F.concat(F.lit(" "), spaced, F.lit(" "))
+        for _ in range(3):
+            out = F.replace(out, pat, rep)
+        return F.trim(out)
+
+    outs = []
+    v = vocab
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        top = (
+            sym_pairs(v)
+            .groupBy("s1", "s2")
+            .agg(F.sum("cnt").cast("long").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "s1", "s2")
+            .limit(1)
+        )
+        v = v.crossJoin(F.broadcast(top)).select(
+            merge3(F.col("spaced"), F.col("s1"), F.col("s2")).alias("spaced"),
+            "cnt",
+        )
+        stats = v.agg(
+            F.sum(F.col("cnt") * F.size(F.split("spaced", " ")))
+            .cast("long")
+            .alias("corpus_symbols_after")
+        )
+        outs.append(
+            top.crossJoin(F.broadcast(stats)).select(
+                F.lit(r).alias("merge_round"),
+                F.col("s1").alias("w1"),
+                F.col("s2").alias("w2"),
+                "pair_count",
+                "corpus_symbols_after",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
