@@ -118,6 +118,7 @@ HEADLINE = [
     "multimodal_image_decode_png",  # added r10: real PNG decode (zlib+unfilter)
     "text_bigram_surprise",  # added r10: bigram-LM perplexity-proxy gate
     "composite_curation_perplexity",  # added r10: CCNet lang-id x ppl terciles
+    "text_bpe_train_merges",  # added r10: 3-round distributed BPE training
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------

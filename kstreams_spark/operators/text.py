@@ -1267,7 +1267,8 @@ def _bpe_merge_sql(col: str) -> str:
 
 def _bpe_vocab_sql() -> str:
     return """
-      SELECT array_to_string(str_split(tok, ''), ' ') AS spaced, cnt FROM (
+      SELECT tok, array_to_string(str_split(tok, ''), ' ') AS spaced, cnt
+      FROM (
         SELECT tok, COUNT(*)::BIGINT AS cnt FROM (
           SELECT unnest(str_split(text, ' ')) AS tok FROM documents
         ) WHERE tok <> '' GROUP BY tok)
@@ -1285,7 +1286,7 @@ def _bpe_round_sql(prev: str, r: int) -> str:
     ),
     t{r} AS (SELECT s1, s2, pair_count FROM p{r}
              ORDER BY pair_count DESC, s1, s2 LIMIT 1),
-    v{r} AS (SELECT {_bpe_merge_sql("spaced")} AS spaced, cnt
+    v{r} AS (SELECT tok, {_bpe_merge_sql("spaced")} AS spaced, cnt
              FROM {prev}, t{r}),
     c{r} AS (SELECT SUM(cnt * len(str_split(spaced, ' ')))::BIGINT
                AS corpus_symbols_after FROM v{r})"""
@@ -1331,54 +1332,84 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical approximation; the exact fold needs per-word
     sequential state neither engine's SQL has."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    vocab = (
+    _, rounds = _bpe_train_rounds(_bpe_vocab(d))
+    outs = [
+        top.crossJoin(F.broadcast(stats)).select(
+            F.lit(r).alias("merge_round"),
+            F.col("s1").alias("w1"),
+            F.col("s2").alias("w2"),
+            "pair_count",
+            "corpus_symbols_after",
+        )
+        for r, (top, stats) in enumerate(rounds, start=1)
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _bpe_vocab(d: DataFrame) -> DataFrame:
+    """documents → (tok, spaced char-symbol string, corpus count)."""
+    return (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
+            "tok",
             F.concat_ws(" ", F.split(F.col("tok"), "")).alias("spaced"),
             "cnt",
         )
     )
 
-    def sym_pairs(v: DataFrame) -> DataFrame:
-        return (
-            v.filter(F.size(F.split("spaced", " ")) >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(split(spaced, ' ')) - 2),"
-                        " i -> struct("
-                        "element_at(split(spaced, ' '), i + 1) AS s1, "
-                        "element_at(split(spaced, ' '), i + 2) AS s2))"
-                    )
-                ).alias("p"),
-                "cnt",
-            )
-            .select("p.s1", "p.s2", "cnt")
+
+def _bpe_sym_pairs(v: DataFrame) -> DataFrame:
+    return (
+        v.filter(F.size(F.split("spaced", " ")) >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(split(spaced, ' ')) - 2),"
+                    " i -> struct("
+                    "element_at(split(spaced, ' '), i + 1) AS s1, "
+                    "element_at(split(spaced, ' '), i + 2) AS s2))"
+                )
+            ).alias("p"),
+            "cnt",
         )
+        .select("p.s1", "p.s2", "cnt")
+    )
 
-    def merge3(spaced, s1, s2):
-        pat = F.concat(F.lit(" "), s1, F.lit(" "), s2, F.lit(" "))
-        rep = F.concat(F.lit(" "), s1, s2, F.lit(" "))
-        out = F.concat(F.lit(" "), spaced, F.lit(" "))
-        for _ in range(3):
-            out = F.replace(out, pat, rep)
-        return F.trim(out)
 
-    outs = []
+def _bpe_merge3(spaced, s1, s2):
+    """The Spark twin of _bpe_merge_sql — same 3× literal replace."""
+    pat = F.concat(F.lit(" "), s1, F.lit(" "), s2, F.lit(" "))
+    rep = F.concat(F.lit(" "), s1, s2, F.lit(" "))
+    out = F.concat(F.lit(" "), spaced, F.lit(" "))
+    for _ in range(3):
+        out = F.replace(out, pat, rep)
+    return F.trim(out)
+
+
+def _bpe_train_rounds(vocab: DataFrame):
+    """Run BPE_TRAIN_ROUNDS merge rounds; returns (final merged vocab
+    with tok retained, [(top-1 pair DF, corpus-stats DF) per round])."""
+    rounds = []
     v = vocab
-    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+    for _ in range(BPE_TRAIN_ROUNDS):
         top = (
-            sym_pairs(v)
+            _bpe_sym_pairs(v)
             .groupBy("s1", "s2")
             .agg(F.sum("cnt").cast("long").alias("pair_count"))
             .orderBy(F.col("pair_count").desc(), "s1", "s2")
             .limit(1)
         )
         v = v.crossJoin(F.broadcast(top)).select(
-            merge3(F.col("spaced"), F.col("s1"), F.col("s2")).alias("spaced"),
+            "tok",
+            _bpe_merge3(F.col("spaced"), F.col("s1"), F.col("s2")).alias(
+                "spaced"
+            ),
             "cnt",
         )
         stats = v.agg(
@@ -1386,16 +1417,70 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("corpus_symbols_after")
         )
-        outs.append(
-            top.crossJoin(F.broadcast(stats)).select(
-                F.lit(r).alias("merge_round"),
-                F.col("s1").alias("w1"),
-                F.col("s2").alias("w2"),
-                "pair_count",
-                "corpus_symbols_after",
-            )
+        rounds.append((top, stats))
+    return v, rounds
+
+
+_BPE_FINAL_V = f"v{BPE_TRAIN_ROUNDS}"
+_BPE_ALL_ROUNDS = f"WITH v0 AS ({_bpe_vocab_sql()})," + ",".join(
+    _bpe_round_sql(f"v{r - 1}", r) for r in range(1, BPE_TRAIN_ROUNDS + 1)
+)
+
+
+@query(
+    "text_bpe_encode",
+    oracle=f"""
+    {_BPE_ALL_ROUNDS},
+    enc AS (
+      SELECT tok, length(tok)::BIGINT AS n_chars,
+             len(str_split(spaced, ' '))::BIGINT AS n_sym
+      FROM {_BPE_FINAL_V}
+    ),
+    dt AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_words,
+           SUM(e.n_chars)::BIGINT AS n_chars_total,
+           SUM(e.n_sym)::BIGINT AS n_bpe_symbols,
+           (SUM(e.n_chars) - SUM(e.n_sym))::BIGINT AS symbols_saved
+    FROM dt JOIN enc e USING (tok)
+    WHERE dt.tok <> ''
+    GROUP BY doc_id
+    """,
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the payoff of text_bpe_train_merges:
+    encode every document with the 3 learned merges and report the
+    per-doc compression (chars, post-merge symbol count, symbols
+    saved). The apply step uses the SAME distinct-vocab trick as
+    training: merges rewrite the vocabulary once (vocab-sized work),
+    then each doc's encoded length is a broadcast join of its tokens
+    against the encoded vocabulary + one per-doc agg — the corpus is
+    never re-tokenized character-by-character. Train and apply share
+    _bpe_train_rounds, so the encoder can never disagree with the
+    trainer's merge table; the oracle nests the full 3-round training
+    SQL and replays the join. The token-budget planner consumes
+    n_bpe_symbols exactly as it consumes the chars/4 estimate today —
+    this replaces the estimate with the learned tokenizer's true
+    count."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    final_v, _ = _bpe_train_rounds(_bpe_vocab(d))
+    enc = final_v.select(
+        "tok",
+        F.length("tok").cast("long").alias("n_chars"),
+        F.size(F.split("spaced", " ")).cast("long").alias("n_sym"),
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.join(F.broadcast(enc), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").alias("n_chars_total"),
+            F.sum("n_sym").alias("n_bpe_symbols"),
+            (F.sum("n_chars") - F.sum("n_sym")).alias("symbols_saved"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    )
