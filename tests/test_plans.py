@@ -669,3 +669,37 @@ def test_bigram_surprise_ctx_broadcasts_no_cartesian(plan_spark, sf_dir):
     strategies = join_strategies(df)
     assert "BroadcastHashJoin" in strategies, strategies
     assert "SinglePartition" not in plan, plan
+
+
+def test_bpe_trainer_top1_is_take_ordered_no_cartesian(plan_spark, sf_dir):
+    """text_bpe_train_merges: each round's global top pair must be a
+    TakeOrderedAndProject (limit 1, never a full sort), every cross join
+    must be the broadcast 1-row scalar-spine form (BNLJ with a broadcast
+    side — no CartesianProduct), and no single-partition WINDOW (the
+    one-row corpus-stats scalar agg legitimately ends in an Exchange
+    SinglePartition — that is the scalar-total class, not a window)."""
+    plan = physical_plan(q("text_bpe_train_merges", plan_spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_bpe_encode_joins_encoded_vocab_broadcast(plan_spark, sf_dir):
+    """text_bpe_encode: the doc-token → encoded-vocab join must
+    broadcast the vocab leg (vocab ≪ corpus) — the corpus side is never
+    shuffled for the join."""
+    df = q("text_bpe_encode", plan_spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in join_strategies(df), join_strategies(df)
+
+
+def test_curation_perplexity_window_is_partitioned(plan_spark, sf_dir):
+    """composite_curation_perplexity: the tercile ntile must run
+    partitioned by pred_lang — never an unpartitioned window — and the
+    ctx leg of the nested surprise scoring stays broadcast."""
+    df = q("composite_curation_perplexity", plan_spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in join_strategies(df), join_strategies(df)
