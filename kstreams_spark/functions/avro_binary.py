@@ -108,8 +108,13 @@ def encode_sensor_record(
     return bytes(out)
 
 
-def decode_sensor_record(buf: bytes) -> tuple[int, int, str | None, float | None]:
-    event_id, pos = _read_long(buf, 0)
+def decode_sensor_record_at(
+    buf: bytes, pos: int
+) -> tuple[tuple[int, int, str | None, float | None], int]:
+    """Decode one record starting at `pos`; returns (record, new pos).
+    Avro records are not self-delimiting, so container readers (the OCF
+    layer) need the consumed length."""
+    event_id, pos = _read_long(buf, pos)
     user_id, pos = _read_long(buf, pos)
     branch, pos = _read_long(buf, pos)
     if branch:
@@ -124,9 +129,14 @@ def decode_sensor_record(buf: bytes) -> tuple[int, int, str | None, float | None
         pos += 8
     else:
         value = None
+    return (event_id, user_id, event_type, value), pos
+
+
+def decode_sensor_record(buf: bytes) -> tuple[int, int, str | None, float | None]:
+    rec, pos = decode_sensor_record_at(buf, 0)
     if pos != len(buf):
         raise ValueError(f"trailing {len(buf) - pos} bytes after record")
-    return event_id, user_id, event_type, value
+    return rec
 
 
 # -------------------------------------------------------------- vectorized

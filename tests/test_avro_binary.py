@@ -186,3 +186,118 @@ def test_spark_roundtrip_matches_input(spark):
     # both null branches actually exercised
     assert any(r.event_type is None for r in got)
     assert any(r.value is None for r in got)
+
+
+class TestOcfContainer:
+    """functions/avro_ocf.py: the Avro Object Container File layer —
+    framing, metadata, sync discipline, spec-edge metadata blocks."""
+
+    def _frames(self, n=100):
+        from kstreams_spark.functions.avro_binary import encode_sensor_record
+
+        return [
+            encode_sensor_record(
+                i, i * 7, None if i % 3 == 0 else f"t{i}",
+                None if i % 5 == 0 else i / 4.0,
+            )
+            for i in range(n)
+        ]
+
+    def _roundtrip(self, frames, **kw):
+        from kstreams_spark.functions.avro_binary import (
+            decode_sensor_record_at,
+        )
+        from kstreams_spark.functions.avro_ocf import (
+            decode_ocf,
+            encode_ocf,
+            sync_for,
+        )
+
+        buf = encode_ocf(frames, sync_for("t"), **kw)
+        return buf, decode_ocf(buf, decode_sensor_record_at)
+
+    def test_multiblock_roundtrip_and_metadata(self):
+        frames = self._frames(100)
+        buf, (meta, recs) = self._roundtrip(frames, records_per_block=16)
+        assert len(recs) == 100
+        assert recs[7] == (7, 49, "t7", 1.75)
+        assert recs[15] == (15, 105, None, None)  # i%3==0 and i%5==0
+        assert recs[16] == (16, 112, "t16", 4.0)
+        assert meta["avro.codec"] == b"null"
+        assert b'"name":"SensorEvent"' in meta["avro.schema"]
+        # 100 frames / 16 per block = 7 blocks, each ends with the sync
+        from kstreams_spark.functions.avro_ocf import sync_for
+
+        assert buf.count(sync_for("t")) == 8  # header + 7 blocks
+
+    def test_empty_file_roundtrip(self):
+        _, (meta, recs) = self._roundtrip([])
+        assert recs == [] and meta["avro.codec"] == b"null"
+
+    def test_bad_magic_and_torn_sync_rejected(self):
+        import pytest as _pytest
+
+        from kstreams_spark.functions.avro_binary import (
+            decode_sensor_record_at,
+        )
+        from kstreams_spark.functions.avro_ocf import decode_ocf
+
+        buf, _ = self._roundtrip(self._frames(10))
+        with _pytest.raises(ValueError, match="not an Avro"):
+            decode_ocf(b"Obj\x02" + buf[4:], decode_sensor_record_at)
+        corrupted = buf[:-1] + bytes([buf[-1] ^ 0xFF])  # last sync byte
+        with _pytest.raises(ValueError, match="sync marker"):
+            decode_ocf(corrupted, decode_sensor_record_at)
+        with _pytest.raises(ValueError, match="truncated"):
+            decode_ocf(buf[:-8], decode_sensor_record_at)
+
+    def test_unsupported_codec_named(self):
+        import pytest as _pytest
+
+        from kstreams_spark.functions.avro_binary import (
+            _write_long,
+            decode_sensor_record_at,
+        )
+        from kstreams_spark.functions.avro_ocf import (
+            AVRO_MAGIC,
+            decode_ocf,
+            sync_for,
+        )
+
+        out = bytearray(AVRO_MAGIC)
+        _write_long(1, out)
+        for part in (b"avro.codec", b"deflate"):
+            _write_long(len(part), out)
+            out += part
+        _write_long(0, out)
+        out += sync_for("t")
+        with _pytest.raises(ValueError, match="deflate"):
+            decode_ocf(bytes(out), decode_sensor_record_at)
+
+    def test_negative_count_metadata_block(self):
+        """Spec edge: a metadata map block with NEGATIVE count carries a
+        byte size after it — stock writers may emit this form."""
+        from kstreams_spark.functions.avro_binary import (
+            _write_long,
+            decode_sensor_record_at,
+        )
+        from kstreams_spark.functions.avro_ocf import (
+            AVRO_MAGIC,
+            decode_ocf,
+            sync_for,
+        )
+
+        out = bytearray(AVRO_MAGIC)
+        entries = bytearray()
+        for k, v in ((b"avro.codec", b"null"), (b"avro.schema", b"{}")):
+            _write_long(len(k), entries)
+            entries += k
+            _write_long(len(v), entries)
+            entries += v
+        _write_long(-2, out)
+        _write_long(len(entries), out)
+        out += entries
+        _write_long(0, out)
+        out += sync_for("t")
+        meta, recs = decode_ocf(bytes(out), decode_sensor_record_at)
+        assert meta["avro.codec"] == b"null" and recs == []
