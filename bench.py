@@ -119,6 +119,7 @@ HEADLINE = [
     "text_bigram_surprise",  # added r10: bigram-LM perplexity-proxy gate
     "composite_curation_perplexity",  # added r10: CCNet lang-id x ppl terciles
     "text_bpe_train_merges",  # added r10: 3-round distributed BPE training
+    "similarity_mmr_rerank",  # added r10: MMR diversity re-rank over the pool
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------

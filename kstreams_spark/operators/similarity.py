@@ -1875,3 +1875,217 @@ def similarity_reembed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drifted"
         ),
     )
+
+
+# --- MMR diversity re-ranking (Carbonell & Goldstein 1998) -----------------
+MMR_QUERIES = 6  # vec_id < 6 are the query vectors
+MMR_POOL = 16  # relevance pool fed to the greedy selector
+MMR_K = 4  # diversified results returned per query
+
+_MMR_POOL_SQL = f"""
+      SELECT qid, cid, cosine AS rel FROM (
+        SELECT qid, cid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, cid) AS rn
+        FROM cos WHERE qid <> cid
+      ) WHERE rn <= {MMR_POOL}
+"""
+
+
+def _mmr_round_sql(r: int) -> str:
+    """CTEs for greedy round r (>= 2): score every unselected pool
+    candidate rel − max(sim to the selected set), take the per-query
+    argmax (mmr DESC, cid)."""
+    prev = " UNION ALL ".join(f"SELECT qid, cid FROM s{i}" for i in range(1, r))
+    return f"""
+    sel{r} AS ({prev}),
+    c{r} AS (
+      SELECT p.qid, p.cid, p.rel, p.rel - MAX(pr.sim) AS mmr
+      FROM pool p
+      JOIN pairs pr ON pr.qid = p.qid AND pr.ca = p.cid
+      JOIN sel{r} s ON s.qid = pr.qid AND s.cid = pr.cb
+      WHERE NOT EXISTS (SELECT 1 FROM sel{r} m
+                        WHERE m.qid = p.qid AND m.cid = p.cid)
+      GROUP BY p.qid, p.cid, p.rel
+    ),
+    s{r} AS (
+      SELECT qid, cid, rel, mmr FROM (
+        SELECT qid, cid, rel, mmr,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY mmr DESC, cid) AS rn
+        FROM c{r}
+      ) WHERE rn = 1
+    )"""
+
+
+_MMR_SQL = (
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS qv
+      FROM embeddings WHERE vec_id < {MMR_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS cv
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT q.qid, c.cid,
+             SUM(CAST(round(q.qv * c.cv * {FX}.0) AS BIGINT)) AS dot_fx
+      FROM q JOIN c ON q.idx = c.idx
+      GROUP BY q.qid, c.cid
+    ),
+    norms AS ({_NORMS_SQL}),
+    cos AS ({_COS_SQL}),
+    pool AS ({_MMR_POOL_SQL}),
+    pdots AS (
+      SELECT a.qid, a.cid AS ca, b.cid AS cb,
+             SUM(CAST(round(av.v * bv.v * {FX}.0) AS BIGINT)) AS dot_fx
+      FROM pool a
+      JOIN pool b ON a.qid = b.qid AND a.cid <> b.cid
+      JOIN (SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings) av ON av.vec_id = a.cid
+      JOIN (SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings) bv ON bv.vec_id = b.cid AND bv.idx = av.idx
+      GROUP BY a.qid, a.cid, b.cid
+    ),
+    pairs AS (
+      SELECT d.qid, d.ca, d.cb,
+             (CAST(d.dot_fx AS DOUBLE) / {FX})
+               / nullif(sqrt(CAST(na.norm2_fx AS DOUBLE) / {FX})
+                        * sqrt(CAST(nb.norm2_fx AS DOUBLE) / {FX}), 0) AS sim
+      FROM pdots d
+      JOIN norms na ON na.vec_id = d.ca
+      JOIN norms nb ON nb.vec_id = d.cb
+    ),
+    s1 AS (
+      SELECT qid, cid, rel, rel AS mmr FROM (
+        SELECT qid, cid, rel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, cid) AS rn
+        FROM pool
+      ) WHERE rn = 1
+    ),"""
+    + ",".join(_mmr_round_sql(r) for r in range(2, MMR_K + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT qid, cid, {r} AS mmr_rank, rel, mmr AS mmr_score FROM s{r}"
+        for r in range(1, MMR_K + 1)
+    )
+)
+
+
+@query("similarity_mmr_rerank", oracle=_MMR_SQL)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998, the RAG diversity staple): per query, greedily select
+    MMR_K-of-MMR_POOL pool candidates maximizing
+    relevance − max-similarity-to-already-selected (λ = 0.5, equal
+    weights — the subtraction form), so near-duplicate hits can't crowd
+    the context window that composite_rag_context fills.
+
+    Architecture split, stated plainly: the DISTRIBUTED part is one
+    brute-force scoring pass (pool = per-query top-MMR_POOL, one window
+    shuffle) plus the within-query pool×pool pairwise sims (≤ Q·P² tiny
+    rows); the greedy selection itself is INHERENTLY SEQUENTIAL (each
+    pick changes the next round's scores), so it runs on the driver over
+    the collected P-bounded candidates — Q·P² ≈ {pairs} rows of three
+    longs and a double, the bounded-driver-state class (kmeans k×D
+    sums), NOT a corpus collect. The DuckDB oracle replays the greedy as
+    MMR_K unrolled SQL rounds, so the hash PROVES the driver loop and
+    the set-based form agree — the rewrite-proof pattern.
+
+    Determinism: rel and sim are the module's exact-fixed-point cosine
+    doubles (bit-stable across engines); Python max() and subtraction of
+    bit-identical doubles are bit-identical; every argmax carries the
+    (score DESC, cid) total order. At scale the pool bound P is the
+    knob — MMR cost is P² per query regardless of corpus size."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < MMR_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        _fx_norm2("embedding").alias("nq2"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        _fx_norm2("embedding").alias("nc2"),
+    )
+    cos = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            "c_emb",
+            "nc2",
+            _cosine(
+                _fx_dot("c_emb", "q_emb"), F.col("nq2"), F.col("nc2")
+            ).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("cid"))
+    pool = (
+        cos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_POOL)
+        .select("qid", "cid", "rel", "c_emb", "nc2")
+    )
+    # ONE brute-force job: collect the P-bounded pool WITH embeddings
+    # (Q·P rows of D=64 doubles — kilobytes), then compute the pairwise
+    # sims over the literal rows so the corpus scan never re-runs. The
+    # sims stay SPARK expressions (same zip_with fold, same F.round
+    # half-up) — driver Python floats would drift at .5 boundaries.
+    pool_rows = pool.collect()
+    pool_lit = spark.createDataFrame(pool_rows, pool.schema)
+    a = pool_lit.select("qid", F.col("cid").alias("ca"), "c_emb", "nc2")
+    b = pool_lit.select(
+        "qid",
+        F.col("cid").alias("cb"),
+        F.col("c_emb").alias("b_emb"),
+        F.col("nc2").alias("nb2"),
+    )
+    sim_rows = (
+        a.join(b, "qid")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            "qid",
+            "ca",
+            "cb",
+            _cosine(
+                _fx_dot("c_emb", "b_emb"), F.col("nc2"), F.col("nb2")
+            ).alias("sim"),
+        )
+    ).collect()
+    sims = {(r.qid, r.ca, r.cb): r.sim for r in sim_rows}
+    by_q: dict[int, list] = {}
+    for r in pool_rows:
+        by_q.setdefault(r.qid, []).append((r.cid, r.rel))
+    out_rows = []
+    for qid in sorted(by_q):
+        cands = sorted(by_q[qid])  # cid asc — the tie-break order
+        selected: list[int] = []
+        for rank in range(1, MMR_K + 1):
+            best = None
+            for cid, rel in cands:
+                if cid in selected:
+                    continue
+                if selected:
+                    score = rel - max(
+                        sims[(qid, cid, s)] for s in selected
+                    )
+                else:
+                    score = rel
+                # strict > keeps the FIRST (lowest cid) on ties
+                if best is None or score > best[0]:
+                    best = (score, cid, rel)
+            if best is None:
+                break
+            selected.append(best[1])
+            out_rows.append((qid, best[1], rank, best[2], best[0]))
+    return spark.createDataFrame(
+        out_rows,
+        "qid long, cid long, mmr_rank int, rel double, mmr_score double",
+    )
