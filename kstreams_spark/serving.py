@@ -1115,3 +1115,93 @@ def _postings_recover(path: str) -> None:
         + _glob.glob(path + "_dels.new-del")
     ):
         shutil.rmtree(tmp)
+
+
+# -- observability -----------------------------------------------------------
+
+
+def postings_index_stats(spark: SparkSession, path: str) -> dict:
+    """Operational health card for a postings index — the OBSERVE verb
+    of the LSM story (write/probe/upsert/delete/compact already exist):
+    live vs erased docs, tombstone and delta row volume, epoch spread,
+    and a compaction recommendation. Driver-side maintenance tooling
+    (like compact's return value), not a registered query: it reads
+    index directories, not fixture tables. Cost: one pass over the
+    index + the manifest sidecars — run it from the same maintenance
+    actor that would compact."""
+    _postings_recover(path)
+    rows = spark.read.parquet(path)
+    agg = rows.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("tok").isNull(), 1).otherwise(0)).alias("tomb"),
+        F.countDistinct("epoch").alias("n_epochs"),
+        F.max("epoch").alias("max_epoch"),
+    ).first()
+    live_df = _live_postings_docs(spark, path)
+    live = live_df.count()
+    # kept = exactly what compaction writes: live docs' rows at their
+    # live epoch, tombstones excluded — foldable is everything else
+    # (superseded revisions, erased docs' rows, tombstone rows)
+    kept = (
+        rows.filter(F.col("tok").isNotNull())
+        .join(live_df, "doc_id")
+        .filter(F.col("epoch") == F.col("_live_e"))
+        .count()
+    )
+    pending_del = (
+        spark.read.parquet(path + "_dels").select("doc_id").distinct().count()
+        if os.path.isdir(path + "_dels")
+        else 0
+    )
+    stats = {
+        "rows": agg.rows,
+        "tombstone_rows": int(agg.tomb or 0),
+        "foldable_rows": int(agg.rows) - kept,
+        "n_epochs": agg.n_epochs,
+        "max_epoch": int(agg.max_epoch or 0),
+        "live_docs": live,
+        "pending_deletes": pending_del,
+    }
+    stats["compact_recommended"] = stats["foldable_rows"] > 0
+    return stats
+
+
+def quantized_index_stats(spark: SparkSession, path: str, code_col: str) -> dict:
+    """The IVF-SQ8/IVF-PQ twin of postings_index_stats (`code_col` is
+    'q' or 'codes'). Same card: live vs erased vectors, tombstones,
+    delta volume, epoch spread, compaction recommendation."""
+    _ivf_recover(path)
+    rows = spark.read.parquet(path + "/cells")
+    agg = rows.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col(code_col).isNull(), 1).otherwise(0)).alias("tomb"),
+        F.countDistinct("epoch").alias("n_epochs"),
+        F.max("epoch").alias("max_epoch"),
+    ).first()
+    manifest = (
+        spark.read.parquet(path + "/_vecs")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cen_id", "epoch").alias("_live_cell"),
+            F.max("epoch").alias("_live_e"),
+        )
+    )
+    live = manifest.filter(F.col("_live_cell") >= 0).count()
+    erased = manifest.filter(F.col("_live_cell") < 0).count()
+    kept = (
+        rows.filter(F.col(code_col).isNotNull())
+        .join(manifest.filter(F.col("_live_cell") >= 0), "vec_id")
+        .filter(F.col("epoch") == F.col("_live_e"))
+        .count()
+    )
+    stats = {
+        "rows": agg.rows,
+        "tombstone_rows": int(agg.tomb or 0),
+        "foldable_rows": int(agg.rows) - kept,
+        "n_epochs": agg.n_epochs,
+        "max_epoch": int(agg.max_epoch or 0),
+        "live_vecs": live,
+        "pending_deletes": erased,
+    }
+    stats["compact_recommended"] = stats["foldable_rows"] > 0
+    return stats

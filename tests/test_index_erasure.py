@@ -213,3 +213,56 @@ class TestIvfErasure:
         gone = [r.vec_id for r in doomed.collect()]
         assert raw.filter(F.col("vec_id").isin(gone)).count() == 0
         assert raw.filter(F.col("codes").isNull()).count() == 0
+
+
+class TestIndexStats:
+    """The OBSERVE verb: stats reflect upsert/delete volume before
+    compaction and read clean after it."""
+
+    def test_postings_stats_lifecycle(self, spark, tmp_path):
+        from kstreams_spark.serving import postings_index_stats
+
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        p = str(tmp_path / "idx")
+        write_postings_index(docs.filter(F.col("doc_id") % 3 != 2), p)
+        s0 = postings_index_stats(spark, p)
+        assert s0["tombstone_rows"] == 0 and s0["pending_deletes"] == 0
+        assert s0["foldable_rows"] == 0 and not s0["compact_recommended"]
+        upsert_postings_delta(docs.filter(F.col("doc_id") % 3 == 2), p, 1)
+        delete_postings_docs(
+            docs.filter(F.col("doc_id").isin(0, 7)).select("doc_id"), p, 2
+        )
+        s1 = postings_index_stats(spark, p)
+        assert s1["pending_deletes"] == 2 and s1["tombstone_rows"] > 0
+        assert s1["foldable_rows"] > 0 and s1["max_epoch"] == 2
+        assert s1["live_docs"] == docs.count() - 2
+        assert s1["compact_recommended"]
+        compact_postings_index(spark, p)
+        s2 = postings_index_stats(spark, p)
+        assert s2["tombstone_rows"] == 0 and s2["pending_deletes"] == 0
+        assert s2["foldable_rows"] == 0 and not s2["compact_recommended"]
+        assert s2["live_docs"] == s1["live_docs"]
+
+    def test_quantized_stats_lifecycle(self, spark, tmp_path):
+        from kstreams_spark.serving import quantized_index_stats
+
+        emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+        cents = [
+            [float(x) for x in r.embedding]
+            for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        ]
+        p = str(tmp_path / "sq8")
+        write_ivf_sq8_index(emb, p, cents, params=sq8_params(emb))
+        upsert_ivf_sq8_delta(emb.filter(F.col("vec_id") < 5), p, 1)
+        delete_ivf_sq8_vecs(
+            emb.filter(F.col("vec_id").isin(9, 10)).select("vec_id"), p, 2
+        )
+        s1 = quantized_index_stats(spark, p, "q")
+        assert s1["pending_deletes"] == 2 and s1["tombstone_rows"] > 0
+        assert s1["live_vecs"] == emb.count() - 2
+        assert s1["compact_recommended"] and s1["max_epoch"] == 2
+        compact_ivf_sq8_index(spark, p)
+        s2 = quantized_index_stats(spark, p, "q")
+        assert s2["tombstone_rows"] == 0 and s2["pending_deletes"] == 0
+        assert not s2["compact_recommended"]
+        assert s2["live_vecs"] == s1["live_vecs"]
