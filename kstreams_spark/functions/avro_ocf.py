@@ -82,6 +82,16 @@ def decode_ocf(buf: bytes, read_record):
     mismatch or unsupported codec."""
     if buf[:4] != AVRO_MAGIC:
         raise ValueError("not an Avro object container file")
+    try:
+        return _decode_ocf_body(buf, read_record)
+    except IndexError as e:
+        # _read_long walks byte-by-byte: a file cut mid-varint (or mid
+        # metadata entry) surfaces as IndexError — the contract is
+        # ValueError on ANY malformed input, so callers can quarantine
+        raise ValueError("truncated object container file") from e
+
+
+def _decode_ocf_body(buf: bytes, read_record):
     pos = 4
     meta: dict[str, bytes] = {}
     while True:

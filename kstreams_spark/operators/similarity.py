@@ -1992,7 +1992,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle) plus the within-query pool×pool pairwise sims (≤ Q·P² tiny
     rows); the greedy selection itself is INHERENTLY SEQUENTIAL (each
     pick changes the next round's scores), so it runs on the driver over
-    the collected P-bounded candidates — Q·P² ≈ {pairs} rows of three
+    the collected P-bounded candidates — Q·P² (≈ 1.5k rows here) of three
     longs and a double, the bounded-driver-state class (kmeans k×D
     sums), NOT a corpus collect. The DuckDB oracle replays the greedy as
     MMR_K unrolled SQL rounds, so the hash PROVES the driver loop and

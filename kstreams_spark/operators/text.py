@@ -1083,7 +1083,7 @@ def text_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical unpadded-binary semantics in Spark and DuckDB. Bigrams
     unseen in training charge floor(log2(ctx_n)) + 1 bits (one count of
     smoothing mass); contexts never seen in training charge a flat
-    {SURPRISE_OOV_BITS} bits. The LM trains on doc_id % 10 < 8 (the
+    SURPRISE_OOV_BITS (= 24) bits. The LM trains on doc_id % 10 < 8 (the
     hash-split idiom, modulo-simple here) and SCORES ALL DOCS — the
     train-on-A/apply-to-all pattern every learned curation filter
     needs; held-out docs (doc_id % 10 >= 8) get honest OOV charges.

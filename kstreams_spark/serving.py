@@ -1140,10 +1140,13 @@ def postings_index_stats(spark: SparkSession, path: str) -> dict:
     live_df = _live_postings_docs(spark, path)
     live = live_df.count()
     # kept = exactly what compaction writes: live docs' rows at their
-    # live epoch, tombstones excluded — foldable is everything else
-    # (superseded revisions, erased docs' rows, tombstone rows)
+    # live epoch, tombstones excluded, crash-replay duplicates folded
+    # (compaction dropDuplicates on the same key) — foldable is
+    # everything else (superseded revisions, erased docs' rows,
+    # tombstone rows, duplicate copies)
     kept = (
         rows.filter(F.col("tok").isNotNull())
+        .dropDuplicates(["tok", "doc_id", "epoch"])
         .join(live_df, "doc_id")
         .filter(F.col("epoch") == F.col("_live_e"))
         .count()
@@ -1190,6 +1193,7 @@ def quantized_index_stats(spark: SparkSession, path: str, code_col: str) -> dict
     erased = manifest.filter(F.col("_live_cell") < 0).count()
     kept = (
         rows.filter(F.col(code_col).isNotNull())
+        .dropDuplicates(["vec_id", "epoch", code_col])
         .join(manifest.filter(F.col("_live_cell") >= 0), "vec_id")
         .filter(F.col("epoch") == F.col("_live_e"))
         .count()

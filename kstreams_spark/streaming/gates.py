@@ -108,19 +108,31 @@ class StreamingPerplexityGate:
 
     def fit(self, train_docs: DataFrame) -> None:
         """Train-once: persist (w1, w2, big_n) and (w1, ctx_n). Refit =
-        a new model_dir (frozen-model contract, like the quantizers)."""
+        a new model_dir (frozen-model contract, like the quantizers).
+
+        Crash-safe: both tables are written into one staging directory
+        which is RENAMED into place (the repo's displace-swap idiom), so
+        a crash between the two table writes leaves only staging debris
+        — swept by the next fit — never a half-model that bricks both
+        fit (freshness check) and process_batch (missing table)."""
         import os
+        import shutil
 
         from kstreams_spark.operators.text import (
             bigram_pairs,
             surprise_lm_counts,
         )
 
-        if os.path.isdir(os.path.join(self.model_dir, "big")):
+        live = os.path.join(self.model_dir, "model")
+        if os.path.isdir(live):
             raise ValueError("fit requires a fresh model_dir")
+        staged = live + ".new-del"
+        if os.path.isdir(staged):  # debris from a crashed fit
+            shutil.rmtree(staged)
         big, ctx = surprise_lm_counts(bigram_pairs(train_docs))
-        big.write.parquet(os.path.join(self.model_dir, "big"))
-        ctx.coalesce(1).write.parquet(os.path.join(self.model_dir, "ctx"))
+        big.write.parquet(os.path.join(staged, "big"))
+        ctx.coalesce(1).write.parquet(os.path.join(staged, "ctx"))
+        os.rename(staged, live)
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         from kstreams_spark.operators.text import (
@@ -131,8 +143,9 @@ class StreamingPerplexityGate:
 
         self.batches_seen += 1
         spark = batch_df.sparkSession
-        big = spark.read.parquet(os.path.join(self.model_dir, "big"))
-        ctx = spark.read.parquet(os.path.join(self.model_dir, "ctx"))
+        live = os.path.join(self.model_dir, "model")
+        big = spark.read.parquet(os.path.join(live, "big"))
+        ctx = spark.read.parquet(os.path.join(live, "ctx"))
         scored = surprise_per_doc(bigram_pairs(batch_df), big, ctx)
         self.sink.process_batch(
             scored.withColumn(

@@ -91,7 +91,8 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
     rows within one batch resolve LAST-WINS before applying (one tiny
     per-batch agg); without `seq` the feed must be key-compacted (at
     most one row per doc_id per batch) — the per-index one-intent-per-
-    key-per-epoch contract, surfaced instead of assumed."""
+    key-per-epoch contract, ENFORCED with a per-batch duplicate-key
+    check that fails loudly rather than corrupting the index."""
 
     def __init__(self, root: str) -> None:
         super().__init__(root)
@@ -150,11 +151,35 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
         probe-visible — but fixed order keeps crash states enumerable
         for the recovery tests."""
         if "op" in batch_df.columns:
-            batch_df = self._resolve_cdc(batch_df)
+            # validate ops BEFORE last-wins resolution — an unknown op
+            # that loses a seq conflict must still be rejected, not
+            # silently dropped
             ops = {r.op for r in batch_df.select("op").distinct().collect()}
             unknown = ops - {"upsert", "delete"}
             if unknown:
                 raise ValueError(f"unknown CDC op values: {sorted(unknown)}")
+            if "seq" in batch_df.columns:
+                batch_df = self._resolve_cdc(batch_df)
+            else:
+                # ENFORCE the key-compaction contract: a same-key
+                # upsert+delete at one epoch corrupts the index (the
+                # per-index one-intent rule) — the delete's tombstones
+                # and the upsert's rows land at the SAME live epoch, so
+                # probes and compaction disagree about the doc. One tiny
+                # per-batch agg buys the loud failure.
+                dup = (
+                    batch_df.groupBy("doc_id")
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .collect()
+                )
+                if dup:
+                    raise ValueError(
+                        f"CDC batch carries multiple rows for doc_id "
+                        f"{dup[0].doc_id}: supply a monotonic `seq` column "
+                        "for last-wins resolution or key-compact the feed"
+                    )
             ups = batch_df.filter(F.col("op") == "upsert")
             dels = batch_df.filter(F.col("op") == "delete") if "delete" in ops else None
             if "upsert" not in ops:

@@ -301,3 +301,24 @@ class TestOcfContainer:
         out += sync_for("t")
         meta, recs = decode_ocf(bytes(out), decode_sensor_record_at)
         assert meta["avro.codec"] == b"null" and recs == []
+
+
+def test_ocf_truncated_mid_varint_is_valueerror():
+    """The decode contract is ValueError on ANY malformed input — a cut
+    inside the metadata map's varints must not leak IndexError."""
+    import pytest as _pytest
+
+    from kstreams_spark.functions.avro_binary import (
+        decode_sensor_record_at,
+        encode_sensor_record,
+    )
+    from kstreams_spark.functions.avro_ocf import (
+        decode_ocf,
+        encode_ocf,
+        sync_for,
+    )
+
+    buf = encode_ocf([encode_sensor_record(1, 2, "t", 0.5)], sync_for("t"))
+    for cut in (5, 12, 20, len(buf) - 3):
+        with _pytest.raises(ValueError):
+            decode_ocf(buf[:cut], decode_sensor_record_at)

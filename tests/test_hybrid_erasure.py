@@ -238,3 +238,41 @@ def test_torn_delete_crash_is_all_or_nothing(spark, tmp_path):
     assert folded["postings"] > 0
     assert _lex(m.probe_lexical(spark, TERMS, k=10)) == post_lex
     assert _vec(m.probe_vector(spark, vec, k=10, n_probe=3)) == post_vec
+
+
+def test_no_seq_duplicate_keys_rejected(spark, group):
+    """Without seq, a same-key upsert+delete in one batch must fail
+    loudly — applied at one epoch it would corrupt the index (probe vs
+    compaction disagree about the doc)."""
+    m, corpus, *_ = group
+    row = corpus.filter(F.col("doc_id") == 1)
+    bad = row.select(
+        "doc_id", "text", "embedding", F.lit("upsert").alias("op")
+    ).unionByName(
+        row.select(
+            "doc_id",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("array<double>").alias("embedding"),
+            F.lit("delete").alias("op"),
+        )
+    )
+    with pytest.raises(ValueError, match="multiple rows for doc_id"):
+        m._apply(bad, epoch=99)
+
+
+def test_unknown_op_rejected_even_when_losing_seq_conflict(spark, group):
+    """Op validation runs BEFORE last-wins resolution: a malformed op
+    that a higher seq would discard is still a loud error."""
+    m, corpus, *_ = group
+    row = corpus.filter(F.col("doc_id") == 1)
+    bad = row.select(
+        "doc_id", "text", "embedding", F.lit("update").alias("op"),
+        F.lit(1).alias("seq"),
+    ).unionByName(
+        row.select(
+            "doc_id", "text", "embedding", F.lit("upsert").alias("op"),
+            F.lit(2).alias("seq"),
+        )
+    )
+    with pytest.raises(ValueError, match="unknown CDC op"):
+        m._apply(bad, epoch=99)

@@ -266,3 +266,22 @@ class TestIndexStats:
         assert s2["tombstone_rows"] == 0 and s2["pending_deletes"] == 0
         assert not s2["compact_recommended"]
         assert s2["live_vecs"] == s1["live_vecs"]
+
+
+def test_stats_count_replay_duplicates_as_foldable(spark, tmp_path):
+    """A crash-replayed delta leaves duplicate rows on disk; the health
+    card must report them foldable (compaction dropDuplicates and WOULD
+    rewrite) — not hide them behind a duplicate-inflated kept count."""
+    from kstreams_spark.serving import postings_index_stats
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    p = str(tmp_path / "idx")
+    write_postings_index(docs.filter(F.col("doc_id") % 3 != 2), p)
+    delta = docs.filter(F.col("doc_id") % 3 == 2)
+    upsert_postings_delta(delta, p, epoch=1)
+    upsert_postings_delta(delta, p, epoch=1)  # crash replay
+    s = postings_index_stats(spark, p)
+    assert s["foldable_rows"] > 0 and s["compact_recommended"]
+    assert compact_postings_index(spark, p) > 0
+    s2 = postings_index_stats(spark, p)
+    assert s2["foldable_rows"] == 0 and not s2["compact_recommended"]

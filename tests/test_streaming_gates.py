@@ -142,3 +142,34 @@ class TestStreamingPerplexityGate:
         gate, docs = self._fit_gate(spark, tmp_path, sf_dir)
         with _pytest.raises(ValueError, match="fresh model_dir"):
             gate.fit(docs)
+
+    def test_fit_is_crash_safe(self, spark, tmp_path, sf_dir):
+        """A crash between the two model-table writes leaves only
+        staging debris: the next fit sweeps it and succeeds, and a
+        completed fit survives debris appearing later."""
+        import os
+        import shutil
+
+        from kstreams_spark.streaming.gates import StreamingPerplexityGate
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        gate = StreamingPerplexityGate(
+            str(tmp_path / "model"), str(tmp_path / "scored"), 9000
+        )
+        # simulate the crash window: staging dir exists with one table,
+        # live model dir absent
+        staged = os.path.join(str(tmp_path / "model"), "model.new-del")
+        docs.limit(1).write.parquet(os.path.join(staged, "big"))
+        gate.fit(docs.filter(F.col("doc_id") % 10 < 8))  # sweeps + refits
+        assert os.path.isdir(os.path.join(str(tmp_path / "model"), "model"))
+        assert not os.path.isdir(staged)
+        gate.process_batch(docs.limit(50), 0)
+        assert gate.scored(spark).count() > 0
+        with _pytest_raises_value_error():
+            gate.fit(docs)  # completed fit still refuses a refit
+
+
+def _pytest_raises_value_error():
+    import pytest as _pytest
+
+    return _pytest.raises(ValueError, match="fresh model_dir")
