@@ -56,13 +56,13 @@ def _infer_field(v: object) -> str:
     return "string"  # null / nested → stringly-typed fallback
 
 
-def _list_files(path: str) -> list[str]:
+def _list_files(path: str, ext: str = ".jsonl") -> list[str]:
     if os.path.isfile(path):
         return [path]
     return sorted(
         os.path.join(path, n)
         for n in os.listdir(path)
-        if n.endswith(".jsonl") and not n.startswith((".", "_"))
+        if n.endswith(ext) and not n.startswith((".", "_"))
     )
 
 
@@ -150,6 +150,9 @@ class JsonlWriter(DataSourceWriter):
     # writer option (sized to the slowest stage→commit gap in the fleet)
     # or run single-writer per directory (ADVICE r9).
     STALE_GRACE_S = 3600.0
+    # subclass points (the Avro OCF sink reuses this two-phase commit
+    # verbatim): published/staged file extension + partition serializer
+    EXT = ".jsonl"
 
     def __init__(self, schema, options: dict[str, str], overwrite: bool) -> None:
         import time
@@ -176,16 +179,23 @@ class JsonlWriter(DataSourceWriter):
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(
             self.path,
-            f"_staged-{self.commit_id}-{uuid.uuid4().hex}.jsonl",
+            f"_staged-{self.commit_id}-{uuid.uuid4().hex}{self.EXT}",
         )
+        n = self._serialize_partition(iterator, tmp)
+        return JsonlCommitMessage(tmp_path=tmp, count=n)
+
+    def _serialize_partition(self, iterator, tmp_path: str) -> int:
+        """Write one task's rows to tmp_path; returns the row count.
+        The subclass hook — everything around it (staging, commit
+        rename, orphan sweep) is format-agnostic."""
         n = 0
-        with open(tmp, "w", encoding="utf-8") as fh:
+        with open(tmp_path, "w", encoding="utf-8") as fh:
             for row in iterator:
                 fh.write(
                     json.dumps(dict(zip(self.field_names, row))) + "\n"
                 )
                 n += 1
-        return JsonlCommitMessage(tmp_path=tmp, count=n)
+        return n
 
     def _sweep_orphans(self, keep: set[str]) -> None:
         """Remove staged files no surviving commit message references —
@@ -205,11 +215,11 @@ class JsonlWriter(DataSourceWriter):
         import glob as _glob
 
         cutoff = self.started_at - self.stale_grace_s
-        mine = os.path.join(self.path, f"_staged-{self.commit_id}-*.jsonl")
+        mine = os.path.join(self.path, f"_staged-{self.commit_id}-*{self.EXT}")
         for f in _glob.glob(mine):
             if f not in keep:
                 os.remove(f)
-        for f in _glob.glob(os.path.join(self.path, "_staged-*.jsonl")):
+        for f in _glob.glob(os.path.join(self.path, f"_staged-*{self.EXT}")):
             if f in keep or f"_staged-{self.commit_id}-" in os.path.basename(f):
                 continue
             try:
@@ -220,14 +230,14 @@ class JsonlWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         if self.overwrite:
-            for old in _list_files(self.path):
+            for old in _list_files(self.path, self.EXT):
                 os.remove(old)
         live = [m for m in messages if m is not None and m.count > 0]
         for i, m in enumerate(live):
             os.rename(
                 m.tmp_path,
                 os.path.join(
-                    self.path, f"part-{self.commit_id}-{i:05d}.jsonl"
+                    self.path, f"part-{self.commit_id}-{i:05d}{self.EXT}"
                 ),
             )
         # empty tasks' staged files and orphaned attempts of THIS job
