@@ -1,0 +1,279 @@
+"""Snapshot lake: cross-partition atomic commits + time travel over
+plain partitioned parquet (VERDICT r10 task 2).
+
+io.delete_where / io.compact_lake heal to all-old-or-all-new PER
+PARTITION DIRECTORY — a reader overlapping a multi-partition delete can
+see partition A rewritten and partition B not (the torn cross-directory
+state test_lake_snapshot.py demonstrates red-before). This module ports
+the r10 hybrid group-marker idea (streaming/hybrid.py: one commit point
+covering N indexes) to the lake, as a FILE-LEVEL MANIFEST log — the
+Delta/Iceberg commit protocol re-expressed over plain parquet:
+
+- data files are IMMUTABLE and append-only: every writer lands new
+  uniquely-named part files into the normal `split=…/lang=…` layout
+  (Spark's task-UUID file names cannot collide) and never touches an
+  existing file;
+- a SNAPSHOT is a JSON manifest in `_log/` listing exactly the live
+  files; the commit point is one atomic rename of the manifest — a
+  reader pins the highest committed version once and sees every
+  partition at that version, all-or-nothing;
+- old snapshots stay readable (time travel) until vacuum() folds them;
+  a crash anywhere before the manifest rename leaves only orphan files
+  no snapshot references — recovery is "run the op again", and vacuum
+  sweeps the orphans.
+
+At 100 TB the manifest itself becomes the scaling concern (millions of
+file entries) — production uses a table format whose log is exactly
+this shape plus checkpointing/compaction of the log; the commit
+protocol, reader pinning, and vacuum semantics here carry over
+unchanged. Partition values must keep the letter-prefix convention
+(CLAUDE.md: directory values are type-inferred on read).
+
+Single-writer contract (the delete_where/compact assumption): one
+maintenance actor at a time; concurrent READERS are the point and are
+always safe. Reference: the lake surface extends the reference's
+declared persistence growth path (BME680.java:41-44 — Avro/storage),
+re-expressed as Spark-native table maintenance.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOG = "_log"
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, _LOG)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"v{version:010d}.json")
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """Committed snapshot versions, ascending."""
+    if not os.path.isdir(_log_dir(path)):
+        return []
+    return sorted(
+        int(n[1:-5])
+        for n in os.listdir(_log_dir(path))
+        if n.startswith("v") and n.endswith(".json")
+    )
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def _list_files(path: str) -> set[str]:
+    """Every data file currently on disk, path-relative (the `_log` dir
+    is outside the glob: partition dirs are `key=value`)."""
+    out = set()
+    for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        rel = os.path.relpath(f, path)
+        if not rel.startswith(_LOG + os.sep):
+            out.add(rel)
+    return out
+
+
+def _commit(path: str, files: set[str], op: str, schema_ddl: str) -> int:
+    """Write manifest version = last + 1; the os.rename IS the commit
+    point (atomic on POSIX). Single-writer: an existing target means a
+    concurrency-contract violation — fail loudly."""
+    versions = snapshot_versions(path)
+    version = (versions[-1] + 1) if versions else 1
+    os.makedirs(_log_dir(path), exist_ok=True)
+    body = {
+        "version": version,
+        "op": op,
+        "files": sorted(files),
+        "schema": schema_ddl,
+    }
+    tmp = os.path.join(_log_dir(path), f".tmp-v{version}")
+    with open(tmp, "w") as fh:
+        json.dump(body, fh)
+    final = _manifest_path(path, version)
+    if os.path.exists(final):
+        os.remove(tmp)
+        raise ValueError(
+            f"snapshot v{version} already committed: concurrent writer "
+            "(single-writer contract violated)"
+        )
+    os.rename(tmp, final)
+    return version
+
+
+def snapshot_publish(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("split", "lang"),
+) -> int:
+    """Publish a corpus as snapshot v1 (or a full replacement snapshot
+    on an existing lake — old versions stay readable until vacuum)."""
+    before = _list_files(path)
+    df.write.mode("append").partitionBy(*partition_cols).parquet(path)
+    new = _list_files(path) - before
+    return _commit(path, new, "publish", df.schema.simpleString())
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read one committed snapshot — the latest, or a time-travel pin.
+    One manifest read = one consistent cross-partition view; files a
+    later (or in-flight) commit added are invisible, files it removed
+    are still here."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"snapshot v{v} not in committed versions {versions}")
+    m = _read_manifest(path, v)
+    if not m["files"]:
+        return spark.createDataFrame([], m["schema"])
+    # basePath keeps the partition columns parsed from the dir names
+    return spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, f) for f in m["files"]]
+    )
+
+
+def _partition_values(
+    df: DataFrame, condition: str, partition_cols: tuple[str, ...]
+) -> list:
+    return df.filter(condition).select(*partition_cols).distinct().collect()
+
+
+def _partition_filter(row, partition_cols: tuple[str, ...]):
+    cond = F.lit(True)
+    for c in partition_cols:
+        cond = cond & (F.col(c) == F.lit(row[c]))
+    return cond
+
+
+def _in_partition(rel_file: str, row, partition_cols: tuple[str, ...]) -> bool:
+    parts = rel_file.split(os.sep)
+    want = {f"{c}={row[c]}" for c in partition_cols}
+    return want.issubset(set(parts[:-1]))
+
+
+def snapshot_delete_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    partition_cols: tuple[str, ...] = ("split", "lang"),
+) -> int:
+    """Copy-on-write delete with ONE cross-partition commit: rewrite the
+    live rows of every affected partition (minus the matches) as new
+    appended files, then swap the manifest — a concurrent reader sees
+    the delete nowhere or everywhere, never the io.delete_where torn
+    state. Same SQL DELETE NULL semantics (rows where the predicate is
+    NULL are kept). Rewrite cost ∝ affected partitions, as before.
+    Crash anywhere before the commit = all-old (plus vacuum-able
+    orphans); returns rows deleted."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {path}")
+    m = _read_manifest(path, versions[-1])
+    live = set(m["files"])
+    snap = snapshot_read(spark, path)
+    affected = _partition_values(snap, condition, partition_cols)
+    if not affected:
+        return 0
+    deleted = 0
+    removed: set[str] = set()
+    added: set[str] = set()
+    for row in affected:
+        part = snap.filter(_partition_filter(row, partition_cols))
+        keep = part.filter(~F.coalesce(F.expr(condition), F.lit(False)))
+        n_before, n_after = part.count(), keep.count()
+        if n_after == n_before:
+            continue
+        deleted += n_before - n_after
+        before_files = _list_files(path)
+        # partition columns are re-derived from the written dirs
+        keep.write.mode("append").partitionBy(*partition_cols).parquet(path)
+        added |= _list_files(path) - before_files
+        removed |= {f for f in live if _in_partition(f, row, partition_cols)}
+    if not removed and not added:
+        return 0
+    _commit(path, (live - removed) | added, "delete_where", m["schema"])
+    return deleted
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    path: str,
+    n_files: int = 1,
+    partition_cols: tuple[str, ...] = ("split", "lang"),
+) -> int:
+    """Small-files OPTIMIZE with one cross-partition commit: every
+    partition holding more than `n_files` live files is rewritten to
+    `n_files` appended files; one manifest swap publishes all of them.
+    Answers are identical before/during/after (pure re-layout). Returns
+    partitions compacted."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {path}")
+    m = _read_manifest(path, versions[-1])
+    live = set(m["files"])
+    by_dir: dict[str, list[str]] = {}
+    for f in live:
+        by_dir.setdefault(os.path.dirname(f), []).append(f)
+    snap = snapshot_read(spark, path)
+    removed: set[str] = set()
+    added: set[str] = set()
+    compacted = 0
+    for d, files in sorted(by_dir.items()):
+        if len(files) <= n_files:
+            continue
+        cond = F.lit(True)
+        for seg in d.split(os.sep):
+            k, v = seg.split("=", 1)
+            cond = cond & (F.col(k) == F.lit(v))
+        part = snap.filter(cond)
+        before_files = _list_files(path)
+        part.coalesce(n_files).write.mode("append").partitionBy(
+            *partition_cols
+        ).parquet(path)
+        added |= _list_files(path) - before_files
+        removed |= set(files)
+        compacted += 1
+    if compacted:
+        _commit(path, (live - removed) | added, "compact", m["schema"])
+    return compacted
+
+
+def vacuum(path: str, keep_versions: int = 1) -> int:
+    """Physically remove files no retained snapshot references (orphans
+    from crashed writers included) and manifests older than the newest
+    `keep_versions`. Single actor; after vacuum, time travel reaches
+    only the retained versions. Returns files removed."""
+    versions = snapshot_versions(path)
+    if not versions:
+        return 0
+    retained = versions[-keep_versions:]
+    referenced: set[str] = set()
+    for v in retained:
+        referenced |= set(_read_manifest(path, v)["files"])
+    removed = 0
+    for f in sorted(_list_files(path) - referenced):
+        os.remove(os.path.join(path, f))
+        removed += 1
+    for v in versions[: -keep_versions or None]:
+        if v not in retained:
+            os.remove(_manifest_path(path, v))
+    # sweep stale tmp manifests and now-empty partition dirs
+    for tmp in _glob.glob(os.path.join(_log_dir(path), ".tmp-v*")):
+        os.remove(tmp)
+    for root, dirs, files in os.walk(path, topdown=False):
+        if root != path and not os.listdir(root):
+            os.rmdir(root)
+    return removed

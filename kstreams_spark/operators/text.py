@@ -1484,3 +1484,80 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_chars") - F.sum("n_sym")).alias("symbols_saved"),
         )
     )
+
+
+BPE_TOKEN_BUDGET = 60_000  # fixture budget; bites at every sf (sf0.01 ≈ 120k symbols)
+
+
+@query(
+    "composite_bpe_token_budget",
+    oracle=f"""
+    {_BPE_ALL_ROUNDS},
+    enc AS (
+      SELECT tok, len(str_split(spaced, ' '))::BIGINT AS n_sym
+      FROM {_BPE_FINAL_V}
+    ),
+    dt AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, SUM(e.n_sym)::BIGINT AS n_bpe_symbols
+      FROM dt JOIN enc e USING (tok)
+      WHERE dt.tok <> ''
+      GROUP BY doc_id
+    ),
+    running AS (
+      SELECT doc_id, n_bpe_symbols,
+             SUM(n_bpe_symbols) OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_bpe
+      FROM per_doc
+    )
+    SELECT doc_id, n_bpe_symbols, cum_bpe::BIGINT AS cum_bpe
+    FROM running WHERE cum_bpe <= {BPE_TOKEN_BUDGET}
+    """,
+)
+def composite_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting by the LEARNED tokenizer (VERDICT r10 task 3 —
+    closing the gap its r10 verdict named: sample_token_budget counts
+    whitespace tokens, but what a training job consumes is the
+    tokenizer's output): train the 3-round BPE on the corpus
+    (text_bpe_train_merges), encode every document with the learned
+    merges (the text_bpe_encode distinct-vocab trick — vocab-sized
+    work, never a per-char corpus pass), then take documents in
+    md5(doc_id) order until the cumulative POST-MERGE SYMBOL count
+    reaches the budget. The budget now bites on exactly the quantity
+    the dataloader pays for.
+
+    Oracle: the full 3-round training SQL nested as CTEs + the encode
+    join + the running sum — the nested-CTE composition pattern, so the
+    hash proves train → encode → budget agree end-to-end across
+    engines. Shuffle budget: training is ROUNDS × distinct vocabulary
+    (text_bpe_train_merges), the encode join broadcasts the vocab, and
+    the prefix sum is the two-phase global_prefix_sum (one range
+    exchange of (doc_id, n, h) triples) — same scale posture as
+    sample_token_budget, with the whitespace estimate replaced by the
+    learned tokenizer's true count."""
+    from kstreams_spark.operators._util import global_prefix_sum
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    final_v, _ = _bpe_train_rounds(_bpe_vocab(d))
+    enc = final_v.select(
+        "tok", F.size(F.split("spaced", " ")).cast("long").alias("n_sym")
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_doc = (
+        toks.join(F.broadcast(enc), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sym").alias("n_bpe_symbols"))
+        .withColumn("h", F.md5(F.col("doc_id").cast("string")))
+    )
+    run = global_prefix_sum(
+        per_doc, [F.col("h"), F.col("doc_id")], "n_bpe_symbols", "cum_bpe"
+    )
+    return run.filter(F.col("cum_bpe") <= BPE_TOKEN_BUDGET).select(
+        "doc_id", "n_bpe_symbols", "cum_bpe"
+    )

@@ -54,8 +54,14 @@ class StreamingAhashIndex:
     with the same hash (the canonical copy; itself when clean)."""
 
     def __init__(self, index_dir: str, verdicts_dir: str) -> None:
-        self.verdicts_sink = ExactlyOnceParquetSink(verdicts_dir)
-        self.index_sink = ExactlyOnceParquetSink(index_dir)
+        # a verdict row names a doc as subject (doc_id) OR as the
+        # canonical copy (match_of) — both are erased-doc identifiers
+        self.verdicts_sink = ExactlyOnceParquetSink(
+            verdicts_dir, erase_cols=("doc_id", "match_of")
+        )
+        self.index_sink = ExactlyOnceParquetSink(
+            index_dir, erase_cols=("doc_id",)
+        )
         self.index_dir = index_dir
 
     def _has_index(self) -> bool:
@@ -107,3 +113,23 @@ class StreamingAhashIndex:
 
     def verdicts(self, spark: SparkSession) -> DataFrame:
         return self.verdicts_sink.result(spark)
+
+    def delete_docs(self, spark: SparkSession, ids) -> None:
+        """GDPR erasure: the doc's hash attributions leave the index
+        (future canon elections behave as if it never ingested — a
+        later doc with the same hash elects the next-lowest live
+        doc_id, the erased-world answer) and every verdict row naming
+        it leaves the output — as subject OR as another doc's
+        match_of: a row saying 'Y duplicates X' identifies X, so it
+        goes with X (Y's verdict history is the price of X's erasure,
+        documented). Single actor; physically removed at compact()."""
+        self.index_sink.delete_ids(spark, ids)
+        self.verdicts_sink.delete_ids(spark, ids)
+
+    def compact(self, spark: SparkSession, n_files: int = 1) -> dict[str, int]:
+        """Fold both sinks (stream STOPPED): consolidates epochs and
+        physically removes erased rows + the `_dels` sidecars."""
+        return {
+            "index": self.index_sink.compact(spark, n_files),
+            "verdicts": self.verdicts_sink.compact(spark, n_files),
+        }

@@ -62,8 +62,12 @@ class StreamingBoilerplateScrubber:
         min_docs: int = BOILER_MIN_DOCS,
     ) -> None:
         self.min_docs = min_docs
-        self.clean_sink = ExactlyOnceParquetSink(clean_dir)
-        self.index_sink = ExactlyOnceParquetSink(index_dir)
+        self.clean_sink = ExactlyOnceParquetSink(
+            clean_dir, erase_cols=("doc_id",)
+        )
+        self.index_sink = ExactlyOnceParquetSink(
+            index_dir, erase_cols=("doc_id",)
+        )
         self.index_dir = index_dir
         self.batches_seen = 0
 
@@ -118,3 +122,22 @@ class StreamingBoilerplateScrubber:
 
     def clean(self, spark: SparkSession) -> DataFrame:
         return self.clean_sink.result(spark)
+
+    def delete_docs(self, spark: SparkSession, ids) -> None:
+        """GDPR erasure: the doc's (h, doc_id) paragraph attributions
+        leave the index — COUNT(DISTINCT doc_id) per hash shrinks, so a
+        paragraph boilerplate only because of the erased doc stops being
+        boilerplate for FUTURE batches (the erased-world contract;
+        already-emitted rewrites of other docs stay, they are those
+        docs' own text) — and its cleaned rows leave the output. Single
+        actor; physically removed at compact()."""
+        self.index_sink.delete_ids(spark, ids)
+        self.clean_sink.delete_ids(spark, ids)
+
+    def compact(self, spark: SparkSession, n_files: int = 1) -> dict[str, int]:
+        """Fold both sinks (stream STOPPED): consolidates epochs and
+        physically removes erased rows + the `_dels` sidecars."""
+        return {
+            "index": self.index_sink.compact(spark, n_files),
+            "clean": self.clean_sink.compact(spark, n_files),
+        }

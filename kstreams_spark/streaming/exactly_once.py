@@ -45,8 +45,58 @@ class ExactlyOnceParquetSink:
     commit of the same epoch (idempotent no-op), but cross-query sharing
     is still a semantic error — partition your outputs instead."""
 
-    def __init__(self, out_dir: str) -> None:
+    def __init__(self, out_dir: str, erase_cols: tuple[str, ...] = ()) -> None:
         self.out_dir = out_dir
+        self.erase_cols = tuple(erase_cols)
+
+    def _dels_dir(self) -> str:
+        # leading underscore: hidden from every spark.read of out_dir
+        return os.path.join(self.out_dir, "_dels")
+
+    def delete_ids(self, spark: SparkSession, ids) -> None:
+        """Index-side erasure (VERDICT r10 task 1 — the attribution-index
+        twin of serving.delete_postings_docs): record the ids in the
+        `_dels` sidecar so every read — result(), and therefore every
+        in-batch read of an accumulated index — excludes any row whose
+        `erase_cols` value is one of them, effective immediately.
+        Physical removal happens at the next compact(), which folds the
+        data without the erased rows and retires the sidecar.
+
+        Crash contract (single actor, the compact() assumption): re-run
+        the SAME ids to completion — the sidecar is append-only and
+        duplicate ids are harmless (distinct at read). Erasure is
+        durable against epoch replays: a checkpoint-lagged replay of an
+        epoch containing an erased id re-commits nothing (the epoch
+        marker survives erasure), and even a fresh re-ingest of the id
+        stays invisible until the ids are deliberately removed by a
+        future ingest AFTER a compact() retired the sidecar."""
+        if not self.erase_cols:
+            raise ValueError(
+                "sink was built without erase_cols; erasure undefined"
+            )
+        os.makedirs(self.out_dir, exist_ok=True)
+        spark.createDataFrame(
+            [(int(i),) for i in ids], "del_id bigint"
+        ).write.mode("append").parquet(self._dels_dir())
+
+    def _apply_erasure(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        """Anti-join the `_dels` sidecar against every erase column.
+        The sidecar is bounded by erasure-request volume between
+        compactions (kilobytes), so each anti-join broadcasts."""
+        if not self.erase_cols or not os.path.isdir(self._dels_dir()):
+            return df
+        from pyspark.sql import functions as F
+
+        for c in self.erase_cols:
+            dels = (
+                spark.read.parquet(self._dels_dir())
+                .select(F.col("del_id").alias("__del"))
+                .distinct()
+            )
+            df = df.join(
+                F.broadcast(dels), F.col(c) == F.col("__del"), "left_anti"
+            )
+        return df
 
     def _final_dir(self, epoch_id: int) -> str:
         return os.path.join(self.out_dir, f"epoch={epoch_id}")
@@ -123,7 +173,12 @@ class ExactlyOnceParquetSink:
             return 0
         used = {int(n.split("=", 1)[1]) for n in epochs}
         new_id = min(min(used), -1) - 1
-        data = spark.read.parquet(self.out_dir).drop("epoch")
+        # erased rows are dropped from the folded data, and the `_dels`
+        # sidecar is deliberately NOT carried into the new layout — the
+        # swap below is the physical-removal point of delete_ids()
+        data = self._apply_erasure(
+            spark, spark.read.parquet(self.out_dir)
+        ).drop("epoch")
         tmp_root = self.out_dir + f".compact-{abs(new_id)}"
         data.coalesce(n_files).write.mode("overwrite").parquet(
             os.path.join(tmp_root, f"epoch={new_id}")
@@ -146,4 +201,4 @@ class ExactlyOnceParquetSink:
         )
         if not has_commits:
             return spark.createDataFrame([], "epoch bigint")
-        return spark.read.parquet(self.out_dir)
+        return self._apply_erasure(spark, spark.read.parquet(self.out_dir))

@@ -96,6 +96,7 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
 
     def __init__(self, root: str) -> None:
         super().__init__(root)
+        self.root = root
         self.postings_dir = os.path.join(root, "postings")
         self.sq8_dir = os.path.join(root, "sq8")
         self.pq_dir = os.path.join(root, "pq")
@@ -203,18 +204,112 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
             if has_pq:
                 delete_ivf_pq_vecs(vids, self.pq_dir, epoch=epoch)
 
-    def visible_epoch(self) -> int:
-        """Highest committed DATA epoch: max group marker id + 1, or 0
-        (the base build) when no batch has committed. One directory
-        listing — the only metadata read a snapshot probe pays."""
-        if not os.path.isdir(self.marker_root):
+    # -- out-of-band erasure (r11: the erase_document() serving leg) ---
+    #
+    # A GDPR request that must not wait for the ingest feed cannot ride
+    # a stream epoch — the stream's checkpoint is the only allocator of
+    # batch ids, so an out-of-band writer claiming "the next id" would
+    # collide with a future real batch and silently no-op it. Instead,
+    # erasure claims data epoch visible+1 directly (no group marker) and
+    # commits by bumping a persistent EPOCH OFFSET that (a) makes
+    # visible_epoch() cover the erasure atomically and (b) shifts every
+    # FUTURE stream batch's data epoch past it, so the epoch space stays
+    # strictly ordered: committed stream epochs < erase epoch < every
+    # later stream epoch. Re-ingesting an erased doc through the normal
+    # feed therefore resurrects it (CDC last-wins semantics preserved),
+    # while the all-or-nothing read guarantee is unchanged — the offset
+    # file rename is the single commit point both probe legs observe
+    # through the one visible_epoch() call.
+
+    def _offset(self) -> int:
+        p = self.root + "/_erase_offset"
+        if not os.path.isfile(p):
             return 0
+        with open(p) as fh:
+            return int(fh.read().strip())
+
+    def _set_offset(self, value: int) -> None:
+        tmp = self.root + "/_erase_offset.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(value))
+        os.replace(tmp, self.root + "/_erase_offset")  # the commit point
+
+    def _erase_log(self, epoch: int) -> str:
+        return self.root + f"/_erase_log-{epoch}"
+
+    def erase(self, doc_ids: DataFrame) -> int:
+        """Out-of-band GDPR erasure across EVERY participating index
+        with ONE atomic commit point — the maintenance-mode twin of the
+        CDC op='delete' path (same per-index delete verbs, physically
+        removed by the same compact()). For erasure requests that arrive
+        on the ingest feed itself, prefer the CDC path; this verb is for
+        the erase_document() orchestrator (kstreams_spark/erasure.py).
+
+        Steps: (0) quiescence check — refuse if an uncommitted stream
+        batch's rows are on disk (its replay would land at our epoch;
+        restart the stream to commit it first), UNLESS they are our own
+        crashed erasure (identified by the intent log); (1) write the
+        intent log for epoch visible+1; (2) apply the per-index deletes
+        at that epoch — invisible, the cap still excludes it; (3) bump
+        the epoch offset — the atomic rename after which every probe
+        sees the erasure on all legs at once.
+
+        Contract: single actor (stream quiescent — the compact()
+        assumption); re-runnable from any crash point (same epoch, same
+        ids, per-index delete verbs are idempotent under re-run). A
+        CRASHED erase must be re-run to completion BEFORE the stream
+        restarts — otherwise the next stream batch could share the
+        erase's claimed epoch and a same-doc upsert would tie with the
+        delete (the one-intent-per-key-per-epoch rule). Returns the
+        data epoch used."""
+        spark = doc_ids.sparkSession
+        visible = self.visible_epoch()
+        epoch = visible + 1
+        applied = self._max_applied_epoch(spark)
+        if applied > visible and not os.path.isfile(self._erase_log(applied)):
+            raise ValueError(
+                f"uncommitted stream epoch {applied} on disk (visible "
+                f"{visible}): restart the stream to commit it before an "
+                "out-of-band erase"
+            )
+        ids = doc_ids.select("doc_id").localCheckpoint(eager=True)
+        with open(self._erase_log(epoch) + ".tmp", "w") as fh:
+            fh.write("\n".join(str(r.doc_id) for r in ids.collect()))
+        os.replace(self._erase_log(epoch) + ".tmp", self._erase_log(epoch))
+        delete_postings_docs(ids, self.postings_dir, epoch=epoch)
+        vids = ids.select(F.col("doc_id").alias("vec_id"))
+        delete_ivf_sq8_vecs(vids, self.sq8_dir, epoch=epoch)
+        if os.path.isdir(self.pq_dir):
+            delete_ivf_pq_vecs(vids, self.pq_dir, epoch=epoch)
+        self._set_offset(self._offset() + 1)
+        return epoch
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """The inherited marker-last skeleton, with the data epoch
+        shifted by the erase offset (see the erasure note above). Replay
+        determinism holds because erase() refuses to run while an
+        uncommitted batch's rows are on disk — the offset a replayed
+        batch reads is always the offset its first attempt read."""
+        if self.is_committed(epoch_id):
+            return
+        if not batch_df.isEmpty():
+            self._apply(batch_df, epoch_id + 1 + self._offset())
+        os.makedirs(self._marker(epoch_id), exist_ok=True)  # commit point
+
+    def visible_epoch(self) -> int:
+        """Highest committed DATA epoch: max group marker id + 1 (or 0,
+        the base build, with no markers), plus one per committed
+        out-of-band erasure. One directory listing + one tiny file —
+        the only metadata reads a snapshot probe pays."""
+        off = self._offset()
+        if not os.path.isdir(self.marker_root):
+            return off
         ids = [
             int(n.split("=", 1)[1])
             for n in os.listdir(self.marker_root)
             if n.startswith("epoch=")
         ]
-        return max(ids) + 1 if ids else 0
+        return (max(ids) + 1 if ids else 0) + off
 
     # -- read side (all legs capped at ONE snapshot epoch) ------------
 
@@ -364,4 +459,10 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
         }
         if os.path.isdir(self.pq_dir):
             out["pq"] = compact_ivf_pq_index(spark, self.pq_dir)
+        # committed erase-intent logs are stale once their offset bump
+        # landed (the applied>visible guard above proved none is live)
+        import glob as _glob
+
+        for log in _glob.glob(self.root + "/_erase_log-*"):
+            os.remove(log)
         return out

@@ -51,13 +51,20 @@ class StreamingPairIndex:
     id_col: str = "vec_id"
     key_cols: tuple[str, ...] = ()
     out_schema: str = "id1 bigint, id2 bigint"
+    # columns that identify a document in the emitted pairs — BOTH
+    # endpoints: a pair row names the erased doc either way around
+    out_erase_cols: tuple[str, ...] = ("id1", "id2")
 
     def __init__(self, index_dir: str, out_dir: str) -> None:
         self.index_dir = index_dir
         self.out_dir = out_dir
         self.batches_seen = 0
-        self._pairs_sink = ExactlyOnceParquetSink(out_dir)
-        self._index_sink = ExactlyOnceParquetSink(index_dir)
+        self._pairs_sink = ExactlyOnceParquetSink(
+            out_dir, erase_cols=self.out_erase_cols
+        )
+        self._index_sink = ExactlyOnceParquetSink(
+            index_dir, erase_cols=(self.id_col,)
+        )
 
     # ------------------------------------------------------ subclass hooks
 
@@ -123,7 +130,11 @@ class StreamingPairIndex:
                 cand = self.bucket_pairs(new, new, ordered=True)
                 vecs = new
                 if self._has_index():
-                    index = spark.read.parquet(self.index_dir)
+                    # read through the sink, not the raw directory: the
+                    # erasure sidecar must filter the accumulated index
+                    # at MATCH time too — an erased doc's signatures can
+                    # never pair with future batches (delete_docs)
+                    index = self._index_sink.result(spark)
                     cross = (
                         self.bucket_pairs(index, new, ordered=False)
                         # a replayed id colliding with its own index entry
@@ -153,6 +164,31 @@ class StreamingPairIndex:
             .option("checkpointLocation", checkpoint_dir)
             .start()
         )
+
+    def delete_docs(self, spark: SparkSession, ids) -> None:
+        """GDPR erasure (VERDICT r10 task 1): remove the given ids from
+        BOTH sides of the index — their signatures/payloads leave the
+        accumulated index (so no future batch can ever match against
+        them — the erased-world contract, applied at match time via the
+        sink-routed index read in process_batch), and every emitted pair
+        row naming them (either endpoint) leaves the output. Effective
+        immediately; physically removed at the next compact().
+
+        Pair rows between OTHER docs are untouched — a pairwise verdict
+        between Y and Z never depended on X. Contract: single actor
+        (stream stopped or between batches), re-runnable; see
+        ExactlyOnceParquetSink.delete_ids for the crash contract."""
+        self._index_sink.delete_ids(spark, ids)
+        self._pairs_sink.delete_ids(spark, ids)
+
+    def compact(self, spark: SparkSession, n_files: int = 1) -> dict[str, int]:
+        """Fold both sinks (stream STOPPED, single actor): consolidates
+        epochs AND physically removes every erased row plus the `_dels`
+        sidecars — the no-trace point of delete_docs."""
+        return {
+            "index": self._index_sink.compact(spark, n_files),
+            "pairs": self._pairs_sink.compact(spark, n_files),
+        }
 
     def result(self, spark: SparkSession) -> DataFrame:
         """All verified pairs from committed epochs."""

@@ -47,8 +47,12 @@ class StreamingSubstringIndex:
 
     def __init__(self, index_dir: str, flags_dir: str, n: int = SPAN_N) -> None:
         self.n = n
-        self.flags_sink = ExactlyOnceParquetSink(flags_dir)
-        self.index_sink = ExactlyOnceParquetSink(index_dir)
+        self.flags_sink = ExactlyOnceParquetSink(
+            flags_dir, erase_cols=("doc_id",)
+        )
+        self.index_sink = ExactlyOnceParquetSink(
+            index_dir, erase_cols=("doc_id",)
+        )
         self.index_dir = index_dir
         self.batches_seen = 0
 
@@ -116,3 +120,21 @@ class StreamingSubstringIndex:
 
     def flags(self, spark: SparkSession) -> DataFrame:
         return self.flags_sink.result(spark)
+
+    def delete_docs(self, spark: SparkSession, ids) -> None:
+        """GDPR erasure: the doc's positional window hashes leave the
+        index (future batches' occurrence counts no longer include
+        them — the erased-world contract; other docs' HISTORICAL flags
+        stay, they are facts about those docs' own text) and its flag
+        rows leave the output. Single actor; physically removed at
+        compact()."""
+        self.index_sink.delete_ids(spark, ids)
+        self.flags_sink.delete_ids(spark, ids)
+
+    def compact(self, spark: SparkSession, n_files: int = 1) -> dict[str, int]:
+        """Fold both sinks (stream STOPPED): consolidates epochs and
+        physically removes erased rows + the `_dels` sidecars."""
+        return {
+            "index": self.index_sink.compact(spark, n_files),
+            "flags": self.flags_sink.compact(spark, n_files),
+        }

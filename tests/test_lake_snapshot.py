@@ -1,0 +1,175 @@
+"""Snapshot lake (r11 task 2): cross-partition atomic commits + time
+travel over plain parquet.
+
+The headline pair, mirroring test_hybrid_ingest's torn-read shape:
+- RED-BEFORE: io.delete_where crashed between two partition swaps
+  leaves the lake TORN — the doc deleted from partition A, alive in
+  partition B — and _lake_recover (per-dir contract) cannot un-tear it.
+- GREEN-AFTER: the same multi-partition delete through
+  snapshot_delete_where is invisible until the single manifest rename;
+  a crash at ANY earlier point (mid-rewrite orphan files, pre-commit)
+  leaves every reader on the full old snapshot, and the re-run
+  completes. Plus: time travel to the pre-delete version, compaction
+  answer-stability, and vacuum sweeping orphans + expired versions."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import kstreams_spark.lake_snapshot as ls
+from kstreams_spark.io import _lake_recover, delete_where, load_table
+from kstreams_spark.lake_snapshot import (
+    snapshot_compact,
+    snapshot_delete_where,
+    snapshot_publish,
+    snapshot_read,
+    snapshot_versions,
+    vacuum,
+)
+
+DOOMED = 6  # even → one row in split=train AND (via +1 twin) one in val
+
+
+def _corpus(spark, sf_dir):
+    """Fixture docs partitioned 2×1; the doomed doc has rows in BOTH
+    split partitions (doc_id and its odd twin share a logical key)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.withColumn(
+        "split", F.when(F.col("doc_id") % 2 == 0, "train").otherwise("val")
+    ).withColumn("lang", F.lit("en"))
+
+
+def _key_rows(spark, df, keys=(DOOMED, DOOMED + 1)):
+    return (
+        df.filter(F.col("doc_id").isin(list(keys)))
+        .select("doc_id", "split")
+        .collect()
+    )
+
+
+def test_plain_lake_delete_crash_is_torn_across_partitions(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """RED: the per-directory contract, demonstrated. The delete spans
+    both split partitions; crashing after partition 1's swap leaves the
+    lake half-deleted, and recovery keeps it that way."""
+    lake = str(tmp_path / "plain")
+    _corpus(spark, sf_dir).write.partitionBy("split", "lang").parquet(lake)
+    cond = f"doc_id IN ({DOOMED}, {DOOMED + 1})"
+    assert len(_key_rows(spark, spark.read.parquet(lake))) == 2
+
+    real_rename = os.rename
+    swaps = {"n": 0}
+
+    def dying_rename(src, dst):
+        if src.endswith(".new-del") or dst.endswith(".old-del"):
+            swaps["n"] += 1
+            if swaps["n"] == 3:  # partition 1 fully swapped; crash here
+                raise OSError("injected crash between partition swaps")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", dying_rename)
+    with pytest.raises(OSError, match="injected"):
+        delete_where(spark, lake, cond)
+    monkeypatch.setattr(os, "rename", real_rename)
+    _lake_recover(lake)  # heals per dir — the tear is the point
+    left = _key_rows(spark, spark.read.parquet(lake))
+    assert len(left) == 1, (
+        "expected the documented torn state: deleted in one partition, "
+        f"alive in the other; got {left}"
+    )
+
+
+def test_snapshot_delete_is_all_or_nothing_with_time_travel(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """GREEN: same multi-partition delete through the manifest log."""
+    lake = str(tmp_path / "snap")
+    corpus = _corpus(spark, sf_dir)
+    v1 = snapshot_publish(corpus, lake)
+    assert v1 == 1
+    n_total = corpus.count()
+    cond = f"doc_id IN ({DOOMED}, {DOOMED + 1})"
+
+    # crash 1: orphan files from a half-done rewrite (simulated by an
+    # uncommitted append into ONE partition) are invisible to readers
+    corpus.filter(F.col("doc_id") == DOOMED).filter("1=0").unionByName(
+        corpus.limit(1)
+    ).write.mode("append").partitionBy("split", "lang").parquet(lake)
+    assert snapshot_read(spark, lake).count() == n_total
+
+    # crash 2: the commit itself dies — every rewrite done, nothing
+    # visible; both partitions still serve the doomed rows
+    real_commit = ls._commit
+
+    def dying_commit(*a, **k):
+        raise RuntimeError("injected crash at commit")
+
+    monkeypatch.setattr(ls, "_commit", dying_commit)
+    with pytest.raises(RuntimeError, match="injected"):
+        snapshot_delete_where(spark, lake, cond)
+    assert len(_key_rows(spark, snapshot_read(spark, lake))) == 2  # all-old
+    monkeypatch.setattr(ls, "_commit", real_commit)
+
+    # the re-run commits: all-new across BOTH partitions atomically
+    deleted = snapshot_delete_where(spark, lake, cond)
+    assert deleted == 2
+    v2 = snapshot_versions(lake)[-1]
+    now = snapshot_read(spark, lake)
+    assert len(_key_rows(spark, now)) == 0
+    assert now.count() == n_total - 2
+
+    # time travel: the pre-delete snapshot is intact
+    old = snapshot_read(spark, lake, version=v1)
+    assert len(_key_rows(spark, old)) == 2
+    assert old.count() == n_total
+
+    # vacuum: retire v1 + sweep the orphans; v2 unchanged
+    removed = vacuum(lake, keep_versions=1)
+    assert removed > 0
+    assert snapshot_versions(lake) == [v2]
+    assert snapshot_read(spark, lake).count() == n_total - 2
+    with pytest.raises(ValueError, match="not in committed versions"):
+        snapshot_read(spark, lake, version=v1)
+
+
+def test_snapshot_compact_is_answer_stable(spark, tmp_path, sf_dir):
+    lake = str(tmp_path / "cmp")
+    corpus = _corpus(spark, sf_dir).repartition(4)
+    snapshot_publish(corpus, lake)
+    before = {
+        (r.doc_id, r.text, r.split, r.lang)
+        for r in snapshot_read(spark, lake).collect()
+    }
+    n = snapshot_compact(spark, lake, n_files=1)
+    assert n >= 1
+    after_df = snapshot_read(spark, lake)
+    assert {
+        (r.doc_id, r.text, r.split, r.lang) for r in after_df.collect()
+    } == before
+    # physically one live file per partition
+    m = ls._read_manifest(lake, snapshot_versions(lake)[-1])
+    by_dir = {}
+    for f in m["files"]:
+        by_dir.setdefault(os.path.dirname(f), []).append(f)
+    assert all(len(v) == 1 for v in by_dir.values())
+    # pre-compact version still readable until vacuumed
+    assert snapshot_read(spark, lake, version=1).count() == len(before)
+    vacuum(lake, keep_versions=1)
+    assert snapshot_read(spark, lake).count() == len(before)
+
+
+def test_snapshot_null_predicate_rows_are_kept(spark, tmp_path):
+    lake = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [(1, "a", "train", "en"), (2, None, "train", "en"), (3, "b", "val", "en")],
+        "doc_id long, text string, split string, lang string",
+    )
+    snapshot_publish(df, lake)
+    # predicate is NULL for doc 2 — SQL DELETE keeps it
+    assert snapshot_delete_where(spark, lake, "text = 'a'") == 1
+    got = sorted(r.doc_id for r in snapshot_read(spark, lake).collect())
+    assert got == [2, 3]
