@@ -2033,6 +2033,20 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= MMR_POOL)
         .select("qid", "cid", "rel", "c_emb", "nc2")
     )
+    return mmr_select_pool(spark, pool, MMR_K)
+
+
+def mmr_select_pool(spark: SparkSession, pool: DataFrame, k: int) -> DataFrame:
+    """The pool→selection stage of MMR, shared VERBATIM between the
+    batch operator above and the serving-side probe re-rank
+    (streaming/hybrid.py::probe_vector_mmr — VERDICT r10 task 4): given
+    a P-bounded candidate pool (qid, cid, rel, c_emb, nc2), compute the
+    within-pool pairwise fixed-point cosines and run the greedy
+    relevance − max-sim-to-selected selection. One function = the two
+    call sites cannot disagree; the probe-vs-batch parity test
+    (tests/test_mmr_probe.py) pins byte-equal selections on the same
+    pool. Cost is P² per query regardless of corpus size (the
+    bounded-driver-state class)."""
     # ONE brute-force job: collect the P-bounded pool WITH embeddings
     # (Q·P rows of D=64 doubles — kilobytes), then compute the pairwise
     # sims over the literal rows so the corpus scan never re-runs. The
@@ -2067,7 +2081,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for qid in sorted(by_q):
         cands = sorted(by_q[qid])  # cid asc — the tie-break order
         selected: list[int] = []
-        for rank in range(1, MMR_K + 1):
+        for rank in range(1, k + 1):
             best = None
             for cid, rel in cands:
                 if cid in selected:

@@ -363,6 +363,72 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
             max_epoch=e,
         )
 
+    def probe_vector_mmr(
+        self,
+        spark: SparkSession,
+        query_vec: list[float],
+        emb_store: DataFrame,
+        k: int = 4,
+        pool: int = 16,
+        n_probe: int = 2,
+        index: str = "sq8",
+    ) -> DataFrame:
+        """MMR-diversified vector serving (VERDICT r10 task 4): the raw
+        probe's top-`pool` candidates re-ranked by the SAME greedy +
+        fixed-point pairwise cosines as the batch
+        similarity_mmr_rerank — operators/similarity.mmr_select_pool is
+        the single shared implementation, so a RAG caller stops getting
+        near-duplicate contexts at serving time without a second code
+        path to trust.
+
+        Knobs: `pool` bounds both recall and cost (the greedy is pool²
+        sims per query — raise it for diversity headroom, it never
+        touches the corpus); `n_probe` is the underlying IVF recall
+        knob (more cells scanned before the pool cut). `emb_store` is
+        the document-side embedding table (vec_id, embedding) — the
+        quantized index stores codes, and MMR's pairwise sims use the
+        exact vectors (reconstructing from SQ8 codes would put
+        quantization error inside the diversity term); at 100 TB this
+        is the same store the reranker/reader stage already fetches
+        from, and the join is pool-sized.
+
+        Scoring split, stated plainly: the INDEX provides recall (its
+        quantized score_q elects the pool, snapshot-capped like every
+        other leg), the STORE provides the scores MMR subtracts — rel
+        is the exact fixed-point cosine, the same quantity as the
+        batch operator's rel and the same SCALE as the pairwise sims
+        (the quantized score is an FX-scaled integer; subtracting a
+        [−1, 1] sim from it would make the diversity term noise). This
+        is the standard ANN-recall + exact-re-rank serving shape.
+        Returns (qid=0, cid, mmr_rank, rel, mmr_score), the batch
+        operator's schema."""
+        from kstreams_spark.operators.similarity import (
+            _cosine,
+            _fx_dot,
+            _fx_norm2,
+            mmr_select_pool,
+        )
+
+        cand = self.probe_vector(
+            spark, query_vec, k=pool, n_probe=n_probe, index=index
+        ).select("vec_id")
+        q_emb = F.array(*[F.lit(float(x)) for x in query_vec])
+        p = (
+            cand.join(emb_store.select("vec_id", "embedding"), "vec_id")
+            .select(
+                F.lit(0).cast("long").alias("qid"),
+                F.col("vec_id").alias("cid"),
+                _cosine(
+                    _fx_dot(F.col("embedding"), q_emb),
+                    _fx_norm2(q_emb),
+                    _fx_norm2("embedding"),
+                ).alias("rel"),
+                F.col("embedding").alias("c_emb"),
+                _fx_norm2("embedding").alias("nc2"),
+            )
+        )
+        return mmr_select_pool(spark, p, k)
+
     def probe_hybrid(
         self,
         spark: SparkSession,
