@@ -120,6 +120,10 @@ HEADLINE = [
     "composite_curation_perplexity",  # added r10: CCNet lang-id x ppl terciles
     "text_bpe_train_merges",  # added r10: 3-round distributed BPE training
     "similarity_mmr_rerank",  # added r10: MMR diversity re-rank over the pool
+    "text_bpe_encode",  # added r11: learned-merge tokenizer application
+    "multimodal_image_resize_png",  # added r11: PNG decode->resize chain
+    "avro_ocf_roundtrip",  # added r11: OCF container write+read round-trip
+    "composite_bpe_token_budget",  # added r11: budget bites on BPE counts
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------

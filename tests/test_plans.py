@@ -703,3 +703,89 @@ def test_curation_perplexity_window_is_partitioned(plan_spark, sf_dir):
     assert "SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in join_strategies(df), join_strategies(df)
+
+
+def test_aqe_skew_join_splits_hot_key_and_matches_plain(spark, sf_dir):
+    """AQE skew-join demonstration pin (r11 task 5): SCALE.md and the
+    join_salted_hotkey_revenue docstring prescribe AQE's automatic
+    skew-split as the preferred alternative to manual salting when one
+    JOIN side is merely skewed (no dim explode, no query rewrite). This
+    pins that the capability actually fires: a planted hot key (~3/4 of
+    lineitem remapped onto one partkey) under a forced SortMergeJoin
+    makes AQE split the oversized shuffle partition — visible as a
+    skewed AQEShuffleRead in the EXECUTED plan (the split is a runtime
+    re-plan, so the assertion runs after the action) — and the result
+    is identical to the same join with skew handling off (the
+    answer-invariance that is the whole point, the salted query's
+    oracle argument). Thresholds are dropped to fixture scale the same
+    way the bloom-filter pin drops its scan threshold: the conditions a
+    real lake meets with DEFAULT confs."""
+    from kstreams_spark.io import load_table
+
+    hot = 1
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.when(F.col("l_partkey") % 4 != 0, F.lit(hot))
+            .otherwise(F.col("l_partkey"))
+            .cast("bigint")
+            .alias("k"),
+            "l_quantity",
+        )
+        # amplify the hot key 64× so its shuffle partition clears the
+        # (already fixture-lowered) skew threshold at any test sf, and
+        # spread the fact over 8 map tasks — AQE splits a skewed reduce
+        # partition at MAP-CHUNK boundaries, so a single-mapper stage
+        # (one small parquet file) is indivisible no matter how skewed
+        .withColumn(
+            "r",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.when(F.col("k") == hot, 64).otherwise(1),
+                )
+            ),
+        )
+        .drop("r")
+        .repartition(8)
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"), "p_brand"
+    )
+
+    def run():
+        j = li.join(p.hint("merge"), "k")
+        return j.groupBy("p_brand").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"),
+        )
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = run()
+        with_skew = sorted(
+            (r.p_brand, r.n, r.qty) for r in df.collect()
+        )
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in executed, executed[:3000]
+        assert "skewed" in executed, executed[:3000]  # the AQEShuffleRead split
+        # answer-invariance: identical to the join with skew handling off
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        without = sorted((r.p_brand, r.n, r.qty) for r in run().collect())
+        assert with_skew == without
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
