@@ -60,10 +60,16 @@ def erase_document(
       ``delete_docs(spark, ids)`` (the five streaming attribution
       indexes, or anything matching the verb).
     - ``lake_path``: a partitioned parquet lake; rows with
-      ``lake_id_col`` in `doc_ids` are copy-on-write deleted.
+      ``lake_id_col`` in `doc_ids` are copy-on-write deleted. If the
+      lake carries a snapshot log (lake_snapshot.py `_log/`), the
+      delete goes through snapshot_delete_where — one cross-partition
+      atomic commit, and the pre-erasure snapshot stays time-travel
+      readable until vacuum() (run vacuum to complete PHYSICAL
+      erasure on a snapshot lake; the report flags this).
 
     Returns a report dict: {"serving_epoch": int | None,
-    "attribution": n_indexes, "lake_rows_deleted": int | None}.
+    "attribution": n_indexes, "lake_rows_deleted": int | None,
+    "lake_needs_vacuum": bool}.
     Re-runnable: every leg is idempotent, so a crash at any point is
     recovered by calling again with the same ids."""
     ids = [int(i) for i in doc_ids]
@@ -73,6 +79,7 @@ def erase_document(
         "serving_epoch": None,
         "attribution": 0,
         "lake_rows_deleted": None,
+        "lake_needs_vacuum": False,
     }
     # 1. serving — user-facing reads stop first, atomically on all legs
     if hybrid is not None:
@@ -84,10 +91,23 @@ def erase_document(
         report["attribution"] += 1
     # 3. lake last — the source a crashed run re-derives the erase from
     if lake_path is not None:
-        from kstreams_spark.io import delete_where
+        from kstreams_spark.lake_snapshot import snapshot_versions
 
         cond = f"{lake_id_col} IN ({', '.join(str(i) for i in ids)})"
-        report["lake_rows_deleted"] = delete_where(
-            spark, lake_path, cond, partition_cols=lake_partition_cols
-        )
+        if snapshot_versions(lake_path):
+            from kstreams_spark.lake_snapshot import snapshot_delete_where
+
+            report["lake_rows_deleted"] = snapshot_delete_where(
+                spark, lake_path, cond, partition_cols=lake_partition_cols
+            )
+            # logical erasure committed; the erased rows stay readable
+            # via older snapshots until vacuum() — the caller's
+            # retention policy decides when history folds
+            report["lake_needs_vacuum"] = True
+        else:
+            from kstreams_spark.io import delete_where
+
+            report["lake_rows_deleted"] = delete_where(
+                spark, lake_path, cond, partition_cols=lake_partition_cols
+            )
     return report

@@ -83,18 +83,33 @@ def _list_files(path: str) -> set[str]:
     return out
 
 
-def _commit(path: str, files: set[str], op: str, schema_ddl: str) -> int:
+def _commit(
+    path: str,
+    files: set[str],
+    op: str,
+    schema_ddl: str,
+    new_epoch: int | None = None,
+) -> int:
     """Write manifest version = last + 1; the os.rename IS the commit
     point (atomic on POSIX). Single-writer: an existing target means a
-    concurrency-contract violation — fail loudly."""
+    concurrency-contract violation — fail loudly.
+
+    The committed-epoch set (SnapshotLakeSink's exactly-once record) is
+    CARRIED FORWARD into every manifest, so vacuum() retiring old
+    versions can never turn a checkpoint-lagged epoch replay into a
+    duplicate commit — the newest manifest always knows every epoch."""
     versions = snapshot_versions(path)
     version = (versions[-1] + 1) if versions else 1
+    epochs = _read_manifest(path, versions[-1]).get("epochs", []) if versions else []
+    if new_epoch is not None:
+        epochs = sorted(set(epochs) | {int(new_epoch)})
     os.makedirs(_log_dir(path), exist_ok=True)
     body = {
         "version": version,
         "op": op,
         "files": sorted(files),
         "schema": schema_ddl,
+        "epochs": epochs,
     }
     tmp = os.path.join(_log_dir(path), f".tmp-v{version}")
     with open(tmp, "w") as fh:
@@ -277,3 +292,72 @@ def vacuum(path: str, keep_versions: int = 1) -> int:
         if root != path and not os.listdir(root):
             os.rmdir(root)
     return removed
+
+
+class SnapshotLakeSink:
+    """foreachBatch sink publishing each microbatch as ONE snapshot
+    commit — the streaming half of the snapshot lake, and the manifest
+    answer to the epoch-directory answer in
+    streaming/exactly_once.ExactlyOnceParquetSink:
+
+    - exactly-once: the committed-epoch set rides every manifest
+      (carried forward by _commit, so it survives vacuum); a replayed
+      epoch already in the set is a no-op. A crash between the data
+      append and the manifest rename leaves only orphan files no
+      snapshot references — the replay appends again and commits once,
+      and vacuum() sweeps the orphans.
+    - atomic batch visibility: a reader pinning the latest version sees
+      every partition the batch touched at once (the hybrid
+      group-marker guarantee, now for arbitrary partitioned lake
+      output), and time travel reaches any prior batch boundary.
+    - the same lake then takes snapshot_delete_where / snapshot_compact
+      / vacuum maintenance with no translation layer — streaming ingest
+      and batch maintenance share one commit protocol, which is the
+      Delta/Iceberg operational story this module re-expresses.
+
+    One stream per path (the single-writer contract); batch maintenance
+    runs only while the stream is stopped."""
+
+    def __init__(
+        self, path: str, partition_cols: tuple[str, ...] = ("split", "lang")
+    ) -> None:
+        self.path = path
+        self.partition_cols = tuple(partition_cols)
+
+    def committed_epochs(self) -> set[int]:
+        versions = snapshot_versions(self.path)
+        if not versions:
+            return set()
+        return set(_read_manifest(self.path, versions[-1]).get("epochs", []))
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if int(epoch_id) in self.committed_epochs():
+            return  # replay of a committed epoch: exactly-once no-op
+        versions = snapshot_versions(self.path)
+        live = (
+            set(_read_manifest(self.path, versions[-1])["files"])
+            if versions
+            else set()
+        )
+        before = _list_files(self.path)
+        batch_df.write.mode("append").partitionBy(
+            *self.partition_cols
+        ).parquet(self.path)
+        new = _list_files(self.path) - before
+        _commit(
+            self.path,
+            live | new,
+            f"stream-epoch-{epoch_id}",
+            batch_df.schema.simpleString(),
+            new_epoch=int(epoch_id),
+        )
+
+    def attach(self, stream: DataFrame, checkpoint_dir: str):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+
+    def result(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        return snapshot_read(spark, self.path, version)

@@ -173,3 +173,81 @@ def test_snapshot_null_predicate_rows_are_kept(spark, tmp_path):
     assert snapshot_delete_where(spark, lake, "text = 'a'") == 1
     got = sorted(r.doc_id for r in snapshot_read(spark, lake).collect())
     assert got == [2, 3]
+
+
+def test_snapshot_lake_sink_exactly_once_and_epoch_time_travel(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """SnapshotLakeSink: one snapshot commit per microbatch — replay of
+    a committed epoch no-ops, a crash between append and commit leaves
+    readers on the old snapshot and the replay heals, time travel
+    reaches batch boundaries, and the committed-epoch set survives
+    vacuum (a late replay after vacuum must STILL no-op)."""
+    from kstreams_spark.lake_snapshot import SnapshotLakeSink
+
+    docs = _corpus(spark, sf_dir)
+    b0 = docs.filter(F.col("doc_id") < 100)
+    b1 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    b2 = docs.filter(F.col("doc_id") >= 200)
+    lake = str(tmp_path / "stream_lake")
+    sink = SnapshotLakeSink(lake)
+
+    sink.process_batch(b0, 0)
+    n0 = b0.count()
+    assert snapshot_read(spark, lake).count() == n0
+    sink.process_batch(b0, 0)  # replay: exactly-once no-op
+    assert snapshot_read(spark, lake).count() == n0
+    assert snapshot_versions(lake) == [1]
+
+    # crash: epoch 1's append lands, the commit dies — readers stay on
+    # epoch 0's snapshot; the replay appends again and commits once
+    real_commit = ls._commit
+    monkeypatch.setattr(
+        ls, "_commit", lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        sink.process_batch(b1, 1)
+    monkeypatch.setattr(ls, "_commit", real_commit)
+    assert snapshot_read(spark, lake).count() == n0  # all-old
+    sink.process_batch(b1, 1)
+    n01 = n0 + b1.count()
+    got = snapshot_read(spark, lake)
+    assert got.count() == n01
+    assert got.dropDuplicates(["doc_id"]).count() == n01  # no dup rows
+
+    sink.process_batch(b2, 2)
+    # time travel to the epoch-1 boundary
+    assert snapshot_read(spark, lake, version=2).count() == n01
+    assert sink.committed_epochs() == {0, 1, 2}
+
+    # vacuum retires old versions AND the crash orphans; the epoch set
+    # is carried forward, so a checkpoint-lagged replay still no-ops
+    removed = vacuum(lake, keep_versions=1)
+    assert removed > 0  # the crashed append's orphan files at minimum
+    total = docs.count()
+    sink.process_batch(b0, 0)
+    assert snapshot_read(spark, lake).count() == total
+    assert sink.committed_epochs() == {0, 1, 2}
+
+
+def test_erase_document_routes_snapshot_lake(spark, tmp_path, sf_dir):
+    """erase_document on a snapshot lake: the delete is one atomic
+    manifest commit (logical erasure), the report demands a vacuum for
+    physical erasure, and time travel still serves the pre-erase
+    snapshot until that vacuum runs."""
+    from kstreams_spark.erasure import erase_document
+
+    lake = str(tmp_path / "snap_lake")
+    v1 = snapshot_publish(_corpus(spark, sf_dir), lake)
+    doomed = DOOMED
+    report = erase_document(spark, [doomed], lake_path=lake)
+    assert report["lake_rows_deleted"] == 1
+    assert report["lake_needs_vacuum"] is True
+    now = snapshot_read(spark, lake)
+    assert now.filter(F.col("doc_id") == doomed).count() == 0
+    # pre-erase history is a retention-policy decision, not an accident
+    old = snapshot_read(spark, lake, version=v1)
+    assert old.filter(F.col("doc_id") == doomed).count() == 1
+    vacuum(lake, keep_versions=1)
+    raw = spark.read.option("basePath", lake).parquet(lake)
+    assert raw.filter(F.col("doc_id") == doomed).count() == 0
