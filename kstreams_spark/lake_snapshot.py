@@ -167,15 +167,55 @@ def _partition_values(
 
 
 def _partition_filter(row, partition_cols: tuple[str, ...]):
+    # eqNullSafe: a NULL partition value must select its own partition
+    # (plain == drops every row and the rewrite silently no-ops)
     cond = F.lit(True)
     for c in partition_cols:
-        cond = cond & (F.col(c) == F.lit(row[c]))
+        cond = cond & F.col(c).eqNullSafe(F.lit(row[c]))
     return cond
+
+
+# Hive's escapePathName char set (Spark writes partition dirs with it):
+# ASCII control chars plus these. Verified against what this Spark
+# version writes: 'a=b'→'a%3Db', 'c%d'→'c%25d', 'e/f'→'e%2Ff',
+# 'g:h'→'g%3Ah', space unescaped, NULL→__HIVE_DEFAULT_PARTITION__.
+_HIVE_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(i) for i in range(0x20)}
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _escape_partition_value(v) -> str:
+    """Render a partition VALUE the way Spark names its directory —
+    comparing raw values to dir names instead silently misses escaped
+    or NULL partitions (rows then duplicate after a rewrite because the
+    old files never leave the manifest)."""
+    if v is None:
+        return _HIVE_NULL
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in str(v)
+    )
+
+
+def _unescape_partition_value(seg: str):
+    """Directory segment value → raw value (None for the Hive NULL
+    marker); inverse of _escape_partition_value."""
+    if seg == _HIVE_NULL:
+        return None
+    out, i = [], 0
+    while i < len(seg):
+        if seg[i] == "%" and i + 3 <= len(seg):
+            out.append(chr(int(seg[i + 1 : i + 3], 16)))
+            i += 3
+        else:
+            out.append(seg[i])
+            i += 1
+    return "".join(out)
 
 
 def _in_partition(rel_file: str, row, partition_cols: tuple[str, ...]) -> bool:
     parts = rel_file.split(os.sep)
-    want = {f"{c}={row[c]}" for c in partition_cols}
+    want = {
+        f"{c}={_escape_partition_value(row[c])}" for c in partition_cols
+    }
     return want.issubset(set(parts[:-1]))
 
 
@@ -252,7 +292,12 @@ def snapshot_compact(
         cond = F.lit(True)
         for seg in d.split(os.sep):
             k, v = seg.split("=", 1)
-            cond = cond & (F.col(k) == F.lit(v))
+            # dir segment → raw value (unescape; Hive NULL marker →
+            # null-safe match), else escaped/NULL partitions rewrite
+            # empty and the compacted manifest drops their rows
+            cond = cond & F.col(k).eqNullSafe(
+                F.lit(_unescape_partition_value(v))
+            )
         part = snap.filter(cond)
         before_files = _list_files(path)
         part.coalesce(n_files).write.mode("append").partitionBy(

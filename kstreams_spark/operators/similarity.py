@@ -2047,6 +2047,12 @@ def mmr_select_pool(spark: SparkSession, pool: DataFrame, k: int) -> DataFrame:
     (tests/test_mmr_probe.py) pins byte-equal selections on the same
     pool. Cost is P² per query regardless of corpus size (the
     bounded-driver-state class)."""
+    # Zero-norm vectors have no cosine (the _cosine nullif guard): a
+    # degenerate CANDIDATE is dropped here (it cannot be ranked), and a
+    # degenerate QUERY nulls every rel, yielding an empty selection —
+    # either way the greedy below never sees a None score (a None would
+    # TypeError inside Python max/comparison, killing a serving probe).
+    pool = pool.filter(F.col("rel").isNotNull())
     # ONE brute-force job: collect the P-bounded pool WITH embeddings
     # (Q·P rows of D=64 doubles — kilobytes), then compute the pairwise
     # sims over the literal rows so the corpus scan never re-runs. The

@@ -34,7 +34,10 @@ from kstreams_spark.operators.multimodal import (
     _decode_stage,
     _image_payloads,
 )
-from kstreams_spark.streaming.exactly_once import ExactlyOnceParquetSink
+from kstreams_spark.streaming.exactly_once import (
+    ErasableIndexMixin,
+    ExactlyOnceParquetSink,
+)
 
 
 def _batch_hashes(batch_df: DataFrame) -> DataFrame:
@@ -47,7 +50,7 @@ def _batch_hashes(batch_df: DataFrame) -> DataFrame:
     )
 
 
-class StreamingAhashIndex:
+class StreamingAhashIndex(ErasableIndexMixin):
     """foreachBatch dedup: image-doc stream → `verdicts_dir` rows
     (doc_id, ahash, is_dup, match_of) while `index_dir` accumulates
     (ahash, doc_id) attributions. match_of = the lowest doc_id ever seen
@@ -114,22 +117,13 @@ class StreamingAhashIndex:
     def verdicts(self, spark: SparkSession) -> DataFrame:
         return self.verdicts_sink.result(spark)
 
-    def delete_docs(self, spark: SparkSession, ids) -> None:
-        """GDPR erasure: the doc's hash attributions leave the index
-        (future canon elections behave as if it never ingested — a
-        later doc with the same hash elects the next-lowest live
-        doc_id, the erased-world answer) and every verdict row naming
-        it leaves the output — as subject OR as another doc's
-        match_of: a row saying 'Y duplicates X' identifies X, so it
-        goes with X (Y's verdict history is the price of X's erasure,
-        documented). Single actor; physically removed at compact()."""
-        self.index_sink.delete_ids(spark, ids)
-        self.verdicts_sink.delete_ids(spark, ids)
-
-    def compact(self, spark: SparkSession, n_files: int = 1) -> dict[str, int]:
-        """Fold both sinks (stream STOPPED): consolidates epochs and
-        physically removes erased rows + the `_dels` sidecars."""
-        return {
-            "index": self.index_sink.compact(spark, n_files),
-            "verdicts": self.verdicts_sink.compact(spark, n_files),
-        }
+    def erasure_sinks(self) -> dict:
+        """Erasure semantics (verbs from ErasableIndexMixin): the doc's
+        hash attributions leave the index — future canon elections
+        behave as if it never ingested (a later doc with the same hash
+        elects the next-lowest live doc_id, the erased-world answer) —
+        and every verdict row naming it leaves the output, as subject
+        OR as another doc's match_of: a row saying 'Y duplicates X'
+        identifies X, so it goes with X (Y's verdict history is the
+        price of X's erasure, documented)."""
+        return {"index": self.index_sink, "verdicts": self.verdicts_sink}

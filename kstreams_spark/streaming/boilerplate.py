@@ -38,7 +38,10 @@ from kstreams_spark.operators.paragraphs import (
     paragraph_rows,
     reassemble,
 )
-from kstreams_spark.streaming.exactly_once import ExactlyOnceParquetSink
+from kstreams_spark.streaming.exactly_once import (
+    ErasableIndexMixin,
+    ExactlyOnceParquetSink,
+)
 
 
 def _attributions(batch_df: DataFrame) -> DataFrame:
@@ -50,7 +53,7 @@ def _attributions(batch_df: DataFrame) -> DataFrame:
     )
 
 
-class StreamingBoilerplateScrubber:
+class StreamingBoilerplateScrubber(ErasableIndexMixin):
     """foreachBatch scrubber: (doc_id, text) stream → `clean_dir` rows
     (doc_id, n_paras, n_kept, text_kept) with boilerplate paragraphs
     removed, while `index_dir` accumulates (h, doc_id) attributions."""
@@ -123,21 +126,12 @@ class StreamingBoilerplateScrubber:
     def clean(self, spark: SparkSession) -> DataFrame:
         return self.clean_sink.result(spark)
 
-    def delete_docs(self, spark: SparkSession, ids) -> None:
-        """GDPR erasure: the doc's (h, doc_id) paragraph attributions
-        leave the index — COUNT(DISTINCT doc_id) per hash shrinks, so a
-        paragraph boilerplate only because of the erased doc stops being
+    def erasure_sinks(self) -> dict:
+        """Erasure semantics (verbs from ErasableIndexMixin): the doc's
+        (h, doc_id) paragraph attributions leave the index —
+        COUNT(DISTINCT doc_id) per hash shrinks, so a paragraph
+        boilerplate only because of the erased doc stops being
         boilerplate for FUTURE batches (the erased-world contract;
         already-emitted rewrites of other docs stay, they are those
-        docs' own text) — and its cleaned rows leave the output. Single
-        actor; physically removed at compact()."""
-        self.index_sink.delete_ids(spark, ids)
-        self.clean_sink.delete_ids(spark, ids)
-
-    def compact(self, spark: SparkSession, n_files: int = 1) -> dict[str, int]:
-        """Fold both sinks (stream STOPPED): consolidates epochs and
-        physically removes erased rows + the `_dels` sidecars."""
-        return {
-            "index": self.index_sink.compact(spark, n_files),
-            "clean": self.clean_sink.compact(spark, n_files),
-        }
+        docs' own text) — and its cleaned rows leave the output."""
+        return {"index": self.index_sink, "clean": self.clean_sink}

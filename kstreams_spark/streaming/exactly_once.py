@@ -82,17 +82,27 @@ class ExactlyOnceParquetSink:
     def _apply_erasure(self, spark: SparkSession, df: DataFrame) -> DataFrame:
         """Anti-join the `_dels` sidecar against every erase column.
         The sidecar is bounded by erasure-request volume between
-        compactions (kilobytes), so each anti-join broadcasts."""
-        if not self.erase_cols or not os.path.isdir(self._dels_dir()):
+        compactions (kilobytes), so the one read broadcasts."""
+        if not os.path.isdir(self._dels_dir()):
             return df
+        if not self.erase_cols:
+            # a sidecar written by an erasure-enabled constructor must
+            # never be silently ignored: serving the rows would undo
+            # the erasure, and a compact() would discard the pending
+            # deletes while folding the erased rows back in as live
+            raise ValueError(
+                f"{self.out_dir} has a _dels erasure sidecar but this "
+                "sink was constructed without erase_cols — construct it "
+                "the way the owning index does"
+            )
         from pyspark.sql import functions as F
 
+        dels = (
+            spark.read.parquet(self._dels_dir())
+            .select(F.col("del_id").alias("__del"))
+            .distinct()
+        )
         for c in self.erase_cols:
-            dels = (
-                spark.read.parquet(self._dels_dir())
-                .select(F.col("del_id").alias("__del"))
-                .distinct()
-            )
             df = df.join(
                 F.broadcast(dels), F.col(c) == F.col("__del"), "left_anti"
             )
@@ -202,3 +212,37 @@ class ExactlyOnceParquetSink:
         if not has_commits:
             return spark.createDataFrame([], "epoch bigint")
         return self._apply_erasure(spark, spark.read.parquet(self.out_dir))
+
+
+class ErasableIndexMixin:
+    """The erasure verb pair, defined ONCE for every accumulated-state
+    index built on a set of ExactlyOnceParquetSinks (minhash/LSH pair
+    indexes, aHash, substring, boilerplate). Subclasses implement
+    `erasure_sinks()` and document their per-index semantics (which
+    output rows name a doc, what future batches see) on that hook — the
+    verb mechanics (sidecar hide now, physical removal at compact) live
+    here so a contract change is one edit, not four."""
+
+    def erasure_sinks(self) -> dict:
+        """{name: ExactlyOnceParquetSink} — every sink a doc id must be
+        erased from."""
+        raise NotImplementedError
+
+    def delete_docs(self, spark, ids) -> None:
+        """GDPR erasure: hide the ids from every sink immediately
+        (reads anti-join the `_dels` sidecars — including each index's
+        in-batch read of its accumulated state, so an erased doc can
+        never match a future batch); physical removal happens at the
+        next compact(). Single actor; re-runnable (see
+        ExactlyOnceParquetSink.delete_ids)."""
+        for sink in self.erasure_sinks().values():
+            sink.delete_ids(spark, ids)
+
+    def compact(self, spark, n_files: int = 1) -> dict:
+        """Fold every sink (stream STOPPED, single actor): consolidates
+        epochs AND physically removes erased rows + `_dels` sidecars —
+        the no-trace point of delete_docs."""
+        return {
+            name: sink.compact(spark, n_files)
+            for name, sink in self.erasure_sinks().items()
+        }

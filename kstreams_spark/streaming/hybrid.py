@@ -237,6 +237,34 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
     def _erase_log(self, epoch: int) -> str:
         return self.root + f"/_erase_log-{epoch}"
 
+    def _apply_erase(self, ids: DataFrame, epoch: int) -> None:
+        delete_postings_docs(ids, self.postings_dir, epoch=epoch)
+        vids = ids.select(F.col("doc_id").alias("vec_id"))
+        delete_ivf_sq8_vecs(vids, self.sq8_dir, epoch=epoch)
+        if os.path.isdir(self.pq_dir):
+            delete_ivf_pq_vecs(vids, self.pq_dir, epoch=epoch)
+
+    def _heal_crashed_erase(self, spark: SparkSession) -> None:
+        """Complete a logged-but-uncommitted erasure before anything
+        else claims its epoch. The intent log's IDS are what get
+        re-applied — NOT the current request's — so a new erase with
+        different ids can never commit a prior request's partial (torn)
+        deletes as its own (the id-mismatch hazard: request A crashes
+        between the postings and vector deletes; request B must not
+        publish A's postings-only state)."""
+        epoch = self.visible_epoch() + 1
+        logp = self._erase_log(epoch)
+        if not os.path.isfile(logp):
+            return
+        with open(logp) as fh:
+            logged = [int(x) for x in fh.read().split() if x.strip()]
+        if logged:
+            self._apply_erase(
+                spark.createDataFrame([(i,) for i in logged], "doc_id bigint"),
+                epoch,
+            )
+        self._set_offset(self._offset() + 1)
+
     def erase(self, doc_ids: DataFrame) -> int:
         """Out-of-band GDPR erasure across EVERY participating index
         with ONE atomic commit point — the maintenance-mode twin of the
@@ -245,28 +273,33 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
         on the ingest feed itself, prefer the CDC path; this verb is for
         the erase_document() orchestrator (kstreams_spark/erasure.py).
 
-        Steps: (0) quiescence check — refuse if an uncommitted stream
-        batch's rows are on disk (its replay would land at our epoch;
-        restart the stream to commit it first), UNLESS they are our own
-        crashed erasure (identified by the intent log); (1) write the
-        intent log for epoch visible+1; (2) apply the per-index deletes
-        at that epoch — invisible, the cap still excludes it; (3) bump
-        the epoch offset — the atomic rename after which every probe
-        sees the erasure on all legs at once.
+        Steps: (0) HEAL — a logged-but-uncommitted prior erasure is
+        completed first, with the LOGGED ids (see _heal_crashed_erase:
+        a new request must never adopt a crashed one's epoch and
+        publish its partial deletes); (1) quiescence check — refuse if
+        an uncommitted stream batch's rows are on disk (its replay
+        would land at our epoch; restart the stream to commit it
+        first); (2) write the intent log for epoch visible+1; (3) apply
+        the per-index deletes at that epoch — invisible, the cap still
+        excludes it; (4) bump the epoch offset — the atomic rename
+        after which every probe sees the erasure on all legs at once.
 
         Contract: single actor (stream quiescent — the compact()
-        assumption); re-runnable from any crash point (same epoch, same
-        ids, per-index delete verbs are idempotent under re-run). A
-        CRASHED erase must be re-run to completion BEFORE the stream
-        restarts — otherwise the next stream batch could share the
-        erase's claimed epoch and a same-doc upsert would tie with the
-        delete (the one-intent-per-key-per-epoch rule). Returns the
-        data epoch used."""
+        assumption); re-runnable from any crash point (a re-run heals
+        the logged erase to completion, then applies the new request at
+        the next epoch; per-index delete verbs are idempotent under
+        re-run). A CRASHED erase must be healed (any erase() call does
+        it) BEFORE the stream restarts — otherwise the next stream
+        batch could share the crashed erase's claimed epoch and a
+        same-doc upsert would tie with the delete (the
+        one-intent-per-key-per-epoch rule). Returns the data epoch
+        used."""
         spark = doc_ids.sparkSession
+        self._heal_crashed_erase(spark)
         visible = self.visible_epoch()
         epoch = visible + 1
         applied = self._max_applied_epoch(spark)
-        if applied > visible and not os.path.isfile(self._erase_log(applied)):
+        if applied > visible:
             raise ValueError(
                 f"uncommitted stream epoch {applied} on disk (visible "
                 f"{visible}): restart the stream to commit it before an "
@@ -276,25 +309,17 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
         with open(self._erase_log(epoch) + ".tmp", "w") as fh:
             fh.write("\n".join(str(r.doc_id) for r in ids.collect()))
         os.replace(self._erase_log(epoch) + ".tmp", self._erase_log(epoch))
-        delete_postings_docs(ids, self.postings_dir, epoch=epoch)
-        vids = ids.select(F.col("doc_id").alias("vec_id"))
-        delete_ivf_sq8_vecs(vids, self.sq8_dir, epoch=epoch)
-        if os.path.isdir(self.pq_dir):
-            delete_ivf_pq_vecs(vids, self.pq_dir, epoch=epoch)
+        self._apply_erase(ids, epoch)
         self._set_offset(self._offset() + 1)
         return epoch
 
-    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+    def _data_epoch(self, epoch_id: int) -> int:
         """The inherited marker-last skeleton, with the data epoch
-        shifted by the erase offset (see the erasure note above). Replay
-        determinism holds because erase() refuses to run while an
-        uncommitted batch's rows are on disk — the offset a replayed
+        shifted by the erase offset (see the erasure note above).
+        Replay determinism holds because erase() refuses to run while
+        an uncommitted batch's rows are on disk — the offset a replayed
         batch reads is always the offset its first attempt read."""
-        if self.is_committed(epoch_id):
-            return
-        if not batch_df.isEmpty():
-            self._apply(batch_df, epoch_id + 1 + self._offset())
-        os.makedirs(self._marker(epoch_id), exist_ok=True)  # commit point
+        return epoch_id + 1 + self._offset()
 
     def visible_epoch(self) -> int:
         """Highest committed DATA epoch: max group marker id + 1 (or 0,

@@ -32,10 +32,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kstreams_spark.streaming.exactly_once import ExactlyOnceParquetSink
+from kstreams_spark.streaming.exactly_once import (
+    ErasableIndexMixin,
+    ExactlyOnceParquetSink,
+)
 
 
-class StreamingPairIndex:
+class StreamingPairIndex(ErasableIndexMixin):
     """Base: incremental bucket index with exactly-once pair emission.
 
     Subclass contract:
@@ -165,30 +168,16 @@ class StreamingPairIndex:
             .start()
         )
 
-    def delete_docs(self, spark: SparkSession, ids) -> None:
-        """GDPR erasure (VERDICT r10 task 1): remove the given ids from
-        BOTH sides of the index — their signatures/payloads leave the
-        accumulated index (so no future batch can ever match against
-        them — the erased-world contract, applied at match time via the
-        sink-routed index read in process_batch), and every emitted pair
-        row naming them (either endpoint) leaves the output. Effective
-        immediately; physically removed at the next compact().
-
-        Pair rows between OTHER docs are untouched — a pairwise verdict
-        between Y and Z never depended on X. Contract: single actor
-        (stream stopped or between batches), re-runnable; see
-        ExactlyOnceParquetSink.delete_ids for the crash contract."""
-        self._index_sink.delete_ids(spark, ids)
-        self._pairs_sink.delete_ids(spark, ids)
-
-    def compact(self, spark: SparkSession, n_files: int = 1) -> dict[str, int]:
-        """Fold both sinks (stream STOPPED, single actor): consolidates
-        epochs AND physically removes every erased row plus the `_dels`
-        sidecars — the no-trace point of delete_docs."""
-        return {
-            "index": self._index_sink.compact(spark, n_files),
-            "pairs": self._pairs_sink.compact(spark, n_files),
-        }
+    def erasure_sinks(self) -> dict[str, ExactlyOnceParquetSink]:
+        """Erasure semantics (delete_docs/compact come from
+        ErasableIndexMixin): an erased doc's signatures leave the
+        accumulated index — no future batch can ever match against it
+        (the erased-world contract, applied at match time via the
+        sink-routed index read in process_batch) — and every emitted
+        pair row naming it (either endpoint) leaves the output. Pair
+        rows between OTHER docs are untouched: a pairwise verdict
+        between Y and Z never depended on X."""
+        return {"index": self._index_sink, "pairs": self._pairs_sink}
 
     def result(self, spark: SparkSession) -> DataFrame:
         """All verified pairs from committed epochs."""

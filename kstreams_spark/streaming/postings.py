@@ -63,11 +63,16 @@ class _EpochMarkedMaintainer:
     def _apply(self, batch_df: DataFrame, epoch: int) -> None:
         raise NotImplementedError
 
+    def _data_epoch(self, epoch_id: int) -> int:
+        """Marker id → data epoch. Subclasses with extra epoch sources
+        (the hybrid maintainer's erase offset) override ONLY this."""
+        return epoch_id + 1
+
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if self.is_committed(epoch_id):
             return  # replay of a committed epoch: exactly-once no-op
         if not batch_df.isEmpty():
-            self._apply(batch_df, epoch_id + 1)
+            self._apply(batch_df, self._data_epoch(epoch_id))
         os.makedirs(self._marker(epoch_id), exist_ok=True)  # commit point
 
     def attach(self, stream: DataFrame, checkpoint_dir: str):

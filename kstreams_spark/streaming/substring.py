@@ -36,10 +36,13 @@ from kstreams_spark.operators.substring import (
     coverage_stats,
     positional_shingles,
 )
-from kstreams_spark.streaming.exactly_once import ExactlyOnceParquetSink
+from kstreams_spark.streaming.exactly_once import (
+    ErasableIndexMixin,
+    ExactlyOnceParquetSink,
+)
 
 
-class StreamingSubstringIndex:
+class StreamingSubstringIndex(ErasableIndexMixin):
     """foreachBatch scorer: (doc_id, text) stream → `flags_dir` rows
     (doc_id, n_tokens, n_dup_starts, covered_tokens, is_flagged) — the
     ingest-time twin of dedup_substring_spans — while `index_dir`
@@ -121,20 +124,11 @@ class StreamingSubstringIndex:
     def flags(self, spark: SparkSession) -> DataFrame:
         return self.flags_sink.result(spark)
 
-    def delete_docs(self, spark: SparkSession, ids) -> None:
-        """GDPR erasure: the doc's positional window hashes leave the
-        index (future batches' occurrence counts no longer include
-        them — the erased-world contract; other docs' HISTORICAL flags
-        stay, they are facts about those docs' own text) and its flag
-        rows leave the output. Single actor; physically removed at
-        compact()."""
-        self.index_sink.delete_ids(spark, ids)
-        self.flags_sink.delete_ids(spark, ids)
-
-    def compact(self, spark: SparkSession, n_files: int = 1) -> dict[str, int]:
-        """Fold both sinks (stream STOPPED): consolidates epochs and
-        physically removes erased rows + the `_dels` sidecars."""
-        return {
-            "index": self.index_sink.compact(spark, n_files),
-            "flags": self.flags_sink.compact(spark, n_files),
-        }
+    def erasure_sinks(self) -> dict:
+        """Erasure semantics (verbs from ErasableIndexMixin): the doc's
+        positional window hashes leave the index — future batches'
+        occurrence counts no longer include them (the erased-world
+        contract; other docs' HISTORICAL flags stay, they are facts
+        about those docs' own text) — and its flag rows leave the
+        output."""
+        return {"index": self.index_sink, "flags": self.flags_sink}

@@ -99,8 +99,8 @@ def test_out_of_band_erase_atomic_and_crash_safe(
         for r in m.probe_vector(spark, vec, k=10, n_probe=3).collect()
     ] == before_vec
 
-    # re-run completes the SAME epoch (the intent log identifies the
-    # orphan rows as ours) and commits
+    # re-run: the heal step completes the LOGGED erase at its claimed
+    # epoch, then the request itself commits at the next one
     epoch = m.erase(ids)
     assert m.visible_epoch() == epoch
 
@@ -225,3 +225,67 @@ def test_erase_document_orchestrator_end_to_end(spark, tmp_path, sf_dir):
     )
     assert report2["lake_rows_deleted"] == 0
     assert spark.read.parquet(lake).filter(F.col("doc_id") == doomed).count() == 0
+
+
+def test_crashed_erase_heals_with_logged_ids_not_new_request(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """The id-mismatch hazard: erase([A]) crashes between the postings
+    and vector deletes; a LATER erase([B]) must not adopt A's epoch and
+    publish A's torn (postings-only) state — it must first complete A's
+    logged erasure on every leg, then erase B at the next epoch."""
+    m, corpus, cents, frozen = _bootstrap(spark, sf_dir, str(tmp_path / "idx"))
+    a_id, b_id = 7, 11
+    vec = {
+        d: [
+            float(x)
+            for x in corpus.filter(F.col("doc_id") == d).first().embedding
+        ]
+        for d in (a_id, b_id)
+    }
+    import kstreams_spark.streaming.hybrid as hybrid_mod
+
+    real = hybrid_mod.delete_ivf_sq8_vecs
+    monkeypatch.setattr(
+        hybrid_mod,
+        "delete_ivf_sq8_vecs",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash A")),
+    )
+    with pytest.raises(RuntimeError, match="crash A"):
+        m.erase(spark.createDataFrame([(a_id,)], "doc_id bigint"))
+    monkeypatch.setattr(hybrid_mod, "delete_ivf_sq8_vecs", real)
+
+    # the second request (different ids) heals A first, then erases B
+    e = m.erase(spark.createDataFrame([(b_id,)], "doc_id bigint"))
+    assert m.visible_epoch() == e
+    for d in (a_id, b_id):
+        assert d not in {
+            r.vec_id
+            for r in m.probe_vector(spark, vec[d], k=10, n_probe=3).collect()
+        }, f"doc {d} still on the vector leg"
+        assert d not in {d2 for d2, _ in _lex(m, spark, k=120)}, (
+            f"doc {d} still on the lexical leg"
+        )
+
+
+def test_sink_without_erase_cols_fails_loudly_on_existing_sidecar(
+    spark, tmp_path
+):
+    """A _dels sidecar written by an erasure-enabled constructor must
+    never be silently ignored by a sink built without erase_cols —
+    result() would serve erased rows and compact() would fold them back
+    in as live while discarding the pending erasure."""
+    from kstreams_spark.streaming.exactly_once import ExactlyOnceParquetSink
+
+    out = str(tmp_path / "sink")
+    good = ExactlyOnceParquetSink(out, erase_cols=("doc_id",))
+    good.process_batch(
+        spark.createDataFrame([(1,), (2,)], "doc_id bigint"), 0
+    )
+    good.delete_ids(spark, [1])
+    assert [r.doc_id for r in good.result(spark).collect()] == [2]
+    bad = ExactlyOnceParquetSink(out)  # the pre-r11 one-arg form
+    with pytest.raises(ValueError, match="erase_cols"):
+        bad.result(spark)
+    with pytest.raises(ValueError, match="erase_cols"):
+        bad.compact(spark)

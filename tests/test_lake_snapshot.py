@@ -251,3 +251,40 @@ def test_erase_document_routes_snapshot_lake(spark, tmp_path, sf_dir):
     vacuum(lake, keep_versions=1)
     raw = spark.read.option("basePath", lake).parquet(lake)
     assert raw.filter(F.col("doc_id") == doomed).count() == 0
+
+
+def test_snapshot_ops_handle_escaped_and_null_partition_values(spark, tmp_path):
+    """Hive-escaped dir names (lang='a=b' → 'lang=a%3Db') and NULL
+    partition values (__HIVE_DEFAULT_PARTITION__) must delete and
+    compact correctly — comparing raw values to dir names silently
+    duplicates the partition's rows after a rewrite (the old files
+    never leave the manifest)."""
+    lake = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [
+            (1, "keep", "train", "a=b"),
+            (2, "drop", "train", "a=b"),
+            (3, "keep", "train", "c%d"),
+            (4, "drop", "train", None),
+            (5, "keep", "train", None),
+            (6, "keep", "train", "pt BR"),
+        ],
+        "doc_id long, text string, split string, lang string",
+    )
+    snapshot_publish(df, lake)
+    assert snapshot_delete_where(spark, lake, "text = 'drop'") == 2
+    got = snapshot_read(spark, lake)
+    assert got.count() == 4, sorted(
+        (r.doc_id, r.lang) for r in got.collect()
+    )
+    assert sorted(r.doc_id for r in got.collect()) == [1, 3, 5, 6]
+    # no duplicated rows per doc (the old-file-stays-live bug)
+    assert got.dropDuplicates(["doc_id"]).count() == 4
+    # compaction over the same weird partitions stays answer-stable
+    df.filter("text = 'keep'").write.mode("append").partitionBy(
+        "split", "lang"
+    ).parquet(lake)  # orphan files to make partitions multi-file
+    before = sorted((r.doc_id, r.lang) for r in snapshot_read(spark, lake).collect())
+    snapshot_compact(spark, lake, n_files=1)
+    after = sorted((r.doc_id, r.lang) for r in snapshot_read(spark, lake).collect())
+    assert after == before

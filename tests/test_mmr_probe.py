@@ -111,3 +111,25 @@ def test_probe_mmr_respects_erasure_snapshot(spark, tmp_path, sf_dir):
     }
     assert CLONE_ID not in got
     assert CLONE_OF in got  # the original stays served
+
+
+def test_probe_mmr_degenerate_vectors_never_typeerror(spark, tmp_path, sf_dir):
+    """Zero-norm vectors have no cosine: a degenerate CANDIDATE in the
+    pool is dropped (not crashed on), and a degenerate QUERY yields an
+    empty selection instead of a TypeError inside the driver greedy."""
+    m, emb = _build(spark, sf_dir, str(tmp_path / "idx"))
+    dim = len(emb.first().embedding)
+    # degenerate query: every rel is NULL -> empty selection, no crash
+    got = m.probe_vector_mmr(spark, [0.0] * dim, emb, k=4, pool=16, n_probe=3)
+    assert got.count() == 0
+    # degenerate candidate planted in the embedding store: it may enter
+    # the probe pool but must be dropped from the MMR ranking
+    emb_bad = emb.unionByName(
+        spark.createDataFrame(
+            [(99_999, [0.0] * dim)], "vec_id long, embedding array<double>"
+        )
+    )
+    vec = [float(x) for x in emb.filter(F.col("vec_id") == CLONE_OF).first().embedding]
+    sel = m.probe_vector_mmr(spark, vec, emb_bad, k=4, pool=16, n_probe=3)
+    cids = {r.cid for r in sel.collect()}
+    assert 99_999 not in cids and len(cids) == 4
