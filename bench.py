@@ -125,6 +125,7 @@ HEADLINE = [
     "avro_ocf_roundtrip",  # added r11: OCF container write+read round-trip
     "composite_bpe_token_budget",  # added r11: budget bites on BPE counts
     "multimodal_image_decode_gif",  # added r11: real LZW GIF decode
+    "multimodal_video_gif_frames",  # added r11: animated GIF frame decode
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------

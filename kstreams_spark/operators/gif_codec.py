@@ -6,10 +6,13 @@ table + sub-block concatenation + LZW with dictionary resets. This
 extends the oracle-replays-pixels doctrine (BMP/WAV/AVI/JPEG/PNG) to a
 fourth lossless image container.
 
-Decoder scope (stated, not hidden): GIF87a/89a, ONE image, global color
-table only, non-interlaced. Local color tables, interlacing, and
-multi-frame animations raise ValueError naming the variant. Extension
-blocks (graphic control, comment, application) are skipped per spec.
+Decoder scope (stated, not hidden): GIF87a/89a, global color table
+only, non-interlaced, FULL-FRAME image blocks — which covers plain
+images and replace-disposal animations (gif_frames returns every
+frame; gif_pixel_grid demands exactly one). Local color tables,
+interlacing, and sub-rectangle frames raise ValueError naming the
+variant. Extension blocks (graphic control, comment, NETSCAPE looping,
+application) are skipped per spec.
 
 Encoder traps (the PNG doctrine — fixtures exercise the decoder's real
 failure modes): the LZW stream is split across SMALL sub-blocks
@@ -191,38 +194,56 @@ def _sub_blocks(data: bytes, size: int = 16) -> bytes:
     return bytes(out)
 
 
-def encode_gif(
-    idx_grid: list[list[int]], palette: list[tuple[int, int, int]]
+def encode_gif_anim(
+    frames: list[list[list[int]]], palette: list[tuple[int, int, int]]
 ) -> bytes:
-    """idx_grid[y][x] = palette index → a complete, valid GIF89a with a
-    16-entry global color table and the decoder traps planted (module
-    docstring)."""
+    """frames[f][y][x] = palette index → a complete, valid animated
+    GIF89a: one full-frame image block per frame, each preceded by a
+    graphic control extension (replace disposal, 4 cs delay), plus the
+    NETSCAPE2.0 looping application extension — the standard animation
+    layout, every block a decoder must walk. Single-frame input
+    degenerates to a plain GIF with the decoder traps planted
+    (encode_gif is that wrapper)."""
     if len(palette) != _PAL_N:
         raise ValueError(f"fixture palette must have {_PAL_N} entries")
-    h, w = len(idx_grid), len(idx_grid[0])
+    h, w = len(frames[0]), len(frames[0][0])
     out = bytearray(b"GIF89a")
     # logical screen descriptor: GCT present, 2^(3+1)=16 entries
     out += struct.pack("<HHBBB", w, h, 0x80 | 0x03, 0, 0)
     for r, g, b in palette:
         out += bytes((r, g, b))
-    # graphic control extension + comment extension: must be skipped
-    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    # NETSCAPE looping extension + comment: both must be skipped
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
     out += b"\x21\xfe" + _sub_blocks(b"kstreams_spark gif_codec")[:-1] + b"\x00"
-    # image descriptor: full frame, no local color table, no interlace
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
-    out.append(_MCS)
-    flat = [idx_grid[y][x] for y in range(h) for x in range(w)]
-    out += _sub_blocks(_lzw_encode(flat, _MCS))
+    for idx_grid in frames:
+        if (len(idx_grid), len(idx_grid[0])) != (h, w):
+            raise ValueError("all frames must be full-frame (same dims)")
+        # graphic control extension: disposal=replace(1), delay 4 cs
+        out += b"\x21\xf9\x04\x04\x04\x00\x00\x00"
+        # image descriptor: full frame, no local color table/interlace
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(_MCS)
+        flat = [idx_grid[y][x] for y in range(h) for x in range(w)]
+        out += _sub_blocks(_lzw_encode(flat, _MCS))
     out += b"\x3b"
     return bytes(out)
 
 
-def gif_pixel_grid(payload: bytes) -> list[list[tuple[int, int, int]]]:
+def encode_gif(
+    idx_grid: list[list[int]], palette: list[tuple[int, int, int]]
+) -> bytes:
+    """Single-image form of encode_gif_anim (module docstring lists the
+    planted decoder traps)."""
+    return encode_gif_anim([idx_grid], palette)
+
+
+def gif_frames(payload: bytes) -> list[list[list[tuple[int, int, int]]]]:
     """Real GIF decode: header + logical screen descriptor, global color
-    table, extension skipping, image descriptor, sub-block
+    table, extension skipping, per-frame image blocks (full-frame
+    replace disposal — the layout encode_gif_anim writes), sub-block
     concatenation, LZW with resets/width growth/KwKwK. Returns
-    grid[y][x] = (r, g, b); ValueError on malformed or out-of-scope
-    input (see module docstring)."""
+    frames[f][y][x] = (r, g, b); ValueError on malformed or
+    out-of-scope input (see module docstring)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF file")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
@@ -234,8 +255,7 @@ def gif_pixel_grid(payload: bytes) -> list[list[tuple[int, int, int]]]:
         tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(gct_n)
     ]
     pos += 3 * gct_n
-    frames = 0
-    grid: list[list[tuple[int, int, int]]] | None = None
+    frames: list[list[list[tuple[int, int, int]]]] = []
     while pos < len(payload):
         b0 = payload[pos]
         if b0 == 0x3B:  # trailer
@@ -256,9 +276,6 @@ def gif_pixel_grid(payload: bytes) -> list[list[tuple[int, int, int]]]:
             raise ValueError("interlaced GIF unsupported")
         if (left, top, w, h) != (0, 0, sw, sh):
             raise ValueError("sub-rectangle frames unsupported")
-        frames += 1
-        if frames > 1:
-            raise ValueError("multi-frame GIF unsupported; scope is 1 image")
         mcs = payload[pos]
         pos += 1
         lzw = bytearray()
@@ -272,12 +289,23 @@ def gif_pixel_grid(payload: bytes) -> list[list[tuple[int, int, int]]]:
             raise ValueError(f"decoded {len(flat)} pixels, expected {w * h}")
         if max(flat) >= gct_n:
             raise ValueError("pixel index outside the color table")
-        grid = [
-            [palette[flat[y * w + x]] for x in range(w)] for y in range(h)
-        ]
-    if grid is None:
+        frames.append(
+            [[palette[flat[y * w + x]] for x in range(w)] for y in range(h)]
+        )
+    if not frames:
         raise ValueError("no image block before trailer")
-    return grid
+    return frames
+
+
+def gif_pixel_grid(payload: bytes) -> list[list[tuple[int, int, int]]]:
+    """Single-image decode: exactly one frame, else ValueError (use
+    gif_frames for animations)."""
+    frames = gif_frames(payload)
+    if len(frames) != 1:
+        raise ValueError(
+            f"{len(frames)}-frame animation: use gif_frames for animations"
+        )
+    return frames[0]
 
 
 def parse_gif_features(payload: bytes) -> dict:
@@ -330,5 +358,57 @@ def synth_gif(doc_id: int) -> bytes:
     w, h = _gif_dims(doc_id)
     return encode_gif(
         [[_gif_index(doc_id, x, y, w) for x in range(w)] for y in range(h)],
+        _gif_palette(),
+    )
+
+
+def parse_gif_anim_features(payload: bytes) -> dict:
+    """Exact integer features over a really-decoded ANIMATION (the
+    parse_avi twin — same VIDEO_SCHEMA keys): channel sums over all
+    frames and the (f+1)-weighted position checksum that makes frame
+    ORDER and completeness value-visible."""
+    frames = gif_frames(payload)
+    h, w = len(frames[0]), len(frames[0][0])
+    sum_r = sum_g = sum_b = checksum = 0
+    for f, grid in enumerate(frames):
+        for y in range(h):
+            for x in range(w):
+                r, g, b = grid[y][x]
+                sum_r += r
+                sum_g += g
+                sum_b += b
+                checksum += (f + 1) * (y * w + x) * (r + g + b)
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": len(frames),
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+        "px_checksum": checksum,
+    }
+
+
+def _gif_anim_frames(doc_id: int) -> int:
+    return 2 + doc_id % 3  # the AVI fixture's frame-count rule
+
+
+def _gif_anim_index(doc_id: int, f: int, x: int, y: int, w: int) -> int:
+    """Per-frame palette index — frame term shifts the pattern so a
+    skipped or swapped frame changes the weighted checksum."""
+    return (doc_id + f * 5 + (y * w + x) // 3) % _PAL_N
+
+
+def synth_gif_anim(doc_id: int) -> bytes:
+    """The deterministic test-pattern ANIMATED GIF for doc_id."""
+    w, h = _gif_dims(doc_id)
+    return encode_gif_anim(
+        [
+            [
+                [_gif_anim_index(doc_id, f, x, y, w) for x in range(w)]
+                for y in range(h)
+            ]
+            for f in range(_gif_anim_frames(doc_id))
+        ],
         _gif_palette(),
     )

@@ -1254,6 +1254,64 @@ def multimodal_image_resize_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_video_gif_frames",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 3 AS k,
+             8 + doc_id % 7 AS w, 5 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, k, w, h, f, x, y,
+             ((doc_id + f * 5 + (y * w + x) // 3) % 16) AS i
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, k - 1)) AS f) tf,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    ),
+    rgb AS (
+      SELECT doc_id, k, w, h, f, x, y,
+             (i * 37) % 256 AS r, (i * 59) % 256 AS g, (i * 83) % 256 AS b
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(k AS INTEGER) AS n_frames,
+           SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g,
+           SUM(b)::BIGINT AS sum_b,
+           SUM((f + 1) * (y * w + x) * (r + g + b))::BIGINT AS px_checksum
+    FROM rgb GROUP BY doc_id, k, w, h
+    """,
+)
+def multimodal_video_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED GIF decode — the web's most common animation container
+    joins the video family (the AVI twin, but through a COMPRESSED
+    codec): a complete replace-disposal GIF89a animation per doc (one
+    LZW-coded full-frame image block per frame, per-frame graphic
+    control extensions, the NETSCAPE looping extension — all walked for
+    real, operators/gif_codec.py), feature-extracted by decoding every
+    frame. The (f+1)-weighted checksum makes frame order and
+    completeness value-visible exactly as in multimodal_video_features
+    — a decoder that drops a frame, swaps two, or misparses a GCE fails
+    the SQL replay, which re-synthesizes the per-frame palette
+    arithmetic with no fixture constraint (GIF is lossless)."""
+    from kstreams_spark.operators.gif_codec import (
+        parse_gif_anim_features,
+        synth_gif_anim,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_gif_anim(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+    return payloads.mapInPandas(
+        _decode_stage(parse_gif_anim_features, VIDEO_SCHEMA), VIDEO_SCHEMA
+    )
+
+
 # --------------------------------------------------------------------------
 # Real video path, completing the modality trio: a minimal but VALID
 # AVI — RIFF('AVI ') with LIST(hdrl){avih, LIST(strl){strh,strf}} and

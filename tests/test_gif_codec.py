@@ -231,3 +231,41 @@ def test_container_roundtrip_property(w, h, seed):
     # header sanity: dims in the logical screen descriptor
     sw, sh = struct.unpack_from("<HH", payload, 6)
     assert (sw, sh) == (w, h)
+
+
+def test_animation_roundtrip_and_frame_order():
+    from kstreams_spark.operators.gif_codec import (
+        _gif_anim_frames,
+        _gif_anim_index,
+        encode_gif_anim,
+        gif_frames,
+        gif_pixel_grid,
+        parse_gif_anim_features,
+        synth_gif_anim,
+    )
+
+    for doc_id in (0, 5, 11, 23):
+        w, h = _gif_dims(doc_id)
+        k = _gif_anim_frames(doc_id)
+        want = [
+            [
+                [PAL[_gif_anim_index(doc_id, f, x, y, w)] for x in range(w)]
+                for y in range(h)
+            ]
+            for f in range(k)
+        ]
+        assert gif_frames(synth_gif_anim(doc_id)) == want
+    # single-image API refuses animations by name
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="gif_frames"):
+        gif_pixel_grid(synth_gif_anim(3))
+    # frame ORDER is value-visible: swapping two frames changes the
+    # (f+1)-weighted checksum
+    w, h = _gif_dims(9)
+    f0 = [[(9 + (y * w + x) // 3) % 16 for x in range(w)] for y in range(h)]
+    f1 = [[(9 + 5 + (y * w + x) // 3) % 16 for x in range(w)] for y in range(h)]
+    a = parse_gif_anim_features(encode_gif_anim([f0, f1], PAL))
+    b = parse_gif_anim_features(encode_gif_anim([f1, f0], PAL))
+    assert a["sum_r"] == b["sum_r"]  # same pixels in total...
+    assert a["px_checksum"] != b["px_checksum"]  # ...different order

@@ -288,3 +288,38 @@ def test_snapshot_ops_handle_escaped_and_null_partition_values(spark, tmp_path):
     snapshot_compact(spark, lake, n_files=1)
     after = sorted((r.doc_id, r.lang) for r in snapshot_read(spark, lake).collect())
     assert after == before
+
+
+def test_snapshot_diff_change_feed(spark, tmp_path, sf_dir):
+    """snapshot_diff: CDC between two snapshot versions — inserts,
+    deletes, and updates classified from the manifest log, with the
+    immutable-file pruning leaving unchanged files out of the diff."""
+    from kstreams_spark.lake_snapshot import snapshot_diff
+
+    lake = str(tmp_path / "diff")
+    corpus = _corpus(spark, sf_dir)
+    v1 = snapshot_publish(corpus, lake)
+    # delete two docs, then "update" one by delete+reinsert with new text
+    snapshot_delete_where(
+        spark, lake, f"doc_id IN ({DOOMED}, {DOOMED + 1}, {DOOMED + 2})"
+    )
+    import kstreams_spark.lake_snapshot as lsnap
+
+    m = lsnap._read_manifest(lake, snapshot_versions(lake)[-1])
+    live = set(m["files"])
+    before = lsnap._list_files(lake)
+    corpus.filter(F.col("doc_id") == DOOMED + 2).withColumn(
+        "text", F.lit("rewritten body")
+    ).write.mode("append").partitionBy("split", "lang").parquet(lake)
+    lsnap._commit(
+        lake, live | (lsnap._list_files(lake) - before), "upsert", m["schema"]
+    )
+    v2 = snapshot_versions(lake)[-1]
+
+    diff = snapshot_diff(spark, lake, v1, v2).collect()
+    by_key = {r.doc_id: r for r in diff}
+    assert by_key[DOOMED]._change == "delete"
+    assert by_key[DOOMED + 1]._change == "delete"
+    assert by_key[DOOMED + 2]._change == "update"
+    assert by_key[DOOMED + 2].text == "rewritten body"
+    assert len(diff) == 3, sorted((r.doc_id, r._change) for r in diff)
