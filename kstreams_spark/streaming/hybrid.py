@@ -501,6 +501,61 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
         )
         return fused.orderBy(F.col("rrf_fx").desc(), "doc_id").limit(k)
 
+    def probe_hybrid_mmr(
+        self,
+        spark: SparkSession,
+        terms: tuple[str, ...],
+        query_vec: list[float],
+        emb_store: DataFrame,
+        k: int = 4,
+        pool: int = 16,
+        n_probe: int = 2,
+        index: str = "sq8",
+    ) -> DataFrame:
+        """MMR over the FUSED pool: probe_hybrid elects the top-`pool`
+        docs by RRF (one snapshot epoch across both legs — lexical-only
+        hits enter the pool too, which is what fusion buys over
+        probe_vector_mmr's vector-only recall), then the shared
+        mmr_select_pool greedy diversifies them with the exact
+        fixed-point cosine as relevance — the probe_vector_mmr scoring
+        split, restated: FUSION decides who is in the pool, the exact
+        STORE scores decide the greedy. Feeding the raw RRF value as
+        rel instead is a scale bug, found the hard way: rrf_fx /
+        RRF_SCALE tops out near 1/(RRF_K+1) ≈ 0.03 while the sim term
+        spans [−1, 1], so the greedy degenerates into max-ANTI-
+        similarity and relevance stops mattering (the regression test
+        pins that the relevant clone survives). Docs absent from the
+        embedding store drop from the re-rank — stated, not hidden:
+        MMR needs a vector to diversify against. Same knobs as
+        probe_vector_mmr."""
+        from kstreams_spark.operators.similarity import (
+            _cosine,
+            _fx_dot,
+            _fx_norm2,
+            mmr_select_pool,
+        )
+
+        fused = self.probe_hybrid(
+            spark, terms, query_vec, k=pool, pool=pool, n_probe=n_probe,
+            index=index,
+        ).select("doc_id")
+        q_emb = F.array(*[F.lit(float(x)) for x in query_vec])
+        p = fused.join(
+            emb_store.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        ).select(
+            F.lit(0).cast("long").alias("qid"),
+            F.col("doc_id").alias("cid"),
+            _cosine(
+                _fx_dot(F.col("embedding"), q_emb),
+                _fx_norm2(q_emb),
+                _fx_norm2("embedding"),
+            ).alias("rel"),
+            F.col("embedding").alias("c_emb"),
+            _fx_norm2("embedding").alias("nc2"),
+        )
+        return mmr_select_pool(spark, p, k)
+
     # -- maintenance --------------------------------------------------
 
     def _max_applied_epoch(self, spark: SparkSession) -> int:

@@ -133,3 +133,32 @@ def test_probe_mmr_degenerate_vectors_never_typeerror(spark, tmp_path, sf_dir):
     sel = m.probe_vector_mmr(spark, vec, emb_bad, k=4, pool=16, n_probe=3)
     cids = {r.cid for r in sel.collect()}
     assert 99_999 not in cids and len(cids) == 4
+
+
+def test_probe_hybrid_mmr_diversifies_fused_pool(spark, tmp_path, sf_dir):
+    """MMR over the RRF-fused pool: the raw hybrid serves both planted
+    clones (identical text AND identical vector → adjacent RRF ranks);
+    the diversified probe keeps one."""
+    m, emb = _build(spark, sf_dir, str(tmp_path / "idx"))
+    corpus = _corpus(spark, sf_dir)
+    doc7 = corpus.filter(F.col("doc_id") == CLONE_OF).first()
+    terms = tuple(
+        w for w in doc7.text.lower().split() if len(w) > 3
+    )[:3] or ("spark",)
+    vec = [float(x) for x in doc7.embedding]
+    raw = {
+        r.doc_id
+        for r in m.probe_hybrid(
+            spark, terms, vec, k=16, pool=16, n_probe=3
+        ).collect()
+    }
+    assert {CLONE_OF, CLONE_ID}.issubset(raw), (
+        "both clones must fuse into the raw hybrid pool"
+    )
+    got = m.probe_hybrid_mmr(
+        spark, terms, vec, emb, k=4, pool=16, n_probe=3
+    ).collect()
+    sel = {r.cid for r in got}
+    assert len(got) == 4 and [r.mmr_rank for r in got] == [1, 2, 3, 4]
+    assert not {CLONE_OF, CLONE_ID}.issubset(sel), got
+    assert sel & {CLONE_OF, CLONE_ID}
