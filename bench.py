@@ -305,6 +305,21 @@ def _bench_serving_probes(
                 spark, tmp + "/pq", probe_vec, centroids, k=10, n_probe=2
             ),
         )
+        # the r11 serving-MMR verb: the tempdir already has the hybrid
+        # root layout (postings/ + sq8/ + pq/), so the maintainer's
+        # probe runs against it directly; the timing deliberately
+        # includes the bounded driver greedy — that IS the latency a
+        # RAG caller pays for diversity
+        from kstreams_spark.streaming.hybrid import HybridIngestMaintainer
+
+        hy = HybridIngestMaintainer(tmp)
+        emb_store = emb.select("vec_id", "embedding")
+        timed(
+            "probe_vector_mmr",
+            lambda: hy.probe_vector_mmr(
+                spark, probe_vec, emb_store, k=4, pool=16, n_probe=2
+            ),
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return probes, probe_passes

@@ -434,12 +434,21 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
             mmr_select_pool,
         )
 
-        cand = self.probe_vector(
-            spark, query_vec, k=pool, n_probe=n_probe, index=index
-        ).select("vec_id")
+        # the pool is ≤`pool` ids (bounded driver state) — collect them
+        # and push an IN filter into the store scan instead of joining
+        # against the full store: the fetch becomes a row-group-skipping
+        # point lookup, which is what a real deployment's keyed
+        # embedding store does
+        cand_ids = [
+            r.vec_id
+            for r in self.probe_vector(
+                spark, query_vec, k=pool, n_probe=n_probe, index=index
+            ).collect()
+        ]
         q_emb = F.array(*[F.lit(float(x)) for x in query_vec])
         p = (
-            cand.join(emb_store.select("vec_id", "embedding"), "vec_id")
+            emb_store.select("vec_id", "embedding")
+            .filter(F.col("vec_id").isin(cand_ids))
             .select(
                 F.lit(0).cast("long").alias("qid"),
                 F.col("vec_id").alias("cid"),
@@ -535,15 +544,19 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
             mmr_select_pool,
         )
 
-        fused = self.probe_hybrid(
-            spark, terms, query_vec, k=pool, pool=pool, n_probe=n_probe,
-            index=index,
-        ).select("doc_id")
+        # same point-lookup fetch as probe_vector_mmr: the fused pool is
+        # ≤`pool` ids, so an IN filter reaches the store scan
+        fused_ids = [
+            r.doc_id
+            for r in self.probe_hybrid(
+                spark, terms, query_vec, k=pool, pool=pool,
+                n_probe=n_probe, index=index,
+            ).collect()
+        ]
         q_emb = F.array(*[F.lit(float(x)) for x in query_vec])
-        p = fused.join(
-            emb_store.select(F.col("vec_id").alias("doc_id"), "embedding"),
-            "doc_id",
-        ).select(
+        p = emb_store.select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        ).filter(F.col("doc_id").isin(fused_ids)).select(
             F.lit(0).cast("long").alias("qid"),
             F.col("doc_id").alias("cid"),
             _cosine(
