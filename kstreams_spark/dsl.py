@@ -1,0 +1,294 @@
+"""Fluent Kafka-Streams-style DSL facade (SURVEY.md §2.2): the
+reference's users write topologies as verb chains on a builder
+(`builder.stream("bme680").filter(...).to("bme680out")` —
+BME680.java:224-227); this module gives them the same programming model
+over Spark, so switching is a re-spell, not a redesign.
+
+Design rules, stated up front:
+
+- **The DataFrame is the plan carrier.** Every verb is a THIN mapping
+  to the documented Spark construct (filter → filter, mapValues →
+  select, branch → N filters off one cached plan, groupByKey().count()
+  → groupBy().count(), windowedBy → F.window, peek → Dataset.observe,
+  KTable → latest-per-key). No execution logic lives here — Catalyst
+  sees exactly the plan a hand-written pipeline would produce, so
+  every optimization (pushdown, pruning, AQE) applies unchanged. The
+  facade is API parity, not an engine.
+- **Batch/stream unification is the point.** A topology built from a
+  batch DataFrame runs as a batch job; built from a readStream
+  DataFrame it runs under Structured Streaming — same verbs, same
+  code. Kafka Streams cannot do this; Spark gets it for free because
+  the DSL never leaves the DataFrame algebra. (Stateful verbs keep
+  Spark's streaming requirements: windowed aggregation over a stream
+  needs the watermark the caller set upstream.)
+- **Keyed-record model.** A KStream is (DataFrame, key column) — the
+  Kafka Streams record key, which is what groupByKey, table joins, and
+  select_key re-key. Re-keying is metadata here; Spark inserts the
+  physical repartition at the next stateful operator, exactly where
+  Kafka Streams would insert a repartition topic.
+
+Kafka Streams 2.0 DSL surface covered (the §2.2 ceiling):
+stream/table, filter/filterNot, mapValues, selectKey, flatMapValues,
+branch (first-match), merge, peek (as observe — per-batch metrics, the
+Spark-native form of a side-effecting peek), to, groupByKey/groupBy,
+count/reduce/aggregate, windowedBy (tumbling/hopping), stream⋈stream
+windowed join, stream⋈KTable enrich, KTable⋈KTable, toStream.
+
+Semantics parity is pinned in tests/test_dsl.py: every DSL chain is
+asserted row-equal against the hand-written DataFrame pipeline, and
+the reference topology rebuilt through the DSL produces the exact
+alert/forward outputs of streaming/topology.ReferenceTopology.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_col(e) -> Column:
+    return e if isinstance(e, Column) else F.expr(e)
+
+
+class StreamsBuilder:
+    """Entry point, mirroring org.apache.kafka.streams.StreamsBuilder."""
+
+    def stream(self, df: DataFrame, key: str) -> "KStream":
+        """Wrap a (batch or streaming) DataFrame as a keyed stream."""
+        if key not in df.columns:
+            raise ValueError(f"key column {key!r} not in {df.columns}")
+        return KStream(df, key)
+
+    def table(self, df: DataFrame, key: str, order_by) -> "KTable":
+        """KTable materialization: latest record per key, ordered by
+        `order_by` (a column/expr; add a unique tie-break upstream —
+        the LIMIT total-order rule). Batch form of table(topic); the
+        streaming changelog twin is operators/joins' MERGE upsert
+        (streaming/upsert.py), which this facade deliberately does not
+        hide — a stateful store is an operational choice, not a verb."""
+        if df.isStreaming:
+            raise ValueError(
+                "table() materializes latest-per-key with a window — "
+                "batch only; maintain a streaming KTable with "
+                "streaming/upsert.py and wrap the result"
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key).orderBy(_as_col(order_by).desc())
+        latest = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return KTable(latest, key)
+
+
+class KStream:
+    """A keyed record stream — verbs return NEW KStreams (the builder
+    pattern is immutable, like the DSL it mirrors)."""
+
+    def __init__(self, df: DataFrame, key: str) -> None:
+        self.df = df
+        self.key = key
+
+    def _with(self, df: DataFrame, key: str | None = None) -> "KStream":
+        return KStream(df, key or self.key)
+
+    # -- stateless verbs ------------------------------------------------
+
+    def filter(self, cond) -> "KStream":
+        return self._with(self.df.filter(_as_col(cond)))
+
+    def filter_not(self, cond) -> "KStream":
+        return self._with(self.df.filter(~_as_col(cond)))
+
+    def map_values(self, **exprs) -> "KStream":
+        """Add/replace VALUE columns (the key is untouched — mapValues'
+        contract: no repartition is ever needed after it)."""
+        df = self.df
+        for name, e in exprs.items():
+            if name == self.key:
+                raise ValueError("map_values must not touch the key")
+            df = df.withColumn(name, _as_col(e))
+        return self._with(df)
+
+    def select_key(self, expr, name: str | None = None) -> "KStream":
+        """Re-key (selectKey): the new key column is added; the
+        physical repartition happens at the next stateful verb, where
+        Kafka Streams would insert its repartition topic."""
+        key = name or "key"
+        return self._with(self.df.withColumn(key, _as_col(expr)), key)
+
+    def flat_map_values(self, expr, name: str) -> "KStream":
+        """One record → N (flatMapValues): explode an array expr."""
+        return self._with(
+            self.df.withColumn(name, F.explode(_as_col(expr)))
+        )
+
+    def branch(self, *preds) -> tuple["KStream", ...]:
+        """FIRST-MATCH branching (KStream#branch): record goes to the
+        first predicate it satisfies, later branches see only the
+        remainder — N filters over one plan, each with the negations of
+        the earlier predicates (no cache needed: Catalyst shares the
+        scan, and the branch predicates are scan-pushable).
+
+        Streaming caveat, stated plainly: branch legs that each .to() a
+        streaming sink start INDEPENDENT queries — N reads of the
+        source with separate offsets (fine for replayable sources;
+        test_dsl.py's reference rebuild does exactly this). When the
+        topology needs single-read fan-out semantics — one offset
+        commit covering all legs — use the foreachBatch pattern
+        (streaming/topology.ReferenceTopology), which is why that
+        class exists instead of being spelled in DSL verbs."""
+        out = []
+        seen = F.lit(False)
+        for p in preds:
+            c = _as_col(p)
+            out.append(self._with(self.df.filter(~seen & c)))
+            seen = seen | c
+        return tuple(out)
+
+    def merge(self, other: "KStream") -> "KStream":
+        if other.key != self.key:
+            raise ValueError("merge requires the same key column")
+        return self._with(self.df.unionByName(other.df))
+
+    def peek(self, name: str, *aggs: Column) -> "KStream":
+        """peek/print, Spark-first: Dataset.observe — per-batch metrics
+        on the passing stream with NO second read and no driver
+        funnel; read them from QueryProgress (streaming) or the
+        observation listener (batch). A per-record side effect belongs
+        in a sink (to), not mid-topology."""
+        return self._with(self.df.observe(name, *aggs))
+
+    # -- joins ------------------------------------------------------------
+
+    def join_table(
+        self, table: "KTable", how: str = "inner", broadcast: bool = True
+    ) -> "KStream":
+        """stream⋈KTable enrichment on the key. `broadcast=True` is the
+        GlobalKTable form (dim ships to every task — no stream
+        shuffle); False is the co-partitioned KTable form."""
+        right = F.broadcast(table.df) if broadcast else table.df
+        if table.key != self.key:
+            right = right.withColumnRenamed(table.key, self.key)
+        return self._with(self.df.join(right, self.key, how))
+
+    def join_windowed(
+        self,
+        other: "KStream",
+        ts_col: str,
+        within: str,
+        how: str = "inner",
+    ) -> "KStream":
+        """stream⋈stream windowed join (JoinWindows.of(within)): match
+        records with equal keys whose event times differ by at most
+        `within` (an INTERVAL string). The time-band condition is what
+        lets Structured Streaming bound the join state (with upstream
+        watermarks on both sides); on batch inputs it is a plain range
+        join. Right-side columns are suffixed `_r`."""
+        r = other.df
+        for c in r.columns:
+            if c != other.key:
+                r = r.withColumnRenamed(c, c + "_r")
+        if other.key != self.key:
+            r = r.withColumnRenamed(other.key, self.key)
+        lt, rt = F.col(ts_col), F.col(ts_col + "_r")
+        cond = (
+            (rt >= lt - F.expr(f"INTERVAL {within}"))
+            & (rt <= lt + F.expr(f"INTERVAL {within}"))
+        )
+        return self._with(self.df.join(r, [self.key], how).filter(cond))
+
+    # -- grouping ---------------------------------------------------------
+
+    def group_by_key(self) -> "KGroupedStream":
+        return KGroupedStream(self.df, [self.key])
+
+    def group_by(self, expr, name: str = "key") -> "KGroupedStream":
+        """groupBy = selectKey + groupByKey (the repartition is the
+        aggregation's own Exchange — no extra hop)."""
+        return KGroupedStream(
+            self.df.withColumn(name, _as_col(expr)), [name]
+        )
+
+    # -- terminal ---------------------------------------------------------
+
+    def to(self, sink: Callable[[DataFrame], object]):
+        """Terminal: hand the plan to a sink callable (a writeStream
+        attacher, an ExactlyOnceParquetSink.attach, a batch writer —
+        the same injection seam streaming/topology.py uses)."""
+        return sink(self.df)
+
+
+class KGroupedStream:
+    """groupByKey()/groupBy() result: terminal aggregations → KTable."""
+
+    def __init__(self, df: DataFrame, keys: list[str]) -> None:
+        self.df = df
+        self.keys = keys
+
+    def windowed_by(
+        self, ts_col: str, size: str, slide: str | None = None
+    ) -> "KGroupedStream":
+        """TimeWindows.of(size)[.advanceBy(slide)]: adds the event-time
+        window to the grouping keys (F.window — tumbling when slide is
+        None, hopping otherwise). Streaming inputs need the caller's
+        watermark on ts_col, exactly as in streaming/windows.py."""
+        win = (
+            F.window(ts_col, size)
+            if slide is None
+            else F.window(ts_col, size, slide)
+        )
+        return KGroupedStream(
+            self.df.withColumn("window", win), self.keys + ["window"]
+        )
+
+    def count(self, name: str = "count") -> "KTable":
+        out = self.df.groupBy(*self.keys).agg(
+            F.count(F.lit(1)).alias(name)
+        )
+        return KTable(out, self.keys[0])
+
+    def reduce(self, expr, name: str) -> "KTable":
+        """reduce ≈ one aggregate expression (Spark's agg IS the
+        map-side-combining reducer)."""
+        return self.aggregate(**{name: expr})
+
+    def aggregate(self, **aggs) -> "KTable":
+        out = self.df.groupBy(*self.keys).agg(
+            *[_as_col(e).alias(n) for n, e in aggs.items()]
+        )
+        return KTable(out, self.keys[0])
+
+
+class KTable:
+    """A keyed changelog view (here: its current snapshot relation)."""
+
+    def __init__(self, df: DataFrame, key: str) -> None:
+        self.df = df
+        self.key = key
+
+    def filter(self, cond) -> "KTable":
+        return KTable(self.df.filter(_as_col(cond)), self.key)
+
+    def map_values(self, **exprs) -> "KTable":
+        df = self.df
+        for name, e in exprs.items():
+            if name == self.key:
+                raise ValueError("map_values must not touch the key")
+            df = df.withColumn(name, _as_col(e))
+        return KTable(df, self.key)
+
+    def join(self, other: "KTable", how: str = "inner") -> "KTable":
+        """KTable⋈KTable on the key (both sides are snapshots; the
+        incremental changelog twin is streaming/upsert.py's MERGE)."""
+        r = other.df
+        if other.key != self.key:
+            r = r.withColumnRenamed(other.key, self.key)
+        return KTable(self.df.join(r, self.key, how), self.key)
+
+    def to_stream(self) -> KStream:
+        return KStream(self.df, self.key)

@@ -1,0 +1,245 @@
+"""kstreams_spark/dsl.py: the fluent Kafka-Streams-style facade. Every
+verb chain is asserted ROW-EQUAL against the hand-written DataFrame
+pipeline it claims to map to (the facade must add zero semantics), the
+plan stays what the direct pipeline plans (broadcast enrich stays a
+BroadcastHashJoin), and the reference topology rebuilt through the DSL
+produces the exact alert/forward outputs of the dedicated
+ReferenceTopology — the 'a reference user can switch' proof, in both
+batch and streaming mode from one topology definition."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from kstreams_spark.dsl import StreamsBuilder
+from kstreams_spark.functions.sensor import (
+    TEMPERATURE_LIMIT,
+    dual_format_reading,
+    temperature_alerts,
+)
+from kstreams_spark.io import load_table
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stateless_chain_equals_direct_pipeline(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    b = StreamsBuilder()
+    got = (
+        b.stream(ev, key="user_id")
+        .filter(F.col("value") > 10)
+        .map_values(v2=F.col("value") * 2, tag=F.upper("event_type"))
+        .group_by_key()
+        .count()
+    )
+    want = (
+        ev.filter(F.col("value") > 10)
+        .withColumn("v2", F.col("value") * 2)
+        .withColumn("tag", F.upper("event_type"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    assert _rows(got.df, "user_id", "count") == _rows(want, "user_id", "count")
+
+
+def test_branch_is_first_match_partition(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    b = StreamsBuilder()
+    # overlapping predicates: value>50 ⊂ value>10 — first-match means
+    # branch 2 must NOT contain any value>50 row
+    hi, mid, rest = b.stream(ev, key="user_id").branch(
+        F.col("value") > 50, F.col("value") > 10, F.lit(True)
+    )
+    n = ev.count()
+    n_hi, n_mid, n_rest = hi.df.count(), mid.df.count(), rest.df.count()
+    assert n_hi + n_mid + n_rest == n, "branches must partition the stream"
+    assert mid.df.filter(F.col("value") > 50).count() == 0
+    assert rest.df.filter(F.col("value") > 10).count() == 0
+    assert n_hi == ev.filter(F.col("value") > 50).count()
+
+
+def test_windowed_count_equals_direct_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    b = StreamsBuilder()
+    got = (
+        b.stream(ev, key="event_type")
+        .group_by_key()
+        .windowed_by("ts", "1 hour")
+        .count()
+    )
+    want = ev.groupBy("event_type", F.window("ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    g = got.df.select("event_type", F.col("window.start"), "count")
+    w = want.select("event_type", F.col("window.start"), "count")
+    assert _rows(g, "event_type", "start", "count") == _rows(
+        w, "event_type", "start", "count"
+    )
+
+
+def test_rekey_merge_flatmap(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    b = StreamsBuilder()
+    s = b.stream(ev, key="user_id")
+    rekeyed = s.select_key(F.col("event_type"), name="etype")
+    assert rekeyed.key == "etype"
+    counts = rekeyed.group_by_key().count()
+    want = ev.groupBy(F.col("event_type").alias("etype")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    assert _rows(counts.df, "etype", "count") == _rows(want, "etype", "count")
+
+    a, br = s.branch(F.col("value") > 50, F.lit(True))
+    merged = a.merge(br)
+    assert merged.df.count() == ev.count()
+
+    fm = s.flat_map_values(
+        F.split(F.col("event_type"), "_"), name="word"
+    )
+    want_n = ev.select(F.explode(F.split("event_type", "_"))).count()
+    assert fm.df.count() == want_n
+
+
+def test_join_table_broadcast_enrich(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    b = StreamsBuilder()
+    table = b.table(
+        cust.withColumn("v", F.lit(1)), key="user_id", order_by="v"
+    )
+    got = b.stream(ev, key="user_id").join_table(table, how="left")
+    want = ev.join(
+        F.broadcast(cust.withColumn("v", F.lit(1))), "user_id", "left"
+    )
+    assert got.df.count() == want.count()
+    plan = got.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_join_windowed_equals_range_condition(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    c = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    b = StreamsBuilder()
+    got = b.stream(a, key="user_id").join_windowed(
+        b.stream(c, key="user_id"), ts_col="ts", within="10 MINUTES"
+    )
+    want = a.join(
+        c.withColumnRenamed("ts", "ts_r").withColumnRenamed("value", "value_r"),
+        "user_id",
+    ).filter(
+        (F.col("ts_r") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("ts_r") <= F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    assert got.df.count() == want.count()
+
+
+def test_ktable_latest_join_tostream(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    b = StreamsBuilder()
+    t = b.table(ev, key="user_id", order_by=F.struct("ts", "event_id"))
+    # one row per key, and it is the max-(ts, event_id) row
+    assert t.df.count() == ev.select("user_id").distinct().count()
+    top = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id")).alias("m")
+    ).select("user_id", "m.event_id")
+    assert _rows(t.df, "user_id", "event_id") == _rows(
+        top, "user_id", "event_id"
+    )
+    t2 = b.table(
+        ev.select("user_id", "value"), key="user_id", order_by="value"
+    ).map_values(vmax=F.col("value"))
+    joined = t.join(t2).to_stream()
+    assert joined.key == "user_id"
+    assert joined.df.count() == t.df.count()
+
+
+def test_peek_observe_metrics(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("dsl_peek")
+    b = StreamsBuilder()
+    out = (
+        b.stream(ev, key="user_id")
+        .peek(obs, F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .filter(F.col("value") > 0)
+    )
+    out.df.write.format("noop").mode("overwrite").save()
+    assert obs.get["n"] == ev.count()
+
+
+def test_reference_topology_via_dsl_streaming(spark, tmp_path, sf_dir):
+    """The switch proof: the reference topology (extract → threshold →
+    alert leg + pass-through leg) written in DSL verbs, run under
+    Structured Streaming from a file source, produces EXACTLY the
+    alert set temperature_alerts (the pinned R4-R10 pipeline) computes
+    in batch, and forwards every record unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key"),
+        # dual-format values: half raw scalars, half JSON, some garbage
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('{"bme680_tempf": '), (F.col("doc_id") % 120).cast("string"), F.lit("}")),
+        )
+        .when(F.col("doc_id") % 3 == 1, (F.col("doc_id") % 120).cast("string"))
+        .otherwise(F.lit("not-a-number"))
+        .alias("value"),
+    )
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    want_alerts = sorted(
+        r.alert for r in temperature_alerts(docs).collect()
+    )
+    assert want_alerts, "fixture must trip the threshold"
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    b = StreamsBuilder()
+    reading = dual_format_reading(F.col("value"))
+    alerts_leg, forward_leg = (
+        b.stream(stream, key="key")
+        .map_values(reading=reading)
+        .branch(
+            F.col("reading").isNotNull()
+            & (F.col("reading") > TEMPERATURE_LIMIT),
+            F.lit(True),
+        )
+    )
+    alert_dir, fwd_dir = str(tmp_path / "alerts"), str(tmp_path / "fwd")
+
+    def parquet_sink(path):
+        return lambda df: (
+            df.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", path + "_ckpt")
+            .start()
+        )
+
+    q1 = alerts_leg.map_values(
+        alert=F.format_string("Temperature warning %04.2f", F.col("reading"))
+    ).to(parquet_sink(alert_dir))
+    q2 = forward_leg.to(parquet_sink(fwd_dir))
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+    finally:
+        q1.stop()
+        q2.stop()
+    got_alerts = sorted(
+        r.alert for r in spark.read.parquet(alert_dir).collect()
+    )
+    assert got_alerts == want_alerts
+    fwd = spark.read.parquet(fwd_dir)
+    assert fwd.count() + len(got_alerts) == docs.count()
+    # pass-through leg carries the records verbatim (key and value)
+    assert (
+        fwd.join(docs, ["key", "value"], "left_anti").count() == 0
+    )
