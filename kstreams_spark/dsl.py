@@ -246,6 +246,18 @@ class KGroupedStream:
             self.df.withColumn("window", win), self.keys + ["window"]
         )
 
+    def session_windowed_by(self, ts_col: str, gap: str) -> "KGroupedStream":
+        """SessionWindows.with(gap): adds the dynamic-gap session window
+        to the grouping keys (F.session_window — sessions merge while
+        events arrive within `gap` of each other, exactly the Kafka
+        Streams session semantics; streaming inputs need the caller's
+        watermark, and the batch form equals the gaps-and-islands
+        sessionization in operators/event_windows.py)."""
+        return KGroupedStream(
+            self.df.withColumn("window", F.session_window(ts_col, gap)),
+            self.keys + ["window"],
+        )
+
     def count(self, name: str = "count") -> "KTable":
         out = self.df.groupBy(*self.keys).agg(
             F.count(F.lit(1)).alias(name)

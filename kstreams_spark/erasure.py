@@ -32,6 +32,20 @@ delete_where). Run the compactions on their normal maintenance cadence;
 Contract: single actor across ALL components (streams quiescent — the
 same assumption every component's maintenance verb already carries);
 idempotent under re-run with the same ids.
+
+Scope boundaries, stated plainly (what erase_document does NOT reach):
+
+- **Aggregate sketch state** (CMS/HLL maintenance, the DSIR importance
+  scorer's per-bucket count partials, rollup OHLC/TWAP cells): these
+  hold COUNTS with no per-doc attribution — a doc's contribution is
+  not recoverable, which is also why such aggregates are generally
+  treated as anonymized rather than erasable. Recomputing them from
+  the post-erasure corpus is the remedy when a policy demands it.
+- **Packing manifests** (sample_sequence_pack and the streaming
+  packer): sequence offsets are cumulative, so removing one doc's
+  spans shifts every later chunk — erasure there is a REPACK from the
+  post-erasure corpus (the manifest is derived data; rebuild, don't
+  edit).
 """
 
 from __future__ import annotations

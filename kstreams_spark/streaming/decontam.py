@@ -22,10 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from kstreams_spark.operators.decontam import DECON_N, decontaminate
-from kstreams_spark.streaming.exactly_once import ExactlyOnceParquetSink
+from kstreams_spark.streaming.exactly_once import (
+    ErasableIndexMixin,
+    ExactlyOnceParquetSink,
+)
 
 
-class StreamingDecontaminator:
+class StreamingDecontaminator(ErasableIndexMixin):
     """foreachBatch splitter: (doc_id, text) stream → `clean_dir`
     (documents with zero eval n-gram overlap) + `flagged_dir` (the
     decontaminate() flag rows: doc_id, n_hit_ngrams, n_eval_docs_hit).
@@ -40,8 +43,12 @@ class StreamingDecontaminator:
     ) -> None:
         self.eval_df = eval_df
         self.n = n
-        self.clean_sink = ExactlyOnceParquetSink(clean_dir)
-        self.flagged_sink = ExactlyOnceParquetSink(flagged_dir)
+        self.clean_sink = ExactlyOnceParquetSink(
+            clean_dir, erase_cols=("doc_id",)
+        )
+        self.flagged_sink = ExactlyOnceParquetSink(
+            flagged_dir, erase_cols=("doc_id",)
+        )
         self.batches_seen = 0
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -66,3 +73,12 @@ class StreamingDecontaminator:
 
     def flagged(self, spark: SparkSession) -> DataFrame:
         return self.flagged_sink.result(spark)
+
+    def erasure_sinks(self) -> dict:
+        """Erasure semantics (verbs from ErasableIndexMixin): both
+        outputs are per-doc rows — the clean copy carries the doc's
+        TEXT, the flag row its overlap stats — so an erased doc's rows
+        leave both. This splitter keeps no cross-doc state (eval_df is
+        the static reference), so erasure here is output hygiene, not
+        index surgery."""
+        return {"clean": self.clean_sink, "flagged": self.flagged_sink}

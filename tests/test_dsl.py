@@ -243,3 +243,22 @@ def test_reference_topology_via_dsl_streaming(spark, tmp_path, sf_dir):
     assert (
         fwd.join(docs, ["key", "value"], "left_anti").count() == 0
     )
+
+
+def test_session_window_count_equals_direct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    b = StreamsBuilder()
+    got = (
+        b.stream(ev, key="user_id")
+        .group_by_key()
+        .session_windowed_by("ts", "30 minutes")
+        .count()
+    )
+    want = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count(F.lit(1)).alias("count"))
+    g = got.df.select("user_id", F.col("window.start"), "count")
+    w = want.select("user_id", F.col("session_window.start"), "count")
+    assert _rows(g, "user_id", "start", "count") == _rows(
+        w, "user_id", "start", "count"
+    )

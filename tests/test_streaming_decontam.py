@@ -76,3 +76,31 @@ def test_replayed_epoch_is_idempotent(spark, tmp_path, sf_dir):
     dec.process_batch(docs, epoch_id=0)  # at-least-once replay
     assert dec.clean(spark).count() == n_clean
     assert dec.flagged(spark).count() == n_flagged
+
+
+def test_decontaminator_erasure(spark, tmp_path, sf_dir):
+    """delete_docs on the splitter's per-doc outputs: the erased doc's
+    clean copy (its full text) and flag row both vanish; compact()
+    removes the bytes and the sidecar."""
+    from pyspark.sql import functions as F
+
+    from kstreams_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = _eval_df(spark, sf_dir)
+    d = StreamingDecontaminator(
+        ev, str(tmp_path / "clean"), str(tmp_path / "flagged")
+    )
+    d.process_batch(docs, 0)
+    doomed = int(
+        d.clean(spark).agg(F.min("doc_id")).first()[0]
+    )
+    d.delete_docs(spark, [doomed])
+    assert d.clean(spark).filter(F.col("doc_id") == doomed).count() == 0
+    assert d.flagged(spark).filter(F.col("doc_id") == doomed).count() == 0
+    d.compact(spark)
+    raw = spark.read.parquet(str(tmp_path / "clean"))
+    assert raw.filter(F.col("doc_id") == doomed).count() == 0
+    import os
+
+    assert not os.path.isdir(str(tmp_path / "clean" / "_dels"))
