@@ -361,7 +361,14 @@ class SnapshotLakeSink:
       Delta/Iceberg operational story this module re-expresses.
 
     One stream per path (the single-writer contract); batch maintenance
-    runs only while the stream is stopped."""
+    runs only while the stream is stopped.
+
+    Cost note, stated plainly: discovering the batch's new files is a
+    before/after directory listing — O(total lake files) per
+    microbatch, fine at fixture scale and the first thing a production
+    table format replaces (its task commit protocol TELLS the driver
+    which files each batch wrote, no listing). The commit/visibility/
+    replay semantics here are unchanged by that swap."""
 
     def __init__(
         self, path: str, partition_cols: tuple[str, ...] = ("split", "lang")

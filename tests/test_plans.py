@@ -789,3 +789,16 @@ def test_aqe_skew_join_splits_hot_key_and_matches_plain(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dsl_topology_plans_like_hand_written(plan_spark, sf_dir):
+    """dsl_topology_hourly_counts: the facade must add NO operator —
+    one Exchange with partial+final HashAggregate around it, the exact
+    window_tumbling_agg shape, and the value>10 filter pushed to the
+    scan."""
+    df = q("dsl_topology_hourly_counts", plan_spark, sf_dir)
+    assert count_exchanges(df) == 1
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    pushed = " ".join(pushed_filters(df))
+    assert "value" in pushed, pushed
