@@ -122,7 +122,12 @@ class KStream:
         return self._with(self.df.withColumn(key, _as_col(expr)), key)
 
     def flat_map_values(self, expr, name: str) -> "KStream":
-        """One record → N (flatMapValues): explode an array expr."""
+        """One record → N (flatMapValues): explode an array expr. A
+        VALUES verb — the key guard matches map_values' (silently
+        re-keying through an explode would invalidate the no-repartition
+        contract with no error)."""
+        if name == self.key:
+            raise ValueError("flat_map_values must not touch the key")
         return self._with(
             self.df.withColumn(name, F.explode(_as_col(expr)))
         )
@@ -145,7 +150,12 @@ class KStream:
         out = []
         seen = F.lit(False)
         for p in preds:
-            c = _as_col(p)
+            # NULL-predicate rows must still partition: a NULL verdict
+            # means "this branch did not match" (SQL filter semantics),
+            # never "drop from every branch" — without the coalesce, a
+            # NULL poisons `seen` and even a lit(True) catch-all loses
+            # the record
+            c = F.coalesce(_as_col(p), F.lit(False))
             out.append(self._with(self.df.filter(~seen & c)))
             seen = seen | c
         return tuple(out)
@@ -185,22 +195,35 @@ class KStream:
     ) -> "KStream":
         """stream⋈stream windowed join (JoinWindows.of(within)): match
         records with equal keys whose event times differ by at most
-        `within` (an INTERVAL string). The time-band condition is what
-        lets Structured Streaming bound the join state (with upstream
-        watermarks on both sides); on batch inputs it is a plain range
-        join. Right-side columns are suffixed `_r`."""
+        `within` (an INTERVAL string). The time band is part of the
+        JOIN CONDITION, not a post-filter — a post-filter would
+        evaluate NULL on an outer join's null-extended side and
+        silently turn left/full joins into inner (and Structured
+        Streaming requires the time constraint inside an outer join's
+        condition to emit the null-extended rows at all). On batch
+        inputs it is a plain range join. Right-side columns are
+        suffixed `_r`."""
         r = other.df
         for c in r.columns:
-            if c != other.key:
-                r = r.withColumnRenamed(c, c + "_r")
-        if other.key != self.key:
-            r = r.withColumnRenamed(other.key, self.key)
+            r = r.withColumnRenamed(c, c + "_r")
+        rkey = other.key + "_r"
         lt, rt = F.col(ts_col), F.col(ts_col + "_r")
         cond = (
-            (rt >= lt - F.expr(f"INTERVAL {within}"))
+            (F.col(self.key) == F.col(rkey))
+            & (rt >= lt - F.expr(f"INTERVAL {within}"))
             & (rt <= lt + F.expr(f"INTERVAL {within}"))
         )
-        return self._with(self.df.join(r, [self.key], how).filter(cond))
+        joined = self.df.join(r, cond, how)
+        # one key column out: the left's, null-filled from the right's
+        # on a full join's right-only rows
+        key_out = (
+            F.coalesce(F.col(self.key), F.col(rkey))
+            if how in ("full", "outer", "full_outer")
+            else F.col(self.key)
+        )
+        return self._with(
+            joined.withColumn(self.key, key_out).drop(rkey)
+        )
 
     # -- grouping ---------------------------------------------------------
 
@@ -262,7 +285,7 @@ class KGroupedStream:
         out = self.df.groupBy(*self.keys).agg(
             F.count(F.lit(1)).alias(name)
         )
-        return KTable(out, self.keys[0])
+        return KTable(out, self.keys)
 
     def reduce(self, expr, name: str) -> "KTable":
         """reduce ≈ one aggregate expression (Spark's agg IS the
@@ -273,34 +296,60 @@ class KGroupedStream:
         out = self.df.groupBy(*self.keys).agg(
             *[_as_col(e).alias(n) for n, e in aggs.items()]
         )
-        return KTable(out, self.keys[0])
+        return KTable(out, self.keys)
 
 
 class KTable:
-    """A keyed changelog view (here: its current snapshot relation)."""
+    """A keyed changelog view (here: its current snapshot relation).
+    The key may be COMPOSITE — a windowed aggregation's logical key is
+    (record key, window), Kafka Streams' Windowed<K>, and treating it
+    as the bare key would silently fan a join out across windows."""
 
-    def __init__(self, df: DataFrame, key: str) -> None:
+    def __init__(self, df: DataFrame, keys) -> None:
         self.df = df
-        self.key = key
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+
+    @property
+    def key(self) -> str:
+        return self.keys[0]
 
     def filter(self, cond) -> "KTable":
-        return KTable(self.df.filter(_as_col(cond)), self.key)
+        return KTable(self.df.filter(_as_col(cond)), self.keys)
 
     def map_values(self, **exprs) -> "KTable":
         df = self.df
         for name, e in exprs.items():
-            if name == self.key:
+            if name in self.keys:
                 raise ValueError("map_values must not touch the key")
             df = df.withColumn(name, _as_col(e))
-        return KTable(df, self.key)
+        return KTable(df, self.keys)
 
     def join(self, other: "KTable", how: str = "inner") -> "KTable":
-        """KTable⋈KTable on the key (both sides are snapshots; the
-        incremental changelog twin is streaming/upsert.py's MERGE)."""
+        """KTable⋈KTable on the FULL key (both sides are snapshots; the
+        incremental changelog twin is streaming/upsert.py's MERGE).
+        Joining a windowed table with a differently-keyed one is a
+        loud error, not a silent per-window fan-out — re-key or
+        aggregate a side first (Kafka Streams makes the same shape a
+        compile error via Windowed<K>)."""
+        if len(self.keys) != len(other.keys):
+            raise ValueError(
+                f"key shape mismatch: {self.keys} vs {other.keys} — "
+                "a windowed KTable joins only another table keyed on "
+                "(key, window); re-key or re-aggregate first"
+            )
         r = other.df
-        if other.key != self.key:
+        if len(self.keys) == 1 and other.key != self.key:
             r = r.withColumnRenamed(other.key, self.key)
-        return KTable(self.df.join(r, self.key, how), self.key)
+        elif self.keys != other.keys:
+            raise ValueError(
+                f"composite keys must match by name: {self.keys} vs "
+                f"{other.keys}"
+            )
+        return KTable(self.df.join(r, self.keys, how), self.keys)
 
     def to_stream(self) -> KStream:
-        return KStream(self.df, self.key)
+        """Changelog → stream, keyed on the RECORD key; a windowed
+        table's window column rides along as a value (the caller
+        decides whether the next grouping is per-window or across
+        windows — both are legitimate reads of a windowed changelog)."""
+        return KStream(self.df, self.keys[0])

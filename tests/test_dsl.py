@@ -262,3 +262,71 @@ def test_session_window_count_equals_direct(spark, sf_dir):
     assert _rows(g, "user_id", "start", "count") == _rows(
         w, "user_id", "start", "count"
     )
+
+
+def test_branch_null_predicates_still_partition(spark):
+    """A NULL predicate verdict must not drop the record from every
+    branch — the catch-all leg receives it (SQL filter semantics per
+    branch, first-match across branches)."""
+    df = spark.createDataFrame(
+        [(1, 60.0), (2, 5.0), (3, None)], "k long, v double"
+    )
+    b = StreamsBuilder()
+    hi, rest = b.stream(df, key="k").branch(F.col("v") > 50, F.lit(True))
+    assert {r.k for r in hi.df.collect()} == {1}
+    assert {r.k for r in rest.df.collect()} == {2, 3}
+
+
+def test_join_windowed_left_keeps_unmatched(spark):
+    """The time band lives in the JOIN CONDITION: a left row with no
+    in-window partner survives a left join with null-extended right
+    columns (a post-join band filter would silently drop it)."""
+    a = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:00")],
+        "k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    c = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00", 7.0)], "k long, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b = StreamsBuilder()
+    got = b.stream(a, key="k").join_windowed(
+        b.stream(c, key="k"), ts_col="ts", within="10 MINUTES", how="left"
+    )
+    rows = {r.k: r.v_r for r in got.df.collect()}
+    assert rows == {1: 7.0, 2: None}
+
+
+def test_flat_map_values_guards_the_key(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    b = StreamsBuilder()
+    with pytest.raises(ValueError, match="key"):
+        b.stream(ev, key="user_id").flat_map_values(
+            F.split("event_type", "_"), name="user_id"
+        )
+
+
+def test_windowed_ktable_join_refuses_bare_key(spark, sf_dir):
+    """A windowed aggregation's logical key is (key, window); joining
+    it with a bare-keyed table must be a loud error, never a silent
+    per-window fan-out."""
+    ev = load_table(spark, sf_dir, "events")
+    b = StreamsBuilder()
+    windowed = (
+        b.stream(ev, key="user_id")
+        .group_by_key()
+        .windowed_by("ts", "1 hour")
+        .count()
+    )
+    assert windowed.keys == ["user_id", "window"]
+    plain = b.stream(ev, key="user_id").group_by_key().count("total")
+    with pytest.raises(ValueError, match="key shape mismatch"):
+        windowed.join(plain)
+    # two same-shape windowed tables DO join, on (key, window)
+    w2 = (
+        b.stream(ev, key="user_id")
+        .group_by_key()
+        .windowed_by("ts", "1 hour")
+        .aggregate(s=F.sum("value"))
+    )
+    j = windowed.join(w2)
+    assert j.df.count() == windowed.df.count()
