@@ -29,10 +29,26 @@ protocol, reader pinning, and vacuum semantics here carry over
 unchanged. Partition values must keep the letter-prefix convention
 (CLAUDE.md: directory values are type-inferred on read).
 
-Single-writer contract (the delete_where/compact assumption): one
-maintenance actor at a time; concurrent READERS are the point and are
-always safe. Reference: the lake surface extends the reference's
-declared persistence growth path (BME680.java:41-44 — Avro/storage),
+Concurrency contract (r12 — optimistic, the Delta/Iceberg model):
+concurrent READERS are always safe (they pin a committed manifest).
+WRITERS race on the commit point, which is an atomic CREATE-exclusive
+link of the next manifest version (os.link fails EEXIST; a plain
+rename silently replaces on POSIX, so two racers could both "win").
+On losing the race a writer re-validates against the new latest:
+
+- blind APPENDS (snapshot_publish mode="append", SnapshotLakeSink)
+  merge their new files into the new live set and retry onto the next
+  version — no coordination needed because appended data files are
+  unique-named and never conflict;
+- REPLACEMENTS (snapshot_publish mode="replace") retry with their own
+  file set — last replacement wins, which is what "replace" means;
+- MAINTENANCE (snapshot_delete_where / snapshot_compact) computed its
+  rewrite from a base snapshot; a conflicting commit invalidates that
+  rewrite, so it aborts loudly — re-run against the new latest (its
+  orphaned rewrite files are vacuum-swept).
+
+Reference: the lake surface extends the reference's declared
+persistence growth path (BME680.java:41-44 — Avro/storage),
 re-expressed as Spark-native table maintenance.
 """
 
@@ -41,6 +57,9 @@ from __future__ import annotations
 import glob as _glob
 import json
 import os
+import time
+import uuid as _uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -89,53 +108,118 @@ def _commit(
     op: str,
     schema_ddl: str,
     new_epoch: int | None = None,
+    base_version: int | None = None,
+    recompute: Callable[[set[str]], set[str]] | None = None,
 ) -> int:
-    """Write manifest version = last + 1; the os.rename IS the commit
-    point (atomic on POSIX). Single-writer: an existing target means a
-    concurrency-contract violation — fail loudly.
+    """Write manifest version = last + 1. The commit point is an atomic
+    CREATE-exclusive os.link of the fully-written temp manifest onto the
+    version path — link fails EEXIST when a concurrent writer already
+    committed that version (rename would silently replace it on POSIX,
+    letting two racers both believe they won).
+
+    Optimistic concurrency: `base_version` is the committed version the
+    caller computed `files` against (None = the files are independent of
+    prior state). On a conflict — the latest version moved past
+    base_version, detected before the first attempt or via EEXIST on the
+    link — the commit re-validates: with `recompute` (called with the
+    NEW latest live-file set, returns the files to commit) it retries
+    onto the next version; without it, it aborts loudly (maintenance
+    rewrites are invalid once their base moved — re-run them).
 
     The committed-epoch set (SnapshotLakeSink's exactly-once record) is
     CARRIED FORWARD into every manifest, so vacuum() retiring old
     versions can never turn a checkpoint-lagged epoch replay into a
     duplicate commit — the newest manifest always knows every epoch."""
-    versions = snapshot_versions(path)
-    version = (versions[-1] + 1) if versions else 1
-    epochs = _read_manifest(path, versions[-1]).get("epochs", []) if versions else []
-    if new_epoch is not None:
-        epochs = sorted(set(epochs) | {int(new_epoch)})
-    os.makedirs(_log_dir(path), exist_ok=True)
-    body = {
-        "version": version,
-        "op": op,
-        "files": sorted(files),
-        "schema": schema_ddl,
-        "epochs": epochs,
-    }
-    tmp = os.path.join(_log_dir(path), f".tmp-v{version}")
-    with open(tmp, "w") as fh:
-        json.dump(body, fh)
-    final = _manifest_path(path, version)
-    if os.path.exists(final):
-        os.remove(tmp)
-        raise ValueError(
-            f"snapshot v{version} already committed: concurrent writer "
-            "(single-writer contract violated)"
+    while True:
+        versions = snapshot_versions(path)
+        latest = versions[-1] if versions else 0
+        if base_version is not None and latest != base_version:
+            if recompute is None:
+                raise ValueError(
+                    f"snapshot commit conflict: {op} computed against "
+                    f"v{base_version} but v{latest} is now committed — "
+                    "re-run the operation against the new snapshot"
+                )
+            files = recompute(
+                set(_read_manifest(path, latest)["files"]) if versions else set()
+            )
+            base_version = latest
+        version = latest + 1
+        epochs = (
+            _read_manifest(path, latest).get("epochs", []) if versions else []
         )
-    os.rename(tmp, final)
-    return version
+        if new_epoch is not None:
+            epochs = sorted(set(epochs) | {int(new_epoch)})
+        os.makedirs(_log_dir(path), exist_ok=True)
+        body = {
+            "version": version,
+            "op": op,
+            "files": sorted(files),
+            "schema": schema_ddl,
+            "epochs": epochs,
+        }
+        # unique temp name: concurrent committers must not share one
+        tmp = os.path.join(
+            _log_dir(path), f".tmp-v{version}-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(body, fh)
+        final = _manifest_path(path, version)
+        try:
+            os.link(tmp, final)  # the commit point: atomic, create-exclusive
+        except FileExistsError:
+            os.remove(tmp)
+            if recompute is None:
+                raise ValueError(
+                    f"snapshot commit conflict: {op} lost the v{version} "
+                    "commit race — re-run the operation against the new "
+                    "snapshot"
+                )
+            if base_version is None:
+                # files independent of prior state (replace): same files,
+                # next version — flag staleness so the loop re-reads
+                base_version = -1
+            continue
+        os.remove(tmp)
+        return version
 
 
 def snapshot_publish(
     df: DataFrame,
     path: str,
     partition_cols: tuple[str, ...] = ("split", "lang"),
+    mode: str = "replace",
 ) -> int:
-    """Publish a corpus as snapshot v1 (or a full replacement snapshot
-    on an existing lake — old versions stay readable until vacuum)."""
+    """Publish a corpus as a snapshot. mode="replace" (default): the new
+    snapshot lists exactly this write's files — a full replacement; old
+    versions stay readable until vacuum. mode="append": the new snapshot
+    is the latest live set PLUS this write's files — a blind append,
+    which under a commit race auto-retries onto the next version (its
+    data files are unique-named and never conflict)."""
+    if mode not in ("replace", "append"):
+        raise ValueError(f"mode must be 'replace' or 'append', got {mode!r}")
     before = _list_files(path)
     df.write.mode("append").partitionBy(*partition_cols).parquet(path)
     new = _list_files(path) - before
-    return _commit(path, new, "publish", df.schema.simpleString())
+    if mode == "append":
+        versions = snapshot_versions(path)
+        base = versions[-1] if versions else 0
+        live = set(_read_manifest(path, base)["files"]) if versions else set()
+        return _commit(
+            path,
+            live | new,
+            "append",
+            df.schema.simpleString(),
+            base_version=base,
+            recompute=lambda latest_live: latest_live | new,
+        )
+    return _commit(
+        path,
+        new,
+        "publish",
+        df.schema.simpleString(),
+        recompute=lambda latest_live: new,
+    )
 
 
 def snapshot_read(
@@ -232,10 +316,13 @@ def snapshot_delete_where(
     state. Same SQL DELETE NULL semantics (rows where the predicate is
     NULL are kept). Rewrite cost ∝ affected partitions, as before.
     Crash anywhere before the commit = all-old (plus vacuum-able
-    orphans); returns rows deleted."""
+    orphans); a commit losing a concurrency race aborts loudly (the
+    rewrite was computed against a snapshot that moved — re-run; the
+    orphaned rewrite files are vacuum-swept). Returns rows deleted."""
     versions = snapshot_versions(path)
     if not versions:
         raise ValueError(f"no committed snapshots under {path}")
+    base_version = versions[-1]
     m = _read_manifest(path, versions[-1])
     live = set(m["files"])
     snap = snapshot_read(spark, path)
@@ -259,7 +346,13 @@ def snapshot_delete_where(
         removed |= {f for f in live if _in_partition(f, row, partition_cols)}
     if not removed and not added:
         return 0
-    _commit(path, (live - removed) | added, "delete_where", m["schema"])
+    _commit(
+        path,
+        (live - removed) | added,
+        "delete_where",
+        m["schema"],
+        base_version=base_version,
+    )
     return deleted
 
 
@@ -277,6 +370,7 @@ def snapshot_compact(
     versions = snapshot_versions(path)
     if not versions:
         raise ValueError(f"no committed snapshots under {path}")
+    base_version = versions[-1]
     m = _read_manifest(path, versions[-1])
     live = set(m["files"])
     by_dir: dict[str, list[str]] = {}
@@ -307,32 +401,84 @@ def snapshot_compact(
         removed |= set(files)
         compacted += 1
     if compacted:
-        _commit(path, (live - removed) | added, "compact", m["schema"])
+        _commit(
+            path,
+            (live - removed) | added,
+            "compact",
+            m["schema"],
+            base_version=base_version,
+        )
     return compacted
 
 
-def vacuum(path: str, keep_versions: int = 1) -> int:
+# Reader-grace contract (r12, Delta's retention model): vacuum must not
+# delete files under a reader pinned to an old version, and must not
+# sweep an IN-FLIGHT writer's not-yet-committed files as "orphans".
+# Age is the guard: anything younger than `grace_seconds` survives.
+VACUUM_GRACE_FLOOR_S = 3600  # refuse shorter grace unless force=True
+DEFAULT_VACUUM_GRACE_S = 24 * 3600
+
+
+def vacuum(
+    path: str,
+    keep_versions: int = 1,
+    grace_seconds: float = DEFAULT_VACUUM_GRACE_S,
+    force: bool = False,
+) -> int:
     """Physically remove files no retained snapshot references (orphans
     from crashed writers included) and manifests older than the newest
-    `keep_versions`. Single actor; after vacuum, time travel reaches
-    only the retained versions. Returns files removed."""
+    `keep_versions`. Returns files removed.
+
+    Reader grace (Delta's retention contract): a version whose manifest
+    is younger than `grace_seconds` is RETAINED even beyond
+    `keep_versions` — a long-running reader pinned at an old version
+    keeps its files for at least the grace window after that version
+    was superseded. The same age guard protects unreferenced data files
+    and temp manifests, so an in-flight concurrent commit's staged
+    files are never swept mid-commit. `grace_seconds` below
+    VACUUM_GRACE_FLOOR_S (1 h) is refused unless `force=True` — the
+    escape hatch for tests and truly quiesced lakes; after vacuum,
+    time travel reaches only the retained versions."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    if grace_seconds < VACUUM_GRACE_FLOOR_S and not force:
+        raise ValueError(
+            f"grace_seconds={grace_seconds} is below the "
+            f"{VACUUM_GRACE_FLOOR_S}s floor: a reader pinned at an old "
+            "version could have files deleted underneath it — pass "
+            "force=True only when no concurrent readers/writers exist"
+        )
     versions = snapshot_versions(path)
     if not versions:
         return 0
-    retained = versions[-keep_versions:]
+    now = time.time()
+
+    def _young(p: str) -> bool:
+        try:
+            return now - os.path.getmtime(p) < grace_seconds
+        except OSError:
+            return True  # raced with another actor: keep, never sweep
+    retained = set(versions[-keep_versions:]) | {
+        v for v in versions if _young(_manifest_path(path, v))
+    }
     referenced: set[str] = set()
     for v in retained:
         referenced |= set(_read_manifest(path, v)["files"])
     removed = 0
     for f in sorted(_list_files(path) - referenced):
-        os.remove(os.path.join(path, f))
+        full = os.path.join(path, f)
+        if _young(full):
+            continue  # possibly an in-flight writer's staged file
+        os.remove(full)
         removed += 1
-    for v in versions[: -keep_versions or None]:
+    for v in versions:
         if v not in retained:
             os.remove(_manifest_path(path, v))
-    # sweep stale tmp manifests and now-empty partition dirs
+    # sweep stale tmp manifests (age-guarded: a live committer's tmp
+    # must survive until its os.link) and now-empty partition dirs
     for tmp in _glob.glob(os.path.join(_log_dir(path), ".tmp-v*")):
-        os.remove(tmp)
+        if not _young(tmp):
+            os.remove(tmp)
     for root, dirs, files in os.walk(path, topdown=False):
         if root != path and not os.listdir(root):
             os.rmdir(root)
@@ -360,8 +506,12 @@ class SnapshotLakeSink:
       and batch maintenance share one commit protocol, which is the
       Delta/Iceberg operational story this module re-expresses.
 
-    One stream per path (the single-writer contract); batch maintenance
-    runs only while the stream is stopped.
+    One STREAM per path (epoch ids are per-query — two streams would
+    collide on the same epoch namespace). Batch maintenance may overlap
+    the stream under the r12 optimistic-commit protocol: the sink's
+    blind append auto-retries onto the next version if maintenance
+    commits first, and maintenance aborts loudly if the sink commits
+    first (re-run it) — no torn state either way.
 
     Cost note, stated plainly: discovering the batch's new files is a
     before/after directory listing — O(total lake files) per
@@ -386,8 +536,9 @@ class SnapshotLakeSink:
         if int(epoch_id) in self.committed_epochs():
             return  # replay of a committed epoch: exactly-once no-op
         versions = snapshot_versions(self.path)
+        base = versions[-1] if versions else 0
         live = (
-            set(_read_manifest(self.path, versions[-1])["files"])
+            set(_read_manifest(self.path, base)["files"])
             if versions
             else set()
         )
@@ -396,12 +547,17 @@ class SnapshotLakeSink:
             *self.partition_cols
         ).parquet(self.path)
         new = _list_files(self.path) - before
+        # blind append: losing a commit race to a concurrent maintenance
+        # commit re-merges onto the new live set and retries (the
+        # appended files are unique-named — they never conflict)
         _commit(
             self.path,
             live | new,
             f"stream-epoch-{epoch_id}",
             batch_df.schema.simpleString(),
             new_epoch=int(epoch_id),
+            base_version=base,
+            recompute=lambda latest_live: latest_live | new,
         )
 
     def attach(self, stream: DataFrame, checkpoint_dir: str):

@@ -128,7 +128,7 @@ def test_snapshot_delete_is_all_or_nothing_with_time_travel(
     assert old.count() == n_total
 
     # vacuum: retire v1 + sweep the orphans; v2 unchanged
-    removed = vacuum(lake, keep_versions=1)
+    removed = vacuum(lake, keep_versions=1, grace_seconds=0, force=True)
     assert removed > 0
     assert snapshot_versions(lake) == [v2]
     assert snapshot_read(spark, lake).count() == n_total - 2
@@ -158,7 +158,7 @@ def test_snapshot_compact_is_answer_stable(spark, tmp_path, sf_dir):
     assert all(len(v) == 1 for v in by_dir.values())
     # pre-compact version still readable until vacuumed
     assert snapshot_read(spark, lake, version=1).count() == len(before)
-    vacuum(lake, keep_versions=1)
+    vacuum(lake, keep_versions=1, grace_seconds=0, force=True)
     assert snapshot_read(spark, lake).count() == len(before)
 
 
@@ -222,7 +222,7 @@ def test_snapshot_lake_sink_exactly_once_and_epoch_time_travel(
 
     # vacuum retires old versions AND the crash orphans; the epoch set
     # is carried forward, so a checkpoint-lagged replay still no-ops
-    removed = vacuum(lake, keep_versions=1)
+    removed = vacuum(lake, keep_versions=1, grace_seconds=0, force=True)
     assert removed > 0  # the crashed append's orphan files at minimum
     total = docs.count()
     sink.process_batch(b0, 0)
@@ -248,7 +248,7 @@ def test_erase_document_routes_snapshot_lake(spark, tmp_path, sf_dir):
     # pre-erase history is a retention-policy decision, not an accident
     old = snapshot_read(spark, lake, version=v1)
     assert old.filter(F.col("doc_id") == doomed).count() == 1
-    vacuum(lake, keep_versions=1)
+    vacuum(lake, keep_versions=1, grace_seconds=0, force=True)
     raw = spark.read.option("basePath", lake).parquet(lake)
     assert raw.filter(F.col("doc_id") == doomed).count() == 0
 
@@ -323,3 +323,144 @@ def test_snapshot_diff_change_feed(spark, tmp_path, sf_dir):
     assert by_key[DOOMED + 2]._change == "update"
     assert by_key[DOOMED + 2].text == "rewritten body"
     assert len(diff) == 3, sorted((r.doc_id, r._change) for r in diff)
+
+
+# --- r12: optimistic concurrency + vacuum reader grace ----------------------
+
+
+def test_commit_race_append_retries_and_delete_aborts(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """The r12 commit protocol, both conflict policies:
+    - a blind APPEND losing the commit race (a competing manifest
+      appears between its version read and its os.link) retries onto
+      the next version and MERGES the winner's live set — no lost files;
+    - a DELETE whose base snapshot moved aborts loudly (its rewrite is
+      stale) instead of silently building a manifest off the old base."""
+    lake = str(tmp_path / "race")
+    corpus = _corpus(spark, sf_dir)
+    snapshot_publish(corpus.filter(F.col("doc_id") < 50), lake)
+    n1 = snapshot_read(spark, lake).count()
+
+    winner = corpus.filter(
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 60)
+    )
+    loser = corpus.filter(F.col("doc_id") >= 60)
+    n_win, n_lose = winner.count(), loser.count()
+
+    # deterministic EEXIST: the first os.link onto a manifest path first
+    # lets the "winner" commit that exact version, then proceeds — the
+    # loser's link fails create-exclusive and the retry path runs
+    real_link = os.link
+    state = {"armed": True}
+
+    def racing_link(src, dst):
+        if state["armed"] and "_log" in dst and dst.endswith(".json"):
+            state["armed"] = False
+            snapshot_publish(winner, lake, mode="append")
+            assert os.path.exists(dst), "winner should own this version"
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", racing_link)
+    snapshot_publish(loser, lake, mode="append")
+    monkeypatch.setattr(os, "link", real_link)
+
+    vs = snapshot_versions(lake)
+    assert vs == [1, 2, 3], vs  # exactly one v2 (winner), loser on v3
+    got = snapshot_read(spark, lake)
+    assert got.count() == n1 + n_win + n_lose  # no lost files either side
+    assert got.dropDuplicates(["doc_id"]).count() == got.count()
+
+    # conflicting maintenance: a commit landing between delete_where's
+    # base read and its commit invalidates the rewrite -> loud abort
+    import kstreams_spark.lake_snapshot as lsnap
+
+    real_pv = lsnap._partition_values
+    once = {"armed": True}
+
+    def commit_between(df, condition, partition_cols):
+        if once["armed"]:
+            once["armed"] = False
+            snapshot_publish(
+                corpus.filter(F.col("doc_id") < 5).withColumn(
+                    "text", F.lit("competing write")
+                ),
+                lake,
+                mode="append",
+            )
+        return real_pv(df, condition, partition_cols)
+
+    monkeypatch.setattr(lsnap, "_partition_values", commit_between)
+    with pytest.raises(ValueError, match="commit conflict"):
+        snapshot_delete_where(spark, lake, f"doc_id = {DOOMED}")
+    monkeypatch.setattr(lsnap, "_partition_values", real_pv)
+    # the abort left no new manifest beyond the competitor's
+    assert snapshot_versions(lake) == [1, 2, 3, 4]
+    # re-run against the new latest commits cleanly
+    assert snapshot_delete_where(spark, lake, f"doc_id = {DOOMED}") >= 1
+    assert (
+        snapshot_read(spark, lake).filter(F.col("doc_id") == DOOMED).count()
+        == 0
+    )
+
+
+def test_concurrent_append_publishers_threads(spark, tmp_path):
+    """Four true concurrent append-publishers: every writer commits
+    exactly one version, no version is double-claimed (the O_EXCL
+    guarantee), and the final snapshot holds every writer's rows."""
+    import threading
+
+    lake = str(tmp_path / "threads")
+    base = spark.createDataFrame(
+        [(0, "seed", "train", "en")],
+        "doc_id long, text string, split string, lang string",
+    )
+    snapshot_publish(base, lake)
+
+    errs = []
+
+    def writer(i: int):
+        try:
+            df = spark.createDataFrame(
+                [(100 + i, f"w{i}", "train", "en")],
+                "doc_id long, text string, split string, lang string",
+            )
+            snapshot_publish(df, lake, mode="append")
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert snapshot_versions(lake) == [1, 2, 3, 4, 5]
+    got = sorted(r.doc_id for r in snapshot_read(spark, lake).collect())
+    assert got == [0, 100, 101, 102, 103]
+
+
+def test_vacuum_reader_grace(spark, tmp_path, sf_dir):
+    """Delta's retention contract: a reader pinned at an old version
+    survives a vacuum inside the grace window (young versions are
+    retained beyond keep_versions); sub-floor grace without force is
+    refused; force + zero grace then folds history."""
+    lake = str(tmp_path / "grace")
+    corpus = _corpus(spark, sf_dir)
+    v1 = snapshot_publish(corpus, lake)
+    n_total = corpus.count()
+    snapshot_delete_where(spark, lake, f"doc_id IN ({DOOMED}, {DOOMED + 1})")
+
+    # default grace: v1's manifest is seconds old -> retained, reader OK
+    removed = vacuum(lake, keep_versions=1)
+    assert removed == 0
+    pinned = snapshot_read(spark, lake, version=v1)
+    assert pinned.count() == n_total  # the pinned reader completes
+
+    with pytest.raises(ValueError, match="floor"):
+        vacuum(lake, keep_versions=1, grace_seconds=0)
+
+    vacuum(lake, keep_versions=1, grace_seconds=0, force=True)
+    assert snapshot_versions(lake) == [2]
+    with pytest.raises(ValueError, match="not in committed versions"):
+        snapshot_read(spark, lake, version=v1)
