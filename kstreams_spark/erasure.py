@@ -33,6 +33,16 @@ Contract: single actor across ALL components (streams quiescent — the
 same assumption every component's maintenance verb already carries);
 idempotent under re-run with the same ids.
 
+Lake-derived deployments (r12): when the serving group is DERIVED from
+the snapshot lake (HybridIngestMaintainer.bootstrap_from_lake +
+apply_snapshot_changes — streaming/hybrid.py), erasure collapses to two
+verbs: snapshot_delete_where in the lake (one manifest commit), then
+apply_snapshot_changes (one atomic derive that removes the doc from
+every index leg at once — byte-equal to an erased-world rebuild, pinned
+in tests/test_lake_derivation.py). This orchestrator's hybrid leg is
+for the remaining shape: serving groups fed by their own ingest stream
+with no lake to derive from.
+
 Scope boundaries, stated plainly (what erase_document does NOT reach):
 
 - **Aggregate sketch state** (CMS/HLL maintenance, the DSIR importance

@@ -296,6 +296,7 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
         used."""
         spark = doc_ids.sparkSession
         self._heal_crashed_erase(spark)
+        self._heal_crashed_derive(spark)
         visible = self.visible_epoch()
         epoch = visible + 1
         applied = self._max_applied_epoch(spark)
@@ -312,6 +313,205 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
         self._apply_erase(ids, epoch)
         self._set_offset(self._offset() + 1)
         return epoch
+
+    # -- lake-derived maintenance (r12: VERDICT r11 task 1) -------------
+    #
+    # Production's shape is lake-as-source-of-truth: the snapshot lake's
+    # manifest log is the ONE commit history and the serving indexes are
+    # DERIVED state. apply_snapshot_changes() pipes the lake's CDC feed
+    # (lake_snapshot.snapshot_diff between the last applied version and
+    # the target) onto the existing atomic CDC op='upsert'/'delete'
+    # path (_apply), one out-of-band data epoch per applied version
+    # range, committed through the SAME epoch-offset protocol as
+    # erase() — the stream checkpoint stays the only allocator of
+    # stream epoch ids (CLAUDE.md invariant), and the offset-file
+    # rename is the single commit point both probe legs observe.
+    # Idempotence is version-keyed like the committed-epoch set: the
+    # `_lake_version` watermark records the highest applied lake
+    # version, and a re-apply at or below it is a no-op. Erasure on a
+    # lake-derived deployment therefore collapses to: delete in the
+    # lake (one manifest commit), propagate (one derive) — the
+    # out-of-band erase() stays for feeds without a lake.
+    #
+    # Crash protocol (the erase() shape, extended with a finalize step):
+    # intent log `_derive_log-<epoch>` records {lake_path, from, to} →
+    # per-index CDC applies at epoch visible+1 (invisible) → offset
+    # bump (THE commit: probes flip) → `_lake_version` write → log
+    # removed. A crash before the bump is healed by re-deriving the
+    # LOGGED range at the same epoch (idempotent per-index verbs); a
+    # crash after the bump but before the watermark write leaves a log
+    # at an epoch ≤ visible, healed by finalizing (watermark + log
+    # removal) with no re-apply. Both heals run before every
+    # out-of-band verb, so a crashed derive can never donate its epoch
+    # to a later erase or vice versa. The lake must retain the applied
+    # `from` version until the derive commits (vacuum's reader-grace /
+    # keep_versions contract) — snapshot_diff fails loudly otherwise.
+
+    def _lake_version_file(self) -> str:
+        return self.root + "/_lake_version"
+
+    def lake_version(self) -> int | None:
+        """Highest lake snapshot version applied to the indexes, or
+        None when this maintainer is not lake-derived."""
+        p = self._lake_version_file()
+        if not os.path.isfile(p):
+            return None
+        with open(p) as fh:
+            return int(fh.read().strip())
+
+    def _set_lake_version(self, v: int) -> None:
+        tmp = self._lake_version_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(int(v)))
+        os.replace(tmp, self._lake_version_file())
+
+    def _derive_log(self, epoch: int) -> str:
+        return self.root + f"/_derive_log-{epoch}"
+
+    def bootstrap_from_lake(
+        self,
+        spark: SparkSession,
+        lake_path: str,
+        centroids: list[list[float]],
+        params: DataFrame | None = None,
+        codebooks=None,
+        version: int | None = None,
+    ) -> int:
+        """Build every participating index at data epoch 0 from one
+        committed lake snapshot (doc_id, text, embedding columns) and
+        record that version as the derivation watermark. Returns the
+        lake version the indexes now reflect."""
+        from kstreams_spark.lake_snapshot import (
+            snapshot_read,
+            snapshot_versions,
+        )
+
+        versions = snapshot_versions(lake_path)
+        if not versions:
+            raise ValueError(f"no committed snapshots under {lake_path}")
+        v = versions[-1] if version is None else version
+        snap = snapshot_read(spark, lake_path, v).select(
+            "doc_id", "text", "embedding"
+        )
+        self.bootstrap(snap, centroids, params=params, codebooks=codebooks)
+        self._set_lake_version(v)
+        return v
+
+    def _cdc_feed(
+        self, spark: SparkSession, lake_path: str, from_v: int, to_v: int
+    ) -> DataFrame:
+        """snapshot_diff → the CDC batch shape _apply consumes: one row
+        per doc_id with op ∈ {upsert, delete} (diff is keyed, so the
+        one-intent-per-key contract holds with no seq column)."""
+        from kstreams_spark.lake_snapshot import snapshot_diff
+
+        diff = snapshot_diff(spark, lake_path, from_v, to_v)
+        return diff.select(
+            "doc_id",
+            F.when(F.col("_change") == "delete", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+            "text",
+            "embedding",
+        )
+
+    def _heal_crashed_derive(self, spark: SparkSession) -> None:
+        """Complete a logged-but-unfinalized derivation. Two windows:
+        a log at epoch visible+1 (crash before the offset bump) →
+        re-apply the LOGGED range at that epoch, bump, finalize; a log
+        at an epoch ≤ visible (crash after the bump, before the
+        watermark write) → finalize only. Like _heal_crashed_erase, the
+        LOG's range is what gets applied — never a new request's."""
+        import glob as _glob
+        import json as _json
+
+        for logp in sorted(_glob.glob(self.root + "/_derive_log-*")):
+            epoch = int(logp.rsplit("-", 1)[1])
+            with open(logp) as fh:
+                intent = _json.load(fh)
+            visible = self.visible_epoch()
+            if epoch == visible + 1:
+                feed = self._cdc_feed(
+                    spark, intent["lake_path"], intent["from_v"], intent["to_v"]
+                )
+                self._apply(feed, epoch)
+                self._set_offset(self._offset() + 1)
+            elif epoch > visible + 1:  # pragma: no cover - corruption guard
+                raise ValueError(
+                    f"derive log {logp} claims epoch {epoch} beyond "
+                    f"visible+1={visible + 1}: epoch allocation corrupted"
+                )
+            applied = self.lake_version()
+            if applied is None or applied < intent["to_v"]:
+                self._set_lake_version(intent["to_v"])
+            os.remove(logp)
+
+    def apply_snapshot_changes(
+        self,
+        spark: SparkSession,
+        lake_path: str,
+        to_version: int | None = None,
+    ) -> dict:
+        """Derive the indexes forward: apply the lake's CDC feed from
+        the recorded watermark to `to_version` (default: the lake's
+        latest committed version) as ONE atomic group commit — every
+        participating index flips together at the offset bump, exactly
+        like erase(). Idempotent: a target at or below the watermark is
+        a no-op. Contract: single out-of-band actor, ingest stream
+        quiescent (the erase() assumption — mixing a live stream feed
+        with lake derivation would double-apply documents); re-runnable
+        from any crash point. Returns {"from_v", "to_v", "epoch",
+        "applied"} (epoch None when nothing changed)."""
+        self._heal_crashed_erase(spark)
+        self._heal_crashed_derive(spark)
+        from kstreams_spark.lake_snapshot import snapshot_versions
+
+        applied = self.lake_version()
+        if applied is None:
+            raise ValueError(
+                "maintainer is not lake-derived: bootstrap_from_lake() "
+                "records the watermark apply_snapshot_changes derives from"
+            )
+        versions = snapshot_versions(lake_path)
+        if not versions:
+            raise ValueError(f"no committed snapshots under {lake_path}")
+        to_v = versions[-1] if to_version is None else int(to_version)
+        if to_v not in versions:
+            raise ValueError(
+                f"lake version v{to_v} not committed (have {versions})"
+            )
+        report = {"from_v": applied, "to_v": to_v, "epoch": None, "applied": False}
+        if to_v <= applied:
+            return report  # version-keyed idempotence: already derived
+        visible = self.visible_epoch()
+        max_applied = self._max_applied_epoch(spark)
+        if max_applied > visible:
+            raise ValueError(
+                f"uncommitted stream epoch {max_applied} on disk (visible "
+                f"{visible}): restart the stream to commit it before "
+                "deriving from the lake"
+            )
+        feed = self._cdc_feed(spark, lake_path, applied, to_v)
+        if feed.isEmpty():
+            # pure-relayout lake commits (compact) change no rows: advance
+            # the watermark without claiming an epoch
+            self._set_lake_version(to_v)
+            report["applied"] = True
+            return report
+        epoch = visible + 1
+        import json as _json
+
+        with open(self._derive_log(epoch) + ".tmp", "w") as fh:
+            _json.dump(
+                {"lake_path": lake_path, "from_v": applied, "to_v": to_v}, fh
+            )
+        os.replace(self._derive_log(epoch) + ".tmp", self._derive_log(epoch))
+        self._apply(feed, epoch)
+        self._set_offset(self._offset() + 1)  # THE commit: probes flip here
+        self._set_lake_version(to_v)
+        os.remove(self._derive_log(epoch))
+        report.update(epoch=epoch, applied=True)
+        return report
 
     def _data_epoch(self, epoch_id: int) -> int:
         """The inherited marker-last skeleton, with the data epoch
@@ -606,6 +806,8 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
         uncommitted rows are still present would publish them — this
         refuses loudly instead: restart the stream first (the replay
         re-applies and commits the epoch), then compact."""
+        self._heal_crashed_erase(spark)
+        self._heal_crashed_derive(spark)
         applied, visible = self._max_applied_epoch(spark), self.visible_epoch()
         if applied > visible:
             raise ValueError(
