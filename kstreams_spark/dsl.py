@@ -31,8 +31,14 @@ Kafka Streams 2.0 DSL surface covered (the §2.2 ceiling):
 stream/table, filter/filterNot, mapValues, selectKey, flatMapValues,
 branch (first-match), merge, peek (as observe — per-batch metrics, the
 Spark-native form of a side-effecting peek), to, groupByKey/groupBy,
-count/reduce/aggregate, windowedBy (tumbling/hopping), stream⋈stream
-windowed join, stream⋈KTable enrich, KTable⋈KTable, toStream.
+count/reduce/aggregate, windowedBy (tumbling/hopping/session),
+stream⋈stream windowed join, stream⋈KTable enrich, KTable⋈KTable,
+toStream; r12 adds the STATEFUL verbs: transform/process
+(transform_values → applyInPandasWithState, event-time punctuate via
+timeout), suppress(untilWindowCloses) (final-only emission contract,
+carried by to_stream into the sinks), and the first-class sinks
+to_parquet_exactly_once / to_kafka (epoch-idempotent crash-replay
+semantics in one verb).
 
 Semantics parity is pinned in tests/test_dsl.py: every DSL chain is
 asserted row-equal against the hand-written DataFrame pipeline, and
@@ -87,14 +93,23 @@ class StreamsBuilder:
 
 class KStream:
     """A keyed record stream — verbs return NEW KStreams (the builder
-    pattern is immutable, like the DSL it mirrors)."""
+    pattern is immutable, like the DSL it mirrors).
 
-    def __init__(self, df: DataFrame, key: str) -> None:
+    `output_mode` is the emission contract the stream's SINK must use
+    ("append" for record streams and suppressed-final windowed tables,
+    "update" for an unsuppressed streaming KTable's changelog) — set by
+    KTable.to_stream(), consumed by the first-class sink verbs below,
+    and exposed for hand-rolled `to()` callables."""
+
+    def __init__(
+        self, df: DataFrame, key: str, output_mode: str = "append"
+    ) -> None:
         self.df = df
         self.key = key
+        self.output_mode = output_mode
 
     def _with(self, df: DataFrame, key: str | None = None) -> "KStream":
-        return KStream(df, key or self.key)
+        return KStream(df, key or self.key, self.output_mode)
 
     # -- stateless verbs ------------------------------------------------
 
@@ -225,6 +240,48 @@ class KStream:
             joined.withColumn(self.key, key_out).drop(rkey)
         )
 
+    # -- stateful (Processor API) ----------------------------------------
+
+    def transform_values(
+        self,
+        fn,
+        output_schema,
+        state_schema,
+        timeout: str = "NoTimeout",
+    ) -> "KStream":
+        """transform/process (Kafka Streams Processor API, r12): a THIN
+        passthrough to groupBy(key).applyInPandasWithState — `fn` is the
+        (key, batches, GroupState) body, exactly the shape
+        streaming/stateful.py's builders produce (make_edge_alert_fn,
+        make_timeout_summary_fn — the second is the `punctuate`
+        equivalent via timeout="EventTimeTimeout", which needs the
+        caller's watermark upstream, like every stateful verb here).
+        The key column must appear in `output_schema` — a transform
+        that drops the key would silently break the keyed-record
+        contract every downstream verb assumes. Streaming only: the
+        batch twin of a stateful transform is the analytic window form
+        (operators/event_windows.py::stateful_alert_suppression,
+        oracle-checked), not an emulated state store."""
+        if not self.df.isStreaming:
+            raise ValueError(
+                "transform_values is a streaming verb "
+                "(applyInPandasWithState); express the batch twin as an "
+                "analytic window — see operators/event_windows.py"
+            )
+        if self.key not in output_schema.fieldNames():
+            raise ValueError(
+                f"output_schema must carry the key column {self.key!r} "
+                "(a keyed stream's transform keeps its key)"
+            )
+        out = self.df.groupBy(self.key).applyInPandasWithState(
+            fn,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+        return self._with(out)
+
     # -- grouping ---------------------------------------------------------
 
     def group_by_key(self) -> "KGroupedStream":
@@ -242,8 +299,62 @@ class KStream:
     def to(self, sink: Callable[[DataFrame], object]):
         """Terminal: hand the plan to a sink callable (a writeStream
         attacher, an ExactlyOnceParquetSink.attach, a batch writer —
-        the same injection seam streaming/topology.py uses)."""
+        the same injection seam streaming/topology.py uses). Streaming
+        callables should honor `self.output_mode` (the first-class
+        verbs below do)."""
         return sink(self.df)
+
+    def to_parquet_exactly_once(
+        self,
+        path: str,
+        checkpoint_dir: str,
+        erase_cols: tuple[str, ...] = (),
+    ):
+        """First-class exactly-once sink (r12): attach the stream to an
+        ExactlyOnceParquetSink — epoch-keyed idempotent commits, so a
+        crash between the data write and the commit rename replays
+        duplicate-free on restart (the reference topology's declared
+        exactly-once growth path, now one DSL verb). Emission follows
+        the stream's output_mode: a suppressed windowed KTable's
+        to_stream() lands final-only rows; an UNSUPPRESSED streaming
+        KTable lands its CHANGELOG (one row per key per refining epoch
+        — Kafka Streams parity: a KTable topic IS a changelog; readers
+        wanting latest-per-key resolve last-wins by the epoch column).
+        Returns the started query; read results with
+        ExactlyOnceParquetSink(path).result(spark)."""
+        from kstreams_spark.streaming.exactly_once import (
+            ExactlyOnceParquetSink,
+        )
+
+        if not self.df.isStreaming:
+            raise ValueError(
+                "to_parquet_exactly_once is a streaming verb — a batch "
+                "plan commits atomically with df.write.parquet already"
+            )
+        sink = ExactlyOnceParquetSink(path, erase_cols=erase_cols)
+        return sink.attach(
+            self.df, checkpoint_dir, output_mode=self.output_mode
+        )
+
+    def to_kafka(
+        self,
+        bootstrap_servers: str,
+        topic: str,
+        checkpoint_location: str,
+    ):
+        """First-class Kafka sink (the reference's `source.to(topic)`,
+        BME680.java:227): schema-validated pass-through via
+        sinks/kafka.write_passthrough, honoring the stream's
+        output_mode (a KTable changelog forwards as updates)."""
+        from kstreams_spark.sinks.kafka import write_passthrough
+
+        return write_passthrough(
+            self.df,
+            bootstrap_servers,
+            topic,
+            checkpoint_location,
+            output_mode=self.output_mode,
+        )
 
 
 class KGroupedStream:
@@ -305,16 +416,17 @@ class KTable:
     (record key, window), Kafka Streams' Windowed<K>, and treating it
     as the bare key would silently fan a join out across windows."""
 
-    def __init__(self, df: DataFrame, keys) -> None:
+    def __init__(self, df: DataFrame, keys, emit_final: bool = False) -> None:
         self.df = df
         self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.emit_final = emit_final
 
     @property
     def key(self) -> str:
         return self.keys[0]
 
     def filter(self, cond) -> "KTable":
-        return KTable(self.df.filter(_as_col(cond)), self.keys)
+        return KTable(self.df.filter(_as_col(cond)), self.keys, self.emit_final)
 
     def map_values(self, **exprs) -> "KTable":
         df = self.df
@@ -322,7 +434,32 @@ class KTable:
             if name in self.keys:
                 raise ValueError("map_values must not touch the key")
             df = df.withColumn(name, _as_col(e))
-        return KTable(df, self.keys)
+        return KTable(df, self.keys, self.emit_final)
+
+    def suppress(self) -> "KTable":
+        """suppress(Suppressed.untilWindowCloses) (r12): emit each
+        window's FINAL result exactly once, when the watermark closes
+        it — Spark-first this is not an operator but an EMISSION MODE:
+        the same windowed aggregation under outputMode("append") emits
+        nothing while a window is open and one merged row when it
+        closes (the engine twin pinned in tests/test_streaming.py::
+        test_tumbling_append_suppresses_until_window_closes). The verb
+        therefore just flips the table's emission contract, which
+        to_stream() hands to the sink verbs. Only meaningful on a
+        WINDOWED table over a watermarked stream — anything else is a
+        loud error, matching Kafka Streams' compile-time Windowed<K>
+        constraint."""
+        if "window" not in self.keys:
+            raise ValueError(
+                "suppress(untilWindowCloses) needs a windowed table "
+                "(windowed_by/session_windowed_by before the aggregation)"
+            )
+        if not self.df.isStreaming:
+            raise ValueError(
+                "suppress is a streaming emission contract; a batch "
+                "windowed aggregate is already final"
+            )
+        return KTable(self.df, self.keys, emit_final=True)
 
     def join(self, other: "KTable", how: str = "inner") -> "KTable":
         """KTable⋈KTable on the FULL key (both sides are snapshots; the
@@ -351,5 +488,13 @@ class KTable:
         """Changelog → stream, keyed on the RECORD key; a windowed
         table's window column rides along as a value (the caller
         decides whether the next grouping is per-window or across
-        windows — both are legitimate reads of a windowed changelog)."""
-        return KStream(self.df, self.keys[0])
+        windows — both are legitimate reads of a windowed changelog).
+        A STREAMING table hands its emission contract to the sink:
+        "update" (the refining changelog) unless suppress() flipped it
+        to final-only "append"."""
+        mode = (
+            ("append" if self.emit_final else "update")
+            if self.df.isStreaming
+            else "append"
+        )
+        return KStream(self.df, self.keys[0], output_mode=mode)

@@ -33,12 +33,19 @@ def validate_kafka_sink_schema(df: DataFrame) -> None:
 
 
 def write_passthrough(
-    df: DataFrame, bootstrap_servers: str, topic: str, checkpoint_location: str
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_location: str,
+    output_mode: str = "append",
 ):
     """writeStream to Kafka, unchanged records (R3). Returns the started
-    query; requires the spark-sql-kafka package on the classpath."""
+    query; requires the spark-sql-kafka package on the classpath.
+    `output_mode`: "append" for record streams (the default, unchanged),
+    "update" when forwarding a KTable changelog (dsl.KStream.to_kafka
+    passes the stream's emission contract through)."""
     validate_kafka_sink_schema(df)
-    writer = df.writeStream.format("kafka")
+    writer = df.writeStream.format("kafka").outputMode(output_mode)
     for k, v in kafka_writer_options(
         bootstrap_servers, topic, checkpoint_location
     ).items():

@@ -133,11 +133,21 @@ class ExactlyOnceParquetSink:
             if not self.is_committed(epoch_id):
                 raise
 
-    def attach(self, stream: DataFrame, checkpoint_dir: str):
+    def attach(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str,
+        output_mode: str = "append",
+    ):
         """Wire to a stream. The checkpoint is what makes a crashed epoch
-        replayable with the same epoch_id on restart."""
+        replayable with the same epoch_id on restart. `output_mode`
+        follows the upstream plan: "append" for record streams and
+        suppressed final-only windows, "update" for a refining
+        aggregation's changelog (each refinement lands in its epoch;
+        result() then reads a changelog — last-wins by epoch per key)."""
         return (
-            stream.writeStream.foreachBatch(self.process_batch)
+            stream.writeStream.outputMode(output_mode)
+            .foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)
             .start()
         )
