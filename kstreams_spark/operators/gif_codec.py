@@ -6,12 +6,16 @@ table + sub-block concatenation + LZW with dictionary resets. This
 extends the oracle-replays-pixels doctrine (BMP/WAV/AVI/JPEG/PNG) to a
 fourth lossless image container.
 
-Decoder scope (stated, not hidden): GIF87a/89a, global color table
-only, non-interlaced, FULL-FRAME image blocks — which covers plain
-images and replace-disposal animations (gif_frames returns every
-frame; gif_pixel_grid demands exactly one). Local color tables,
-interlacing, and sub-rectangle frames raise ValueError naming the
-variant. Extension blocks (graphic control, comment, NETSCAPE looping,
+Decoder scope (stated, not hidden): GIF87a/89a, FULL-FRAME image
+blocks — which covers plain images and replace-disposal animations
+(gif_frames returns every frame; gif_pixel_grid demands exactly one).
+r12 extends the scope to LOCAL COLOR TABLES (per-frame palettes — the
+common real-animated-GIF layout; an LCT overrides the GCT for its
+frame only, spec §21) and INTERLACED images (the 4-pass row order of
+spec Appendix E, de-interleaved back to natural order). The global
+color table is now optional when every frame carries an LCT, per spec.
+Sub-rectangle frames still raise ValueError naming the variant.
+Extension blocks (graphic control, comment, NETSCAPE looping,
 application) are skipped per spec.
 
 Encoder traps (the PNG doctrine — fixtures exercise the decoder's real
@@ -194,8 +198,23 @@ def _sub_blocks(data: bytes, size: int = 16) -> bytes:
     return bytes(out)
 
 
+def _interlace_rows(h: int) -> list[int]:
+    """GIF89a 4-pass interlace row order (spec Appendix E): rows are
+    STORED in this sequence; a decoder maps stored row i back to
+    natural row _interlace_rows(h)[i]."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
 def encode_gif_anim(
-    frames: list[list[list[int]]], palette: list[tuple[int, int, int]]
+    frames: list[list[list[int]]],
+    palette: list[tuple[int, int, int]],
+    local_palettes: list[list[tuple[int, int, int]]] | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """frames[f][y][x] = palette index → a complete, valid animated
     GIF89a: one full-frame image block per frame, each preceded by a
@@ -203,9 +222,19 @@ def encode_gif_anim(
     NETSCAPE2.0 looping application extension — the standard animation
     layout, every block a decoder must walk. Single-frame input
     degenerates to a plain GIF with the decoder traps planted
-    (encode_gif is that wrapper)."""
+    (encode_gif is that wrapper).
+
+    r12 traps: `local_palettes` writes a per-frame LOCAL color table
+    (frame f's indices resolve against local_palettes[f]; the GCT stays
+    present and DIFFERENT, so a decoder that ignores the LCT is
+    value-wrong on every frame, not structurally broken). `interlace`
+    stores each frame's rows in the 4-pass Appendix E order with the
+    descriptor flag set — a decoder that skips de-interleaving keeps
+    the right channel SUMS but fails any position-weighted checksum."""
     if len(palette) != _PAL_N:
         raise ValueError(f"fixture palette must have {_PAL_N} entries")
+    if local_palettes is not None and len(local_palettes) != len(frames):
+        raise ValueError("need one local palette per frame")
     h, w = len(frames[0]), len(frames[0][0])
     out = bytearray(b"GIF89a")
     # logical screen descriptor: GCT present, 2^(3+1)=16 entries
@@ -215,15 +244,25 @@ def encode_gif_anim(
     # NETSCAPE looping extension + comment: both must be skipped
     out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
     out += b"\x21\xfe" + _sub_blocks(b"kstreams_spark gif_codec")[:-1] + b"\x00"
-    for idx_grid in frames:
+    for f, idx_grid in enumerate(frames):
         if (len(idx_grid), len(idx_grid[0])) != (h, w):
             raise ValueError("all frames must be full-frame (same dims)")
         # graphic control extension: disposal=replace(1), delay 4 cs
         out += b"\x21\xf9\x04\x04\x04\x00\x00\x00"
-        # image descriptor: full frame, no local color table/interlace
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        ipacked = 0
+        if local_palettes is not None:
+            if len(local_palettes[f]) != _PAL_N:
+                raise ValueError(f"local palette must have {_PAL_N} entries")
+            ipacked |= 0x80 | 0x03  # LCT present, 2^(3+1)=16 entries
+        if interlace:
+            ipacked |= 0x40
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+        if local_palettes is not None:
+            for r, g, b in local_palettes[f]:
+                out += bytes((r, g, b))
         out.append(_MCS)
-        flat = [idx_grid[y][x] for y in range(h) for x in range(w)]
+        rows = _interlace_rows(h) if interlace else range(h)
+        flat = [idx_grid[y][x] for y in rows for x in range(w)]
         out += _sub_blocks(_lzw_encode(flat, _MCS))
     out += b"\x3b"
     return bytes(out)
@@ -248,13 +287,14 @@ def gif_frames(payload: bytes) -> list[list[list[tuple[int, int, int]]]]:
         raise ValueError("not a GIF file")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
-    if not packed & 0x80:
-        raise ValueError("missing global color table; decoder scope is GCT")
-    gct_n = 2 << (packed & 0x07)
-    palette = [
-        tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(gct_n)
-    ]
-    pos += 3 * gct_n
+    palette: list[tuple[int, int, int]] | None = None
+    gct_n = 0
+    if packed & 0x80:  # GCT optional per spec when frames carry LCTs
+        gct_n = 2 << (packed & 0x07)
+        palette = [
+            tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(gct_n)
+        ]
+        pos += 3 * gct_n
     frames: list[list[list[tuple[int, int, int]]]] = []
     while pos < len(payload):
         b0 = payload[pos]
@@ -270,10 +310,18 @@ def gif_frames(payload: bytes) -> list[list[list[tuple[int, int, int]]]]:
             raise ValueError(f"unknown block introducer 0x{b0:02x}")
         left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
         pos += 10
-        if ipacked & 0x80:
-            raise ValueError("local color table unsupported; scope is GCT")
-        if ipacked & 0x40:
-            raise ValueError("interlaced GIF unsupported")
+        if ipacked & 0x80:  # local color table overrides the GCT (spec §21)
+            lct_n = 2 << (ipacked & 0x07)
+            frame_pal = [
+                tuple(payload[pos + 3 * i : pos + 3 * i + 3])
+                for i in range(lct_n)
+            ]
+            pos += 3 * lct_n
+            pal_n = lct_n
+        elif palette is not None:
+            frame_pal, pal_n = palette, gct_n
+        else:
+            raise ValueError("frame has no color table (no GCT, no LCT)")
         if (left, top, w, h) != (0, 0, sw, sh):
             raise ValueError("sub-rectangle frames unsupported")
         mcs = payload[pos]
@@ -287,10 +335,15 @@ def gif_frames(payload: bytes) -> list[list[list[tuple[int, int, int]]]]:
         flat = _lzw_decode(bytes(lzw), mcs)
         if len(flat) != w * h:
             raise ValueError(f"decoded {len(flat)} pixels, expected {w * h}")
-        if max(flat) >= gct_n:
+        if max(flat) >= pal_n:
             raise ValueError("pixel index outside the color table")
+        if ipacked & 0x40:  # stored in 4-pass interlace order: de-interleave
+            natural: list[list[int] | None] = [None] * h
+            for stored_i, natural_row in enumerate(_interlace_rows(h)):
+                natural[natural_row] = flat[stored_i * w : (stored_i + 1) * w]
+            flat = [px for row in natural for px in row]
         frames.append(
-            [[palette[flat[y * w + x]] for x in range(w)] for y in range(h)]
+            [[frame_pal[flat[y * w + x]] for x in range(w)] for y in range(h)]
         )
     if not frames:
         raise ValueError("no image block before trailer")
@@ -411,4 +464,51 @@ def synth_gif_anim(doc_id: int) -> bytes:
             for f in range(_gif_anim_frames(doc_id))
         ],
         _gif_palette(),
+    )
+
+
+def _gif_lct_palette(f: int) -> list[tuple[int, int, int]]:
+    """Frame-f LOCAL palette — the (f+1) term shifts every entry off the
+    global table (and off every other frame's), so a decoder that falls
+    back to the GCT — or reuses one frame's LCT for another — is
+    value-wrong on every frame. SQL-expressible like _gif_palette."""
+    return [
+        (
+            (i * 37 + (f + 1) * 13) % 256,
+            (i * 59 + (f + 1) * 17) % 256,
+            (i * 83 + (f + 1) * 19) % 256,
+        )
+        for i in range(_PAL_N)
+    ]
+
+
+def synth_gif_anim_lct(doc_id: int) -> bytes:
+    """The deterministic ANIMATED GIF with a per-frame LOCAL color table
+    (the common real-animated-GIF layout: each frame re-quantized to its
+    own palette). Same index pattern as synth_gif_anim; only the
+    palette arithmetic differs — per frame."""
+    w, h = _gif_dims(doc_id)
+    k = _gif_anim_frames(doc_id)
+    return encode_gif_anim(
+        [
+            [
+                [_gif_anim_index(doc_id, f, x, y, w) for x in range(w)]
+                for y in range(h)
+            ]
+            for f in range(k)
+        ],
+        _gif_palette(),
+        local_palettes=[_gif_lct_palette(f) for f in range(k)],
+    )
+
+
+def synth_gif_interlaced(doc_id: int) -> bytes:
+    """The deterministic single-image INTERLACED GIF for doc_id — same
+    pixels as synth_gif, rows stored in the 4-pass Appendix E order.
+    Fixture heights (5..8) exercise all four passes."""
+    w, h = _gif_dims(doc_id)
+    return encode_gif_anim(
+        [[[_gif_index(doc_id, x, y, w) for x in range(w)] for y in range(h)]],
+        _gif_palette(),
+        interlace=True,
     )

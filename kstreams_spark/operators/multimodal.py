@@ -1312,6 +1312,106 @@ def multimodal_video_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_video_gif_lct_frames",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 3 AS k,
+             8 + doc_id % 7 AS w, 5 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, k, w, h, f, x, y,
+             ((doc_id + f * 5 + (y * w + x) // 3) % 16) AS i
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, k - 1)) AS f) tf,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    ),
+    rgb AS (  -- frame f's LOCAL palette: the (f+1) term is the LCT shift
+      SELECT doc_id, k, w, h, f, x, y,
+             (i * 37 + (f + 1) * 13) % 256 AS r,
+             (i * 59 + (f + 1) * 17) % 256 AS g,
+             (i * 83 + (f + 1) * 19) % 256 AS b
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(k AS INTEGER) AS n_frames,
+           SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g,
+           SUM(b)::BIGINT AS sum_b,
+           SUM((f + 1) * (y * w + x) * (r + g + b))::BIGINT AS px_checksum
+    FROM rgb GROUP BY doc_id, k, w, h
+    """,
+)
+def multimodal_video_gif_lct_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated GIF with per-frame LOCAL color tables — the layout real
+    re-quantized animations actually ship (r12; VERDICT r11 stretch).
+    Each frame's image block carries its own 16-entry palette; the
+    global table stays present and VALUE-DIFFERENT from every LCT
+    (gif_codec._gif_lct_palette's (f+1) shift), so a decoder that falls
+    back to the GCT — or applies one frame's LCT to another — fails the
+    channel sums on every frame, not just the checksum. The oracle
+    replays the per-frame palette arithmetic in SQL; everything else
+    (LZW, sub-blocks, extensions, frame order) is the
+    multimodal_video_gif_frames contract unchanged."""
+    from kstreams_spark.operators.gif_codec import (
+        parse_gif_anim_features,
+        synth_gif_anim_lct,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_gif_anim_lct(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+    return payloads.mapInPandas(
+        _decode_stage(parse_gif_anim_features, VIDEO_SCHEMA), VIDEO_SCHEMA
+    )
+
+
+@query(
+    "multimodal_image_decode_gif_interlaced",
+    oracle=_GIF_PX_SQL
+    + """
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS INTEGER) AS n_pixels,
+           SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g,
+           SUM(b)::BIGINT AS sum_b,
+           SUM((y * w + x) * (r + g + b))::BIGINT AS px_checksum
+    FROM rgb GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_decode_gif_interlaced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERLACED GIF decode (r12; VERDICT r11 stretch): same pixels as
+    multimodal_image_decode_gif, rows STORED in the 4-pass Appendix E
+    order with the descriptor flag set (gif_codec.synth_gif_interlaced;
+    fixture heights 5..8 exercise all four passes). The oracle is the
+    natural-order pixel replay — identical SQL to the non-interlaced
+    query, which is the point: a decoder that ignores the flag keeps
+    the channel SUMS (same multiset of pixels) but fails the
+    position-weighted px_checksum, so de-interleaving is value-checked,
+    not trusted."""
+    from kstreams_spark.operators.gif_codec import (
+        parse_gif_features,
+        synth_gif_interlaced,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_gif_interlaced(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+    return payloads.mapInPandas(
+        _decode_stage(parse_gif_features, IMAGE_SCHEMA), IMAGE_SCHEMA
+    )
+
+
 # --------------------------------------------------------------------------
 # Real video path, completing the modality trio: a minimal but VALID
 # AVI — RIFF('AVI ') with LIST(hdrl){avih, LIST(strl){strh,strf}} and

@@ -172,17 +172,6 @@ def test_kwkwk_occurs_in_corpus():
 
 def test_unsupported_variants_named():
     base = synth_gif(3)
-    # interlace flag set in the image descriptor
-    pos = base.index(b"\x2c", 13)
-    il = bytearray(base)
-    il[pos + 9] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
-        gif_pixel_grid(bytes(il))
-    # local color table flag
-    lct = bytearray(base)
-    lct[pos + 9] |= 0x80
-    with pytest.raises(ValueError, match="local color table"):
-        gif_pixel_grid(bytes(lct))
     # not a GIF
     with pytest.raises(ValueError, match="not a GIF"):
         gif_pixel_grid(b"PNG!" + base)
@@ -190,6 +179,106 @@ def test_unsupported_variants_named():
     head_only = base[: base.index(b"\x2c", 13)] + b"\x3b"
     with pytest.raises(ValueError, match="no image block"):
         gif_pixel_grid(head_only)
+    # sub-rectangle frames stay out of scope, named
+    pos = base.index(b"\x2c", 13)
+    sub = bytearray(base)
+    sub[pos + 1] = 1  # left = 1
+    with pytest.raises(ValueError, match="sub-rectangle"):
+        gif_pixel_grid(bytes(sub))
+    # a frame with neither GCT nor LCT is malformed, named
+    from kstreams_spark.operators.gif_codec import _PAL_N
+
+    no_gct = bytearray(base)
+    no_gct[10] &= 0x7F  # clear the GCT flag...
+    del no_gct[13 : 13 + 3 * _PAL_N]  # ...and the table bytes
+    with pytest.raises(ValueError, match="no color table"):
+        gif_pixel_grid(bytes(no_gct))
+
+
+def test_interlace_row_order_hand_derived():
+    """Spec Appendix E, by hand: pass 1 every 8th from row 0, pass 2
+    every 8th from row 4, pass 3 every 4th from row 2, pass 4 odds."""
+    from kstreams_spark.operators.gif_codec import _interlace_rows
+
+    assert _interlace_rows(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    assert _interlace_rows(5) == [0, 4, 2, 1, 3]
+    assert _interlace_rows(1) == [0]
+    # permutation property for every fixture height
+    for h in range(1, 20):
+        assert sorted(_interlace_rows(h)) == list(range(h))
+
+
+def test_interlaced_roundtrip_and_order_visible():
+    """Interlaced fixtures decode to the NATURAL-order grid; a decoder
+    that skips de-interleaving keeps the channel sums but fails the
+    position-weighted checksum (the planted trap)."""
+    from kstreams_spark.operators.gif_codec import synth_gif_interlaced
+
+    for doc_id in (0, 3, 9, 26):
+        w, h = _gif_dims(doc_id)
+        payload = synth_gif_interlaced(doc_id)
+        pos = payload.index(b"\x2c", 13)
+        assert payload[pos + 9] & 0x40  # flag really set
+        assert gif_pixel_grid(payload) == _grid(doc_id, w, h)
+        assert parse_gif_features(payload) == parse_gif_features(
+            synth_gif(doc_id)
+        )
+    # the trap bites: rows stored interlaced differ from natural order
+    # for any h > 1 fixture (row 1 is stored LAST)
+    w, h = _gif_dims(3)
+    stored_first_row_natural = 0  # pass 1 starts at row 0
+    assert _grid(3, w, h)[stored_first_row_natural] == gif_pixel_grid(
+        synth_gif_interlaced(3)
+    )[0]
+
+
+def test_local_color_table_overrides_gct():
+    """LCT frames resolve indices against THEIR table, not the global
+    one — and the fixture's GCT is value-different from every LCT, so a
+    GCT-fallback decoder cannot pass."""
+    from kstreams_spark.operators.gif_codec import (
+        _gif_anim_frames,
+        _gif_anim_index,
+        _gif_lct_palette,
+        gif_frames,
+        synth_gif_anim_lct,
+    )
+
+    for doc_id in (0, 7, 14):
+        w, h = _gif_dims(doc_id)
+        k = _gif_anim_frames(doc_id)
+        want = [
+            [
+                [
+                    _gif_lct_palette(f)[_gif_anim_index(doc_id, f, x, y, w)]
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ]
+            for f in range(k)
+        ]
+        assert gif_frames(synth_gif_anim_lct(doc_id)) == want
+    # every LCT entry differs from the GCT entry at the same index
+    for f in range(3):
+        assert all(
+            _gif_lct_palette(f)[i] != PAL[i] for i in range(len(PAL))
+        )
+
+
+def test_gct_optional_when_frames_carry_lcts():
+    """Spec-valid GCT-less GIF: strip the global table from an LCT
+    animation; decode is unchanged (frames never used the GCT)."""
+    from kstreams_spark.operators.gif_codec import (
+        _PAL_N,
+        gif_frames,
+        synth_gif_anim_lct,
+    )
+
+    payload = bytearray(synth_gif_anim_lct(5))
+    assert payload[10] & 0x80
+    payload[10] &= 0x7F
+    del payload[13 : 13 + 3 * _PAL_N]
+    assert gif_frames(bytes(payload)) == gif_frames(synth_gif_anim_lct(5))
 
 
 def test_truncated_stream_rejected():
@@ -218,15 +307,28 @@ def test_features_match_direct_pixel_math():
     w=st.integers(1, 20),
     h=st.integers(1, 12),
     seed=st.integers(0, 10**6),
+    interlace=st.booleans(),
+    use_lct=st.booleans(),
 )
-def test_container_roundtrip_property(w, h, seed):
+def test_container_roundtrip_property(w, h, seed, interlace, use_lct):
+    from kstreams_spark.operators.gif_codec import (
+        _gif_lct_palette,
+        encode_gif_anim,
+    )
+
     grid_idx = [
         [(seed + (y * w + x) * 7 + x) % 16 for x in range(w)]
         for y in range(h)
     ]
-    payload = encode_gif(grid_idx, PAL)
+    pal = _gif_lct_palette(seed % 5) if use_lct else PAL
+    payload = encode_gif_anim(
+        [grid_idx],
+        PAL,
+        local_palettes=[pal] if use_lct else None,
+        interlace=interlace,
+    )
     assert gif_pixel_grid(payload) == [
-        [PAL[i] for i in row] for row in grid_idx
+        [pal[i] for i in row] for row in grid_idx
     ]
     # header sanity: dims in the logical screen descriptor
     sw, sh = struct.unpack_from("<HH", payload, 6)
