@@ -126,6 +126,8 @@ HEADLINE = [
     "composite_bpe_token_budget",  # added r11: budget bites on BPE counts
     "multimodal_image_decode_gif",  # added r11: real LZW GIF decode
     "multimodal_video_gif_frames",  # added r11: animated GIF frame decode
+    "multimodal_video_gif_lct_frames",  # added r12: per-frame local color tables
+    "multimodal_image_decode_gif_interlaced",  # added r12: 4-pass interlace
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------
@@ -147,6 +149,9 @@ CANARY_REF_TOTAL_S = 3.2  # pinned r9; re-pin only with a SCALE.md entry
 
 
 def main() -> None:
+    if "--scale-probe" in sys.argv:
+        run_scale_probe()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -181,7 +186,12 @@ def main() -> None:
     probes, probe_passes = _bench_serving_probes(spark, sf_dir)
 
     detail_line, summary_line = format_output(
-        times, probes, sf, passes=passes, probe_passes=probe_passes
+        times,
+        probes,
+        sf,
+        passes=passes,
+        probe_passes=probe_passes,
+        scale_probe=_read_existing_scale_probe(),
     )
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
         fh.write(detail_line)
@@ -205,13 +215,16 @@ def format_output(
     sf: float,
     passes: dict[str, list[float]] | None = None,
     probe_passes: dict[str, list[float]] | None = None,
+    scale_probe: dict | None = None,
 ) -> tuple[str, str]:
     """(detail_line, summary_line): full per-query map on its own line /
     sidecar, compact fixed-size summary for the driver's tail parser.
     `passes`/`probe_passes` carry BOTH timed runs per key ([pass1,
     pass2], interleaved) — the within-run spread lives only in the
     detail sidecar; the summary line stays fixed-size (VERDICT r9
-    task 1)."""
+    task 1). `scale_probe` (the `--scale-probe` mode's measured-exponent
+    map, VERDICT r11 task 5) is carried forward into the sidecar when a
+    prior probe run left one — a normal bench run must not erase it."""
     canary = [c for c in CANARY if c in times]
     ratio = (
         round(sum(times[c] for c in canary) / CANARY_REF_TOTAL_S, 3)
@@ -228,6 +241,8 @@ def format_output(
         "passes": passes or {},
         "probe_passes": probe_passes or {},
     }
+    if scale_probe:
+        detail["scale_probe"] = scale_probe
     out = {
         "metric": "headline_queries_total_time",
         "value": round(sum(times.values()), 3),
@@ -323,6 +338,196 @@ def _bench_serving_probes(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return probes, probe_passes
+
+
+# --- scale probe (VERDICT r11 task 5) ---------------------------------------
+# Every 100 TB claim in SCALE.md is plan-shape reasoning; this mode adds one
+# MEASURED datapoint per heavy family: synthesize ~10x the sf0.1 corpus (same
+# layout, same codecs), time the family's headline query at 1x/3x/10x, and
+# record the least-squares scaling exponent (slope of log-time vs log-scale)
+# in BENCH_DETAIL.json's `scale_probe` map. Exponent ~1.0 = linear in input;
+# materially above 1 = a superlinear term SCALE.md must explain.
+#
+# Synthesis keeps the WORKLOAD SHAPE fixed while scaling the bytes:
+# - documents: each replica Caesar-rotates the text by the replica id
+#   (one F.translate over the corpus's pure a-z alphabet) and appends
+#   " the a". The rotation is injective and length-preserving, so token
+#   count, type-token ratio, and the char-2gram repetition fraction —
+#   everything the curation gates score — are EXACTLY unchanged, and each
+#   replica preserves the original's internal dup-cluster structure while
+#   sharing no token 3-gram shingle with any other replica (candidate
+#   pairs scale linearly, never R^2 per cluster). The appended " the a"
+#   keeps the stopword gate uniformly satisfied (rotation would otherwise
+#   destroy the literal stopwords and silently EMPTY the pipeline — the
+#   first draft of this probe measured exactly that: flat ~1.8 s at every
+#   scale, i.e. job overhead over a gutted corpus). The 1x corpus goes
+#   through the SAME transform (replica 0, identity rotation) so all
+#   three points time identical per-row work.
+# - embeddings: replica ids restride vec_id; a deterministic per-(replica,
+#   dim) ppm-scale jitter breaks exact cross-replica ties without moving
+#   any vector's cell assignment materially.
+# Both tables are written with file counts proportional to scale so the
+# scan's input-split count grows with the data (the AQE skew-split note in
+# CLAUDE.md: single-file inputs are indivisible no matter how skewed).
+
+SCALE_PROBE_SCALES = (1, 3, 10)
+SCALE_PROBE_FAMILIES = {
+    # family label -> (registered headline query, table it scales over)
+    "neardup_chain": "composite_curation_neardup",
+    "ivf_build_probe": "similarity_topk_ivf_kmeans",
+}
+_ID_STRIDE = 10_000_000  # far above any fixture id; keeps replica ids disjoint
+
+
+def fit_exponent(points: list[tuple[float, float]]) -> float:
+    """Least-squares slope of ln(time) on ln(scale) over (scale, time)
+    pairs — the observed scaling exponent. Pure math, unit-tested."""
+    import math
+
+    xs = [math.log(s) for s, _ in points]
+    ys = [math.log(max(t, 1e-6)) for _, t in points]
+    n = len(points)
+    mx, my = sum(xs) / n, sum(ys) / n
+    var = sum((x - mx) ** 2 for x in xs)
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    return round(cov / var, 3) if var else 0.0
+
+
+def _synthesize_scaled(spark, base_dir: str, out_dir: str, scale: int) -> None:
+    """Write documents+embeddings at `scale`x the base corpus into
+    out_dir/{documents,embeddings}.parquet (untimed — fixture build)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from kstreams_spark.io import load_table
+
+    docs = load_table(spark, base_dir, "documents")
+    embs = load_table(spark, base_dir, "embeddings")
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    doc_parts, emb_parts = [], []
+    for r in range(scale):
+        rot = alpha[r % 26 :] + alpha[: r % 26]
+        salted = F.concat(
+            F.translate(F.col("text"), alpha, rot), F.lit(" the a")
+        )
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * _ID_STRIDE)).alias("doc_id"),
+                salted.alias("text"),
+                "lang",
+                "source",
+                F.length(salted).cast("int").alias("n_chars"),
+            )
+        )
+        emb_parts.append(
+            embs.select(
+                (F.col("vec_id") + F.lit(r * _ID_STRIDE)).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x
+                    + ((i * 131 + F.lit(r * 977)) % 1000 - 500).cast("double")
+                    * F.lit(1e-6),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    union = lambda parts: reduce(DataFrame.unionByName, parts)  # noqa: E731
+    union(doc_parts).repartition(4 * scale).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    union(emb_parts).repartition(4 * scale).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
+def _read_existing_scale_probe() -> dict | None:
+    """Prior probe results from BENCH_DETAIL.json, if any — carried
+    forward so the normal bench run and the probe mode compose in either
+    order."""
+    try:
+        with open(os.path.join(REPO, "BENCH_DETAIL.json")) as fh:
+            return json.load(fh).get("scale_probe")
+    except (OSError, ValueError):
+        return None
+
+
+def run_scale_probe() -> None:
+    import shutil
+    import tempfile
+
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    m = re.search(r"sf([0-9.]+)", base_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_session(app_name="kstreams_spark_scale_probe", cores=cores)
+
+    tmp = tempfile.mkdtemp(prefix="kstreams_scale_probe_")
+    results: dict[str, dict] = {}
+    try:
+        for s in SCALE_PROBE_SCALES:
+            _synthesize_scaled(spark, base_dir, os.path.join(tmp, f"s{s}"), s)
+        # warm codegen/JVM once per family on the smallest corpus
+        for qname in SCALE_PROBE_FAMILIES.values():
+            registry.QUERIES[qname](
+                spark, os.path.join(tmp, "s1")
+            ).write.format("noop").mode("overwrite").save()
+        for fam, qname in SCALE_PROBE_FAMILIES.items():
+            times: dict[str, float] = {}
+            fam_passes: dict[str, list[float]] = {}
+            for s in SCALE_PROBE_SCALES:
+                sdir = os.path.join(tmp, f"s{s}")
+                ps = []
+                for _ in range(2):
+                    t0 = time.time()
+                    registry.QUERIES[qname](spark, sdir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    ps.append(round(time.time() - t0, 3))
+                times[str(s)] = min(ps)
+                fam_passes[str(s)] = ps
+            pts = [(float(s), times[str(s)]) for s in SCALE_PROBE_SCALES]
+            results[fam] = {
+                "query": qname,
+                "base_sf": sf,
+                "scales": list(SCALE_PROBE_SCALES),
+                "times": times,
+                "passes": fam_passes,
+                # full fit over all points; the TAIL fit (two largest
+                # scales) is the one to read — fixed per-job overhead
+                # dilutes the full fit toward 0 at local corpus sizes
+                # (SCALE.md "Scale probe"); a superlinear term shows up
+                # in BOTH as > 1
+                "exponent": fit_exponent(pts),
+                "exponent_tail": fit_exponent(pts[-2:]),
+            }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # merge into the sidecar (never clobber a normal run's query map)
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    try:
+        with open(detail_path) as fh:
+            detail = json.load(fh)
+    except (OSError, ValueError):
+        detail = {"metric": "headline_queries_detail", "unit": "sec", "sf": sf}
+    detail["scale_probe"] = results
+    with open(detail_path, "w") as fh:
+        fh.write(json.dumps(detail))
+    print(json.dumps({"scale_probe": results}))
+    summary = {
+        "metric": "scale_probe",
+        "unit": "exponent",
+        "sf": sf,
+        "exponents": {fam: r["exponent"] for fam, r in results.items()},
+        "exponents_tail": {
+            fam: r["exponent_tail"] for fam, r in results.items()
+        },
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary)
+    assert len(line.encode()) <= SUMMARY_MAX_BYTES
+    print(line)
 
 
 if __name__ == "__main__":

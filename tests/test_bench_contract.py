@@ -73,6 +73,55 @@ def test_canary_ratio_normalizes_machine_state():
     assert set(bench.CANARY) <= set(bench.HEADLINE)
 
 
+def test_fit_exponent_recovers_power_laws():
+    """VERDICT r11 task 5: the scale-probe exponent is the least-squares
+    slope of log-time on log-scale — exact on perfect power laws."""
+    assert bench.fit_exponent([(1, 2.0), (3, 6.0), (10, 20.0)]) == 1.0
+    assert bench.fit_exponent([(1, 1.0), (4, 16.0)]) == 2.0
+    assert bench.fit_exponent([(1, 5.0), (3, 5.0), (10, 5.0)]) == 0.0
+    # superlinear shows up ABOVE 1 (n log n fits ~1.5 over 1..10 because
+    # the log grows fast off the tiny base; quadratic fits exactly 2)
+    import math
+
+    nlogn = bench.fit_exponent(
+        [(s, s * math.log(s + 1)) for s in (1, 3, 10)]
+    )
+    assert 1.0 < nlogn < 2.0
+
+
+def test_scale_probe_families_are_registered_and_summary_bounded():
+    from kstreams_spark import registry
+
+    registry.load_all()
+    for fam, qname in bench.SCALE_PROBE_FAMILIES.items():
+        assert qname in registry.QUERIES, (fam, qname)
+    # the probe's own LAST line stays inside the driver tail window
+    summary = json.dumps(
+        {
+            "metric": "scale_probe",
+            "unit": "exponent",
+            "sf": 0.1,
+            "exponents": {f: 1.234 for f in bench.SCALE_PROBE_FAMILIES},
+            "detail": "BENCH_DETAIL.json",
+        }
+    )
+    assert len(summary.encode()) <= bench.SUMMARY_MAX_BYTES
+
+
+def test_scale_probe_carried_forward_in_detail():
+    """A normal bench run must not erase a prior probe's scale_probe map
+    (format_output merges it into the detail sidecar)."""
+    sp = {"neardup_chain": {"exponent": 1.02}}
+    detail_line, summary_line = bench.format_output(
+        {"q": 1.0}, {}, 0.1, scale_probe=sp
+    )
+    assert json.loads(detail_line)["scale_probe"] == sp
+    assert "scale_probe" not in json.loads(summary_line)
+    # and absent stays absent (no empty-key noise)
+    detail_line, _ = bench.format_output({"q": 1.0}, {}, 0.1)
+    assert "scale_probe" not in json.loads(detail_line)
+
+
 def test_headline_names_are_registered():
     """Every headline entry must resolve — a typo'd name silently
     shrinks the bench (the filter drops unknowns)."""
