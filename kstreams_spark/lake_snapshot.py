@@ -22,12 +22,23 @@ Delta/Iceberg commit protocol re-expressed over plain parquet:
   no snapshot references — recovery is "run the op again", and vacuum
   sweeps the orphans.
 
-At 100 TB the manifest itself becomes the scaling concern (millions of
-file entries) — production uses a table format whose log is exactly
-this shape plus checkpointing/compaction of the log; the commit
-protocol, reader pinning, and vacuum semantics here carry over
-unchanged. Partition values must keep the letter-prefix convention
-(CLAUDE.md: directory values are type-inferred on read).
+Log scaling (r12 — the caveat this paragraph used to state, closed):
+manifests are DELTAS — each commit records only `adds`/`removes`
+against the previous version, so commit cost is O(files changed), not
+O(files in the table). Full state lives in CHECKPOINT sidecars
+(`v{N}.checkpoint.json`), written every CHECKPOINT_INTERVAL commits
+and for the oldest retained version at vacuum time; a reader resolves
+version v by loading the nearest checkpoint ≤ v and replaying ≤
+CHECKPOINT_INTERVAL deltas — exactly Delta's `_delta_log` shape
+(JSON actions + parquet checkpoints). Checkpoints are DERIVED data,
+recomputable from the delta chain, so they sit outside the commit's
+atomicity: they're written create-exclusive after the commit lands,
+and a lost checkpoint race or a crash before the checkpoint write
+costs nothing (the next reader replays a longer chain; a later vacuum
+or commit re-attempts). Legacy full-list manifests (pre-r12 `files`
+key) act as self-checkpoints, so old logs read unchanged. Partition
+values must keep the letter-prefix convention (CLAUDE.md: directory
+values are type-inferred on read).
 
 Concurrency contract (r12 — optimistic, the Delta/Iceberg model):
 concurrent READERS are always safe (they pin a committed manifest).
@@ -46,6 +57,10 @@ On losing the race a writer re-validates against the new latest:
   rewrite from a base snapshot; a conflicting commit invalidates that
   rewrite, so it aborts loudly — re-run against the new latest (its
   orphaned rewrite files are vacuum-swept).
+
+Consumers: snapshot_diff (batch CDC between two versions, below) and
+sources/lake_cdf.py (the same feed as a STREAMING source — offsets are
+manifest versions; Delta readChangeFeed's shape).
 
 Reference: the lake surface extends the reference's declared
 persistence growth path (BME680.java:41-44 — Avro/storage),
@@ -66,6 +81,10 @@ from pyspark.sql import functions as F
 
 _LOG = "_log"
 
+# Full-state checkpoint cadence (Delta's checkpointInterval default):
+# a reader replays at most this many delta manifests past a checkpoint.
+CHECKPOINT_INTERVAL = 10
+
 
 def _log_dir(path: str) -> str:
     return os.path.join(path, _LOG)
@@ -75,6 +94,10 @@ def _manifest_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"v{version:010d}.json")
 
 
+def _checkpoint_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"v{version:010d}.checkpoint.json")
+
+
 def snapshot_versions(path: str) -> list[int]:
     """Committed snapshot versions, ascending."""
     if not os.path.isdir(_log_dir(path)):
@@ -82,13 +105,62 @@ def snapshot_versions(path: str) -> list[int]:
     return sorted(
         int(n[1:-5])
         for n in os.listdir(_log_dir(path))
-        if n.startswith("v") and n.endswith(".json")
+        if n.startswith("v")
+        and n.endswith(".json")
+        and ".checkpoint" not in n
     )
 
 
 def _read_manifest(path: str, version: int) -> dict:
     with open(_manifest_path(path, version)) as fh:
         return json.load(fh)
+
+
+def _live_files(path: str, version: int) -> set[str]:
+    """The live file set at `version`: nearest checkpoint at or below it
+    (a checkpoint sidecar, or a legacy manifest carrying a full `files`
+    list) plus a replay of the delta manifests above — O(files) for the
+    checkpoint read + O(changes) per replayed delta, never O(table)
+    per commit."""
+    deltas: list[dict] = []
+    v = version
+    state: set[str] = set()
+    while v >= 1:
+        cp = _checkpoint_path(path, v)
+        if os.path.exists(cp):
+            with open(cp) as fh:
+                state = set(json.load(fh)["files"])
+            break
+        m = _read_manifest(path, v)
+        if "files" in m:  # legacy full-list manifest: self-checkpoint
+            state = set(m["files"])
+            break
+        deltas.append(m)
+        v -= 1
+    for m in reversed(deltas):
+        state = (state - set(m["removes"])) | set(m["adds"])
+    return state
+
+
+def _write_checkpoint(path: str, version: int, files: set[str]) -> None:
+    """Write the full-state sidecar for `version` — DERIVED data outside
+    the commit's atomicity: create-exclusive, and a lost race (another
+    actor checkpointed the same version) or a crash costs nothing
+    (readers replay the delta chain; the next vacuum/commit retries)."""
+    final = _checkpoint_path(path, version)
+    if os.path.exists(final):
+        return
+    tmp = os.path.join(
+        _log_dir(path),
+        f".tmp-cp{version}-{os.getpid()}-{_uuid.uuid4().hex[:8]}",
+    )
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "files": sorted(files)}, fh)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        pass  # concurrent checkpointer won; content is identical
+    os.remove(tmp)
 
 
 def _list_files(path: str) -> set[str]:
@@ -129,10 +201,16 @@ def _commit(
     The committed-epoch set (SnapshotLakeSink's exactly-once record) is
     CARRIED FORWARD into every manifest, so vacuum() retiring old
     versions can never turn a checkpoint-lagged epoch replay into a
-    duplicate commit — the newest manifest always knows every epoch."""
+    duplicate commit — the newest manifest always knows every epoch.
+
+    Log scaling (r12): the manifest body records only the DELTA against
+    the previous version (`adds`/`removes` — O(files changed)); full
+    state lives in checkpoint sidecars written every
+    CHECKPOINT_INTERVAL commits (module docstring)."""
     while True:
         versions = snapshot_versions(path)
         latest = versions[-1] if versions else 0
+        prev_live = _live_files(path, latest) if versions else set()
         if base_version is not None and latest != base_version:
             if recompute is None:
                 raise ValueError(
@@ -140,9 +218,7 @@ def _commit(
                     f"v{base_version} but v{latest} is now committed — "
                     "re-run the operation against the new snapshot"
                 )
-            files = recompute(
-                set(_read_manifest(path, latest)["files"]) if versions else set()
-            )
+            files = recompute(prev_live)
             base_version = latest
         version = latest + 1
         epochs = (
@@ -154,7 +230,8 @@ def _commit(
         body = {
             "version": version,
             "op": op,
-            "files": sorted(files),
+            "adds": sorted(files - prev_live),
+            "removes": sorted(prev_live - files),
             "schema": schema_ddl,
             "epochs": epochs,
         }
@@ -181,6 +258,8 @@ def _commit(
                 base_version = -1
             continue
         os.remove(tmp)
+        if version % CHECKPOINT_INTERVAL == 0:
+            _write_checkpoint(path, version, files)
         return version
 
 
@@ -204,7 +283,7 @@ def snapshot_publish(
     if mode == "append":
         versions = snapshot_versions(path)
         base = versions[-1] if versions else 0
-        live = set(_read_manifest(path, base)["files"]) if versions else set()
+        live = _live_files(path, base) if versions else set()
         return _commit(
             path,
             live | new,
@@ -236,11 +315,12 @@ def snapshot_read(
     if v not in versions:
         raise ValueError(f"snapshot v{v} not in committed versions {versions}")
     m = _read_manifest(path, v)
-    if not m["files"]:
+    files = _live_files(path, v)
+    if not files:
         return spark.createDataFrame([], m["schema"])
     # basePath keeps the partition columns parsed from the dir names
     return spark.read.option("basePath", path).parquet(
-        *[os.path.join(path, f) for f in m["files"]]
+        *[os.path.join(path, f) for f in sorted(files)]
     )
 
 
@@ -324,7 +404,7 @@ def snapshot_delete_where(
         raise ValueError(f"no committed snapshots under {path}")
     base_version = versions[-1]
     m = _read_manifest(path, versions[-1])
-    live = set(m["files"])
+    live = _live_files(path, versions[-1])
     snap = snapshot_read(spark, path)
     affected = _partition_values(snap, condition, partition_cols)
     if not affected:
@@ -372,7 +452,7 @@ def snapshot_compact(
         raise ValueError(f"no committed snapshots under {path}")
     base_version = versions[-1]
     m = _read_manifest(path, versions[-1])
-    live = set(m["files"])
+    live = _live_files(path, versions[-1])
     by_dir: dict[str, list[str]] = {}
     for f in live:
         by_dir.setdefault(os.path.dirname(f), []).append(f)
@@ -463,7 +543,13 @@ def vacuum(
     }
     referenced: set[str] = set()
     for v in retained:
-        referenced |= set(_read_manifest(path, v)["files"])
+        referenced |= _live_files(path, v)
+    # the oldest retained version's delta chain may reach below the
+    # manifests about to be dropped — checkpoint it FIRST so every
+    # retained version stays resolvable (retained is a suffix of
+    # `versions`, so the rest replay forward from this one)
+    oldest = min(retained)
+    _write_checkpoint(path, oldest, _live_files(path, oldest))
     removed = 0
     for f in sorted(_list_files(path) - referenced):
         full = os.path.join(path, f)
@@ -474,9 +560,15 @@ def vacuum(
     for v in versions:
         if v not in retained:
             os.remove(_manifest_path(path, v))
-    # sweep stale tmp manifests (age-guarded: a live committer's tmp
-    # must survive until its os.link) and now-empty partition dirs
-    for tmp in _glob.glob(os.path.join(_log_dir(path), ".tmp-v*")):
+            cp = _checkpoint_path(path, v)
+            if os.path.exists(cp):
+                os.remove(cp)
+    # sweep stale tmp manifests/checkpoints (age-guarded: a live
+    # committer's tmp must survive until its os.link) and now-empty
+    # partition dirs
+    for tmp in _glob.glob(os.path.join(_log_dir(path), ".tmp-v*")) + _glob.glob(
+        os.path.join(_log_dir(path), ".tmp-cp*")
+    ):
         if not _young(tmp):
             os.remove(tmp)
     for root, dirs, files in os.walk(path, topdown=False):
@@ -537,11 +629,7 @@ class SnapshotLakeSink:
             return  # replay of a committed epoch: exactly-once no-op
         versions = snapshot_versions(self.path)
         base = versions[-1] if versions else 0
-        live = (
-            set(_read_manifest(self.path, base)["files"])
-            if versions
-            else set()
-        )
+        live = _live_files(self.path, base) if versions else set()
         before = _list_files(self.path)
         batch_df.write.mode("append").partitionBy(
             *self.partition_cols
@@ -599,8 +687,8 @@ def snapshot_diff(
     # expressible here because a parquet row's file is addressable
     versions = snapshot_versions(path)
     to_v = versions[-1] if to_version is None else to_version
-    f_old = set(_read_manifest(path, from_version)["files"])
-    f_new = set(_read_manifest(path, to_v)["files"])
+    f_old = _live_files(path, from_version)
+    f_new = _live_files(path, to_v)
     shared = [os.path.join(path, f) for f in sorted(f_old & f_new)]
     if shared:
         fname = F.input_file_name()

@@ -151,9 +151,8 @@ def test_snapshot_compact_is_answer_stable(spark, tmp_path, sf_dir):
         (r.doc_id, r.text, r.split, r.lang) for r in after_df.collect()
     } == before
     # physically one live file per partition
-    m = ls._read_manifest(lake, snapshot_versions(lake)[-1])
     by_dir = {}
-    for f in m["files"]:
+    for f in ls._live_files(lake, snapshot_versions(lake)[-1]):
         by_dir.setdefault(os.path.dirname(f), []).append(f)
     assert all(len(v) == 1 for v in by_dir.values())
     # pre-compact version still readable until vacuumed
@@ -306,7 +305,7 @@ def test_snapshot_diff_change_feed(spark, tmp_path, sf_dir):
     import kstreams_spark.lake_snapshot as lsnap
 
     m = lsnap._read_manifest(lake, snapshot_versions(lake)[-1])
-    live = set(m["files"])
+    live = lsnap._live_files(lake, snapshot_versions(lake)[-1])
     before = lsnap._list_files(lake)
     corpus.filter(F.col("doc_id") == DOOMED + 2).withColumn(
         "text", F.lit("rewritten body")
@@ -464,3 +463,111 @@ def test_vacuum_reader_grace(spark, tmp_path, sf_dir):
     assert snapshot_versions(lake) == [2]
     with pytest.raises(ValueError, match="not in committed versions"):
         snapshot_read(spark, lake, version=v1)
+
+
+# --- r12: delta-log checkpointing (the 100 TB manifest-scaling answer) ----
+
+
+def test_delta_log_checkpoint_cadence_and_resolution(spark, tmp_path, sf_dir):
+    """Commits are DELTAS (adds/removes, no full file list); full state
+    lands in a checkpoint sidecar every CHECKPOINT_INTERVAL commits;
+    every version resolves correctly below/at/above the boundary."""
+    import json
+
+    lake = str(tmp_path / "cp")
+    corpus = _corpus(spark, sf_dir)
+    base = corpus.filter(F.col("doc_id") < 20)
+    snapshot_publish(base, lake)  # v1
+    counts = {1: base.count()}
+    n = counts[1]
+    for v in range(2, 13):  # v2..v12: one-doc blind appends
+        add = corpus.filter(F.col("doc_id") == 20 + v)
+        snapshot_publish(add, lake, mode="append")
+        n += 1
+        counts[v] = n
+    assert snapshot_versions(lake) == list(range(1, 13))
+    # checkpoint exactly at the interval, not elsewhere
+    assert os.path.exists(ls._checkpoint_path(lake, ls.CHECKPOINT_INTERVAL))
+    assert not os.path.exists(ls._checkpoint_path(lake, 12))
+    # checkpoints are INVISIBLE to the version listing
+    assert 10 in snapshot_versions(lake)
+    # delta form: no "files" key, append adds exactly its own files
+    m12 = ls._read_manifest(lake, 12)
+    assert "files" not in m12
+    assert m12["removes"] == [] and 1 <= len(m12["adds"]) <= 4
+    # the checkpoint content equals the replayed chain
+    with open(ls._checkpoint_path(lake, 10)) as fh:
+        cp_files = set(json.load(fh)["files"])
+    ls_cp = ls._checkpoint_path(lake, 10)
+    os.rename(ls_cp, ls_cp + ".hidden")  # force a full-chain replay
+    assert ls._live_files(lake, 10) == cp_files
+    os.rename(ls_cp + ".hidden", ls_cp)
+    # resolution below / at / above the checkpoint boundary
+    for v in (1, 9, 10, 11, 12):
+        assert snapshot_read(spark, lake, version=v).count() == counts[v]
+
+
+def test_legacy_full_list_manifest_reads_and_extends(spark, tmp_path, sf_dir):
+    """A pre-r12 manifest carrying the full `files` list acts as a
+    self-checkpoint: reads work unchanged and new delta commits stack
+    on top of it."""
+    import json
+
+    lake = str(tmp_path / "legacy")
+    corpus = _corpus(spark, sf_dir).filter(F.col("doc_id") < 10)
+    snapshot_publish(corpus, lake)  # v1, delta form (adds = everything)
+    m = ls._read_manifest(lake, 1)
+    legacy = {
+        "version": 1,
+        "op": "publish",
+        "files": m["adds"],
+        "schema": m["schema"],
+        "epochs": m.get("epochs", []),
+    }
+    with open(ls._manifest_path(lake, 1), "w") as fh:
+        json.dump(legacy, fh)
+    assert snapshot_read(spark, lake, version=1).count() == corpus.count()
+    add = _corpus(spark, sf_dir).filter(F.col("doc_id") == 30)
+    snapshot_publish(add, lake, mode="append")  # v2: delta over legacy
+    assert "files" not in ls._read_manifest(lake, 2)
+    assert snapshot_read(spark, lake).count() == corpus.count() + 1
+
+
+def test_vacuum_checkpoints_oldest_retained_version(spark, tmp_path, sf_dir):
+    """Dropping manifests below the retained suffix must not strand the
+    survivors' delta chains: vacuum writes a checkpoint for the oldest
+    retained version first, so every retained version stays readable."""
+    lake = str(tmp_path / "vaccp")
+    corpus = _corpus(spark, sf_dir).filter(F.col("doc_id") < 10)
+    snapshot_publish(corpus, lake)  # v1
+    for v in range(2, 7):  # v2..v6
+        snapshot_publish(
+            corpus.filter(F.col("doc_id") == v), lake, mode="append"
+        )
+    counts = {
+        v: snapshot_read(spark, lake, version=v).count()
+        for v in snapshot_versions(lake)
+    }
+    vacuum(lake, keep_versions=3, grace_seconds=0, force=True)
+    assert snapshot_versions(lake) == [4, 5, 6]
+    assert os.path.exists(ls._checkpoint_path(lake, 4))
+    for v in (4, 5, 6):
+        assert snapshot_read(spark, lake, version=v).count() == counts[v]
+    # dropped versions leave neither manifest nor checkpoint behind
+    assert not os.path.exists(ls._manifest_path(lake, 1))
+    assert not os.path.exists(ls._checkpoint_path(lake, 1))
+
+
+def test_checkpoint_write_first_wins_and_leaves_no_tmp(tmp_path):
+    """The sidecar is derived data: a lost write race is a silent no-op
+    (content identical in real use) and tmp files never leak."""
+    import glob as g
+    import json
+
+    lake = str(tmp_path / "race")
+    os.makedirs(os.path.join(lake, "_log"))
+    ls._write_checkpoint(lake, 5, {"a.parquet"})
+    ls._write_checkpoint(lake, 5, {"b.parquet"})  # racer: loses, no-op
+    with open(ls._checkpoint_path(lake, 5)) as fh:
+        assert json.load(fh)["files"] == ["a.parquet"]
+    assert not g.glob(os.path.join(lake, "_log", ".tmp-cp*"))
