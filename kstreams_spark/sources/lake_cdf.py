@@ -1,0 +1,284 @@
+"""Lake change-data-feed STREAMING source — `spark.readStream.format(
+"kstreams_lake_cdf")` over a snapshot lake (lake_snapshot.py), the
+Delta `readChangeFeed` shape re-expressed as a Spark 4 streaming Python
+DataSource.
+
+Why it exists: r12's batch pipe (HybridIngestMaintainer.
+apply_snapshot_changes) derives the serving indexes from the lake's
+change feed one explicit version range at a time; this source makes the
+same feed a first-class STREAM — offsets are manifest versions, each
+microbatch carries the row-level changes of the versions it covers, and
+checkpoint recovery replays them bit-for-bit — so ANY downstream (not
+just the maintainer) can subscribe to the lake the way Delta consumers
+subscribe to a change feed.
+
+Output schema: the lake's own columns (the manifest's recorded schema,
+partition columns included) plus
+  _change         'insert' | 'delete' | 'update'
+  _commit_version the lake version that committed the change
+Update rows carry the POST-image (delete rows the old row) — the same
+contract as lake_snapshot.snapshot_diff, and tests pin byte-parity with
+it per version step.
+
+How a step is computed (and why it is cheap): a delta manifest already
+IS the file-level change set (`adds`/`removes` — lake_snapshot.py r12),
+so version v's row changes come from reading ONLY the changed files
+(pyarrow, partition values parsed off the directory names) and keying
+old vs new rows: only-new = insert, only-old = delete, both-but-
+different = update, both-and-equal = nothing (a compaction rewrite
+moves every row between files and must emit ZERO changes). Work per
+batch is O(changed rows), never O(table). Legacy full-list manifests
+diff against the previous version's resolved live set.
+
+Exactly-once: offsets are committed lake versions; changes are a pure
+function of the immutable manifest chain, so `readBetweenOffsets`
+regenerates any committed slice deterministically. Retention contract
+(Delta's): vacuum() must keep every version a lagging checkpoint might
+replay — grace_seconds below the maximum consumer recovery lag breaks
+replay, loudly (FileNotFoundError on the folded manifest).
+
+Scale posture, stated plainly: SimpleDataSourceStreamReader reads on
+the driver — right for CDC volumes (changed rows per commit), not for
+re-reading a 100 TB table; a full re-derivation goes through
+bootstrap_from_lake's distributed snapshot read instead. Keys must be
+unique per snapshot (the snapshot_diff contract). Partition columns
+must be scalar-typed; the letter-prefix string convention (CLAUDE.md)
+is what the fixtures use.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+from kstreams_spark.lake_snapshot import (
+    _live_files,
+    _read_manifest,
+    _unescape_partition_value,
+    snapshot_versions,
+)
+
+_META_COLS = ("_change", "_commit_version")
+
+
+def _split_top_level(body: str) -> list[str]:
+    """Split a simpleString struct body on commas OUTSIDE <> / () —
+    `a:bigint,b:array<double>,c:decimal(18,6)` → three parts."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def _schema_fields(schema_str: str) -> list[tuple[str, str]]:
+    """(name, simple-type) pairs of the manifest's recorded schema —
+    parsed WITHOUT a SparkSession (DataSource.schema() and the stream
+    reader both run in session-less Python processes, so
+    _parse_datatype_string is unavailable). The manifests store
+    DataFrame.schema.simpleString(): `struct<name:type,...>`. Nested
+    structs/maps are rejected by name — the lakes this source serves
+    are flat tables (scalars + arrays)."""
+    s = schema_str.strip()
+    if not (s.startswith("struct<") and s.endswith(">")):
+        raise ValueError(f"expected struct<...> schema, got {s[:40]!r}")
+    fields = []
+    for part in _split_top_level(s[len("struct<") : -1]):
+        name, typ = part.split(":", 1)
+        if typ.startswith(("struct<", "map<")):
+            raise ValueError(
+                f"nested type {typ[:20]!r} unsupported; the change feed "
+                "serves flat lake tables"
+            )
+        fields.append((name, typ))
+    return fields
+
+
+def _spark_type(simple: str):
+    """simpleString type → pyspark type object (no session needed)."""
+    from pyspark.sql import types as T
+
+    scalars = {
+        "string": T.StringType,
+        "bigint": T.LongType,
+        "int": T.IntegerType,
+        "smallint": T.ShortType,
+        "tinyint": T.ByteType,
+        "double": T.DoubleType,
+        "float": T.FloatType,
+        "boolean": T.BooleanType,
+        "date": T.DateType,
+        "timestamp": T.TimestampType,
+        "timestamp_ntz": T.TimestampNTZType,
+        "binary": T.BinaryType,
+    }
+    if simple in scalars:
+        return scalars[simple]()
+    if simple.startswith("array<") and simple.endswith(">"):
+        return T.ArrayType(_spark_type(simple[len("array<") : -1]))
+    if simple.startswith("decimal(") and simple.endswith(")"):
+        p, s = simple[len("decimal(") : -1].split(",")
+        return T.DecimalType(int(p), int(s))
+    raise ValueError(f"unsupported lake column type {simple!r}")
+
+
+def _coerce(value: str | None, simple_type: str):
+    """Directory-parsed partition value → the declared column type."""
+    if value is None:
+        return None
+    if simple_type in ("tinyint", "smallint", "int", "bigint"):
+        return int(value)
+    if simple_type in ("float", "double"):
+        return float(value)
+    if simple_type == "boolean":
+        return value == "true"
+    return value
+
+
+def _read_rows(
+    lake_path: str, rel_files: set[str], fields: list[tuple[str, str]]
+) -> list[dict]:
+    """Rows of the given data files as dicts, partition columns parsed
+    from the `key=value` directory segments (pyarrow — no Spark session
+    exists where a stream reader runs)."""
+    import pyarrow.parquet as pq
+
+    types = dict(fields)
+    rows: list[dict] = []
+    for rel in sorted(rel_files):
+        part_vals = {}
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                if k in types:
+                    part_vals[k] = _coerce(_unescape_partition_value(v), types[k])
+        for rec in pq.read_table(os.path.join(lake_path, rel)).to_pylist():
+            rec.update(part_vals)
+            rows.append(rec)
+    return rows
+
+
+def _eq(a, b) -> bool:
+    """Value equality with NaN==NaN and element-wise arrays — a
+    compaction rewrite of a NaN-bearing row must NOT classify as an
+    update."""
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float) and a != a and b != b:
+        return True
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def step_changes(
+    lake_path: str, version: int, key_cols: tuple[str, ...]
+) -> list[tuple]:
+    """Row-level changes version-1 → version, as output tuples (data
+    cols in manifest-schema order, then _change, _commit_version)."""
+    m = _read_manifest(lake_path, version)
+    if "files" in m:  # legacy full-list manifest
+        prev = _live_files(lake_path, version - 1) if version > 1 else set()
+        cur = set(m["files"])
+        adds, removes = cur - prev, prev - cur
+    else:
+        adds, removes = set(m["adds"]), set(m["removes"])
+    fields = _schema_fields(m["schema"])
+    names = [n for n, _ in fields]
+    keys = list(key_cols)
+
+    def key_of(r: dict):
+        return tuple(r[k] for k in keys)
+
+    old_by = {key_of(r): r for r in _read_rows(lake_path, removes, fields)}
+    new_by = {key_of(r): r for r in _read_rows(lake_path, adds, fields)}
+
+    def out(r: dict, change: str) -> tuple:
+        return tuple(r.get(n) for n in names) + (change, version)
+
+    rows: list[tuple] = []
+    for k, r in new_by.items():
+        if k not in old_by:
+            rows.append(out(r, "insert"))
+        elif not all(_eq(r.get(n), old_by[k].get(n)) for n in names):
+            rows.append(out(r, "update"))  # post-image
+        # equal rows: pure re-layout (compaction) — no change emitted
+    for k, r in old_by.items():
+        if k not in new_by:
+            rows.append(out(r, "delete"))
+    return rows
+
+
+class LakeChangeFeedStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict[str, str]) -> None:
+        self.path = options["path"]
+        self.key_cols = tuple(
+            k.strip() for k in options.get("key_cols", "doc_id").split(",")
+        )
+        # offset semantics: "changes through version N are emitted";
+        # start_version=0 streams the full committed history
+        self.start_version = int(options.get("start_version", "0"))
+        self.max_versions_per_batch = int(
+            options.get("max_versions_per_batch", "100")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        v0 = start["version"]
+        versions = snapshot_versions(self.path)
+        latest = versions[-1] if versions else 0
+        v1 = min(latest, v0 + self.max_versions_per_batch)
+        if v1 <= v0:
+            return iter([]), start
+        return self.readBetweenOffsets(start, {"version": v1}), {"version": v1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        rows: list[tuple] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            rows.extend(step_changes(self.path, v, self.key_cols))
+        return iter(rows)
+
+
+class LakeChangeFeedDataSource(DataSource):
+    """`spark.dataSource.register(LakeChangeFeedDataSource)` then
+    `spark.readStream.format("kstreams_lake_cdf")
+         .option("path", lake).load()`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kstreams_lake_cdf"
+
+    def schema(self):
+        from pyspark.sql import types as T
+
+        versions = snapshot_versions(self.options["path"])
+        if not versions:
+            raise ValueError(
+                f"no committed snapshots under {self.options['path']}"
+            )
+        fields = _schema_fields(
+            _read_manifest(self.options["path"], versions[-1])["schema"]
+        )
+        return T.StructType(
+            [T.StructField(n, _spark_type(t), True) for n, t in fields]
+            + [
+                T.StructField("_change", T.StringType(), False),
+                T.StructField("_commit_version", T.IntegerType(), False),
+            ]
+        )
+
+    def simpleStreamReader(self, schema) -> LakeChangeFeedStreamReader:
+        return LakeChangeFeedStreamReader(dict(self.options))
