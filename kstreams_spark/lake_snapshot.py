@@ -58,9 +58,21 @@ On losing the race a writer re-validates against the new latest:
   rewrite, so it aborts loudly — re-run against the new latest (its
   orphaned rewrite files are vacuum-swept).
 
+Schema contract (r12): every manifest records its version's schema and
+snapshot_read scans with it EXPLICITLY (schema from metadata, never
+from file footers — so old files NULL-fill later-added columns, time
+travel sees each version's own schema, and partition values take the
+declared type instead of directory-name inference). Append paths
+(snapshot_publish mode="append", SnapshotLakeSink) ENFORCE the
+committed schema and re-validate it inside the commit-retry loop (a
+racing evolve cannot be silently overwritten); `evolve=True` permits
+ADD-COLUMN appends; mode="replace" may take any schema (a full
+rewrite — Delta's overwriteSchema).
+
 Consumers: snapshot_diff (batch CDC between two versions, below) and
 sources/lake_cdf.py (the same feed as a STREAMING source — offsets are
-manifest versions; Delta readChangeFeed's shape).
+manifest versions; Delta readChangeFeed's shape; spans schema
+evolution by NULL-filling pre-evolve steps).
 
 Reference: the lake surface extends the reference's declared
 persistence growth path (BME680.java:41-44 — Avro/storage),
@@ -114,6 +126,66 @@ def snapshot_versions(path: str) -> list[int]:
 def _read_manifest(path: str, version: int) -> dict:
     with open(_manifest_path(path, version)) as fh:
         return json.load(fh)
+
+
+def _split_top_level(body: str) -> list[str]:
+    """Split a simpleString struct body on commas OUTSIDE <> / () —
+    `a:bigint,b:array<double>,c:decimal(18,6)` → three parts. (Shared
+    with sources/lake_cdf.py, which parses manifests in session-less
+    stream-reader processes.)"""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def _schema_fields(schema_str: str) -> list[tuple[str, str]]:
+    """(name, simple-type) pairs of a manifest's recorded schema —
+    plain string parsing, no SparkSession required."""
+    s = schema_str.strip()
+    if not (s.startswith("struct<") and s.endswith(">")):
+        raise ValueError(f"expected struct<...> schema, got {s[:40]!r}")
+    return [
+        tuple(part.split(":", 1))
+        for part in _split_top_level(s[len("struct<") : -1])
+    ]
+
+
+def _check_append_schema(
+    new_schema: str, committed: str, evolve: bool, op: str
+) -> str:
+    """Schema ENFORCEMENT on append paths (the Delta contract): an
+    appended batch must match the committed schema exactly; with
+    `evolve=True` it may ADD columns at the end (same leading fields,
+    same types — ADD COLUMN semantics; renames/drops/type changes go
+    through mode="replace", which is a full rewrite and may take any
+    schema). Returns the schema the new manifest should record."""
+    if new_schema == committed:
+        return committed
+    if not evolve:
+        raise ValueError(
+            f"{op}: schema drift — committed {committed} but the batch "
+            f"writes {new_schema}; pass evolve=True to ADD columns, or "
+            "mode='replace' to rewrite under a new schema"
+        )
+    old_f, new_f = _schema_fields(committed), _schema_fields(new_schema)
+    if new_f[: len(old_f)] != old_f or len(new_f) <= len(old_f):
+        raise ValueError(
+            f"{op}: evolve=True only APPENDS columns — committed fields "
+            f"{old_f} must be an exact prefix of {new_f} (rename/drop/"
+            "type-change requires mode='replace')"
+        )
+    return new_schema
 
 
 def _live_files(path: str, version: int) -> set[str]:
@@ -182,6 +254,7 @@ def _commit(
     new_epoch: int | None = None,
     base_version: int | None = None,
     recompute: Callable[[set[str]], set[str]] | None = None,
+    recheck_schema: Callable[[str], str] | None = None,
 ) -> int:
     """Write manifest version = last + 1. The commit point is an atomic
     CREATE-exclusive os.link of the fully-written temp manifest onto the
@@ -211,6 +284,13 @@ def _commit(
         versions = snapshot_versions(path)
         latest = versions[-1] if versions else 0
         prev_live = _live_files(path, latest) if versions else set()
+        if recheck_schema is not None and versions:
+            # schema enforcement holds even when a racing commit (e.g. a
+            # concurrent evolve) lands between the caller's check and
+            # this attempt — re-validate against what is NOW committed
+            schema_ddl = recheck_schema(
+                _read_manifest(path, latest)["schema"]
+            )
         if base_version is not None and latest != base_version:
             if recompute is None:
                 raise ValueError(
@@ -268,35 +348,52 @@ def snapshot_publish(
     path: str,
     partition_cols: tuple[str, ...] = ("split", "lang"),
     mode: str = "replace",
+    evolve: bool = False,
 ) -> int:
     """Publish a corpus as a snapshot. mode="replace" (default): the new
     snapshot lists exactly this write's files — a full replacement; old
     versions stay readable until vacuum. mode="append": the new snapshot
     is the latest live set PLUS this write's files — a blind append,
     which under a commit race auto-retries onto the next version (its
-    data files are unique-named and never conflict)."""
+    data files are unique-named and never conflict).
+
+    Schema contract (r12, the Delta model): appends ENFORCE the
+    committed schema — a drifted batch raises before writing anything;
+    `evolve=True` permits ADD-COLUMN appends (the committed fields stay
+    an exact prefix; earlier files surface the new columns as NULL via
+    snapshot_read's explicit-schema scan, and each version keeps ITS
+    schema for time travel). mode="replace" is a full rewrite and may
+    take any schema (Delta's overwriteSchema)."""
     if mode not in ("replace", "append"):
         raise ValueError(f"mode must be 'replace' or 'append', got {mode!r}")
+    schema_ddl = df.schema.simpleString()
+    recheck = lambda committed: _check_append_schema(  # noqa: E731
+        df.schema.simpleString(), committed, evolve, "snapshot_publish(append)"
+    )
+    if mode == "append":
+        versions = snapshot_versions(path)
+        if versions:  # enforce BEFORE writing any data file
+            schema_ddl = recheck(_read_manifest(path, versions[-1])["schema"])
     before = _list_files(path)
     df.write.mode("append").partitionBy(*partition_cols).parquet(path)
     new = _list_files(path) - before
     if mode == "append":
-        versions = snapshot_versions(path)
         base = versions[-1] if versions else 0
         live = _live_files(path, base) if versions else set()
         return _commit(
             path,
             live | new,
             "append",
-            df.schema.simpleString(),
+            schema_ddl,
             base_version=base,
             recompute=lambda latest_live: latest_live | new,
+            recheck_schema=recheck,
         )
     return _commit(
         path,
         new,
         "publish",
-        df.schema.simpleString(),
+        schema_ddl,
         recompute=lambda latest_live: new,
     )
 
@@ -307,7 +404,16 @@ def snapshot_read(
     """Read one committed snapshot — the latest, or a time-travel pin.
     One manifest read = one consistent cross-partition view; files a
     later (or in-flight) commit added are invisible, files it removed
-    are still here."""
+    are still here.
+
+    The scan takes THE MANIFEST'S schema explicitly (r12) — the
+    table-format read: schema from metadata, never from file footers.
+    Files written before an evolve surface the later-added columns as
+    NULL, a time-travel pin sees ITS version's schema, column order is
+    the logical schema's regardless of file listing, and partition
+    values take the declared type instead of directory-name inference."""
+    from pyspark.sql.types import _parse_datatype_string
+
     versions = snapshot_versions(path)
     if not versions:
         raise ValueError(f"no committed snapshots under {path}")
@@ -318,9 +424,15 @@ def snapshot_read(
     files = _live_files(path, v)
     if not files:
         return spark.createDataFrame([], m["schema"])
-    # basePath keeps the partition columns parsed from the dir names
-    return spark.read.option("basePath", path).parquet(
-        *[os.path.join(path, f) for f in sorted(files)]
+    # basePath keeps the partition columns parsed from the dir names;
+    # the trailing select restores the logical order (a partitioned scan
+    # appends partition columns at the end regardless of user schema)
+    st = _parse_datatype_string(m["schema"])
+    return (
+        spark.read.schema(st)
+        .option("basePath", path)
+        .parquet(*[os.path.join(path, f) for f in sorted(files)])
+        .select(*[f.name for f in st.fields])
     )
 
 
@@ -629,6 +741,13 @@ class SnapshotLakeSink:
             return  # replay of a committed epoch: exactly-once no-op
         versions = snapshot_versions(self.path)
         base = versions[-1] if versions else 0
+        if versions:  # schema enforcement, like every append path (r12)
+            _check_append_schema(
+                batch_df.schema.simpleString(),
+                _read_manifest(self.path, base)["schema"],
+                False,
+                "SnapshotLakeSink",
+            )
         live = _live_files(self.path, base) if versions else set()
         before = _list_files(self.path)
         batch_df.write.mode("append").partitionBy(
@@ -646,6 +765,12 @@ class SnapshotLakeSink:
             new_epoch=int(epoch_id),
             base_version=base,
             recompute=lambda latest_live: latest_live | new,
+            recheck_schema=lambda committed: _check_append_schema(
+                batch_df.schema.simpleString(),
+                committed,
+                False,
+                "SnapshotLakeSink",
+            ),
         )
 
     def attach(self, stream: DataFrame, checkpoint_dir: str):

@@ -56,6 +56,7 @@ from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 from kstreams_spark.lake_snapshot import (
     _live_files,
     _read_manifest,
+    _schema_fields as _parse_fields,
     _unescape_partition_value,
     snapshot_versions,
 )
@@ -63,45 +64,20 @@ from kstreams_spark.lake_snapshot import (
 _META_COLS = ("_change", "_commit_version")
 
 
-def _split_top_level(body: str) -> list[str]:
-    """Split a simpleString struct body on commas OUTSIDE <> / () —
-    `a:bigint,b:array<double>,c:decimal(18,6)` → three parts."""
-    parts, depth, cur = [], 0, []
-    for ch in body:
-        if ch in "<(":
-            depth += 1
-        elif ch in ">)":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        parts.append("".join(cur))
-    return parts
-
-
 def _schema_fields(schema_str: str) -> list[tuple[str, str]]:
     """(name, simple-type) pairs of the manifest's recorded schema —
     parsed WITHOUT a SparkSession (DataSource.schema() and the stream
     reader both run in session-less Python processes, so
-    _parse_datatype_string is unavailable). The manifests store
-    DataFrame.schema.simpleString(): `struct<name:type,...>`. Nested
-    structs/maps are rejected by name — the lakes this source serves
-    are flat tables (scalars + arrays)."""
-    s = schema_str.strip()
-    if not (s.startswith("struct<") and s.endswith(">")):
-        raise ValueError(f"expected struct<...> schema, got {s[:40]!r}")
-    fields = []
-    for part in _split_top_level(s[len("struct<") : -1]):
-        name, typ = part.split(":", 1)
+    _parse_datatype_string is unavailable; the string parser lives in
+    lake_snapshot). Nested structs/maps are rejected by name — the
+    lakes this source serves are flat tables (scalars + arrays)."""
+    fields = _parse_fields(schema_str)
+    for _name, typ in fields:
         if typ.startswith(("struct<", "map<")):
             raise ValueError(
                 f"nested type {typ[:20]!r} unsupported; the change feed "
                 "serves flat lake tables"
             )
-        fields.append((name, typ))
     return fields
 
 
@@ -183,10 +159,17 @@ def _eq(a, b) -> bool:
 
 
 def step_changes(
-    lake_path: str, version: int, key_cols: tuple[str, ...]
+    lake_path: str,
+    version: int,
+    key_cols: tuple[str, ...],
+    names: list[str] | None = None,
 ) -> list[tuple]:
     """Row-level changes version-1 → version, as output tuples (data
-    cols in manifest-schema order, then _change, _commit_version)."""
+    cols in manifest-schema order, then _change, _commit_version).
+    `names` overrides the output column list — the STREAM's schema is
+    fixed at its latest version, so steps committed before a schema
+    evolve emit None for the later-added columns (row comparison still
+    uses the step's OWN schema)."""
     m = _read_manifest(lake_path, version)
     if "files" in m:  # legacy full-list manifest
         prev = _live_files(lake_path, version - 1) if version > 1 else set()
@@ -195,7 +178,7 @@ def step_changes(
     else:
         adds, removes = set(m["adds"]), set(m["removes"])
     fields = _schema_fields(m["schema"])
-    names = [n for n, _ in fields]
+    step_names = [n for n, _ in fields]
     keys = list(key_cols)
 
     def key_of(r: dict):
@@ -203,15 +186,16 @@ def step_changes(
 
     old_by = {key_of(r): r for r in _read_rows(lake_path, removes, fields)}
     new_by = {key_of(r): r for r in _read_rows(lake_path, adds, fields)}
+    out_names = names if names is not None else step_names
 
     def out(r: dict, change: str) -> tuple:
-        return tuple(r.get(n) for n in names) + (change, version)
+        return tuple(r.get(n) for n in out_names) + (change, version)
 
     rows: list[tuple] = []
     for k, r in new_by.items():
         if k not in old_by:
             rows.append(out(r, "insert"))
-        elif not all(_eq(r.get(n), old_by[k].get(n)) for n in names):
+        elif not all(_eq(r.get(n), old_by[k].get(n)) for n in step_names):
             rows.append(out(r, "update"))  # post-image
         # equal rows: pure re-layout (compaction) — no change emitted
     for k, r in old_by.items():
@@ -221,7 +205,12 @@ def step_changes(
 
 
 class LakeChangeFeedStreamReader(SimpleDataSourceStreamReader):
-    def __init__(self, options: dict[str, str]) -> None:
+    def __init__(
+        self, options: dict[str, str], names: list[str] | None = None
+    ) -> None:
+        # the stream's data columns, fixed at plan time — steps from
+        # before a schema evolve emit None for later-added columns
+        self.names = names
         self.path = options["path"]
         self.key_cols = tuple(
             k.strip() for k in options.get("key_cols", "doc_id").split(",")
@@ -248,7 +237,9 @@ class LakeChangeFeedStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         rows: list[tuple] = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            rows.extend(step_changes(self.path, v, self.key_cols))
+            rows.extend(
+                step_changes(self.path, v, self.key_cols, names=self.names)
+            )
         return iter(rows)
 
 
@@ -281,4 +272,5 @@ class LakeChangeFeedDataSource(DataSource):
         )
 
     def simpleStreamReader(self, schema) -> LakeChangeFeedStreamReader:
-        return LakeChangeFeedStreamReader(dict(self.options))
+        names = [f.name for f in schema.fields if f.name not in _META_COLS]
+        return LakeChangeFeedStreamReader(dict(self.options), names=names)

@@ -225,3 +225,24 @@ def test_update_detection_ignores_nan_rewrites(tmp_path):
     assert _eq([1.0, nan], [1.0, nan])
     assert not _eq([1.0, nan], [nan, 1.0])
     assert _eq(None, None) and not _eq(None, 0)
+
+
+def test_stream_spans_schema_evolution(spark, tmp_path, sf_dir):
+    """The stream's schema is the latest version's; steps committed
+    BEFORE an ADD-COLUMN evolve emit None for the later-added column
+    (the same NULL-fill snapshot_read gives old files)."""
+    lake = str(tmp_path / "lake_evolve")
+    snapshot_publish(_corpus(spark, sf_dir, 0, 4), lake)  # v1: 4 docs
+    evolved = (
+        _corpus(spark, sf_dir, 30, 31).withColumn("quality", F.lit(0.9))
+    )
+    snapshot_publish(evolved, lake, mode="append", evolve=True)  # v2
+    rows = _read_cdf(spark, lake, tmp_path, "cdf_evolved")
+    assert {r.doc_id: r.quality for r in rows} == {
+        0: None,
+        1: None,
+        2: None,
+        3: None,
+        30: 0.9,
+    }
+    assert all(r._change == "insert" for r in rows)

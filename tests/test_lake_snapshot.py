@@ -571,3 +571,95 @@ def test_checkpoint_write_first_wins_and_leaves_no_tmp(tmp_path):
     with open(ls._checkpoint_path(lake, 5)) as fh:
         assert json.load(fh)["files"] == ["a.parquet"]
     assert not g.glob(os.path.join(lake, "_log", ".tmp-cp*"))
+
+
+# --- r12: schema enforcement + ADD-COLUMN evolution ------------------------
+
+
+def test_append_schema_drift_raises_before_writing(spark, tmp_path, sf_dir):
+    lake = str(tmp_path / "enforce")
+    snapshot_publish(_corpus(spark, sf_dir).filter(F.col("doc_id") < 6), lake)
+    files_before = ls._list_files(lake)
+    drifted = (
+        _corpus(spark, sf_dir)
+        .filter(F.col("doc_id") == 30)
+        .withColumn("extra", F.lit(1.5))
+    )
+    with pytest.raises(ValueError, match="evolve=True"):
+        snapshot_publish(drifted, lake, mode="append")
+    # enforcement fired BEFORE any data file landed
+    assert ls._list_files(lake) == files_before
+    assert snapshot_versions(lake) == [1]
+
+
+def test_evolve_appends_column_with_per_version_schema(
+    spark, tmp_path, sf_dir
+):
+    """ADD COLUMN: old files surface the new column as NULL (the
+    explicit-schema scan), new rows carry values, and a time-travel pin
+    sees ITS version's schema — not the latest one."""
+    lake = str(tmp_path / "evolve")
+    snapshot_publish(_corpus(spark, sf_dir).filter(F.col("doc_id") < 6), lake)
+    evolved = (
+        _corpus(spark, sf_dir)
+        .filter(F.col("doc_id") == 30)
+        .withColumn("quality", F.lit(0.75))
+    )
+    snapshot_publish(evolved, lake, mode="append", evolve=True)  # v2
+    latest = snapshot_read(spark, lake)
+    assert latest.columns == ["doc_id", "text", "split", "lang", "quality"]
+    rows = {r.doc_id: r.quality for r in latest.collect()}
+    assert rows[30] == 0.75
+    assert all(rows[d] is None for d in rows if d != 30)
+    # time travel: v1 keeps the pre-evolve schema
+    assert snapshot_read(spark, lake, version=1).columns == [
+        "doc_id",
+        "text",
+        "split",
+        "lang",
+    ]
+    # delete/compact maintenance carries the evolved schema through
+    assert snapshot_delete_where(spark, lake, "doc_id = 0") == 1
+    assert snapshot_read(spark, lake).columns[-1] == "quality"
+
+
+def test_evolve_rejects_non_append_changes(spark, tmp_path, sf_dir):
+    lake = str(tmp_path / "evolve_bad")
+    snapshot_publish(_corpus(spark, sf_dir).filter(F.col("doc_id") < 6), lake)
+    # type change
+    retyped = (
+        _corpus(spark, sf_dir)
+        .filter(F.col("doc_id") == 30)
+        .withColumn("doc_id", F.col("doc_id").cast("int"))
+    )
+    with pytest.raises(ValueError, match="exact prefix"):
+        snapshot_publish(retyped, lake, mode="append", evolve=True)
+    # dropped column
+    dropped = (
+        _corpus(spark, sf_dir).filter(F.col("doc_id") == 30).drop("text")
+    )
+    with pytest.raises(ValueError, match="exact prefix"):
+        snapshot_publish(dropped, lake, mode="append", evolve=True)
+    # replace may take ANY schema (the overwriteSchema path)
+    snapshot_publish(dropped, lake, mode="replace")
+    assert snapshot_read(spark, lake).columns == ["doc_id", "split", "lang"]
+    # ...and the old version still reads with its own schema
+    assert "text" in snapshot_read(spark, lake, version=1).columns
+
+
+def test_sink_enforces_schema_against_committed(spark, tmp_path, sf_dir):
+    from kstreams_spark.lake_snapshot import SnapshotLakeSink
+
+    lake = str(tmp_path / "sink_enforce")
+    snapshot_publish(_corpus(spark, sf_dir).filter(F.col("doc_id") < 6), lake)
+    sink = SnapshotLakeSink(lake)
+    drifted = (
+        _corpus(spark, sf_dir)
+        .filter(F.col("doc_id") == 30)
+        .withColumn("extra", F.lit(1))
+    )
+    with pytest.raises(ValueError, match="SnapshotLakeSink"):
+        sink.process_batch(drifted, 0)
+    # matching batch commits fine
+    sink.process_batch(_corpus(spark, sf_dir).filter(F.col("doc_id") == 30), 0)
+    assert snapshot_versions(lake) == [1, 2]
