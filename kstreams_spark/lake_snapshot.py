@@ -110,6 +110,49 @@ def _checkpoint_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"v{version:010d}.checkpoint.json")
 
 
+# Checkpoints above this many file entries shard into fixed-size parts
+# (Delta's multi-part checkpoint): bounded part sizes for write/read,
+# and a crash mid-write can never produce a readable-but-wrong state —
+# the completeness rule below falls back to the delta chain.
+CHECKPOINT_SHARD_FILES = 100_000
+
+
+def _checkpoint_part_path(path: str, version: int, i: int, n: int) -> str:
+    return os.path.join(
+        _log_dir(path),
+        f"v{version:010d}.checkpoint.part-{i:05d}-of-{n:05d}.json",
+    )
+
+
+def _read_checkpoint(path: str, version: int) -> set[str] | None:
+    """The checkpointed live set for `version`, or None when absent or
+    INCOMPLETE (a sharded write that crashed mid-way: fewer parts on
+    disk than the names declare — fall back to the delta chain; the
+    slices are a deterministic function of the version's immutable live
+    set, so a later writer completes the same torn set in place)."""
+    cp = _checkpoint_path(path, version)
+    if os.path.exists(cp):
+        with open(cp) as fh:
+            return set(json.load(fh)["files"])
+    parts = sorted(
+        _glob.glob(
+            os.path.join(
+                _log_dir(path), f"v{version:010d}.checkpoint.part-*.json"
+            )
+        )
+    )
+    if not parts:
+        return None
+    n = int(parts[0].rsplit("-of-", 1)[1].split(".")[0])
+    if len(parts) != n:
+        return None
+    out: set[str] = set()
+    for p in parts:
+        with open(p) as fh:
+            out |= set(json.load(fh)["files"])
+    return out
+
+
 def snapshot_versions(path: str) -> list[int]:
     """Committed snapshot versions, ascending."""
     if not os.path.isdir(_log_dir(path)):
@@ -198,10 +241,9 @@ def _live_files(path: str, version: int) -> set[str]:
     v = version
     state: set[str] = set()
     while v >= 1:
-        cp = _checkpoint_path(path, v)
-        if os.path.exists(cp):
-            with open(cp) as fh:
-                state = set(json.load(fh)["files"])
+        cp_files = _read_checkpoint(path, v)
+        if cp_files is not None:
+            state = cp_files
             break
         m = _read_manifest(path, v)
         if "files" in m:  # legacy full-list manifest: self-checkpoint
@@ -218,21 +260,46 @@ def _write_checkpoint(path: str, version: int, files: set[str]) -> None:
     """Write the full-state sidecar for `version` — DERIVED data outside
     the commit's atomicity: create-exclusive, and a lost race (another
     actor checkpointed the same version) or a crash costs nothing
-    (readers replay the delta chain; the next vacuum/commit retries)."""
-    final = _checkpoint_path(path, version)
-    if os.path.exists(final):
+    (readers replay the delta chain; the next vacuum/commit retries,
+    completing any torn shard set in place — the slices are a pure
+    function of the version's immutable live set). Above
+    CHECKPOINT_SHARD_FILES entries the checkpoint shards into
+    fixed-size parts named `part-{i}-of-{n}` — a reader requires all n
+    (see _read_checkpoint). Production formats store the parts as
+    parquet for predicate-pruned checkpoint scans; the layout and
+    completeness protocol are what this re-expresses."""
+    if _read_checkpoint(path, version) is not None:
         return
-    tmp = os.path.join(
-        _log_dir(path),
-        f".tmp-cp{version}-{os.getpid()}-{_uuid.uuid4().hex[:8]}",
-    )
-    with open(tmp, "w") as fh:
-        json.dump({"version": version, "files": sorted(files)}, fh)
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        pass  # concurrent checkpointer won; content is identical
-    os.remove(tmp)
+
+    def _link(body: dict, final: str) -> None:
+        tmp = os.path.join(
+            _log_dir(path),
+            f".tmp-cp{version}-{os.getpid()}-{_uuid.uuid4().hex[:8]}",
+        )
+        with open(tmp, "w") as fh:
+            json.dump(body, fh)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            pass  # concurrent checkpointer won; content is identical
+        os.remove(tmp)
+
+    ordered = sorted(files)
+    if len(ordered) <= CHECKPOINT_SHARD_FILES:
+        _link(
+            {"version": version, "files": ordered},
+            _checkpoint_path(path, version),
+        )
+        return
+    n = -(-len(ordered) // CHECKPOINT_SHARD_FILES)
+    for i in range(n):
+        part = ordered[
+            i * CHECKPOINT_SHARD_FILES : (i + 1) * CHECKPOINT_SHARD_FILES
+        ]
+        _link(
+            {"version": version, "part": i, "n_parts": n, "files": part},
+            _checkpoint_part_path(path, version, i, n),
+        )
 
 
 def _list_files(path: str) -> set[str]:
@@ -548,6 +615,81 @@ def snapshot_delete_where(
     return deleted
 
 
+def snapshot_merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    partition_cols: tuple[str, ...] = ("split", "lang"),
+    evolve: bool = False,
+) -> dict:
+    """MERGE INTO (the Delta verb this lake was missing — tests used to
+    hand-roll upserts with _commit): source rows whose keys exist in
+    the latest snapshot REPLACE those rows (post-image = the source
+    row); the rest INSERT. Copy-on-write at partition grain with ONE
+    cross-partition commit — a reader sees the whole merge or none of
+    it. Returns {"updated", "inserted", "version"}.
+
+    Shape: one semi-join finds the matched target rows; only the
+    partitions CONTAINING matches rewrite (their survivors = target
+    anti-join source keys); all source rows append (an update whose
+    source row carries a NEW partition value lands there while the old
+    partition's rewrite drops the key — cross-partition moves are
+    correct by construction). Source keys must be unique — multiple
+    source rows for one key raise, the Delta MERGE error. `evolve=True`
+    applies the ADD-COLUMN contract: survivors NULL-fill the new
+    columns (unionByName allowMissingColumns) and the commit records
+    the evolved schema. A concurrent commit aborts loudly
+    (maintenance semantics — re-run against the new snapshot). Crash
+    anywhere before the commit = all-old plus vacuum-able orphans."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {path}")
+    base_version = versions[-1]
+    m = _read_manifest(path, base_version)
+    schema_ddl = _check_append_schema(
+        source.schema.simpleString(), m["schema"], evolve, "snapshot_merge"
+    )
+    live = _live_files(path, base_version)
+    keys = list(key_cols)
+    dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
+    if dup.limit(1).count():
+        raise ValueError(
+            "snapshot_merge: multiple source rows share a key — one "
+            "intent per key (the Delta MERGE contract); pre-aggregate "
+            "the source"
+        )
+    target = snapshot_read(spark, path, base_version)
+    src_keys = source.select(*keys).distinct()
+    matched = target.join(src_keys, keys, "semi")
+    updated = matched.count()
+    inserted = source.count() - updated
+    affected = matched.select(*partition_cols).distinct().collect()
+    removed: set[str] = set()
+    survivors = None
+    for row in affected:
+        removed |= {f for f in live if _in_partition(f, row, partition_cols)}
+        part = target.filter(_partition_filter(row, partition_cols))
+        keep = part.join(src_keys, keys, "anti")
+        survivors = keep if survivors is None else survivors.unionByName(keep)
+    before_files = _list_files(path)
+    to_write = (
+        source
+        if survivors is None
+        else survivors.unionByName(source, allowMissingColumns=evolve)
+    )
+    to_write.write.mode("append").partitionBy(*partition_cols).parquet(path)
+    added = _list_files(path) - before_files
+    version = _commit(
+        path,
+        (live - removed) | added,
+        "merge",
+        schema_ddl,
+        base_version=base_version,
+    )
+    return {"updated": updated, "inserted": inserted, "version": version}
+
+
 def snapshot_compact(
     spark: SparkSession,
     path: str,
@@ -672,8 +814,9 @@ def vacuum(
     for v in versions:
         if v not in retained:
             os.remove(_manifest_path(path, v))
-            cp = _checkpoint_path(path, v)
-            if os.path.exists(cp):
+            for cp in _glob.glob(
+                os.path.join(_log_dir(path), f"v{v:010d}.checkpoint*")
+            ):
                 os.remove(cp)
     # sweep stale tmp manifests/checkpoints (age-guarded: a live
     # committer's tmp must survive until its os.link) and now-empty
@@ -826,6 +969,14 @@ def snapshot_diff(
         old = old.withColumn("_f", fname).filter(keep).drop("_f")
         new = new.withColumn("_f", fname).filter(keep).drop("_f")
     keys = list(key_cols)
+    # schema evolution: align both sides on the UNION of columns — the
+    # pre-evolve side NULL-fills added columns (matching what its rows
+    # read as today), a replace-dropped column still participates (its
+    # values changing to absent IS a row change)
+    for c in [c for c in new.columns if c not in old.columns]:
+        old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+    for c in [c for c in old.columns if c not in new.columns]:
+        new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
     data_cols = [c for c in new.columns if c not in keys]
     o = old.select(*keys, F.struct(*data_cols).alias("_old"))
     n = new.select(*keys, F.struct(*data_cols).alias("_new"))

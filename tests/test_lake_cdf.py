@@ -45,26 +45,14 @@ def _build_lake_v1_to_v5(spark, sf_dir, lake) -> None:
     snapshot_publish(_corpus(spark, sf_dir), lake)  # v1
     snapshot_publish(_corpus(spark, sf_dir, 20, 22), lake, mode="append")  # v2
     snapshot_delete_where(spark, lake, "doc_id IN (0, 1)")  # v3
-    # v4: manual upsert commit — rewrite the train partition with doc 2
-    # modified; every other train row moves files UNCHANGED (the
+    # v4: MERGE — doc 2's post-image; the merge rewrites the whole train
+    # partition, so every other train row moves files UNCHANGED (the
     # rewrite-noise the row-level diff must filter)
-    latest = snapshot_versions(lake)[-1]
-    live = ls._live_files(lake, latest)
-    m = ls._read_manifest(lake, latest)
-    snap = snapshot_read(spark, lake)
-    before = ls._list_files(lake)
-    snap.filter(F.col("split") == "train").withColumn(
-        "text",
-        F.when(F.col("doc_id") == 2, F.lit("rewritten body")).otherwise(
-            F.col("text")
-        ),
-    ).write.mode("append").partitionBy("split", "lang").parquet(lake)
-    added = ls._list_files(lake) - before
-    removed = {f for f in live if f.startswith("split=train")}
-    ls._commit(
-        lake, (live - removed) | added, "upsert", m["schema"],
-        base_version=latest,
+    src = _corpus(spark, sf_dir, 2, 3).withColumn(
+        "text", F.lit("rewritten body")
     )
+    r = ls.snapshot_merge(spark, lake, src)
+    assert r["updated"] == 1 and r["inserted"] == 0
     assert snapshot_compact(spark, lake, n_files=1) >= 1  # v5
 
 

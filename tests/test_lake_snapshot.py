@@ -663,3 +663,166 @@ def test_sink_enforces_schema_against_committed(spark, tmp_path, sf_dir):
     # matching batch commits fine
     sink.process_batch(_corpus(spark, sf_dir).filter(F.col("doc_id") == 30), 0)
     assert snapshot_versions(lake) == [1, 2]
+
+
+def test_sharded_checkpoint_roundtrip_completion_and_vacuum(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """Checkpoints above CHECKPOINT_SHARD_FILES entries shard into
+    part-{i}-of-{n} files: write/read roundtrip, torn-set fallback to
+    the delta chain, in-place completion by a later writer, vacuum
+    sweep of dropped versions' parts."""
+    import glob as g
+    import json
+
+    monkeypatch.setattr(ls, "CHECKPOINT_SHARD_FILES", 3)
+    lake = str(tmp_path / "shard")
+    corpus = _corpus(spark, sf_dir).filter(F.col("doc_id") < 8)
+    snapshot_publish(corpus.repartition(4), lake, partition_cols=())  # v1
+    live = ls._live_files(lake, 1)
+    assert len(live) > 3  # big enough to shard under the patched limit
+
+    ls._write_checkpoint(lake, 1, live)
+    parts = sorted(g.glob(os.path.join(lake, "_log", "v*checkpoint.part-*")))
+    assert len(parts) >= 2
+    assert not os.path.exists(ls._checkpoint_path(lake, 1))  # sharded form
+    assert ls._read_checkpoint(lake, 1) == live
+    # completeness declared in the names
+    n = int(parts[0].rsplit("-of-", 1)[1].split(".")[0])
+    assert len(parts) == n
+    with open(parts[0]) as fh:
+        assert json.load(fh)["n_parts"] == n
+
+    # torn set: drop one part -> reader falls back (None), resolution
+    # still works off the delta chain
+    os.remove(parts[1])
+    assert ls._read_checkpoint(lake, 1) is None
+    assert ls._live_files(lake, 1) == live
+    # a later writer COMPLETES the torn set in place (slices are a pure
+    # function of the immutable live set)
+    ls._write_checkpoint(lake, 1, live)
+    assert ls._read_checkpoint(lake, 1) == live
+
+    # vacuum sweeps dropped versions' checkpoint parts
+    snapshot_publish(corpus.repartition(2), lake, partition_cols=())  # v2
+    vacuum(lake, keep_versions=1, grace_seconds=0, force=True)
+    assert g.glob(os.path.join(lake, "_log", "v0000000001.checkpoint*")) == []
+    assert snapshot_read(spark, lake).count() == corpus.count()
+
+
+# --- r12: MERGE INTO -------------------------------------------------------
+
+
+def test_merge_upserts_atomically_with_time_travel(spark, tmp_path, sf_dir):
+    from kstreams_spark.lake_snapshot import snapshot_merge
+
+    lake = str(tmp_path / "merge")
+    corpus = _corpus(spark, sf_dir).filter(F.col("doc_id") < 10)
+    snapshot_publish(corpus, lake)  # v1
+    # source: update docs 2,3 (post-image text), insert docs 30,31
+    src = (
+        _corpus(spark, sf_dir)
+        .filter(F.col("doc_id").isin([2, 3, 30, 31]))
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") < 10, F.lit("merged body")).otherwise(
+                F.col("text")
+            ),
+        )
+    )
+    r = snapshot_merge(spark, lake, src)
+    assert r == {"updated": 2, "inserted": 2, "version": 2}
+    now = {x.doc_id: x.text for x in snapshot_read(spark, lake).collect()}
+    assert len(now) == 12
+    assert now[2] == "merged body" and now[3] == "merged body"
+    assert now[0] != "merged body"  # survivors untouched
+    # time travel: pre-merge snapshot intact
+    old = {
+        x.doc_id: x.text
+        for x in snapshot_read(spark, lake, version=1).collect()
+    }
+    assert len(old) == 10 and old[2] != "merged body"
+
+
+def test_merge_moves_row_across_partitions(spark, tmp_path, sf_dir):
+    """An update whose source row carries a new partition value lands
+    there while the old partition's rewrite drops the key."""
+    from kstreams_spark.lake_snapshot import snapshot_merge
+
+    lake = str(tmp_path / "merge_move")
+    snapshot_publish(_corpus(spark, sf_dir).filter(F.col("doc_id") < 6), lake)
+    moved = (
+        _corpus(spark, sf_dir)
+        .filter(F.col("doc_id") == 2)  # even -> split=train originally
+        .withColumn("split", F.lit("val"))
+    )
+    r = snapshot_merge(spark, lake, moved)
+    assert r["updated"] == 1 and r["inserted"] == 0
+    rows = snapshot_read(spark, lake).filter(F.col("doc_id") == 2).collect()
+    assert [x.split for x in rows] == ["val"]  # exactly one, moved
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path, sf_dir):
+    from kstreams_spark.lake_snapshot import snapshot_merge
+
+    lake = str(tmp_path / "merge_dup")
+    snapshot_publish(_corpus(spark, sf_dir).filter(F.col("doc_id") < 6), lake)
+    src = _corpus(spark, sf_dir).filter(F.col("doc_id") == 2)
+    with pytest.raises(ValueError, match="one\\s+intent per key"):
+        snapshot_merge(spark, lake, src.unionByName(src))
+
+
+def test_merge_crash_before_commit_is_all_old(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    from kstreams_spark.lake_snapshot import snapshot_merge
+
+    lake = str(tmp_path / "merge_crash")
+    corpus = _corpus(spark, sf_dir).filter(F.col("doc_id") < 6)
+    snapshot_publish(corpus, lake)
+    real_link = os.link
+
+    def dying_link(src, dst):
+        if "_log" in dst and dst.endswith(".json"):
+            raise OSError("injected crash at the commit point")
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", dying_link)
+    src = _corpus(spark, sf_dir).filter(F.col("doc_id").isin([2, 30]))
+    with pytest.raises(OSError, match="injected"):
+        snapshot_merge(spark, lake, src)
+    monkeypatch.setattr(os, "link", real_link)
+    # readers still see v1 exactly; the staged rewrite is orphaned
+    assert snapshot_versions(lake) == [1]
+    assert snapshot_read(spark, lake).count() == corpus.count()
+    vacuum(lake, keep_versions=1, grace_seconds=0, force=True)
+    assert snapshot_read(spark, lake).count() == corpus.count()
+    # re-run completes
+    r = snapshot_merge(spark, lake, src)
+    assert r["updated"] == 1 and r["inserted"] == 1
+
+
+def test_merge_cdf_classification_and_evolve(spark, tmp_path, sf_dir):
+    """The merge commit's change feed: updates for changed matched rows,
+    inserts for the rest, rewrite noise silent; evolve=True NULL-fills
+    survivors."""
+    from kstreams_spark.lake_snapshot import snapshot_diff, snapshot_merge
+
+    lake = str(tmp_path / "merge_cdf")
+    snapshot_publish(_corpus(spark, sf_dir).filter(F.col("doc_id") < 6), lake)
+    src = (
+        _corpus(spark, sf_dir)
+        .filter(F.col("doc_id").isin([2, 30]))
+        .withColumn("text", F.lit("merged body"))
+        .withColumn("quality", F.lit(0.5))
+    )
+    r = snapshot_merge(spark, lake, src, evolve=True)
+    assert r["updated"] == 1 and r["inserted"] == 1
+    diff = {
+        x.doc_id: x._change
+        for x in snapshot_diff(spark, lake, 1, 2).collect()
+    }
+    assert diff == {2: "update", 30: "insert"}
+    rows = {x.doc_id: x.quality for x in snapshot_read(spark, lake).collect()}
+    assert rows[2] == 0.5 and rows[30] == 0.5
+    assert all(v is None for k, v in rows.items() if k not in (2, 30))
