@@ -465,10 +465,34 @@ def snapshot_publish(
     )
 
 
+def version_at_timestamp(path: str, ts: float) -> int:
+    """TIMESTAMP AS OF: the newest version committed at or before `ts`
+    (epoch seconds) — by manifest mtime, the commit point's own clock.
+    Raises when the earliest retained version is younger than `ts`
+    (vacuum already folded the history that would have answered)."""
+    versions = snapshot_versions(path)
+    eligible = [
+        v
+        for v in versions
+        if os.path.getmtime(_manifest_path(path, v)) <= ts
+    ]
+    if not eligible:
+        raise ValueError(
+            f"no snapshot committed at or before ts={ts} under {path} "
+            f"(earliest retained version is newer — vacuumed history?)"
+        )
+    return eligible[-1]
+
+
 def snapshot_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    at_timestamp: float | None = None,
 ) -> DataFrame:
-    """Read one committed snapshot — the latest, or a time-travel pin.
+    """Read one committed snapshot — the latest, a VERSION AS OF pin,
+    or a TIMESTAMP AS OF pin (`at_timestamp`, epoch seconds — resolved
+    against manifest commit times; mutually exclusive with `version`).
     One manifest read = one consistent cross-partition view; files a
     later (or in-flight) commit added are invisible, files it removed
     are still here.
@@ -484,6 +508,10 @@ def snapshot_read(
     versions = snapshot_versions(path)
     if not versions:
         raise ValueError(f"no committed snapshots under {path}")
+    if at_timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR at_timestamp, not both")
+        version = version_at_timestamp(path, at_timestamp)
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"snapshot v{v} not in committed versions {versions}")
@@ -690,17 +718,51 @@ def snapshot_merge(
     return {"updated": updated, "inserted": inserted, "version": version}
 
 
+def snapshot_restore(path: str, version: int) -> int:
+    """RESTORE TO VERSION AS OF: commit `version`'s live file set (and
+    schema) as a NEW version — the Delta RESTORE verb. Nothing is
+    copied: the restored data files are still on disk (they were
+    retained for time travel), so the restore is one manifest commit
+    whose delta re-adds what later versions removed and removes what
+    they added. History is preserved — the undone versions stay
+    readable until vacuum; the change feed reports the restore's
+    row-level effect like any other commit. Restoring past vacuumed
+    history fails on the version check. Returns the new version."""
+    versions = snapshot_versions(path)
+    if version not in versions:
+        raise ValueError(
+            f"snapshot v{version} not in committed versions {versions}"
+        )
+    return _commit(
+        path,
+        _live_files(path, version),
+        f"restore-v{version}",
+        _read_manifest(path, version)["schema"],
+        base_version=versions[-1],
+    )
+
+
 def snapshot_compact(
     spark: SparkSession,
     path: str,
     n_files: int = 1,
     partition_cols: tuple[str, ...] = ("split", "lang"),
+    zorder_by: tuple[str, str] | None = None,
 ) -> int:
     """Small-files OPTIMIZE with one cross-partition commit: every
     partition holding more than `n_files` live files is rewritten to
     `n_files` appended files; one manifest swap publishes all of them.
     Answers are identical before/during/after (pure re-layout). Returns
-    partitions compacted."""
+    partitions compacted.
+
+    `zorder_by=(col_a, col_b)` is OPTIMIZE ZORDER BY (r12): each
+    rewritten partition's rows are Morton-ordered on the two integer
+    keys (operators/layout.py — grid-normalize per partition, interleave
+    bits, range-partition into `n_files` z-contiguous files), so parquet
+    footer (min, max) stats on BOTH keys stay narrow per file and any
+    engine's scan pruning skips files on either key. When set, every
+    partition rewrites (re-layout is the point), not just oversized
+    ones."""
     versions = snapshot_versions(path)
     if not versions:
         raise ValueError(f"no committed snapshots under {path}")
@@ -715,7 +777,7 @@ def snapshot_compact(
     added: set[str] = set()
     compacted = 0
     for d, files in sorted(by_dir.items()):
-        if len(files) <= n_files:
+        if zorder_by is None and len(files) <= n_files:
             continue
         cond = F.lit(True)
         for seg in d.split(os.sep):
@@ -727,10 +789,19 @@ def snapshot_compact(
                 F.lit(_unescape_partition_value(v))
             )
         part = snap.filter(cond)
+        if zorder_by is not None:
+            from kstreams_spark.operators.layout import with_zvalue
+
+            part = (
+                with_zvalue(part, zorder_by[0], zorder_by[1])
+                .repartitionByRange(n_files, "z")
+                .sortWithinPartitions("z")
+                .drop("z")
+            )
+        else:
+            part = part.coalesce(n_files)
         before_files = _list_files(path)
-        part.coalesce(n_files).write.mode("append").partitionBy(
-            *partition_cols
-        ).parquet(path)
+        part.write.mode("append").partitionBy(*partition_cols).parquet(path)
         added |= _list_files(path) - before_files
         removed |= set(files)
         compacted += 1

@@ -826,3 +826,107 @@ def test_merge_cdf_classification_and_evolve(spark, tmp_path, sf_dir):
     rows = {x.doc_id: x.quality for x in snapshot_read(spark, lake).collect()}
     assert rows[2] == 0.5 and rows[30] == 0.5
     assert all(v is None for k, v in rows.items() if k not in (2, 30))
+
+
+# --- r12: TIMESTAMP AS OF, RESTORE, OPTIMIZE ZORDER ------------------------
+
+
+def test_timestamp_as_of_resolves_commit_times(spark, tmp_path, sf_dir):
+    import time as _time
+
+    from kstreams_spark.lake_snapshot import version_at_timestamp
+
+    lake = str(tmp_path / "ts")
+    corpus = _corpus(spark, sf_dir).filter(F.col("doc_id") < 6)
+    snapshot_publish(corpus, lake)  # v1
+    t_between = _time.time()
+    _time.sleep(0.05)
+    snapshot_publish(
+        _corpus(spark, sf_dir).filter(F.col("doc_id") == 30),
+        lake,
+        mode="append",
+    )  # v2
+    assert version_at_timestamp(lake, t_between) == 1
+    assert version_at_timestamp(lake, _time.time()) == 2
+    assert (
+        snapshot_read(spark, lake, at_timestamp=t_between).count()
+        == corpus.count()
+    )
+    with pytest.raises(ValueError, match="at or before"):
+        version_at_timestamp(lake, 0.0)  # before any commit
+    with pytest.raises(ValueError, match="not both"):
+        snapshot_read(spark, lake, version=1, at_timestamp=t_between)
+
+
+def test_restore_rewinds_without_copying(spark, tmp_path, sf_dir):
+    from kstreams_spark.lake_snapshot import snapshot_restore
+
+    lake = str(tmp_path / "restore")
+    corpus = _corpus(spark, sf_dir).filter(F.col("doc_id") < 6)
+    snapshot_publish(corpus, lake)  # v1
+    snapshot_delete_where(spark, lake, "doc_id IN (0, 1)")  # v2
+    files_before = ls._list_files(lake)
+    v3 = snapshot_restore(lake, 1)
+    assert v3 == 3
+    # nothing copied: the restore is one manifest commit
+    assert ls._list_files(lake) == files_before
+    assert snapshot_read(spark, lake).count() == corpus.count()
+    # history preserved: the undone delete still readable
+    assert snapshot_read(spark, lake, version=2).count() == corpus.count() - 2
+    # the restore's manifest delta re-adds exactly what the delete removed
+    m3 = ls._read_manifest(lake, 3)
+    assert m3["adds"] and m3["removes"]
+    # CDC sees the restore's row-level effect: docs 0,1 come back
+    from kstreams_spark.lake_snapshot import snapshot_diff
+
+    back = {
+        r.doc_id: r._change for r in snapshot_diff(spark, lake, 2, 3).collect()
+    }
+    assert back == {0: "insert", 1: "insert"}
+    with pytest.raises(ValueError, match="not in committed"):
+        snapshot_restore(lake, 99)
+
+
+def test_compact_zorder_rewrites_with_narrow_file_stats(
+    spark, tmp_path, sf_dir
+):
+    """OPTIMIZE ZORDER BY: the rewritten files carry narrow (min, max)
+    footer ranges on BOTH keys — the property scan pruning consumes."""
+    import pyarrow.parquet as pq
+
+    lake = str(tmp_path / "zorder")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .withColumn("split", F.lit("train"))
+        .withColumn("lang", F.lit("en"))
+    )
+    snapshot_publish(docs.repartition(8), lake)  # v1: 8 scrambled files
+    n = snapshot_compact(spark, lake, n_files=4, zorder_by=("doc_id", "n_chars"))
+    assert n == 1
+    after = snapshot_read(spark, lake)
+    assert after.count() == docs.count()
+    assert {r.doc_id for r in after.collect()} == {
+        r.doc_id for r in docs.collect()
+    }
+    # footer (min, max) spans shrink on BOTH z-ordered keys vs the
+    # scrambled pre-compact files (the property scan pruning consumes)
+    def mean_span(version, col_idx):
+        spans = []
+        for f in sorted(ls._live_files(lake, version)):
+            md = pq.read_metadata(os.path.join(lake, f))
+            lo = min(
+                md.row_group(i).column(col_idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(col_idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    v_pre, v_post = 1, snapshot_versions(lake)[-1]
+    assert len(ls._live_files(lake, v_post)) == 4
+    for col_idx in (0, 1):  # doc_id, n_chars
+        assert mean_span(v_post, col_idx) < 0.8 * mean_span(v_pre, col_idx)
