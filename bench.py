@@ -128,6 +128,7 @@ HEADLINE = [
     "multimodal_video_gif_frames",  # added r11: animated GIF frame decode
     "multimodal_video_gif_lct_frames",  # added r12: per-frame local color tables
     "multimodal_image_decode_gif_interlaced",  # added r12: 4-pass interlace
+    "lake_merge_restore_timetravel",  # added r12: MERGE/RESTORE/ZORDER chain
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------

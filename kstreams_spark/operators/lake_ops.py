@@ -1,0 +1,145 @@
+"""Oracle-gated queries over the snapshot lake's verb surface
+(lake_snapshot.py) — MERGE INTO, RESTORE, OPTIMIZE ZORDER, and
+time travel, value-checked by the driver's DuckDB hash gate.
+
+The r12 lake verbs were test-pinned but not oracle-checked; this module
+closes that: the query builds a REAL lake (temp dir), drives the full
+verb chain — publish v1 → merge v2 (updates + inserts) → restore v3
+(back to v1) → z-order compact v4 (pure re-layout of v3) — then reads
+EVERY version back through time travel and aggregates a per-(version,
+split) fingerprint. The DuckDB oracle replays the chain's SEMANTICS
+logically (v1 = base, v2 = merged world, v3 = v1 again, v4 = v1 again)
+with no filesystem at all, so a hash match certifies the merge's
+upsert semantics, restore's rewind, compaction's answer-stability, and
+per-version reads — not just "some rows came back".
+
+The fingerprint is the repo's portable md5→int pattern (CLAUDE.md: md5
+is the only Spark↔DuckDB-portable hash): the first four hex digits of
+md5(text) as a 16-bit integer, summed per group. A merge that writes
+the wrong post-image, a restore that leaks v2 rows, or a compaction
+that drops/duplicates a row all move the sum.
+
+Reference: extends the reference's declared persistence growth path
+(BME680.java:41-44) the same way lake_snapshot.py does; the verbs are
+Delta/Iceberg re-expressions.
+
+Shuffle budget: the lake writes are the op under test (partition-grain
+copy-on-write); the final read is 4 manifest-pinned scans + one 2-key
+aggregation. Each invocation builds its lake in a fresh temp dir
+(fixture-scale; the driver and the drift gate re-run queries, so no
+shared mutable state)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kstreams_spark.io import load_table
+from kstreams_spark.registry import query
+
+# 16-bit integer from md5(text)'s first four hex digits — the same
+# instr-based digit decode both engines evaluate identically.
+_FP = " + ".join(
+    f"(instr('0123456789abcdef', substr(md5(text), {i + 1}, 1)) - 1)"
+    f" * {16 ** (3 - i)}"
+    for i in range(4)
+)
+
+_BASE_N = 400  # corpus prefix published as v1
+_INS_N = 450  # doc_ids [400, 450) arrive as merge inserts
+
+
+def _oracle() -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'val' END AS split
+      FROM documents WHERE doc_id < {_BASE_N}
+    ),
+    merged AS (  -- v2: post-images for doc_id%7=0, survivors, inserts
+      SELECT doc_id, reverse(text) AS text, split
+      FROM base WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id, text, split FROM base WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'val' END
+      FROM documents WHERE doc_id >= {_BASE_N} AND doc_id < {_INS_N}
+    ),
+    u AS (  -- v1 = base, v2 = merged, v3 = restore(v1), v4 = compact(v3)
+      SELECT 1 AS version, * FROM base
+      UNION ALL SELECT 2, * FROM merged
+      UNION ALL SELECT 3, * FROM base
+      UNION ALL SELECT 4, * FROM base
+    )
+    SELECT version, split,
+           COUNT(*) AS n_docs,
+           SUM({_FP})::BIGINT AS fp_sum,
+           SUM(length(text))::BIGINT AS len_sum
+    FROM u GROUP BY version, split
+    """
+
+
+@query("lake_merge_restore_timetravel", oracle=_oracle())
+def lake_merge_restore_timetravel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The snapshot lake's verb chain, value-checked end-to-end (module
+    docstring): publish → MERGE (update every doc_id%7=0 to its
+    reversed text, insert [400,450)) → RESTORE to v1 → OPTIMIZE ZORDER
+    compact → read all four versions via time travel and fingerprint
+    per (version, split)."""
+    from kstreams_spark.lake_snapshot import (
+        snapshot_compact,
+        snapshot_merge,
+        snapshot_publish,
+        snapshot_read,
+        snapshot_restore,
+    )
+
+    lake = tempfile.mkdtemp(prefix="kstreams_lake_q_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, "train")
+        .otherwise("val")
+        .alias("split"),
+    )
+    base = docs.filter(F.col("doc_id") < _BASE_N)
+    snapshot_publish(base, lake, partition_cols=("split",))  # v1
+    src = (
+        base.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("text", F.reverse(F.col("text")))
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") >= _BASE_N) & (F.col("doc_id") < _INS_N)
+            )
+        )
+    )
+    snapshot_merge(
+        spark, lake, src, key_cols=("doc_id",), partition_cols=("split",)
+    )  # v2
+    snapshot_restore(lake, 1)  # v3: rewind the merge
+    snapshot_compact(
+        spark,
+        lake,
+        n_files=2,
+        partition_cols=("split",),
+        zorder_by=("doc_id", "doc_id"),
+    )  # v4: pure re-layout of v3
+    reads = [
+        snapshot_read(spark, lake, version=v).withColumn(
+            "version", F.lit(v)
+        )
+        for v in (1, 2, 3, 4)
+    ]
+    from functools import reduce
+
+    u = reduce(DataFrame.unionByName, reads)
+    return u.groupBy("version", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(f"SUM({_FP})").cast("bigint").alias("fp_sum"),
+        F.sum(F.length("text")).cast("bigint").alias("len_sum"),
+    )
