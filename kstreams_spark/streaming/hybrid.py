@@ -513,6 +513,49 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
         report.update(epoch=epoch, applied=True)
         return report
 
+    def follow_lake(
+        self, spark: SparkSession, lake_path: str, checkpoint_dir: str
+    ):
+        """CONTINUOUS derivation (r12): attach the lake's change-feed
+        stream (sources/lake_cdf.py — offsets are manifest versions) and
+        derive the indexes forward once per microbatch. The foreachBatch
+        body only reads the batch's max `_commit_version` and calls
+        apply_snapshot_changes to it — the derive path stays the single
+        implementation, and its version-keyed idempotence makes replay
+        after a crash a no-op (the stream checkpoint and the
+        `_lake_version` watermark can never disagree for long: whichever
+        lags, re-applying converges). Same contract as the batch verb:
+        bootstrap_from_lake first; the maintainer's OWN ingest stream
+        must be quiescent (mixing both feeds would double-apply)."""
+        from kstreams_spark.sources.lake_cdf import LakeChangeFeedDataSource
+
+        spark.dataSource.register(LakeChangeFeedDataSource)
+        applied = self.lake_version()
+        if applied is None:
+            raise ValueError(
+                "maintainer is not lake-derived: bootstrap_from_lake() "
+                "records the watermark follow_lake derives from"
+            )
+        stream = (
+            spark.readStream.format("kstreams_lake_cdf")
+            .option("path", lake_path)
+            .option("start_version", str(applied))
+            .load()
+        )
+
+        def derive(batch_df: DataFrame, _epoch_id: int) -> None:
+            row = batch_df.agg(
+                F.max("_commit_version").alias("v")
+            ).collect()[0]
+            if row.v is not None:
+                self.apply_snapshot_changes(spark, lake_path, to_version=row.v)
+
+        return (
+            stream.writeStream.foreachBatch(derive)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+
     def _data_epoch(self, epoch_id: int) -> int:
         """The inherited marker-last skeleton, with the data epoch
         shifted by the erase offset (see the erasure note above).

@@ -274,3 +274,60 @@ def test_apply_refuses_without_bootstrap_watermark(spark, tmp_path):
     m = HybridIngestMaintainer(str(tmp_path / "idx"))
     with pytest.raises(ValueError, match="not lake-derived"):
         m.apply_snapshot_changes(spark, lake)
+
+
+def test_follow_lake_derives_continuously(spark, tmp_path):
+    """r12: follow_lake attaches the CDF stream and derives once per
+    microbatch — commits made while the stream runs reach the probes
+    without an explicit apply, and a checkpoint restart replays as a
+    version-keyed no-op."""
+    lake = str(tmp_path / "lake")
+    corpus = _corpus(spark)
+    base = corpus.filter(F.col("doc_id") % 3 != NEW)
+    emb = base.select(F.col("doc_id").alias("vec_id"), "embedding")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    frozen = sq8_params(emb)
+    v1 = snapshot_publish(base, lake)
+    m = HybridIngestMaintainer(str(tmp_path / "idx"))
+    m.bootstrap_from_lake(spark, lake, cents, params=frozen)
+
+    q = m.follow_lake(spark, lake, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()  # caught up: nothing to derive
+        assert m.lake_version() == v1 and m.visible_epoch() == 0
+
+        snapshot_publish(
+            corpus.filter(F.col("doc_id") % 3 == NEW), lake, mode="append"
+        )
+        snapshot_delete_where(
+            spark, lake, f"doc_id IN ({', '.join(map(str, DOOMED))})"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert m.lake_version() == snapshot_versions(lake)[-1]
+    assert m.visible_epoch() >= 1
+    served = {r.doc_id for r in m.probe_lexical(spark, TERMS, k=20).collect()}
+    assert not served & set(DOOMED)
+    # a newcomer (doc_id % 3 == NEW) is now probeable
+    assert any(d % 3 == NEW for d in served)
+
+    # restart on the same checkpoint: replay is a version-keyed no-op
+    visible = m.visible_epoch()
+    before = [
+        (r.doc_id, r.score)
+        for r in m.probe_lexical(spark, TERMS, k=10).collect()
+    ]
+    q2 = m.follow_lake(spark, lake, str(tmp_path / "ckpt"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert m.visible_epoch() == visible
+    assert [
+        (r.doc_id, r.score)
+        for r in m.probe_lexical(spark, TERMS, k=10).collect()
+    ] == before
