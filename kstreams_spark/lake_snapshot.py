@@ -322,6 +322,7 @@ def _commit(
     base_version: int | None = None,
     recompute: Callable[[set[str]], set[str]] | None = None,
     recheck_schema: Callable[[str], str] | None = None,
+    set_constraints: dict[str, str] | None = None,
 ) -> int:
     """Write manifest version = last + 1. The commit point is an atomic
     CREATE-exclusive os.link of the fully-written temp manifest onto the
@@ -368,11 +369,17 @@ def _commit(
             files = recompute(prev_live)
             base_version = latest
         version = latest + 1
-        epochs = (
-            _read_manifest(path, latest).get("epochs", []) if versions else []
-        )
+        prev_m = _read_manifest(path, latest) if versions else {}
+        epochs = prev_m.get("epochs", [])
         if new_epoch is not None:
             epochs = sorted(set(epochs) | {int(new_epoch)})
+        # CHECK constraints carry forward like epochs; set/drop verbs
+        # pass the replacement map
+        constraints = (
+            prev_m.get("constraints", {})
+            if set_constraints is None
+            else set_constraints
+        )
         os.makedirs(_log_dir(path), exist_ok=True)
         body = {
             "version": version,
@@ -381,6 +388,7 @@ def _commit(
             "removes": sorted(prev_live - files),
             "schema": schema_ddl,
             "epochs": epochs,
+            "constraints": constraints,
         }
         # unique temp name: concurrent committers must not share one
         tmp = os.path.join(
@@ -437,6 +445,9 @@ def snapshot_publish(
     recheck = lambda committed: _check_append_schema(  # noqa: E731
         df.schema.simpleString(), committed, evolve, "snapshot_publish(append)"
     )
+    cons = table_constraints(path)
+    if cons:  # CHECK constraints survive replace (the Delta rule)
+        _enforce_constraints(df, cons, f"snapshot_publish({mode})")
     if mode == "append":
         versions = snapshot_versions(path)
         if versions:  # enforce BEFORE writing any data file
@@ -679,6 +690,9 @@ def snapshot_merge(
         source.schema.simpleString(), m["schema"], evolve, "snapshot_merge"
     )
     live = _live_files(path, base_version)
+    cons = table_constraints(path)
+    if cons:
+        _enforce_constraints(source, cons, "snapshot_merge")
     keys = list(key_cols)
     dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
     if dup.limit(1).count():
@@ -716,6 +730,81 @@ def snapshot_merge(
         base_version=base_version,
     )
     return {"updated": updated, "inserted": inserted, "version": version}
+
+
+def table_constraints(path: str) -> dict[str, str]:
+    """The CHECK constraints in force (name → SQL predicate) — recorded
+    in every manifest and carried forward like the epoch set."""
+    versions = snapshot_versions(path)
+    if not versions:
+        return {}
+    return _read_manifest(path, versions[-1]).get("constraints", {})
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict[str, str], op: str) -> None:
+    """CHECK enforcement on a batch about to be written (Delta's
+    ADD CONSTRAINT semantics): a row violates when the predicate is
+    FALSE; NULL passes (the SQL-standard CHECK rule). Raises naming the
+    constraint and the violation count BEFORE any file lands."""
+    for name, pred in sorted(constraints.items()):
+        n_bad = df.filter(
+            ~F.coalesce(F.expr(pred), F.lit(True))
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"{op}: CHECK constraint {name!r} ({pred}) violated by "
+                f"{n_bad} row(s) — nothing was written"
+            )
+
+
+def snapshot_set_constraint(
+    spark: SparkSession, path: str, name: str, predicate: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT ... CHECK (predicate): validates the
+    CURRENT snapshot first (a constraint the existing data violates is
+    refused — Delta's rule), then commits a same-files manifest whose
+    constraint map adds the entry; every later append/merge/stream
+    batch enforces it before writing. Returns the new version."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {path}")
+    latest = versions[-1]
+    _enforce_constraints(
+        snapshot_read(spark, path, latest),
+        {name: predicate},
+        "snapshot_set_constraint(existing data)",
+    )
+    cons = dict(table_constraints(path))
+    cons[name] = predicate
+    return _commit(
+        path,
+        _live_files(path, latest),
+        f"set-constraint-{name}",
+        _read_manifest(path, latest)["schema"],
+        base_version=latest,
+        set_constraints=cons,
+    )
+
+
+def snapshot_drop_constraint(path: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: commits a same-files manifest whose
+    constraint map drops the entry. Unknown names raise."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {path}")
+    latest = versions[-1]
+    cons = dict(table_constraints(path))
+    if name not in cons:
+        raise ValueError(f"no CHECK constraint named {name!r} (have {sorted(cons)})")
+    del cons[name]
+    return _commit(
+        path,
+        _live_files(path, latest),
+        f"drop-constraint-{name}",
+        _read_manifest(path, latest)["schema"],
+        base_version=latest,
+        set_constraints=cons,
+    )
 
 
 def snapshot_restore(path: str, version: int) -> int:
@@ -962,6 +1051,9 @@ class SnapshotLakeSink:
                 False,
                 "SnapshotLakeSink",
             )
+            cons = table_constraints(self.path)
+            if cons:
+                _enforce_constraints(batch_df, cons, "SnapshotLakeSink")
         live = _live_files(self.path, base) if versions else set()
         before = _list_files(self.path)
         batch_df.write.mode("append").partitionBy(

@@ -930,3 +930,76 @@ def test_compact_zorder_rewrites_with_narrow_file_stats(
     assert len(ls._live_files(lake, v_post)) == 4
     for col_idx in (0, 1):  # doc_id, n_chars
         assert mean_span(v_post, col_idx) < 0.8 * mean_span(v_pre, col_idx)
+
+
+# --- r12: CHECK constraints ------------------------------------------------
+
+
+def test_check_constraints_enforced_on_every_write_path(
+    spark, tmp_path, sf_dir
+):
+    from kstreams_spark.lake_snapshot import (
+        SnapshotLakeSink,
+        snapshot_drop_constraint,
+        snapshot_merge,
+        snapshot_set_constraint,
+        table_constraints,
+    )
+
+    lake = str(tmp_path / "check")
+    corpus = _corpus(spark, sf_dir).filter(F.col("doc_id") < 6)
+    snapshot_publish(corpus, lake)  # v1
+    v = snapshot_set_constraint(
+        spark, lake, "doc_id_bounded", "doc_id < 100"
+    )
+    assert v == 2
+    assert table_constraints(lake) == {"doc_id_bounded": "doc_id < 100"}
+    # the constraint commit moved no files
+    assert ls._live_files(lake, 2) == ls._live_files(lake, 1)
+
+    bad = _corpus(spark, sf_dir).filter(F.col("doc_id") == 200)
+    files_before = ls._list_files(lake)
+    with pytest.raises(ValueError, match="doc_id_bounded"):
+        snapshot_publish(bad, lake, mode="append")
+    with pytest.raises(ValueError, match="doc_id_bounded"):
+        snapshot_merge(spark, lake, bad)
+    with pytest.raises(ValueError, match="doc_id_bounded"):
+        SnapshotLakeSink(lake).process_batch(bad, 0)
+    # constraints survive replace (the Delta rule)
+    with pytest.raises(ValueError, match="doc_id_bounded"):
+        snapshot_publish(bad, lake, mode="replace")
+    assert ls._list_files(lake) == files_before  # nothing landed
+    # a passing append commits; constraints carry forward
+    snapshot_publish(
+        _corpus(spark, sf_dir).filter(F.col("doc_id") == 30),
+        lake,
+        mode="append",
+    )
+    assert table_constraints(lake) == {"doc_id_bounded": "doc_id < 100"}
+    # NULL predicate passes (SQL CHECK rule)
+    snapshot_set_constraint(
+        spark, lake, "null_passes", "CASE WHEN doc_id >= 0 THEN NULL END"
+    )
+    snapshot_publish(
+        _corpus(spark, sf_dir).filter(F.col("doc_id") == 31),
+        lake,
+        mode="append",
+    )
+    # drop restores writability
+    snapshot_drop_constraint(lake, "doc_id_bounded")
+    snapshot_publish(bad, lake, mode="append")
+    assert "doc_id_bounded" not in table_constraints(lake)
+    with pytest.raises(ValueError, match="no CHECK constraint"):
+        snapshot_drop_constraint(lake, "doc_id_bounded")
+
+
+def test_set_constraint_refuses_violating_existing_data(
+    spark, tmp_path, sf_dir
+):
+    from kstreams_spark.lake_snapshot import snapshot_set_constraint
+
+    lake = str(tmp_path / "check_existing")
+    snapshot_publish(_corpus(spark, sf_dir).filter(F.col("doc_id") < 6), lake)
+    with pytest.raises(ValueError, match="existing data"):
+        snapshot_set_constraint(spark, lake, "impossible", "doc_id > 2")
+    assert snapshot_versions(lake) == [1]
