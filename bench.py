@@ -129,6 +129,7 @@ HEADLINE = [
     "multimodal_video_gif_lct_frames",  # added r12: per-frame local color tables
     "multimodal_image_decode_gif_interlaced",  # added r12: 4-pass interlace
     "lake_merge_restore_timetravel",  # added r12: MERGE/RESTORE/ZORDER chain
+    "lake_evolution_roundtrip",  # added r12: schema evolution + CHECK constraint
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------

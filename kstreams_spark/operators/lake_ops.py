@@ -143,3 +143,82 @@ def lake_merge_restore_timetravel(
         F.expr(f"SUM({_FP})").cast("bigint").alias("fp_sum"),
         F.sum(F.length("text")).cast("bigint").alias("len_sum"),
     )
+
+
+@query(
+    "lake_evolution_roundtrip",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'val' END AS split
+      FROM documents WHERE doc_id < {_BASE_N}
+    ),
+    v1 AS (SELECT 1 AS version, doc_id, split,
+                  CAST(NULL AS DOUBLE) AS quality FROM base),
+    v2 AS (  -- post-evolve world: old rows NULL-fill, newcomers carry it
+      SELECT 2 AS version, doc_id, split, CAST(NULL AS DOUBLE) AS quality
+      FROM base
+      UNION ALL
+      SELECT 2, doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'val' END,
+             CAST(doc_id AS DOUBLE) / 1000
+      FROM documents WHERE doc_id >= {_BASE_N} AND doc_id < {_INS_N}
+    ),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT version, split,
+           COUNT(*) AS n_docs,
+           COUNT(quality) AS n_quality,
+           CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS q_sum
+    FROM u GROUP BY version, split
+    """,
+)
+def lake_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution under the driver's value hash: publish v1 (no
+    `quality` column, a CHECK constraint set on it), evolve-append v2
+    with `quality = doc_id/1000`, then read BOTH versions back — v1
+    through its own pre-evolve schema (no quality column; the query
+    re-attaches a typed NULL to union), v2 through the evolved schema
+    where the v1-era files NULL-fill. The oracle replays the two worlds
+    logically; COUNT(quality) pins exactly which rows carry values (a
+    read that backfills old files wrongly, or drops newcomers' values,
+    hash-mismatches). The CHECK constraint (`doc_id < {_INS_N}`) is set
+    before the append and must admit it — enforcement wiring is
+    value-visible because a refused append would empty version 2's
+    newcomer rows."""
+    from kstreams_spark.lake_snapshot import (
+        snapshot_publish,
+        snapshot_read,
+        snapshot_set_constraint,
+    )
+
+    lake = tempfile.mkdtemp(prefix="kstreams_lake_evo_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "train")
+        .otherwise("val")
+        .alias("split"),
+    )
+    base = docs.filter(F.col("doc_id") < _BASE_N)
+    snapshot_publish(base, lake, partition_cols=("split",))  # v1
+    snapshot_set_constraint(spark, lake, "ids_bounded", f"doc_id < {_INS_N}")
+    newcomers = docs.filter(
+        (F.col("doc_id") >= _BASE_N) & (F.col("doc_id") < _INS_N)
+    ).withColumn("quality", F.col("doc_id").cast("double") / 1000)
+    snapshot_publish(
+        newcomers, lake, partition_cols=("split",), mode="append", evolve=True
+    )  # v3 (v2 was the constraint commit)
+    v1 = snapshot_read(spark, lake, version=1).withColumns(
+        {
+            "version": F.lit(1),
+            "quality": F.lit(None).cast("double"),
+        }
+    )
+    v2 = snapshot_read(spark, lake).withColumn("version", F.lit(2))
+    u = v1.unionByName(v2)
+    from kstreams_spark.operators._util import dsum
+
+    return u.groupBy("version", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("quality").alias("n_quality"),
+        dsum("quality").alias("q_sum"),
+    )
