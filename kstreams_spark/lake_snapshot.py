@@ -732,6 +732,41 @@ def snapshot_merge(
     return {"updated": updated, "inserted": inserted, "version": version}
 
 
+def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per committed version — (version, op,
+    ts from the manifest's mtime i.e. the commit point's clock, n_adds,
+    n_removes, n_live, n_constraints). Live counts replay the delta
+    chain once, ascending (legacy full-list manifests reset the count).
+    Timestamps come from the filesystem, so the column is operational
+    metadata, not oracle-comparable."""
+    rows = []
+    live = 0
+    for v in snapshot_versions(path):
+        m = _read_manifest(path, v)
+        if "files" in m:  # legacy full-list manifest
+            n_adds, n_removes = len(m["files"]), 0
+            live = len(m["files"])
+        else:
+            n_adds, n_removes = len(m["adds"]), len(m["removes"])
+            live += n_adds - n_removes
+        rows.append(
+            (
+                v,
+                m.get("op", ""),
+                float(os.path.getmtime(_manifest_path(path, v))),
+                n_adds,
+                n_removes,
+                live,
+                len(m.get("constraints", {})),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, op string, ts double, n_adds int, n_removes int,"
+        " n_live int, n_constraints int",
+    )
+
+
 def table_constraints(path: str) -> dict[str, str]:
     """The CHECK constraints in force (name → SQL predicate) — recorded
     in every manifest and carried forward like the epoch set."""

@@ -547,8 +547,19 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
             row = batch_df.agg(
                 F.max("_commit_version").alias("v")
             ).collect()[0]
-            if row.v is not None:
-                self.apply_snapshot_changes(spark, lake_path, to_version=row.v)
+            v = row.v
+            if v is None:
+                # a row-less CDC step (e.g. an empty stream commit, or a
+                # pure-relayout compact): nothing to index, but advance
+                # the watermark to the batch-time latest so lake_version
+                # tracks the log — apply_snapshot_changes' empty-feed
+                # path does exactly that without claiming an epoch
+                from kstreams_spark.lake_snapshot import snapshot_versions
+
+                versions = snapshot_versions(lake_path)
+                v = versions[-1] if versions else None
+            if v is not None:
+                self.apply_snapshot_changes(spark, lake_path, to_version=v)
 
         return (
             stream.writeStream.foreachBatch(derive)

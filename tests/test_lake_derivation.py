@@ -331,3 +331,98 @@ def test_follow_lake_derives_continuously(spark, tmp_path):
         (r.doc_id, r.score)
         for r in m.probe_lexical(spark, TERMS, k=10).collect()
     ] == before
+
+
+def test_stream_to_serving_through_the_lake(spark, tmp_path):
+    """The full production story in one pipeline: a LIVE stream ingests
+    into the snapshot lake (SnapshotLakeSink — one atomic commit per
+    microbatch), and follow_lake derives the serving indexes from the
+    lake's change feed — so a record travels stream → lake version →
+    CDC step → index epoch → probe hit with no batch glue. The lake is
+    the single source of truth; both streams checkpoint independently
+    and replay idempotently."""
+    lake = str(tmp_path / "lake")
+    corpus = _corpus(spark)
+    base = corpus.filter(F.col("doc_id") % 3 == 0).limit(40)
+    emb = base.select(F.col("doc_id").alias("vec_id"), "embedding")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    frozen = sq8_params(emb)
+    snapshot_publish(base, lake)  # v1: the bootstrap corpus
+    from kstreams_spark.streaming.hybrid import HybridIngestMaintainer
+
+    m = HybridIngestMaintainer(str(tmp_path / "idx"))
+    m.bootstrap_from_lake(spark, lake, cents, params=frozen)
+
+    # live ingest: a rate stream mapped onto the lake's schema; every
+    # doc carries a unique planted term so probe hits are attributable
+    from kstreams_spark.lake_snapshot import SnapshotLakeSink
+
+    dim = len(cents[0])
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "50")
+        .load()
+        .select(
+            (F.col("value") + 100000).alias("doc_id"),
+            F.concat(
+                F.lit("zzlive spark stream doc "),
+                F.col("value").cast("string"),
+            ).alias("text"),
+            F.array(
+                *[
+                    (
+                        (F.col("value") * (i + 3)) % 17
+                    ).cast("double")
+                    / 17
+                    for i in range(dim)
+                ]
+            )
+            .cast("array<float>")  # the lake's committed element type —
+            # the sink's schema enforcement (r12) rejects array<double>
+            .alias("embedding"),
+            F.lit("train").alias("split"),
+            F.lit("en").alias("lang"),
+        )
+    )
+    sink = SnapshotLakeSink(lake)
+    base_n = base.count()
+    q_ingest = sink.attach(rate, str(tmp_path / "ckpt_ingest"))
+    try:
+        # wait until a streamed commit WITH ROWS landed (a rate stream's
+        # first microbatch is typically empty, committing a row-less
+        # lake version)
+        import time as _time
+
+        deadline = _time.time() + 60
+
+        def _streamed_rows() -> int:
+            return snapshot_read(spark, lake).count() - base_n
+
+        while _streamed_rows() == 0 and _time.time() < deadline:
+            _time.sleep(0.5)
+        q_ingest.processAllAvailable()
+    finally:
+        q_ingest.stop()
+    assert _streamed_rows() > 0, "no streamed rows landed"
+    assert snapshot_versions(lake)[-1] >= 2
+
+    q_derive = m.follow_lake(spark, lake, str(tmp_path / "ckpt_derive"))
+    try:
+        q_derive.processAllAvailable()
+    finally:
+        q_derive.stop()
+    assert m.lake_version() == snapshot_versions(lake)[-1]
+    # the streamed docs are probeable: the planted term hits ONLY them
+    hits = m.probe_lexical(spark, ("zzlive",), k=10).collect()
+    assert hits and all(r.doc_id >= 100000 for r in hits)
+    # and the lake agrees with the index about what exists
+    lake_live = {
+        r.doc_id
+        for r in snapshot_read(spark, lake)
+        .filter(F.col("doc_id") >= 100000)
+        .collect()
+    }
+    assert {r.doc_id for r in hits} <= lake_live

@@ -1003,3 +1003,35 @@ def test_set_constraint_refuses_violating_existing_data(
     with pytest.raises(ValueError, match="existing data"):
         snapshot_set_constraint(spark, lake, "impossible", "doc_id > 2")
     assert snapshot_versions(lake) == [1]
+
+
+def test_snapshot_history_describes_every_commit(spark, tmp_path, sf_dir):
+    from kstreams_spark.lake_snapshot import (
+        snapshot_history,
+        snapshot_merge,
+        snapshot_set_constraint,
+    )
+
+    lake = str(tmp_path / "hist")
+    corpus = _corpus(spark, sf_dir).filter(F.col("doc_id") < 6)
+    snapshot_publish(corpus, lake)  # v1
+    snapshot_set_constraint(spark, lake, "ids", "doc_id < 100")  # v2
+    snapshot_merge(
+        spark, lake, _corpus(spark, sf_dir).filter(F.col("doc_id") == 30)
+    )  # v3
+    snapshot_delete_where(spark, lake, "doc_id = 0")  # v4
+    h = {r.version: r for r in snapshot_history(spark, lake).collect()}
+    assert sorted(h) == [1, 2, 3, 4]
+    assert h[1].op == "publish" and h[1].n_removes == 0
+    assert h[2].op == "set-constraint-ids"
+    assert h[2].n_adds == 0 and h[2].n_removes == 0  # metadata-only commit
+    assert h[2].n_live == h[1].n_live
+    assert h[3].op == "merge" and h[4].op == "delete_where"
+    assert h[2].n_constraints == h[3].n_constraints == 1
+    # live counts track the replayed chain and timestamps ascend
+    ts = [h[v].ts for v in (1, 2, 3, 4)]
+    assert ts == sorted(ts)
+    # row-count ground truth at latest
+    assert h[4].n_live == len(
+        ls._live_files(lake, snapshot_versions(lake)[-1])
+    )
