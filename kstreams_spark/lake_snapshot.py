@@ -452,6 +452,11 @@ def snapshot_publish(
         versions = snapshot_versions(path)
         if versions:  # enforce BEFORE writing any data file
             schema_ddl = recheck(_read_manifest(path, versions[-1])["schema"])
+            _check_partition_cols(
+                _live_files(path, versions[-1]),
+                partition_cols,
+                "snapshot_publish(append)",
+            )
     before = _list_files(path)
     df.write.mode("append").partitionBy(*partition_cols).parquet(path)
     new = _list_files(path) - before
@@ -601,6 +606,36 @@ def _in_partition(rel_file: str, row, partition_cols: tuple[str, ...]) -> bool:
     return want.issubset(set(parts[:-1]))
 
 
+def _layout_partition_cols(files: set[str]) -> tuple[str, ...] | None:
+    """The partition columns the lake's ON-DISK layout actually uses,
+    parsed from any live file's `key=value` directory segments (None
+    for an empty lake)."""
+    for f in files:
+        segs = f.split(os.sep)[:-1]
+        return tuple(seg.split("=", 1)[0] for seg in segs if "=" in seg)
+    return None
+
+
+def _check_partition_cols(
+    live: set[str], partition_cols: tuple[str, ...], op: str
+) -> None:
+    """Refuse a write whose partition_cols disagree with the layout the
+    live files already use — appending or rewriting under a different
+    partitioning writes MIXED-DEPTH directories into one tree, which
+    corrupts every later scan (Spark raises
+    CONFLICTING_PARTITION_COLUMN_NAMES, or worse, infers a wrong
+    layout). Found the hard way: a delete_where called with the default
+    ("split", "lang") against a ("split",)-layout lake. mode="replace"
+    is exempt (a full rewrite may define a new layout; old versions pin
+    their own files)."""
+    lay = _layout_partition_cols(live)
+    if lay is not None and tuple(partition_cols) != lay:
+        raise ValueError(
+            f"{op}: partition_cols {tuple(partition_cols)} do not match "
+            f"the lake's on-disk layout {lay} — pass the layout's columns"
+        )
+
+
 def snapshot_delete_where(
     spark: SparkSession,
     path: str,
@@ -623,6 +658,7 @@ def snapshot_delete_where(
     base_version = versions[-1]
     m = _read_manifest(path, versions[-1])
     live = _live_files(path, versions[-1])
+    _check_partition_cols(live, partition_cols, "snapshot_delete_where")
     snap = snapshot_read(spark, path)
     affected = _partition_values(snap, condition, partition_cols)
     if not affected:
@@ -690,6 +726,7 @@ def snapshot_merge(
         source.schema.simpleString(), m["schema"], evolve, "snapshot_merge"
     )
     live = _live_files(path, base_version)
+    _check_partition_cols(live, partition_cols, "snapshot_merge")
     cons = table_constraints(path)
     if cons:
         _enforce_constraints(source, cons, "snapshot_merge")
@@ -893,6 +930,7 @@ def snapshot_compact(
     base_version = versions[-1]
     m = _read_manifest(path, versions[-1])
     live = _live_files(path, versions[-1])
+    _check_partition_cols(live, partition_cols, "snapshot_compact")
     by_dir: dict[str, list[str]] = {}
     for f in live:
         by_dir.setdefault(os.path.dirname(f), []).append(f)
@@ -1089,6 +1127,11 @@ class SnapshotLakeSink:
             cons = table_constraints(self.path)
             if cons:
                 _enforce_constraints(batch_df, cons, "SnapshotLakeSink")
+            _check_partition_cols(
+                _live_files(self.path, base),
+                self.partition_cols,
+                "SnapshotLakeSink",
+            )
         live = _live_files(self.path, base) if versions else set()
         before = _list_files(self.path)
         batch_df.write.mode("append").partitionBy(

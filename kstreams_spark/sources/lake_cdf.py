@@ -163,13 +163,20 @@ def step_changes(
     version: int,
     key_cols: tuple[str, ...],
     names: list[str] | None = None,
+    include_preimages: bool = False,
 ) -> list[tuple]:
     """Row-level changes version-1 → version, as output tuples (data
     cols in manifest-schema order, then _change, _commit_version).
     `names` overrides the output column list — the STREAM's schema is
     fixed at its latest version, so steps committed before a schema
     evolve emit None for the later-added columns (row comparison still
-    uses the step's OWN schema)."""
+    uses the step's OWN schema).
+
+    `include_preimages` switches an update from ONE post-image row
+    (_change='update') to Delta's two-row form — 'update_preimage' (the
+    old row) followed by 'update_postimage' (the new) — which is what
+    incremental view maintenance needs: a SUM cannot be maintained
+    through an update without subtracting the old value."""
     m = _read_manifest(lake_path, version)
     if "files" in m:  # legacy full-list manifest
         prev = _live_files(lake_path, version - 1) if version > 1 else set()
@@ -196,7 +203,11 @@ def step_changes(
         if k not in old_by:
             rows.append(out(r, "insert"))
         elif not all(_eq(r.get(n), old_by[k].get(n)) for n in step_names):
-            rows.append(out(r, "update"))  # post-image
+            if include_preimages:
+                rows.append(out(old_by[k], "update_preimage"))
+                rows.append(out(r, "update_postimage"))
+            else:
+                rows.append(out(r, "update"))  # post-image
         # equal rows: pure re-layout (compaction) — no change emitted
     for k, r in old_by.items():
         if k not in new_by:
@@ -221,6 +232,9 @@ class LakeChangeFeedStreamReader(SimpleDataSourceStreamReader):
         self.max_versions_per_batch = int(
             options.get("max_versions_per_batch", "100")
         )
+        self.include_preimages = (
+            options.get("include_preimages", "false").lower() == "true"
+        )
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -238,7 +252,13 @@ class LakeChangeFeedStreamReader(SimpleDataSourceStreamReader):
         rows: list[tuple] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             rows.extend(
-                step_changes(self.path, v, self.key_cols, names=self.names)
+                step_changes(
+                    self.path,
+                    v,
+                    self.key_cols,
+                    names=self.names,
+                    include_preimages=self.include_preimages,
+                )
             )
         return iter(rows)
 

@@ -1035,3 +1035,38 @@ def test_snapshot_history_describes_every_commit(spark, tmp_path, sf_dir):
     assert h[4].n_live == len(
         ls._live_files(lake, snapshot_versions(lake)[-1])
     )
+
+
+def test_write_paths_refuse_mismatched_partition_cols(spark, tmp_path, sf_dir):
+    """r12: a maintenance/append call whose partition_cols disagree with
+    the on-disk layout is REFUSED before writing — appending a
+    different partitioning into one tree yields mixed-depth directories
+    and CONFLICTING_PARTITION_COLUMN_NAMES on every later scan (found
+    live: delete_where's ('split','lang') default against a
+    ('split',)-layout lake)."""
+    from kstreams_spark.lake_snapshot import SnapshotLakeSink, snapshot_merge
+
+    lake = str(tmp_path / "layout")
+    corpus = _corpus(spark, sf_dir).filter(F.col("doc_id") < 6)
+    snapshot_publish(corpus.drop("lang"), lake, partition_cols=("split",))
+    files_before = ls._list_files(lake)
+    one = corpus.drop("lang").filter(F.col("doc_id") == 0)
+    with pytest.raises(ValueError, match="on-disk layout"):
+        snapshot_delete_where(spark, lake, "doc_id = 0")  # default 2-col
+    with pytest.raises(ValueError, match="on-disk layout"):
+        snapshot_compact(spark, lake)  # default 2-col
+    with pytest.raises(ValueError, match="on-disk layout"):
+        snapshot_merge(spark, lake, one)  # default 2-col
+    with pytest.raises(ValueError, match="on-disk layout"):
+        snapshot_publish(one, lake, mode="append")  # default 2-col
+    with pytest.raises(ValueError, match="on-disk layout"):
+        SnapshotLakeSink(lake).process_batch(one, 0)
+    assert ls._list_files(lake) == files_before  # nothing ever landed
+    # the correct columns pass everywhere
+    assert snapshot_delete_where(
+        spark, lake, "doc_id = 0", partition_cols=("split",)
+    ) == 1
+    snapshot_merge(spark, lake, one, partition_cols=("split",))
+    # replace may redefine the layout (full rewrite)
+    snapshot_publish(corpus, lake, mode="replace")
+    assert snapshot_read(spark, lake).count() == corpus.count()

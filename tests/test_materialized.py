@@ -1,0 +1,128 @@
+"""Incremental view maintenance (streaming/materialized.py): the
+KTable-aggregation model with the snapshot lake as the changelog.
+Parity contract: after inserts, deletes, value-updates, group-moving
+updates, and a compaction, the maintained view is row-equal (values
+AND decimal types) to the aggregate recomputed from the latest
+snapshot — maintained by delta arithmetic only, never a rescan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kstreams_spark.io import load_table
+from kstreams_spark.lake_snapshot import (
+    snapshot_compact,
+    snapshot_delete_where,
+    snapshot_merge,
+    snapshot_publish,
+    snapshot_read,
+    snapshot_versions,
+)
+from kstreams_spark.streaming.materialized import LakeMaterializedAggregate
+
+
+def _docs(spark, sf_dir, lo=0, hi=40):
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("double").alias("chars"),
+        )
+        .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+    )
+    return d.withColumn(
+        "split", F.when(F.col("doc_id") % 2 == 0, "train").otherwise("val")
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r.lang, r.n_rows, r.val_sum) for r in df.collect()
+    )
+
+
+def test_view_tracks_lake_through_all_change_kinds(spark, tmp_path, sf_dir):
+    lake = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    snapshot_publish(_docs(spark, sf_dir), lake, partition_cols=("split",))
+
+    m = LakeMaterializedAggregate(view, ("lang",), "chars")
+    start_v = m.bootstrap(spark, lake)
+    # bootstrap parity
+    assert _rows(m.result(spark)) == _rows(
+        m._aggregate(snapshot_read(spark, lake))
+    )
+
+    q = m.attach(spark, lake, str(tmp_path / "ckpt"), start_v)
+    try:
+        # inserts
+        snapshot_publish(
+            _docs(spark, sf_dir, 100, 115),
+            lake,
+            mode="append",
+            partition_cols=("split",),
+        )
+        # deletes
+        snapshot_delete_where(
+            spark, lake, "doc_id IN (0, 1, 2)", partition_cols=("split",)
+        )
+        # a VALUE update and a GROUP-MOVING update in one merge
+        src = _docs(spark, sf_dir, 4, 6)
+        src = src.withColumn(
+            "chars",
+            F.when(F.col("doc_id") == 4, F.col("chars") + 1000).otherwise(
+                F.col("chars")
+            ),
+        ).withColumn(
+            "lang",
+            F.when(F.col("doc_id") == 5, F.lit("zz")).otherwise(
+                F.col("lang")
+            ),
+        )
+        snapshot_merge(
+            spark, lake, src, key_cols=("doc_id",), partition_cols=("split",)
+        )
+        # pure re-layout: must move nothing in the view
+        snapshot_compact(spark, lake, n_files=1, partition_cols=("split",))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    recomputed = m._aggregate(snapshot_read(spark, lake))
+    assert _rows(m.result(spark)) == _rows(recomputed)
+    # the moved doc's new group exists with exactly one row
+    got = {r.lang: (r.n_rows, r.val_sum) for r in m.result(spark).collect()}
+    assert got["zz"][0] == 1
+    # dtypes: the fold stays DECIMAL end-to-end (no float drift channel)
+    assert dict(m.result(spark).dtypes)["val_sum"] == "decimal(28,6)"
+    assert dict(recomputed.dtypes)["val_sum"] == "decimal(28,6)"
+    # the view has its own history: one version per applied batch
+    assert len(snapshot_versions(view)) >= 2
+
+
+def test_replayed_epoch_is_a_noop_and_postimage_only_rejected(
+    spark, tmp_path, sf_dir
+):
+    lake = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    snapshot_publish(_docs(spark, sf_dir), lake, partition_cols=("split",))
+    m = LakeMaterializedAggregate(view, ("lang",), "chars")
+    m.bootstrap(spark, lake)
+
+    batch = spark.createDataFrame(
+        [(999, "en", 10.0, "train", "insert", 2)],
+        "doc_id long, lang string, chars double, split string,"
+        " _change string, _commit_version int",
+    )
+    m.process_batch(batch, 7)
+    after_once = _rows(m.result(spark))
+    v_once = snapshot_versions(view)[-1]
+    m.process_batch(batch, 7)  # replay: recognized via the epoch set
+    assert _rows(m.result(spark)) == after_once
+    assert snapshot_versions(view)[-1] == v_once
+
+    post_only = batch.withColumn("_change", F.lit("update"))
+    with pytest.raises(ValueError, match="include_preimages"):
+        m.process_batch(post_only, 8)
