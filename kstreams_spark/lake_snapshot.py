@@ -991,6 +991,7 @@ def vacuum(
     keep_versions: int = 1,
     grace_seconds: float = DEFAULT_VACUUM_GRACE_S,
     force: bool = False,
+    dry_run: bool = False,
 ) -> int:
     """Physically remove files no retained snapshot references (orphans
     from crashed writers included) and manifests older than the newest
@@ -1005,7 +1006,11 @@ def vacuum(
     files are never swept mid-commit. `grace_seconds` below
     VACUUM_GRACE_FLOOR_S (1 h) is refused unless `force=True` — the
     escape hatch for tests and truly quiesced lakes; after vacuum,
-    time travel reaches only the retained versions."""
+    time travel reaches only the retained versions.
+
+    `dry_run=True` (the Delta VACUUM DRY RUN) returns the count of data
+    files a real run would delete right now and touches NOTHING — no
+    checkpoint write, no manifest folding, no sweep."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     if grace_seconds < VACUUM_GRACE_FLOOR_S and not force:
@@ -1031,6 +1036,12 @@ def vacuum(
     referenced: set[str] = set()
     for v in retained:
         referenced |= _live_files(path, v)
+    if dry_run:
+        return sum(
+            1
+            for f in _list_files(path) - referenced
+            if not _young(os.path.join(path, f))
+        )
     # the oldest retained version's delta chain may reach below the
     # manifests about to be dropped — checkpoint it FIRST so every
     # retained version stays resolvable (retained is a suffix of

@@ -1070,3 +1070,23 @@ def test_write_paths_refuse_mismatched_partition_cols(spark, tmp_path, sf_dir):
     # replace may redefine the layout (full rewrite)
     snapshot_publish(corpus, lake, mode="replace")
     assert snapshot_read(spark, lake).count() == corpus.count()
+
+
+def test_vacuum_dry_run_counts_without_touching(spark, tmp_path, sf_dir):
+    lake = str(tmp_path / "dry")
+    corpus = _corpus(spark, sf_dir).filter(F.col("doc_id") < 6)
+    snapshot_publish(corpus, lake)  # v1
+    snapshot_publish(corpus, lake, mode="replace")  # v2: v1 files retire
+    import glob as g
+
+    before_files = ls._list_files(lake)
+    before_log = sorted(g.glob(os.path.join(lake, "_log", "*")))
+    would = vacuum(
+        lake, keep_versions=1, grace_seconds=0, force=True, dry_run=True
+    )
+    assert would > 0
+    # nothing moved: same data files, same log (no checkpoint written)
+    assert ls._list_files(lake) == before_files
+    assert sorted(g.glob(os.path.join(lake, "_log", "*"))) == before_log
+    # the real run removes exactly what the dry run promised
+    assert vacuum(lake, keep_versions=1, grace_seconds=0, force=True) == would
