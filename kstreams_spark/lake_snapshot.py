@@ -69,6 +69,19 @@ racing evolve cannot be silently overwritten); `evolve=True` permits
 ADD-COLUMN appends; mode="replace" may take any schema (a full
 rewrite — Delta's overwriteSchema).
 
+Deletion vectors (r12): snapshot_delete_where_dv is the MERGE-ON-READ
+delete — matching rows' (file, row-position) addresses land in an
+immutable uuid-named `_log/dv-*.json` sidecar and the manifest's `dvs`
+map points each file at its current vector; data files never move.
+snapshot_read anti-joins the vectors (so every verb built on it sees
+the deleted-world), rewrites MATERIALIZE them (compact treats a DV'd
+file as always over budget; a retired file's entry drops with the
+file), restore restores the old vector state, the change feed reports
+DV growth as deletes and DV shrink (restore) as inserts, and vacuum
+sweeps sidecars no retained manifest references. Delta's DV model over
+JSON sidecars — production swaps roaring bitmaps into the same
+addressing and lifecycle.
+
 Consumers: snapshot_diff (batch CDC between two versions, below) and
 sources/lake_cdf.py (the same feed as a STREAMING source — offsets are
 manifest versions; Delta readChangeFeed's shape; spans schema
@@ -302,6 +315,48 @@ def _write_checkpoint(path: str, version: int, files: set[str]) -> None:
         )
 
 
+def _dv_sidecar_path(path: str, name: str) -> str:
+    return os.path.join(_log_dir(path), name)
+
+
+def table_dvs(path: str, version: int) -> dict[str, list[int]]:
+    """DELETION VECTORS in force at `version`: rel_file → sorted row
+    positions logically deleted from that file (merge-on-read; the
+    Delta DV model over JSON sidecars — production uses roaring
+    bitmaps, the addressing and lifecycle are what this re-expresses).
+    The manifest's `dvs` map points each file at the content-addressed
+    sidecar holding its CURRENT positions."""
+    m = _read_manifest(path, version)
+    out: dict[str, list[int]] = {}
+    by_sidecar: dict[str, dict] = {}
+    for rel_file, sidecar in m.get("dvs", {}).items():
+        if sidecar not in by_sidecar:
+            with open(_dv_sidecar_path(path, sidecar)) as fh:
+                by_sidecar[sidecar] = json.load(fh)["dvs"]
+        out[rel_file] = by_sidecar[sidecar][rel_file]
+    return out
+
+
+def _write_dv_sidecar(path: str, dvs: dict[str, list[int]]) -> str:
+    """Write one immutable, uuid-named sidecar holding the FULL merged
+    position lists for every file it covers; returns its name. Written
+    BEFORE the commit that references it — an unreferenced sidecar
+    (commit lost/crashed) is vacuum-swept like an orphan data file."""
+    name = f"dv-{_uuid.uuid4().hex}.json"
+    tmp = _dv_sidecar_path(path, "." + name + ".tmp")
+    os.makedirs(_log_dir(path), exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump({"dvs": {f: sorted(p) for f, p in dvs.items()}}, fh)
+    os.rename(tmp, _dv_sidecar_path(path, name))
+    return name
+
+
+def _norm_file_uri(col):
+    """_metadata.file_path renders a file: URI; normalize to a plain
+    absolute path for joining against os.path-built addresses."""
+    return F.regexp_replace(col, "^file:/+", "/")
+
+
 def _list_files(path: str) -> set[str]:
     """Every data file currently on disk, path-relative (the `_log` dir
     is outside the glob: partition dirs are `key=value`)."""
@@ -323,6 +378,7 @@ def _commit(
     recompute: Callable[[set[str]], set[str]] | None = None,
     recheck_schema: Callable[[str], str] | None = None,
     set_constraints: dict[str, str] | None = None,
+    set_dvs: dict[str, str] | None = None,
 ) -> int:
     """Write manifest version = last + 1. The commit point is an atomic
     CREATE-exclusive os.link of the fully-written temp manifest onto the
@@ -380,6 +436,18 @@ def _commit(
             if set_constraints is None
             else set_constraints
         )
+        # deletion vectors carry forward per surviving file — a rewrite
+        # that retires a file MATERIALIZES its DV (the entry drops with
+        # the file); set_dvs overrides (the DV-delete and restore verbs)
+        dvs = (
+            {
+                f: sc
+                for f, sc in prev_m.get("dvs", {}).items()
+                if f in files
+            }
+            if set_dvs is None
+            else set_dvs
+        )
         os.makedirs(_log_dir(path), exist_ok=True)
         body = {
             "version": version,
@@ -389,6 +457,7 @@ def _commit(
             "schema": schema_ddl,
             "epochs": epochs,
             "constraints": constraints,
+            "dvs": dvs,
         }
         # unique temp name: concurrent committers must not share one
         tmp = os.path.join(
@@ -539,12 +608,35 @@ def snapshot_read(
     # the trailing select restores the logical order (a partitioned scan
     # appends partition columns at the end regardless of user schema)
     st = _parse_datatype_string(m["schema"])
-    return (
+    scan = (
         spark.read.schema(st)
         .option("basePath", path)
         .parquet(*[os.path.join(path, f) for f in sorted(files)])
-        .select(*[f.name for f in st.fields])
     )
+    dvs = table_dvs(path, v)
+    if dvs:
+        # merge-on-read: anti-join the deletion vectors on the row
+        # address (file path, row index). Pair volume = deletes since
+        # the last materializing rewrite — broadcast-sized by design
+        pairs = [
+            (os.path.join(path, f), int(pos))
+            for f, positions in dvs.items()
+            for pos in positions
+        ]
+        dv_df = spark.createDataFrame(pairs, "_dv_fp string, _dv_ri long")
+        scan = (
+            scan.withColumn(
+                "_fp", _norm_file_uri(F.col("_metadata.file_path"))
+            )
+            .withColumn("_ri", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(dv_df),
+                (F.col("_fp") == F.col("_dv_fp"))
+                & (F.col("_ri") == F.col("_dv_ri")),
+                "left_anti",
+            )
+        )
+    return scan.select(*[f.name for f in st.fields])
 
 
 def _partition_values(
@@ -688,6 +780,87 @@ def snapshot_delete_where(
         base_version=base_version,
     )
     return deleted
+
+
+def snapshot_delete_where_dv(
+    spark: SparkSession, path: str, condition: str
+) -> int:
+    """MERGE-ON-READ delete (Delta deletion vectors): instead of
+    rewriting every affected partition, record the matching rows'
+    (file, row-position) addresses in a DV sidecar and commit a
+    manifest whose `dvs` map points at it — the data files never move.
+    Reads (snapshot_read, and therefore every verb built on it)
+    anti-join the DV; a later rewrite of a file (compact, CoW delete,
+    merge) MATERIALIZES its DV and drops the entry. Same NULL-keeps
+    semantics as snapshot_delete_where; repeated deletes on one file
+    merge positions. Cost: one filtered scan + one manifest commit —
+    O(matches), not O(affected partitions); the CoW verb remains the
+    right call when a large fraction of a partition dies. Returns rows
+    deleted (already-deleted rows never re-match: the scan applies the
+    existing DVs first)."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {path}")
+    base_version = versions[-1]
+    m = _read_manifest(path, base_version)
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(m["schema"])
+    files = _live_files(path, base_version)
+    if not files:
+        return 0
+    prev_dvs = table_dvs(path, base_version)
+    scan = (
+        spark.read.schema(st)
+        .option("basePath", path)
+        .parquet(*[os.path.join(path, f) for f in sorted(files)])
+        .withColumn("_fp", _norm_file_uri(F.col("_metadata.file_path")))
+        .withColumn("_ri", F.col("_metadata.row_index"))
+    )
+    if prev_dvs:
+        pairs = [
+            (os.path.join(path, f), int(pos))
+            for f, positions in prev_dvs.items()
+            for pos in positions
+        ]
+        dv_df = spark.createDataFrame(pairs, "_dv_fp string, _dv_ri long")
+        scan = scan.join(
+            F.broadcast(dv_df),
+            (F.col("_fp") == F.col("_dv_fp"))
+            & (F.col("_ri") == F.col("_dv_ri")),
+            "left_anti",
+        )
+    hits = (
+        scan.filter(F.coalesce(F.expr(condition), F.lit(False)))
+        .select("_fp", "_ri")
+        .collect()
+    )
+    if not hits:
+        return 0
+    merged: dict[str, set[int]] = {
+        f: set(p) for f, p in prev_dvs.items()
+    }
+    for r in hits:
+        rel = os.path.relpath(r._fp, path)
+        merged.setdefault(rel, set()).add(int(r._ri))
+    changed = {
+        f for f in merged if set(prev_dvs.get(f, [])) != merged[f]
+    }
+    sidecar = _write_dv_sidecar(
+        path, {f: sorted(merged[f]) for f in changed}
+    )
+    new_map = dict(m.get("dvs", {}))
+    for f in changed:
+        new_map[f] = sidecar
+    _commit(
+        path,
+        files,
+        "delete_where_dv",
+        m["schema"],
+        base_version=base_version,
+        set_dvs=new_map,
+    )
+    return len(hits)
 
 
 def snapshot_merge(
@@ -900,6 +1073,7 @@ def snapshot_restore(path: str, version: int) -> int:
         f"restore-v{version}",
         _read_manifest(path, version)["schema"],
         base_version=versions[-1],
+        set_dvs=_read_manifest(path, version).get("dvs", {}),
     )
 
 
@@ -938,8 +1112,14 @@ def snapshot_compact(
     removed: set[str] = set()
     added: set[str] = set()
     compacted = 0
+    dv_files = set(m.get("dvs", {}))
     for d, files in sorted(by_dir.items()):
-        if zorder_by is None and len(files) <= n_files:
+        if (
+            zorder_by is None
+            and len(files) <= n_files
+            and not (set(files) & dv_files)  # materializing DVs is a
+            # compaction duty: a DV'd file rewrites even under budget
+        ):
             continue
         cond = F.lit(True)
         for seg in d.split(os.sep):
@@ -1055,6 +1235,9 @@ def vacuum(
             continue  # possibly an in-flight writer's staged file
         os.remove(full)
         removed += 1
+    referenced_dvs = set()
+    for v in retained:
+        referenced_dvs |= set(_read_manifest(path, v).get("dvs", {}).values())
     for v in versions:
         if v not in retained:
             os.remove(_manifest_path(path, v))
@@ -1062,6 +1245,9 @@ def vacuum(
                 os.path.join(_log_dir(path), f"v{v:010d}.checkpoint*")
             ):
                 os.remove(cp)
+    for dv in _glob.glob(os.path.join(_log_dir(path), "dv-*.json")):
+        if os.path.basename(dv) not in referenced_dvs and not _young(dv):
+            os.remove(dv)
     # sweep stale tmp manifests/checkpoints (age-guarded: a live
     # committer's tmp must survive until its os.link) and now-empty
     # partition dirs
@@ -1209,7 +1395,14 @@ def snapshot_diff(
     to_v = versions[-1] if to_version is None else to_version
     f_old = _live_files(path, from_version)
     f_new = _live_files(path, to_v)
-    shared = [os.path.join(path, f) for f in sorted(f_old & f_new)]
+    dv_old, dv_new = table_dvs(path, from_version), table_dvs(path, to_v)
+    shared = [
+        os.path.join(path, f)
+        for f in sorted(f_old & f_new)
+        # a file both versions list can still differ ROW-wise when its
+        # deletion vector moved — keep it in the diff
+        if dv_old.get(f, []) == dv_new.get(f, [])
+    ]
     if shared:
         fname = F.input_file_name()
         # input_file_name() renders file: URIs; a path whose URI form

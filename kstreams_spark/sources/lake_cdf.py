@@ -59,6 +59,7 @@ from kstreams_spark.lake_snapshot import (
     _schema_fields as _parse_fields,
     _unescape_partition_value,
     snapshot_versions,
+    table_dvs,
 )
 
 _META_COLS = ("_change", "_commit_version")
@@ -122,26 +123,60 @@ def _coerce(value: str | None, simple_type: str):
     return value
 
 
+def _part_vals(rel: str, types: dict[str, str]) -> dict:
+    out = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            if k in types:
+                out[k] = _coerce(_unescape_partition_value(v), types[k])
+    return out
+
+
 def _read_rows(
-    lake_path: str, rel_files: set[str], fields: list[tuple[str, str]]
+    lake_path: str,
+    rel_files: set[str],
+    fields: list[tuple[str, str]],
+    skip_positions: dict[str, list[int]] | None = None,
 ) -> list[dict]:
     """Rows of the given data files as dicts, partition columns parsed
     from the `key=value` directory segments (pyarrow — no Spark session
-    exists where a stream reader runs)."""
+    exists where a stream reader runs). `skip_positions` excludes a
+    file's deletion-vector rows (already logically deleted — and
+    already REPORTED deleted by the commit that grew the DV)."""
     import pyarrow.parquet as pq
 
     types = dict(fields)
     rows: list[dict] = []
     for rel in sorted(rel_files):
-        part_vals = {}
-        for seg in rel.split(os.sep)[:-1]:
-            if "=" in seg:
-                k, v = seg.split("=", 1)
-                if k in types:
-                    part_vals[k] = _coerce(_unescape_partition_value(v), types[k])
-        for rec in pq.read_table(os.path.join(lake_path, rel)).to_pylist():
+        part_vals = _part_vals(rel, types)
+        skip = set((skip_positions or {}).get(rel, []))
+        for i, rec in enumerate(
+            pq.read_table(os.path.join(lake_path, rel)).to_pylist()
+        ):
+            if i in skip:
+                continue
             rec.update(part_vals)
             rows.append(rec)
+    return rows
+
+
+def _read_rows_at(
+    lake_path: str,
+    rel_file: str,
+    positions: list[int],
+    fields: list[tuple[str, str]],
+) -> list[dict]:
+    """The rows at exact positions of one file (a DV delta's row
+    addresses) — pyarrow take, partition columns re-attached."""
+    import pyarrow.parquet as pq
+
+    types = dict(fields)
+    part_vals = _part_vals(rel_file, types)
+    tbl = pq.read_table(os.path.join(lake_path, rel_file))
+    rows = tbl.take(sorted(positions)).to_pylist()
+    for rec in rows:
+        rec.update(part_vals)
     return rows
 
 
@@ -187,12 +222,23 @@ def step_changes(
     fields = _schema_fields(m["schema"])
     step_names = [n for n, _ in fields]
     keys = list(key_cols)
+    dv_prev = table_dvs(lake_path, version - 1) if version > 1 else {}
+    dv_cur = table_dvs(lake_path, version)
 
     def key_of(r: dict):
         return tuple(r[k] for k in keys)
 
-    old_by = {key_of(r): r for r in _read_rows(lake_path, removes, fields)}
-    new_by = {key_of(r): r for r in _read_rows(lake_path, adds, fields)}
+    # a removed file's already-DV'd rows were reported deleted by the
+    # commit that grew the DV — exclude them here (and a new file's DV,
+    # which only a restore can produce, masks its rows from insert)
+    old_by = {
+        key_of(r): r
+        for r in _read_rows(lake_path, removes, fields, skip_positions=dv_prev)
+    }
+    new_by = {
+        key_of(r): r
+        for r in _read_rows(lake_path, adds, fields, skip_positions=dv_cur)
+    }
     out_names = names if names is not None else step_names
 
     def out(r: dict, change: str) -> tuple:
@@ -212,6 +258,19 @@ def step_changes(
     for k, r in old_by.items():
         if k not in new_by:
             rows.append(out(r, "delete"))
+    # DELETION-VECTOR deltas on files live across the step: positions
+    # added at `version` are deletes (snapshot_delete_where_dv);
+    # positions removed are inserts (a restore re-animating rows)
+    for f in sorted(set(dv_cur) | set(dv_prev)):
+        if f in adds or f in removes:
+            continue
+        was, now = set(dv_prev.get(f, [])), set(dv_cur.get(f, []))
+        for positions, change in ((now - was, "delete"), (was - now, "insert")):
+            if positions:
+                for r in _read_rows_at(
+                    lake_path, f, sorted(positions), fields
+                ):
+                    rows.append(out(r, change))
     return rows
 
 

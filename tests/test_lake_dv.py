@@ -1,0 +1,144 @@
+"""Deletion vectors (lake_snapshot.snapshot_delete_where_dv): the
+merge-on-read delete — row addresses recorded in a sidecar, data files
+untouched; reads anti-join; rewrites materialize. Pins: invisibility +
+physical immutability, position merging + no re-match, compaction
+materialization with a SILENT CDF step, restore re-animating rows with
+insert events, vacuum sidecar lifecycle, batch-diff parity (the
+shared-file prune must not skip a file whose DV moved)."""
+
+from __future__ import annotations
+
+import glob as g
+import os
+
+from pyspark.sql import functions as F
+
+import kstreams_spark.lake_snapshot as ls
+from kstreams_spark.io import load_table
+from kstreams_spark.lake_snapshot import (
+    snapshot_compact,
+    snapshot_delete_where_dv,
+    snapshot_diff,
+    snapshot_merge,
+    snapshot_publish,
+    snapshot_read,
+    snapshot_restore,
+    snapshot_versions,
+    table_dvs,
+    vacuum,
+)
+from kstreams_spark.sources.lake_cdf import step_changes
+
+
+def _corpus(spark, sf_dir, lo=0, hi=20):
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+    )
+    return d.withColumn(
+        "split", F.when(F.col("doc_id") % 2 == 0, "train").otherwise("val")
+    ).withColumn("lang", F.lit("en"))
+
+
+def _ids(spark, lake, version=None):
+    return sorted(
+        r.doc_id for r in snapshot_read(spark, lake, version=version).collect()
+    )
+
+
+def test_dv_delete_is_invisible_and_physically_immutable(
+    spark, tmp_path, sf_dir
+):
+    lake = str(tmp_path / "dv")
+    corpus = _corpus(spark, sf_dir)
+    snapshot_publish(corpus, lake)  # v1
+    files_v1 = ls._list_files(lake)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(lake, f)) for f in files_v1
+    }
+    n = snapshot_delete_where_dv(spark, lake, "doc_id IN (0, 1, 2)")
+    assert n == 3
+    assert _ids(spark, lake) == [d for d in range(3, 20)]
+    # data files: same set, byte-untouched
+    assert ls._list_files(lake) == files_v1
+    assert all(
+        os.path.getmtime(os.path.join(lake, f)) == mtimes[f]
+        for f in files_v1
+    )
+    # time travel: pre-delete rows intact
+    assert _ids(spark, lake, version=1) == list(range(20))
+    # the DV map points at one sidecar; positions recorded
+    dvs = table_dvs(lake, snapshot_versions(lake)[-1])
+    assert sum(len(p) for p in dvs.values()) == 3
+    # already-deleted rows never re-match
+    assert snapshot_delete_where_dv(spark, lake, "doc_id IN (0, 1, 2)") == 0
+    # a second delete merges positions into the same files' vectors
+    assert snapshot_delete_where_dv(spark, lake, "doc_id = 4") == 1
+    dvs2 = table_dvs(lake, snapshot_versions(lake)[-1])
+    assert sum(len(p) for p in dvs2.values()) == 4
+    # every read-built verb sees the DV'd world: merge can't resurrect
+    src = _corpus(spark, sf_dir, 0, 1).withColumn(
+        "text", F.lit("back from the dead?")
+    )
+    r = snapshot_merge(spark, lake, src)
+    assert r["updated"] == 0 and r["inserted"] == 1  # doc 0 is GONE: insert
+    assert 0 in _ids(spark, lake)
+
+
+def test_cdf_reports_dv_deletes_and_compaction_materializes_silently(
+    spark, tmp_path, sf_dir
+):
+    lake = str(tmp_path / "dv_cdf")
+    snapshot_publish(_corpus(spark, sf_dir), lake)  # v1
+    snapshot_delete_where_dv(spark, lake, "doc_id IN (6, 7)")  # v2
+    # the DV commit's change feed: exactly the two rows, as deletes
+    ev = step_changes(lake, 2, ("doc_id",))
+    assert sorted((r[0], r[-2]) for r in ev) == [
+        (6, "delete"),
+        (7, "delete"),
+    ]
+    # batch-diff parity — the shared-file prune must NOT skip the file
+    # whose DV moved (every file is "shared" in a DV-only commit)
+    diff = {
+        r.doc_id: r._change for r in snapshot_diff(spark, lake, 1, 2).collect()
+    }
+    assert diff == {6: "delete", 7: "delete"}
+    # compaction MATERIALIZES: dv map empties, rows stay correct...
+    assert snapshot_compact(spark, lake, n_files=1) >= 1  # v3
+    assert table_dvs(lake, snapshot_versions(lake)[-1]) == {}
+    assert 6 not in _ids(spark, lake) and 7 not in _ids(spark, lake)
+    # ...and the compact step is SILENT (the DV'd rows must not be
+    # reported deleted a second time)
+    assert step_changes(lake, 3, ("doc_id",)) == []
+
+
+def test_restore_reanimates_dv_rows_with_insert_events(
+    spark, tmp_path, sf_dir
+):
+    lake = str(tmp_path / "dv_restore")
+    snapshot_publish(_corpus(spark, sf_dir), lake)  # v1
+    snapshot_delete_where_dv(spark, lake, "doc_id = 5")  # v2
+    assert 5 not in _ids(spark, lake)
+    snapshot_restore(lake, 1)  # v3: the empty-DV world returns
+    assert 5 in _ids(spark, lake)
+    assert table_dvs(lake, 3) == {}
+    ev = step_changes(lake, 3, ("doc_id",))
+    assert [(r[0], r[-2]) for r in ev] == [(5, "insert")]
+
+
+def test_vacuum_sweeps_unreferenced_dv_sidecars(spark, tmp_path, sf_dir):
+    lake = str(tmp_path / "dv_vac")
+    snapshot_publish(_corpus(spark, sf_dir), lake)  # v1
+    snapshot_delete_where_dv(spark, lake, "doc_id = 3")  # v2
+    assert len(g.glob(os.path.join(lake, "_log", "dv-*.json"))) == 1
+    # while referenced by a retained version, the sidecar survives
+    vacuum(lake, keep_versions=2, grace_seconds=0, force=True)
+    assert len(g.glob(os.path.join(lake, "_log", "dv-*.json"))) == 1
+    assert 3 not in _ids(spark, lake)
+    # compaction materializes (v3); dropping the DV versions orphans
+    # the sidecar and vacuum sweeps it
+    snapshot_compact(spark, lake, n_files=1)
+    vacuum(lake, keep_versions=1, grace_seconds=0, force=True)
+    assert g.glob(os.path.join(lake, "_log", "dv-*.json")) == []
+    assert 3 not in _ids(spark, lake)
