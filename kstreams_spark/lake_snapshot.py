@@ -795,9 +795,11 @@ def snapshot_delete_where_dv(
     semantics as snapshot_delete_where; repeated deletes on one file
     merge positions. Cost: one filtered scan + one manifest commit —
     O(matches), not O(affected partitions); the CoW verb remains the
-    right call when a large fraction of a partition dies. Returns rows
-    deleted (already-deleted rows never re-match: the scan applies the
-    existing DVs first)."""
+    right call when a large fraction of a partition dies — and stays
+    the erasure path: a DV delete is LOGICAL until a rewrite
+    materializes it, so GDPR erasure (erasure.py) keeps copy-on-write +
+    vacuum for physical removal. Returns rows deleted (already-deleted
+    rows never re-match: the scan applies the existing DVs first)."""
     versions = snapshot_versions(path)
     if not versions:
         raise ValueError(f"no committed snapshots under {path}")
