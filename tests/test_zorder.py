@@ -67,15 +67,19 @@ def test_zordered_write_skips_files_on_both_dims(spark, tmp_path):
     p1 = p0 + width
     z_touch, z_total = _files_touched(zpath, "l_partkey", p0, p1)
     l_touch, l_total = _files_touched(lpath, "l_partkey", p0, p1)
-    # flake watch (r9, r10 full-suite runs only; never reproduced solo
-    # or under synthetic load): if this fails, the counts in the message
-    # are the diagnostic to capture — suspect a shared-session conf left
-    # unrestored by an earlier test changing the scan partitioning that
-    # RangePartitioner samples from.
+    # flake postmortem (r9/r10/r12 full-suite runs only; never solo,
+    # never under synthetic concurrent load, 5/5 green while a second
+    # Spark JVM hammered the machine): the one run-to-run nondeterminism
+    # in this pipeline is RangePartitioner's SAMPLING — boundary jitter
+    # can yield an empty range partition and one fewer output file, so
+    # the old `z_total == l_total` EQUALITY assert could fail while the
+    # layout property it guards held. Assert the property as FRACTIONS,
+    # robust to file-count jitter and exactly what pruning pays for.
     counts = f"z={z_touch}/{z_total} linear={l_touch}/{l_total} band=[{p0},{p1}]"
-    assert z_total == l_total > 1, counts
+    assert z_total > 1 and l_total > 1, counts
     assert l_touch >= l_total - 1, counts  # partkey uncorrelated with sort
-    assert z_touch <= l_touch // 2, counts  # the skip the layout buys
+    # the skip the layout buys: z touches at most half the fraction
+    assert z_touch / z_total <= 0.5 * (l_touch / l_total) + 1e-9, counts
 
     # and the leading dim still prunes too (z-order is not a trade-away):
     ok = li.agg(
