@@ -154,6 +154,9 @@ def main() -> None:
     if "--scale-probe" in sys.argv:
         run_scale_probe()
         return
+    if "--only" in sys.argv:
+        run_only()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -201,6 +204,50 @@ def main() -> None:
     # LAST line: compact summary only — must survive any stdout tail
     # window (the driver parses the final line; see module docstring).
     print(summary_line)
+
+
+def run_only() -> None:
+    """`bench.py --only q1,q2 [--reps N]` — SOLO measurement mode
+    (VERDICT r12 task 1): run just the named queries, N timed reps each
+    (default 3, reporting min), in a fresh session with nothing else in
+    the JVM. This isolates a query from full-bench session state (run
+    order, registry growth, GC pressure from 87 accumulated plans) so a
+    cross-round per-query delta can be attributed to code vs bench
+    environment. Prints one JSON line; does NOT touch BENCH_DETAIL.json."""
+    names = sys.argv[sys.argv.index("--only") + 1].split(",")
+    reps = (
+        int(sys.argv[sys.argv.index("--reps") + 1])
+        if "--reps" in sys.argv
+        else 3
+    )
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = get_session(app_name="kstreams_spark_bench_only", cores=cores)
+    unknown = [n for n in names if n not in registry.QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+    # one untimed warmup of the first query (JVM/codegen), as in main()
+    registry.QUERIES[names[0]](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    canary = [c for c in CANARY if c in registry.QUERIES]
+    out: dict[str, object] = {"mode": "only", "reps": reps}
+    passes: dict[str, list[float]] = {}
+    for name in names + canary:
+        ps = []
+        for _ in range(reps):
+            t0 = time.time()
+            registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ps.append(round(time.time() - t0, 3))
+        passes[name] = ps
+    out["queries"] = {n: min(passes[n]) for n in names}
+    out["passes"] = {n: passes[n] for n in names}
+    out["canary_ratio"] = round(
+        sum(min(passes[c]) for c in canary) / CANARY_REF_TOTAL_S, 3
+    )
+    print(json.dumps(out))
 
 
 # The driver tail-captures stdout and parses the LAST line; r7's single

@@ -110,6 +110,15 @@ _LOG = "_log"
 # a reader replays at most this many delta manifests past a checkpoint.
 CHECKPOINT_INTERVAL = 10
 
+# Deletion vectors live on the driver (sidecar JSON) and ride into every
+# scan as a broadcast (file, row-position) list — the same bounded-
+# driver-state class as dedup.DRIVER_CC_MAX_EDGES, and sized the same
+# way (collect() Rows cost ~100-150 B each, ~10× the raw field bytes).
+# Above this many TOTAL positions, snapshot_delete_where_dv refuses
+# (use the CoW delete) and snapshot_read refuses (compact first to
+# materialize the vectors) — a silent driver OOM is the alternative.
+DRIVER_DV_MAX_POSITIONS = 500_000
+
 
 def _log_dir(path: str) -> str:
     return os.path.join(path, _LOG)
@@ -343,7 +352,9 @@ def _write_dv_sidecar(path: str, dvs: dict[str, list[int]]) -> str:
     BEFORE the commit that references it — an unreferenced sidecar
     (commit lost/crashed) is vacuum-swept like an orphan data file."""
     name = f"dv-{_uuid.uuid4().hex}.json"
-    tmp = _dv_sidecar_path(path, "." + name + ".tmp")
+    # `.tmp-` prefix: vacuum's age-guarded tmp sweep globs `.tmp-*`, so
+    # a crash between staging and rename cannot leak the file forever
+    tmp = _dv_sidecar_path(path, ".tmp-" + name)
     os.makedirs(_log_dir(path), exist_ok=True)
     with open(tmp, "w") as fh:
         json.dump({"dvs": {f: sorted(p) for f, p in dvs.items()}}, fh)
@@ -574,6 +585,7 @@ def snapshot_read(
     path: str,
     version: int | None = None,
     at_timestamp: float | None = None,
+    _apply_dv_cap: bool = True,
 ) -> DataFrame:
     """Read one committed snapshot — the latest, a VERSION AS OF pin,
     or a TIMESTAMP AS OF pin (`at_timestamp`, epoch seconds — resolved
@@ -590,6 +602,10 @@ def snapshot_read(
     values take the declared type instead of directory-name inference."""
     from pyspark.sql.types import _parse_datatype_string
 
+    # DV addressing joins against absolute paths built from
+    # _metadata.file_path — a relative `path` would make the anti-join
+    # match nothing (deleted rows silently reappear), so normalize first
+    path = os.path.abspath(path)
     versions = snapshot_versions(path)
     if not versions:
         raise ValueError(f"no committed snapshots under {path}")
@@ -617,7 +633,16 @@ def snapshot_read(
     if dvs:
         # merge-on-read: anti-join the deletion vectors on the row
         # address (file path, row index). Pair volume = deletes since
-        # the last materializing rewrite — broadcast-sized by design
+        # the last materializing rewrite — broadcast-sized by design,
+        # and ENFORCED: past the cap the broadcast itself is the OOM
+        n_pos = sum(len(p) for p in dvs.values())
+        if _apply_dv_cap and n_pos > DRIVER_DV_MAX_POSITIONS:
+            raise ValueError(
+                f"snapshot_read: {n_pos} accumulated deletion-vector "
+                f"positions exceed DRIVER_DV_MAX_POSITIONS="
+                f"{DRIVER_DV_MAX_POSITIONS} (broadcast scale) — run "
+                "snapshot_compact to materialize the vectors first"
+            )
         pairs = [
             (os.path.join(path, f), int(pos))
             for f, positions in dvs.items()
@@ -800,6 +825,7 @@ def snapshot_delete_where_dv(
     materializes it, so GDPR erasure (erasure.py) keeps copy-on-write +
     vacuum for physical removal. Returns rows deleted (already-deleted
     rows never re-match: the scan applies the existing DVs first)."""
+    path = os.path.abspath(path)  # DV addresses key on absolute paths
     versions = snapshot_versions(path)
     if not versions:
         raise ValueError(f"no committed snapshots under {path}")
@@ -832,13 +858,28 @@ def snapshot_delete_where_dv(
             & (F.col("_ri") == F.col("_dv_ri")),
             "left_anti",
         )
+    # bounded driver collect (the DRIVER_CC_MAX_EDGES pattern): the cap
+    # also bounds what later scans must broadcast. limit(cap+1) keeps
+    # the overflow check itself O(cap) on the driver.
+    prev_pos = sum(len(p) for p in prev_dvs.values())
+    budget = DRIVER_DV_MAX_POSITIONS - prev_pos
     hits = (
         scan.filter(F.coalesce(F.expr(condition), F.lit(False)))
         .select("_fp", "_ri")
+        .limit(max(budget, 0) + 1)
         .collect()
     )
     if not hits:
         return 0
+    if len(hits) > max(budget, 0):
+        raise ValueError(
+            "snapshot_delete_where_dv: the delete matches more rows "
+            f"than the deletion-vector budget ({prev_pos} existing + "
+            f">{max(budget, 0)} new > DRIVER_DV_MAX_POSITIONS="
+            f"{DRIVER_DV_MAX_POSITIONS}) — use snapshot_delete_where "
+            "(copy-on-write) for wide deletes, or snapshot_compact to "
+            "materialize the accumulated vectors first"
+        )
     merged: dict[str, set[int]] = {
         f: set(p) for f, p in prev_dvs.items()
     }
@@ -920,12 +961,15 @@ def snapshot_merge(
     inserted = source.count() - updated
     affected = matched.select(*partition_cols).distinct().collect()
     removed: set[str] = set()
-    survivors = None
     for row in affected:
         removed |= {f for f in live if _in_partition(f, row, partition_cols)}
-        part = target.filter(_partition_filter(row, partition_cols))
-        keep = part.join(src_keys, keys, "anti")
-        survivors = keep if survivors is None else survivors.unionByName(keep)
+    survivors = (
+        _merge_survivors(
+            spark, target, affected, src_keys, keys, partition_cols
+        )
+        if affected
+        else None
+    )
     before_files = _list_files(path)
     to_write = (
         source
@@ -944,20 +988,61 @@ def snapshot_merge(
     return {"updated": updated, "inserted": inserted, "version": version}
 
 
+def _merge_survivors(
+    spark: SparkSession,
+    target: DataFrame,
+    affected: list,
+    src_keys: DataFrame,
+    keys: list[str],
+    partition_cols: tuple[str, ...],
+) -> DataFrame:
+    """The rows of the affected partitions that survive a merge, as ONE
+    plan (VERDICT r12 task 2): a broadcast null-safe semi-join against
+    the affected-partition set restricts target to those partitions,
+    one anti-join against the source keys drops the matched rows. The
+    prior shape — a Python loop building filter+anti-join+unionByName
+    PER affected partition — re-scanned target K times and grew K plan
+    branches; a merge touching hundreds of partitions choked the
+    optimizer. `affected` is already-collected driver rows (bounded:
+    distinct affected partition values), rebuilt into a lineage-free
+    broadcast frame so the semi-join condition never self-references
+    target. Plan shape pinned by tests/test_plans.py (no Union, one
+    target scan regardless of K)."""
+    aff = spark.createDataFrame(
+        [tuple(row[c] for c in partition_cols) for row in affected],
+        target.select(*partition_cols).schema,
+    )
+    # eqNullSafe: a NULL partition value must select its own partition
+    cond = None
+    for c in partition_cols:
+        e = target[c].eqNullSafe(aff[c])
+        cond = e if cond is None else (cond & e)
+    return target.join(F.broadcast(aff), cond, "left_semi").join(
+        src_keys, keys, "anti"
+    )
+
+
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE HISTORY: one row per committed version — (version, op,
     ts from the manifest's mtime i.e. the commit point's clock, n_adds,
-    n_removes, n_live, n_constraints). Live counts replay the delta
-    chain once, ascending (legacy full-list manifests reset the count).
-    Timestamps come from the filesystem, so the column is operational
-    metadata, not oracle-comparable."""
+    n_removes, n_live, n_constraints). Live counts SEED from the oldest
+    retained version's RESOLVED state (after a vacuum folds history,
+    the first retained manifest is a delta against versions that no
+    longer exist — accumulating from 0 would understate, or go
+    negative, for every row), then replay the delta chain ascending
+    (legacy full-list manifests reset the count). Timestamps come from
+    the filesystem, so the column is operational metadata, not
+    oracle-comparable."""
     rows = []
     live = 0
-    for v in snapshot_versions(path):
+    for i, v in enumerate(snapshot_versions(path)):
         m = _read_manifest(path, v)
         if "files" in m:  # legacy full-list manifest
             n_adds, n_removes = len(m["files"]), 0
             live = len(m["files"])
+        elif i == 0:
+            n_adds, n_removes = len(m["adds"]), len(m["removes"])
+            live = len(_live_files(path, v))
         else:
             n_adds, n_removes = len(m["adds"]), len(m["removes"])
             live += n_adds - n_removes
@@ -1110,7 +1195,10 @@ def snapshot_compact(
     by_dir: dict[str, list[str]] = {}
     for f in live:
         by_dir.setdefault(os.path.dirname(f), []).append(f)
-    snap = snapshot_read(spark, path)
+    # cap-exempt read: compaction IS the DV materialization path — it
+    # must still work once the accumulated vectors exceed the per-scan
+    # broadcast cap (an explicit maintenance action, not a silent scan)
+    snap = snapshot_read(spark, path, _apply_dv_cap=False)
     removed: set[str] = set()
     added: set[str] = set()
     compacted = 0
@@ -1250,12 +1338,10 @@ def vacuum(
     for dv in _glob.glob(os.path.join(_log_dir(path), "dv-*.json")):
         if os.path.basename(dv) not in referenced_dvs and not _young(dv):
             os.remove(dv)
-    # sweep stale tmp manifests/checkpoints (age-guarded: a live
-    # committer's tmp must survive until its os.link) and now-empty
-    # partition dirs
-    for tmp in _glob.glob(os.path.join(_log_dir(path), ".tmp-v*")) + _glob.glob(
-        os.path.join(_log_dir(path), ".tmp-cp*")
-    ):
+    # sweep stale tmp manifests/checkpoints/DV sidecars (age-guarded: a
+    # live committer's tmp must survive until its os.link/rename) and
+    # now-empty partition dirs
+    for tmp in _glob.glob(os.path.join(_log_dir(path), ".tmp-*")):
         if not _young(tmp):
             os.remove(tmp)
     for root, dirs, files in os.walk(path, topdown=False):

@@ -1316,12 +1316,14 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the weighted corpus symbol count after each round, the compression
     curve a tokenizer trainer monitors.
 
-    Everything stays declarative — the per-round top pair is a 1-row
-    broadcast cross join (the scalar-spine pattern), never a collect;
-    per-round cost is one vocab-sized pair agg + a top-1
-    TakeOrderedAndProject + a vocab-sized rewrite projection, so the
+    The per-round top pair and symbol count are ONE-ROW driver state
+    (the iterative-fit bounded-collect class, like kmeans' k×D sums —
+    deterministic under the pinned total order); per-round cost is one
+    vocab-sized pair agg + a top-1 TakeOrderedAndProject + a vocab-sized
+    rewrite projection over the once-checkpointed vocabulary, so the
     round loop scales with ROUNDS × vocab, never corpus (the classic
-    distinct-vocab-with-counts weighting trick).
+    distinct-vocab-with-counts weighting trick; plan shape in
+    _bpe_train_rounds).
 
     Merge semantics, stated exactly: one application = literal
     NON-OVERLAPPING left-to-right replace of ' s1 s2 ' in the padded
@@ -1333,20 +1335,14 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential state neither engine's SQL has."""
     d = spread(load_table(spark, sf_dir, "documents"))
     _, rounds = _bpe_train_rounds(_bpe_vocab(d))
-    outs = [
-        top.crossJoin(F.broadcast(stats)).select(
-            F.lit(r).alias("merge_round"),
-            F.col("s1").alias("w1"),
-            F.col("s2").alias("w2"),
-            "pair_count",
-            "corpus_symbols_after",
-        )
-        for r, (top, stats) in enumerate(rounds, start=1)
-    ]
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    return spark.createDataFrame(
+        [
+            (r, top.s1, top.s2, top.pair_count, n_after)
+            for r, (top, n_after) in enumerate(rounds, start=1)
+        ],
+        "merge_round int, w1 string, w2 string, pair_count bigint,"
+        " corpus_symbols_after bigint",
+    )
 
 
 def _bpe_vocab(d: DataFrame) -> DataFrame:
@@ -1392,32 +1388,112 @@ def _bpe_merge3(spaced, s1, s2):
     return F.trim(out)
 
 
+# Above this many distinct weighted-vocabulary entries the BPE round
+# loop stays fully distributed; at or below it the vocab collects and
+# the rounds run on the driver (the dedup.DRIVER_CC_MAX_EDGES dispatch
+# pattern — sized for collect()'s ~100-150 B/Row overhead: 200k rows ≈
+# 30 MB). Real tokenizer trainers hold exactly this dictionary in
+# memory (Sennrich et al. 2016): the CORPUS pass (tokenize + count) is
+# the distributed part; the merge loop is vocab-sized by construction.
+DRIVER_BPE_MAX_VOCAB = 200_000
+
+
+class _BpeMerge:
+    __slots__ = ("s1", "s2", "pair_count")
+
+    def __init__(self, s1: str, s2: str, pair_count: int) -> None:
+        self.s1, self.s2, self.pair_count = s1, s2, pair_count
+
+
+def _bpe_merge3_py(spaced: str, s1: str, s2: str) -> str:
+    """Driver twin of _bpe_merge3/_bpe_merge_sql: pad, literal
+    non-overlapping replace ' s1 s2 '→' s1s2 ' three times, trim —
+    str.replace is the same left-to-right scan as both engines'
+    replace()."""
+    out = " " + spaced + " "
+    pat, rep = f" {s1} {s2} ", f" {s1}{s2} "
+    for _ in range(3):
+        out = out.replace(pat, rep)
+    return out.strip(" ")
+
+
 def _bpe_train_rounds(vocab: DataFrame):
     """Run BPE_TRAIN_ROUNDS merge rounds; returns (final merged vocab
-    with tok retained, [(top-1 pair DF, corpus-stats DF) per round])."""
+    with tok retained, [(elected pair with .s1/.s2/.pair_count,
+    corpus_symbols_after) per round]).
+
+    Shape (r13 — the BPE-family bench fix): ONE distributed job builds
+    the weighted vocabulary (the corpus tokenize + count — the only
+    corpus-sized work BPE training has); at or below
+    DRIVER_BPE_MAX_VOCAB entries the round loop then runs on the
+    driver over the collected dictionary — microseconds, zero further
+    jobs — exactly how reference tokenizer trainers work. Above the cap
+    the loop stays distributed: vocab localCheckpoint-ed once, each
+    round one vocab-sized pair agg + top-1 collect + one 1-row stats
+    agg (the kmeans bounded-collect class). Both paths elect under the
+    same total order (pair_count DESC, s1, s2 — UTF-8 byte order and
+    code-point order agree, so Python tuple compare matches both
+    engines' string collation) and apply the same literal 3× replace,
+    so results are path-invariant. The r12 shape — per-round lazy
+    broadcast crossJoins unioned at the end — re-derived the corpus
+    vocabulary once per plan branch (no cross-branch subplan reuse in
+    Catalyst) and paid ~7 sequential job latencies; measured 2.6 s at
+    sf0.1 against ~1.2 s for this shape (SCALE.md §Round-13)."""
+    head = vocab.limit(DRIVER_BPE_MAX_VOCAB + 1).collect()
+    if len(head) <= DRIVER_BPE_MAX_VOCAB:
+        entries = [(r.tok, r.spaced, int(r.cnt)) for r in head]
+        rounds = []
+        for _ in range(BPE_TRAIN_ROUNDS):
+            pc: dict[tuple[str, str], int] = {}
+            for _tok, spaced, cnt in entries:
+                syms = spaced.split(" ")
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    pc[p] = pc.get(p, 0) + cnt
+            if not pc:
+                break
+            (s1, s2), n = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            entries = [
+                (tok, _bpe_merge3_py(spaced, s1, s2), cnt)
+                for tok, spaced, cnt in entries
+            ]
+            n_after = sum(
+                cnt * len(sp.split(" ")) for _tok, sp, cnt in entries
+            )
+            rounds.append((_BpeMerge(s1, s2, n), n_after))
+        final_v = vocab.sparkSession.createDataFrame(
+            entries, "tok string, spaced string, cnt bigint"
+        )
+        return final_v, rounds
     rounds = []
-    v = vocab
+    v = vocab.coalesce(16).localCheckpoint(eager=True)
     for _ in range(BPE_TRAIN_ROUNDS):
-        top = (
+        hit = (
             _bpe_sym_pairs(v)
             .groupBy("s1", "s2")
             .agg(F.sum("cnt").cast("long").alias("pair_count"))
             .orderBy(F.col("pair_count").desc(), "s1", "s2")
             .limit(1)
+            .collect()
         )
-        v = v.crossJoin(F.broadcast(top)).select(
+        if not hit:  # vocabulary fully merged — no pairs left
+            break
+        top = hit[0]
+        v = v.select(
             "tok",
-            _bpe_merge3(F.col("spaced"), F.col("s1"), F.col("s2")).alias(
-                "spaced"
-            ),
+            _bpe_merge3(
+                F.col("spaced"), F.lit(top.s1), F.lit(top.s2)
+            ).alias("spaced"),
             "cnt",
         )
-        stats = v.agg(
+        n_after = v.agg(
             F.sum(F.col("cnt") * F.size(F.split("spaced", " ")))
             .cast("long")
             .alias("corpus_symbols_after")
-        )
-        rounds.append((top, stats))
+        ).collect()[0][0]
+        rounds.append((top, n_after))
     return v, rounds
 
 

@@ -221,6 +221,21 @@ def step_changes(
         adds, removes = set(m["adds"]), set(m["removes"])
     fields = _schema_fields(m["schema"])
     step_names = [n for n, _ in fields]
+    if names is not None:
+        # The stream's column list was fixed at plan time from the
+        # then-latest manifest. A schema evolve committed AFTER the plan
+        # would silently DROP the new columns from every subsequent
+        # change row (zeroing e.g. a downstream materialized view's new
+        # value column) — fail loudly instead, like Delta does on a
+        # streaming schema change: restart the stream to pick it up.
+        extra = [n for n in step_names if n not in names]
+        if extra:
+            raise ValueError(
+                f"lake CDF: version {version} evolved the schema with "
+                f"column(s) {extra} not in the stream's plan-time "
+                f"columns {names} — restart the stream to pick up the "
+                "evolved schema"
+            )
     keys = list(key_cols)
     dv_prev = table_dvs(lake_path, version - 1) if version > 1 else {}
     dv_cur = table_dvs(lake_path, version)

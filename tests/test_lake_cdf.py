@@ -234,3 +234,22 @@ def test_stream_spans_schema_evolution(spark, tmp_path, sf_dir):
         30: 0.9,
     }
     assert all(r._change == "insert" for r in rows)
+
+
+def test_mid_stream_schema_evolution_raises(spark, tmp_path, sf_dir):
+    """ADVICE r12: a schema evolve committed AFTER the stream's plan
+    fixed its column list must fail loudly (Delta's behavior), not
+    silently drop the new column from every subsequent change row."""
+    import pytest
+
+    lake = str(tmp_path / "lake_mid_evolve")
+    snapshot_publish(_corpus(spark, sf_dir, 0, 4), lake)  # v1
+    plan_names = ["doc_id", "text", "split", "lang"]  # fixed pre-evolve
+    # pre-evolve step replays fine under the plan-time columns
+    assert len(step_changes(lake, 1, ("doc_id",), names=plan_names)) == 4
+    evolved = _corpus(spark, sf_dir, 30, 31).withColumn(
+        "quality", F.lit(0.9)
+    )
+    snapshot_publish(evolved, lake, mode="append", evolve=True)  # v2
+    with pytest.raises(ValueError, match="restart the stream"):
+        step_changes(lake, 2, ("doc_id",), names=plan_names)

