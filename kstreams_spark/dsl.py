@@ -33,7 +33,10 @@ branch (first-match), merge, peek (as observe — per-batch metrics, the
 Spark-native form of a side-effecting peek), to, groupByKey/groupBy,
 count/reduce/aggregate, windowedBy (tumbling/hopping/session),
 stream⋈stream windowed join, stream⋈KTable enrich, KTable⋈KTable,
-toStream; r12 adds the STATEFUL verbs: transform/process
+toStream, KTable.groupBy().count/reduce/aggregate (KGroupedTable, r13 —
+snapshot form here, the incremental adder/subtractor fold in
+streaming/materialized.py via KGroupedTable.materialized()); r12 adds
+the STATEFUL verbs: transform/process
 (transform_values → applyInPandasWithState, event-time punctuate via
 timeout), suppress(untilWindowCloses) (final-only emission contract,
 carried by to_stream into the sinks), and the first-class sinks
@@ -253,9 +256,14 @@ class KStream:
         passthrough to groupBy(key).applyInPandasWithState — `fn` is the
         (key, batches, GroupState) body, exactly the shape
         streaming/stateful.py's builders produce (make_edge_alert_fn,
-        make_timeout_summary_fn — the second is the `punctuate`
-        equivalent via timeout="EventTimeTimeout", which needs the
-        caller's watermark upstream, like every stateful verb here).
+        make_timeout_summary_fn, make_wallclock_summary_fn). `timeout`
+        maps Kafka Streams' punctuate clocks (r13): "event" /
+        "EventTimeTimeout" = STREAM_TIME punctuate (needs the caller's
+        watermark upstream, fires deterministically off the data);
+        "processing" / "ProcessingTimeTimeout" = WALL_CLOCK_TIME
+        punctuate (watermark-free; re-arms on every data batch and
+        fires only when a LATER batch runs after the idle window — see
+        make_wallclock_summary_fn's contract).
         The key column must appear in `output_schema` — a transform
         that drops the key would silently break the keyed-record
         contract every downstream verb assumes. Streaming only: the
@@ -273,12 +281,17 @@ class KStream:
                 f"output_schema must carry the key column {self.key!r} "
                 "(a keyed stream's transform keeps its key)"
             )
+        aliases = {
+            "none": "NoTimeout",
+            "event": "EventTimeTimeout",
+            "processing": "ProcessingTimeTimeout",
+        }
         out = self.df.groupBy(self.key).applyInPandasWithState(
             fn,
             outputStructType=output_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=timeout,
+            timeoutConf=aliases.get(timeout.lower(), timeout),
         )
         return self._with(out)
 
@@ -484,6 +497,32 @@ class KTable:
             )
         return KTable(self.df.join(r, self.keys, how), self.keys)
 
+    def group_by(self, expr, name: str = "key") -> "KGroupedTable":
+        """KTable.groupBy (KGroupedTable, the changelog re-aggregation
+        verb — the last Kafka Streams 2.0 DSL family, r13): re-key the
+        table by `expr` and re-aggregate. On this SNAPSHOT relation the
+        add/subtract contract holds by construction — an upstream
+        update replaced the row BEFORE the aggregation reads it, which
+        is exactly what adder-then-subtractor converges to. The
+        INCREMENTAL changelog form (fold each update as subtract-old +
+        add-new without rescanning) is
+        streaming/materialized.LakeMaterializedAggregate's sign
+        arithmetic — reach it through KGroupedTable.materialized(),
+        which records this re-keying as the view's group expression.
+        Pass `expr` as a SQL string when the grouping must travel to
+        the changelog maintainer (a Column object has no portable SQL
+        rendering)."""
+        if "window" in self.keys:
+            raise ValueError(
+                "group_by on a windowed table re-keys across windows — "
+                "to_stream() first and group the stream explicitly"
+            )
+        return KGroupedTable(
+            self.df.withColumn(name, _as_col(expr)),
+            [name],
+            expr if isinstance(expr, str) else None,
+        )
+
     def to_stream(self) -> KStream:
         """Changelog → stream, keyed on the RECORD key; a windowed
         table's window column rides along as a value (the caller
@@ -498,3 +537,63 @@ class KTable:
             else "append"
         )
         return KStream(self.df, self.keys[0], output_mode=mode)
+
+
+class KGroupedTable:
+    """KTable.group_by() result (Kafka Streams' KGroupedTable):
+    re-keyed re-aggregation of a table. count/reduce/aggregate mirror
+    KGroupedStream's, evaluated over the table SNAPSHOT (see
+    KTable.group_by for why that equals the adder/subtractor fold).
+    `materialized()` hands the same grouping to the incremental
+    changelog maintainer for lake-backed tables."""
+
+    def __init__(
+        self, df: DataFrame, keys: list[str], group_sql: str | None
+    ) -> None:
+        self.df = df
+        self.keys = keys
+        self._group_sql = group_sql
+
+    def count(self, name: str = "count") -> "KTable":
+        out = self.df.groupBy(*self.keys).agg(
+            F.count(F.lit(1)).alias(name)
+        )
+        return KTable(out, self.keys)
+
+    def reduce(self, expr, name: str) -> "KTable":
+        """adder+subtractor reduce ≈ one aggregate expression over the
+        snapshot (Spark's agg is the map-side-combining fold)."""
+        return self.aggregate(**{name: expr})
+
+    def aggregate(self, **aggs) -> "KTable":
+        out = self.df.groupBy(*self.keys).agg(
+            *[_as_col(e).alias(n) for n, e in aggs.items()]
+        )
+        return KTable(out, self.keys)
+
+    def materialized(self, view_path: str, value_col: str):
+        """The INCREMENTAL form: a LakeMaterializedAggregate maintaining
+        count + SUM(value_col) grouped by THIS re-keying, fed by the
+        lake change feed's preimage/postimage rows (subtract-old /
+        add-new — the Kafka Streams KGroupedTable contract, folded
+        without rescanning the table). Requires the grouping to have
+        been given as a SQL string (it must evaluate on change rows in
+        the maintainer's process, where this DataFrame does not
+        exist). bootstrap()/attach() against the lake that backs this
+        table; the facade carries the grouping, nothing else."""
+        if self._group_sql is None:
+            raise ValueError(
+                "materialized() needs the group_by expression as a SQL "
+                "string — a Column object cannot travel to the "
+                "changelog maintainer"
+            )
+        from kstreams_spark.streaming.materialized import (
+            LakeMaterializedAggregate,
+        )
+
+        return LakeMaterializedAggregate(
+            view_path,
+            tuple(self.keys),
+            value_col,
+            group_exprs={self.keys[0]: self._group_sql},
+        )

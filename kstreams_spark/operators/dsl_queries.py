@@ -58,3 +58,52 @@ def dsl_topology_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
     )
+
+
+@query(
+    "dsl_ktable_groupby_reaggregate",
+    oracle="""
+    WITH latest AS (
+      SELECT * FROM (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders)
+      WHERE rn = 1)
+    SELECT o_orderpriority AS prio,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS latest_revenue
+    FROM latest GROUP BY 1
+    """,
+)
+def dsl_ktable_groupby_reaggregate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KTable.groupBy().aggregate() — the KGroupedTable verb family
+    (r13, the last unmapped Kafka Streams 2.0 DSL family; SURVEY §2.2,
+    pom.xml:41-45 ceiling): materialize a table of each customer's
+    LATEST order (latest-per-key with a unique tie-break — the KTable),
+    re-key it by order priority, and re-aggregate count + revenue. On
+    the snapshot relation the adder/subtractor contract holds by
+    construction (dsl.KTable.group_by docstring); the incremental
+    changelog twin is LakeMaterializedAggregate's sign fold with this
+    grouping as a derived group expression
+    (tests/test_materialized.py::test_derived_group_reaggregation).
+    Plan: one latest-per-key window shuffle + one re-key aggregation
+    exchange — exactly the two repartition topics Kafka Streams would
+    create."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = StreamsBuilder()
+    table = b.table(
+        orders,
+        key="o_custkey",
+        order_by=F.struct("o_orderdate", "o_orderkey"),
+    )
+    out = table.group_by("o_orderpriority", name="prio").aggregate(
+        n_customers=F.count(F.lit(1)),
+        latest_revenue=dsum("o_totalprice"),
+    )
+    return out.df

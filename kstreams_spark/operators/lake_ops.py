@@ -222,3 +222,89 @@ def lake_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("quality").alias("n_quality"),
         dsum("quality").alias("q_sum"),
     )
+
+
+def _fp_on(col: str) -> str:
+    """The 16-bit md5 fingerprint expression over an arbitrary column."""
+    return " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({col}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+
+
+@query(
+    "lake_rename_roundtrip",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'val' END AS split
+      FROM documents WHERE doc_id < {_BASE_N}
+    ),
+    added AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'val' END AS split
+      FROM documents WHERE doc_id >= {_BASE_N} AND doc_id < {_INS_N}
+    ),
+    u AS (  -- v1 = base under the old name; v3 = base+appended under
+            -- the new name (same DATA either way: rename moves no rows)
+      SELECT 1 AS version, * FROM base
+      UNION ALL SELECT 3, * FROM base
+      UNION ALL SELECT 3, * FROM added
+    )
+    SELECT version, split,
+           COUNT(*) AS n_docs,
+           SUM({_fp_on("text")})::BIGINT AS fp_sum,
+           SUM(length(text))::BIGINT AS len_sum
+    FROM u GROUP BY version, split
+    """,
+)
+def lake_rename_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING under the driver's value hash (r13, VERDICT r12
+    task 4): publish v1 → RENAME text→body (v2, metadata-only — zero
+    data files move) → append [400,450) UNDER THE NEW NAME (v3, files
+    store the stable physical name `text`) → read v1 through its own
+    pre-rename schema (column `text`) and v3 through the mapped schema
+    (column `body`, old files resolving through the map), fingerprint
+    both. The oracle replays the data logically — a read that loses the
+    mapping (NULL column), misorders it, or rewrites files
+    hash-mismatches; len_sum pins that v3's old-file rows carry REAL
+    text through the physical-name resolution, not NULL-fill."""
+    from kstreams_spark.lake_snapshot import (
+        snapshot_publish,
+        snapshot_read,
+        snapshot_rename_column,
+    )
+
+    lake = tempfile.mkdtemp(prefix="kstreams_lake_ren_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, "train")
+        .otherwise("val")
+        .alias("split"),
+    )
+    base = docs.filter(F.col("doc_id") < _BASE_N)
+    snapshot_publish(base, lake, partition_cols=("split",))  # v1
+    snapshot_rename_column(lake, "text", "body")  # v2: metadata-only
+    appended = docs.filter(
+        (F.col("doc_id") >= _BASE_N) & (F.col("doc_id") < _INS_N)
+    ).withColumnRenamed("text", "body")
+    snapshot_publish(
+        appended, lake, mode="append", partition_cols=("split",)
+    )  # v3
+    v1 = snapshot_read(spark, lake, version=1).select(
+        F.lit(1).alias("version"), "doc_id", "text", "split"
+    )
+    v3 = snapshot_read(spark, lake, version=3).select(
+        F.lit(3).alias("version"),
+        "doc_id",
+        F.col("body").alias("text"),
+        "split",
+    )
+    u = v1.unionByName(v3)
+    return u.groupBy("version", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(f"SUM({_fp_on('text')})").cast("bigint").alias("fp_sum"),
+        F.sum(F.length("text")).cast("bigint").alias("len_sum"),
+    )

@@ -37,13 +37,19 @@ regenerates any committed slice deterministically. Retention contract
 replay — grace_seconds below the maximum consumer recovery lag breaks
 replay, loudly (FileNotFoundError on the folded manifest).
 
-Scale posture, stated plainly: SimpleDataSourceStreamReader reads on
-the driver — right for CDC volumes (changed rows per commit), not for
-re-reading a 100 TB table; a full re-derivation goes through
-bootstrap_from_lake's distributed snapshot read instead. Keys must be
-unique per snapshot (the snapshot_diff contract). Partition columns
-must be scalar-typed; the letter-prefix string convention (CLAUDE.md)
-is what the fixtures use.
+Scale posture: TWO readers. `kstreams_lake_cdf` (this Simple reader)
+reads changed files on the DRIVER and emits classified rows — right
+for CDC volumes (changed rows per commit), a cap on large commits.
+`kstreams_lake_cdf_dist` (r13, the partitioned DataSourceStreamReader
+below) plans ONE InputPartition per changed file and emits SIGNED
+rows (+1/−1) — reads scale with executors, the driver touches only
+manifests; classification is either folded away by sign arithmetic
+(SUM-shaped consumers) or done batch-side by `classify_changes` (the
+shuffle a DataSource task cannot express). A full re-derivation still
+goes through bootstrap_from_lake's distributed snapshot read. Keys
+must be unique per snapshot (the snapshot_diff contract). Partition
+columns must be scalar-typed; the letter-prefix string convention
+(CLAUDE.md) is what the fixtures use.
 """
 
 from __future__ import annotations
@@ -51,7 +57,11 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    SimpleDataSourceStreamReader,
+)
 
 from kstreams_spark.lake_snapshot import (
     _live_files,
@@ -59,6 +69,7 @@ from kstreams_spark.lake_snapshot import (
     _schema_fields as _parse_fields,
     _unescape_partition_value,
     snapshot_versions,
+    table_column_map,
     table_dvs,
 )
 
@@ -219,8 +230,26 @@ def step_changes(
         adds, removes = cur - prev, prev - cur
     else:
         adds, removes = set(m["adds"]), set(m["removes"])
-    fields = _schema_fields(m["schema"])
+    # COLUMN MAPPING (r13): everything below runs in PHYSICAL name
+    # space — the stable identity data files store. A rename is a
+    # metadata-only commit (no adds/removes → zero change rows) and the
+    # stream spans it transparently: plan-time logical names translate
+    # through the LATEST map (falling back to this step's map, then
+    # identity), which resolves to the same physical column for every
+    # step on either side of the rename.
+    cmap = m.get("column_map", {})
+    latest_cmap = table_column_map(lake_path)
+
+    def _phys(n: str) -> str:
+        return latest_cmap.get(n, cmap.get(n, n))
+
+    fields = [
+        (cmap.get(n, n), t) for n, t in _schema_fields(m["schema"])
+    ]
     step_names = [n for n, _ in fields]
+    key_cols = tuple(_phys(k) for k in key_cols)
+    if names is not None:
+        names = [_phys(n) for n in names]
     if names is not None:
         # The stream's column list was fixed at plan time from the
         # then-latest manifest. A schema evolve committed AFTER the plan
@@ -254,6 +283,22 @@ def step_changes(
         key_of(r): r
         for r in _read_rows(lake_path, adds, fields, skip_positions=dv_cur)
     }
+    # DELETION-VECTOR deltas on files live across the step join the
+    # SAME key classification (r13): positions grown at `version` are
+    # pre-images (a pure DV delete stays a delete; paired with a
+    # same-key appended row — the merge-on-read MERGE — it classifies
+    # as an UPDATE, exactly like a rewrite would); positions removed
+    # are post-images (a restore re-animating rows = insert).
+    for f in sorted(set(dv_cur) | set(dv_prev)):
+        if f in adds or f in removes:
+            continue
+        was, now = set(dv_prev.get(f, [])), set(dv_cur.get(f, []))
+        if now - was:
+            for r in _read_rows_at(lake_path, f, sorted(now - was), fields):
+                old_by[key_of(r)] = r
+        if was - now:
+            for r in _read_rows_at(lake_path, f, sorted(was - now), fields):
+                new_by[key_of(r)] = r
     out_names = names if names is not None else step_names
 
     def out(r: dict, change: str) -> tuple:
@@ -273,19 +318,6 @@ def step_changes(
     for k, r in old_by.items():
         if k not in new_by:
             rows.append(out(r, "delete"))
-    # DELETION-VECTOR deltas on files live across the step: positions
-    # added at `version` are deletes (snapshot_delete_where_dv);
-    # positions removed are inserts (a restore re-animating rows)
-    for f in sorted(set(dv_cur) | set(dv_prev)):
-        if f in adds or f in removes:
-            continue
-        was, now = set(dv_prev.get(f, [])), set(dv_cur.get(f, []))
-        for positions, change in ((now - was, "delete"), (was - now, "insert")):
-            if positions:
-                for r in _read_rows_at(
-                    lake_path, f, sorted(positions), fields
-                ):
-                    rows.append(out(r, change))
     return rows
 
 
@@ -368,3 +400,246 @@ class LakeChangeFeedDataSource(DataSource):
     def simpleStreamReader(self, schema) -> LakeChangeFeedStreamReader:
         names = [f.name for f in schema.fields if f.name not in _META_COLS]
         return LakeChangeFeedStreamReader(dict(self.options), names=names)
+
+
+# --- partitioned (distributed) change feed ---------------------------------
+# VERDICT r12 task 5: the Simple reader above reads every changed file
+# on the DRIVER — right for CDC volumes, a cap on large commits. The
+# partitioned reader below plans ONE InputPartition per changed file
+# (plus one per DV delta), so reads scale with executors and the
+# driver touches only manifests. The constraint it designs around: a
+# Python DataSource task cannot shuffle, so per-file tasks cannot
+# match old vs new rows BY KEY (update classification is a cross-file
+# operation). The decomposition:
+#
+# - the stream emits SIGNED rows — `_side` +1 for rows a version adds,
+#   −1 for rows it removes (DV growth = −1, DV shrink = +1) — which is
+#   file-local and therefore perfectly partitionable;
+# - SUM-shaped consumers (LakeMaterializedAggregate) fold `_side`
+#   directly: an update's −old/+new pair IS the subtractor/adder, and
+#   a compaction's equal-row ± pairs cancel exactly — no
+#   classification needed, bit-equal results;
+# - consumers that want Delta's classified form call
+#   `classify_changes` on each microbatch (a distributed groupBy over
+#   the batch — the shuffle the source could not express), parity-
+#   pinned against step_changes per version.
+
+SIGNED_META_COLS = ("_side", "_commit_version")
+
+
+from pyspark.sql.datasource import InputPartition
+
+
+class _ChangePartition(InputPartition):
+    """One task's work: one data file (whole, minus skip positions) or
+    one DV delta (exact positions) of one version, with a sign."""
+
+    def __init__(
+        self,
+        version: int,
+        rel_file: str,
+        side: int,
+        skip: list[int] | None,
+        take: list[int] | None,
+    ) -> None:
+        self.version = version
+        self.rel_file = rel_file
+        self.side = side
+        self.skip = skip or []
+        self.take = take
+
+
+def _signed_partitions(lake_path: str, v0: int, v1: int) -> list:
+    """Plan the (version, file, side) work items for versions (v0, v1]
+    — manifests only, no data reads, O(changed files) driver work."""
+    parts: list[_ChangePartition] = []
+    for v in range(v0 + 1, v1 + 1):
+        m = _read_manifest(lake_path, v)
+        if "files" in m:  # legacy full-list manifest
+            prev = _live_files(lake_path, v - 1) if v > 1 else set()
+            cur = set(m["files"])
+            adds, removes = cur - prev, prev - cur
+        else:
+            adds, removes = set(m["adds"]), set(m["removes"])
+        dv_prev = table_dvs(lake_path, v - 1) if v > 1 else {}
+        dv_cur = table_dvs(lake_path, v)
+        for f in sorted(adds):
+            parts.append(
+                _ChangePartition(v, f, +1, dv_cur.get(f), None)
+            )
+        for f in sorted(removes):
+            parts.append(
+                _ChangePartition(v, f, -1, dv_prev.get(f), None)
+            )
+        for f in sorted(set(dv_cur) | set(dv_prev)):
+            if f in adds or f in removes:
+                continue
+            was, now = set(dv_prev.get(f, [])), set(dv_cur.get(f, []))
+            if now - was:
+                parts.append(
+                    _ChangePartition(v, f, -1, None, sorted(now - was))
+                )
+            if was - now:
+                parts.append(
+                    _ChangePartition(v, f, +1, None, sorted(was - now))
+                )
+    return parts
+
+
+class LakeChangeFeedPartitionedReader(DataSourceStreamReader):
+    def __init__(
+        self, options: dict[str, str], names: list[str] | None = None
+    ) -> None:
+        self.names = names
+        self.path = options["path"]
+        self.start_version = int(options.get("start_version", "0"))
+        self.max_versions_per_batch = int(
+            options.get("max_versions_per_batch", "100")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        versions = snapshot_versions(self.path)
+        latest = versions[-1] if versions else 0
+        # advance at most max_versions_per_batch per microbatch; never
+        # regress below the start offset
+        return {"version": max(self.start_version, latest)}
+
+    def partitions(self, start: dict, end: dict):
+        parts = _signed_partitions(
+            self.path, start["version"], end["version"]
+        )
+        # Spark requires >= 1 partition; an empty step plans one no-op
+        return parts or [_ChangePartition(0, "", 0, None, None)]
+
+    def read(self, partition) -> Iterator[tuple]:
+        if partition.side == 0:  # the empty-step no-op partition
+            return iter([])
+        m = _read_manifest(self.path, partition.version)
+        cmap = m.get("column_map", {})
+        latest_cmap = table_column_map(self.path)
+        fields = [
+            (cmap.get(n, n), t) for n, t in _schema_fields(m["schema"])
+        ]
+        out_names = (
+            [latest_cmap.get(n, cmap.get(n, n)) for n in self.names]
+            if self.names is not None
+            else [n for n, _ in fields]
+        )
+        if partition.take is not None:
+            rows = _read_rows_at(
+                self.path, partition.rel_file, partition.take, fields
+            )
+        else:
+            rows = _read_rows(
+                self.path,
+                {partition.rel_file},
+                fields,
+                skip_positions={partition.rel_file: partition.skip},
+            )
+        side, version = partition.side, partition.version
+        return iter(
+            tuple(r.get(n) for n in out_names) + (side, version)
+            for r in rows
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are manifest versions; nothing to clean up
+
+
+class LakeChangeFeedDistDataSource(DataSource):
+    """`spark.dataSource.register(LakeChangeFeedDistDataSource)` then
+    `spark.readStream.format("kstreams_lake_cdf_dist")
+         .option("path", lake).load()` — the PARTITIONED change feed:
+    signed rows, one task per changed file (see module section above
+    for the signed-row contract and classify_changes for Delta's
+    classified form)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kstreams_lake_cdf_dist"
+
+    def schema(self):
+        from pyspark.sql import types as T
+
+        versions = snapshot_versions(self.options["path"])
+        if not versions:
+            raise ValueError(
+                f"no committed snapshots under {self.options['path']}"
+            )
+        fields = _schema_fields(
+            _read_manifest(self.options["path"], versions[-1])["schema"]
+        )
+        return T.StructType(
+            [T.StructField(n, _spark_type(t), True) for n, t in fields]
+            + [
+                T.StructField("_side", T.IntegerType(), False),
+                T.StructField("_commit_version", T.IntegerType(), False),
+            ]
+        )
+
+    def streamReader(self, schema) -> LakeChangeFeedPartitionedReader:
+        names = [
+            f.name for f in schema.fields if f.name not in SIGNED_META_COLS
+        ]
+        return LakeChangeFeedPartitionedReader(
+            dict(self.options), names=names
+        )
+
+
+def classify_changes(signed_df, key_cols: tuple[str, ...]):
+    """Signed rows (one or more whole versions) → Delta's classified
+    form — the distributed shuffle the partitioned SOURCE cannot
+    express, as a plain batch transformation for foreachBatch
+    consumers: per (version, key), a −1-only group is a delete, a
+    +1-only group an insert, both-sides-with-different-payload an
+    update (update_preimage + update_postimage rows), both-equal
+    nothing (a compaction rewrite cancels). Requires whole versions in
+    `signed_df` (the stream's batches are version-aligned) and unique
+    keys per snapshot — the step_changes contract; parity per version
+    is pinned in tests/test_lake_cdf_dist.py."""
+    from pyspark.sql import functions as F
+
+    keys = list(key_cols)
+    data_cols = [
+        c
+        for c in signed_df.columns
+        if c not in keys and c not in SIGNED_META_COLS
+    ]
+    row = F.struct(*data_cols)
+    g = (
+        signed_df.groupBy("_commit_version", *keys)
+        .agg(
+            F.sum("_side").alias("_net"),
+            F.max(F.when(F.col("_side") == 1, row)).alias("_new"),
+            F.max(F.when(F.col("_side") == -1, row)).alias("_old"),
+            F.sum(F.when(F.col("_side") == 1, 1).otherwise(0)).alias("_n_add"),
+            F.sum(F.when(F.col("_side") == -1, 1).otherwise(0)).alias(
+                "_n_rm"
+            ),
+        )
+    )
+    ins = g.filter("_n_add > 0 AND _n_rm = 0").select(
+        *keys, "_new.*", F.lit("insert").alias("_change"), "_commit_version"
+    )
+    dele = g.filter("_n_rm > 0 AND _n_add = 0").select(
+        *keys, "_old.*", F.lit("delete").alias("_change"), "_commit_version"
+    )
+    upd = g.filter(
+        "_n_add > 0 AND _n_rm > 0 AND NOT (_new <=> _old)"
+    )
+    pre = upd.select(
+        *keys,
+        "_old.*",
+        F.lit("update_preimage").alias("_change"),
+        "_commit_version",
+    )
+    post = upd.select(
+        *keys,
+        "_new.*",
+        F.lit("update_postimage").alias("_change"),
+        "_commit_version",
+    )
+    return ins.unionByName(dele).unionByName(pre).unionByName(post)

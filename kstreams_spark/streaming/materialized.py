@@ -61,14 +61,29 @@ class LakeMaterializedAggregate:
         view_path: str,
         group_cols: tuple[str, ...],
         value_col: str,
+        group_exprs: dict[str, str] | None = None,
     ) -> None:
+        """`group_exprs` (r13, the KGroupedTable re-keying —
+        dsl.KGroupedTable.materialized): name → SQL expression DERIVING
+        a group column from the row. Derived groups fold incrementally
+        for free because every change row (preimage AND postimage)
+        carries the full row: an update that moves a row between
+        derived groups subtracts from the old group and adds to the
+        new one — exactly Kafka Streams' KGroupedTable
+        adder/subtractor contract."""
         self.view_path = view_path
         self.group_cols = tuple(group_cols)
         self.value_col = value_col
+        self.group_exprs = dict(group_exprs or {})
+
+    def _with_groups(self, df: DataFrame) -> DataFrame:
+        for name, sql in self.group_exprs.items():
+            df = df.withColumn(name, F.expr(sql))
+        return df
 
     # -- the aggregate, stated once (bootstrap twin = parity oracle) ----
     def _aggregate(self, df: DataFrame) -> DataFrame:
-        return df.groupBy(*self.group_cols).agg(
+        return self._with_groups(df).groupBy(*self.group_cols).agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col(self.value_col).cast("decimal(18,6)"))
             .cast(_SUM_T)
@@ -144,7 +159,8 @@ class LakeMaterializedAggregate:
                 "cannot maintain a SUM"
             )
         deltas = (
-            batch_df.withColumn("_sign", sign)
+            self._with_groups(batch_df)
+            .withColumn("_sign", sign)
             .groupBy(*self.group_cols)
             .agg(
                 F.sum("_sign").cast("long").alias("_dn"),

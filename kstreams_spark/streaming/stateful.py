@@ -135,6 +135,59 @@ def make_timeout_summary_fn(gap_ms: int):
     return fn
 
 
+def make_wallclock_summary_fn(idle_ms: int):
+    """ProcessingTimeTimeout twin of make_timeout_summary_fn — Kafka
+    Streams' WALL_CLOCK_TIME punctuate (the reference's declared
+    growth path, BME680.java:46-47; STREAM_TIME is the event-time
+    variant above). Re-arm semantics, stated as the contract the
+    event-time docstring only warned about: the timeout arms at (wall
+    clock when the arming batch COMMITS) + idle, EVERY batch that
+    delivers data for the key re-arms it, and a fire needs a LATER
+    microbatch to execute — the engine evaluates timeouts only while a
+    batch runs, so an idle stream with no further triggers emits
+    nothing and `processAllAvailable()` alone cannot flush it (tests
+    sleep past the idle window, then trigger one more batch). That is
+    also why the event-time variant, not this one, is the
+    deterministic default: wall-clock firing depends on scheduling,
+    never on the data."""
+
+    def fn(key, pdfs, state) -> "Iterator[pd.DataFrame]":
+        if state.hasTimedOut:
+            n, mx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"key": key[0], "n_readings": int(n), "max_reading": float(mx)}]
+            )
+            return
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            vals = pdf["reading"].dropna()
+            n += int(len(vals))
+            if len(vals):
+                mx = max(mx, float(vals.max()))
+        state.update((n, mx))
+        state.setTimeoutDuration(idle_ms)
+
+    return fn
+
+
+def wallclock_summary_stream(
+    keyed_readings: DataFrame, idle: str | int = "2 seconds"
+) -> DataFrame:
+    """(key, ts, reading) stream → one (key, n_readings, max_reading)
+    summary per key once the key has been quiet for `idle` of WALL
+    CLOCK — no watermark required (processing-time state timeouts are
+    watermark-independent). See make_wallclock_summary_fn for the
+    re-arm/fire contract."""
+    return keyed_readings.groupBy("key").applyInPandasWithState(
+        make_wallclock_summary_fn(duration_ms(idle)),
+        outputStructType=SUMMARY_SCHEMA,
+        stateStructType=COUNT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )
+
+
 _UNIT_MS = {
     "ms": 1,
     "millisecond": 1,

@@ -314,3 +314,58 @@ def test_to_kafka_validates_schema_before_start(spark, tmp_path):
     stream = spark.readStream.schema(READING_SCHEMA).json(d)
     with pytest.raises(ValueError, match="kafka sink needs"):
         KStream(stream, "key").to_kafka("localhost:9092", "t", str(tmp_path / "c"))
+
+
+def test_wallclock_punctuate_emits_on_idle_key(spark, tmp_path):
+    """VERDICT r12 task 6: WALL_CLOCK_TIME punctuate — an idle key's
+    summary emits on processing-time expiry, reached through the facade
+    as transform_values(..., timeout="processing"). Processing-time
+    timeouts keep the engine scheduling batches (shouldRunAnotherBatch
+    stays true), so processAllAvailable never quiesces — the documented
+    contract in make_wallclock_summary_fn; the test therefore POLLS the
+    sink instead."""
+    import time as _time
+
+    from kstreams_spark.streaming.stateful import (
+        COUNT_STATE_SCHEMA,
+        SUMMARY_SCHEMA,
+        make_wallclock_summary_fn,
+    )
+
+    d = str(tmp_path / "wc_src")
+    os.makedirs(d)
+    _feed(d, "b1.json", [
+        ("k1", "2024-01-01 00:00:00", 70.0),
+        ("k1", "2024-01-01 00:01:00", 90.0),
+    ])
+    stream = spark.readStream.schema(READING_SCHEMA).json(d)
+    out = (
+        StreamsBuilder()
+        .stream(stream, "key")
+        .transform_values(
+            make_wallclock_summary_fn(1_000),
+            SUMMARY_SCHEMA,
+            COUNT_STATE_SCHEMA,
+            timeout="processing",
+        )
+        .df
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wc_out")
+        .start()
+    )
+    try:
+        # no new data arrives; the wall clock alone must flush k1
+        deadline = _time.time() + 60
+        rows = {}
+        while _time.time() < deadline and "k1" not in rows:
+            _time.sleep(0.5)
+            rows = {
+                r.key: (r.n_readings, r.max_reading)
+                for r in spark.sql("SELECT * FROM wc_out").collect()
+            }
+        assert rows.get("k1") == (2, 90.0), rows
+    finally:
+        q.stop()

@@ -203,3 +203,89 @@ def test_dv_position_caps_bound_driver_state(
     snapshot_compact(spark, lake, n_files=1)
     assert _ids(spark, lake) == list(range(3, 20))
     assert table_dvs(lake, snapshot_versions(lake)[-1]) == {}
+
+
+def test_merge_on_read_is_dv_tombstones_plus_append(spark, tmp_path, sf_dir):
+    """VERDICT r12 task 7 — DV-aware MERGE: matched rows become
+    deletion-vector tombstones (prior data files byte-untouched),
+    post-images append, ONE commit; the CDF classifies the pairs as
+    UPDATES; restore re-animates; compaction materializes."""
+    lake = str(tmp_path / "mor")
+    snapshot_publish(_corpus(spark, sf_dir), lake)  # v1: docs 0..19
+    files_v1 = ls._list_files(lake)
+    mtimes = {f: os.path.getmtime(os.path.join(lake, f)) for f in files_v1}
+    src = (
+        _corpus(spark, sf_dir, 0, 2)
+        .unionByName(_corpus(spark, sf_dir, 100, 103))
+        .withColumn("text", F.concat(F.lit("NEW:"), F.col("text")))
+    )
+    r = snapshot_merge(
+        spark, lake, src, key_cols=("doc_id",), merge_on_read=True
+    )
+    assert (r["updated"], r["inserted"]) == (2, 3)
+    # prior data files: byte-untouched (merge-on-read's whole point)
+    assert files_v1 <= ls._list_files(lake)
+    assert all(
+        os.path.getmtime(os.path.join(lake, f)) == mtimes[f]
+        for f in files_v1
+    )
+    # reads: post-images win, inserts present, count right
+    now = snapshot_read(spark, lake)
+    assert now.count() == 23
+    by_id = {x.doc_id: x.text for x in now.collect()}
+    assert by_id[0].startswith("NEW:") and by_id[100].startswith("NEW:")
+    assert not by_id[3].startswith("NEW:")
+    # time travel: v1 intact
+    assert snapshot_read(spark, lake, version=1).count() == 20
+    # the CDF classifies tombstone+append pairs as UPDATES
+    v2 = snapshot_versions(lake)[-1]
+    rows = step_changes(lake, v2, ("doc_id",))
+    changes = {r[0]: r[-2] for r in rows}
+    assert changes[0] == "update" and changes[1] == "update"
+    assert all(changes[d] == "insert" for d in (100, 101, 102))
+    assert len(rows) == 5
+    # a second MOR merge on an already-tombstoned key matches the
+    # POST-image row (old address never re-matches)
+    src2 = (
+        _corpus(spark, sf_dir, 0, 1)
+        .withColumn("text", F.lit("NEWER"))
+    )
+    r2 = snapshot_merge(
+        spark, lake, src2, key_cols=("doc_id",), merge_on_read=True
+    )
+    assert (r2["updated"], r2["inserted"]) == (1, 0)
+    assert snapshot_read(spark, lake).count() == 23
+    assert {
+        x.text
+        for x in snapshot_read(spark, lake)
+        .filter("doc_id = 0")
+        .collect()
+    } == {"NEWER"}
+    # restore rewinds to the pre-merge world
+    snapshot_restore(lake, 1)
+    assert snapshot_read(spark, lake).count() == 20
+    assert not snapshot_read(spark, lake).filter(
+        "doc_id = 0"
+    ).first().text.startswith("NEW")
+    # wide-merge budget refusal
+    import pytest as _pytest
+
+    monkey_cap = ls.DRIVER_DV_MAX_POSITIONS
+    try:
+        ls.DRIVER_DV_MAX_POSITIONS = 1
+        with _pytest.raises(ValueError, match="copy-on-write"):
+            snapshot_merge(
+                spark,
+                lake,
+                _corpus(spark, sf_dir, 0, 5).withColumn(
+                    "text", F.lit("W")
+                ),
+                key_cols=("doc_id",),
+                merge_on_read=True,
+            )
+    finally:
+        ls.DRIVER_DV_MAX_POSITIONS = monkey_cap
+    # compaction materializes whatever tombstones remain
+    snapshot_compact(spark, lake, n_files=1)
+    assert table_dvs(lake, snapshot_versions(lake)[-1]) == {}
+    assert snapshot_read(spark, lake).count() == 20
