@@ -130,6 +130,12 @@ HEADLINE = [
     "multimodal_image_decode_gif_interlaced",  # added r12: 4-pass interlace
     "lake_merge_restore_timetravel",  # added r12: MERGE/RESTORE/ZORDER chain
     "lake_evolution_roundtrip",  # added r12: schema evolution + CHECK constraint
+    "lake_rename_roundtrip",  # added r13: column-mapping rename, both versions read
+    "dsl_ktable_groupby_reaggregate",  # added r13: KGroupedTable re-aggregation
+    "multimodal_image_decode_png_adam7",  # added r13: 7-pass Adam7 decode
+    "multimodal_video_gif_subrect_frames",  # added r13: sub-rect compositing
+    "multimodal_image_decode_png_palette",  # added r13: PLTE color type
+    "multimodal_image_decode_jpeg_progressive",  # added r13: SOF2 9-scan script
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------

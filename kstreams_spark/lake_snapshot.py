@@ -420,6 +420,7 @@ def _commit(
     set_constraints: dict[str, str] | None = None,
     set_dvs: dict[str, str] | None = None,
     set_column_map: dict[str, str] | None = None,
+    set_dropped_physical: list[str] | None = None,
 ) -> int:
     """Write manifest version = last + 1. The commit point is an atomic
     CREATE-exclusive os.link of the fully-written temp manifest onto the
@@ -496,6 +497,14 @@ def _commit(
             if set_column_map is None
             else set_column_map
         )
+        # physical names retired by DROP COLUMN stay reserved forever
+        # (data files still store them — reuse would bind new reads to
+        # old data); replace passes [] to reset with its fresh world
+        dropped_physical = (
+            prev_m.get("dropped_physical", [])
+            if set_dropped_physical is None
+            else set_dropped_physical
+        )
         os.makedirs(_log_dir(path), exist_ok=True)
         body = {
             "version": version,
@@ -507,6 +516,7 @@ def _commit(
             "constraints": constraints,
             "dvs": dvs,
             "column_map": column_map,
+            "dropped_physical": dropped_physical,
         }
         # unique temp name: concurrent committers must not share one
         tmp = os.path.join(
@@ -569,7 +579,11 @@ def snapshot_publish(
     if mode == "append":
         versions = snapshot_versions(path)
         if versions:  # enforce BEFORE writing any data file
-            schema_ddl = recheck(_read_manifest(path, versions[-1])["schema"])
+            base_m = _read_manifest(path, versions[-1])
+            schema_ddl = recheck(base_m["schema"])
+            _check_added_names(
+                df.schema.simpleString(), base_m, "snapshot_publish(append)"
+            )
             _check_partition_cols(
                 _live_files(path, versions[-1]),
                 partition_cols,
@@ -604,6 +618,7 @@ def snapshot_publish(
         schema_ddl,
         recompute=lambda latest_live: new,
         set_column_map={},
+        set_dropped_physical=[],
     )
 
 
@@ -1033,6 +1048,7 @@ def snapshot_merge(
     schema_ddl = _check_append_schema(
         source.schema.simpleString(), m["schema"], evolve, "snapshot_merge"
     )
+    _check_added_names(source.schema.simpleString(), m, "snapshot_merge")
     live = _live_files(path, base_version)
     _check_partition_cols(live, partition_cols, "snapshot_merge")
     cons = table_constraints(path)
@@ -1383,12 +1399,15 @@ def snapshot_rename_column(path: str, old: str, new: str) -> int:
             f"rename: {old!r} is a partition column — its name IS the "
             "directory layout; rewrite via mode='replace' instead"
         )
-    physical_in_use = {cmap.get(n, n) for n in names}
+    physical_in_use = {cmap.get(n, n) for n in names} | set(
+        m.get("dropped_physical", [])
+    )
     if new in physical_in_use:
         raise ValueError(
             f"rename: {new!r} is a PHYSICAL name already stored in data "
-            "files — reusing it would bind reads/writes to the wrong "
-            "column (the forbid-reuse rule)"
+            "files (a live column's, or a dropped column's — the "
+            "reservation survives the drop) — reusing it would bind "
+            "reads/writes to the wrong column (the forbid-reuse rule)"
         )
     import re as _re
 
@@ -1417,6 +1436,91 @@ def snapshot_rename_column(path: str, old: str, new: str) -> int:
     )
 
 
+def _check_added_names(new_schema: str, m: dict, op: str) -> None:
+    """Evolve-adds must not take a name that is someone's PHYSICAL name
+    — a current column's (renamed away) or a dropped column's. Data
+    files STORE those names: an identity-mapped new column would read
+    the old column's bytes out of every pre-existing file instead of
+    NULL. Checked against the base manifest (the OCC window between a
+    racing rename/drop and this append is the same
+    maintenance-conflict window every rewrite has)."""
+    committed = {n for n, _ in _schema_fields(m["schema"])}
+    added = [
+        n for n, _ in _schema_fields(new_schema) if n not in committed
+    ]
+    cmap = m.get("column_map", {})
+    reserved = {cmap.get(n, n) for n in committed} | set(
+        m.get("dropped_physical", [])
+    )
+    for n in added:
+        if n in reserved:
+            raise ValueError(
+                f"{op}: cannot add column {n!r} — that name is a "
+                "PHYSICAL name stored in existing data files (renamed "
+                "away or dropped); pick another name or rewrite via "
+                "mode='replace'"
+            )
+
+
+def snapshot_drop_column(path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN — the other half of the column-mapping
+    evolution class (r13): a METADATA-ONLY commit removing the column
+    from the logical schema. Data files keep its bytes (nothing
+    rewrites); the column's PHYSICAL name lands in the manifest's
+    `dropped_physical` reservation list, and every later evolve-add or
+    rename REFUSES that name (an identity mapping would silently read
+    the dropped column's old bytes back). Time travel still reads the
+    column at pre-drop versions; restore rewinds the drop; replace
+    resets the reservation with its fresh world. Guards mirror
+    rename's: partition columns and CHECK-referenced columns refuse;
+    the last data column refuses (an empty-schema table is
+    unreadable)."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {path}")
+    latest = versions[-1]
+    m = _read_manifest(path, latest)
+    fields = _schema_fields(m["schema"])
+    names = [n for n, _ in fields]
+    if name not in names:
+        raise ValueError(f"drop: no column {name!r} (have {names})")
+    if len(fields) <= 1:
+        raise ValueError("drop: cannot drop the last column")
+    live = _live_files(path, latest)
+    lay = _layout_partition_cols(live)
+    if lay and name in lay:
+        raise ValueError(
+            f"drop: {name!r} is a partition column — its name IS the "
+            "directory layout; rewrite via mode='replace' instead"
+        )
+    import re as _re
+
+    for cname, pred in m.get("constraints", {}).items():
+        if _re.search(rf"\b{_re.escape(name)}\b", pred):
+            raise ValueError(
+                f"drop: column {name!r} is referenced by CHECK "
+                f"constraint {cname!r} ({pred}) — drop the constraint "
+                "first"
+            )
+    cmap = dict(m.get("column_map", {}))
+    physical = cmap.pop(name, name)
+    dropped = sorted(set(m.get("dropped_physical", [])) | {physical})
+    new_schema = (
+        "struct<"
+        + ",".join(f"{n}:{t}" for n, t in fields if n != name)
+        + ">"
+    )
+    return _commit(
+        path,
+        live,
+        f"drop-column-{name}",
+        new_schema,
+        base_version=latest,
+        set_column_map=cmap,
+        set_dropped_physical=dropped,
+    )
+
+
 def snapshot_restore(path: str, version: int) -> int:
     """RESTORE TO VERSION AS OF: commit `version`'s live file set (and
     schema) as a NEW version — the Delta RESTORE verb. Nothing is
@@ -1441,6 +1545,7 @@ def snapshot_restore(path: str, version: int) -> int:
         base_version=versions[-1],
         set_dvs=restored.get("dvs", {}),
         set_column_map=restored.get("column_map", {}),
+        set_dropped_physical=restored.get("dropped_physical", []),
     )
 
 

@@ -6,17 +6,20 @@ table + sub-block concatenation + LZW with dictionary resets. This
 extends the oracle-replays-pixels doctrine (BMP/WAV/AVI/JPEG/PNG) to a
 fourth lossless image container.
 
-Decoder scope (stated, not hidden): GIF87a/89a, FULL-FRAME image
-blocks — which covers plain images and replace-disposal animations
+Decoder scope (stated, not hidden): GIF87a/89a image blocks
 (gif_frames returns every frame; gif_pixel_grid demands exactly one).
 r12 extends the scope to LOCAL COLOR TABLES (per-frame palettes — the
 common real-animated-GIF layout; an LCT overrides the GCT for its
 frame only, spec §21) and INTERLACED images (the 4-pass row order of
 spec Appendix E, de-interleaved back to natural order). The global
-color table is now optional when every frame carries an LCT, per spec.
-Sub-rectangle frames still raise ValueError naming the variant.
-Extension blocks (graphic control, comment, NETSCAPE looping,
-application) are skipped per spec.
+color table is optional when every frame carries an LCT, per spec.
+r13 extends it to SUB-RECTANGLE frames (the optimized-animation
+layout: each frame ships only its changed rect, composited onto the
+do-not-dispose canvas; the first frame must cover the canvas, and
+disposal methods 2/3 — restore-to-background/previous — raise BY
+NAME, peeked from the graphic control extension). Other extension
+blocks (comment, NETSCAPE looping, application) are skipped per
+spec.
 
 Encoder traps (the PNG doctrine — fixtures exercise the decoder's real
 failure modes): the LZW stream is split across SMALL sub-blocks
@@ -215,6 +218,7 @@ def encode_gif_anim(
     palette: list[tuple[int, int, int]],
     local_palettes: list[list[tuple[int, int, int]]] | None = None,
     interlace: bool = False,
+    rects: list[tuple[int, int, int, int] | None] | None = None,
 ) -> bytes:
     """frames[f][y][x] = palette index → a complete, valid animated
     GIF89a: one full-frame image block per frame, each preceded by a
@@ -230,12 +234,23 @@ def encode_gif_anim(
     value-wrong on every frame, not structurally broken). `interlace`
     stores each frame's rows in the 4-pass Appendix E order with the
     descriptor flag set — a decoder that skips de-interleaving keeps
-    the right channel SUMS but fails any position-weighted checksum."""
+    the right channel SUMS but fails any position-weighted checksum.
+
+    r13 trap: `rects[f] = (left, top, fw, fh)` writes frame f as a
+    SUB-RECTANGLE image block (frames[f] then is its fh×fw grid) — the
+    optimized-animation layout where each frame ships only the pixels
+    that changed and the do-not-dispose canvas carries the rest.
+    rects[0] must be None/full-canvas (there is no background to
+    composite the first frame over)."""
     if len(palette) != _PAL_N:
         raise ValueError(f"fixture palette must have {_PAL_N} entries")
     if local_palettes is not None and len(local_palettes) != len(frames):
         raise ValueError("need one local palette per frame")
+    if rects is not None and len(rects) != len(frames):
+        raise ValueError("need one rect (or None) per frame")
     h, w = len(frames[0]), len(frames[0][0])
+    if rects is not None and rects[0] not in (None, (0, 0, w, h)):
+        raise ValueError("rects[0] must cover the canvas")
     out = bytearray(b"GIF89a")
     # logical screen descriptor: GCT present, 2^(3+1)=16 entries
     out += struct.pack("<HHBBB", w, h, 0x80 | 0x03, 0, 0)
@@ -245,9 +260,16 @@ def encode_gif_anim(
     out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
     out += b"\x21\xfe" + _sub_blocks(b"kstreams_spark gif_codec")[:-1] + b"\x00"
     for f, idx_grid in enumerate(frames):
-        if (len(idx_grid), len(idx_grid[0])) != (h, w):
-            raise ValueError("all frames must be full-frame (same dims)")
-        # graphic control extension: disposal=replace(1), delay 4 cs
+        rect = rects[f] if rects is not None else None
+        left, top, fw, fh = rect if rect is not None else (0, 0, w, h)
+        if left < 0 or top < 0 or left + fw > w or top + fh > h:
+            raise ValueError(f"rect {rect} outside the {w}x{h} canvas")
+        if (len(idx_grid), len(idx_grid[0])) != (fh, fw):
+            raise ValueError(
+                f"frame {f} grid is {len(idx_grid)}x{len(idx_grid[0])}, "
+                f"its rect says {fh}x{fw}"
+            )
+        # graphic control extension: disposal=do-not-dispose(1), 4 cs
         out += b"\x21\xf9\x04\x04\x04\x00\x00\x00"
         ipacked = 0
         if local_palettes is not None:
@@ -256,13 +278,13 @@ def encode_gif_anim(
             ipacked |= 0x80 | 0x03  # LCT present, 2^(3+1)=16 entries
         if interlace:
             ipacked |= 0x40
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, ipacked)
         if local_palettes is not None:
             for r, g, b in local_palettes[f]:
                 out += bytes((r, g, b))
         out.append(_MCS)
-        rows = _interlace_rows(h) if interlace else range(h)
-        flat = [idx_grid[y][x] for y in rows for x in range(w)]
+        rows = _interlace_rows(fh) if interlace else range(fh)
+        flat = [idx_grid[y][x] for y in rows for x in range(fw)]
         out += _sub_blocks(_lzw_encode(flat, _MCS))
     out += b"\x3b"
     return bytes(out)
@@ -301,6 +323,20 @@ def gif_frames(payload: bytes) -> list[list[list[tuple[int, int, int]]]]:
         if b0 == 0x3B:  # trailer
             break
         if b0 == 0x21:  # extension: label + sub-blocks, skip
+            label = payload[pos + 1]
+            if label == 0xF9 and payload[pos + 2] >= 1:
+                # graphic control: peek the disposal method — the
+                # canvas compositing below is the do-not-dispose
+                # contract (method 0/1); restore-to-background(2) /
+                # restore-to-previous(3) are out of scope BY NAME, not
+                # by silently wrong frames
+                disposal = (payload[pos + 3] >> 2) & 0x07
+                if disposal in (2, 3):
+                    raise ValueError(
+                        f"disposal method {disposal} (restore-to-"
+                        "background/previous) unsupported; scope is "
+                        "do-not-dispose compositing"
+                    )
             pos += 2
             while payload[pos]:
                 pos += 1 + payload[pos]
@@ -322,8 +358,16 @@ def gif_frames(payload: bytes) -> list[list[list[tuple[int, int, int]]]]:
             frame_pal, pal_n = palette, gct_n
         else:
             raise ValueError("frame has no color table (no GCT, no LCT)")
-        if (left, top, w, h) != (0, 0, sw, sh):
-            raise ValueError("sub-rectangle frames unsupported")
+        if left + w > sw or top + h > sh:
+            raise ValueError(
+                f"frame rect ({left},{top},{w},{h}) outside the "
+                f"{sw}x{sh} canvas"
+            )
+        if not frames and (left, top, w, h) != (0, 0, sw, sh):
+            raise ValueError(
+                "first frame must cover the canvas (no background to "
+                "composite a sub-rectangle over)"
+            )
         mcs = payload[pos]
         pos += 1
         lzw = bytearray()
@@ -342,9 +386,19 @@ def gif_frames(payload: bytes) -> list[list[list[tuple[int, int, int]]]]:
             for stored_i, natural_row in enumerate(_interlace_rows(h)):
                 natural[natural_row] = flat[stored_i * w : (stored_i + 1) * w]
             flat = [px for row in natural for px in row]
-        frames.append(
-            [[frame_pal[flat[y * w + x]] for x in range(w)] for y in range(h)]
+        # composite onto the do-not-dispose canvas (r13): a full-frame
+        # block replaces it wholesale, a SUB-RECTANGLE block paints only
+        # its pixels over the carried canvas — every emitted frame is
+        # the full sw×sh view, so downstream features are rect-agnostic
+        canvas = (
+            [row[:] for row in frames[-1]]
+            if frames
+            else [[None] * sw for _ in range(sh)]
         )
+        for y in range(h):
+            for x in range(w):
+                canvas[top + y][left + x] = frame_pal[flat[y * w + x]]
+        frames.append(canvas)
     if not frames:
         raise ValueError("no image block before trailer")
     return frames
@@ -512,3 +566,43 @@ def synth_gif_interlaced(doc_id: int) -> bytes:
         _gif_palette(),
         interlace=True,
     )
+
+
+def _gif_rect(doc_id: int, f: int, w: int, h: int) -> tuple[int, int, int, int]:
+    """Frame-f sub-rectangle (f ≥ 1) — deterministic and one SQL
+    expression per component, so the oracle replays the compositing:
+    3..5 wide × 2..3 tall, sliding with f."""
+    rw = 3 + (doc_id + f) % 3
+    rh = 2 + (doc_id + 2 * f) % 2
+    left = (doc_id + 3 * f) % (w - rw + 1)
+    top = (doc_id + 5 * f) % (h - rh + 1)
+    return left, top, rw, rh
+
+
+def synth_gif_anim_subrect(doc_id: int) -> bytes:
+    """The deterministic SUB-RECTANGLE animation (r13): frame 0 covers
+    the canvas; each later frame ships only its _gif_rect window,
+    painted with _gif_anim_index AT CANVAS COORDINATES — so the final
+    frame-f pixel (x, y) equals the index of the LATEST g ≤ f whose
+    rect contains (x, y), which is what the SQL oracle replays. A
+    decoder that stretches the rect, drops the composite, or misplaces
+    the window fails the position-weighted checksum."""
+    w, h = _gif_dims(doc_id)
+    k = _gif_anim_frames(doc_id)
+    frames = [
+        [[_gif_anim_index(doc_id, 0, x, y, w) for x in range(w)] for y in range(h)]
+    ]
+    rects: list[tuple[int, int, int, int] | None] = [None]
+    for f in range(1, k):
+        left, top, rw, rh = _gif_rect(doc_id, f, w, h)
+        frames.append(
+            [
+                [
+                    _gif_anim_index(doc_id, f, left + x, top + y, w)
+                    for x in range(rw)
+                ]
+                for y in range(rh)
+            ]
+        )
+        rects.append((left, top, rw, rh))
+    return encode_gif_anim(frames, _gif_palette(), rects=rects)

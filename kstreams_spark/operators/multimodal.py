@@ -1010,6 +1010,61 @@ def multimodal_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_decode_png_adam7",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 6 + doc_id % 7 AS w, 4 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w, h, x, y,
+             (doc_id * 23 + y * 19 + x * 11 + 0 * 109) % 256 AS r,
+             (doc_id * 23 + y * 19 + x * 11 + 1 * 109) % 256 AS g,
+             (doc_id * 23 + y * 19 + x * 11 + 2 * 109) % 256 AS b
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS INTEGER) AS n_pixels,
+           SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g,
+           SUM(b)::BIGINT AS sum_b,
+           SUM((y * w + x) * (r + g + b))::BIGINT AS px_checksum
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_decode_png_adam7(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Adam7-INTERLACED PNG decode (r13 — VERDICT r12 stretch; the GIF
+    4-pass interlace trick applied to PNG's seven-pass form, closing
+    png_codec's last common-format reject): same pixels as
+    multimodal_image_decode_png, serialized as the seven Adam7 reduced
+    images — each pass its own scanlines, filter bytes, and zeroed
+    prior; fixture heights 4..7 leave some passes EMPTY (the
+    zero-bytes-for-empty-pass rule). The oracle is the natural-order
+    pixel replay, identical SQL to the sequential query, which is the
+    point: a decoder that ignores the interlace flag keeps the channel
+    SUMS but fails the position-weighted px_checksum — de-interleaving
+    is value-checked, not trusted."""
+    from kstreams_spark.operators.png_codec import (
+        parse_png_features,
+        synth_png_adam7,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_png_adam7(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+    return payloads.mapInPandas(
+        _decode_stage(parse_png_features, IMAGE_SCHEMA), IMAGE_SCHEMA
+    )
+
+
+@query(
     "multimodal_image_resize",
     oracle="""
     WITH dims AS (
@@ -2775,4 +2830,244 @@ def multimodal_image_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
         _image_payloads(d)
         .mapInPandas(_transform_stage(crop_bmp_center), MEDIA_PAYLOAD_SCHEMA)
         .mapInPandas(_decode_stage(parse_bmp, IMAGE_SCHEMA), IMAGE_SCHEMA)
+    )
+
+
+@query(
+    "multimodal_video_gif_subrect_frames",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 7 AS w, 5 + doc_id % 4 AS h,
+             2 + doc_id % 3 AS k
+      FROM documents WHERE doc_id < 200
+    ),
+    gs AS (  -- frame g's painted rectangle (g=0 covers the canvas)
+      SELECT doc_id, w, h, g,
+             CASE WHEN g = 0 THEN 0
+                  ELSE (doc_id + 3*g) % (w - (3 + (doc_id + g) % 3) + 1)
+             END AS lf,
+             CASE WHEN g = 0 THEN 0
+                  ELSE (doc_id + 5*g) % (h - (2 + (doc_id + 2*g) % 2) + 1)
+             END AS tp,
+             CASE WHEN g = 0 THEN w ELSE 3 + (doc_id + g) % 3 END AS rw,
+             CASE WHEN g = 0 THEN h ELSE 2 + (doc_id + 2*g) % 2 END AS rh
+      FROM dims, LATERAL (SELECT unnest(generate_series(0, k - 1)) AS g) tg
+    ),
+    px AS (
+      SELECT doc_id, w, h, k, x, y, f
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty,
+           LATERAL (SELECT unnest(generate_series(0, k - 1)) AS f) tf
+    ),
+    latest AS (  -- do-not-dispose compositing: the newest g <= f that
+                 -- painted this pixel owns it
+      SELECT p.doc_id, p.w, p.h, p.k, p.x, p.y, p.f, MAX(s.g) AS g
+      FROM px p JOIN gs s ON s.doc_id = p.doc_id AND s.g <= p.f
+           AND p.x >= s.lf AND p.x < s.lf + s.rw
+           AND p.y >= s.tp AND p.y < s.tp + s.rh
+      GROUP BY p.doc_id, p.w, p.h, p.k, p.x, p.y, p.f
+    ),
+    rgb AS (
+      SELECT doc_id, w, h, k, x, y, f,
+             (((doc_id + g * 5 + (y * w + x) // 3) % 16) * 37) % 256 AS r,
+             (((doc_id + g * 5 + (y * w + x) // 3) % 16) * 59) % 256 AS g2,
+             (((doc_id + g * 5 + (y * w + x) // 3) % 16) * 83) % 256 AS b
+      FROM latest
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(k AS INTEGER) AS n_frames,
+           SUM(r)::BIGINT AS sum_r, SUM(g2)::BIGINT AS sum_g,
+           SUM(b)::BIGINT AS sum_b,
+           SUM((f + 1) * (y * w + x) * (r + g2 + b))::BIGINT AS px_checksum
+    FROM rgb GROUP BY doc_id, k, w, h
+    """,
+)
+def multimodal_video_gif_subrect_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SUB-RECTANGLE animated GIF decode (r13 — closing gif_codec's
+    last common-layout reject): each frame after the first ships ONLY
+    its changed window, composited onto the do-not-dispose canvas
+    (gif_codec.synth_gif_anim_subrect; rect geometry slides with the
+    frame index). The oracle replays the compositing as
+    latest-painter-wins — for every (frame, pixel), the newest g ≤ f
+    whose rect contains the pixel owns it — so a decoder that
+    stretches the rect, skips the composite, or misplaces the window
+    fails the (f+1)-position-weighted checksum, while plain channel
+    sums alone would miss a same-multiset misplacement."""
+    from kstreams_spark.operators.gif_codec import (
+        parse_gif_anim_features,
+        synth_gif_anim_subrect,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_gif_anim_subrect(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+    return payloads.mapInPandas(
+        _decode_stage(parse_gif_anim_features, VIDEO_SCHEMA), VIDEO_SCHEMA
+    )
+
+
+@query(
+    "multimodal_image_decode_png_palette",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 6 + doc_id % 7 AS w, 4 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w, h, x, y,
+             ((doc_id + y * w + x) % 16) AS i
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    ),
+    rgb AS (  -- the doc-shifted 16-entry PLTE arithmetic
+      SELECT doc_id, w, h, x, y,
+             (i * 37 + doc_id) % 256 AS r,
+             (i * 59 + 2 * doc_id) % 256 AS g,
+             (i * 83 + 3 * doc_id) % 256 AS b
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS INTEGER) AS n_pixels,
+           SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g,
+           SUM(b)::BIGINT AS sum_b,
+           SUM((y * w + x) * (r + g + b))::BIGINT AS px_checksum
+    FROM rgb GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_decode_png_palette(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PALETTE PNG decode (r13 — color type 3, with grayscale the last
+    feasible PNG color classes; alpha types stay rejected by name):
+    indexed pixels resolve against a doc-SHIFTED 16-entry PLTE chunk,
+    so a decoder that reuses one doc's palette — or reads indices as
+    gray values — is value-wrong on every doc, not structurally broken.
+    Same filter-cycling, multi-IDAT, CRC traps as the truecolor
+    fixture; the oracle replays index + palette arithmetic per
+    pixel."""
+    from kstreams_spark.operators.png_codec import (
+        parse_png_features,
+        synth_png_palette,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_png_palette(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+    return payloads.mapInPandas(
+        _decode_stage(parse_png_features, IMAGE_SCHEMA), IMAGE_SCHEMA
+    )
+
+
+@query(
+    "multimodal_image_decode_png_gray",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 6 + doc_id % 7 AS w, 4 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w, h, x, y,
+             ((doc_id * 7 + y * 13 + x * 3) % 256) AS v
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS INTEGER) AS n_pixels,
+           SUM(v)::BIGINT AS sum_r, SUM(v)::BIGINT AS sum_g,
+           SUM(v)::BIGINT AS sum_b,
+           SUM((y * w + x) * 3 * v)::BIGINT AS px_checksum
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_decode_png_gray(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GRAYSCALE PNG decode (r13, color type 0): 1-byte pixels, the
+    filter unit (the byte distance to 'left') shrinking from 3 to 1 —
+    the bpp-parametrization bug class this fixture exists to catch.
+    Decoded pixels replicate the gray value across (r, g, b) (the
+    luminance-triple convention), which the oracle replays as
+    sum_r = sum_g = sum_b = Σv."""
+    from kstreams_spark.operators.png_codec import (
+        parse_png_features,
+        synth_png_gray,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_png_gray(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+    return payloads.mapInPandas(
+        _decode_stage(parse_png_features, IMAGE_SCHEMA), IMAGE_SCHEMA
+    )
+
+
+@query(
+    "multimodal_image_decode_jpeg_progressive",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w, h, x, y,
+             (doc_id * 37 + (x // 8) * 101 + (y // 8) * 53) % 256 AS v
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS INTEGER) AS n_pixels,
+           SUM(v)::BIGINT AS sum_r, SUM(v)::BIGINT AS sum_g,
+           SUM(v)::BIGINT AS sum_b,
+           SUM((y * w + x) * 3 * v)::BIGINT AS px_checksum
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_decode_jpeg_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE JPEG decode (r13 — the largest codec scope cut,
+    closed): the same tile-constant fixture as
+    multimodal_image_decode_jpeg, serialized over SOF2's 9-scan
+    spectral-selection + successive-approximation script
+    (jpeg_codec.encode_jpeg_progressive) and decoded by the full
+    Annex-G machinery — multi-SOS coefficient accumulation, DC
+    first/refinement, AC EOBRUN run-length, point transforms — with
+    ONE dequant+IDCT at the end. The oracle is identical to the
+    baseline query's (same pixels — the point: a decoder that
+    mis-accumulates any scan moves the hash); the AC value and
+    correction-bit paths, which tile-constant content cannot exercise,
+    are pinned bit-for-bit against the baseline decoder on arbitrary
+    lossy images in tests/test_jpeg_codec.py."""
+    from kstreams_spark.operators.jpeg_codec import (
+        parse_jpeg_features,
+        synth_jpeg_progressive,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_jpeg_progressive(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+    return payloads.mapInPandas(
+        _decode_stage(parse_jpeg_features, IMAGE_SCHEMA), IMAGE_SCHEMA
     )

@@ -6,12 +6,18 @@ complete decode is chunk walk + CRC + inflate + per-scanline unfilter
 spec's reference pseudocode). With this module the env-gated guidance
 shrinks to MP3/H.264 (no stdlib entropy decoder exists for those).
 
-Decoder scope (stated, not hidden): 8-bit truecolor (color type 2),
-non-interlaced, one image. Palette/gray/alpha color types, bit depths
-other than 8, and Adam7 interlacing raise ValueError naming the
-variant. Unknown ANCILLARY chunks (lowercase first type letter, e.g.
-tEXt/tIME) are skipped per spec; unknown CRITICAL chunks are an error.
-Every chunk's CRC32 is verified.
+Decoder scope (stated, not hidden): 8-bit grayscale (0), truecolor
+(2), and palette (3) color types, one image, sequential OR
+Adam7-interlaced (r13 — the GIF-interlace trick applied to PNG's
+seven-pass form: each pass is its own reduced image with its own
+scanlines and filter bytes, unfiltered independently, pixels placed
+back on the 8×8 Adam7 lattice; spec §8.2). Alpha-bearing color types
+(4/6) and bit depths other than 8 raise ValueError naming the
+variant. Grayscale decodes to the luminance triple (v,v,v); palette
+indices resolve against the PLTE critical chunk. Unknown ANCILLARY chunks
+(lowercase first type letter, e.g. tEXt/tIME) are skipped per spec;
+unknown CRITICAL chunks are an error. Every chunk's CRC32 is
+verified.
 
 Encoder: it exists to PLANT fixtures that exercise the decoder's real
 traps — per-row filter types cycle through all five (None/Sub/Up/
@@ -62,49 +68,147 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
+# Adam7 (spec §8.2): pass p covers rows START_ROW[p]::ROW_INC[p] and
+# cols START_COL[p]::COL_INC[p] of the 8×8 lattice; each pass is a
+# reduced image serialized with its own scanlines + filter bytes.
+_A7_START_ROW = (0, 0, 4, 0, 2, 0, 1)
+_A7_START_COL = (0, 4, 0, 2, 0, 1, 0)
+_A7_ROW_INC = (8, 8, 8, 4, 4, 2, 2)
+_A7_COL_INC = (8, 8, 4, 4, 2, 2, 1)
+
+
+def _adam7_passes(w: int, h: int) -> list[tuple[list[int], list[int]]]:
+    """Per pass: (natural column xs, natural row ys). Either list may
+    be empty for small images — an empty pass serializes NO bytes (not
+    even filter bytes), the spec's rule decoders most often botch."""
+    return [
+        (
+            list(range(_A7_START_COL[p], w, _A7_COL_INC[p])),
+            list(range(_A7_START_ROW[p], h, _A7_ROW_INC[p])),
+        )
+        for p in range(7)
+    ]
+
+
+def _filter_row(raw: bytes, prior: bytes, ftype: int, bpp: int = _BPP) -> bytearray:
+    """Apply filter `ftype` to one raw scanline against its pass-local
+    prior (zeros for a pass's first row). `bpp` is the filter unit —
+    the byte distance to the "left" sample (spec §9: filters operate
+    on BYTES, offset by the pixel size)."""
+    filt = bytearray()
+    for i in range(len(raw)):
+        left = raw[i - bpp] if i >= bpp else 0
+        up = prior[i]
+        ul = prior[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) // 2
+        elif ftype == 4:
+            pred = _paeth(left, up, ul)
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+        filt.append((raw[i] - pred) & 0xFF)
+    return filt
+
+
+def _unfilter_row(
+    line: bytearray, prior: bytes, ftype: int, bpp: int = _BPP
+) -> bytearray:
+    """Reconstruct one scanline in place against its pass-local prior."""
+    if ftype == 1:
+        for i in range(bpp, len(line)):
+            line[i] = (line[i] + line[i - bpp]) & 0xFF
+    elif ftype == 2:
+        for i in range(len(line)):
+            line[i] = (line[i] + prior[i]) & 0xFF
+    elif ftype == 3:
+        for i in range(len(line)):
+            left = line[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
+    elif ftype == 4:
+        for i in range(len(line)):
+            left = line[i - bpp] if i >= bpp else 0
+            ul = prior[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
+    elif ftype != 0:
+        raise ValueError(f"bad scanline filter type {ftype}")
+    return line
+
+
 def encode_png(
-    grid: list[list[tuple[int, int, int]]],
+    grid,
     row_filter=lambda y: y % 5,
     idat_size: int = 64,
+    interlace: bool = False,
+    color_type: int = 2,
+    palette: list[tuple[int, int, int]] | None = None,
 ) -> bytes:
-    """grid[y][x] = (r, g, b) → a complete, valid 8-bit truecolor PNG.
-    `row_filter(y)` picks each scanline's filter type (0..4); the
-    default cycles so every reconstruction path gets exercised. The
-    compressed stream is split into `idat_size`-byte IDAT chunks and an
-    ancillary tEXt chunk is planted before them (decoder traps)."""
+    """grid[y][x] → a complete, valid 8-bit PNG. Pixels are (r, g, b)
+    tuples for color_type 2 (truecolor), bare ints for 0 (grayscale)
+    and 3 (palette indices; `palette` required, emitted as the PLTE
+    critical chunk). `row_filter(i)` picks each SERIALIZED scanline's
+    filter type (0..4); the default cycles so every reconstruction
+    path gets exercised. The compressed stream is split into
+    `idat_size`-byte IDAT chunks and an ancillary tEXt chunk is
+    planted before them (decoder traps). `interlace=True` (r13)
+    serializes the seven Adam7 reduced images instead — per pass its
+    own scanlines, filter bytes, and zeroed prior; empty passes
+    contribute no bytes."""
+    if color_type not in (0, 2, 3):
+        raise ValueError(f"unsupported encoder color type {color_type}")
+    if color_type == 3 and not palette:
+        raise ValueError("palette images need a palette")
+    bpp = _BPP if color_type == 2 else 1
     h, w = len(grid), len(grid[0])
-    raw_prior = bytes(_BPP * w)
+
+    def _serialize(rows_of_pixels) -> bytearray:
+        out = bytearray()
+        prior = None
+        for i, pixels in rows_of_pixels:
+            raw = bytearray()
+            for px in pixels:
+                if color_type == 2:
+                    raw.extend(px)
+                else:
+                    raw.append(px)
+            if prior is None or len(prior) != len(raw):
+                prior = bytes(len(raw))
+            ftype = row_filter(i)
+            out.append(ftype)
+            out.extend(_filter_row(bytes(raw), prior, ftype, bpp))
+            prior = bytes(raw)
+        return out
+
     scanlines = bytearray()
-    for y in range(h):
-        raw = bytearray()
-        for x in range(w):
-            raw.extend(grid[y][x])
-        ftype = row_filter(y)
-        filt = bytearray()
-        for i in range(len(raw)):
-            left = raw[i - _BPP] if i >= _BPP else 0
-            up = raw_prior[i]
-            ul = raw_prior[i - _BPP] if i >= _BPP else 0
-            if ftype == 0:
-                pred = 0
-            elif ftype == 1:
-                pred = left
-            elif ftype == 2:
-                pred = up
-            elif ftype == 3:
-                pred = (left + up) // 2
-            elif ftype == 4:
-                pred = _paeth(left, up, ul)
-            else:
-                raise ValueError(f"bad filter type {ftype}")
-            filt.append((raw[i] - pred) & 0xFF)
-        scanlines.append(ftype)
-        scanlines.extend(filt)
-        raw_prior = bytes(raw)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    if not interlace:
+        scanlines = _serialize(
+            (y, grid[y]) for y in range(h)
+        )
+    else:
+        i = 0
+        for xs, ys in _adam7_passes(w, h):
+            if not xs or not ys:
+                continue  # empty pass: zero bytes, per spec
+            pass_rows = []
+            for y in ys:
+                pass_rows.append((i, [grid[y][x] for x in xs]))
+                i += 1
+            scanlines += _serialize(iter(pass_rows))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     z = zlib.compress(bytes(scanlines), 9)
     out = bytearray(_SIG)
     out += _chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += _chunk(
+            b"PLTE", b"".join(bytes(rgb) for rgb in palette)
+        )
     out += _chunk(b"tEXt", b"Software\x00kstreams_spark png_codec")
     for i in range(0, len(z), idat_size):
         out += _chunk(b"IDAT", z[i : i + idat_size])
@@ -141,6 +245,9 @@ def png_pixel_grid(payload: bytes) -> list[list[tuple[int, int, int]]]:
     if len(payload) < len(_SIG) or payload[: len(_SIG)] != _SIG:
         raise ValueError("not a PNG file")
     w = h = None
+    color = 2
+    interlace = 0
+    plte: list[tuple[int, int, int]] | None = None
     idat = bytearray()
     seen_end = False
     for ctype, data in _walk_chunks(payload):
@@ -148,15 +255,22 @@ def png_pixel_grid(payload: bytes) -> list[list[tuple[int, int, int]]]:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or color != 2:
+            if depth != 8 or color not in (0, 2, 3):
                 raise ValueError(
                     f"unsupported PNG variant (depth={depth} color={color}); "
-                    "decoder scope is 8-bit truecolor"
+                    "decoder scope is 8-bit grayscale/truecolor/palette "
+                    "(alpha-bearing types 4/6 out of scope)"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard compression/filter method")
-            if interlace != 0:
-                raise ValueError("Adam7 interlacing unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("malformed PLTE chunk")
+            plte = [
+                tuple(data[3 * i : 3 * i + 3]) for i in range(len(data) // 3)
+            ]
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -167,38 +281,72 @@ def png_pixel_grid(payload: bytes) -> list[list[tuple[int, int, int]]]:
         # ancillary (tEXt, tIME, ...): skip per spec
     if w is None or not seen_end or w <= 0 or h <= 0:
         raise ValueError("missing IHDR/IEND or degenerate dimensions")
+    if color == 3 and plte is None:
+        raise ValueError("palette image without a PLTE chunk")
+    bpp = _BPP if color == 2 else 1
+
+    def _px(line: bytearray, x: int) -> tuple[int, int, int]:
+        if color == 2:
+            return tuple(line[_BPP * x : _BPP * x + _BPP])
+        v = line[x]
+        if color == 0:  # grayscale: replicate (the luminance triple)
+            return (v, v, v)
+        if v >= len(plte):
+            raise ValueError(
+                f"palette index {v} outside the {len(plte)}-entry PLTE"
+            )
+        return plte[v]
+
     raw = zlib.decompress(bytes(idat))
-    stride = 1 + _BPP * w
-    if len(raw) != stride * h:
-        raise ValueError(
-            f"decompressed size {len(raw)} != expected {stride * h}"
-        )
-    grid: list[list[tuple[int, int, int]]] = []
-    prior = bytes(_BPP * w)
-    for y in range(h):
-        ftype = raw[y * stride]
-        line = bytearray(raw[y * stride + 1 : (y + 1) * stride])
-        if ftype == 1:
-            for i in range(_BPP, len(line)):
-                line[i] = (line[i] + line[i - _BPP]) & 0xFF
-        elif ftype == 2:
-            for i in range(len(line)):
-                line[i] = (line[i] + prior[i]) & 0xFF
-        elif ftype == 3:
-            for i in range(len(line)):
-                left = line[i - _BPP] if i >= _BPP else 0
-                line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
-        elif ftype == 4:
-            for i in range(len(line)):
-                left = line[i - _BPP] if i >= _BPP else 0
-                ul = prior[i - _BPP] if i >= _BPP else 0
-                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"bad scanline filter type {ftype}")
-        prior = bytes(line)
-        grid.append(
-            [tuple(line[_BPP * x : _BPP * x + _BPP]) for x in range(w)]
-        )
+
+    def _unfilter_image(buf: memoryview, iw: int, ih: int):
+        """One (reduced) image's scanlines → list of reconstructed
+        byte rows; its own zeroed prior, exact-size contract."""
+        stride = 1 + bpp * iw
+        if len(buf) != stride * ih:
+            raise ValueError(
+                f"decompressed size {len(buf)} != expected {stride * ih}"
+            )
+        rows = []
+        prior = bytes(bpp * iw)
+        for y in range(ih):
+            ftype = buf[y * stride]
+            line = _unfilter_row(
+                bytearray(buf[y * stride + 1 : (y + 1) * stride]),
+                prior,
+                ftype,
+                bpp,
+            )
+            prior = bytes(line)
+            rows.append(line)
+        return rows
+
+    if interlace == 0:
+        grid = []
+        for line in _unfilter_image(memoryview(raw), w, h):
+            grid.append([_px(line, x) for x in range(w)])
+        return grid
+    # Adam7 (r13): seven reduced images back-to-back in the one zlib
+    # stream (empty passes absent entirely); pixels land on the lattice
+    grid = [[None] * w for _ in range(h)]
+    mv = memoryview(raw)
+    pos = 0
+    for xs, ys in _adam7_passes(w, h):
+        if not xs or not ys:
+            continue
+        stride = 1 + bpp * len(xs)
+        need = stride * len(ys)
+        if pos + need > len(raw):
+            raise ValueError("truncated Adam7 pass data")
+        rows = _unfilter_image(mv[pos : pos + need], len(xs), len(ys))
+        pos += need
+        for line, y in zip(rows, ys):
+            for i, x in enumerate(xs):
+                grid[y][x] = _px(line, i)
+    if pos != len(raw):
+        raise ValueError(f"{len(raw) - pos} trailing bytes after Adam7 passes")
+    if any(px is None for row in grid for px in row):
+        raise ValueError("Adam7 passes left unpainted pixels")
     return grid
 
 
@@ -251,4 +399,69 @@ def synth_png(doc_id: int) -> bytes:
             for y in range(h)
         ],
         row_filter=lambda y: (doc_id + y) % 5,
+    )
+
+
+def synth_png_adam7(doc_id: int) -> bytes:
+    """The synth_png test pattern serialized Adam7-INTERLACED (r13):
+    same pixels, same per-serialized-scanline filter cycling — so a
+    decoder that ignores the interlace flag keeps the channel sums
+    (same pixel multiset) but fails the position-weighted checksum.
+    Fixture dims 6..12 × 4..7 leave some passes EMPTY (e.g. pass 3
+    needs h ≥ 5), exercising the zero-bytes-for-empty-pass rule."""
+    w, h = _png_dims(doc_id)
+    return encode_png(
+        [
+            [
+                tuple(_png_channel(doc_id, x, y, c) for c in (0, 1, 2))
+                for x in range(w)
+            ]
+            for y in range(h)
+        ],
+        row_filter=lambda i: (doc_id + i) % 5,
+        interlace=True,
+    )
+
+
+def synth_png_gray(doc_id: int) -> bytes:
+    """Deterministic 8-bit GRAYSCALE fixture (r13, color type 0): value
+    (doc_id*7 + y*13 + x*3) % 256, the same dims and filter cycling as
+    synth_png. Decoded pixels replicate the gray value across (r,g,b)
+    — the luminance-triple convention the oracle replays."""
+    w, h = _png_dims(doc_id)
+    return encode_png(
+        [
+            [(doc_id * 7 + y * 13 + x * 3) % 256 for x in range(w)]
+            for y in range(h)
+        ],
+        row_filter=lambda i: (doc_id + i) % 5,
+        color_type=0,
+    )
+
+
+def _png_plte(doc_id: int) -> list[tuple[int, int, int]]:
+    """16-entry fixture palette, doc-shifted so a decoder that reuses
+    one doc's PLTE for another is value-wrong everywhere."""
+    return [
+        (
+            (i * 37 + doc_id) % 256,
+            (i * 59 + 2 * doc_id) % 256,
+            (i * 83 + 3 * doc_id) % 256,
+        )
+        for i in range(16)
+    ]
+
+
+def synth_png_palette(doc_id: int) -> bytes:
+    """Deterministic PALETTE fixture (r13, color type 3): index
+    (doc_id + (y*w + x)) % 16 resolved against the doc-shifted PLTE."""
+    w, h = _png_dims(doc_id)
+    return encode_png(
+        [
+            [(doc_id + y * w + x) % 16 for x in range(w)]
+            for y in range(h)
+        ],
+        row_filter=lambda i: (doc_id + i) % 5,
+        color_type=3,
+        palette=_png_plte(doc_id),
     )

@@ -138,26 +138,34 @@ class LakeMaterializedAggregate:
 
         if int(epoch_id) in self.committed_epochs():
             return  # crash-replay of a committed batch: no-op
-        sign = (
-            F.when(
-                F.col("_change").isin("insert", "update_postimage"), F.lit(1)
+        if "_side" in batch_df.columns:
+            # the PARTITIONED feed (kstreams_lake_cdf_dist, r13) already
+            # emits the sign — its +1/−1 contract IS this fold's input,
+            # which is exactly why the signed decomposition works
+            sign = F.col("_side")
+        else:
+            sign = (
+                F.when(
+                    F.col("_change").isin("insert", "update_postimage"),
+                    F.lit(1),
+                )
+                .when(
+                    F.col("_change").isin("delete", "update_preimage"),
+                    F.lit(-1),
+                )
+                .otherwise(F.lit(None))
             )
-            .when(
-                F.col("_change").isin("delete", "update_preimage"), F.lit(-1)
-            )
-            .otherwise(F.lit(None))
-        )
-        unknown = batch_df.filter(sign.isNull())
-        if not unknown.isEmpty():
-            bad = [
-                r._change
-                for r in unknown.select("_change").limit(3).collect()
-            ]
-            raise ValueError(
-                "materialized view needs the include_preimages CDF form; "
-                f"got change type(s) {bad} — post-image-only 'update' rows "
-                "cannot maintain a SUM"
-            )
+            unknown = batch_df.filter(sign.isNull())
+            if not unknown.isEmpty():
+                bad = [
+                    r._change
+                    for r in unknown.select("_change").limit(3).collect()
+                ]
+                raise ValueError(
+                    "materialized view needs the include_preimages CDF "
+                    f"form; got change type(s) {bad} — post-image-only "
+                    "'update' rows cannot maintain a SUM"
+                )
         deltas = (
             self._with_groups(batch_df)
             .withColumn("_sign", sign)
@@ -217,19 +225,40 @@ class LakeMaterializedAggregate:
         lake_path: str,
         checkpoint_dir: str,
         start_version: int,
+        distributed: bool = False,
     ):
         """Follow the lake from `start_version` (the bootstrap's return
-        value) and fold every change batch into the view."""
-        from kstreams_spark.sources.lake_cdf import LakeChangeFeedDataSource
+        value) and fold every change batch into the view.
+        `distributed=True` (r13) subscribes through the PARTITIONED
+        signed feed instead — one task per changed file, the driver
+        plans from manifests only; the fold is unchanged because the
+        signed rows' +1/−1 are exactly the preimage/postimage signs
+        (parity pinned in tests/test_materialized.py)."""
+        if distributed:
+            from kstreams_spark.sources.lake_cdf import (
+                LakeChangeFeedDistDataSource,
+            )
 
-        spark.dataSource.register(LakeChangeFeedDataSource)
-        stream = (
-            spark.readStream.format("kstreams_lake_cdf")
-            .option("path", lake_path)
-            .option("start_version", str(start_version))
-            .option("include_preimages", "true")
-            .load()
-        )
+            spark.dataSource.register(LakeChangeFeedDistDataSource)
+            stream = (
+                spark.readStream.format("kstreams_lake_cdf_dist")
+                .option("path", lake_path)
+                .option("start_version", str(start_version))
+                .load()
+            )
+        else:
+            from kstreams_spark.sources.lake_cdf import (
+                LakeChangeFeedDataSource,
+            )
+
+            spark.dataSource.register(LakeChangeFeedDataSource)
+            stream = (
+                spark.readStream.format("kstreams_lake_cdf")
+                .option("path", lake_path)
+                .option("start_version", str(start_version))
+                .option("include_preimages", "true")
+                .load()
+            )
         return (
             stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)

@@ -179,11 +179,12 @@ def test_unsupported_variants_named():
     head_only = base[: base.index(b"\x2c", 13)] + b"\x3b"
     with pytest.raises(ValueError, match="no image block"):
         gif_pixel_grid(head_only)
-    # sub-rectangle frames stay out of scope, named
+    # a shifted FIRST frame overflows the canvas (sub-rectangle frames
+    # themselves are in scope since r13 — test_subrect_compositing)
     pos = base.index(b"\x2c", 13)
     sub = bytearray(base)
     sub[pos + 1] = 1  # left = 1
-    with pytest.raises(ValueError, match="sub-rectangle"):
+    with pytest.raises(ValueError, match="outside the"):
         gif_pixel_grid(bytes(sub))
     # a frame with neither GCT nor LCT is malformed, named
     from kstreams_spark.operators.gif_codec import _PAL_N
@@ -371,3 +372,54 @@ def test_animation_roundtrip_and_frame_order():
     b = parse_gif_anim_features(encode_gif_anim([f1, f0], PAL))
     assert a["sum_r"] == b["sum_r"]  # same pixels in total...
     assert a["px_checksum"] != b["px_checksum"]  # ...different order
+
+
+def test_subrect_compositing_and_guards():
+    """r13: sub-rectangle frames composite onto the do-not-dispose
+    canvas; scope violations raise BY NAME."""
+    import pytest as _pytest
+    import struct as _s
+
+    from kstreams_spark.operators.gif_codec import (
+        _gif_palette,
+        encode_gif_anim,
+        gif_frames,
+        synth_gif_anim_subrect,
+    )
+
+    pal = _gif_palette()
+    base = [[(x + y) % 16 for x in range(8)] for y in range(6)]
+    patch = [[5, 6], [7, 8]]
+    payload = encode_gif_anim(
+        [base, patch], pal, rects=[None, (3, 2, 2, 2)]
+    )
+    f0, f1 = gif_frames(payload)
+    # outside the rect: carried; inside: repainted
+    assert f1[0][0] == f0[0][0]
+    assert f1[2][3] == pal[5] and f1[2][4] == pal[6]
+    assert f1[3][3] == pal[7] and f1[3][4] == pal[8]
+    # first frame must cover the canvas
+    bad = encode_gif_anim([base], pal)  # full-frame single image
+    # hand-build: shrink the first descriptor's rect via encoder guard
+    with _pytest.raises(ValueError, match="rects\\[0\\]"):
+        encode_gif_anim([patch], pal, rects=[(1, 1, 2, 2)])
+    # decoder-side: patch the descriptor of a valid GIF to a sub-rect
+    ba = bytearray(bad)
+    at = ba.index(b"\x2c")
+    left, top, w, h, ip = _s.unpack_from("<HHHHB", ba, at + 1)
+    _s.pack_into("<HHHHB", ba, at + 1, 1, 1, w - 1, h - 1, ip)
+    with _pytest.raises(ValueError, match="first frame must cover"):
+        gif_frames(bytes(ba))
+    # rect outside the canvas
+    _s.pack_into("<HHHHB", ba, at + 1, 5, 5, w, h, ip)
+    with _pytest.raises(ValueError, match="outside the"):
+        gif_frames(bytes(ba))
+    # disposal 2 (restore-to-background) refuses by name
+    ba = bytearray(bad)
+    gce = ba.index(b"\x21\xf9")
+    ba[gce + 3] = (ba[gce + 3] & ~0x1C) | (2 << 2)
+    with _pytest.raises(ValueError, match="disposal method 2"):
+        gif_frames(bytes(ba))
+    # fixture family decodes for a swath of docs
+    for d in range(25):
+        assert gif_frames(synth_gif_anim_subrect(d))

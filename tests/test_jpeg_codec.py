@@ -141,8 +141,8 @@ def test_420_subsampled_stream_decodes():
 def test_unsupported_variants_fail_by_name():
     raw = bytearray(synth_jpeg(0))
     i = raw.find(b"\xff\xc0")
-    raw[i + 1] = 0xC2  # progressive
-    with pytest.raises(ValueError, match="SOF2"):
+    raw[i + 1] = 0xC3  # lossless (progressive is IN scope since r13)
+    with pytest.raises(ValueError, match="SOF3"):
         decode_jpeg(bytes(raw))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02")
@@ -232,3 +232,93 @@ def test_property_roundtrip_random_images_unit_quant():
         assert _max_err(grid, dec) <= 6
 
     run()
+
+
+def test_progressive_equals_baseline_bit_for_bit():
+    """r13: progressive and baseline encode the SAME quantized
+    coefficients, so their decodes must be IDENTICAL on any content —
+    the strongest matched-pair pin available without an independent
+    decoder in this container. Random RGB content exercises the AC
+    first-scan value path, ZRL, EOBRUN, and every refinement
+    correction-bit branch; standard Annex-K quantization exercises the
+    point transforms on heavily-quantized (sparse) spectra."""
+    import random
+
+    from kstreams_spark.operators.jpeg_codec import (
+        STD_CHR_QUANT,
+        STD_LUM_QUANT,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = random.Random(42)
+    for trial in range(8):
+        w, h = rng.randrange(2, 25), rng.randrange(2, 20)
+        grid = [
+            [
+                (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+                for _ in range(w)
+            ]
+            for _ in range(h)
+        ]
+        quants = (
+            ([1] * 64, [1] * 64)
+            if trial % 2
+            else (STD_LUM_QUANT, STD_CHR_QUANT)
+        )
+        base = decode_jpeg(encode_jpeg(grid, *quants))
+        prog = decode_jpeg(encode_jpeg_progressive(grid, *quants))
+        assert prog == base, f"trial {trial} ({w}x{h})"
+
+
+def test_progressive_scan_script_structure():
+    """The fixture's 9-scan script is real: SOF2 frame, one DHT segment
+    per table, 9 SOS segments whose (Ss, Se, Ah, Al) cover DC first,
+    four AC first bands, DC refinement, and three AC refinements."""
+    from kstreams_spark.operators.jpeg_codec import synth_jpeg_progressive
+
+    payload = synth_jpeg_progressive(7)
+    assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+    scans = []
+    pos = 2
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker == 0xDA:
+            (ln,) = struct.unpack_from(">H", payload, pos + 2)
+            body = payload[pos + 4 : pos + 2 + ln]
+            n = body[0]
+            ss, se, ahal = body[1 + 2 * n : 4 + 2 * n]
+            scans.append((n, ss, se, ahal >> 4, ahal & 0x0F))
+        pos += 2
+    assert scans[0] == (3, 0, 0, 0, 1)  # DC first, interleaved
+    assert scans[5] == (3, 0, 0, 1, 0)  # DC refinement
+    assert [s[:1] == (1,) for s in scans[1:5]] == [True] * 4  # AC first
+    assert all(s == (1, 1, 63, 1, 0) for s in scans[6:])  # AC refine
+    assert len(scans) == 9
+
+
+def test_progressive_rejects_out_of_scope_by_name():
+    import pytest as _pytest
+
+    from kstreams_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    payload = bytearray(encode_jpeg_progressive([[(1, 2, 3)] * 4] * 4))
+    # subsampled progressive: flip a component's h/v in SOF2
+    at = payload.index(b"\xff\xc2") + 4
+    sub = bytearray(payload)
+    sub[at + 7] = 0x22  # first component h=v=2
+    with _pytest.raises(ValueError, match="subsampled"):
+        decode_jpeg(bytes(sub))
+    # restart intervals inside progressive refuse by name
+    dri = b"\xff\xdd\x00\x04\x00\x02"
+    at = payload.index(b"\xff\xda")
+    with_dri = bytes(payload[:at]) + dri + bytes(payload[at:])
+    with _pytest.raises(ValueError, match="restart intervals"):
+        decode_jpeg(with_dri)

@@ -208,3 +208,95 @@ def test_rename_guards(spark, tmp_path, sf_dir):
         _corpus(spark, sf_dir, 0, 5), lake, partition_cols=("split",)
     )
     assert table_column_map(lake) == {}
+
+
+def test_drop_column_is_metadata_only_with_reservation(
+    spark, tmp_path, sf_dir
+):
+    """r13: DROP COLUMN without rewrite — reads exclude it, time travel
+    keeps it, the physical name stays reserved against evolve-adds and
+    renames, restore rewinds, replace resets."""
+    from kstreams_spark.lake_snapshot import snapshot_drop_column
+
+    lake = str(tmp_path / "drop")
+    corpus = _corpus(spark, sf_dir).withColumn(
+        "quality", F.col("doc_id").cast("double") / 10
+    )
+    snapshot_publish(corpus, lake, partition_cols=("split",))  # v1
+    files_v1 = ls._list_files(lake)
+    v2 = snapshot_drop_column(lake, "quality")
+    assert v2 == 2 and ls._list_files(lake) == files_v1  # nothing moved
+    assert snapshot_read(spark, lake).columns == ["doc_id", "text", "split"]
+    # time travel still reads it
+    old = snapshot_read(spark, lake, version=1)
+    assert "quality" in old.columns
+    assert old.filter(F.col("quality").isNull()).count() == 0
+    # appends now come WITHOUT the column
+    snapshot_publish(
+        _corpus(spark, sf_dir, 100, 103),
+        lake,
+        mode="append",
+        partition_cols=("split",),
+    )
+    assert snapshot_read(spark, lake).count() == 23
+    # re-adding the dropped name refuses (its bytes are still in files)
+    with pytest.raises(ValueError, match="PHYSICAL name"):
+        snapshot_publish(
+            _corpus(spark, sf_dir, 200, 201).withColumn(
+                "quality", F.lit(0.5)
+            ),
+            lake,
+            mode="append",
+            partition_cols=("split",),
+            evolve=True,
+        )
+    # renaming another column ONTO the dropped name refuses too
+    with pytest.raises(ValueError, match="PHYSICAL name"):
+        snapshot_rename_column(lake, "text", "quality")
+    # a FRESH name still evolves fine
+    snapshot_publish(
+        _corpus(spark, sf_dir, 200, 201).withColumn("score", F.lit(0.5)),
+        lake,
+        mode="append",
+        partition_cols=("split",),
+        evolve=True,
+    )
+    assert "score" in snapshot_read(spark, lake).columns
+    # restore rewinds the drop (column + reservation state of v1)
+    snapshot_restore(lake, 1)
+    now = snapshot_read(spark, lake)
+    assert "quality" in now.columns
+    assert now.filter(F.col("quality").isNull()).count() == 0
+
+
+def test_drop_column_guards(spark, tmp_path, sf_dir):
+    from kstreams_spark.lake_snapshot import snapshot_drop_column
+
+    lake = str(tmp_path / "drop_guards")
+    snapshot_publish(_corpus(spark, sf_dir), lake, partition_cols=("split",))
+    with pytest.raises(ValueError, match="no column"):
+        snapshot_drop_column(lake, "nope")
+    with pytest.raises(ValueError, match="partition column"):
+        snapshot_drop_column(lake, "split")
+    snapshot_set_constraint(spark, lake, "has_text", "length(text) >= 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        snapshot_drop_column(lake, "text")
+    # drop after a RENAME reserves the ORIGINAL physical name
+    from kstreams_spark.lake_snapshot import snapshot_drop_constraint
+
+    snapshot_drop_constraint(lake, "has_text")
+    snapshot_rename_column(lake, "text", "body")
+    snapshot_drop_column(lake, "body")
+    from kstreams_spark.lake_snapshot import _read_manifest
+
+    m = _read_manifest(lake, snapshot_versions(lake)[-1])
+    assert m["dropped_physical"] == ["text"]
+    with pytest.raises(ValueError, match="PHYSICAL name"):
+        snapshot_publish(
+            _corpus(spark, sf_dir, 0, 1).select("doc_id", "split")
+            .withColumn("text", F.lit("x")),
+            lake,
+            mode="append",
+            partition_cols=("split",),
+            evolve=True,
+        )

@@ -226,3 +226,45 @@ def test_facade_kgrouped_table_matches_direct_pipeline(spark, sf_dir):
         )
     )
     assert got == sorted(tuple(r) for r in direct.collect())
+
+
+def test_view_via_distributed_signed_feed(spark, tmp_path, sf_dir):
+    """r13: the same fold, fed by the PARTITIONED signed feed
+    (kstreams_lake_cdf_dist) — the +1/−1 sides are exactly the
+    preimage/postimage signs, so the maintained view stays row-equal
+    to the recompute through inserts, group-moving updates, deletes,
+    and a compaction (whose ± pairs cancel)."""
+    lake = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    snapshot_publish(_docs(spark, sf_dir), lake, partition_cols=("split",))
+    m = LakeMaterializedAggregate(view, ("lang",), "chars")
+    start_v = m.bootstrap(spark, lake)
+    q = m.attach(
+        spark, lake, str(tmp_path / "ckpt"), start_v, distributed=True
+    )
+    try:
+        snapshot_publish(
+            _docs(spark, sf_dir, 100, 110),
+            lake,
+            mode="append",
+            partition_cols=("split",),
+        )
+        src = _docs(spark, sf_dir, 4, 6).withColumn(
+            "lang",
+            F.when(F.col("doc_id") == 5, F.lit("zz")).otherwise(
+                F.col("lang")
+            ),
+        )
+        snapshot_merge(
+            spark, lake, src, key_cols=("doc_id",), partition_cols=("split",)
+        )
+        snapshot_delete_where(
+            spark, lake, "doc_id IN (0, 1)", partition_cols=("split",)
+        )
+        snapshot_compact(spark, lake, n_files=1, partition_cols=("split",))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    recomputed = m._aggregate(snapshot_read(spark, lake))
+    assert _rows(m.result(spark)) == _rows(recomputed)
+    assert dict(m.result(spark).dtypes)["val_sum"] == "decimal(28,6)"

@@ -103,8 +103,9 @@ def test_truncation_rejected():
 
 
 def test_unsupported_variants_named():
-    # grayscale (color type 0) IHDR
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    # RGBA (color type 6) IHDR — alpha stays out of scope, named
+    # (grayscale/palette are SUPPORTED since r13)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0)
     payload = (
         b"\x89PNG\r\n\x1a\n"
         + struct.pack(">I", len(ihdr))
@@ -112,10 +113,10 @@ def test_unsupported_variants_named():
         + ihdr
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
     )
-    with pytest.raises(ValueError, match="color=0"):
+    with pytest.raises(ValueError, match="color=6"):
         png_pixel_grid(payload)
-    # Adam7 interlace
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    # unknown interlace method (Adam7 itself is SUPPORTED since r13)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 2)
     payload = (
         b"\x89PNG\r\n\x1a\n"
         + struct.pack(">I", len(ihdr))
@@ -123,7 +124,7 @@ def test_unsupported_variants_named():
         + ihdr
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
     )
-    with pytest.raises(ValueError, match="[Ii]nterlac"):
+    with pytest.raises(ValueError, match="interlace method"):
         png_pixel_grid(payload)
 
 
@@ -181,3 +182,114 @@ def test_roundtrip_property_random_grids():
         assert png_pixel_grid(payload) == g
 
     prop()
+
+
+def test_adam7_roundtrip_and_empty_pass_rule():
+    """r13 (VERDICT r12 stretch): Adam7 decode — same grid back from
+    the interlaced serialization, across sizes that leave passes empty
+    (1×1 has six empty passes; h=4 empties pass 3; w<5 empties pass 2
+    for w<=4)."""
+    from kstreams_spark.operators.png_codec import (
+        _adam7_passes,
+        encode_png,
+        png_pixel_grid,
+        synth_png,
+        synth_png_adam7,
+    )
+
+    for w, h in [(1, 1), (2, 2), (4, 4), (5, 5), (8, 8), (9, 7), (12, 4)]:
+        g = [
+            [
+                tuple((x * 7 + y * 13 + c * 29) % 256 for c in (0, 1, 2))
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        payload = encode_png(g, interlace=True)
+        assert png_pixel_grid(payload) == g, (w, h)
+        # the lattice covers every pixel exactly once
+        seen = set()
+        for xs, ys in _adam7_passes(w, h):
+            for y in ys:
+                for x in xs:
+                    assert (x, y) not in seen
+                    seen.add((x, y))
+        assert len(seen) == w * h
+    # fixture twins: identical features, different bitstreams
+    from kstreams_spark.operators.png_codec import parse_png_features
+
+    for d in (0, 3, 7, 11, 19):
+        assert parse_png_features(synth_png_adam7(d)) == parse_png_features(
+            synth_png(d)
+        )
+        assert synth_png_adam7(d) != synth_png(d)
+
+
+def test_adam7_truncated_and_trailing_rejected():
+    from kstreams_spark.operators.png_codec import encode_png, png_pixel_grid
+
+    g = [[(x, y, 7) for x in range(8)] for y in range(8)]
+    payload = bytearray(encode_png(g, interlace=True))
+    # flip the IHDR interlace byte to 0: the same bytes read as a
+    # sequential image now FAIL the size contract loudly (never a
+    # silently-wrong grid)
+    import struct as _s
+    import zlib as _z
+
+    ihdr_at = 8 + 8
+    body = bytearray(payload[ihdr_at : ihdr_at + 13])
+    body[12] = 0
+    payload[ihdr_at : ihdr_at + 13] = body
+    payload[ihdr_at + 13 : ihdr_at + 17] = _s.pack(
+        ">I", _z.crc32(b"IHDR" + bytes(body))
+    )
+    with pytest.raises(ValueError, match="decompressed size"):
+        png_pixel_grid(bytes(payload))
+
+
+def test_gray_and_palette_roundtrip_with_filters_and_adam7():
+    """r13: color types 0 and 3 — full filter cycling, both
+    serializations, PLTE resolution, and the guards (missing PLTE,
+    out-of-range index)."""
+    from kstreams_spark.operators.png_codec import (
+        _png_dims,
+        _png_plte,
+        encode_png,
+        parse_png_features,
+        png_pixel_grid,
+        synth_png_gray,
+        synth_png_palette,
+    )
+
+    for d in (0, 3, 7, 11):
+        w, h = _png_dims(d)
+        gray = png_pixel_grid(synth_png_gray(d))
+        assert gray == [
+            [((d * 7 + y * 13 + x * 3) % 256,) * 3 for x in range(w)]
+            for y in range(h)
+        ]
+        pal = _png_plte(d)
+        got = png_pixel_grid(synth_png_palette(d))
+        assert got == [
+            [pal[(d + y * w + x) % 16] for x in range(w)]
+            for y in range(h)
+        ]
+        parse_png_features(synth_png_gray(d))  # feature path runs
+    # Adam7 x palette and Adam7 x gray
+    pal = _png_plte(5)
+    idx = [[(x * 3 + y) % 16 for x in range(7)] for y in range(5)]
+    seq = encode_png(idx, color_type=3, palette=pal)
+    il = encode_png(idx, color_type=3, palette=pal, interlace=True)
+    assert png_pixel_grid(seq) == png_pixel_grid(il) and seq != il
+    # palette image without PLTE refuses
+    broken = bytearray(seq)
+    at = broken.index(b"PLTE") - 4
+    (ln,) = struct.unpack_from(">I", broken, at)
+    del broken[at : at + 12 + ln]
+    with pytest.raises(ValueError, match="without a PLTE"):
+        png_pixel_grid(bytes(broken))
+    # out-of-range index refuses (17th index against a 16-entry PLTE)
+    with pytest.raises(ValueError, match="outside the"):
+        png_pixel_grid(
+            encode_png([[0, 16]], color_type=3, palette=pal[:16])
+        )
