@@ -136,6 +136,7 @@ HEADLINE = [
     "multimodal_video_gif_subrect_frames",  # added r13: sub-rect compositing
     "multimodal_image_decode_png_palette",  # added r13: PLTE color type
     "multimodal_image_decode_jpeg_progressive",  # added r13: SOF2 9-scan script
+    "multimodal_image_decode_png_rgba",  # added r13: alpha composite features
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------

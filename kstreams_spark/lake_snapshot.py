@@ -397,15 +397,43 @@ def _norm_file_uri(col):
     return F.regexp_replace(col, "^file:/+", "/")
 
 
-def _list_files(path: str) -> set[str]:
-    """Every data file currently on disk, path-relative (the `_log` dir
-    is outside the glob: partition dirs are `key=value`)."""
+def _list_files(path: str, dirs: list[str] | None = None) -> set[str]:
+    """Data files currently on disk, path-relative (the `_log` dir is
+    outside the glob: partition dirs are `key=value`). `dirs` (r13)
+    scopes the walk to the given partition directories — writers that
+    KNOW which partitions they touched pay O(files in those dirs), not
+    O(files in the table), which was the SnapshotLakeSink's
+    self-documented per-microbatch caveat."""
     out = set()
-    for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
-        rel = os.path.relpath(f, path)
-        if not rel.startswith(_LOG + os.sep):
-            out.add(rel)
+    roots = (
+        [os.path.join(path, "**")]
+        if dirs is None
+        else [os.path.join(path, d, "**") for d in dirs]
+    )
+    for root in roots:
+        for f in _glob.glob(os.path.join(root, "*.parquet"), recursive=True):
+            rel = os.path.relpath(f, path)
+            if not rel.startswith(_LOG + os.sep):
+                out.add(rel)
     return out
+
+
+def _touched_dirs(
+    df: DataFrame, partition_cols: tuple[str, ...]
+) -> list[str] | None:
+    """The partition directories a write of `df` can land in — one
+    small distinct job over the partition columns (bounded driver
+    state: distinct partition values). None for an unpartitioned
+    layout (callers fall back to the full walk)."""
+    if not partition_cols:
+        return None
+    rows = df.select(*partition_cols).distinct().collect()
+    return [
+        os.path.join(
+            *(f"{c}={_escape_partition_value(r[c])}" for c in partition_cols)
+        )
+        for r in rows
+    ]
 
 
 def _commit(
@@ -589,7 +617,6 @@ def snapshot_publish(
                 partition_cols,
                 "snapshot_publish(append)",
             )
-    before = _list_files(path)
     # appends write under the PHYSICAL names (column mapping, r13);
     # replace defines a fresh schema and resets the map to identity
     out_df = (
@@ -597,8 +624,10 @@ def snapshot_publish(
         if mode == "append"
         else df
     )
+    dirs = _touched_dirs(out_df, partition_cols)
+    before = _list_files(path, dirs)
     out_df.write.mode("append").partitionBy(*partition_cols).parquet(path)
-    new = _list_files(path) - before
+    new = _list_files(path, dirs) - before
     if mode == "append":
         base = versions[-1] if versions else 0
         live = _live_files(path, base) if versions else set()
@@ -867,13 +896,21 @@ def snapshot_delete_where(
         if n_after == n_before:
             continue
         deleted += n_before - n_after
-        before_files = _list_files(path)
+        row_dir = [
+            os.path.join(
+                *(
+                    f"{c}={_escape_partition_value(row[c])}"
+                    for c in partition_cols
+                )
+            )
+        ]
+        before_files = _list_files(path, row_dir)
         # partition columns are re-derived from the written dirs;
         # rewrites land under the physical names (column mapping)
         _to_physical_df(keep, m.get("column_map", {})).write.mode(
             "append"
         ).partitionBy(*partition_cols).parquet(path)
-        added |= _list_files(path) - before_files
+        added |= _list_files(path, row_dir) - before_files
         removed |= {f for f in live if _in_partition(f, row, partition_cols)}
     if not removed and not added:
         return 0
@@ -1083,16 +1120,30 @@ def snapshot_merge(
         if affected
         else None
     )
-    before_files = _list_files(path)
     to_write = (
         source
         if survivors is None
         else survivors.unionByName(source, allowMissingColumns=evolve)
     )
+    # touched dirs are known without re-running the survivor plan:
+    # the affected partitions (already collected) plus the source's own
+    dirs = sorted(
+        {
+            os.path.join(
+                *(
+                    f"{c}={_escape_partition_value(row[c])}"
+                    for c in partition_cols
+                )
+            )
+            for row in affected
+        }
+        | set(_touched_dirs(source, partition_cols) or [])
+    ) or None
+    before_files = _list_files(path, dirs)
     _to_physical_df(to_write, m.get("column_map", {})).write.mode(
         "append"
     ).partitionBy(*partition_cols).parquet(path)
-    added = _list_files(path) - before_files
+    added = _list_files(path, dirs) - before_files
     version = _commit(
         path,
         (live - removed) | added,
@@ -1189,11 +1240,12 @@ def _merge_mor(
         )
         for f in changed:
             new_map[f] = sidecar
-    before_files = _list_files(path)
+    dirs = _touched_dirs(source, partition_cols)
+    before_files = _list_files(path, dirs)
     _to_physical_df(source, cmap).write.mode("append").partitionBy(
         *partition_cols
     ).parquet(path)
-    added = _list_files(path) - before_files
+    added = _list_files(path, dirs) - before_files
     version = _commit(
         path,
         live | added,
@@ -1617,11 +1669,11 @@ def snapshot_compact(
             )
         else:
             part = part.coalesce(n_files)
-        before_files = _list_files(path)
+        before_files = _list_files(path, [d])
         _to_physical_df(part, m.get("column_map", {})).write.mode(
             "append"
         ).partitionBy(*partition_cols).parquet(path)
-        added |= _list_files(path) - before_files
+        added |= _list_files(path, [d]) - before_files
         removed |= set(files)
         compacted += 1
     if compacted:
@@ -1765,12 +1817,14 @@ class SnapshotLakeSink:
     commits first, and maintenance aborts loudly if the sink commits
     first (re-run it) — no torn state either way.
 
-    Cost note, stated plainly: discovering the batch's new files is a
-    before/after directory listing — O(total lake files) per
-    microbatch, fine at fixture scale and the first thing a production
-    table format replaces (its task commit protocol TELLS the driver
-    which files each batch wrote, no listing). The commit/visibility/
-    replay semantics here are unchanged by that swap."""
+    Cost note (r13 — the caveat this paragraph used to state, closed):
+    discovering the batch's new files is a before/after listing SCOPED
+    to the partitions the batch touches (one small distinct job tells
+    us which) — O(files in touched partitions) per microbatch, not
+    O(total lake files). A production table format goes one further
+    (its task commit protocol TELLS the driver which files each batch
+    wrote, no listing at all); the commit/visibility/replay semantics
+    here are unchanged by that swap."""
 
     def __init__(
         self, path: str, partition_cols: tuple[str, ...] = ("split", "lang")
@@ -1805,13 +1859,17 @@ class SnapshotLakeSink:
                 "SnapshotLakeSink",
             )
         live = _live_files(self.path, base) if versions else set()
-        before = _list_files(self.path)
+        # scoped listing (r13, closing the cost note below): the batch
+        # tells us which partitions it touches — list only those dirs,
+        # O(files in touched partitions) per microbatch
+        dirs = _touched_dirs(batch_df, self.partition_cols)
+        before = _list_files(self.path, dirs)
         _to_physical_df(
             batch_df, table_column_map(self.path)
         ).write.mode("append").partitionBy(
             *self.partition_cols
         ).parquet(self.path)
-        new = _list_files(self.path) - before
+        new = _list_files(self.path, dirs) - before
         # blind append: losing a commit race to a concurrent maintenance
         # commit re-merges onto the new live set and retries (the
         # appended files are unique-named — they never conflict)

@@ -3071,3 +3071,60 @@ def multimodal_image_decode_jpeg_progressive(
     return payloads.mapInPandas(
         _decode_stage(parse_jpeg_features, IMAGE_SCHEMA), IMAGE_SCHEMA
     )
+
+
+@query(
+    "multimodal_image_decode_png_rgba",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 6 + doc_id % 7 AS w, 4 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w, h, x, y,
+             (doc_id * 23 + y * 19 + x * 11 + 0 * 109) % 256 AS r0,
+             (doc_id * 23 + y * 19 + x * 11 + 1 * 109) % 256 AS g0,
+             (doc_id * 23 + y * 19 + x * 11 + 2 * 109) % 256 AS b0,
+             (doc_id * 5 + y * 7 + x * 2) % 256 AS a
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    ),
+    rgb AS (  -- composite over black, integer division (the decoder's)
+      SELECT doc_id, w, h, x, y,
+             (r0 * a) // 255 AS r, (g0 * a) // 255 AS g, (b0 * a) // 255 AS b
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS INTEGER) AS n_pixels,
+           SUM(r)::BIGINT AS sum_r, SUM(g)::BIGINT AS sum_g,
+           SUM(b)::BIGINT AS sum_b,
+           SUM((y * w + x) * (r + g + b))::BIGINT AS px_checksum
+    FROM rgb GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_decode_png_rgba(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RGBA PNG decode (r13 — with this, EVERY 8-bit PNG color type is
+    in scope: 0/2/3/4/6; only 16-bit depth remains rejected by name):
+    4-byte pixels widen the filter unit to 4 (the bpp bug class), odd
+    docs serialize Adam7-interlaced, and the feature stage composites
+    over black with integer math (c·a // 255) that the oracle replays
+    exactly — an alpha-ignoring decoder keeps dimensions but fails
+    every channel sum."""
+    from kstreams_spark.operators.png_codec import (
+        parse_png_features,
+        synth_png_rgba,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_png_rgba(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+    return payloads.mapInPandas(
+        _decode_stage(parse_png_features, IMAGE_SCHEMA), IMAGE_SCHEMA
+    )

@@ -6,15 +6,17 @@ complete decode is chunk walk + CRC + inflate + per-scanline unfilter
 spec's reference pseudocode). With this module the env-gated guidance
 shrinks to MP3/H.264 (no stdlib entropy decoder exists for those).
 
-Decoder scope (stated, not hidden): 8-bit grayscale (0), truecolor
-(2), and palette (3) color types, one image, sequential OR
-Adam7-interlaced (r13 — the GIF-interlace trick applied to PNG's
-seven-pass form: each pass is its own reduced image with its own
-scanlines and filter bytes, unfiltered independently, pixels placed
-back on the 8×8 Adam7 lattice; spec §8.2). Alpha-bearing color types
-(4/6) and bit depths other than 8 raise ValueError naming the
-variant. Grayscale decodes to the luminance triple (v,v,v); palette
-indices resolve against the PLTE critical chunk. Unknown ANCILLARY chunks
+Decoder scope (stated, not hidden): EVERY 8-bit color type —
+grayscale (0), truecolor (2), palette (3), gray+alpha (4), RGBA
+(6) — one image, sequential OR Adam7-interlaced (r13 — the
+GIF-interlace trick applied to PNG's seven-pass form: each pass is
+its own reduced image with its own scanlines and filter bytes,
+unfiltered independently, pixels placed back on the 8×8 Adam7
+lattice; spec §8.2). Bit depths other than 8 raise ValueError naming
+the variant. Grayscale decodes to the luminance triple (v,v,v);
+palette indices resolve against the PLTE critical chunk;
+alpha-bearing pixels return 4-tuples (feature extraction composites
+over black with integer math). Unknown ANCILLARY chunks
 (lowercase first type letter, e.g. tEXt/tIME) are skipped per spec;
 unknown CRITICAL chunks are an error. Every chunk's CRC32 is
 verified.
@@ -159,11 +161,11 @@ def encode_png(
     serializes the seven Adam7 reduced images instead — per pass its
     own scanlines, filter bytes, and zeroed prior; empty passes
     contribute no bytes."""
-    if color_type not in (0, 2, 3):
+    if color_type not in (0, 2, 3, 4, 6):
         raise ValueError(f"unsupported encoder color type {color_type}")
     if color_type == 3 and not palette:
         raise ValueError("palette images need a palette")
-    bpp = _BPP if color_type == 2 else 1
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     h, w = len(grid), len(grid[0])
 
     def _serialize(rows_of_pixels) -> bytearray:
@@ -172,7 +174,7 @@ def encode_png(
         for i, pixels in rows_of_pixels:
             raw = bytearray()
             for px in pixels:
-                if color_type == 2:
+                if color_type in (2, 4, 6):
                     raw.extend(px)
                 else:
                     raw.append(px)
@@ -255,11 +257,10 @@ def png_pixel_grid(payload: bytes) -> list[list[tuple[int, int, int]]]:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or color not in (0, 2, 3):
+            if depth != 8 or color not in (0, 2, 3, 4, 6):
                 raise ValueError(
                     f"unsupported PNG variant (depth={depth} color={color}); "
-                    "decoder scope is 8-bit grayscale/truecolor/palette "
-                    "(alpha-bearing types 4/6 out of scope)"
+                    "decoder scope is 8-bit color types 0/2/3/4/6"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard compression/filter method")
@@ -283,11 +284,16 @@ def png_pixel_grid(payload: bytes) -> list[list[tuple[int, int, int]]]:
         raise ValueError("missing IHDR/IEND or degenerate dimensions")
     if color == 3 and plte is None:
         raise ValueError("palette image without a PLTE chunk")
-    bpp = _BPP if color == 2 else 1
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
 
-    def _px(line: bytearray, x: int) -> tuple[int, int, int]:
+    def _px(line: bytearray, x: int):
         if color == 2:
             return tuple(line[_BPP * x : _BPP * x + _BPP])
+        if color == 6:  # RGBA: 4-tuple (alpha rides along, r13)
+            return tuple(line[4 * x : 4 * x + 4])
+        if color == 4:  # gray+alpha → luminance triple + alpha
+            v, a = line[2 * x], line[2 * x + 1]
+            return (v, v, v, a)
         v = line[x]
         if color == 0:  # grayscale: replicate (the luminance triple)
             return (v, v, v)
@@ -352,13 +358,20 @@ def png_pixel_grid(payload: bytes) -> list[list[tuple[int, int, int]]]:
 
 def parse_png_features(payload: bytes) -> dict:
     """Exact integer features over the really-decoded pixel grid (the
-    parse_bmp twin — same IMAGE_SCHEMA keys, RGB file order)."""
+    parse_bmp twin — same IMAGE_SCHEMA keys, RGB file order).
+    Alpha-bearing pixels (color types 4/6 — 4-tuples, r13) composite
+    over BLACK with integer math (c·a // 255): deterministic, and the
+    SQL oracle replays the same division."""
     grid = png_pixel_grid(payload)
     h, w = len(grid), len(grid[0])
     sum_r = sum_g = sum_b = checksum = 0
     for y in range(h):
         for x in range(w):
-            r, g, b = grid[y][x]
+            px = grid[y][x]
+            if len(px) == 4:
+                r, g, b = (c * px[3] // 255 for c in px[:3])
+            else:
+                r, g, b = px
             sum_r += r
             sum_g += g
             sum_b += b
@@ -464,4 +477,26 @@ def synth_png_palette(doc_id: int) -> bytes:
         row_filter=lambda i: (doc_id + i) % 5,
         color_type=3,
         palette=_png_plte(doc_id),
+    )
+
+
+def synth_png_rgba(doc_id: int) -> bytes:
+    """Deterministic RGBA fixture (r13, color type 6): channels from
+    _png_channel, alpha (doc_id*5 + y*7 + x*2) % 256 — every filter
+    type over the 4-byte filter unit, Adam7 on odd docs."""
+    w, h = _png_dims(doc_id)
+    return encode_png(
+        [
+            [
+                tuple(
+                    [_png_channel(doc_id, x, y, c) for c in (0, 1, 2)]
+                    + [(doc_id * 5 + y * 7 + x * 2) % 256]
+                )
+                for x in range(w)
+            ]
+            for y in range(h)
+        ],
+        row_filter=lambda i: (doc_id + i) % 5,
+        color_type=6,
+        interlace=bool(doc_id % 2),
     )

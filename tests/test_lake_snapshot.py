@@ -1158,3 +1158,29 @@ def test_merge_survivors_is_one_plan_regardless_of_k(
     # semantics: survivors are exactly the unmatched rows of affected
     # partitions
     assert sorted(r.doc_id for r in surv.collect()) == list(range(6, 16))
+
+
+def test_scoped_listing_sees_only_touched_dirs(spark, tmp_path, sf_dir):
+    """r13: _list_files(path, dirs) walks only the given partition
+    directories (the O(touched-partitions) listing every writer now
+    uses), and _touched_dirs derives them from a batch — including
+    escaped and NULL partition values."""
+    lake = str(tmp_path / "scoped")
+    corpus = _corpus(spark, sf_dir).filter(F.col("doc_id") < 8)
+    snapshot_publish(corpus, lake)
+    all_files = ls._list_files(lake)
+    train = ls._list_files(lake, ["split=train/lang=en"])
+    val = ls._list_files(lake, ["split=val/lang=en"])
+    assert train and val and train | val == all_files and not (train & val)
+    assert all(f.startswith("split=train") for f in train)
+    # _touched_dirs: escaped + NULL partition values render like Spark
+    df = spark.createDataFrame(
+        [(1, "a=b", "en"), (2, None, "en")],
+        "doc_id long, split string, lang string",
+    )
+    dirs = sorted(ls._touched_dirs(df, ("split", "lang")))
+    assert dirs == [
+        "split=__HIVE_DEFAULT_PARTITION__/lang=en",
+        "split=a%3Db/lang=en",
+    ]
+    assert ls._touched_dirs(df, ()) is None

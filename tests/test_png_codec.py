@@ -103,9 +103,9 @@ def test_truncation_rejected():
 
 
 def test_unsupported_variants_named():
-    # RGBA (color type 6) IHDR — alpha stays out of scope, named
-    # (grayscale/palette are SUPPORTED since r13)
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0)
+    # 16-bit depth stays out of scope, named (every 8-bit color type —
+    # 0/2/3/4/6 — is SUPPORTED since r13)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
     payload = (
         b"\x89PNG\r\n\x1a\n"
         + struct.pack(">I", len(ihdr))
@@ -113,7 +113,7 @@ def test_unsupported_variants_named():
         + ihdr
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
     )
-    with pytest.raises(ValueError, match="color=6"):
+    with pytest.raises(ValueError, match="depth=16"):
         png_pixel_grid(payload)
     # unknown interlace method (Adam7 itself is SUPPORTED since r13)
     ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 2)
@@ -293,3 +293,38 @@ def test_gray_and_palette_roundtrip_with_filters_and_adam7():
         png_pixel_grid(
             encode_png([[0, 16]], color_type=3, palette=pal[:16])
         )
+
+
+def test_alpha_color_types_roundtrip_and_composite_features():
+    """r13: RGBA (6) and gray+alpha (4) — 4-tuple pixels, 4-/2-byte
+    filter units, Adam7 included; features composite over black with
+    integer math."""
+    from kstreams_spark.operators.png_codec import (
+        encode_png,
+        parse_png_features,
+        png_pixel_grid,
+        synth_png_rgba,
+    )
+
+    g = [
+        [
+            ((x * 7) % 256, (y * 11) % 256, (x + y) % 256, (x * y + 9) % 256)
+            for x in range(8)
+        ]
+        for y in range(6)
+    ]
+    for interlace in (False, True):
+        assert (
+            png_pixel_grid(encode_png(g, color_type=6, interlace=interlace))
+            == g
+        )
+    ga = [[((x + y) % 256, (x * 3 + y) % 256) for x in range(7)] for y in range(5)]
+    got = png_pixel_grid(encode_png(ga, color_type=4))
+    assert got == [[(v, v, v, a) for v, a in row] for row in ga]
+    # composite-over-black features match direct integer math
+    f = parse_png_features(encode_png(g, color_type=6))
+    want_r = sum(px[0] * px[3] // 255 for row in g for px in row)
+    assert f["sum_r"] == want_r and f["n_pixels"] == 48
+    # fixture family decodes for a swath (odd docs are Adam7)
+    for d in range(12):
+        parse_png_features(synth_png_rgba(d))
