@@ -833,3 +833,14 @@ def test_dsl_topology_plans_like_hand_written(plan_spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     pushed = " ".join(pushed_filters(df))
     assert "value" in pushed, pushed
+
+
+def test_kgrouped_table_two_exchange_shape(plan_spark, sf_dir):
+    """dsl_ktable_groupby_reaggregate (r13): exactly the two
+    repartition topics Kafka Streams would create — one window
+    exchange for latest-per-key, one aggregation exchange for the
+    re-key — and nothing else (no join, no extra shuffle)."""
+    df = q("dsl_ktable_groupby_reaggregate", plan_spark, sf_dir)
+    plan = physical_plan(df)
+    assert count_exchanges(df) == 2, plan
+    assert "Window" in plan and "CartesianProduct" not in plan, plan
