@@ -517,6 +517,13 @@ class KTable:
                 "group_by on a windowed table re-keys across windows — "
                 "to_stream() first and group the stream explicitly"
             )
+        if name in self.df.columns:
+            raise ValueError(
+                f"group_by key name {name!r} collides with an existing "
+                "column — withColumn would silently overwrite the data "
+                "column before the re-aggregation; pass a distinct "
+                "`name=`"
+            )
         return KGroupedTable(
             self.df.withColumn(name, _as_col(expr)),
             [name],

@@ -2947,8 +2947,9 @@ def multimodal_video_gif_subrect_frames(
 def multimodal_image_decode_png_palette(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """PALETTE PNG decode (r13 — color type 3, with grayscale the last
-    feasible PNG color classes; alpha types stay rejected by name):
+    """PALETTE PNG decode (r13 — color type 3; all five 8-bit color
+    types 0/2/3/4/6 decode, see the RGBA query below for the alpha
+    pair; only non-8-bit depths are rejected by name):
     indexed pixels resolve against a doc-SHIFTED 16-entry PLTE chunk,
     so a decoder that reuses one doc's palette — or reads indices as
     gray values — is value-wrong on every doc, not structurally broken.

@@ -496,6 +496,10 @@ class LakeChangeFeedPartitionedReader(DataSourceStreamReader):
         self.max_versions_per_batch = int(
             options.get("max_versions_per_batch", "100")
         )
+        # last end offset observed in THIS run (latestOffset has no
+        # start-offset argument in the Python API) — seeds the
+        # per-microbatch version cap below
+        self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -503,11 +507,48 @@ class LakeChangeFeedPartitionedReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         versions = snapshot_versions(self.path)
         latest = versions[-1] if versions else 0
-        # advance at most max_versions_per_batch per microbatch; never
-        # regress below the start offset
-        return {"version": max(self.start_version, latest)}
+        latest = max(self.start_version, latest)
+        # Advance at most max_versions_per_batch per microbatch. The
+        # Python API hands latestOffset no start offset, so the clamp
+        # base is the last end offset seen this run; the FIRST batch of
+        # a (re)started query spans the full outstanding backlog — we
+        # cannot clamp it against an unknown checkpoint offset without
+        # risking an offset regression (re-emission of signed rows).
+        if self._last_end is not None:
+            latest = min(latest, self._last_end + self.max_versions_per_batch)
+            latest = max(latest, self._last_end)  # never regress
+        self._last_end = latest
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
+        # learn the true progress (covers the restart-from-checkpoint
+        # case where latestOffset ran before we saw any start offset)
+        self._last_end = max(self._last_end or 0, end["version"])
+        if self.names is not None:
+            # Same plan-time-schema guard as step_changes: a schema
+            # evolve committed after the stream planned its column list
+            # would silently drop the new columns from every signed row
+            # — fail loudly; restart the stream to pick it up.
+            latest_cmap = table_column_map(self.path)
+            for v in range(start["version"] + 1, end["version"] + 1):
+                m = _read_manifest(self.path, v)
+                cmap = m.get("column_map", {})
+                # physical name space, like step_changes' guard: a
+                # rename is metadata-only and spans transparently
+                step_names = [
+                    cmap.get(n, n) for n, _ in _schema_fields(m["schema"])
+                ]
+                plan_names = [
+                    latest_cmap.get(n, cmap.get(n, n)) for n in self.names
+                ]
+                extra = [n for n in step_names if n not in plan_names]
+                if extra:
+                    raise ValueError(
+                        f"lake CDF: version {v} evolved the schema with "
+                        f"column(s) {extra} not in the stream's "
+                        f"plan-time columns {self.names} — restart the "
+                        "stream to pick up the evolved schema"
+                    )
         parts = _signed_partitions(
             self.path, start["version"], end["version"]
         )

@@ -198,3 +198,79 @@ def test_checkpoint_recovery_sees_only_new_versions(spark, tmp_path, sf_dir):
     )
     run_once()
     assert len(rows) == n_first + 4  # no replay of v1's rows
+
+
+def test_dist_version_cap_clamps_after_first_batch(spark, tmp_path, sf_dir):
+    """ADVICE r13: latestOffset must honor max_versions_per_batch. The
+    Python API hands latestOffset no start offset, so the FIRST batch
+    of a run spans the outstanding backlog (clamping against an unknown
+    checkpoint offset could regress the stream); every later batch
+    advances at most the cap."""
+    from kstreams_spark.sources.lake_cdf import (
+        LakeChangeFeedPartitionedReader,
+    )
+
+    lake = str(tmp_path / "cap_lake")
+    for lo in range(0, 10, 2):  # v1..v5
+        snapshot_publish(
+            _corpus(spark, sf_dir, lo, lo + 2),
+            lake,
+            mode="append" if lo else "replace",
+            partition_cols=("split",),
+        )
+    r = LakeChangeFeedPartitionedReader(
+        {"path": lake, "max_versions_per_batch": "1"}
+    )
+    assert r.latestOffset() == {"version": 5}  # first batch: backlog
+    r2 = LakeChangeFeedPartitionedReader(
+        {"path": lake, "max_versions_per_batch": "1"}
+    )
+    # restart-from-checkpoint shape: partitions() learns the progress
+    r2.partitions({"version": 2}, {"version": 3})
+    assert r2.latestOffset() == {"version": 4}  # clamped: 3 + 1
+    assert r2.latestOffset() == {"version": 5}
+    assert r2.latestOffset() == {"version": 5}  # never beyond latest
+
+
+def test_dist_mid_stream_schema_evolution_raises(spark, tmp_path, sf_dir):
+    """ADVICE r13: the partitioned feed needs the same plan-time-schema
+    guard step_changes has — columns evolved in after plan time must
+    raise, not silently vanish from every signed row."""
+    import pytest
+
+    from kstreams_spark.sources.lake_cdf import (
+        LakeChangeFeedPartitionedReader,
+    )
+
+    lake = str(tmp_path / "evo_lake")
+    snapshot_publish(
+        _corpus(spark, sf_dir, 0, 4), lake, partition_cols=("split",)
+    )  # v1
+    plan_names = ["doc_id", "text", "split"]  # fixed pre-evolve
+    r = LakeChangeFeedPartitionedReader({"path": lake}, names=plan_names)
+    assert len(r.partitions({"version": 0}, {"version": 1})) >= 1
+    evolved = _corpus(spark, sf_dir, 30, 31).withColumn(
+        "quality", F.lit(0.9)
+    )
+    snapshot_publish(
+        evolved, lake, mode="append", evolve=True,
+        partition_cols=("split",),
+    )  # v2
+    with pytest.raises(ValueError, match="restart the stream"):
+        r.partitions({"version": 1}, {"version": 2})
+
+
+def test_group_by_name_collision_raises(spark, sf_dir):
+    """ADVICE r13: KTable.group_by(name=...) colliding with an existing
+    data column silently overwrote it pre-guard."""
+    import pytest
+
+    from kstreams_spark.dsl import StreamsBuilder
+
+    snap = _corpus(spark, sf_dir)
+    table = StreamsBuilder().table(snap, key="doc_id", order_by="doc_id")
+    with pytest.raises(ValueError, match="collides"):
+        table.group_by("split", name="text")
+    # a fresh name still works
+    grouped = table.group_by("split", name="grp")
+    assert "grp" in grouped.df.columns
