@@ -97,6 +97,7 @@ from __future__ import annotations
 import glob as _glob
 import json
 import os
+import shutil as _shutil
 import time
 import uuid as _uuid
 from collections.abc import Callable
@@ -397,43 +398,108 @@ def _norm_file_uri(col):
     return F.regexp_replace(col, "^file:/+", "/")
 
 
-def _list_files(path: str, dirs: list[str] | None = None) -> set[str]:
+def _list_files(path: str) -> set[str]:
     """Data files currently on disk, path-relative (the `_log` dir is
-    outside the glob: partition dirs are `key=value`). `dirs` (r13)
-    scopes the walk to the given partition directories — writers that
-    KNOW which partitions they touched pay O(files in those dirs), not
-    O(files in the table), which was the SnapshotLakeSink's
-    self-documented per-microbatch caveat."""
+    outside the glob: partition dirs are `key=value`; dot-dirs —
+    .staging-* included — are skipped by glob's hidden rule). Only
+    vacuum() walks the table this way (it must see orphans); every
+    writer learns its own file set from _write_staged, O(that write)."""
     out = set()
-    roots = (
-        [os.path.join(path, "**")]
-        if dirs is None
-        else [os.path.join(path, d, "**") for d in dirs]
-    )
-    for root in roots:
-        for f in _glob.glob(os.path.join(root, "*.parquet"), recursive=True):
-            rel = os.path.relpath(f, path)
-            if not rel.startswith(_LOG + os.sep):
-                out.add(rel)
+    for f in _glob.glob(
+        os.path.join(path, "**", "*.parquet"), recursive=True
+    ):
+        rel = os.path.relpath(f, path)
+        if not rel.startswith(_LOG + os.sep):
+            out.add(rel)
     return out
 
 
-def _touched_dirs(
-    df: DataFrame, partition_cols: tuple[str, ...]
-) -> list[str] | None:
-    """The partition directories a write of `df` can land in — one
-    small distinct job over the partition columns (bounded driver
-    state: distinct partition values). None for an unpartitioned
-    layout (callers fall back to the full walk)."""
-    if not partition_cols:
-        return None
-    rows = df.select(*partition_cols).distinct().collect()
-    return [
-        os.path.join(
-            *(f"{c}={_escape_partition_value(r[c])}" for c in partition_cols)
-        )
-        for r in rows
-    ]
+def _constraint_observer(df: DataFrame, constraints: dict[str, str], op: str):
+    """Attach CHECK-violation metrics to a (logical-named) batch about
+    to be written; returns (df, check) — `check()` runs after the write
+    action and raises the standard violation error. Attach BEFORE
+    _to_physical_df: predicates reference logical column names."""
+    if not constraints:
+        return df, None
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    names = sorted(constraints)
+    df = df.observe(
+        obs,
+        *[
+            _violation_metric(constraints[n]).alias(f"_c{i}")
+            for i, n in enumerate(names)
+        ],
+    )
+
+    def check() -> None:
+        got = obs.get
+        bad = {
+            n: (constraints[n], got[f"_c{i}"])
+            for i, n in enumerate(names)
+            if got.get(f"_c{i}")
+        }
+        if bad:
+            _raise_violation(op, bad)
+
+    return df, check
+
+
+def _write_staged(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...],
+    check=None,
+) -> set[str]:
+    """Write a batch into the table THROUGH a unique staging directory
+    and move the files into the final layout; returns exactly this
+    write's path-relative files. Replaces the r13 before/after
+    directory diff, which (a) cost one extra distinct job per write
+    just to scope the listing (_touched_dirs re-scanned the batch
+    source — measured ~0.2 s per verb at sf0.1, the r13 lake-chain
+    regression) and (b) could fold a CONCURRENT writer's in-flight
+    files into this commit's file set (two racing appends to the same
+    partition would each diff in the other's files → duplicate rows
+    once both commit). The staging listing is O(this write's files);
+    each move is a same-filesystem os.rename (staging lives INSIDE the
+    table dir). At object-store scale the equivalent is direct-to-final
+    task writes with the commit protocol's written-file manifest — the
+    snapshot manifest, not the directory layout, is the source of truth
+    either way. Crash surface: an orphan .staging-* dir (invisible to
+    readers — manifests reference only committed files, and _list_files'
+    glob skips dot-dirs) is age-guard-swept by vacuum().
+
+    `check` (from _constraint_observer, attached to the LOGICAL-named
+    batch before any physical rename) folds CHECK enforcement INTO the
+    write job via observe() metrics (Delta's model: invariants are
+    checked by the write itself, not by a pre-pass scan — one source
+    scan saved per constrained write). A violation removes the staging
+    dir and raises before any file enters the table layout: "nothing
+    was written" still holds at the only visibility boundary readers
+    have (the manifest plus the final layout)."""
+    stage = os.path.join(path, f".staging-{_uuid.uuid4().hex}")
+    w = df.write.mode("append")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(stage)
+    if check is not None:
+        try:
+            check()
+        except Exception:
+            _shutil.rmtree(stage, ignore_errors=True)
+            raise
+    new: set[str] = set()
+    for f in _glob.glob(
+        os.path.join(stage, "**", "*.parquet"), recursive=True
+    ):
+        rel = os.path.relpath(f, stage)
+        dest = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.rename(f, dest)
+        new.add(rel)
+    _shutil.rmtree(stage, ignore_errors=True)
+    return new
 
 
 def _commit(
@@ -449,6 +515,7 @@ def _commit(
     set_dvs: dict[str, str] | None = None,
     set_column_map: dict[str, str] | None = None,
     set_dropped_physical: list[str] | None = None,
+    set_epochs: list[int] | None = None,
 ) -> int:
     """Write manifest version = last + 1. The commit point is an atomic
     CREATE-exclusive os.link of the fully-written temp manifest onto the
@@ -496,7 +563,14 @@ def _commit(
             base_version = latest
         version = latest + 1
         prev_m = _read_manifest(path, latest) if versions else {}
-        epochs = prev_m.get("epochs", [])
+        # set_epochs seeds a FRESH table's carried-forward epoch set
+        # (snapshot_clone); on an existing table the previous manifest
+        # is authoritative
+        epochs = (
+            prev_m.get("epochs", [])
+            if set_epochs is None or versions
+            else sorted(set(set_epochs))
+        )
         if new_epoch is not None:
             epochs = sorted(set(epochs) | {int(new_epoch)})
         # CHECK constraints carry forward like epochs; set/drop verbs
@@ -601,9 +675,11 @@ def snapshot_publish(
     recheck = lambda committed: _check_append_schema(  # noqa: E731
         df.schema.simpleString(), committed, evolve, "snapshot_publish(append)"
     )
-    cons = table_constraints(path)
-    if cons:  # CHECK constraints survive replace (the Delta rule)
-        _enforce_constraints(df, cons, f"snapshot_publish({mode})")
+    # CHECK constraints survive replace (the Delta rule); enforcement
+    # rides the write job itself (observe metrics, r14)
+    df, check = _constraint_observer(
+        df, table_constraints(path), f"snapshot_publish({mode})"
+    )
     if mode == "append":
         versions = snapshot_versions(path)
         if versions:  # enforce BEFORE writing any data file
@@ -624,10 +700,7 @@ def snapshot_publish(
         if mode == "append"
         else df
     )
-    dirs = _touched_dirs(out_df, partition_cols)
-    before = _list_files(path, dirs)
-    out_df.write.mode("append").partitionBy(*partition_cols).parquet(path)
-    new = _list_files(path, dirs) - before
+    new = _write_staged(out_df, path, partition_cols, check=check)
     if mode == "append":
         base = versions[-1] if versions else 0
         live = _live_files(path, base) if versions else set()
@@ -896,21 +969,13 @@ def snapshot_delete_where(
         if n_after == n_before:
             continue
         deleted += n_before - n_after
-        row_dir = [
-            os.path.join(
-                *(
-                    f"{c}={_escape_partition_value(row[c])}"
-                    for c in partition_cols
-                )
-            )
-        ]
-        before_files = _list_files(path, row_dir)
         # partition columns are re-derived from the written dirs;
         # rewrites land under the physical names (column mapping)
-        _to_physical_df(keep, m.get("column_map", {})).write.mode(
-            "append"
-        ).partitionBy(*partition_cols).parquet(path)
-        added |= _list_files(path, row_dir) - before_files
+        added |= _write_staged(
+            _to_physical_df(keep, m.get("column_map", {})),
+            path,
+            partition_cols,
+        )
         removed |= {f for f in live if _in_partition(f, row, partition_cols)}
     if not removed and not added:
         return 0
@@ -1092,24 +1157,41 @@ def snapshot_merge(
     if cons:
         _enforce_constraints(source, cons, "snapshot_merge")
     keys = list(key_cols)
-    dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
-    if dup.limit(1).count():
+    # ONE job answers both "any duplicate source keys?" and "how many
+    # source rows?" (r14; was a limit(1).count() plus a source.count())
+    src_stats = (
+        source.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.max("_n").alias("_mx"), F.sum("_n").alias("_total")
+        )
+        .first()
+    )
+    if (src_stats["_mx"] or 0) > 1:
         raise ValueError(
             "snapshot_merge: multiple source rows share a key — one "
             "intent per key (the Delta MERGE contract); pre-aggregate "
             "the source"
         )
+    n_source = int(src_stats["_total"] or 0)
     if merge_on_read:
         return _merge_mor(
             spark, path, source, keys, partition_cols, m,
-            base_version, live, schema_ddl,
+            base_version, live, schema_ddl, n_source,
         )
     target = snapshot_read(spark, path, base_version)
     src_keys = source.select(*keys).distinct()
     matched = target.join(src_keys, keys, "semi")
-    updated = matched.count()
-    inserted = source.count() - updated
-    affected = matched.select(*partition_cols).distinct().collect()
+    # ONE job answers both "which partitions hold matches?" (bounded
+    # driver state: distinct partition values) and "how many rows
+    # update?" (r14; was a count() plus a distinct().collect())
+    affected = (
+        matched.groupBy(*partition_cols)
+        .agg(F.count(F.lit(1)).alias("_n_rows"))
+        .collect()
+    )
+    updated = sum(int(r["_n_rows"]) for r in affected)
+    inserted = n_source - updated
     removed: set[str] = set()
     for row in affected:
         removed |= {f for f in live if _in_partition(f, row, partition_cols)}
@@ -1125,25 +1207,11 @@ def snapshot_merge(
         if survivors is None
         else survivors.unionByName(source, allowMissingColumns=evolve)
     )
-    # touched dirs are known without re-running the survivor plan:
-    # the affected partitions (already collected) plus the source's own
-    dirs = sorted(
-        {
-            os.path.join(
-                *(
-                    f"{c}={_escape_partition_value(row[c])}"
-                    for c in partition_cols
-                )
-            )
-            for row in affected
-        }
-        | set(_touched_dirs(source, partition_cols) or [])
-    ) or None
-    before_files = _list_files(path, dirs)
-    _to_physical_df(to_write, m.get("column_map", {})).write.mode(
-        "append"
-    ).partitionBy(*partition_cols).parquet(path)
-    added = _list_files(path, dirs) - before_files
+    added = _write_staged(
+        _to_physical_df(to_write, m.get("column_map", {})),
+        path,
+        partition_cols,
+    )
     version = _commit(
         path,
         (live - removed) | added,
@@ -1164,6 +1232,7 @@ def _merge_mor(
     base_version: int,
     live: set[str],
     schema_ddl: str,
+    n_source: int,
 ) -> dict:
     """The merge-on-read MERGE body (snapshot_merge merge_on_read=True):
     matched rows' addresses → DV tombstones, all source rows → appended
@@ -1224,7 +1293,7 @@ def _merge_mor(
             "for wide merges, or snapshot_compact first"
         )
     updated = len(hits)
-    inserted = source.count() - updated
+    inserted = n_source - updated
     new_map = dict(m.get("dvs", {}))
     if hits:
         merged: dict[str, set[int]] = {f: set(p) for f, p in prev_dvs.items()}
@@ -1240,12 +1309,9 @@ def _merge_mor(
         )
         for f in changed:
             new_map[f] = sidecar
-    dirs = _touched_dirs(source, partition_cols)
-    before_files = _list_files(path, dirs)
-    _to_physical_df(source, cmap).write.mode("append").partitionBy(
-        *partition_cols
-    ).parquet(path)
-    added = _list_files(path, dirs) - before_files
+    added = _write_staged(
+        _to_physical_df(source, cmap), path, partition_cols
+    )
     version = _commit(
         path,
         live | added,
@@ -1342,20 +1408,43 @@ def table_constraints(path: str) -> dict[str, str]:
     return _read_manifest(path, versions[-1]).get("constraints", {})
 
 
+def _violation_metric(pred: str):
+    """Rows violating a CHECK predicate: FALSE violates, NULL passes
+    (the SQL-standard CHECK rule)."""
+    return F.sum((~F.coalesce(F.expr(pred), F.lit(True))).cast("long"))
+
+
+def _raise_violation(op: str, bad: dict[str, tuple[str, int]]) -> None:
+    name, (pred, n_bad) = sorted(bad.items())[0]
+    raise ValueError(
+        f"{op}: CHECK constraint {name!r} ({pred}) violated by "
+        f"{n_bad} row(s) — nothing was written"
+    )
+
+
 def _enforce_constraints(df: DataFrame, constraints: dict[str, str], op: str) -> None:
-    """CHECK enforcement on a batch about to be written (Delta's
-    ADD CONSTRAINT semantics): a row violates when the predicate is
-    FALSE; NULL passes (the SQL-standard CHECK rule). Raises naming the
-    constraint and the violation count BEFORE any file lands."""
-    for name, pred in sorted(constraints.items()):
-        n_bad = df.filter(
-            ~F.coalesce(F.expr(pred), F.lit(True))
-        ).count()
-        if n_bad:
-            raise ValueError(
-                f"{op}: CHECK constraint {name!r} ({pred}) violated by "
-                f"{n_bad} row(s) — nothing was written"
-            )
+    """CHECK enforcement as its OWN aggregation job — ONE source scan
+    for ALL constraints (r14; was one count per constraint). Used where
+    the data is not about to be written anyway (snapshot_set_constraint
+    validating the existing snapshot); writes fold the same metrics
+    into the write job itself via _constraint_observer +
+    _write_staged(check=...)."""
+    if not constraints:
+        return
+    names = sorted(constraints)
+    row = df.select(
+        *[
+            _violation_metric(constraints[n]).alias(f"_c{i}")
+            for i, n in enumerate(names)
+        ]
+    ).first()
+    bad = {
+        n: (constraints[n], row[i])
+        for i, n in enumerate(names)
+        if row[i]
+    }
+    if bad:
+        _raise_violation(op, bad)
 
 
 def snapshot_set_constraint(
@@ -1601,6 +1690,108 @@ def snapshot_restore(path: str, version: int) -> int:
     )
 
 
+def snapshot_clone(
+    src: str,
+    dst: str,
+    version: int | None = None,
+    at_timestamp: float | None = None,
+    deep: bool = False,
+) -> int:
+    """SHALLOW CLONE (VERDICT r13 task 5 — Delta's CREATE TABLE ...
+    SHALLOW CLONE twin): one metadata commit at `dst` referencing the
+    source version's live files with ZERO data copy; afterwards the
+    two tables diverge independently (writes to either are invisible
+    to the other), and the clone's v1 IS the clone point — history
+    does not travel (Delta's rule; time-travel the SOURCE for
+    pre-clone versions).
+
+    Local-fs realization: each live data file (and each referenced DV
+    sidecar) is HARDLINKED into the clone under its source-relative
+    path. The inode link count is the cross-table refcount, MAINTAINED
+    BY THE FILESYSTEM — vacuum stays a purely local verb on either
+    table (os.remove unlinks one table's NAME; the other table's reads
+    are untouched), with no clone registry to keep transactionally
+    consistent with the sweep and no crash window between them. Shared
+    bytes can never drift because data files are immutable by
+    construction (every writer creates new uuid-named files; compaction
+    and restore commit new manifests, never rewrite bytes in place).
+    At object-store scale (no hardlinks) the swap is Delta's actual
+    form — absolute-path file references plus a vacuum-side clone
+    registry — behind this same verb; the manifest stays the source of
+    truth either way. `deep=True` copies bytes instead (Delta's DEEP
+    CLONE): works across filesystems, costs O(data).
+
+    Carries schema, column_map, dropped_physical (physical-name
+    reservations MUST travel — the cloned data files store those
+    names), CHECK constraints, deletion vectors, and the committed
+    stream-epoch set. Refuses a target that already has commits and a
+    shallow clone across filesystems (EXDEV → use deep=True)."""
+    src, dst = os.path.abspath(src), os.path.abspath(dst)
+    if src == dst:
+        raise ValueError("snapshot_clone: src and dst are the same table")
+    versions = snapshot_versions(src)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {src}")
+    if at_timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR at_timestamp, not both")
+        version = version_at_timestamp(src, at_timestamp)
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"snapshot v{v} not in committed versions {versions}")
+    if snapshot_versions(dst):
+        raise ValueError(
+            f"snapshot_clone: {dst} already has commits — clone only "
+            "creates fresh tables"
+        )
+    m = _read_manifest(src, v)
+    files = _live_files(src, v)
+    def link(s: str, d: str) -> None:
+        if deep:
+            _shutil.copy2(s, d)
+            return
+        try:
+            os.link(s, d)
+        except FileExistsError:
+            # a prior CRASHED clone attempt staged this link (no commit
+            # yet, or we'd have refused above) — hardlink identity makes
+            # the retry idempotent; anything else at the path is an error
+            if not os.path.samefile(s, d):
+                raise
+        except OSError as ex:
+            if getattr(ex, "errno", None) == 18:  # EXDEV
+                raise ValueError(
+                    "snapshot_clone: src and dst are on different "
+                    "filesystems — hardlinks cannot cross; pass "
+                    "deep=True to copy bytes"
+                ) from ex
+            raise
+
+    for f in sorted(files):
+        dpath = os.path.join(dst, f)
+        os.makedirs(os.path.dirname(dpath), exist_ok=True)
+        link(os.path.join(src, f), dpath)
+    dvs = dict(m.get("dvs", {}))
+    if dvs:
+        os.makedirs(_log_dir(dst), exist_ok=True)
+        for sidecar in sorted(set(dvs.values())):
+            link(
+                _dv_sidecar_path(src, sidecar), _dv_sidecar_path(dst, sidecar)
+            )
+    return _commit(
+        dst,
+        files,
+        f"clone-of-v{v}",
+        m["schema"],
+        set_constraints=dict(m.get("constraints", {})),
+        set_dvs=dvs,
+        set_column_map=dict(m.get("column_map", {})),
+        set_dropped_physical=list(m.get("dropped_physical", [])),
+        set_epochs=list(m.get("epochs", [])),
+    )
+
+
+
 def snapshot_compact(
     spark: SparkSession,
     path: str,
@@ -1669,11 +1860,11 @@ def snapshot_compact(
             )
         else:
             part = part.coalesce(n_files)
-        before_files = _list_files(path, [d])
-        _to_physical_df(part, m.get("column_map", {})).write.mode(
-            "append"
-        ).partitionBy(*partition_cols).parquet(path)
-        added |= _list_files(path, [d]) - before_files
+        added |= _write_staged(
+            _to_physical_df(part, m.get("column_map", {})),
+            path,
+            partition_cols,
+        )
         removed |= set(files)
         compacted += 1
     if compacted:
@@ -1783,6 +1974,12 @@ def vacuum(
     for tmp in _glob.glob(os.path.join(_log_dir(path), ".tmp-*")):
         if not _young(tmp):
             os.remove(tmp)
+    # orphan staging dirs (a writer that crashed between staging its
+    # files and moving them into the layout) — same age guard, a live
+    # writer's staging dir is always younger than the grace window
+    for stage in _glob.glob(os.path.join(path, ".staging-*")):
+        if not _young(stage):
+            _shutil.rmtree(stage, ignore_errors=True)
     for root, dirs, files in os.walk(path, topdown=False):
         if root != path and not os.listdir(root):
             os.rmdir(root)
@@ -1850,26 +2047,27 @@ class SnapshotLakeSink:
                 False,
                 "SnapshotLakeSink",
             )
-            cons = table_constraints(self.path)
-            if cons:
-                _enforce_constraints(batch_df, cons, "SnapshotLakeSink")
             _check_partition_cols(
                 _live_files(self.path, base),
                 self.partition_cols,
                 "SnapshotLakeSink",
             )
         live = _live_files(self.path, base) if versions else set()
-        # scoped listing (r13, closing the cost note below): the batch
-        # tells us which partitions it touches — list only those dirs,
-        # O(files in touched partitions) per microbatch
-        dirs = _touched_dirs(batch_df, self.partition_cols)
-        before = _list_files(self.path, dirs)
-        _to_physical_df(
-            batch_df, table_column_map(self.path)
-        ).write.mode("append").partitionBy(
-            *self.partition_cols
-        ).parquet(self.path)
-        new = _list_files(self.path, dirs) - before
+        # staged write (r14): the microbatch's file set comes from the
+        # staging listing — O(this batch's files), no directory diff,
+        # no extra distinct job per microbatch; CHECK enforcement rides
+        # the same write job (observe metrics on the logical names)
+        batch_df, check = _constraint_observer(
+            batch_df,
+            table_constraints(self.path) if versions else {},
+            "SnapshotLakeSink",
+        )
+        new = _write_staged(
+            _to_physical_df(batch_df, table_column_map(self.path)),
+            self.path,
+            self.partition_cols,
+            check=check,
+        )
         # blind append: losing a commit race to a concurrent maintenance
         # commit re-merges onto the new live set and retries (the
         # appended files are unique-named — they never conflict)

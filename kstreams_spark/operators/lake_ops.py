@@ -308,3 +308,97 @@ def lake_rename_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"SUM({_fp_on('text')})").cast("bigint").alias("fp_sum"),
         F.sum(F.length("text")).cast("bigint").alias("len_sum"),
     )
+
+
+@query(
+    "lake_clone_diverge",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'val' END AS split
+      FROM documents WHERE doc_id < {_BASE_N}
+    ),
+    added AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'val' END AS split
+      FROM documents WHERE doc_id >= {_BASE_N} AND doc_id < {_INS_N}
+    ),
+    u AS (  -- both tables' v1 = the clone point; then they diverge:
+            -- source latest = base+appended, clone latest = base minus
+            -- the deleted prefix — a clone that shares state with its
+            -- source after the fork moves some group's sum
+      SELECT 'src' AS tbl, 1 AS version, * FROM base
+      UNION ALL SELECT 'src', 2, * FROM base
+      UNION ALL SELECT 'src', 2, * FROM added
+      UNION ALL SELECT 'clone', 1, * FROM base
+      UNION ALL SELECT 'clone', 2, * FROM base WHERE doc_id >= 50
+    )
+    SELECT tbl, version, split,
+           COUNT(*) AS n_docs,
+           SUM({_fp_on("text")})::BIGINT AS fp_sum
+    FROM u GROUP BY tbl, version, split
+    """,
+)
+def lake_clone_diverge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE under the driver's value hash (r14, VERDICT r13
+    task 5): publish v1 → snapshot_clone (zero-copy: hardlinked data
+    files, one metadata commit) → diverge BOTH — append [400,450) to
+    the source, delete doc_id<50 from the clone — then time-travel all
+    four states (each table's v1 + latest) and fingerprint per
+    (table, version, split). The oracle replays the fork logically: a
+    clone that leaks post-fork source writes, loses pre-fork rows, or
+    whose delete bleeds back into the source moves a group's sum.
+    Divergence safety under vacuum is pinned separately in
+    tests/test_lake_clone.py (the filesystem link-count refcount).
+
+    Shuffle budget: the lake verbs are the op under test; the final
+    read is 4 manifest-pinned scans + one 3-key aggregation."""
+    from kstreams_spark.lake_snapshot import (
+        snapshot_clone,
+        snapshot_delete_where,
+        snapshot_publish,
+        snapshot_read,
+    )
+
+    src = tempfile.mkdtemp(prefix="kstreams_lake_clsrc_")
+    clone = src + "_clone"  # fresh path; snapshot_clone refuses reuse
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, "train")
+        .otherwise("val")
+        .alias("split"),
+    )
+    base = docs.filter(F.col("doc_id") < _BASE_N)
+    snapshot_publish(base, src, partition_cols=("split",))  # src v1
+    snapshot_clone(src, clone)  # clone v1 == the fork point
+    snapshot_publish(
+        docs.filter(
+            (F.col("doc_id") >= _BASE_N) & (F.col("doc_id") < _INS_N)
+        ),
+        src,
+        mode="append",
+        partition_cols=("split",),
+    )  # src v2
+    snapshot_delete_where(
+        spark, clone, "doc_id < 50", partition_cols=("split",)
+    )  # clone v2
+    parts = []
+    for tbl, path in (("src", src), ("clone", clone)):
+        for v in (1, 2):
+            parts.append(
+                snapshot_read(spark, path, version=v).select(
+                    F.lit(tbl).alias("tbl"),
+                    F.lit(v).alias("version"),
+                    "doc_id",
+                    "text",
+                    "split",
+                )
+            )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("tbl", "version", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(f"SUM({_fp_on('text')})").cast("bigint").alias("fp_sum"),
+    )

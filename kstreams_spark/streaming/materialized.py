@@ -131,7 +131,7 @@ class LakeMaterializedAggregate:
         view — one commit, epoch-keyed exactly-once."""
         from kstreams_spark.lake_snapshot import (
             _commit,
-            _list_files,
+            _write_staged,
             snapshot_read,
             snapshot_versions,
         )
@@ -204,9 +204,7 @@ class LakeMaterializedAggregate:
             .filter(F.col("n_rows") > 0)
         )
         versions = snapshot_versions(self.view_path)
-        before = _list_files(self.view_path)
-        merged.write.mode("append").parquet(self.view_path)
-        new = _list_files(self.view_path) - before
+        new = _write_staged(merged, self.view_path, ())
         # full replacement of the view (files = this write's), committed
         # with the epoch recorded — the exactly-once record a replay hits
         _commit(

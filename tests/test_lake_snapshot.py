@@ -465,6 +465,35 @@ def test_vacuum_reader_grace(spark, tmp_path, sf_dir):
         snapshot_read(spark, lake, version=v1)
 
 
+def test_vacuum_sweeps_orphan_staging_dirs(spark, tmp_path, sf_dir):
+    """r14: a writer that crashed between staging its files and moving
+    them leaves an orphan .staging-* dir — age-guard-swept by vacuum
+    (young staging dirs, i.e. in-flight writers, survive), and never
+    visible to _list_files or readers."""
+    import glob
+    import os
+    import time
+
+    lake = str(tmp_path / "stage_sweep")
+    snapshot_publish(_corpus(spark, sf_dir).filter(F.col("doc_id") < 4), lake)
+    orphan = os.path.join(lake, ".staging-deadbeef")
+    os.makedirs(os.path.join(orphan, "split=train"))
+    with open(
+        os.path.join(orphan, "split=train", "part-0.parquet"), "wb"
+    ) as fh:
+        fh.write(b"not really parquet")
+    assert not any(".staging" in f for f in ls._list_files(lake))
+    vacuum(lake)  # young: in-flight writer protection keeps it
+    assert os.path.isdir(orphan)
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    os.utime(
+        os.path.join(orphan, "split=train", "part-0.parquet"), (old, old)
+    )
+    vacuum(lake, grace_seconds=3600)  # orphan is 2h old > 1h grace
+    assert not glob.glob(os.path.join(lake, ".staging-*"))
+
+
 # --- r12: delta-log checkpointing (the 100 TB manifest-scaling answer) ----
 
 
@@ -969,6 +998,11 @@ def test_check_constraints_enforced_on_every_write_path(
     with pytest.raises(ValueError, match="doc_id_bounded"):
         snapshot_publish(bad, lake, mode="replace")
     assert ls._list_files(lake) == files_before  # nothing landed
+    # ...and the violating writes' staging dirs were torn down too
+    import glob as _g
+    import os as _os
+
+    assert not _g.glob(_os.path.join(lake, ".staging-*"))
     # a passing append commits; constraints carry forward
     snapshot_publish(
         _corpus(spark, sf_dir).filter(F.col("doc_id") == 30),
@@ -1160,27 +1194,50 @@ def test_merge_survivors_is_one_plan_regardless_of_k(
     assert sorted(r.doc_id for r in surv.collect()) == list(range(6, 16))
 
 
-def test_scoped_listing_sees_only_touched_dirs(spark, tmp_path, sf_dir):
-    """r13: _list_files(path, dirs) walks only the given partition
-    directories (the O(touched-partitions) listing every writer now
-    uses), and _touched_dirs derives them from a batch — including
-    escaped and NULL partition values."""
-    lake = str(tmp_path / "scoped")
-    corpus = _corpus(spark, sf_dir).filter(F.col("doc_id") < 8)
-    snapshot_publish(corpus, lake)
-    all_files = ls._list_files(lake)
-    train = ls._list_files(lake, ["split=train/lang=en"])
-    val = ls._list_files(lake, ["split=val/lang=en"])
-    assert train and val and train | val == all_files and not (train & val)
-    assert all(f.startswith("split=train") for f in train)
-    # _touched_dirs: escaped + NULL partition values render like Spark
+def test_staged_write_returns_exactly_its_files(spark, tmp_path, sf_dir):
+    """r14: _write_staged replaces the before/after directory diff —
+    it returns exactly this write's files (a concurrent writer's files
+    in the same partitions can never be folded into the set), files
+    land in the final partition layout under Spark's OWN dir escaping
+    (escaped + NULL partition values included), and no .staging-* dir
+    survives."""
+    import glob
+    import os
+
+    lake = str(tmp_path / "staged")
+    os.makedirs(lake)
     df = spark.createDataFrame(
-        [(1, "a=b", "en"), (2, None, "en")],
+        [(1, "a=b", "en"), (2, None, "en"), (3, "train", "en")],
         "doc_id long, split string, lang string",
     )
-    dirs = sorted(ls._touched_dirs(df, ("split", "lang")))
-    assert dirs == [
-        "split=__HIVE_DEFAULT_PARTITION__/lang=en",
-        "split=a%3Db/lang=en",
+    new = ls._write_staged(df, lake, ("split", "lang"))
+    assert new == ls._list_files(lake)  # exactly this write's files
+    tops = {f.split(os.sep)[0] for f in new}
+    assert tops == {
+        "split=a%3Db",
+        "split=__HIVE_DEFAULT_PARTITION__",
+        "split=train",
+    }
+    assert not glob.glob(os.path.join(lake, ".staging-*"))
+    # a second write into the SAME partition reports only its own files
+    more = ls._write_staged(
+        spark.createDataFrame(
+            [(4, "train", "en")], "doc_id long, split string, lang string"
+        ),
+        lake,
+        ("split", "lang"),
+    )
+    assert more and not (more & new)
+    # and the partition values read back through the snapshot layer
+    snapshot_publish(
+        spark.createDataFrame(
+            [(1, "a=b", "en"), (2, None, "en")],
+            "doc_id long, split string, lang string",
+        ),
+        str(tmp_path / "staged_rt"),
+    )
+    got = snapshot_read(spark, str(tmp_path / "staged_rt"))
+    assert sorted((r.doc_id, r.split) for r in got.collect()) == [
+        (1, "a=b"),
+        (2, None),
     ]
-    assert ls._touched_dirs(df, ()) is None
