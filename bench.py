@@ -131,12 +131,16 @@ HEADLINE = [
     "lake_merge_restore_timetravel",  # added r12: MERGE/RESTORE/ZORDER chain
     "lake_evolution_roundtrip",  # added r12: schema evolution + CHECK constraint
     "lake_rename_roundtrip",  # added r13: column-mapping rename, both versions read
+    "lake_clone_diverge",  # added r14: zero-copy shallow clone, forked histories
     "dsl_ktable_groupby_reaggregate",  # added r13: KGroupedTable re-aggregation
+    "dsl_ktable_fk_join",  # added r14: KS 2.4 foreign-key KTable join
     "multimodal_image_decode_png_adam7",  # added r13: 7-pass Adam7 decode
     "multimodal_video_gif_subrect_frames",  # added r13: sub-rect compositing
     "multimodal_image_decode_png_palette",  # added r13: PLTE color type
     "multimodal_image_decode_jpeg_progressive",  # added r13: SOF2 9-scan script
+    "multimodal_image_decode_jpeg_progressive_420",  # added r14: 4:2:0 + DRI/RSTn
     "multimodal_image_decode_png_rgba",  # added r13: alpha composite features
+    "multimodal_image_decode_png_depths",  # added r14: 1/2/4/16-bit depth matrix
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------
@@ -432,6 +436,86 @@ SCALE_PROBE_FAMILIES = {
     "neardup_chain": "composite_curation_neardup",
     "ivf_build_probe": "similarity_topk_ivf_kmeans",
 }
+
+
+def _probe_lake_mor_cdf(spark, sdir: str) -> None:
+    """Scale probe for the r13 lake machinery (VERDICT r13 task 2):
+    publish the scaled corpus as a partitioned lake (F files ∝ scale),
+    run a merge-on-read MERGE (DV tombstones + appends, one commit) and
+    an append commit, then fold versions 2..3 into a
+    LakeMaterializedAggregate THROUGH the partitioned signed change
+    feed (kstreams_lake_cdf_dist — one task per changed file). Every
+    step is a lake verb, so the timed chain IS the machinery under
+    test; per-row work is scale-invariant (same transforms per row).
+    Matched keys (doc_id % 97) scale linearly and stay far below
+    DRIVER_DV_MAX_POSITIONS at 10x."""
+    import shutil
+    import tempfile
+
+    from kstreams_spark.io import load_table
+    from kstreams_spark.lake_snapshot import (
+        snapshot_merge,
+        snapshot_publish,
+    )
+    from kstreams_spark.streaming.materialized import (
+        LakeMaterializedAggregate,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="kstreams_lake_probe_")
+    try:
+        docs = load_table(spark, sdir, "documents").select(
+            "doc_id",
+            "text",
+            F.when(F.col("doc_id") % 2 == 0, "train")
+            .otherwise("val")
+            .alias("split"),
+            F.length("text").cast("double").alias("chars"),
+        )
+        lake = os.path.join(tmp, "lake")
+        snapshot_publish(docs, lake, partition_cols=("split",))  # v1
+        view = LakeMaterializedAggregate(
+            os.path.join(tmp, "view"), ("split",), "chars"
+        )
+        start_v = view.bootstrap(spark, lake)  # view reflects v1
+        src = docs.filter(F.col("doc_id") % 97 == 0).withColumn(
+            "chars", F.col("chars") + 1.0
+        )
+        snapshot_merge(
+            spark,
+            lake,
+            src,
+            key_cols=("doc_id",),
+            partition_cols=("split",),
+            merge_on_read=True,
+        )  # v2: DV tombstones + appends
+        snapshot_publish(
+            docs.filter(F.col("doc_id") % 89 == 1).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(900_000_000)
+            ),
+            lake,
+            mode="append",
+            partition_cols=("split",),
+        )  # v3: inserts
+        q = view.attach(
+            spark,
+            lake,
+            os.path.join(tmp, "ckpt"),
+            start_v,
+            distributed=True,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        view.result(spark).write.format("noop").mode("overwrite").save()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# probe chains that are not registered queries: label -> callable(spark, sdir)
+SCALE_PROBE_CALLABLES = {
+    "lake_mor_cdf": _probe_lake_mor_cdf,
+}
 _ID_STRIDE = 10_000_000  # far above any fixture id; keeps replica ids disjoint
 
 
@@ -523,12 +607,28 @@ def run_scale_probe() -> None:
     try:
         for s in SCALE_PROBE_SCALES:
             _synthesize_scaled(spark, base_dir, os.path.join(tmp, f"s{s}"), s)
+        def _query_runner(qname):
+            def run(sdir):
+                registry.QUERIES[qname](spark, sdir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            return run
+
+        runners = {
+            fam: (qname, _query_runner(qname))
+            for fam, qname in SCALE_PROBE_FAMILIES.items()
+        }
+        runners.update(
+            {
+                fam: (fn.__name__, lambda sdir, fn=fn: fn(spark, sdir))
+                for fam, fn in SCALE_PROBE_CALLABLES.items()
+            }
+        )
         # warm codegen/JVM once per family on the smallest corpus
-        for qname in SCALE_PROBE_FAMILIES.values():
-            registry.QUERIES[qname](
-                spark, os.path.join(tmp, "s1")
-            ).write.format("noop").mode("overwrite").save()
-        for fam, qname in SCALE_PROBE_FAMILIES.items():
+        for _, run in runners.values():
+            run(os.path.join(tmp, "s1"))
+        for fam, (qname, run) in runners.items():
             times: dict[str, float] = {}
             fam_passes: dict[str, list[float]] = {}
             for s in SCALE_PROBE_SCALES:
@@ -536,9 +636,7 @@ def run_scale_probe() -> None:
                 ps = []
                 for _ in range(2):
                     t0 = time.time()
-                    registry.QUERIES[qname](spark, sdir).write.format(
-                        "noop"
-                    ).mode("overwrite").save()
+                    run(sdir)
                     ps.append(round(time.time() - t0, 3))
                 times[str(s)] = min(ps)
                 fam_passes[str(s)] = ps

@@ -497,6 +497,68 @@ class KTable:
             )
         return KTable(self.df.join(r, self.keys, how), self.keys)
 
+    def join_foreign(
+        self, other: "KTable", foreign_key: str, how: str = "inner"
+    ) -> "KTable":
+        """KTable⋈KTable on a FOREIGN KEY — Kafka Streams 2.4's
+        `KTable.join(other, foreignKeyExtractor, joiner)`, the natural
+        verb one step past the 2.0 ceiling (SURVEY §2.2; KIP-213). Each
+        left row joins the right row whose PRIMARY key equals the left
+        row's `foreign_key` column; the result stays keyed by the
+        LEFT's primary key. Kafka Streams routes this through a
+        subscription topic (re-key by FK) and a response topic (re-key
+        back); here the same semantics are ONE declarative equi-join —
+        Catalyst plans it directly and AQE broadcasts the right side
+        when it is dim-sized, which is the common FK-join shape.
+
+        `how`: "inner" (KS join — dangling or NULL FKs drop) or "left"
+        (KS leftJoin — dangling FKs NULL-fill the right columns; a
+        NULL FK never matches, SQL equi-join semantics). On this
+        SNAPSHOT relation an update on either side re-enriches by
+        construction; the INCREMENTAL changelog form of the aggregated
+        shape is group_by(fk).materialized(...) — the signed
+        preimage/postimage rows of an FK-value update move the left
+        row's contribution between join partners
+        (tests/test_materialized.py::test_fk_move_changelog_parity)."""
+        if how not in ("inner", "left"):
+            raise ValueError(
+                f"join_foreign supports inner/left, got {how!r} (the "
+                "KS 2.4 surface: join and leftJoin)"
+            )
+        if "window" in self.keys or "window" in other.keys:
+            raise ValueError(
+                "join_foreign on a windowed table re-keys across "
+                "windows — to_stream() first"
+            )
+        if len(other.keys) != 1:
+            raise ValueError(
+                "the right side of a foreign-key join must be keyed by "
+                f"its single primary key; got {other.keys}"
+            )
+        if foreign_key not in self.df.columns:
+            raise ValueError(
+                f"foreign key {foreign_key!r} is not a column of the "
+                "left table"
+            )
+        rk = other.key
+        overlap = (set(other.df.columns) - {rk}) & set(self.df.columns)
+        if overlap:
+            raise ValueError(
+                f"right value column(s) {sorted(overlap)} collide with "
+                "left columns — map_values/rename a side first"
+            )
+        left = self.df.alias("_fk_l")
+        right = other.df.alias("_fk_r")
+        joined = left.join(
+            right,
+            F.col(f"_fk_l.{foreign_key}") == F.col(f"_fk_r.{rk}"),
+            how,
+        )
+        cols = [F.col(f"_fk_l.{c}") for c in self.df.columns] + [
+            F.col(f"_fk_r.{c}") for c in other.df.columns if c != rk
+        ]
+        return KTable(joined.select(*cols), self.keys)
+
     def group_by(self, expr, name: str = "key") -> "KGroupedTable":
         """KTable.groupBy (KGroupedTable, the changelog re-aggregation
         verb — the last Kafka Streams 2.0 DSL family, r13): re-key the

@@ -107,3 +107,53 @@ def dsl_ktable_groupby_reaggregate(
         latest_revenue=dsum("o_totalprice"),
     )
     return out.df
+
+
+@query(
+    "dsl_ktable_fk_join",
+    oracle="""
+    WITH cust AS (  -- thinned dimension: every 3rd key dangles
+      SELECT c_custkey, c_mktsegment
+      FROM customer WHERE c_custkey % 3 <> 0
+    )
+    SELECT COALESCE(c_mktsegment, 'none') AS segment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM orders LEFT JOIN cust ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def dsl_ktable_fk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable FOREIGN-KEY join (r14 stretch — Kafka Streams 2.4's
+    KTable.join(other, foreignKeyExtractor), KIP-213; one verb past
+    the SURVEY §2.2 ceiling): the orders table (keyed o_orderkey,
+    carrying FK o_custkey) left-joins a THINNED customer dimension
+    (every third key removed) so dangling FKs are live — a join that
+    drops them, or re-keys the result off the left primary key,
+    moves the 'none' group's sums. Result re-aggregated per segment
+    for a compact hash. Plan: one equi-join (AQE broadcasts the dim
+    side) + one aggregation exchange — versus Kafka Streams' two
+    internal topics (subscription + response) for the same verb."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 != 0
+    )
+    b = StreamsBuilder()
+    left = b.table(orders, key="o_orderkey", order_by="o_orderkey")
+    dim = b.table(
+        cust.select("c_custkey", "c_mktsegment"),
+        key="c_custkey",
+        order_by="c_custkey",
+    )
+    enriched = left.join_foreign(dim, foreign_key="o_custkey", how="left")
+    return (
+        enriched.df.withColumn(
+            "segment", F.coalesce(F.col("c_mktsegment"), F.lit("none"))
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )

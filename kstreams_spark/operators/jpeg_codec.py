@@ -10,12 +10,14 @@ dequantization, 2-D IDCT, and the JFIF YCbCr↔RGB transform.
 Decoder scope (stated, not hidden): baseline DCT (SOF0), 8-bit,
 Huffman coding, 1- or 3-component scans, sampling factors 1-2 per axis
 (4:4:4, 4:2:2, 4:2:0 — chroma upsampled by pixel replication per JFIF),
-DRI/RSTn intervals; r13 adds PROGRESSIVE (SOF2, Huffman, 1×1
-sampling — the full Annex-G scan machinery: spectral selection,
-successive approximation, DC/AC first + refinement scans, EOBRUN; see
-the progressive section below). Lossless/differential/arithmetic
-variants, and progressive with subsampled components or restart
-intervals, raise ValueError naming the variant.
+DRI/RSTn intervals; r13 adds PROGRESSIVE (SOF2, Huffman — the full
+Annex-G scan machinery: spectral selection, successive approximation,
+DC/AC first + refinement scans, EOBRUN; see the progressive section
+below), and r14 extends progressive to sampling factors 1-2 per axis
+(4:2:0/4:2:2 — the dominant real-world progressive layouts) and
+DRI/RSTn restart intervals inside progressive scans (VERDICT r13
+task 3). Lossless/differential/arithmetic variants raise ValueError
+naming the variant.
 
 Encoder: 4:4:4 three-component baseline with the spec's Annex-K
 standard Huffman tables, selectable quantization tables (default:
@@ -619,9 +621,10 @@ def parse_jpeg_features(payload: bytes) -> dict:
 # correction bits over nonzero-history coefficients — and the decoder
 # implements the full Annex-G Huffman procedures (the libjpeg
 # decode_mcu_{DC,AC}_{first,refine} structure, re-derived from the
-# spec's figures G.2/G.7). Scope: 8-bit, Huffman, 1×1 sampling (the
-# encoder's own 4:4:4 layout); progressive with subsampled components
-# raises by name. Matched-pair contract: progressive and baseline
+# spec's figures G.2/G.7). Scope: 8-bit, Huffman, sampling factors 1-2
+# per axis (r14; interleaved DC scans walk the MCU grid, AC scans the
+# component's true block grid), DRI/RSTn restarts inside progressive
+# scans (r14). Matched-pair contract: progressive and baseline
 # encode the SAME quantized coefficients, so decode(progressive(grid))
 # must equal decode(baseline(grid)) BIT-FOR-BIT on any input — pinned
 # in tests; the oracle query reuses the tile-constant construction.
@@ -648,33 +651,74 @@ def _pt_ac(v: int, al: int) -> int:
     return v >> al if v >= 0 else -((-v) >> al)
 
 
-def _quantized_blocks(grid, quant_lum, quant_chr):
-    """grid → per-component zigzag coefficient blocks in raster order
-    (the 4:4:4 shape both encoders share) + (w, h, bw, bh)."""
+def _quantized_blocks(
+    grid,
+    quant_lum,
+    quant_chr,
+    sampling=((1, 1), (1, 1), (1, 1)),
+):
+    """grid → per-component zigzag coefficient blocks + layout facts
+    (r14: generalized from the 4:4:4-only shape to sampling factors
+    1–2 per axis). Per component: coefficient blocks in PADDED raster
+    order covering whole MCUs (interleaved DC scans address pad
+    blocks), plus the TRUE block-grid dims (non-interleaved AC scans
+    cover only those — A.2.2 vs A.2.3). Subsampled planes are
+    box-averaged (rounded mean over the fx×fy source group,
+    edge-replicated), the conventional encoder downsample."""
     h, w = len(grid), len(grid[0])
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [[[0] * (bw * 8) for _ in range(bh * 8)] for _ in range(3)]
-    for y in range(bh * 8):
-        sy = min(y, h - 1)
-        for x in range(bw * 8):
-            sx = min(x, w - 1)
-            ycc = _rgb_to_ycc(*grid[sy][sx])
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    for hi, vi in sampling:
+        if not (1 <= hi <= 2 and 1 <= vi <= 2) or hmax % hi or vmax % vi:
+            raise ValueError(f"sampling factors {hi}x{vi} unsupported")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    ycc_planes = [[[0] * w for _ in range(h)] for _ in range(3)]
+    for y in range(h):
+        for x in range(w):
+            t = _rgb_to_ycc(*grid[y][x])
             for c in range(3):
-                planes[c][y][x] = ycc[c]
+                ycc_planes[c][y][x] = t[c]
     quants = [quant_lum, quant_chr, quant_chr]
-    coefs = [[], [], []]
-    for by in range(bh):
-        for bx in range(bw):
-            for c in range(3):
+    comps = []
+    for c, (hi, vi) in enumerate(sampling):
+        fx, fy = hmax // hi, vmax // vi
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        bw_p, bh_p = mcux * hi, mcuy * vi
+        plane = [[0] * (bw_p * 8) for _ in range(bh_p * 8)]
+        for y in range(bh_p * 8):
+            for x in range(bw_p * 8):
+                acc = 0
+                for dy in range(fy):
+                    for dx in range(fx):
+                        sy = min(y * fy + dy, h - 1)
+                        sx = min(x * fx + dx, w - 1)
+                        acc += ycc_planes[c][sy][sx]
+                plane[y][x] = (acc + (fx * fy) // 2) // (fx * fy)
+        coefs = []
+        for by in range(bh_p):
+            for bx in range(bw_p):
                 block = [
                     [
-                        planes[c][by * 8 + y][bx * 8 + x] - 128.0
+                        plane[by * 8 + y][bx * 8 + x] - 128.0
                         for x in range(8)
                     ]
                     for y in range(8)
                 ]
-                coefs[c].append(_fdct_quant(block, quants[c]))
-    return coefs, w, h, bw, bh
+                coefs.append(_fdct_quant(block, quants[c]))
+        comps.append(
+            {
+                "hi": hi,
+                "vi": vi,
+                "coefs": coefs,
+                "bw_p": bw_p,
+                "bh_p": bh_p,
+                "bw_t": (cw + 7) // 8,
+                "bh_t": (ch + 7) // 8,
+            }
+        )
+    return comps, w, h, mcux, mcuy
 
 
 class _ProgScanWriter:
@@ -704,16 +748,28 @@ class _ProgScanWriter:
 
 
 def encode_jpeg_progressive(
-    grid, quant_lum: list[int] = UNIT_QUANT, quant_chr: list[int] = UNIT_QUANT
+    grid,
+    quant_lum: list[int] = UNIT_QUANT,
+    quant_chr: list[int] = UNIT_QUANT,
+    sampling=((1, 1), (1, 1), (1, 1)),
+    restart_interval: int = 0,
 ) -> bytes:
     """grid[y][x] = (r, g, b) → a complete PROGRESSIVE JFIF file
-    (SOF2, 4:4:4) carrying the same quantized coefficients as
-    encode_jpeg would. Scan script (every Annex-G path): DC first
-    (Al=1, interleaved) → AC first per component over two Y bands +
-    full chroma bands (Al=1, EOBRUN/ZRL live) → DC refinement (raw
-    bits) → AC refinement per component (correction bits)."""
-    coefs, w, h, bw, bh = _quantized_blocks(grid, quant_lum, quant_chr)
-    nb = bw * bh
+    (SOF2) carrying the same quantized coefficients as encode_jpeg
+    would at the same sampling. Scan script (every Annex-G path): DC
+    first (Al=1, interleaved) → AC first per component over two Y
+    bands + full chroma bands (Al=1, EOBRUN/ZRL live) → DC refinement
+    (raw bits) → AC refinement per component (correction bits).
+
+    r14 extends the r13 4:4:4-only encoder with `sampling` (factors
+    1–2 per axis — 4:2:0 is ((2,2),(1,1),(1,1))) and
+    `restart_interval` (DRI/RSTn): interleaved scans restart every Ri
+    MCUs, non-interleaved AC scans every Ri blocks of that component
+    (B.2.4.4), resetting DC predictors and flushing EOBRUN + owed
+    correction bits first (a run may never span a restart)."""
+    comps, w, h, mcux, mcuy = _quantized_blocks(
+        grid, quant_lum, quant_chr, sampling
+    )
 
     def seg(marker: int, payload: bytes) -> bytes:
         return (
@@ -727,8 +783,8 @@ def encode_jpeg_progressive(
     out += seg(0xDB, bytes([0x00]) + bytes(quant_lum))
     out += seg(0xDB, bytes([0x01]) + bytes(quant_chr))
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])
+    for c, (cid, tq) in zip(comps, ((1, 0), (2, 1), (3, 1))):
+        sof += bytes([cid, (c["hi"] << 4) | c["vi"], tq])
     out += seg(0xC2, sof)  # SOF2: progressive
     for cls, tid, (bits, vals) in (
         (0, 0, DC_LUM),
@@ -737,6 +793,8 @@ def encode_jpeg_progressive(
         (1, 1, AC_PROG),
     ):
         out += seg(0xC4, bytes([(cls << 4) | tid] + bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
 
     def sos_header(comp_specs, ss, se, ah, al) -> bytes:
         body = bytes([len(comp_specs)])
@@ -748,17 +806,30 @@ def encode_jpeg_progressive(
         wtr = _BitWriter()
         dc_codes = [_huff_codes(*DC_LUM), _huff_codes(*DC_CHR)]
         pred = [0, 0, 0]
-        for bi in range(nb):
-            for c in range(3):
-                v = _pt_dc(coefs[c][bi][0], al)
-                diff = v - pred[c]
-                pred[c] = v
-                cat = _category(diff)
-                wtr.put(*dc_codes[0 if c == 0 else 1][cat])
-                if cat:
-                    wtr.put(
-                        diff if diff >= 0 else diff + (1 << cat) - 1, cat
-                    )
+        rst = 0
+        for mcu_i in range(mcuy * mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                wtr.align()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+            my, mx = divmod(mcu_i, mcux)
+            for ci, c in enumerate(comps):
+                for bv in range(c["vi"]):
+                    for bu in range(c["hi"]):
+                        bi = (my * c["vi"] + bv) * c["bw_p"] + (
+                            mx * c["hi"] + bu
+                        )
+                        v = _pt_dc(c["coefs"][bi][0], al)
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        cat = _category(diff)
+                        wtr.put(*dc_codes[0 if ci == 0 else 1][cat])
+                        if cat:
+                            wtr.put(
+                                diff if diff >= 0 else diff + (1 << cat) - 1,
+                                cat,
+                            )
         wtr.align()
         return sos_header(
             [(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, al
@@ -766,20 +837,55 @@ def encode_jpeg_progressive(
 
     def dc_refine_scan(ah: int, al: int) -> bytes:
         wtr = _BitWriter()  # raw bits — DC refinement uses no Huffman
-        for bi in range(nb):
-            for c in range(3):
-                wtr.put((coefs[c][bi][0] >> al) & 1, 1)
+        rst = 0
+        for mcu_i in range(mcuy * mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                wtr.align()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+            my, mx = divmod(mcu_i, mcux)
+            for c in comps:
+                for bv in range(c["vi"]):
+                    for bu in range(c["hi"]):
+                        bi = (my * c["vi"] + bv) * c["bw_p"] + (
+                            mx * c["hi"] + bu
+                        )
+                        wtr.put((c["coefs"][bi][0] >> al) & 1, 1)
         wtr.align()
         return sos_header(
             [(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, ah, al
         ) + wtr.out
 
-    def ac_first_scan(c: int, ss: int, se: int, al: int) -> bytes:
+    def _true_blocks(c):
+        """Non-interleaved scan order: the component's TRUE block grid
+        (A.2.2), indexed into the padded raster storage."""
+        for by in range(c["bh_t"]):
+            for bx in range(c["bw_t"]):
+                yield by * c["bw_p"] + bx
+
+    def _ac_restart(st, wtr, blk_i, rst):
+        if (
+            restart_interval
+            and blk_i
+            and blk_i % restart_interval == 0
+        ):
+            st.flush_eobrun()
+            wtr.align()
+            wtr.out += bytes([0xFF, 0xD0 + rst])
+            return (rst + 1) % 8
+        return rst
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
         wtr = _BitWriter()
-        ta = 0 if c == 0 else 1
+        c = comps[ci]
+        ta = 0 if ci == 0 else 1
         st = _ProgScanWriter(wtr, AC_PROG)
-        for bi in range(nb):
-            band = [_pt_ac(coefs[c][bi][k], al) for k in range(ss, se + 1)]
+        rst = 0
+        for blk_i, bi in enumerate(_true_blocks(c)):
+            rst = _ac_restart(st, wtr, blk_i, rst)
+            band = [
+                _pt_ac(c["coefs"][bi][k], al) for k in range(ss, se + 1)
+            ]
             if not any(band):
                 st.eobrun += 1
                 if st.eobrun == 0x7FFF:
@@ -802,14 +908,17 @@ def encode_jpeg_progressive(
                 st.eobrun += 1
         st.flush_eobrun()
         wtr.align()
-        return sos_header([(c + 1, ta)], ss, se, 0, al) + wtr.out
+        return sos_header([(ci + 1, ta)], ss, se, 0, al) + wtr.out
 
-    def ac_refine_scan(c: int, ss: int, se: int, ah: int, al: int) -> bytes:
+    def ac_refine_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
         wtr = _BitWriter()
-        ta = 0 if c == 0 else 1
+        c = comps[ci]
+        ta = 0 if ci == 0 else 1
         st = _ProgScanWriter(wtr, AC_PROG)
-        for bi in range(nb):
-            zz = coefs[c][bi]
+        rst = 0
+        for blk_i, bi in enumerate(_true_blocks(c)):
+            rst = _ac_restart(st, wtr, blk_i, rst)
+            zz = c["coefs"][bi]
             absv = [_pt_ac(abs(zz[k]), al) for k in range(ss, se + 1)]
             eob = 0  # index AFTER the last newly-significant coefficient
             for i, t in enumerate(absv):
@@ -845,7 +954,7 @@ def encode_jpeg_progressive(
                     st.flush_eobrun()
         st.flush_eobrun()
         wtr.align()
-        return sos_header([(c + 1, ta)], ss, se, ah, al) + wtr.out
+        return sos_header([(ci + 1, ta)], ss, se, ah, al) + wtr.out
 
     out += dc_first_scan(1)
     out += ac_first_scan(0, 1, 5, 1)
@@ -860,18 +969,27 @@ def encode_jpeg_progressive(
     return bytes(out)
 
 
+
 def _decode_progressive(payload: bytes) -> list[list[tuple[int, int, int]]]:
     """Progressive (SOF2, Huffman) decode: accumulate every scan's
     contribution into per-block coefficient arrays, then dequantize +
     IDCT once at the end (Annex G; structure mirrors libjpeg's
-    decode_mcu_{DC,AC}_{first,refine}). Scope: 1×1 sampling (the
-    encoder's 4:4:4 layout); subsampled progressive raises by name."""
+    decode_mcu_{DC,AC}_{first,refine}). r14 scope extension (VERDICT
+    r13 task 3): sampling factors 1-2 per axis (4:2:0/4:2:2 — the
+    dominant real-world progressive layouts) and DRI/RSTn restart
+    intervals inside progressive scans. Interleaved DC scans walk the
+    MCU grid (pad blocks included, A.2.3); non-interleaved scans walk
+    the component's TRUE block grid (A.2.2); restarts reset DC
+    predictors and EOBRUN and resync the bit reader every Ri MCUs
+    (interleaved) or Ri blocks (single-component scans, B.2.4.4)."""
     pos = 2
     quants: dict[int, list[int]] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     comps: list[dict] = []
     w = h = 0
+    mcux = mcuy = 0
+    restart_interval = 0
     coefs: list[list[list[int]]] = []
     eobrun = 0
     while True:
@@ -912,23 +1030,33 @@ def _decode_progressive(payload: bytes) -> list[list[tuple[int, int, int]]]:
             n_comp = body[5]
             for c in range(n_comp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise ValueError(
-                        "progressive with subsampled components "
-                        f"(h/v {hv >> 4}x{hv & 15}) unsupported; scope "
-                        "is 1x1 (4:4:4)"
+                        f"sampling factors {hi}x{vi} unsupported"
                     )
-                comps.append({"id": cid, "tq": tq})
-            bw, bh = (w + 7) // 8, (h + 7) // 8
+                comps.append({"id": cid, "tq": tq, "hi": hi, "vi": vi})
+            hmax = max(c["hi"] for c in comps)
+            vmax = max(c["vi"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                if hmax % c["hi"] or vmax % c["vi"]:
+                    raise ValueError(
+                        "non-integer sampling ratio unsupported"
+                    )
+                c["bw_p"] = mcux * c["hi"]
+                c["bh_p"] = mcuy * c["vi"]
+                c["cw"] = (w * c["hi"] + hmax - 1) // hmax
+                c["ch"] = (h * c["vi"] + vmax - 1) // vmax
+                c["bw_t"] = (c["cw"] + 7) // 8
+                c["bh_t"] = (c["ch"] + 7) // 8
             coefs = [
-                [[0] * 64 for _ in range(bw * bh)] for _ in range(n_comp)
+                [[0] * 64 for _ in range(c["bw_p"] * c["bh_p"])]
+                for c in comps
             ]
         elif marker == 0xDD:
-            (ri,) = struct.unpack_from(">H", body, 0)
-            if ri:
-                raise ValueError(
-                    "restart intervals in progressive scans unsupported"
-                )
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             if not comps:
                 raise ValueError("SOS before SOF2")
@@ -944,69 +1072,155 @@ def _decode_progressive(payload: bytes) -> list[list[tuple[int, int, int]]]:
             ah, al = ahal >> 4, ahal & 0x0F
             reader = _BitReader(payload, pos)
             eobrun = 0
-            nb = len(coefs[0])
-            if ss == 0:  # DC scan, interleaved over all scan components
+            rst = 0
+            if ss == 0:  # DC scan
                 if se != 0:
                     raise ValueError("DC scan with Se != 0")
                 pred = [0] * len(scan)
-                for bi in range(nb):
-                    for si, (ci, td, _ta) in enumerate(scan):
-                        blk = coefs[ci][bi]
-                        if ah == 0:  # first
-                            t = reader.decode_symbol(huff_dc[td])
-                            diff = _extend(reader.bits(t), t) if t else 0
-                            pred[si] += diff
-                            blk[0] = pred[si] << al
-                        else:  # refinement: one raw bit
-                            if reader.bit():
-                                blk[0] |= 1 << al
-            else:  # AC scan: exactly one component
+                if len(scan) > 1:  # interleaved: MCU walk, pad blocks in
+                    for mcu_i in range(mcuy * mcux):
+                        if (
+                            restart_interval
+                            and mcu_i
+                            and mcu_i % restart_interval == 0
+                        ):
+                            reader.sync_restart(rst)
+                            rst = (rst + 1) % 8
+                            pred = [0] * len(scan)
+                        my, mx = divmod(mcu_i, mcux)
+                        for si, (ci, td, _ta) in enumerate(scan):
+                            cc = comps[ci]
+                            for bv in range(cc["vi"]):
+                                for bu in range(cc["hi"]):
+                                    bi = (my * cc["vi"] + bv) * cc[
+                                        "bw_p"
+                                    ] + (mx * cc["hi"] + bu)
+                                    blk = coefs[ci][bi]
+                                    if ah == 0:
+                                        t = reader.decode_symbol(
+                                            huff_dc[td]
+                                        )
+                                        diff = (
+                                            _extend(reader.bits(t), t)
+                                            if t
+                                            else 0
+                                        )
+                                        pred[si] += diff
+                                        blk[0] = pred[si] << al
+                                    else:  # refinement: one raw bit
+                                        if reader.bit():
+                                            blk[0] |= 1 << al
+                else:  # single component: true block grid
+                    ci, td, _ta = scan[0]
+                    cc = comps[ci]
+                    blk_i = 0
+                    for by in range(cc["bh_t"]):
+                        for bx in range(cc["bw_t"]):
+                            if (
+                                restart_interval
+                                and blk_i
+                                and blk_i % restart_interval == 0
+                            ):
+                                reader.sync_restart(rst)
+                                rst = (rst + 1) % 8
+                                pred = [0]
+                            blk_i += 1
+                            blk = coefs[ci][by * cc["bw_p"] + bx]
+                            if ah == 0:
+                                t = reader.decode_symbol(huff_dc[td])
+                                diff = (
+                                    _extend(reader.bits(t), t) if t else 0
+                                )
+                                pred[0] += diff
+                                blk[0] = pred[0] << al
+                            else:
+                                if reader.bit():
+                                    blk[0] |= 1 << al
+            else:  # AC scan: exactly one component, true block grid
                 if len(scan) != 1:
                     raise ValueError("AC scan must cover one component")
                 ci, _td, ta = scan[0]
+                cc = comps[ci]
                 table = huff_ac[ta]
                 p1, m1 = 1 << al, -1 << al
-                for bi in range(nb):
-                    blk = coefs[ci][bi]
-                    if ah == 0:  # first scan (figure G.2)
-                        if eobrun > 0:
-                            eobrun -= 1
-                            continue
-                        k = ss
-                        while k <= se:
-                            sym = reader.decode_symbol(table)
-                            r, s = sym >> 4, sym & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                eobrun = (1 << r) - 1
-                                if r:
-                                    eobrun += reader.bits(r)
-                                break
-                            k += r
-                            if k > se:
-                                raise ValueError("AC run past band end")
-                            blk[k] = _extend(reader.bits(s), s) << al
-                            k += 1
-                    else:  # refinement (figure G.7)
-                        k = ss
-                        if eobrun == 0:
+                blk_i = 0
+                for by in range(cc["bh_t"]):
+                    for bx in range(cc["bw_t"]):
+                        if (
+                            restart_interval
+                            and blk_i
+                            and blk_i % restart_interval == 0
+                        ):
+                            reader.sync_restart(rst)
+                            rst = (rst + 1) % 8
+                            eobrun = 0
+                        blk_i += 1
+                        blk = coefs[ci][by * cc["bw_p"] + bx]
+                        if ah == 0:  # first scan (figure G.2)
+                            if eobrun > 0:
+                                eobrun -= 1
+                                continue
+                            k = ss
                             while k <= se:
                                 sym = reader.decode_symbol(table)
                                 r, s = sym >> 4, sym & 0x0F
-                                newval = 0
-                                if s:
-                                    if s != 1:
-                                        raise ValueError(
-                                            "AC refinement size != 1"
-                                        )
-                                    newval = p1 if reader.bit() else m1
-                                elif r != 15:
-                                    eobrun = 1 << r
+                                if s == 0:
+                                    if r == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    eobrun = (1 << r) - 1
                                     if r:
                                         eobrun += reader.bits(r)
                                     break
+                                k += r
+                                if k > se:
+                                    raise ValueError(
+                                        "AC run past band end"
+                                    )
+                                blk[k] = _extend(reader.bits(s), s) << al
+                                k += 1
+                        else:  # refinement (figure G.7)
+                            k = ss
+                            if eobrun == 0:
+                                while k <= se:
+                                    sym = reader.decode_symbol(table)
+                                    r, s = sym >> 4, sym & 0x0F
+                                    newval = 0
+                                    if s:
+                                        if s != 1:
+                                            raise ValueError(
+                                                "AC refinement size != 1"
+                                            )
+                                        newval = p1 if reader.bit() else m1
+                                    elif r != 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += reader.bits(r)
+                                        break
+                                    while k <= se:
+                                        if blk[k] != 0:
+                                            if reader.bit() and not (
+                                                blk[k] & p1
+                                            ):
+                                                blk[k] += (
+                                                    p1
+                                                    if blk[k] >= 0
+                                                    else m1
+                                                )
+                                        else:
+                                            if r == 0:
+                                                break
+                                            r -= 1
+                                        k += 1
+                                    if newval:
+                                        if k > se:
+                                            raise ValueError(
+                                                "refinement run past "
+                                                "band end"
+                                            )
+                                        blk[k] = newval
+                                    k += 1
+                            if eobrun > 0:
                                 while k <= se:
                                     if blk[k] != 0:
                                         if reader.bit() and not (
@@ -1015,37 +1229,20 @@ def _decode_progressive(payload: bytes) -> list[list[tuple[int, int, int]]]:
                                             blk[k] += (
                                                 p1 if blk[k] >= 0 else m1
                                             )
-                                    else:
-                                        if r == 0:
-                                            break
-                                        r -= 1
                                     k += 1
-                                if newval:
-                                    if k > se:
-                                        raise ValueError(
-                                            "refinement run past band end"
-                                        )
-                                    blk[k] = newval
-                                k += 1
-                        if eobrun > 0:
-                            while k <= se:
-                                if blk[k] != 0:
-                                    if reader.bit() and not (blk[k] & p1):
-                                        blk[k] += p1 if blk[k] >= 0 else m1
-                                k += 1
-                            eobrun -= 1
+                                eobrun -= 1
             pos = reader.pos  # scan consumed; resume at the next marker
         # APPn/COM: skipped via the length field
     if not comps or not coefs:
         raise ValueError("no SOF2/scan data before EOI")
-    bw = (w + 7) // 8
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
     planes = []
     for ci, c in enumerate(comps):
-        pw, ph = bw * 8, ((h + 7) // 8) * 8
-        plane = [[0] * pw for _ in range(ph)]
+        plane = [[0] * (c["bw_p"] * 8) for _ in range(c["bh_p"] * 8)]
         for bi, zz in enumerate(coefs[ci]):
             block = _dequant_idct(zz, quants[c["tq"]])
-            oy, ox = (bi // bw) * 8, (bi % bw) * 8
+            oy, ox = (bi // c["bw_p"]) * 8, (bi % c["bw_p"]) * 8
             for y in range(8):
                 row = plane[oy + y]
                 brow = block[y]
@@ -1056,11 +1253,22 @@ def _decode_progressive(payload: bytes) -> list[list[tuple[int, int, int]]]:
         return [[(v, v, v) for v in planes[0][y][:w]] for y in range(h)]
     return [
         [
-            _ycc_to_rgb(planes[0][y][x], planes[1][y][x], planes[2][y][x])
+            _ycc_to_rgb(
+                planes[0][(y * comps[0]["vi"]) // vmax][
+                    (x * comps[0]["hi"]) // hmax
+                ],
+                planes[1][(y * comps[1]["vi"]) // vmax][
+                    (x * comps[1]["hi"]) // hmax
+                ],
+                planes[2][(y * comps[2]["vi"]) // vmax][
+                    (x * comps[2]["hi"]) // hmax
+                ],
+            )
             for x in range(w)
         ]
         for y in range(h)
     ]
+
 
 
 def synth_jpeg_progressive(doc_id: int) -> bytes:
@@ -1082,3 +1290,28 @@ def synth_jpeg_progressive(doc_id: int) -> bytes:
             row.append((v, v, v))
         grid.append(row)
     return encode_jpeg_progressive(grid)
+
+
+def synth_jpeg_progressive_420(doc_id: int) -> bytes:
+    """The tile-constant fixture serialized PROGRESSIVE at 4:2:0 with
+    DRI=2 (r14, VERDICT r13 task 3): dims 8+doc_id%25 × 8+doc_id%17
+    span 1–4 MCUs (16×16 at 4:2:0), so restarts fire inside DC
+    interleaved scans for the larger docs and inside every multi-block
+    AC scan, and the true-vs-MCU-padded block-grid distinction is live
+    (odd dims → pad blocks the AC scans must NOT visit). Exactness
+    survives subsampling because gray pixels carry constant chroma
+    (Cb=Cr=128 — box-downsampling and replication-upsampling are
+    identities) and the 8×8-aligned luma tiles stay DC-only; the lossy
+    color paths are pinned against a downsample/upsample reference in
+    tests/test_jpeg_codec.py."""
+    w, h = 8 + doc_id % 25, 8 + doc_id % 17
+    grid = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            v = _jpeg_tile_value(doc_id, x // 8, y // 8)
+            row.append((v, v, v))
+        grid.append(row)
+    return encode_jpeg_progressive(
+        grid, sampling=((2, 2), (1, 1), (1, 1)), restart_interval=2
+    )

@@ -2947,9 +2947,9 @@ def multimodal_video_gif_subrect_frames(
 def multimodal_image_decode_png_palette(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """PALETTE PNG decode (r13 — color type 3; all five 8-bit color
-    types 0/2/3/4/6 decode, see the RGBA query below for the alpha
-    pair; only non-8-bit depths are rejected by name):
+    """PALETTE PNG decode (r13 — color type 3; all five color types
+    0/2/3/4/6 decode, see the RGBA query below for the alpha pair and
+    the r14 depth-matrix query above for non-8-bit depths):
     indexed pixels resolve against a doc-SHIFTED 16-entry PLTE chunk,
     so a decoder that reuses one doc's palette — or reads indices as
     gray values — is value-wrong on every doc, not structurally broken.
@@ -3067,6 +3067,133 @@ def multimodal_image_decode_jpeg_progressive(
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     payloads = d.select("doc_id").mapInPandas(
         _payload_stage(lambda row: synth_jpeg_progressive(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+    return payloads.mapInPandas(
+        _decode_stage(parse_jpeg_features, IMAGE_SCHEMA), IMAGE_SCHEMA
+    )
+
+
+@query(
+    "multimodal_image_decode_png_depths",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 6 + doc_id % 7 AS w, 4 + doc_id % 4 AS h,
+             doc_id % 5 AS kind
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w, h, kind, x, y
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    ),
+    chan AS (  -- gray cells expand x255/85/17; 16-bit stays raw
+      SELECT doc_id, w, h, x, y,
+        CASE
+          WHEN kind = 0 THEN ((doc_id*7 + y*13 + x*5) % 2) * 255
+          WHEN kind = 1 THEN ((doc_id*7 + y*13 + x*5) % 4) * 85
+          WHEN kind = 2 THEN ((doc_id*7 + y*13 + x*5) % 16) * 17
+          WHEN kind = 3 THEN (doc_id*291 + y*517 + x*129) % 65536
+        END AS g,
+        CASE WHEN kind = 4 THEN (doc_id + y*3 + x) % 16 END AS idx
+      FROM px
+    ),
+    rgb AS (  -- palette cell resolves the doc-shifted 16-entry PLTE
+      SELECT doc_id, w, h, x, y,
+        COALESCE(g, (idx*37 + doc_id) % 256)   AS r,
+        COALESCE(g, (idx*59 + 2*doc_id) % 256) AS gr,
+        COALESCE(g, (idx*83 + 3*doc_id) % 256) AS b
+      FROM chan
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS INTEGER) AS n_pixels,
+           SUM(r)::BIGINT AS sum_r, SUM(gr)::BIGINT AS sum_g,
+           SUM(b)::BIGINT AS sum_b,
+           SUM((y * w + x) * (r + gr + b))::BIGINT AS px_checksum
+    FROM rgb GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_decode_png_depths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PNG BIT-DEPTH MATRIX (r14 — VERDICT r13 task 4, the last PNG
+    scope cut closed): doc_id % 5 picks gray depth 1 / 2 / 4 (sub-byte
+    MSB-first unpacking + the exact ×255/85/17 expansion), gray 16
+    (big-endian RAW 16-bit values — the feature sums carry the full
+    depth, which is the point for scientific/medical corpora), or
+    palette depth 4 (sub-byte INDICES, doc-shifted PLTE). Odd docs are
+    Adam7, so sub-byte rows REPACK per reduced image — the trap a
+    whole-image unpacker fails. A decoder that scales 16-bit down,
+    scales palette indices, packs LSB-first, or shares padding across
+    pass boundaries moves the hash. See png_codec.synth_png_depths;
+    per-combo round-trips + invalid depth/color rejects are pinned in
+    tests/test_png_codec.py."""
+    from kstreams_spark.operators.png_codec import (
+        parse_png_features,
+        synth_png_depths,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_png_depths(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+    return payloads.mapInPandas(
+        _decode_stage(parse_png_features, IMAGE_SCHEMA), IMAGE_SCHEMA
+    )
+
+
+@query(
+    "multimodal_image_decode_jpeg_progressive_420",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 25 AS w, 8 + doc_id % 17 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w, h, x, y,
+             (doc_id * 37 + (x // 8) * 101 + (y // 8) * 53) % 256 AS v
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS INTEGER) AS n_pixels,
+           SUM(v)::BIGINT AS sum_r, SUM(v)::BIGINT AS sum_g,
+           SUM(v)::BIGINT AS sum_b,
+           SUM((y * w + x) * 3 * v)::BIGINT AS px_checksum
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_decode_jpeg_progressive_420(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE JPEG at 4:2:0 WITH RESTART INTERVALS (r14 — VERDICT
+    r13 task 3, the named reject a real corpus hits first: most
+    camera/web progressive JPEGs are 4:2:0). Same tile-constant
+    construction, dims spanning 1–4 MCUs so DRI/RSTn fire inside the
+    interleaved DC scans and every multi-block AC scan, and the
+    MCU-padded vs true block-grid distinction is live (a decoder that
+    lets AC scans walk pad blocks desyncs the entropy stream and dies,
+    one that mis-sizes the chroma grid moves the hash). Exact pixels
+    under subsampling because gray content carries constant chroma —
+    see jpeg_codec.synth_jpeg_progressive_420; lossy color 4:2:0/4:2:2
+    paths are tolerance-pinned in tests/test_jpeg_codec.py."""
+    from kstreams_spark.operators.jpeg_codec import (
+        parse_jpeg_features,
+        synth_jpeg_progressive_420,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        _payload_stage(
+            lambda row: synth_jpeg_progressive_420(int(row.doc_id))
+        ),
         MEDIA_PAYLOAD_SCHEMA,
     )
     return payloads.mapInPandas(

@@ -6,14 +6,21 @@ complete decode is chunk walk + CRC + inflate + per-scanline unfilter
 spec's reference pseudocode). With this module the env-gated guidance
 shrinks to MP3/H.264 (no stdlib entropy decoder exists for those).
 
-Decoder scope (stated, not hidden): EVERY 8-bit color type —
-grayscale (0), truecolor (2), palette (3), gray+alpha (4), RGBA
-(6) — one image, sequential OR Adam7-interlaced (r13 — the
+Decoder scope (stated, not hidden): EVERY color type — grayscale
+(0), truecolor (2), palette (3), gray+alpha (4), RGBA (6) — at EVERY
+spec-valid bit depth (r14, VERDICT r13 task 4: gray 1/2/4/8/16,
+palette 1/2/4/8, the rest 8/16; invalid depth/color combinations
+raise by name), one image, sequential OR Adam7-interlaced (r13 — the
 GIF-interlace trick applied to PNG's seven-pass form: each pass is
 its own reduced image with its own scanlines and filter bytes,
 unfiltered independently, pixels placed back on the 8×8 Adam7
-lattice; spec §8.2). Bit depths other than 8 raise ValueError naming
-the variant. Grayscale decodes to the luminance triple (v,v,v);
+lattice; spec §8.2). Sub-byte samples unpack MSB-first with per-
+scanline byte padding (§7.2) — and per REDUCED IMAGE under Adam7,
+the packing trap — then expand ×255/(2^d−1) (the exact 255/85/17
+multipliers); 16-bit samples are big-endian and stay RAW 16-bit
+values in the returned grid (features sum them — scaling away the
+depth would defeat it); palette indices are indices at any depth,
+never scaled. Grayscale decodes to the luminance triple (v,v,v);
 palette indices resolve against the PLTE critical chunk;
 alpha-bearing pixels return 4-tuples (feature extraction composites
 over black with integer math). Unknown ANCILLARY chunks
@@ -142,6 +149,21 @@ def _unfilter_row(
     return line
 
 
+# valid (color type → bit depths) per spec §11.2.2 table
+_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _row_bytes(n_pixels: int, channels: int, depth: int) -> int:
+    return (n_pixels * channels * depth + 7) // 8
+
+
 def encode_png(
     grid,
     row_filter=lambda y: y % 5,
@@ -149,8 +171,9 @@ def encode_png(
     interlace: bool = False,
     color_type: int = 2,
     palette: list[tuple[int, int, int]] | None = None,
+    depth: int = 8,
 ) -> bytes:
-    """grid[y][x] → a complete, valid 8-bit PNG. Pixels are (r, g, b)
+    """grid[y][x] → a complete, valid PNG. Pixels are (r, g, b)
     tuples for color_type 2 (truecolor), bare ints for 0 (grayscale)
     and 3 (palette indices; `palette` required, emitted as the PLTE
     critical chunk). `row_filter(i)` picks each SERIALIZED scanline's
@@ -160,24 +183,49 @@ def encode_png(
     planted before them (decoder traps). `interlace=True` (r13)
     serializes the seven Adam7 reduced images instead — per pass its
     own scanlines, filter bytes, and zeroed prior; empty passes
-    contribute no bytes."""
-    if color_type not in (0, 2, 3, 4, 6):
+    contribute no bytes. `depth` (r14): any spec-valid bit depth for
+    the color type — sub-byte samples pack MSB-first with each
+    scanline padded to a byte boundary (§7.2), 16-bit samples are
+    big-endian; the filter unit stays max(1, bytes-per-pixel)
+    (§9.2)."""
+    if color_type not in _CHANNELS:
         raise ValueError(f"unsupported encoder color type {color_type}")
+    if depth not in _VALID_DEPTHS[color_type]:
+        raise ValueError(
+            f"invalid depth {depth} for color type {color_type}"
+        )
     if color_type == 3 and not palette:
         raise ValueError("palette images need a palette")
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    channels = _CHANNELS[color_type]
+    bpp = max(1, channels * depth // 8)
     h, w = len(grid), len(grid[0])
 
     def _serialize(rows_of_pixels) -> bytearray:
         out = bytearray()
         prior = None
         for i, pixels in rows_of_pixels:
-            raw = bytearray()
+            samples: list[int] = []
             for px in pixels:
-                if color_type in (2, 4, 6):
-                    raw.extend(px)
+                if channels > 1:
+                    samples.extend(px)
                 else:
-                    raw.append(px)
+                    samples.append(px)
+            raw = bytearray()
+            if depth == 8:
+                raw = bytearray(samples)
+            elif depth == 16:
+                for s in samples:
+                    raw += struct.pack(">H", s)
+            else:  # 1/2/4: MSB-first packing, byte-padded per scanline
+                acc = nb = 0
+                for s in samples:
+                    acc = (acc << depth) | (s & ((1 << depth) - 1))
+                    nb += depth
+                    if nb == 8:
+                        raw.append(acc)
+                        acc = nb = 0
+                if nb:
+                    raw.append(acc << (8 - nb))
             if prior is None or len(prior) != len(raw):
                 prior = bytes(len(raw))
             ftype = row_filter(i)
@@ -202,7 +250,7 @@ def encode_png(
                 i += 1
             scanlines += _serialize(iter(pass_rows))
     ihdr = struct.pack(
-        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
     )
     z = zlib.compress(bytes(scanlines), 9)
     out = bytearray(_SIG)
@@ -257,10 +305,11 @@ def png_pixel_grid(payload: bytes) -> list[list[tuple[int, int, int]]]:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or color not in (0, 2, 3, 4, 6):
+            if depth not in _VALID_DEPTHS.get(color, ()):
                 raise ValueError(
-                    f"unsupported PNG variant (depth={depth} color={color}); "
-                    "decoder scope is 8-bit color types 0/2/3/4/6"
+                    f"invalid PNG depth/color combination "
+                    f"(depth={depth} color={color}); spec-valid depths "
+                    f"are {dict(_VALID_DEPTHS)}"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard compression/filter method")
@@ -284,18 +333,40 @@ def png_pixel_grid(payload: bytes) -> list[list[tuple[int, int, int]]]:
         raise ValueError("missing IHDR/IEND or degenerate dimensions")
     if color == 3 and plte is None:
         raise ValueError("palette image without a PLTE chunk")
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    channels = _CHANNELS[color]
+    bpp = max(1, channels * depth // 8)  # the filter unit (§9.2)
+    # sub-byte gray expands to 8-bit via the exact 255/(2^d−1)
+    # multiplier (libpng's gray expansion — 255, 85, 17 for d=1/2/4);
+    # palette indices are indices (never scaled); 16-bit samples stay
+    # RAW 16-bit values (the depth is the point — features sum them)
+    gray_scale = {1: 255, 2: 85, 4: 17}.get(depth, 1)
 
-    def _px(line: bytearray, x: int):
+    def _row_samples(line: bytearray, n_px: int) -> list[int]:
+        n = n_px * channels
+        if depth == 8:
+            return list(line[:n])
+        if depth == 16:
+            return [
+                (line[2 * i] << 8) | line[2 * i + 1] for i in range(n)
+            ]
+        per = 8 // depth
+        mask = (1 << depth) - 1
+        return [
+            (line[i // per] >> (8 - depth * (i % per + 1))) & mask
+            for i in range(n)
+        ]
+
+    def _px(samples: list[int], x: int):
         if color == 2:
-            return tuple(line[_BPP * x : _BPP * x + _BPP])
+            return tuple(samples[3 * x : 3 * x + 3])
         if color == 6:  # RGBA: 4-tuple (alpha rides along, r13)
-            return tuple(line[4 * x : 4 * x + 4])
+            return tuple(samples[4 * x : 4 * x + 4])
         if color == 4:  # gray+alpha → luminance triple + alpha
-            v, a = line[2 * x], line[2 * x + 1]
+            v, a = samples[2 * x], samples[2 * x + 1]
             return (v, v, v, a)
-        v = line[x]
+        v = samples[x]
         if color == 0:  # grayscale: replicate (the luminance triple)
+            v *= gray_scale
             return (v, v, v)
         if v >= len(plte):
             raise ValueError(
@@ -307,14 +378,18 @@ def png_pixel_grid(payload: bytes) -> list[list[tuple[int, int, int]]]:
 
     def _unfilter_image(buf: memoryview, iw: int, ih: int):
         """One (reduced) image's scanlines → list of reconstructed
-        byte rows; its own zeroed prior, exact-size contract."""
-        stride = 1 + bpp * iw
+        byte rows; its own zeroed prior, exact-size contract. Row
+        width is ceil(iw·channels·depth/8) — sub-byte rows pad to a
+        byte boundary PER SCANLINE (and per reduced image: Adam7
+        passes repack independently, §8.2)."""
+        rb = _row_bytes(iw, channels, depth)
+        stride = 1 + rb
         if len(buf) != stride * ih:
             raise ValueError(
                 f"decompressed size {len(buf)} != expected {stride * ih}"
             )
         rows = []
-        prior = bytes(bpp * iw)
+        prior = bytes(rb)
         for y in range(ih):
             ftype = buf[y * stride]
             line = _unfilter_row(
@@ -330,7 +405,8 @@ def png_pixel_grid(payload: bytes) -> list[list[tuple[int, int, int]]]:
     if interlace == 0:
         grid = []
         for line in _unfilter_image(memoryview(raw), w, h):
-            grid.append([_px(line, x) for x in range(w)])
+            samples = _row_samples(line, w)
+            grid.append([_px(samples, x) for x in range(w)])
         return grid
     # Adam7 (r13): seven reduced images back-to-back in the one zlib
     # stream (empty passes absent entirely); pixels land on the lattice
@@ -340,15 +416,16 @@ def png_pixel_grid(payload: bytes) -> list[list[tuple[int, int, int]]]:
     for xs, ys in _adam7_passes(w, h):
         if not xs or not ys:
             continue
-        stride = 1 + bpp * len(xs)
+        stride = 1 + _row_bytes(len(xs), channels, depth)
         need = stride * len(ys)
         if pos + need > len(raw):
             raise ValueError("truncated Adam7 pass data")
         rows = _unfilter_image(mv[pos : pos + need], len(xs), len(ys))
         pos += need
         for line, y in zip(rows, ys):
+            samples = _row_samples(line, len(xs))
             for i, x in enumerate(xs):
-                grid[y][x] = _px(line, i)
+                grid[y][x] = _px(samples, i)
     if pos != len(raw):
         raise ValueError(f"{len(raw) - pos} trailing bytes after Adam7 passes")
     if any(px is None for row in grid for px in row):
@@ -499,4 +576,50 @@ def synth_png_rgba(doc_id: int) -> bytes:
         row_filter=lambda i: (doc_id + i) % 5,
         color_type=6,
         interlace=bool(doc_id % 2),
+    )
+
+
+def synth_png_depths(doc_id: int) -> bytes:
+    """Deterministic DEPTH-MATRIX fixture (r14, VERDICT r13 task 4):
+    doc_id % 5 picks the cell — gray at depth 1, 2, 4 (sub-byte
+    MSB-first packing + ×255/85/17 expansion), gray at 16 (big-endian
+    raw 16-bit values), or palette at depth 4 (sub-byte INDICES against
+    the doc-shifted 16-entry PLTE). Odd docs serialize Adam7, so the
+    per-reduced-image repacking of sub-byte rows is live; filters cycle
+    as always. Gray sample: (doc_id*7 + y*13 + x*5) % 2^d (d=16 uses
+    ×291/517/129); palette index: (doc_id + y*3 + x) % 16."""
+    w, h = _png_dims(doc_id)
+    kind = doc_id % 5
+    inter = bool(doc_id % 2)
+    filt = lambda i: (doc_id + i) % 5  # noqa: E731
+    if kind == 4:  # palette, depth 4
+        return encode_png(
+            [[(doc_id + y * 3 + x) % 16 for x in range(w)] for y in range(h)],
+            row_filter=filt,
+            color_type=3,
+            depth=4,
+            palette=_png_plte(doc_id),
+            interlace=inter,
+        )
+    if kind == 3:  # gray 16-bit
+        return encode_png(
+            [
+                [(doc_id * 291 + y * 517 + x * 129) % 65536 for x in range(w)]
+                for y in range(h)
+            ],
+            row_filter=filt,
+            color_type=0,
+            depth=16,
+            interlace=inter,
+        )
+    d = (1, 2, 4)[kind]
+    return encode_png(
+        [
+            [(doc_id * 7 + y * 13 + x * 5) % (1 << d) for x in range(w)]
+            for y in range(h)
+        ],
+        row_filter=filt,
+        color_type=0,
+        depth=d,
+        interlace=inter,
     )

@@ -330,3 +330,62 @@ def test_windowed_ktable_join_refuses_bare_key(spark, sf_dir):
     )
     j = windowed.join(w2)
     assert j.df.count() == windowed.df.count()
+
+
+def test_join_foreign_semantics_and_guards(spark, sf_dir):
+    """r14 stretch (KS 2.4 FK join): result keyed by the LEFT primary
+    key, dangling FKs drop (inner) or NULL-fill (left), and the guard
+    surface refuses windowed sides / composite right keys / missing FK
+    columns / value-column collisions."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kstreams_spark.dsl import StreamsBuilder
+    from kstreams_spark.io import load_table
+
+    b = StreamsBuilder()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("doc_id") < 12)
+        .withColumn("owner", (F.col("doc_id") % 5).cast("long"))
+    )
+    left = b.table(docs, key="doc_id", order_by="doc_id")
+    dim = b.table(
+        spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "c")], "owner_id long, nm string"
+        ),
+        key="owner_id",
+        order_by="owner_id",
+    )
+    inner = left.join_foreign(dim, foreign_key="owner")
+    assert inner.keys == ["doc_id"]
+    got = {(r.doc_id, r.nm) for r in inner.df.collect()}
+    assert all(nm in ("a", "b", "c") for _, nm in got)
+    # owners 3 and 4 dangle: inner drops them
+    assert {d for d, _ in got} == {
+        d for d in range(12) if d % 5 in (0, 1, 2)
+    }
+    lj = left.join_foreign(dim, foreign_key="owner", how="left")
+    assert lj.df.count() == 12
+    assert lj.df.filter(F.col("nm").isNull()).count() == sum(
+        1 for d in range(12) if d % 5 in (3, 4)
+    )
+    # guards
+    with pytest.raises(ValueError, match="inner/left"):
+        left.join_foreign(dim, foreign_key="owner", how="full")
+    with pytest.raises(ValueError, match="not a column"):
+        left.join_foreign(dim, foreign_key="nope")
+    two_key = b.table(docs, key="doc_id", order_by="doc_id")
+    two_key.keys = ["doc_id", "owner"]
+    with pytest.raises(ValueError, match="single primary key"):
+        left.join_foreign(two_key, foreign_key="owner")
+    clash = b.table(
+        spark.createDataFrame(
+            [(0, 1)], "owner_id long, n_chars long"
+        ),
+        key="owner_id",
+        order_by="owner_id",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        left.join_foreign(clash, foreign_key="owner")

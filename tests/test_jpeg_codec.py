@@ -310,15 +310,132 @@ def test_progressive_rejects_out_of_scope_by_name():
     )
 
     payload = bytearray(encode_jpeg_progressive([[(1, 2, 3)] * 4] * 4))
-    # subsampled progressive: flip a component's h/v in SOF2
+    # sampling factors above 2 still refuse by name (r14 widened the
+    # scope to 1-2 per axis, not arbitrary ratios)
     at = payload.index(b"\xff\xc2") + 4
     sub = bytearray(payload)
-    sub[at + 7] = 0x22  # first component h=v=2
-    with _pytest.raises(ValueError, match="subsampled"):
+    sub[at + 7] = 0x33  # first component h=v=3
+    with _pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(bytes(sub))
-    # restart intervals inside progressive refuse by name
-    dri = b"\xff\xdd\x00\x04\x00\x02"
-    at = payload.index(b"\xff\xda")
-    with_dri = bytes(payload[:at]) + dri + bytes(payload[at:])
-    with _pytest.raises(ValueError, match="restart intervals"):
-        decode_jpeg(with_dri)
+
+
+def test_progressive_420_gray_fixture_exact_with_restarts():
+    """r14 (VERDICT r13 task 3): progressive 4:2:0 + DRI. Gray
+    tile-constant fixtures decode EXACTLY under subsampling (constant
+    chroma makes down/upsampling identities; luma tiles stay DC-only)
+    across restart intervals that fire in DC interleaved scans (multi-
+    MCU docs) and AC scans. Also pins the synth entrypoint's contract
+    (dims 8+id%25 x 8+id%17, DRI=2)."""
+    from kstreams_spark.operators.jpeg_codec import (
+        _jpeg_tile_value,
+        decode_jpeg,
+        encode_jpeg_progressive,
+        synth_jpeg_progressive_420,
+    )
+
+    for doc in (0, 5, 13, 24, 40):
+        w, h = 8 + doc % 25, 8 + doc % 17
+        grid = [
+            [
+                (_jpeg_tile_value(doc, x // 8, y // 8),) * 3
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        assert decode_jpeg(synth_jpeg_progressive_420(doc)) == grid, doc
+    # restart interval is bit-layout only: identical pixels with/without
+    grid = [
+        [(_jpeg_tile_value(3, x // 8, y // 8),) * 3 for x in range(30)]
+        for y in range(22)
+    ]
+    s420 = ((2, 2), (1, 1), (1, 1))
+    for ri in (0, 1, 3):
+        assert (
+            decode_jpeg(encode_jpeg_progressive(grid, sampling=s420,
+                                                 restart_interval=ri))
+            == grid
+        ), ri
+
+
+def test_progressive_subsampled_color_matches_downsample_reference():
+    """Lossy color content through progressive 4:2:0 and 4:2:2 must
+    match an explicit box-downsample -> DCT roundtrip -> replication-
+    upsample reference within the codec's rounding envelope (+-3);
+    restart intervals must not move a single pixel."""
+    import random
+
+    from kstreams_spark.operators.jpeg_codec import (
+        _rgb_to_ycc,
+        _ycc_to_rgb,
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = random.Random(99)
+    w, h = 21, 13
+    grid = [
+        [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(w)
+        ]
+        for _ in range(h)
+    ]
+    ycc = [[_rgb_to_ycc(*grid[y][x]) for x in range(w)] for y in range(h)]
+
+    def ref(y, x, fx, fy):
+        def ds(c):
+            acc = 0
+            for dy in range(fy):
+                for dx in range(fx):
+                    acc += ycc[min((y // fy) * fy + dy, h - 1)][
+                        min((x // fx) * fx + dx, w - 1)
+                    ][c]
+            return (acc + (fx * fy) // 2) // (fx * fy)
+
+        return _ycc_to_rgb(ycc[y][x][0], ds(1), ds(2))
+
+    for sampling, fx, fy in (
+        (((2, 2), (1, 1), (1, 1)), 2, 2),  # 4:2:0
+        (((2, 1), (1, 1), (1, 1)), 2, 1),  # 4:2:2
+    ):
+        dec = decode_jpeg(encode_jpeg_progressive(grid, sampling=sampling))
+        for y in range(h):
+            for x in range(w):
+                assert all(
+                    abs(a - b) <= 3 for a, b in zip(dec[y][x], ref(y, x, fx, fy))
+                ), (sampling, x, y)
+        with_rst = decode_jpeg(
+            encode_jpeg_progressive(
+                grid, sampling=sampling, restart_interval=2
+            )
+        )
+        assert with_rst == dec  # restarts are layout-only
+
+
+def test_progressive_restart_marker_desync_raises():
+    """A corrupted RSTn index inside a progressive scan must fail
+    loudly (sync_restart checks the modulo sequence), not silently
+    decode garbage."""
+    import pytest as _pytest
+
+    from kstreams_spark.operators.jpeg_codec import (
+        _jpeg_tile_value,
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    grid = [
+        [(_jpeg_tile_value(7, x // 8, y // 8),) * 3 for x in range(30)]
+        for y in range(22)
+    ]
+    payload = bytearray(
+        encode_jpeg_progressive(
+            grid,
+            sampling=((2, 2), (1, 1), (1, 1)),
+            restart_interval=1,
+        )
+    )
+    at = payload.index(b"\xff\xd0")  # first RST0 of the first scan
+    payload[at + 1] = 0xD5  # out-of-sequence restart index
+    with _pytest.raises(ValueError, match="RST"):
+        decode_jpeg(bytes(payload))

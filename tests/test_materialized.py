@@ -268,3 +268,106 @@ def test_view_via_distributed_signed_feed(spark, tmp_path, sf_dir):
     recomputed = m._aggregate(snapshot_read(spark, lake))
     assert _rows(m.result(spark)) == _rows(recomputed)
     assert dict(m.result(spark).dtypes)["val_sum"] == "decimal(28,6)"
+
+
+def test_fk_move_changelog_parity(spark, tmp_path, sf_dir):
+    """FOREIGN-KEY join, incremental changelog form (r14 stretch —
+    KS 2.4 / KIP-213): the per-partner aggregate is maintained from the
+    LEFT table's signed change feed grouped by the FK column; an
+    FK-VALUE update's preimage/postimage rows move the left row's
+    contribution BETWEEN join partners. Parity: the maintained
+    per-partner view joined to the dimension equals
+    KTable.join_foreign recomputed from the latest snapshot — before
+    and after the FK move, across inserts and deletes too."""
+    from kstreams_spark.dsl import StreamsBuilder
+
+    lake = str(tmp_path / "fk_lake")
+    view = str(tmp_path / "fk_view")
+    # left table: docs with an FK 'owner' into a tiny dimension
+    docs = _docs(spark, sf_dir).withColumn(
+        "owner", (F.col("doc_id") % 4).cast("bigint")
+    )
+    snapshot_publish(docs, lake, partition_cols=("split",))
+    dim = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma"), (3, "delta")],
+        "owner_id long, owner_name string",
+    )
+
+    m = LakeMaterializedAggregate(view, ("owner",), "chars")
+    start_v = m.bootstrap(spark, lake)
+
+    def enriched_from_view():
+        v = m.result(spark)
+        return {
+            (r.owner_name, r.n_rows, r.val_sum)
+            for r in v.join(dim, v["owner"] == dim["owner_id"], "inner")
+            .select("owner_name", "n_rows", "val_sum")
+            .collect()
+        }
+
+    def recompute():
+        b = StreamsBuilder()
+        left = b.table(
+            snapshot_read(spark, lake), key="doc_id", order_by="doc_id"
+        )
+        d = b.table(dim, key="owner_id", order_by="owner_id")
+        ktab = left.join_foreign(d, foreign_key="owner", how="inner")
+        return {
+            (r.owner_name, r.n_rows, r.val_sum)
+            for r in ktab.df.groupBy("owner", "owner_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("chars").cast("decimal(18,6)"))
+                .cast("decimal(28,6)")
+                .alias("val_sum"),
+            )
+            .select("owner_name", "n_rows", "val_sum")
+            .collect()
+        }
+
+    assert enriched_from_view() == recompute()  # bootstrap parity
+
+    q = m.attach(spark, lake, str(tmp_path / "fk_ckpt"), start_v)
+    try:
+        # THE FK MOVE: doc 8 changes owner 0 -> 3 (partner swap), plus
+        # a value update on doc 9 and an insert/delete pair around it
+        src = _docs(spark, sf_dir, 8, 10).withColumn(
+            "owner",
+            F.when(F.col("doc_id") == 8, F.lit(3)).otherwise(
+                F.col("doc_id") % 4
+            ).cast("bigint"),
+        ).withColumn(
+            "chars",
+            F.when(F.col("doc_id") == 9, F.col("chars") + 500).otherwise(
+                F.col("chars")
+            ),
+        )
+        snapshot_merge(
+            spark, lake, src, key_cols=("doc_id",), partition_cols=("split",)
+        )
+        snapshot_publish(
+            _docs(spark, sf_dir, 200, 205).withColumn(
+                "owner", (F.col("doc_id") % 4).cast("bigint")
+            ),
+            lake,
+            mode="append",
+            partition_cols=("split",),
+        )
+        snapshot_delete_where(
+            spark, lake, "doc_id IN (12, 13)", partition_cols=("split",)
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert enriched_from_view() == recompute()  # post-move parity
+    # and the move really happened: owner 3 gained doc 8's row
+    after = {r.owner: r.n_rows for r in m.result(spark).collect()}
+    before_counts = {
+        r.owner: r.n_rows
+        for r in m._aggregate(
+            snapshot_read(spark, lake, version=1)
+        ).collect()
+    }
+    assert after[3] == before_counts[3] + 1 + 1  # moved doc 8 + insert 203
+    assert after[0] == before_counts[0] - 1 + 2 - 1  # -8, +200+204, -12

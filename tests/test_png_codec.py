@@ -103,18 +103,20 @@ def test_truncation_rejected():
 
 
 def test_unsupported_variants_named():
-    # 16-bit depth stays out of scope, named (every 8-bit color type —
-    # 0/2/3/4/6 — is SUPPORTED since r13)
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
-    payload = (
-        b"\x89PNG\r\n\x1a\n"
-        + struct.pack(">I", len(ihdr))
-        + b"IHDR"
-        + ihdr
-        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
-    )
-    with pytest.raises(ValueError, match="depth=16"):
-        png_pixel_grid(payload)
+    # every SPEC-VALID depth/color pair decodes since r14; the
+    # spec-INVALID pairs reject by name (e.g. 16-bit palette, 2-bit
+    # truecolor — §11.2.2)
+    for depth, color in ((16, 3), (2, 2), (4, 6), (3, 0)):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr))
+            + b"IHDR"
+            + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        )
+        with pytest.raises(ValueError, match=f"depth={depth}"):
+            png_pixel_grid(payload)
     # unknown interlace method (Adam7 itself is SUPPORTED since r13)
     ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 2)
     payload = (
@@ -328,3 +330,111 @@ def test_alpha_color_types_roundtrip_and_composite_features():
     # fixture family decodes for a swath (odd docs are Adam7)
     for d in range(12):
         parse_png_features(synth_png_rgba(d))
+
+
+def test_depth_matrix_roundtrips_all_valid_combos():
+    """r14 (VERDICT r13 task 4): every spec-valid (color, depth) pair
+    round-trips exactly, sequential AND Adam7 — sub-byte samples
+    (MSB-first, per-scanline byte padding, ×255/85/17 gray expansion),
+    big-endian raw 16-bit samples, palette indices never scaled."""
+    import random
+
+    from kstreams_spark.operators.png_codec import (
+        _VALID_DEPTHS,
+        _png_plte,
+        encode_png,
+    )
+
+    rng = random.Random(5)
+    pl = _png_plte(4)
+    w, h = 7, 5
+    for color, depths in sorted(_VALID_DEPTHS.items()):
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+        for d in depths:
+            mx = min(1 << d, 16) if color == 3 else (1 << d)
+            if ch == 1:
+                grid = [[rng.randrange(mx) for _ in range(w)] for _ in range(h)]
+            else:
+                grid = [
+                    [tuple(rng.randrange(mx) for _ in range(ch)) for _ in range(w)]
+                    for _ in range(h)
+                ]
+            for inter in (False, True):
+                dec = png_pixel_grid(
+                    encode_png(
+                        grid,
+                        color_type=color,
+                        depth=d,
+                        palette=pl if color == 3 else None,
+                        interlace=inter,
+                    )
+                )
+                scale = {1: 255, 2: 85, 4: 17}.get(d, 1)
+                if color == 0:
+                    exp = [[(v * scale,) * 3 for v in row] for row in grid]
+                elif color == 3:
+                    exp = [[pl[v] for v in row] for row in grid]
+                elif color == 4:
+                    exp = [[(px[0],) * 3 + (px[1],) for px in row] for row in grid]
+                else:
+                    exp = [[tuple(px) for px in row] for row in grid]
+                assert dec == exp, (color, d, inter)
+
+
+def test_subbyte_adam7_repacks_per_reduced_image():
+    """The r14 packing trap, pinned directly: a 1-bit 9×5 image's Adam7
+    passes have reduced widths 2/1/3/2/5/4/9 — each pass's rows pack
+    into bytes INDEPENDENTLY (a whole-image unpacker that carries bit
+    position across pass boundaries decodes garbage). The encoder's own
+    stream round-trips, and its total byte count equals the per-pass
+    padded sum, not the whole-image figure."""
+    from kstreams_spark.operators.png_codec import (
+        _adam7_passes,
+        encode_png,
+    )
+
+    w, h = 9, 5
+    grid = [[(x * y + x + y) % 2 for x in range(w)] for y in range(h)]
+    payload = encode_png(
+        grid, color_type=0, depth=1, interlace=True, row_filter=lambda i: 0
+    )
+    dec = png_pixel_grid(payload)
+    assert dec == [[(v * 255,) * 3 for v in row] for row in grid]
+    # structural: per-pass byte maths (filter byte + ceil(bits/8) per row)
+    import zlib as _z
+
+    idat = bytearray()
+    pos = 8
+    while pos < len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raw = _z.decompress(bytes(idat))
+    expect = sum(
+        len(ys) * (1 + (len(xs) + 7) // 8)
+        for xs, ys in _adam7_passes(w, h)
+        if xs and ys
+    )
+    assert len(raw) == expect
+
+
+def test_synth_png_depths_covers_all_kinds():
+    """The fixture entrypoint's doc_id%5 matrix is real: each kind
+    decodes and its IHDR carries the advertised depth/color."""
+    from kstreams_spark.operators.png_codec import synth_png_depths
+
+    seen = {}
+    for doc in range(10):
+        payload = synth_png_depths(doc)
+        depth, color = payload[24], payload[25]
+        seen[doc % 5] = (depth, color)
+        png_pixel_grid(payload)  # decodes
+    assert seen == {
+        0: (1, 0),
+        1: (2, 0),
+        2: (4, 0),
+        3: (16, 0),
+        4: (4, 3),
+    }
