@@ -90,8 +90,11 @@ HEADLINE = [
     "composite_media_curation_full",  # added r7: 4-gate whole-modality capstone
     "sample_importance_hashed",  # added r7: DSIR-shaped integer importance
     "similarity_topk_bq_rerank",  # added r7: 1-bit Hamming scan + exact re-rank
+    "similarity_topk_matryoshka",  # added r14: truncated-prefix funnel (MRL)
     "layout_zorder_locality",  # added r7: Morton-curve layout locality
     "events_sessionize",  # added r7: gap-based sessionization
+    "events_funnel_conversion",  # added r14: ordered view->click->purchase funnel
+    "dedup_url_canonical",  # added r14: URL canonicalization dedup
     "multimodal_video_keyframes",  # added r7: scene-cut keyframe sampling
     "composite_curation_importance",  # added r7: gates->dedup->DSIR selection
     "search_hybrid_rrf",  # added r7: lexical+vector RRF fusion
@@ -134,6 +137,7 @@ HEADLINE = [
     "lake_clone_diverge",  # added r14: zero-copy shallow clone, forked histories
     "dsl_ktable_groupby_reaggregate",  # added r13: KGroupedTable re-aggregation
     "dsl_ktable_fk_join",  # added r14: KS 2.4 foreign-key KTable join
+    "dsl_cogroup_user_activity",  # added r14: KS 2.5 cogroup multi-stream agg
     "multimodal_image_decode_png_adam7",  # added r13: 7-pass Adam7 decode
     "multimodal_video_gif_subrect_frames",  # added r13: sub-rect compositing
     "multimodal_image_decode_png_palette",  # added r13: PLTE color type

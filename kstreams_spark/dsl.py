@@ -35,7 +35,10 @@ count/reduce/aggregate, windowedBy (tumbling/hopping/session),
 stream⋈stream windowed join, stream⋈KTable enrich, KTable⋈KTable,
 toStream, KTable.groupBy().count/reduce/aggregate (KGroupedTable, r13 —
 snapshot form here, the incremental adder/subtractor fold in
-streaming/materialized.py via KGroupedTable.materialized()); r12 adds
+streaming/materialized.py via KGroupedTable.materialized()); r14 steps
+past the ceiling where the verbs are natural: KTable.join_foreign (KS
+2.4 foreign-key join, KIP-213) and KGroupedStream.cogroup (KS 2.5
+multi-stream aggregation, KIP-150); r12 adds
 the STATEFUL verbs: transform/process
 (transform_values → applyInPandasWithState, event-time punctuate via
 timeout), suppress(untilWindowCloses) (final-only emission contract,
@@ -416,11 +419,89 @@ class KGroupedStream:
         map-side-combining reducer)."""
         return self.aggregate(**{name: expr})
 
+    def cogroup(self, **aggs) -> "CogroupedStreams":
+        """Kafka Streams 2.5's KGroupedStream.cogroup (KIP-150 — with
+        the FK join the second verb past the 2.0 ceiling): start a
+        multi-stream aggregation where each co-grouped stream folds its
+        OWN aggregators into one shared per-key table. Chain
+        `.cogroup(other_grouped, **aggs)` for more streams, then
+        `.aggregate()`. Each stream contributes its named aggregate
+        columns; a key absent from a stream gets that stream's
+        aggregation-over-nothing (COUNT→0, SUM→NULL — pass
+        aggregate(fill=...) to pin other identities)."""
+        return CogroupedStreams([(self, dict(aggs))])
+
     def aggregate(self, **aggs) -> "KTable":
         out = self.df.groupBy(*self.keys).agg(
             *[_as_col(e).alias(n) for n, e in aggs.items()]
         )
         return KTable(out, self.keys)
+
+
+class CogroupedStreams:
+    """KGroupedStream.cogroup() result (Kafka Streams 2.5, KIP-150):
+    an ordered list of (grouped stream, its named aggregators). On the
+    snapshot relation, aggregate() evaluates each stream's aggregators
+    over ITS records per key and full-outer-joins the per-stream
+    results on the shared key — exactly what the KS shared store
+    converges to, since each stream's adders only ever see that
+    stream's records. `fill` pins the aggregation-over-nothing value
+    for keys a stream never saw (KS's initializer: a key absent from
+    stream i simply never had agg_i applied — COUNT over nothing is 0,
+    SUM is NULL; pass fill={"n": 0} where the identity matters).
+    Windowed co-grouping refuses loudly (windowedBy belongs on the
+    cogrouped result in KS; re-derive per-stream windows first)."""
+
+    def __init__(self, parts: list) -> None:
+        self.parts = parts
+
+    def cogroup(self, grouped: "KGroupedStream", **aggs) -> "CogroupedStreams":
+        return CogroupedStreams(self.parts + [(grouped, dict(aggs))])
+
+    def aggregate(self, fill: dict | None = None) -> "KTable":
+        base = self.parts[0][0]
+        base_keys = list(base.keys)
+        if any("window" in g.keys for g, _ in self.parts):
+            raise ValueError(
+                "windowed cogroup is out of scope — window each "
+                "stream's aggregation separately, then join the tables"
+            )
+        seen: set[str] = set()
+        tables = []
+        for g, aggs in self.parts:
+            if not aggs:
+                raise ValueError(
+                    "each co-grouped stream needs at least one "
+                    "aggregator (name=Column)"
+                )
+            if len(g.keys) != len(base_keys):
+                raise ValueError(
+                    f"key shape mismatch: {g.keys} vs {base_keys} — "
+                    "co-grouped streams must share the key domain"
+                )
+            dup = seen & set(aggs)
+            if dup:
+                raise ValueError(
+                    f"aggregate name(s) {sorted(dup)} used by more than "
+                    "one co-grouped stream — names must be disjoint"
+                )
+            seen |= set(aggs)
+            df = g.df
+            for a, b in zip(g.keys, base_keys):
+                if a != b:
+                    df = df.withColumnRenamed(a, b)
+            tables.append(
+                df.groupBy(*base_keys).agg(
+                    *[c.alias(n) for n, c in aggs.items()]
+                )
+            )
+        out = tables[0]
+        for t in tables[1:]:
+            out = out.join(t, base_keys, "full")
+        for n, v in (fill or {}).items():
+            out = out.withColumn(n, F.coalesce(F.col(n), F.lit(v)))
+        return KTable(out, base_keys)
+
 
 
 class KTable:

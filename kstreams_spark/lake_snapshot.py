@@ -516,6 +516,7 @@ def _commit(
     set_column_map: dict[str, str] | None = None,
     set_dropped_physical: list[str] | None = None,
     set_epochs: list[int] | None = None,
+    set_properties: dict[str, str] | None = None,
 ) -> int:
     """Write manifest version = last + 1. The commit point is an atomic
     CREATE-exclusive os.link of the fully-written temp manifest onto the
@@ -580,6 +581,12 @@ def _commit(
             if set_constraints is None
             else set_constraints
         )
+        # TBLPROPERTIES (r14) carry forward identically
+        properties = (
+            prev_m.get("properties", {})
+            if set_properties is None
+            else set_properties
+        )
         # deletion vectors carry forward per surviving file — a rewrite
         # that retires a file MATERIALIZES its DV (the entry drops with
         # the file); set_dvs overrides (the DV-delete and restore verbs)
@@ -619,6 +626,7 @@ def _commit(
             "dvs": dvs,
             "column_map": column_map,
             "dropped_physical": dropped_physical,
+            "properties": properties,
         }
         # unique temp name: concurrent committers must not share one
         tmp = os.path.join(
@@ -643,7 +651,18 @@ def _commit(
                 base_version = -1
             continue
         os.remove(tmp)
-        if version % CHECKPOINT_INTERVAL == 0:
+        # checkpoint cadence is property-tunable per table (r14:
+        # TBLPROPERTIES `kstreams.checkpoint.interval` — Delta's
+        # delta.checkpointInterval analog); malformed values fall back
+        try:
+            interval = int(
+                properties.get(
+                    "kstreams.checkpoint.interval", CHECKPOINT_INTERVAL
+                )
+            )
+        except (TypeError, ValueError):
+            interval = CHECKPOINT_INTERVAL
+        if interval > 0 and version % interval == 0:
             _write_checkpoint(path, version, files)
         return version
 
@@ -1408,6 +1427,72 @@ def table_constraints(path: str) -> dict[str, str]:
     return _read_manifest(path, versions[-1]).get("constraints", {})
 
 
+def table_properties(path: str, version: int | None = None) -> dict[str, str]:
+    """TBLPROPERTIES (r14, Delta's table-properties class): arbitrary
+    string key→value metadata recorded in every manifest and carried
+    forward like constraints. Two keys are FUNCTIONAL, not just
+    decorative: `kstreams.checkpoint.interval` tunes the delta-log
+    checkpoint cadence per table (delta.checkpointInterval analog) and
+    `kstreams.vacuum.graceSeconds` sets vacuum's default reader-grace
+    window (delta.deletedFileRetentionDuration analog — an explicit
+    grace_seconds argument still wins, and the 1 h safety floor still
+    applies without force)."""
+    versions = snapshot_versions(path)
+    if not versions:
+        return {}
+    v = versions[-1] if version is None else version
+    return dict(_read_manifest(path, v).get("properties", {}))
+
+
+def snapshot_set_properties(path: str, props: dict[str, str]) -> int:
+    """ALTER TABLE SET TBLPROPERTIES: merge-update the property map in
+    a same-files metadata-only commit. Values are stored as strings
+    (the Delta convention); returns the new version."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {path}")
+    if not props:
+        raise ValueError("snapshot_set_properties: empty property map")
+    latest = versions[-1]
+    merged = table_properties(path)
+    merged.update({str(k): str(v) for k, v in props.items()})
+    return _commit(
+        path,
+        _live_files(path, latest),
+        f"set-properties-{','.join(sorted(props))}",
+        _read_manifest(path, latest)["schema"],
+        base_version=latest,
+        set_properties=merged,
+    )
+
+
+def snapshot_unset_properties(path: str, keys) -> int:
+    """ALTER TABLE UNSET TBLPROPERTIES: drop the given keys in a
+    same-files metadata-only commit. Unknown keys raise (the
+    constraint-drop convention; pass only keys you know are set)."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {path}")
+    latest = versions[-1]
+    props = table_properties(path)
+    missing = [k for k in keys if k not in props]
+    if missing:
+        raise ValueError(
+            f"no table propert{'y' if len(missing) == 1 else 'ies'} "
+            f"{sorted(missing)} (have {sorted(props)})"
+        )
+    for k in keys:
+        del props[k]
+    return _commit(
+        path,
+        _live_files(path, latest),
+        f"unset-properties-{','.join(sorted(keys))}",
+        _read_manifest(path, latest)["schema"],
+        base_version=latest,
+        set_properties=props,
+    )
+
+
 def _violation_metric(pred: str):
     """Rows violating a CHECK predicate: FALSE violates, NULL passes
     (the SQL-standard CHECK rule)."""
@@ -1687,6 +1772,7 @@ def snapshot_restore(path: str, version: int) -> int:
         set_dvs=restored.get("dvs", {}),
         set_column_map=restored.get("column_map", {}),
         set_dropped_physical=restored.get("dropped_physical", []),
+        set_properties=restored.get("properties", {}),
     )
 
 
@@ -1788,6 +1874,7 @@ def snapshot_clone(
         set_column_map=dict(m.get("column_map", {})),
         set_dropped_physical=list(m.get("dropped_physical", [])),
         set_epochs=list(m.get("epochs", [])),
+        set_properties=dict(m.get("properties", {})),
     )
 
 
@@ -1889,7 +1976,7 @@ DEFAULT_VACUUM_GRACE_S = 24 * 3600
 def vacuum(
     path: str,
     keep_versions: int = 1,
-    grace_seconds: float = DEFAULT_VACUUM_GRACE_S,
+    grace_seconds: float | None = None,
     force: bool = False,
     dry_run: bool = False,
 ) -> int:
@@ -1903,7 +1990,10 @@ def vacuum(
     keeps its files for at least the grace window after that version
     was superseded. The same age guard protects unreferenced data files
     and temp manifests, so an in-flight concurrent commit's staged
-    files are never swept mid-commit. `grace_seconds` below
+    files are never swept mid-commit. `grace_seconds=None` (default)
+    resolves the per-table TBLPROPERTIES key
+    `kstreams.vacuum.graceSeconds`, falling back to 24 h (r14; an
+    explicit argument always wins). `grace_seconds` below
     VACUUM_GRACE_FLOOR_S (1 h) is refused unless `force=True` — the
     escape hatch for tests and truly quiesced lakes; after vacuum,
     time travel reaches only the retained versions.
@@ -1913,6 +2003,17 @@ def vacuum(
     checkpoint write, no manifest folding, no sweep."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
+    if grace_seconds is None:
+        # per-table default via TBLPROPERTIES (r14); the explicit
+        # argument wins, the safety floor below applies either way
+        try:
+            grace_seconds = float(
+                table_properties(path).get(
+                    "kstreams.vacuum.graceSeconds", DEFAULT_VACUUM_GRACE_S
+                )
+            )
+        except (TypeError, ValueError):
+            grace_seconds = DEFAULT_VACUUM_GRACE_S
     if grace_seconds < VACUUM_GRACE_FLOOR_S and not force:
         raise ValueError(
             f"grace_seconds={grace_seconds} is below the "

@@ -1856,3 +1856,82 @@ def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("anomalous"),
         )
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY 1
+    )
+    SELECT v.user_id % 4 AS cohort,
+           COUNT(*) AS n_viewed,
+           COUNT(c.user_id) AS n_clicked,
+           COUNT(p.user_id) AS n_purchased
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    GROUP BY 1
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED FUNNEL analysis (r14): per user, the strict
+    view → click → purchase sequence — each stage's timestamp must be
+    the FIRST event of that type strictly after the PRIOR stage's
+    timestamp (a purchase before any click, or a click before any
+    view, does not convert; counting unordered event presence is the
+    classic funnel bug this oracle catches). Per-cohort (user_id % 4)
+    stage counts.
+
+    Shape note: each stage is one filtered MIN aggregation joined back
+    to the prior stage's frontier — stage k's input is only the
+    surviving users, so work SHRINKS down the funnel (versus a
+    per-user sort + sequential scan, which shuffles every event's full
+    row). Three aggs + three key joins, all on user_id: one consistent
+    hash partitioning reused across every stage (AQE coalesces the
+    tiny tails)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p.select("user_id", "t_purchase"), "user_id", "left")
+        .groupBy((F.col("user_id") % 4).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_viewed"),
+            F.count("t_click").alias("n_clicked"),
+            F.count("t_purchase").alias("n_purchased"),
+        )
+    )

@@ -1398,3 +1398,145 @@ def sample_kfold_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fold"),
     )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH canon AS (  -- the CANONICAL form, derived arithmetically from
+                     -- the same doc_id the messy fixture URL encodes —
+                     -- the codec-fixture doctrine: the Spark side must
+                     -- PARSE its way back to this or hash-mismatch
+      SELECT doc_id,
+             'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+               AS host,
+             '/p/' || CAST(doc_id % 50 AS VARCHAR)
+               || CASE WHEN doc_id % 25 = 0 THEN ''
+                       ELSE '?id=' || CAST(doc_id % 25 AS VARCHAR) END
+               AS rest
+      FROM documents WHERE doc_id < 400
+    ),
+    grouped AS (
+      SELECT host, host || rest AS curl,
+             COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+      FROM canon GROUP BY 1, 2
+    )
+    SELECT host,
+           COUNT(*) AS n_canonical,
+           SUM(n_dups)::BIGINT AS n_docs,
+           SUM(n_dups - 1)::BIGINT AS n_shadowed,
+           SUM(keep_id)::BIGINT AS keep_id_sum
+    FROM grouped GROUP BY host
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-CANONICALIZATION dedup (r14 — the CommonCrawl curation step
+    that runs BEFORE any content dedup: the same page is crawled under
+    case-varied hosts, www prefixes, tracking params, fragments, and
+    trailing slashes). The fixture synthesizes a MESSY url per doc —
+    scheme http/https by parity, host case flipped and www.-prefixed on
+    alternating docs, utm_* tracking params injected, real params in
+    shuffled positions, #fragments, trailing slashes — and the operator
+    canonicalizes with real string/regex work: lowercase host, strip
+    www., drop the scheme, drop utm_*/fbclid params, KEEP real params
+    (sorted), strip fragment and trailing slash. Winner per canonical
+    URL = min doc_id (deterministic election); per-host stats make
+    every canonicalization rule value-visible (a rule skipped →
+    n_canonical inflates; over-canonicalizing the id param →
+    n_shadowed inflates). The oracle derives the canonical form
+    ARITHMETICALLY from doc_id — the Spark side must parse its way
+    back to it (the codec-fixture doctrine).
+
+    Shuffle budget: one synth-and-parse map pass + one (host, curl)
+    aggregation + one host aggregation. At 100 TB this is the cheapest
+    dedup family member — pure per-row string work into a
+    hash-partitioned groupBy, no candidate generation at all."""
+    d = spread(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 400)
+    )
+    i = F.col("doc_id")
+    host_raw = F.concat(
+        # alternating case noise + www. prefix on odd docs
+        F.when(i % 2 == 1, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit("Site")).otherwise(F.lit("site")),
+        (i % 7).cast("string"),
+        F.when(i % 5 == 0, F.lit(".Example.COM")).otherwise(
+            F.lit(".example.com")
+        ),
+    )
+    real_param = F.when(
+        i % 25 == 0, F.lit("")
+    ).otherwise(F.concat(F.lit("id="), (i % 25).cast("string")))
+    tracking = F.concat(
+        F.lit("utm_source=s"),
+        (i % 4).cast("string"),
+        F.lit("&utm_campaign=c"),
+        (i % 3).cast("string"),
+    )
+    # param order varies: tracking-first on even docs, real-first on odd
+    qs = F.when(
+        real_param == "", F.concat(F.lit("?"), tracking)
+    ).otherwise(
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit("?"), tracking, F.lit("&"), real_param),
+        ).otherwise(
+            F.concat(F.lit("?"), real_param, F.lit("&"), tracking)
+        )
+    )
+    messy = F.concat(
+        F.when(i % 2 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+        host_raw,
+        F.lit("/p/"),
+        (i % 50).cast("string"),
+        F.when(i % 4 == 0, F.lit("/")).otherwise(F.lit("")),  # trailing /
+        qs,
+        F.when(i % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),  # fragment
+    )
+    url = d.withColumn("url", messy)
+    # --- the operator under test: canonicalize by parsing ---
+    no_frag = F.regexp_replace("url", r"#.*$", "")
+    no_scheme = F.regexp_replace(no_frag, r"^https?://", "")
+    host = F.lower(
+        F.regexp_replace(F.split(no_scheme, r"[/?]").getItem(0), r"^(?i)www\.", "")
+    )
+    path_q = F.substring(
+        no_scheme, F.length(F.split(no_scheme, r"[/?]").getItem(0)) + 1, 10_000
+    )
+    path = F.regexp_replace(
+        F.split(path_q, r"\?").getItem(0), r"/$", ""
+    )
+    params = F.filter(
+        F.split(
+            F.coalesce(F.split(path_q, r"\?").getItem(1), F.lit("")), "&"
+        ),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.startswith("fbclid"),
+    )
+    canon = url.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(
+            host,
+            path,
+            F.when(F.size(params) == 0, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("?"),
+                    F.array_join(F.array_sort(params), "&"),
+                )
+            ),
+        ).alias("curl"),
+    )
+    grouped = canon.groupBy("host", "curl").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min("doc_id").alias("keep_id"),
+    )
+    return grouped.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.sum("n_dups").alias("n_docs"),
+        (F.sum("n_dups") - F.count(F.lit(1))).alias("n_shadowed"),
+        F.sum("keep_id").alias("keep_id_sum"),
+    )

@@ -157,3 +157,60 @@ def dsl_ktable_fk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("revenue"),
         )
     )
+
+
+@query(
+    "dsl_cogroup_user_activity",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, COUNT(*) AS n_clicks,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    buys AS (
+      SELECT user_id, COUNT(*) AS n_purchases,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+           COALESCE(n_clicks, 0) AS n_clicks,
+           click_value,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           purchase_value
+    FROM clicks c FULL OUTER JOIN buys b ON c.user_id = b.user_id
+    """,
+)
+def dsl_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUP (r14 — Kafka Streams 2.5's KGroupedStream.cogroup,
+    KIP-150; with the FK join the second verb past the §2.2 ceiling):
+    the click stream and the purchase stream — two differently-shaped
+    streams sharing a key domain — fold their OWN aggregators into one
+    per-user table. Keys present in only one stream keep the other
+    stream's aggregation-over-nothing (COUNT pinned to 0 via fill,
+    SUM stays NULL — the KS initializer semantics), which the oracle's
+    FULL OUTER JOIN + COALESCE replays; a cogroup that inner-joins the
+    streams, or cross-applies an aggregator, moves row counts or sums.
+    Plan: one aggregation exchange per stream + one key-aligned join —
+    versus the single shared RocksDB store KS funnels both streams
+    through."""
+    ev = load_table(spark, sf_dir, "events")
+    b = StreamsBuilder()
+    clicks = b.stream(
+        ev.filter(F.col("event_type") == "click"), key="user_id"
+    ).group_by_key()
+    buys = b.stream(
+        ev.filter(F.col("event_type") == "purchase"), key="user_id"
+    ).group_by_key()
+    table = (
+        clicks.cogroup(
+            n_clicks=F.count(F.lit(1)),
+            click_value=dsum("value"),
+        )
+        .cogroup(
+            buys,
+            n_purchases=F.count(F.lit(1)),
+            purchase_value=dsum("value"),
+        )
+        .aggregate(fill={"n_clicks": 0, "n_purchases": 0})
+    )
+    return table.df

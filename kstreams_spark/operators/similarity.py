@@ -2109,3 +2109,139 @@ def mmr_select_pool(spark: SparkSession, pool: DataFrame, k: int) -> DataFrame:
         out_rows,
         "qid long, cid long, mmr_rank int, rel double, mmr_score double",
     )
+
+
+# --- Matryoshka (truncated-prefix) retrieval funnel — r14 -------------------
+
+MRL_DIMS = 8  # stage-1 prefix width (full D = 64: an 8x cheaper scan)
+MRL_SHORTLIST = 40  # stage-1 survivors re-ranked at full precision
+
+
+@query(
+    "similarity_topk_matryoshka",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    dots8 AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             SUM(CAST(round(q.v * c.v * {FX}.0) AS BIGINT)) AS dot_fx
+      FROM e q JOIN e c ON q.idx = c.idx
+      WHERE q.vec_id < {N_QUERIES}
+        AND q.idx <= {MRL_DIMS} AND c.idx <= {MRL_DIMS}
+      GROUP BY 1, 2
+    ),
+    norms8 AS (
+      SELECT vec_id,
+             SUM(CAST(round(v * v * {FX}.0) AS BIGINT)) AS norm2_fx
+      FROM e WHERE idx <= {MRL_DIMS} GROUP BY vec_id
+    ),
+    shortlist AS (
+      SELECT qid, cid FROM (
+        SELECT d.qid, d.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.qid
+                 ORDER BY (CAST(d.dot_fx AS DOUBLE) / {FX})
+                          / nullif(sqrt(CAST(nq.norm2_fx AS DOUBLE) / {FX})
+                                 * sqrt(CAST(nc.norm2_fx AS DOUBLE) / {FX}),
+                                   0) DESC,
+                          d.cid
+               ) AS pre_rank
+        FROM dots8 d
+        JOIN norms8 nq ON nq.vec_id = d.qid
+        JOIN norms8 nc ON nc.vec_id = d.cid
+      ) WHERE pre_rank <= {MRL_SHORTLIST}
+    ),
+    dots AS (
+      SELECT s.qid, s.cid,
+             SUM(CAST(round(q.v * c.v * {FX}.0) AS BIGINT)) AS dot_fx
+      FROM shortlist s
+      JOIN e q ON q.vec_id = s.qid
+      JOIN e c ON c.vec_id = s.cid AND c.idx = q.idx
+      GROUP BY 1, 2
+    ),
+    norms AS ({_NORMS_SQL}),
+    cos AS ({_COS_SQL})
+    {_RANK_SQL}
+    """,
+)
+def similarity_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA retrieval funnel (r14 — MRL, Kusupati et al. 2022:
+    embeddings whose PREFIXES are themselves usable embeddings, the
+    production trick behind truncatable embedding APIs): stage 1 scores
+    EVERY candidate with only the first MRL_DIMS(=8)-of-64 dims (an 8×
+    cheaper scan whose shuffle rows carry a 24-byte (qid, cid, cos)
+    triple, never the vector), keeps an MRL_SHORTLIST(=40)-deep
+    shortlist per query, and stage 2 re-ranks ONLY the shortlist at full
+    precision — the two-stage funnel every large-scale vector system
+    runs, complementary to IVF (fewer candidates) and SQ8/PQ (smaller
+    codes): MRL shrinks the DIMENSION axis.
+
+    The contract under the driver's hash is the FUNNEL itself — the
+    oracle replays both stages (fixed-point dots, cid tie-breaks at
+    the shortlist boundary), so a stage-1 scorer that reads full
+    vectors, a shortlist off by one, or a re-rank that keeps prefix
+    scores all hash-mismatch.
+
+    Shuffle budget: stage 1 is a map-only broadcast cross join (queries
+    broadcast; prefix slice per row) + ONE narrow window shuffle for
+    the shortlist; stage 2 joins the Q·40-row shortlist BACK to the
+    corpus (shortlist broadcast — map-side) and re-ranks in one more
+    narrow window. Full vectors never shuffle; at 100 TB the stage-1
+    scan reads an 8-dim column slice (columnar formats store the
+    prefix contiguously under MRL-aware layouts) and the full-D read
+    touches only Q·40 rows."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    pre = emb.select(
+        "vec_id",
+        F.slice("embedding", 1, MRL_DIMS).alias("prefix"),
+    )
+    q = pre.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("prefix").alias("q_pre"),
+        _fx_norm2("prefix").alias("nq2"),
+    )
+    c = pre.select(
+        F.col("vec_id").alias("cid"),
+        F.col("prefix").alias("c_pre"),
+        _fx_norm2("prefix").alias("nc2"),
+    )
+    stage1 = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "cid",
+        _cosine(
+            _fx_dot("c_pre", "q_pre"), F.col("nq2"), F.col("nc2")
+        ).alias("cos_pre"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_pre").desc(), F.col("cid")
+    )
+    shortlist = (
+        stage1.withColumn("pre_rank", F.row_number().over(w))
+        .filter(F.col("pre_rank") <= MRL_SHORTLIST)
+        .select("qid", "cid")
+    )
+    qf = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        _fx_norm2("embedding").alias("nq2"),
+    )
+    cf = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        _fx_norm2("embedding").alias("nc2"),
+    )
+    cos = (
+        cf.join(F.broadcast(shortlist), "cid")
+        .join(F.broadcast(qf), "qid")
+        .select(
+            "qid",
+            "cid",
+            _cosine(
+                _fx_dot("c_emb", "q_emb"), F.col("nq2"), F.col("nc2")
+            ).alias("cosine"),
+        )
+    )
+    return _rank_topk(cos)

@@ -389,3 +389,50 @@ def test_join_foreign_semantics_and_guards(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="collide"):
         left.join_foreign(clash, foreign_key="owner")
+
+
+def test_cogroup_semantics_and_guards(spark, sf_dir):
+    """r14 (KS 2.5 cogroup): per-stream aggregators fold into one
+    per-key table; missing-side fill; name-collision / key-shape /
+    windowed guards."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kstreams_spark.dsl import StreamsBuilder
+
+    b = StreamsBuilder()
+    s1 = b.stream(
+        spark.createDataFrame(
+            [(1, 10.0), (1, 20.0), (2, 5.0)], "k long, v double"
+        ),
+        key="k",
+    ).group_by_key()
+    s2 = b.stream(
+        spark.createDataFrame([(2, 3), (3, 4)], "k long, n long"),
+        key="k",
+    ).group_by_key()
+    out = (
+        s1.cogroup(n_a=F.count(F.lit(1)), sum_a=F.sum("v"))
+        .cogroup(s2, n_b=F.count(F.lit(1)))
+        .aggregate(fill={"n_a": 0, "n_b": 0})
+    )
+    got = {r.k: (r.n_a, r.sum_a, r.n_b) for r in out.df.collect()}
+    assert got == {1: (2, 30.0, 0), 2: (1, 5.0, 1), 3: (0, None, 1)}
+    assert out.keys == ["k"]
+    # guards
+    with pytest.raises(ValueError, match="disjoint"):
+        s1.cogroup(n=F.count(F.lit(1))).cogroup(
+            s2, n=F.count(F.lit(1))
+        ).aggregate()
+    with pytest.raises(ValueError, match="at least one"):
+        s1.cogroup(n=F.count(F.lit(1))).cogroup(s2).aggregate()
+    with pytest.raises(ValueError, match="windowed cogroup"):
+        ts = b.stream(
+            spark.createDataFrame(
+                [(1, "2024-01-01 00:00:00")], "k long, ts string"
+            ).withColumn("ts", F.col("ts").cast("timestamp")),
+            key="k",
+        ).group_by_key().windowed_by("ts", "1 hour")
+        s1.cogroup(n=F.count(F.lit(1))).cogroup(
+            ts, m=F.count(F.lit(1))
+        ).aggregate()

@@ -1241,3 +1241,69 @@ def test_staged_write_returns_exactly_its_files(spark, tmp_path, sf_dir):
         (1, "a=b"),
         (2, None),
     ]
+
+
+def test_table_properties_lifecycle_and_functional_keys(
+    spark, tmp_path, sf_dir
+):
+    """TBLPROPERTIES (r14): set/unset/carry-forward like constraints,
+    survive unrelated commits, travel through clone — and the two
+    FUNCTIONAL keys actually function: kstreams.checkpoint.interval
+    re-tunes the delta-log checkpoint cadence,
+    kstreams.vacuum.graceSeconds sets vacuum's default grace (explicit
+    argument still wins, floor still applies)."""
+    import glob
+
+    from kstreams_spark.lake_snapshot import (
+        snapshot_clone,
+        snapshot_set_properties,
+        snapshot_unset_properties,
+        table_properties,
+    )
+
+    lake = str(tmp_path / "props")
+    corpus = _corpus(spark, sf_dir).filter(F.col("doc_id") < 6)
+    snapshot_publish(corpus, lake)  # v1
+    assert table_properties(lake) == {}
+    v = snapshot_set_properties(
+        lake, {"owner": "data-eng", "kstreams.checkpoint.interval": 2}
+    )
+    assert v == 2
+    assert table_properties(lake) == {
+        "owner": "data-eng",
+        "kstreams.checkpoint.interval": "2",  # stored as strings
+    }
+    # carried through an unrelated commit; live files untouched
+    snapshot_publish(
+        _corpus(spark, sf_dir).filter(F.col("doc_id") == 30),
+        lake,
+        mode="append",
+    )  # v3
+    assert table_properties(lake)["owner"] == "data-eng"
+    assert ls._live_files(lake, 2) == ls._live_files(lake, 1)
+    # FUNCTIONAL: interval=2 -> v4 writes a checkpoint (default is 10)
+    snapshot_publish(
+        _corpus(spark, sf_dir).filter(F.col("doc_id") == 32),
+        lake,
+        mode="append",
+    )  # v4
+    assert glob.glob(
+        os.path.join(lake, "_log", "v0000000004.checkpoint*")
+    ), "property-tuned checkpoint cadence did not fire"
+    # unset; unknown keys raise
+    snapshot_unset_properties(lake, ["owner"])
+    assert "owner" not in table_properties(lake)
+    with pytest.raises(ValueError, match="no table propert"):
+        snapshot_unset_properties(lake, ["owner"])
+    # clone carries what remains
+    dst = str(tmp_path / "props_clone")
+    snapshot_clone(lake, dst)
+    assert table_properties(dst) == {"kstreams.checkpoint.interval": "2"}
+    # vacuum default grace from the property: sub-floor value still
+    # refused without force (the floor is a safety contract, not a
+    # property), a sane value is honored as the default
+    snapshot_set_properties(lake, {"kstreams.vacuum.graceSeconds": 0})
+    with pytest.raises(ValueError, match="floor"):
+        vacuum(lake, keep_versions=1)
+    snapshot_set_properties(lake, {"kstreams.vacuum.graceSeconds": 7200})
+    vacuum(lake, keep_versions=1)  # 2h >= floor: accepted as default

@@ -844,3 +844,53 @@ def test_kgrouped_table_two_exchange_shape(plan_spark, sf_dir):
     plan = physical_plan(df)
     assert count_exchanges(df) == 2, plan
     assert "Window" in plan and "CartesianProduct" not in plan, plan
+
+
+def test_matryoshka_funnel_plan(plan_spark, sf_dir):
+    """r14 MRL funnel: stage 1 must be a BROADCAST cross join (queries
+    broadcast — no CartesianProduct, no full-vector shuffle), the
+    stage-2 joins must broadcast the Q·40 shortlist and the query
+    vectors, and the only real shuffles are the two narrow top-k
+    windows (+ the spread() repartition of the fixture input)."""
+    df = q("similarity_topk_matryoshka", plan_spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies, strategies
+    assert strategies.count("BroadcastNestedLoopJoin") == 1, strategies
+    assert all(
+        s in ("BroadcastNestedLoopJoin", "BroadcastHashJoin")
+        for s in strategies
+    ), strategies
+    # spread() round-robin + two window shuffles; nothing else
+    assert count_exchanges(df) <= 3, physical_plan(df)
+
+
+def test_fk_join_broadcasts_dimension(plan_spark, sf_dir):
+    """r14 KS 2.4 FK join: the thinned customer dimension must
+    broadcast — Kafka Streams pays two repartition topics for this
+    verb; one hash-broadcast is the Spark win the docstring claims."""
+    strategies = join_strategies(q("dsl_ktable_fk_join", plan_spark, sf_dir))
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_url_canonical_is_pure_aggregation(plan_spark, sf_dir):
+    """r14 URL dedup: per-row string work into two aggregations — no
+    join of any kind (cheapest dedup family member)."""
+    df = q("dedup_url_canonical", plan_spark, sf_dir)
+    assert join_strategies(df) == [], physical_plan(df)
+    # spread() + two agg exchanges
+    assert count_exchanges(df) <= 3
+
+
+def test_funnel_joins_stay_on_user_id(plan_spark, sf_dir):
+    """r14 ordered funnel: no cartesian anywhere; every join keys on
+    user_id so one hash partitioning serves all three stages."""
+    df = q("events_funnel_conversion", plan_spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+    plan = physical_plan(df)
+    import re as _re
+
+    joins = _re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[?([a-z_]+)", plan)
+    assert all(k.startswith("user_id") for k in joins), joins
