@@ -145,6 +145,7 @@ HEADLINE = [
     "multimodal_image_decode_jpeg_progressive_420",  # added r14: 4:2:0 + DRI/RSTn
     "multimodal_image_decode_png_rgba",  # added r13: alpha composite features
     "multimodal_image_decode_png_depths",  # added r14: 1/2/4/16-bit depth matrix
+    "multimodal_audio_g711_features",  # added r14: telephony mu-law/A-law decode
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------

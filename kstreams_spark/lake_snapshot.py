@@ -1127,6 +1127,8 @@ def snapshot_merge(
     partition_cols: tuple[str, ...] = ("split", "lang"),
     evolve: bool = False,
     merge_on_read: bool = False,
+    delete_col: str | None = None,
+    new_epoch: int | None = None,
 ) -> dict:
     """MERGE INTO (the Delta verb this lake was missing — tests used to
     hand-roll upserts with _commit): source rows whose keys exist in
@@ -1160,29 +1162,57 @@ def snapshot_merge(
     columns (unionByName allowMissingColumns) and the commit records
     the evolved schema. A concurrent commit aborts loudly
     (maintenance semantics — re-run against the new snapshot). Crash
-    anywhere before the commit = all-old plus vacuum-able orphans."""
+    anywhere before the commit = all-old plus vacuum-able orphans.
+
+    `delete_col` (r14 — Delta's WHEN MATCHED THEN DELETE arm): a
+    boolean column on the source marking DELETE intents; flagged rows
+    contribute their keys to the match set but write NOTHING — in CoW
+    the rewritten partitions simply drop them, in merge-on-read they
+    become DV tombstones with no paired append. A delete intent whose
+    key matches nothing is a no-op (Delta's rule). Flagged rows need
+    only their key columns (the rest may be NULL) and are exempt from
+    CHECK enforcement — they write no data. Returns a "deleted" count
+    alongside updated/inserted. `new_epoch` records a stream epoch in
+    the commit (the exactly-once hook for merge-based view
+    maintainers — LakeMaterializedEnrichedJoin)."""
     versions = snapshot_versions(path)
     if not versions:
         raise ValueError(f"no committed snapshots under {path}")
     base_version = versions[-1]
     m = _read_manifest(path, base_version)
-    schema_ddl = _check_append_schema(
-        source.schema.simpleString(), m["schema"], evolve, "snapshot_merge"
+    keys = list(key_cols)
+    is_del = (
+        F.coalesce(F.col(delete_col), F.lit(False))
+        if delete_col is not None
+        else F.lit(False)
     )
-    _check_added_names(source.schema.simpleString(), m, "snapshot_merge")
+    src_data = (
+        source.filter(~is_del).drop(delete_col)
+        if delete_col is not None
+        else source
+    )
+    schema_ddl = _check_append_schema(
+        src_data.schema.simpleString(), m["schema"], evolve, "snapshot_merge"
+    )
+    _check_added_names(src_data.schema.simpleString(), m, "snapshot_merge")
     live = _live_files(path, base_version)
     _check_partition_cols(live, partition_cols, "snapshot_merge")
     cons = table_constraints(path)
-    if cons:
-        _enforce_constraints(source, cons, "snapshot_merge")
-    keys = list(key_cols)
-    # ONE job answers both "any duplicate source keys?" and "how many
-    # source rows?" (r14; was a limit(1).count() plus a source.count())
+    if cons:  # delete intents write nothing — data rows only
+        _enforce_constraints(src_data, cons, "snapshot_merge")
+    # ONE job answers "any duplicate source keys?", "how many source
+    # rows?" and "how many are delete intents?" (r14; was a
+    # limit(1).count() plus a source.count())
     src_stats = (
         source.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max(is_del.cast("int")).alias("_d"),
+        )
         .select(
-            F.max("_n").alias("_mx"), F.sum("_n").alias("_total")
+            F.max("_n").alias("_mx"),
+            F.sum("_n").alias("_total"),
+            F.sum("_d").alias("_dels"),
         )
         .first()
     )
@@ -1192,39 +1222,50 @@ def snapshot_merge(
             "intent per key (the Delta MERGE contract); pre-aggregate "
             "the source"
         )
-    n_source = int(src_stats["_total"] or 0)
+    n_source = int(src_stats["_total"] or 0) - int(src_stats["_dels"] or 0)
     if merge_on_read:
         return _merge_mor(
             spark, path, source, keys, partition_cols, m,
-            base_version, live, schema_ddl, n_source,
+            base_version, live, schema_ddl, n_source, is_del, src_data,
+            new_epoch,
         )
     target = snapshot_read(spark, path, base_version)
-    src_keys = source.select(*keys).distinct()
-    matched = target.join(src_keys, keys, "semi")
-    # ONE job answers both "which partitions hold matches?" (bounded
-    # driver state: distinct partition values) and "how many rows
-    # update?" (r14; was a count() plus a distinct().collect())
-    affected = (
-        matched.groupBy(*partition_cols)
-        .agg(F.count(F.lit(1)).alias("_n_rows"))
+    src_keys = source.select(*keys, is_del.alias("_del")).distinct()
+    matched = target.join(F.broadcast(src_keys), keys, "inner")
+    # ONE job answers "which partitions hold matches?" (bounded driver
+    # state: distinct partition values), "how many rows update?" and
+    # "how many delete?" (r14; was a count() plus a
+    # distinct().collect())
+    affected = [
+        r
+        for r in matched.groupBy(*partition_cols)
+        .agg(
+            F.sum(F.when(~F.col("_del"), 1).otherwise(0)).alias("_n_rows"),
+            F.sum(F.when(F.col("_del"), 1).otherwise(0)).alias("_n_dels"),
+        )
         .collect()
-    )
-    updated = sum(int(r["_n_rows"]) for r in affected)
+        # an UNPARTITIONED layout's global agg returns one all-NULL row
+        # over an empty match set — that is "no affected partitions"
+        if (r["_n_rows"] or 0) + (r["_n_dels"] or 0) > 0
+    ]
+    updated = sum(int(r["_n_rows"] or 0) for r in affected)
+    deleted = sum(int(r["_n_dels"] or 0) for r in affected)
     inserted = n_source - updated
     removed: set[str] = set()
     for row in affected:
         removed |= {f for f in live if _in_partition(f, row, partition_cols)}
     survivors = (
         _merge_survivors(
-            spark, target, affected, src_keys, keys, partition_cols
+            spark, target, affected, src_keys.select(*keys), keys,
+            partition_cols,
         )
         if affected
         else None
     )
     to_write = (
-        source
+        src_data
         if survivors is None
-        else survivors.unionByName(source, allowMissingColumns=evolve)
+        else survivors.unionByName(src_data, allowMissingColumns=evolve)
     )
     added = _write_staged(
         _to_physical_df(to_write, m.get("column_map", {})),
@@ -1237,8 +1278,14 @@ def snapshot_merge(
         "merge",
         schema_ddl,
         base_version=base_version,
+        new_epoch=new_epoch,
     )
-    return {"updated": updated, "inserted": inserted, "version": version}
+    return {
+        "updated": updated,
+        "inserted": inserted,
+        "deleted": deleted,
+        "version": version,
+    }
 
 
 def _merge_mor(
@@ -1252,6 +1299,9 @@ def _merge_mor(
     live: set[str],
     schema_ddl: str,
     n_source: int,
+    is_del,
+    src_data: DataFrame,
+    new_epoch: int | None,
 ) -> dict:
     """The merge-on-read MERGE body (snapshot_merge merge_on_read=True):
     matched rows' addresses → DV tombstones, all source rows → appended
@@ -1294,12 +1344,12 @@ def _merge_mor(
             & (F.col("_ri") == F.col("_dv_ri")),
             "left_anti",
         )
-    src_keys = source.select(*keys).distinct()
+    src_keys = source.select(*keys, is_del.alias("_del")).distinct()
     prev_pos = sum(len(p) for p in prev_dvs.values())
     budget = DRIVER_DV_MAX_POSITIONS - prev_pos
     hits = (
-        scan.join(F.broadcast(src_keys), keys, "semi")
-        .select("_fp", "_ri")
+        scan.join(F.broadcast(src_keys), keys, "inner")
+        .select("_fp", "_ri", "_del")
         .limit(max(budget, 0) + 1)
         .collect()
     )
@@ -1311,7 +1361,8 @@ def _merge_mor(
             f"{DRIVER_DV_MAX_POSITIONS}) — use the copy-on-write mode "
             "for wide merges, or snapshot_compact first"
         )
-    updated = len(hits)
+    deleted = sum(1 for r in hits if r._del)
+    updated = len(hits) - deleted
     inserted = n_source - updated
     new_map = dict(m.get("dvs", {}))
     if hits:
@@ -1329,7 +1380,7 @@ def _merge_mor(
         for f in changed:
             new_map[f] = sidecar
     added = _write_staged(
-        _to_physical_df(source, cmap), path, partition_cols
+        _to_physical_df(src_data, cmap), path, partition_cols
     )
     version = _commit(
         path,
@@ -1338,8 +1389,14 @@ def _merge_mor(
         schema_ddl,
         base_version=base_version,
         set_dvs=new_map,
+        new_epoch=new_epoch,
     )
-    return {"updated": updated, "inserted": inserted, "version": version}
+    return {
+        "updated": updated,
+        "inserted": inserted,
+        "deleted": deleted,
+        "version": version,
+    }
 
 
 def _merge_survivors(

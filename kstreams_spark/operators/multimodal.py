@@ -395,6 +395,39 @@ def synth_wav(doc_id: int, text_bytes: int) -> bytes:
     return encode_wav(_wav_samples(doc_id, n), WAV_SR)
 
 
+def encode_wav_g711(codes: list[int], sr: int, law: str) -> bytes:
+    """G.711-coded bytes + rate → a complete RIFF/WAVE file with format
+    code 7 (µ-law) or 6 (A-law), 8 bits/sample, mono — the telephony
+    WAV layout (r14)."""
+    import struct
+
+    fmt_code = 7 if law == "ulaw" else 6
+    data = bytes(c & 0xFF for c in codes)
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, fmt_code, 1, sr, sr, 1, 8)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return header + data
+
+
+def synth_wav_g711(doc_id: int) -> bytes:
+    """Deterministic G.711 fixture: byte codes (doc_id*13 + i*7) % 256
+    over n = 50 + doc_id % 80 samples @ 8 kHz (the telephony rate);
+    even docs µ-law, odd docs A-law — every segment/sign/mantissa
+    combination appears across the corpus, so a decoder with any
+    segment-shift or bias bug is value-wrong somewhere."""
+    n = 50 + doc_id % 80
+    codes = [(doc_id * 13 + i * 7) % 256 for i in range(n)]
+    return encode_wav_g711(
+        codes, 8000, "ulaw" if doc_id % 2 == 0 else "alaw"
+    )
+
+
 def _wav_fmt_data(payload: bytes) -> tuple[tuple, bytes]:
     """THE RIFF/WAVE chunk walk — single source of truth for header
     validation, word-aligned chunk stepping, and fmt/data location
@@ -446,19 +479,49 @@ def downsample_wav_half(payload: bytes) -> bytes:
     return encode_wav(samples[::2], sr // 2)
 
 
+def _ulaw_to_linear(b: int) -> int:
+    """ITU-T G.711 µ-law byte → 16-bit linear (the spec's expansion,
+    the Sun/CCITT reference form: bias 0x84, 3-bit segment, 4-bit
+    mantissa, sign in the top bit of the COMPLEMENTED byte)."""
+    u = ~b & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return 0x84 - t if u & 0x80 else t - 0x84
+
+
+def _alaw_to_linear(b: int) -> int:
+    """ITU-T G.711 A-law byte → 16-bit linear (XOR 0x55 unmasking,
+    segment 0/1 special cases per the spec's expansion table)."""
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
 def parse_wav(payload: bytes) -> dict:
     """Real RIFF parser (stdlib only): validates magic, walks chunks to
-    fmt/data (via the shared _wav_fmt_data walk), unpacks PCM16 and
-    computes exact integer features. Raises ValueError on malformed
-    input."""
+    fmt/data (via the shared _wav_fmt_data walk), unpacks PCM16 — or
+    expands G.711 µ-law/A-law bytes (format codes 7/6, 8-bit; r14 — the
+    telephony-corpus encodings) to 16-bit linear — and computes exact
+    integer features. Raises ValueError on malformed input."""
     from array import array
 
     fmt, data = _wav_fmt_data(payload)
     audio_format, channels, sr, _byte_rate, _block_align, bits = fmt
-    if audio_format != 1 or bits != 16:
+    if audio_format == 7 and bits == 8:  # G.711 µ-law
+        samples = [_ulaw_to_linear(b) for b in data]
+    elif audio_format == 6 and bits == 8:  # G.711 A-law
+        samples = [_alaw_to_linear(b) for b in data]
+    elif audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported format {audio_format}/{bits}")
-    samples = array("h")
-    samples.frombytes(data[: len(data) - len(data) % 2])
+    else:
+        samples = array("h")
+        samples.frombytes(data[: len(data) - len(data) % 2])
     return {
         "sample_rate": sr,
         "n_channels": channels,
@@ -602,6 +665,70 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sees only (doc_id, payload)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return _audio_payloads(d).mapInPandas(
+        _decode_stage(_wav_features, AUDIO_SCHEMA), AUDIO_SCHEMA
+    )
+
+
+@query(
+    "multimodal_audio_g711_features",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, 50 + doc_id % 80 AS n FROM documents
+      WHERE doc_id < 200
+    ),
+    codes AS (
+      SELECT doc_id, n, (doc_id * 13 + i * 7) % 256 AS b,
+             doc_id % 2 = 0 AS is_ulaw
+      FROM docs, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) t
+    ),
+    lin AS (  -- ITU-T G.711 expansion, both laws, pure integer
+      SELECT doc_id, n,
+        CASE WHEN is_ulaw THEN
+          CASE WHEN (255 - b) >= 128
+               THEN 132 - ((((255 - b) % 16) * 8 + 132)
+                           * (1 << (((255 - b) // 16) % 8)))
+               ELSE ((((255 - b) % 16) * 8 + 132)
+                     * (1 << (((255 - b) // 16) % 8))) - 132 END
+        ELSE
+          CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+          CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                 THEN (xor(b, 85) % 16) * 16 + 8
+               WHEN ((xor(b, 85) // 16) % 8) = 1
+                 THEN (xor(b, 85) % 16) * 16 + 264
+               ELSE ((xor(b, 85) % 16) * 16 + 264)
+                    * (1 << (((xor(b, 85) // 16) % 8) - 1)) END
+        END AS s
+      FROM codes
+    )
+    SELECT doc_id,
+           8000 AS sample_rate,
+           CAST(n AS INTEGER) AS n_samples,
+           (n * 1000) // 8000 AS duration_ms,
+           SUM(s * s)::BIGINT AS sum_sq,
+           CAST(MAX(ABS(s)) AS INTEGER) AS peak,
+           SUM(s)::BIGINT AS checksum
+    FROM lin GROUP BY doc_id, n
+    """,
+)
+def multimodal_audio_g711_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """G.711 µ-law/A-law WAV decode (r14 — format codes 7/6, the
+    TELEPHONY corpus encodings; call-center and voicemail datasets are
+    overwhelmingly 8 kHz G.711): the fixture writes real 8-bit-coded
+    RIFF files (even docs µ-law, odd A-law; every segment/sign/mantissa
+    combination appears across the corpus), the parser expands each
+    byte through the spec's integer formulas to 16-bit linear, and the
+    oracle replays BOTH expansions in pure-integer SQL — a wrong bias,
+    segment shift, or sign convention in either law is value-wrong on
+    half the corpus. Same feature schema as the PCM16 query, so the
+    two paths are directly comparable."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_wav_g711(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+    return payloads.mapInPandas(
         _decode_stage(_wav_features, AUDIO_SCHEMA), AUDIO_SCHEMA
     )
 

@@ -267,3 +267,205 @@ class LakeMaterializedAggregate:
         from kstreams_spark.lake_snapshot import snapshot_read
 
         return snapshot_read(spark, self.view_path)
+
+
+class LakeMaterializedEnrichedJoin:
+    """ROW-LEVEL maintained FK-join view (r14 — KIP-213's changelog
+    form at row grain, completing the aggregated form that
+    KGroupedTable.materialized covers): the view is
+
+        SELECT left.*, dim value columns
+        FROM <lake> left [INNER|LEFT] JOIN dim
+          ON left.<foreign_key> = dim.<dim_key>
+
+    keyed by the LEFT table's primary key and maintained from the
+    lake's PARTITIONED signed change feed with ONE merge commit per
+    microbatch: upserts and deletes travel in the same
+    snapshot_merge(delete_col=...) call (Delta's WHEN MATCHED DELETE),
+    so a reader sees each batch entirely or not at all, and the epoch
+    recorded by that commit makes crash-replays literal no-ops.
+
+    Per batch (partial recompute — the join IVM rule specialized to a
+    static/broadcast dimension): classify the signed rows
+    (classify_changes), keep each key's FINAL action across the
+    batch's versions (max _commit_version; update preimages dropped),
+    re-enrich the surviving post-images against the dimension, and
+    MERGE: post-images upsert, deleted keys — plus, under how="inner",
+    keys whose new FK dangles (the enrich dropped them) — carry delete
+    intents. An FK-value update therefore MOVES the row between join
+    partners, an FK update to a dangling value REMOVES it from an
+    inner view, and a later fix re-inserts it: the three KIP-213
+    transitions, each one merge arm.
+
+    Scope: the dimension is a driver-captured DataFrame re-evaluated
+    per batch (broadcast-sized — the common FK-join shape; a CHANGING
+    right side needs the bilateral subscription protocol, out of
+    scope and stated). Per-batch cost is O(changed keys + their dim
+    matches); the view rewrite is partition-grain copy-on-write via
+    snapshot_merge."""
+
+    def __init__(
+        self,
+        view_path: str,
+        key_cols: tuple[str, ...],
+        dim: DataFrame,
+        foreign_key: str,
+        dim_key: str,
+        how: str = "left",
+        partition_cols: tuple[str, ...] = (),
+    ) -> None:
+        if how not in ("inner", "left"):
+            raise ValueError(f"how must be inner/left, got {how!r}")
+        overlap = set(dim.columns) & set(key_cols)
+        if overlap:
+            raise ValueError(
+                f"dimension columns {sorted(overlap)} collide with the "
+                "view key"
+            )
+        self.view_path = view_path
+        self.key_cols = tuple(key_cols)
+        self.dim = dim
+        self.foreign_key = foreign_key
+        self.dim_key = dim_key
+        self.how = how
+        self.partition_cols = tuple(partition_cols)
+
+    def _enrich(self, left: DataFrame) -> DataFrame:
+        overlap = (set(self.dim.columns) - {self.dim_key}) & set(
+            left.columns
+        )
+        if overlap:
+            raise ValueError(
+                f"dimension value column(s) {sorted(overlap)} collide "
+                "with left columns — rename a side"
+            )
+        l_, d_ = left.alias("_ej_l"), self.dim.alias("_ej_d")
+        joined = l_.join(
+            d_,
+            F.col(f"_ej_l.{self.foreign_key}")
+            == F.col(f"_ej_d.{self.dim_key}"),
+            self.how,
+        )
+        return joined.select(
+            *[F.col(f"_ej_l.{c}") for c in left.columns],
+            *[
+                F.col(f"_ej_d.{c}")
+                for c in self.dim.columns
+                if c != self.dim_key
+            ],
+        )
+
+    def bootstrap(
+        self, spark: SparkSession, lake_path: str, version: int | None = None
+    ) -> int:
+        from kstreams_spark.lake_snapshot import (
+            snapshot_publish,
+            snapshot_read,
+            snapshot_versions,
+        )
+
+        versions = snapshot_versions(lake_path)
+        if not versions:
+            raise ValueError(f"no committed snapshots under {lake_path}")
+        v = versions[-1] if version is None else version
+        snapshot_publish(
+            self._enrich(snapshot_read(spark, lake_path, v)),
+            self.view_path,
+            partition_cols=self.partition_cols,
+        )
+        return v
+
+    def committed_epochs(self) -> set[int]:
+        from kstreams_spark.lake_snapshot import (
+            _read_manifest,
+            snapshot_versions,
+        )
+
+        versions = snapshot_versions(self.view_path)
+        if not versions:
+            return set()
+        return set(
+            _read_manifest(self.view_path, versions[-1]).get("epochs", [])
+        )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        from kstreams_spark.lake_snapshot import snapshot_merge
+        from kstreams_spark.sources.lake_cdf import classify_changes
+
+        if int(epoch_id) in self.committed_epochs():
+            return  # crash-replay of a committed batch: no-op
+        keys = list(self.key_cols)
+        classified = classify_changes(batch_df, self.key_cols).filter(
+            F.col("_change") != "update_preimage"
+        )
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("_commit_version").desc()
+        )
+        finals = (
+            classified.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_commit_version")
+        )
+        states = finals.filter(F.col("_change") != "delete").drop("_change")
+        enriched = self._enrich(states).withColumn("_rm", F.lit(False))
+        # deletes: explicit deletes, plus (inner) keys whose new FK
+        # dangles — the enrich dropped them but they may be in the view
+        del_keys = finals.filter(F.col("_change") == "delete").select(*keys)
+        if self.how == "inner":
+            del_keys = del_keys.unionByName(
+                states.select(*keys).exceptAll(
+                    enriched.select(*keys)
+                )
+            )
+        dels = del_keys
+        for c in enriched.columns:
+            if c not in keys and c != "_rm":
+                dels = dels.withColumn(
+                    c, F.lit(None).cast(dict(enriched.dtypes)[c])
+                )
+        dels = dels.withColumn("_rm", F.lit(True)).select(enriched.columns)
+        src = enriched.unionByName(dels)
+        if src.isEmpty():
+            return  # a version with no net changes (e.g. compaction)
+        snapshot_merge(
+            batch_df.sparkSession,
+            self.view_path,
+            src,
+            key_cols=self.key_cols,
+            partition_cols=self.partition_cols,
+            delete_col="_rm",
+            new_epoch=int(epoch_id),
+        )
+
+    def attach(
+        self,
+        spark: SparkSession,
+        lake_path: str,
+        checkpoint_dir: str,
+        start_version: int,
+    ):
+        """Follow the lake's PARTITIONED signed feed from
+        `start_version` (the bootstrap's return value)."""
+        from kstreams_spark.sources.lake_cdf import (
+            LakeChangeFeedDistDataSource,
+        )
+
+        spark.dataSource.register(LakeChangeFeedDistDataSource)
+        stream = (
+            spark.readStream.format("kstreams_lake_cdf_dist")
+            .option("path", lake_path)
+            .option("start_version", str(start_version))
+            .load()
+        )
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+
+    def result(self, spark: SparkSession) -> DataFrame:
+        from kstreams_spark.lake_snapshot import snapshot_read
+
+        return snapshot_read(spark, self.view_path)

@@ -760,7 +760,7 @@ def test_merge_upserts_atomically_with_time_travel(spark, tmp_path, sf_dir):
         )
     )
     r = snapshot_merge(spark, lake, src)
-    assert r == {"updated": 2, "inserted": 2, "version": 2}
+    assert r == {"updated": 2, "inserted": 2, "deleted": 0, "version": 2}
     now = {x.doc_id: x.text for x in snapshot_read(spark, lake).collect()}
     assert len(now) == 12
     assert now[2] == "merged body" and now[3] == "merged body"
@@ -1307,3 +1307,61 @@ def test_table_properties_lifecycle_and_functional_keys(
         vacuum(lake, keep_versions=1)
     snapshot_set_properties(lake, {"kstreams.vacuum.graceSeconds": 7200})
     vacuum(lake, keep_versions=1)  # 2h >= floor: accepted as default
+
+
+def test_merge_when_matched_delete(spark, tmp_path, sf_dir):
+    """r14 — Delta's WHEN MATCHED THEN DELETE arm (`delete_col`): one
+    MERGE commit carries upserts AND deletes; flagged rows need only
+    their keys, never write data, are exempt from CHECK enforcement,
+    and a delete intent matching nothing is a no-op. Both CoW and
+    merge-on-read (DV tombstone with no paired append)."""
+    from kstreams_spark.lake_snapshot import (
+        snapshot_merge,
+        snapshot_set_constraint,
+        table_dvs,
+    )
+
+    for mor in (False, True):
+        lake = str(tmp_path / f"mwd_{mor}")
+        corpus = _corpus(spark, sf_dir).filter(F.col("doc_id") < 10)
+        snapshot_publish(corpus, lake)
+        snapshot_set_constraint(spark, lake, "nonempty", "length(text) > 0")
+        # source: update doc 0, delete docs 2+3, insert doc 100,
+        # delete-intent for a nonexistent key 999 (no-op), with the
+        # delete rows carrying NULL text (keys only — and the CHECK
+        # must not fire on them)
+        upd = corpus.filter(F.col("doc_id") == 0).withColumn(
+            "text", F.concat(F.lit("EDIT:"), F.col("text"))
+        )
+        ins = _corpus(spark, sf_dir).filter(F.col("doc_id") == 100)
+        dels = spark.createDataFrame(
+            [(2, "train"), (3, "val"), (999, "train")],
+            "doc_id long, split string",
+        ).withColumn("text", F.lit(None).cast("string")).withColumn(
+            "lang", F.lit("en")
+        ).select("doc_id", "text", "split", "lang")
+        src = (
+            upd.withColumn("_rm", F.lit(False))
+            .unionByName(ins.withColumn("_rm", F.lit(False)))
+            .unionByName(dels.withColumn("_rm", F.lit(True)))
+        )
+        r = snapshot_merge(
+            spark,
+            lake,
+            src,
+            key_cols=("doc_id",),
+            delete_col="_rm",
+            merge_on_read=mor,
+        )
+        assert r["updated"] == 1 and r["inserted"] == 1, (mor, r)
+        assert r["deleted"] == 2, (mor, r)  # 999 matched nothing
+        got = {
+            r2.doc_id: r2.text
+            for r2 in snapshot_read(spark, lake).collect()
+        }
+        assert 2 not in got and 3 not in got and 999 not in got
+        assert got[0].startswith("EDIT:") and 100 in got
+        assert len(got) == 10 - 2 + 1
+        if mor:  # the deletes are DV tombstones, not rewrites
+            dvs = table_dvs(lake, snapshot_versions(lake)[-1])
+            assert sum(len(p) for p in dvs.values()) == 3  # 0, 2, 3

@@ -371,3 +371,132 @@ def test_fk_move_changelog_parity(spark, tmp_path, sf_dir):
     }
     assert after[3] == before_counts[3] + 1 + 1  # moved doc 8 + insert 203
     assert after[0] == before_counts[0] - 1 + 2 - 1  # -8, +200+204, -12
+
+
+def test_enriched_join_view_tracks_all_kip213_transitions(
+    spark, tmp_path, sf_dir
+):
+    """r14 — LakeMaterializedEnrichedJoin (row-level KIP-213 changelog
+    form): the maintained enriched view stays row-equal to
+    KTable.join_foreign recomputed from the latest snapshot across the
+    three FK transitions (partner→partner move, partner→dangling —
+    which must REMOVE the row from an inner view — and dangling→partner
+    re-insert), plus plain inserts, value updates, deletes, and a
+    crash-replay (epoch no-op)."""
+    from kstreams_spark.dsl import StreamsBuilder
+    from kstreams_spark.streaming.materialized import (
+        LakeMaterializedEnrichedJoin,
+    )
+
+    lake = str(tmp_path / "ej_lake")
+    view = str(tmp_path / "ej_view")
+    docs = _docs(spark, sf_dir).withColumn(
+        "owner", (F.col("doc_id") % 3).cast("bigint")
+    )
+    snapshot_publish(docs, lake, partition_cols=("split",))
+    dim = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma")],
+        "owner_id long, owner_name string",
+    )
+    m = LakeMaterializedEnrichedJoin(
+        view, ("doc_id",), dim, "owner", "owner_id", how="inner"
+    )
+    start_v = m.bootstrap(spark, lake)
+
+    def view_rows():
+        return {
+            (r.doc_id, r.owner, r.owner_name, r.chars)
+            for r in m.result(spark)
+            .select("doc_id", "owner", "owner_name", "chars")
+            .collect()
+        }
+
+    def recompute():
+        b = StreamsBuilder()
+        left = b.table(
+            snapshot_read(spark, lake), key="doc_id", order_by="doc_id"
+        )
+        d = b.table(dim, key="owner_id", order_by="owner_id")
+        return {
+            (r.doc_id, r.owner, r.owner_name, r.chars)
+            for r in left.join_foreign(d, foreign_key="owner", how="inner")
+            .df.select("doc_id", "owner", "owner_name", "chars")
+            .collect()
+        }
+
+    assert view_rows() == recompute()  # bootstrap parity
+    q = m.attach(spark, lake, str(tmp_path / "ej_ckpt"), start_v)
+    try:
+        # partner->partner FK move (6: 0->2), partner->DANGLING (9: ->7,
+        # must leave the inner view), value update (12), delete (15, 16),
+        # inserts (200..204 incl. a dangling one)
+        src = _docs(spark, sf_dir, 6, 13).filter(
+            F.col("doc_id").isin([6, 9, 12])
+        )
+        src = src.withColumn(
+            "owner",
+            F.when(F.col("doc_id") == 6, F.lit(2))
+            .when(F.col("doc_id") == 9, F.lit(7))  # dangling
+            .otherwise(F.col("doc_id") % 3)
+            .cast("bigint"),
+        ).withColumn(
+            "chars",
+            F.when(F.col("doc_id") == 12, F.col("chars") + 777).otherwise(
+                F.col("chars")
+            ),
+        )
+        snapshot_merge(
+            spark, lake, src, key_cols=("doc_id",), partition_cols=("split",)
+        )
+        snapshot_publish(
+            _docs(spark, sf_dir, 200, 205).withColumn(
+                "owner",
+                F.when(F.col("doc_id") == 203, F.lit(9))  # dangling insert
+                .otherwise(F.col("doc_id") % 3)
+                .cast("bigint"),
+            ),
+            lake,
+            mode="append",
+            partition_cols=("split",),
+        )
+        snapshot_delete_where(
+            spark, lake, "doc_id IN (15, 16)", partition_cols=("split",)
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert view_rows() == recompute()
+    got = {r[0]: r for r in view_rows()}
+    assert got[6][2] == "gamma"  # moved to partner 2
+    assert 9 not in got  # dangling FK left the inner view
+    assert 203 not in got and 200 in got
+    assert got[12][3] is not None
+
+    # dangling -> partner re-insert: fix doc 9's FK
+    q = m.attach(spark, lake, str(tmp_path / "ej_ckpt"), start_v)
+    try:
+        fix = (
+            _docs(spark, sf_dir, 9, 10)
+            .withColumn("owner", F.lit(1).cast("bigint"))
+        )
+        snapshot_merge(
+            spark, lake, fix, key_cols=("doc_id",), partition_cols=("split",)
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert view_rows() == recompute()
+    assert {r[0]: r for r in view_rows()}[9][2] == "beta"
+
+    # crash-replay: re-processing a committed epoch is a literal no-op
+    n_versions = len(snapshot_versions(view))
+    from kstreams_spark.sources.lake_cdf import step_changes  # noqa: F401
+
+    m.process_batch(
+        spark.createDataFrame(
+            [], "doc_id long, lang string, chars double, split string, "
+            "_side int, _commit_version long"
+        ),
+        epoch_id=max(m.committed_epochs()),
+    )
+    assert len(snapshot_versions(view)) == n_versions

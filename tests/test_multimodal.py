@@ -163,3 +163,66 @@ def test_avi_resize_roundtrip():
             for y, row in enumerate(grid):
                 for x, px in enumerate(row):
                     assert px == src[f][2 * y][2 * x], (doc_id, f, x, y)
+
+
+def test_g711_expansion_matches_spec_golden_values():
+    """r14: G.711 µ-law/A-law byte→linear expansion against golden
+    values from the ITU-T G.711 tables (Sun/CCITT reference
+    convention): code extremes, segment boundaries, and the
+    sign symmetry both laws guarantee."""
+    from kstreams_spark.operators.multimodal import (
+        _alaw_to_linear,
+        _ulaw_to_linear,
+    )
+
+    # µ-law: 0x80/0x00 are the +/- extremes; 0xFF/0x7F decode to 0
+    assert _ulaw_to_linear(0x80) == 32124
+    assert _ulaw_to_linear(0x00) == -32124
+    assert _ulaw_to_linear(0xFF) == 0
+    assert _ulaw_to_linear(0x7F) == 0
+    # sign symmetry: code and code^0x80 are exact negatives
+    assert all(
+        _ulaw_to_linear(b) == -_ulaw_to_linear(b ^ 0x80)
+        for b in range(256)
+    )
+    # A-law: extremes and the segment-0/1 boundary values
+    assert _alaw_to_linear(0xAA) == 32256  # 0xAA ^ 0x55 = 0xFF: max +
+    assert _alaw_to_linear(0x2A) == -32256
+    assert _alaw_to_linear(0xD5) == 8  # 0xD5 ^ 0x55 = 0x80: smallest +
+    assert _alaw_to_linear(0x55) == -8
+    assert all(
+        _alaw_to_linear(b) == -_alaw_to_linear(b ^ 0x80)
+        for b in range(256)
+    )
+
+
+def test_g711_wav_roundtrip_through_parser():
+    """The fixture's G.711 RIFF files parse back to the expanded
+    linear features; PCM16 files still parse; a G.711 format code with
+    the wrong bit depth refuses."""
+    import pytest as _pytest
+
+    from kstreams_spark.operators.multimodal import (
+        _ulaw_to_linear,
+        parse_wav,
+        synth_wav_g711,
+    )
+
+    for doc in (0, 1, 7, 12):
+        payload = synth_wav_g711(doc)
+        feats = parse_wav(payload)
+        n = 50 + doc % 80
+        assert feats["sample_rate"] == 8000
+        assert feats["n_samples"] == n
+        if doc % 2 == 0:  # µ-law: replay the expansion directly
+            lin = [
+                _ulaw_to_linear((doc * 13 + i * 7) % 256) for i in range(n)
+            ]
+            assert feats["checksum"] == sum(lin)
+            assert feats["peak"] == max(abs(s) for s in lin)
+    # wrong bits for a G.711 format code refuses by name
+    bad = bytearray(synth_wav_g711(0))
+    at = bad.index(b"fmt ") + 8
+    bad[at + 14] = 16  # bits field inside fmt
+    with _pytest.raises(ValueError, match="unsupported format"):
+        parse_wav(bytes(bad))
