@@ -146,6 +146,7 @@ HEADLINE = [
     "multimodal_image_decode_png_rgba",  # added r13: alpha composite features
     "multimodal_image_decode_png_depths",  # added r14: 1/2/4/16-bit depth matrix
     "multimodal_audio_g711_features",  # added r14: telephony mu-law/A-law decode
+    "multimodal_video_apng_frames",  # added r14: APNG blend/dispose compositing
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------

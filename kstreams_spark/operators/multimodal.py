@@ -3202,6 +3202,100 @@ def multimodal_image_decode_jpeg_progressive(
 
 
 @query(
+    "multimodal_video_apng_frames",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 7 AS w, 5 + doc_id % 4 AS h,
+             2 + doc_id % 3 AS k
+      FROM documents WHERE doc_id < 200
+    ),
+    gs AS (  -- frame g's rectangle (g=0 covers the canvas)
+      SELECT doc_id, w, h, g,
+             CASE WHEN g = 0 THEN 0
+                  ELSE (doc_id + 3*g) % (w - (3 + (doc_id + g) % 3) + 1)
+             END AS lf,
+             CASE WHEN g = 0 THEN 0
+                  ELSE (doc_id + 5*g) % (h - (2 + (doc_id + 2*g) % 2) + 1)
+             END AS tp,
+             CASE WHEN g = 0 THEN w ELSE 3 + (doc_id + g) % 3 END AS rw,
+             CASE WHEN g = 0 THEN h ELSE 2 + (doc_id + 2*g) % 2 END AS rh
+      FROM dims, LATERAL (SELECT unnest(generate_series(0, k - 1)) AS g) tg
+    ),
+    px AS (
+      SELECT doc_id, w, h, k, x, y, f
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty,
+           LATERAL (SELECT unnest(generate_series(0, k - 1)) AS f) tf
+    ),
+    latest AS (  -- painter election: the newest ELIGIBLE g <= f owns
+                 -- the pixel. SOURCE frames (even g) are always
+                 -- eligible in their rect; OVER frames (odd g) only
+                 -- where their alpha is 255 — an alpha-0 OVER pixel
+                 -- leaves the canvas untouched
+      SELECT p.doc_id, p.w, p.h, p.k, p.x, p.y, p.f, MAX(s.g) AS g
+      FROM px p JOIN gs s ON s.doc_id = p.doc_id AND s.g <= p.f
+           AND p.x >= s.lf AND p.x < s.lf + s.rw
+           AND p.y >= s.tp AND p.y < s.tp + s.rh
+           AND (s.g % 2 = 0
+                OR (p.doc_id + s.g + p.x + p.y) % 3 <> 0)
+      GROUP BY p.doc_id, p.w, p.h, p.k, p.x, p.y, p.f
+    ),
+    rgb AS (  -- a SOURCE painter with alpha 0 replaced the pixel with
+              -- transparency: composite over black renders 0
+      SELECT doc_id, w, h, k, x, y, f,
+        CASE WHEN (doc_id + g + x + y) % 3 <> 0
+             THEN (doc_id*23 + g*71 + y*19 + x*11) % 256 ELSE 0 END AS r,
+        CASE WHEN (doc_id + g + x + y) % 3 <> 0
+             THEN (doc_id*23 + g*71 + y*19 + x*11 + 109) % 256 ELSE 0
+             END AS g2,
+        CASE WHEN (doc_id + g + x + y) % 3 <> 0
+             THEN (doc_id*23 + g*71 + y*19 + x*11 + 218) % 256 ELSE 0
+             END AS b
+      FROM latest
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(k AS INTEGER) AS n_frames,
+           SUM(r)::BIGINT AS sum_r, SUM(g2)::BIGINT AS sum_g,
+           SUM(b)::BIGINT AS sum_b,
+           SUM((f + 1) * (y * w + x) * (r + g2 + b))::BIGINT AS px_checksum
+    FROM rgb GROUP BY doc_id, k, w, h
+    """,
+)
+def multimodal_video_apng_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED PNG decode (r14 — APNG, the web's lossless animation
+    container: acTL/fcTL/fdAT chunks over the PNG codec, now part of
+    the W3C PNG third edition): frame 0 rides the IDAT stream and
+    covers the canvas, later frames ship fdAT sub-rectangles with
+    consecutive sequence numbers, and each frame composites with its
+    OWN blend_op — SOURCE (replace, transparency included) on even
+    frames, OVER (alpha composite) on odd. The fixture's binary alpha
+    makes both modes exactly SQL-replayable as painter-ELIGIBILITY
+    rules (an OVER painter with alpha 0 leaves the canvas; a SOURCE
+    painter with alpha 0 replaces it with transparency that renders
+    black), so a decoder that treats OVER as SOURCE, skips the
+    composite, misplaces a rectangle, or mis-orders sequence numbers
+    fails the (f+1)-position-weighted checksum. Fractional-alpha OVER
+    math, dispose 1, and the reject surface (dispose 2, broken
+    sequences) are pinned in tests/test_png_codec.py."""
+    from kstreams_spark.operators.png_codec import (
+        parse_apng_features,
+        synth_apng,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_apng(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+    return payloads.mapInPandas(
+        _decode_stage(parse_apng_features, VIDEO_SCHEMA), VIDEO_SCHEMA
+    )
+
+
+@query(
     "multimodal_image_decode_png_depths",
     oracle="""
     WITH dims AS (

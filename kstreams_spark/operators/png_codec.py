@@ -623,3 +623,284 @@ def synth_png_depths(doc_id: int) -> bytes:
         depth=d,
         interlace=inter,
     )
+
+
+# --- APNG (animated PNG) — r14 ----------------------------------------------
+# The Animated PNG extension (Mozilla's APNG, folded into the W3C PNG
+# third edition): an acTL chunk declares the animation, each frame is
+# an fcTL control chunk (sequence number, sub-rectangle geometry,
+# dispose_op, blend_op) followed by the frame's pixel data — the FIRST
+# frame reuses the IDAT stream (and must cover the whole canvas),
+# later frames ship fdAT chunks (sequence number + IDAT-encoded bytes
+# for JUST their rectangle). Compositing: blend_op 0 (SOURCE) replaces
+# the region including transparency, blend_op 1 (OVER) alpha-composites
+# onto the canvas; dispose_op 0 keeps the canvas, 1 clears the region
+# to transparent black after the frame is shown, 2 (previous) reverts —
+# supported 0/1, dispose 2 rejects by name. Scope: 8-bit RGBA frames
+# (color type 6 — the layout real APNGs overwhelmingly use), sequence
+# numbers validated consecutive per spec.
+
+
+def encode_apng(
+    canvas_w: int,
+    canvas_h: int,
+    frames: list[dict],
+    row_filter=lambda i: i % 5,
+) -> bytes:
+    """frames[i] = {"x", "y", "grid" (RGBA tuples), "blend", "dispose"}
+    → a complete APNG. Frame 0 must cover the canvas (the spec's rule
+    for the IDAT default image participating in the animation)."""
+    f0 = frames[0]
+    if (
+        f0["x"] != 0
+        or f0["y"] != 0
+        or len(f0["grid"][0]) != canvas_w
+        or len(f0["grid"]) != canvas_h
+    ):
+        raise ValueError("APNG frame 0 must cover the whole canvas")
+
+    def _frame_scanlines(grid, base) -> bytes:
+        out = bytearray()
+        prior = bytes(4 * len(grid[0]))
+        for i, row in enumerate(grid):
+            raw = bytearray()
+            for px in row:
+                raw.extend(px)
+            ftype = row_filter(base + i)
+            out.append(ftype)
+            out.extend(_filter_row(bytes(raw), prior, ftype, 4))
+            prior = bytes(raw)
+        return zlib.compress(bytes(out), 9)
+
+    out = bytearray(_SIG)
+    out += _chunk(
+        b"IHDR",
+        struct.pack(">IIBBBBB", canvas_w, canvas_h, 8, 6, 0, 0, 0),
+    )
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for fi, f in enumerate(frames):
+        fw, fh = len(f["grid"][0]), len(f["grid"])
+        out += _chunk(
+            b"fcTL",
+            struct.pack(
+                ">IIIIIHHBB",
+                seq,
+                fw,
+                fh,
+                f["x"],
+                f["y"],
+                1,
+                10,
+                f.get("dispose", 0),
+                f.get("blend", 0),
+            ),
+        )
+        seq += 1
+        z = _frame_scanlines(f["grid"], fi * 7)
+        if fi == 0:
+            for i in range(0, len(z), 64):
+                out += _chunk(b"IDAT", z[i : i + 64])
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def apng_frames(payload: bytes) -> list[list[list[tuple]]]:
+    """APNG decode → one COMPOSITED RGBA canvas per frame (what a
+    viewer shows after each frame). Real chunk walk (CRC-verified via
+    _walk_chunks), consecutive-sequence validation, per-frame zlib +
+    unfilter of the sub-rectangle, SOURCE/OVER blending with integer
+    alpha math, dispose 0/1 (2 rejects by name)."""
+    if len(payload) < len(_SIG) or payload[: len(_SIG)] != _SIG:
+        raise ValueError("not a PNG file")
+    w = h = None
+    n_frames = None
+    ctrl: list[dict] = []  # fcTL in order; each collects its data parts
+    seqs: list[int] = []
+    idat = bytearray()
+    for ctype, data in _walk_chunks(payload):
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color != 6 or interlace != 0:
+                raise ValueError(
+                    f"APNG scope is 8-bit RGBA non-interlaced "
+                    f"(depth={depth} color={color})"
+                )
+        elif ctype == b"acTL":
+            n_frames = struct.unpack(">II", data)[0]
+        elif ctype == b"fcTL":
+            (s, fw, fh, fx, fy, _dn, _dd, dispose, blend) = struct.unpack(
+                ">IIIIIHHBB", data
+            )
+            if dispose == 2:
+                raise ValueError(
+                    "APNG dispose_op 2 (previous) unsupported"
+                )
+            if dispose > 2 or blend > 1:
+                raise ValueError(f"bad fcTL ops dispose={dispose} blend={blend}")
+            seqs.append(s)
+            ctrl.append(
+                {
+                    "w": fw, "h": fh, "x": fx, "y": fy,
+                    "dispose": dispose, "blend": blend, "data": bytearray(),
+                }
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"fdAT":
+            if not ctrl:
+                raise ValueError("fdAT before any fcTL")
+            seqs.append(struct.unpack(">I", data[:4])[0])
+            ctrl[-1]["data"] += data[4:]
+        elif ctype == b"IEND":
+            break
+    if n_frames is None:
+        raise ValueError("not an APNG (no acTL chunk)")
+    if w is None or len(ctrl) != n_frames:
+        raise ValueError(
+            f"acTL declares {n_frames} frames, found {len(ctrl)} fcTL"
+        )
+    if seqs != list(range(len(seqs))):
+        raise ValueError(f"APNG sequence numbers not consecutive: {seqs}")
+    ctrl[0]["data"] = idat  # frame 0 rides the IDAT stream
+    f0 = ctrl[0]
+    if (f0["x"], f0["y"], f0["w"], f0["h"]) != (0, 0, w, h):
+        raise ValueError("APNG frame 0 must cover the whole canvas")
+
+    def _frame_pixels(c) -> list[list[tuple]]:
+        raw = zlib.decompress(bytes(c["data"]))
+        stride = 1 + 4 * c["w"]
+        if len(raw) != stride * c["h"]:
+            raise ValueError(
+                f"frame data {len(raw)} != expected {stride * c['h']}"
+            )
+        rows, prior = [], bytes(4 * c["w"])
+        for y in range(c["h"]):
+            line = _unfilter_row(
+                bytearray(raw[y * stride + 1 : (y + 1) * stride]),
+                prior,
+                raw[y * stride],
+                4,
+            )
+            prior = bytes(line)
+            rows.append(
+                [tuple(line[4 * x : 4 * x + 4]) for x in range(c["w"])]
+            )
+        return rows
+
+    canvas = [[(0, 0, 0, 0)] * w for _ in range(h)]
+    out = []
+    for c in ctrl:
+        pix = _frame_pixels(c)
+        for yy in range(c["h"]):
+            row = canvas[c["y"] + yy]
+            for xx in range(c["w"]):
+                src = pix[yy][xx]
+                if c["blend"] == 0 or src[3] == 255:
+                    row[c["x"] + xx] = src
+                elif src[3] == 0:
+                    pass  # fully transparent OVER: canvas wins
+                else:  # general integer alpha-over (convention: //255)
+                    dr, dg, db, da = row[c["x"] + xx]
+                    sa = src[3]
+                    oa = sa + da * (255 - sa) // 255
+                    if oa == 0:
+                        row[c["x"] + xx] = (0, 0, 0, 0)
+                    else:
+                        row[c["x"] + xx] = tuple(
+                            (
+                                src[i] * sa * 255
+                                + row[c["x"] + xx][i] * da * (255 - sa)
+                            )
+                            // (oa * 255)
+                            for i in range(3)
+                        ) + (oa,)
+        out.append([list(r) for r in canvas])
+        if c["dispose"] == 1:  # clear the region to transparent black
+            for yy in range(c["h"]):
+                row = canvas[c["y"] + yy]
+                for xx in range(c["w"]):
+                    row[c["x"] + xx] = (0, 0, 0, 0)
+    return out
+
+
+def parse_apng_features(payload: bytes) -> dict:
+    """VIDEO_SCHEMA features over the composited canvases: channel sums
+    composite over black (c·a // 255) and the (f+1)-position-weighted
+    checksum that makes frame order, compositing, and dispose effects
+    value-visible."""
+    frames = apng_frames(payload)
+    h, w = len(frames[0]), len(frames[0][0])
+    sum_r = sum_g = sum_b = checksum = 0
+    for f, grid in enumerate(frames):
+        for y in range(h):
+            for x in range(w):
+                r, g, b, a = grid[y][x]
+                r, g, b = r * a // 255, g * a // 255, b * a // 255
+                sum_r += r
+                sum_g += g
+                sum_b += b
+                checksum += (f + 1) * (y * w + x) * (r + g + b)
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": len(frames),
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+        "px_checksum": checksum,
+    }
+
+
+def synth_apng(doc_id: int) -> bytes:
+    """Deterministic APNG fixture (r14): canvas 8+id%7 × 5+id%4,
+    2+id%3 frames — frame 0 full canvas, later frames sub-rects whose
+    geometry slides with the frame index (the GIF sub-rect fixture's
+    lattice, so the two animation oracles stay comparable); blend
+    alternates SOURCE (even frames) / OVER (odd), alpha is BINARY
+    (255 unless (doc_id+g+x+y)%3==0) so both blend modes are exactly
+    SQL-replayable as painter-eligibility rules: an OVER painter with
+    alpha 0 leaves the canvas (not eligible), a SOURCE painter with
+    alpha 0 REPLACES with transparent (eligible, renders black).
+    Channels are functions of CANVAS coordinates so the oracle never
+    needs frame-local math."""
+    w, h = 8 + doc_id % 7, 5 + doc_id % 4
+    k = 2 + doc_id % 3
+
+    def rgba(g, x, y):
+        a = 255 if (doc_id + g + x + y) % 3 else 0
+        return tuple(
+            (doc_id * 23 + g * 71 + y * 19 + x * 11 + c * 109) % 256
+            for c in range(3)
+        ) + (a,)
+
+    frames = [
+        {
+            "x": 0,
+            "y": 0,
+            "blend": 0,
+            "grid": [[rgba(0, x, y) for x in range(w)] for y in range(h)],
+        }
+    ]
+    for g in range(1, k):
+        rw = 3 + (doc_id + g) % 3
+        rh = 2 + (doc_id + 2 * g) % 2
+        lf = (doc_id + 3 * g) % (w - rw + 1)
+        tp = (doc_id + 5 * g) % (h - rh + 1)
+        frames.append(
+            {
+                "x": lf,
+                "y": tp,
+                "blend": g % 2,
+                "grid": [
+                    [rgba(g, lf + xx, tp + yy) for xx in range(rw)]
+                    for yy in range(rh)
+                ],
+            }
+        )
+    return encode_apng(w, h, frames, row_filter=lambda i: (doc_id + i) % 5)

@@ -438,3 +438,136 @@ def test_synth_png_depths_covers_all_kinds():
         3: (16, 0),
         4: (4, 3),
     }
+
+
+def test_apng_compositing_golden_and_dispose():
+    """r14 APNG: hand-computed golden canvases for SOURCE vs OVER
+    (fractional alpha: the documented //255 integer over-convention),
+    dispose 1 (region clears to transparent AFTER the frame shows),
+    and frame order via the composited sequence."""
+    from kstreams_spark.operators.png_codec import apng_frames, encode_apng
+
+    # 2x1 canvas; frame 0 opaque red, frame 1 OVER half-alpha green on x=0
+    frames = [
+        {"x": 0, "y": 0, "blend": 0,
+         "grid": [[(200, 0, 0, 255), (0, 0, 200, 255)]]},
+        {"x": 0, "y": 0, "blend": 1, "grid": [[(0, 100, 0, 128)]]},
+    ]
+    out = apng_frames(encode_apng(2, 1, frames))
+    assert out[0][0] == [(200, 0, 0, 255), (0, 0, 200, 255)]
+    # over: oa = 128 + 255*(127)//255 = 255; r = (0*128*255 + 200*255*127)//(255*255)
+    oa = 128 + 255 * (255 - 128) // 255
+    r = (0 * 128 * 255 + 200 * 255 * (255 - 128)) // (oa * 255)
+    g = (100 * 128 * 255 + 0) // (oa * 255)
+    assert out[1][0][0] == (r, g, 0, oa)
+    assert out[1][0][1] == (0, 0, 200, 255)  # untouched pixel
+    # SOURCE with alpha 0 replaces with transparency (hides frame 0)
+    frames2 = [
+        {"x": 0, "y": 0, "blend": 0,
+         "grid": [[(200, 0, 0, 255), (0, 0, 200, 255)]]},
+        {"x": 0, "y": 0, "blend": 0, "grid": [[(9, 9, 9, 0)]]},
+    ]
+    out2 = apng_frames(encode_apng(2, 1, frames2))
+    assert out2[1][0][0] == (9, 9, 9, 0)  # transparent: renders black
+    # dispose 1: the NEXT frame starts from a cleared region
+    frames3 = [
+        {"x": 0, "y": 0, "blend": 0, "dispose": 1,
+         "grid": [[(200, 0, 0, 255), (0, 0, 200, 255)]]},
+        {"x": 1, "y": 0, "blend": 0, "grid": [[(1, 2, 3, 255)]]},
+    ]
+    out3 = apng_frames(encode_apng(2, 1, frames3))
+    assert out3[0][0][0] == (200, 0, 0, 255)  # shown before disposal
+    assert out3[1][0][0] == (0, 0, 0, 0)  # cleared by dispose 1
+    assert out3[1][0][1] == (1, 2, 3, 255)
+
+
+def test_apng_reject_surface():
+    """Dispose 2, broken sequence numbers, non-RGBA frames, a frame-0
+    sub-rect, and a plain PNG without acTL all reject by name."""
+    from kstreams_spark.operators.png_codec import (
+        apng_frames,
+        encode_apng,
+        synth_apng,
+    )
+
+    plain_rgba = encode_png(
+        [[(1, 2, 3, 255), (4, 5, 6, 255)]], color_type=6
+    )
+    with pytest.raises(ValueError, match="no acTL"):
+        apng_frames(plain_rgba)
+    with pytest.raises(ValueError, match="frame 0 must cover"):
+        encode_apng(
+            4, 4,
+            [{"x": 1, "y": 0, "blend": 0, "grid": [[(1, 2, 3, 255)]]}],
+        )
+    payload = bytearray(synth_apng(1))
+    at = payload.index(b"fcTL") + 4
+    broken = bytearray(payload)
+    broken[at + 28 + 4] = 2  # wait: dispose byte offset below
+    # dispose byte is fcTL body offset 24; body starts right after type
+    broken = bytearray(payload)
+    broken[at + 24] = 2
+    # re-CRC the chunk so the walk accepts it
+    import struct as _st
+    import zlib as _z
+
+    body = bytes(broken[at : at + 26])
+    crc_at = at + 26
+    broken[crc_at : crc_at + 4] = _st.pack(
+        ">I", _z.crc32(b"fcTL" + body)
+    )
+    with pytest.raises(ValueError, match="dispose_op 2"):
+        apng_frames(bytes(broken))
+    # sequence corruption: bump the first fdAT's sequence number
+    seq_broken = bytearray(synth_apng(1))
+    fat = seq_broken.index(b"fdAT") + 4
+    seq_broken[fat + 3] = 99
+    (ln,) = _st.unpack_from(">I", seq_broken, fat - 8)
+    body = bytes(seq_broken[fat : fat + ln])
+    seq_broken[fat + ln : fat + ln + 4] = _st.pack(
+        ">I", _z.crc32(b"fdAT" + body)
+    )
+    with pytest.raises(ValueError, match="not consecutive"):
+        apng_frames(bytes(seq_broken))
+
+
+def test_apng_fixture_matches_direct_composite():
+    """The synth fixture's decoded canvases equal a direct Python
+    composite of the same painter rules (the oracle's logic,
+    independently restated)."""
+    from kstreams_spark.operators.png_codec import apng_frames, synth_apng
+
+    for doc in (0, 3, 5, 11):
+        w, h = 8 + doc % 7, 5 + doc % 4
+        k = 2 + doc % 3
+        rects = [(0, 0, w, h)]
+        for g in range(1, k):
+            rw = 3 + (doc + g) % 3
+            rh = 2 + (doc + 2 * g) % 2
+            rects.append(
+                ((doc + 3 * g) % (w - rw + 1), (doc + 5 * g) % (h - rh + 1),
+                 rw, rh)
+            )
+        frames = apng_frames(synth_apng(doc))
+        for f in range(k):
+            for y in range(h):
+                for x in range(w):
+                    painter = None
+                    for g in range(f + 1):
+                        lf, tp, rw, rh = rects[g]
+                        inside = lf <= x < lf + rw and tp <= y < tp + rh
+                        opaque = (doc + g + x + y) % 3 != 0
+                        if inside and (g % 2 == 0 or opaque):
+                            painter = g
+                    px = frames[f][y][x]
+                    if painter is None:
+                        assert px[3] == 0
+                    elif (doc + painter + x + y) % 3 == 0:
+                        assert px[3] == 0  # SOURCE-painted transparency
+                    else:
+                        exp = tuple(
+                            (doc * 23 + painter * 71 + y * 19 + x * 11
+                             + c * 109) % 256
+                            for c in range(3)
+                        )
+                        assert px[:3] == exp and px[3] == 255, (doc, f, x, y)
