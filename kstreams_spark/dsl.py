@@ -486,9 +486,25 @@ class CogroupedStreams:
                     "one co-grouped stream — names must be disjoint"
                 )
             seen |= set(aggs)
+            clash = set(aggs) & set(base_keys)
+            if clash:
+                raise ValueError(
+                    f"aggregate name(s) {sorted(clash)} collide with the "
+                    "key column(s) — pick different aggregate names"
+                )
             df = g.df
             for a, b in zip(g.keys, base_keys):
                 if a != b:
+                    # withColumnRenamed silently creates a DUPLICATE
+                    # column when the target name already exists (the
+                    # group_by(name=) hazard class) — refuse by name
+                    if b in df.columns:
+                        raise ValueError(
+                            f"co-grouped stream already has a column "
+                            f"named {b!r}; renaming its key {a!r} onto "
+                            "it would duplicate the name — rename or "
+                            "drop the data column first"
+                        )
                     df = df.withColumnRenamed(a, b)
             tables.append(
                 df.groupBy(*base_keys).agg(

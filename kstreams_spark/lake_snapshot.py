@@ -120,6 +120,14 @@ CHECKPOINT_INTERVAL = 10
 # materialize the vectors) — a silent driver OOM is the alternative.
 DRIVER_DV_MAX_POSITIONS = 500_000
 
+# snapshot_merge broadcasts the distinct source-key frame into its
+# matched join only while the key count (known for free from the
+# uniqueness-check agg) stays broadcast-sized; a wider merge keeps the
+# join hint-free and lets AQE pick the strategy — the documented
+# "use copy-on-write for wide merges" path must not itself collect
+# every source key to the driver (ADVICE r14).
+DRIVER_MERGE_BROADCAST_MAX_KEYS = 500_000
+
 
 def _log_dir(path: str) -> str:
     return os.path.join(path, _LOG)
@@ -1223,15 +1231,22 @@ def snapshot_merge(
             "the source"
         )
     n_source = int(src_stats["_total"] or 0) - int(src_stats["_dels"] or 0)
+    # keys are unique (enforced above), so total source rows == distinct
+    # source keys: the broadcast gate costs no extra job
+    n_keys = int(src_stats["_total"] or 0)
     if merge_on_read:
         return _merge_mor(
             spark, path, source, keys, partition_cols, m,
             base_version, live, schema_ddl, n_source, is_del, src_data,
-            new_epoch,
+            new_epoch, n_keys,
         )
     target = snapshot_read(spark, path, base_version)
     src_keys = source.select(*keys, is_del.alias("_del")).distinct()
-    matched = target.join(F.broadcast(src_keys), keys, "inner")
+    if n_keys <= DRIVER_MERGE_BROADCAST_MAX_KEYS:
+        # the hint rides the plan node, so the survivors' anti-join
+        # (which projects this frame) inherits it too
+        src_keys = F.broadcast(src_keys)
+    matched = target.join(src_keys, keys, "inner")
     # ONE job answers "which partitions hold matches?" (bounded driver
     # state: distinct partition values), "how many rows update?" and
     # "how many delete?" (r14; was a count() plus a
@@ -1302,6 +1317,7 @@ def _merge_mor(
     is_del,
     src_data: DataFrame,
     new_epoch: int | None,
+    n_keys: int,
 ) -> dict:
     """The merge-on-read MERGE body (snapshot_merge merge_on_read=True):
     matched rows' addresses → DV tombstones, all source rows → appended
@@ -1345,10 +1361,12 @@ def _merge_mor(
             "left_anti",
         )
     src_keys = source.select(*keys, is_del.alias("_del")).distinct()
+    if n_keys <= DRIVER_MERGE_BROADCAST_MAX_KEYS:
+        src_keys = F.broadcast(src_keys)
     prev_pos = sum(len(p) for p in prev_dvs.values())
     budget = DRIVER_DV_MAX_POSITIONS - prev_pos
     hits = (
-        scan.join(F.broadcast(src_keys), keys, "inner")
+        scan.join(src_keys, keys, "inner")
         .select("_fp", "_ri", "_del")
         .limit(max(budget, 0) + 1)
         .collect()
@@ -2133,11 +2151,21 @@ def vacuum(
         if not _young(tmp):
             os.remove(tmp)
     # orphan staging dirs (a writer that crashed between staging its
-    # files and moving them into the layout) — same age guard, a live
-    # writer's staging dir is always younger than the grace window
+    # files and moving them into the layout). Age-guard on the NEWEST
+    # mtime anywhere under the dir, not the top-level dir's own mtime —
+    # files landing in nested partition subdirs don't bump the root, so
+    # a write job outliving the grace window would otherwise have its
+    # LIVE staging dir swept mid-write (ADVICE r14).
     for stage in _glob.glob(os.path.join(path, ".staging-*")):
-        if not _young(stage):
-            _shutil.rmtree(stage, ignore_errors=True)
+        newest = [stage]
+        for sroot, _sdirs, sfiles in os.walk(stage):
+            newest.append(sroot)
+            newest.extend(os.path.join(sroot, f) for f in sfiles)
+        try:
+            if all(not _young(p) for p in newest):
+                _shutil.rmtree(stage, ignore_errors=True)
+        except FileNotFoundError:
+            pass  # the writer finished (moved files away) mid-walk
     for root, dirs, files in os.walk(path, topdown=False):
         if root != path and not os.listdir(root):
             os.rmdir(root)

@@ -646,18 +646,24 @@ def encode_apng(
     canvas_h: int,
     frames: list[dict],
     row_filter=lambda i: i % 5,
+    default_image: list | None = None,
 ) -> bytes:
     """frames[i] = {"x", "y", "grid" (RGBA tuples), "blend", "dispose"}
-    → a complete APNG. Frame 0 must cover the canvas (the spec's rule
-    for the IDAT default image participating in the animation)."""
-    f0 = frames[0]
-    if (
-        f0["x"] != 0
-        or f0["y"] != 0
-        or len(f0["grid"][0]) != canvas_w
-        or len(f0["grid"]) != canvas_h
-    ):
-        raise ValueError("APNG frame 0 must cover the whole canvas")
+    → a complete APNG. Without `default_image`, frame 0 rides IDAT and
+    must cover the canvas (the spec's rule for the default image
+    participating in the animation). With `default_image` (a
+    full-canvas RGBA grid), the spec's OTHER layout is produced: the
+    default image rides IDAT but is NOT part of the animation (the
+    first fcTL follows IDAT; every frame rides fdAT)."""
+    if default_image is None:
+        f0 = frames[0]
+        if (
+            f0["x"] != 0
+            or f0["y"] != 0
+            or len(f0["grid"][0]) != canvas_w
+            or len(f0["grid"]) != canvas_h
+        ):
+            raise ValueError("APNG frame 0 must cover the whole canvas")
 
     def _frame_scanlines(grid, base) -> bytes:
         out = bytearray()
@@ -679,6 +685,15 @@ def encode_apng(
     )
     out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
     seq = 0
+    if default_image is not None:
+        if (
+            len(default_image) != canvas_h
+            or len(default_image[0]) != canvas_w
+        ):
+            raise ValueError("default_image must cover the whole canvas")
+        z = _frame_scanlines(default_image, 991)
+        for i in range(0, len(z), 64):
+            out += _chunk(b"IDAT", z[i : i + 64])
     for fi, f in enumerate(frames):
         fw, fh = len(f["grid"][0]), len(f["grid"])
         out += _chunk(
@@ -698,7 +713,7 @@ def encode_apng(
         )
         seq += 1
         z = _frame_scanlines(f["grid"], fi * 7)
-        if fi == 0:
+        if fi == 0 and default_image is None:
             for i in range(0, len(z), 64):
                 out += _chunk(b"IDAT", z[i : i + 64])
         else:
@@ -713,7 +728,12 @@ def apng_frames(payload: bytes) -> list[list[list[tuple]]]:
     viewer shows after each frame). Real chunk walk (CRC-verified via
     _walk_chunks), consecutive-sequence validation, per-frame zlib +
     unfilter of the sub-rectangle, SOURCE/OVER blending with integer
-    alpha math, dispose 0/1 (2 rejects by name)."""
+    alpha math, all three dispose ops (0 none / 1 background /
+    2 previous — r15), and BOTH spec layouts: default-image-as-frame-0
+    (first fcTL precedes IDAT; frame 0 rides the IDAT stream) and
+    default-image-outside-the-animation (first fcTL after IDAT; every
+    frame rides fdAT and IDAT is never shown — the r14 ADVICE bug was
+    unconditionally clobbering frame 0's fdAT bytes with IDAT here)."""
     if len(payload) < len(_SIG) or payload[: len(_SIG)] != _SIG:
         raise ValueError("not a PNG file")
     w = h = None
@@ -721,6 +741,8 @@ def apng_frames(payload: bytes) -> list[list[list[tuple]]]:
     ctrl: list[dict] = []  # fcTL in order; each collects its data parts
     seqs: list[int] = []
     idat = bytearray()
+    saw_idat = False
+    frame0_on_idat = False
     for ctype, data in _walk_chunks(payload):
         if ctype == b"IHDR":
             w, h, depth, color, comp, filt, interlace = struct.unpack(
@@ -737,13 +759,11 @@ def apng_frames(payload: bytes) -> list[list[list[tuple]]]:
             (s, fw, fh, fx, fy, _dn, _dd, dispose, blend) = struct.unpack(
                 ">IIIIIHHBB", data
             )
-            if dispose == 2:
-                raise ValueError(
-                    "APNG dispose_op 2 (previous) unsupported"
-                )
             if dispose > 2 or blend > 1:
                 raise ValueError(f"bad fcTL ops dispose={dispose} blend={blend}")
             seqs.append(s)
+            if not ctrl and not saw_idat:
+                frame0_on_idat = True
             ctrl.append(
                 {
                     "w": fw, "h": fh, "x": fx, "y": fy,
@@ -751,6 +771,7 @@ def apng_frames(payload: bytes) -> list[list[list[tuple]]]:
                 }
             )
         elif ctype == b"IDAT":
+            saw_idat = True
             idat += data
         elif ctype == b"fdAT":
             if not ctrl:
@@ -767,10 +788,18 @@ def apng_frames(payload: bytes) -> list[list[list[tuple]]]:
         )
     if seqs != list(range(len(seqs))):
         raise ValueError(f"APNG sequence numbers not consecutive: {seqs}")
-    ctrl[0]["data"] = idat  # frame 0 rides the IDAT stream
-    f0 = ctrl[0]
-    if (f0["x"], f0["y"], f0["w"], f0["h"]) != (0, 0, w, h):
-        raise ValueError("APNG frame 0 must cover the whole canvas")
+    if frame0_on_idat:
+        if ctrl[0]["data"]:
+            raise ValueError(
+                "malformed APNG: frame 0 precedes IDAT yet carries fdAT"
+            )
+        ctrl[0]["data"] = idat  # frame 0 IS the default image
+        f0 = ctrl[0]
+        if (f0["x"], f0["y"], f0["w"], f0["h"]) != (0, 0, w, h):
+            raise ValueError("APNG frame 0 must cover the whole canvas")
+    # else: the default image (IDAT) is NOT part of the animation —
+    # every frame's data already sits in its fcTL's fdAT parts, and
+    # compositing starts from a fully transparent canvas (spec §4).
 
     def _frame_pixels(c) -> list[list[tuple]]:
         raw = zlib.decompress(bytes(c["data"]))
@@ -795,8 +824,17 @@ def apng_frames(payload: bytes) -> list[list[list[tuple]]]:
 
     canvas = [[(0, 0, 0, 0)] * w for _ in range(h)]
     out = []
-    for c in ctrl:
+    for fi, c in enumerate(ctrl):
         pix = _frame_pixels(c)
+        dispose = c["dispose"]
+        if fi == 0 and dispose == 2:
+            dispose = 1  # spec: frame 0 "previous" degrades to background
+        saved = (
+            [row[c["x"] : c["x"] + c["w"]] for row in
+             canvas[c["y"] : c["y"] + c["h"]]]
+            if dispose == 2
+            else None
+        )
         for yy in range(c["h"]):
             row = canvas[c["y"] + yy]
             for xx in range(c["w"]):
@@ -821,11 +859,14 @@ def apng_frames(payload: bytes) -> list[list[list[tuple]]]:
                             for i in range(3)
                         ) + (oa,)
         out.append([list(r) for r in canvas])
-        if c["dispose"] == 1:  # clear the region to transparent black
+        if dispose == 1:  # clear the region to transparent black
             for yy in range(c["h"]):
                 row = canvas[c["y"] + yy]
                 for xx in range(c["w"]):
                     row[c["x"] + xx] = (0, 0, 0, 0)
+        elif dispose == 2:  # restore the region to pre-frame contents
+            for yy in range(c["h"]):
+                canvas[c["y"] + yy][c["x"] : c["x"] + c["w"]] = saved[yy]
     return out
 
 

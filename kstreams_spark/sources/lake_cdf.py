@@ -502,6 +502,14 @@ class LakeChangeFeedPartitionedReader(DataSourceStreamReader):
         self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
+        # A FRESH start calls this before any latestOffset, so the
+        # start version IS a known clamp base — seed it so batch 0
+        # honors max_versions_per_batch too (ADVICE r14). A RESTART
+        # skips initialOffset (the checkpoint has the offset), leaving
+        # _last_end None: its first batch spans the full outstanding
+        # backlog by design (clamping against an unknown checkpoint
+        # offset risks an offset regression = re-emitted signed rows).
+        self._last_end = self.start_version
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:

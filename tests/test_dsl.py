@@ -436,3 +436,17 @@ def test_cogroup_semantics_and_guards(spark, sf_dir):
         s1.cogroup(n=F.count(F.lit(1))).cogroup(
             ts, m=F.count(F.lit(1))
         ).aggregate()
+    # r15 guards (ADVICE r14): renaming a stream's key onto an existing
+    # data column would silently duplicate the name; aggregate names
+    # must not collide with the key either
+    s3 = b.stream(
+        # differently-named key AND a data column already named "k"
+        spark.createDataFrame([(2, 7, 1)], "kk long, k long, v long"),
+        key="kk",
+    ).group_by_key()
+    with pytest.raises(ValueError, match="already has a column named 'k'"):
+        s1.cogroup(a=F.count(F.lit(1))).cogroup(
+            s3, c=F.sum("v")
+        ).aggregate()
+    with pytest.raises(ValueError, match="collide with the key"):
+        s1.cogroup(k=F.count(F.lit(1))).aggregate()

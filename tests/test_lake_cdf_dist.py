@@ -221,7 +221,16 @@ def test_dist_version_cap_clamps_after_first_batch(spark, tmp_path, sf_dir):
     r = LakeChangeFeedPartitionedReader(
         {"path": lake, "max_versions_per_batch": "1"}
     )
-    assert r.latestOffset() == {"version": 5}  # first batch: backlog
+    assert r.latestOffset() == {"version": 5}  # restart shape: backlog
+    # FRESH start (ADVICE r14): initialOffset runs first, so the start
+    # version is a known clamp base — batch 0 honors the cap too
+    rf = LakeChangeFeedPartitionedReader(
+        {"path": lake, "max_versions_per_batch": "2", "start_version": "0"}
+    )
+    assert rf.initialOffset() == {"version": 0}
+    assert rf.latestOffset() == {"version": 2}  # clamped from batch 0
+    assert rf.latestOffset() == {"version": 4}
+    assert rf.latestOffset() == {"version": 5}
     r2 = LakeChangeFeedPartitionedReader(
         {"path": lake, "max_versions_per_batch": "1"}
     )

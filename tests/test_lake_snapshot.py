@@ -486,12 +486,26 @@ def test_vacuum_sweeps_orphan_staging_dirs(spark, tmp_path, sf_dir):
     vacuum(lake)  # young: in-flight writer protection keeps it
     assert os.path.isdir(orphan)
     old = time.time() - 7200
-    os.utime(orphan, (old, old))
-    os.utime(
-        os.path.join(orphan, "split=train", "part-0.parquet"), (old, old)
-    )
+    # r15: the sweep age-guards on the NEWEST mtime anywhere under the
+    # staging dir (files landing in nested partition subdirs never bump
+    # the root) — age every path, as a real 2h-old crash would be
+    for sroot, _dirs, files in os.walk(orphan):
+        os.utime(sroot, (old, old))
+        for f in files:
+            os.utime(os.path.join(sroot, f), (old, old))
     vacuum(lake, grace_seconds=3600)  # orphan is 2h old > 1h grace
     assert not glob.glob(os.path.join(lake, ".staging-*"))
+    # a LIVE writer: root is old (created long ago) but a nested file
+    # is fresh — must survive the sweep
+    live = os.path.join(lake, ".staging-cafebabe")
+    os.makedirs(os.path.join(live, "split=train"))
+    with open(
+        os.path.join(live, "split=train", "part-0.parquet"), "wb"
+    ) as fh:
+        fh.write(b"in flight")
+    os.utime(live, (old, old))  # root mtime alone must NOT doom it
+    vacuum(lake, grace_seconds=3600)
+    assert os.path.isdir(live)
 
 
 # --- r12: delta-log checkpointing (the 100 TB manifest-scaling answer) ----
@@ -771,6 +785,33 @@ def test_merge_upserts_atomically_with_time_travel(spark, tmp_path, sf_dir):
         for x in snapshot_read(spark, lake, version=1).collect()
     }
     assert len(old) == 10 and old[2] != "merged body"
+
+
+def test_merge_wide_source_skips_broadcast(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """ADVICE r14: a merge wider than DRIVER_MERGE_BROADCAST_MAX_KEYS
+    must not force-broadcast the source keys (the driver collects every
+    broadcast frame — an OOM vector at the documented 100 TB posture).
+    Pin the gate by dropping the cap to 0: both CoW and MoR merges
+    still produce identical results through the hint-free join."""
+    import kstreams_spark.lake_snapshot as ls_mod
+    from kstreams_spark.lake_snapshot import snapshot_merge
+
+    monkeypatch.setattr(ls_mod, "DRIVER_MERGE_BROADCAST_MAX_KEYS", 0)
+    for mor in (False, True):
+        lake = str(tmp_path / f"merge_wide_{mor}")
+        corpus = _corpus(spark, sf_dir).filter(F.col("doc_id") < 10)
+        snapshot_publish(corpus, lake)
+        src = (
+            _corpus(spark, sf_dir)
+            .filter(F.col("doc_id").isin([2, 3, 30]))
+            .withColumn("text", F.lit("wide merged"))
+        )
+        r = snapshot_merge(spark, lake, src, merge_on_read=mor)
+        assert (r["updated"], r["inserted"]) == (2, 1)
+        now = {x.doc_id: x.text for x in snapshot_read(spark, lake).collect()}
+        assert len(now) == 11 and now[2] == "wide merged"
 
 
 def test_merge_moves_row_across_partitions(spark, tmp_path, sf_dir):

@@ -482,8 +482,9 @@ def test_apng_compositing_golden_and_dispose():
 
 
 def test_apng_reject_surface():
-    """Dispose 2, broken sequence numbers, non-RGBA frames, a frame-0
-    sub-rect, and a plain PNG without acTL all reject by name."""
+    """Broken sequence numbers, non-RGBA frames, a frame-0 sub-rect,
+    and a plain PNG without acTL all reject by name. Frame-0 dispose 2
+    no longer rejects (r15): the spec degrades it to background."""
     from kstreams_spark.operators.png_codec import (
         apng_frames,
         encode_apng,
@@ -500,24 +501,30 @@ def test_apng_reject_surface():
             4, 4,
             [{"x": 1, "y": 0, "blend": 0, "grid": [[(1, 2, 3, 255)]]}],
         )
-    payload = bytearray(synth_apng(1))
-    at = payload.index(b"fcTL") + 4
-    broken = bytearray(payload)
-    broken[at + 28 + 4] = 2  # wait: dispose byte offset below
-    # dispose byte is fcTL body offset 24; body starts right after type
-    broken = bytearray(payload)
-    broken[at + 24] = 2
-    # re-CRC the chunk so the walk accepts it
     import struct as _st
     import zlib as _z
 
+    # frame-0 dispose 2 now decodes (degrades to dispose 1)
+    payload = bytearray(synth_apng(1))
+    at = payload.index(b"fcTL") + 4
+    broken = bytearray(payload)
+    broken[at + 24] = 2  # dispose byte: fcTL body offset 24
     body = bytes(broken[at : at + 26])
     crc_at = at + 26
     broken[crc_at : crc_at + 4] = _st.pack(
         ">I", _z.crc32(b"fcTL" + body)
     )
-    with pytest.raises(ValueError, match="dispose_op 2"):
-        apng_frames(bytes(broken))
+    frames_d2 = apng_frames(bytes(broken))
+    assert len(frames_d2) == len(apng_frames(bytes(payload)))
+    # a genuinely bad dispose op still rejects
+    broken2 = bytearray(payload)
+    broken2[at + 24] = 3
+    body = bytes(broken2[at : at + 26])
+    broken2[crc_at : crc_at + 4] = _st.pack(
+        ">I", _z.crc32(b"fcTL" + body)
+    )
+    with pytest.raises(ValueError, match="bad fcTL ops"):
+        apng_frames(bytes(broken2))
     # sequence corruption: bump the first fdAT's sequence number
     seq_broken = bytearray(synth_apng(1))
     fat = seq_broken.index(b"fdAT") + 4
@@ -529,6 +536,58 @@ def test_apng_reject_surface():
     )
     with pytest.raises(ValueError, match="not consecutive"):
         apng_frames(bytes(seq_broken))
+
+
+def test_apng_dispose_previous_golden():
+    """r15 dispose 2 (previous): after the frame shows, its region
+    reverts to the PRE-frame contents — unlike dispose 1, the next
+    frame sees what was there before, not transparency."""
+    from kstreams_spark.operators.png_codec import apng_frames, encode_apng
+
+    frames = [
+        {"x": 0, "y": 0, "blend": 0,
+         "grid": [[(200, 0, 0, 255), (0, 0, 200, 255)]]},
+        # frame 1 paints x=0, dispose=previous
+        {"x": 0, "y": 0, "blend": 0, "dispose": 2,
+         "grid": [[(7, 7, 7, 255)]]},
+        # frame 2 paints x=1 only — x=0 must have REVERTED to red
+        {"x": 1, "y": 0, "blend": 0, "grid": [[(1, 2, 3, 255)]]},
+    ]
+    out = apng_frames(encode_apng(2, 1, frames))
+    assert out[1][0][0] == (7, 7, 7, 255)  # shown while on screen
+    assert out[2][0][0] == (200, 0, 0, 255)  # reverted, not cleared
+    assert out[2][0][1] == (1, 2, 3, 255)
+    # frame-0 dispose 2 degrades to background (spec): region clears
+    frames0 = [
+        {"x": 0, "y": 0, "blend": 0, "dispose": 2,
+         "grid": [[(200, 0, 0, 255), (0, 0, 200, 255)]]},
+        {"x": 1, "y": 0, "blend": 0, "grid": [[(1, 2, 3, 255)]]},
+    ]
+    out0 = apng_frames(encode_apng(2, 1, frames0))
+    assert out0[1][0][0] == (0, 0, 0, 0)  # cleared (background), not kept
+
+
+def test_apng_default_image_outside_animation():
+    """r15: first fcTL AFTER IDAT → the default image is not part of
+    the animation; frames composite from fdAT onto a transparent
+    canvas and the IDAT pixels never appear (the r14 ADVICE clobber
+    bug produced garbled frames here)."""
+    from kstreams_spark.operators.png_codec import apng_frames, encode_apng
+
+    default = [[(99, 99, 99, 255), (99, 99, 99, 255)]]
+    frames = [
+        # in this layout frame 0 may be a sub-rect
+        {"x": 1, "y": 0, "blend": 0, "grid": [[(10, 20, 30, 255)]]},
+        {"x": 0, "y": 0, "blend": 0, "grid": [[(40, 50, 60, 255)]]},
+    ]
+    out = apng_frames(
+        encode_apng(2, 1, frames, default_image=default)
+    )
+    assert out[0][0] == [(0, 0, 0, 0), (10, 20, 30, 255)]
+    assert out[1][0] == [(40, 50, 60, 255), (10, 20, 30, 255)]
+    # the default image's 99s never show anywhere
+    flat = [px for canvas in out for row in canvas for px in row]
+    assert (99, 99, 99, 255) not in flat
 
 
 def test_apng_fixture_matches_direct_composite():
