@@ -105,6 +105,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kstreams_spark import lake_stats as _lstats
+
 _LOG = "_log"
 
 # Full-state checkpoint cadence (Delta's checkpointInterval default):
@@ -155,16 +157,21 @@ def _checkpoint_part_path(path: str, version: int, i: int, n: int) -> str:
     )
 
 
-def _read_checkpoint(path: str, version: int) -> set[str] | None:
-    """The checkpointed live set for `version`, or None when absent or
-    INCOMPLETE (a sharded write that crashed mid-way: fewer parts on
-    disk than the names declare — fall back to the delta chain; the
-    slices are a deterministic function of the version's immutable live
-    set, so a later writer completes the same torn set in place)."""
+def _read_checkpoint_full(
+    path: str, version: int
+) -> tuple[set[str], dict] | None:
+    """The checkpointed (live set, per-file stats) for `version`, or
+    None when absent or INCOMPLETE (a sharded write that crashed
+    mid-way: fewer parts on disk than the names declare — fall back to
+    the delta chain; the slices are a deterministic function of the
+    version's immutable live set, so a later writer completes the same
+    torn set in place). Pre-r15 checkpoints carry no `stats` key —
+    their files resolve with empty stats (never skipped)."""
     cp = _checkpoint_path(path, version)
     if os.path.exists(cp):
         with open(cp) as fh:
-            return set(json.load(fh)["files"])
+            body = json.load(fh)
+        return set(body["files"]), body.get("stats", {})
     parts = sorted(
         _glob.glob(
             os.path.join(
@@ -178,10 +185,18 @@ def _read_checkpoint(path: str, version: int) -> set[str] | None:
     if len(parts) != n:
         return None
     out: set[str] = set()
+    stats: dict = {}
     for p in parts:
         with open(p) as fh:
-            out |= set(json.load(fh)["files"])
-    return out
+            body = json.load(fh)
+        out |= set(body["files"])
+        stats.update(body.get("stats", {}))
+    return out, stats
+
+
+def _read_checkpoint(path: str, version: int) -> set[str] | None:
+    full = _read_checkpoint_full(path, version)
+    return None if full is None else full[0]
 
 
 def snapshot_versions(path: str) -> list[int]:
@@ -316,7 +331,44 @@ def _live_files(path: str, version: int) -> set[str]:
     return state
 
 
-def _write_checkpoint(path: str, version: int, files: set[str]) -> None:
+def table_stats(path: str, version: int) -> dict[str, dict]:
+    """Per-file column stats for `version`'s live files (r15 — Delta
+    data skipping's log-resident stats): nearest checkpoint's `stats`
+    plus a replay of the delta manifests' `add_stats` above it — the
+    same O(checkpoint + changes) resolution as _live_files, and the
+    same key space as the data files (PHYSICAL column names, so a
+    rename is metadata-only here too). Files with no recorded stats
+    (pre-r15 commits, unreadable footers, unsupported types) are simply
+    absent — they are scanned, never skipped."""
+    deltas: list[dict] = []
+    v = version
+    state: dict[str, dict] = {}
+    live: set[str] | None = None
+    while v >= 1:
+        full = _read_checkpoint_full(path, v)
+        if full is not None:
+            live, state = set(full[0]), dict(full[1])
+            break
+        m = _read_manifest(path, v)
+        if "files" in m:  # legacy full-list manifest: no stats
+            live = set(m["files"])
+            break
+        deltas.append(m)
+        v -= 1
+    if live is None:
+        live = set()
+    for m in reversed(deltas):
+        for f in m["removes"]:
+            state.pop(f, None)
+            live.discard(f)
+        live |= set(m["adds"])
+        state.update(m.get("add_stats", {}))
+    return {f: s for f, s in state.items() if f in live}
+
+
+def _write_checkpoint(
+    path: str, version: int, files: set[str], stats: dict | None = None
+) -> None:
     """Write the full-state sidecar for `version` — DERIVED data outside
     the commit's atomicity: create-exclusive, and a lost race (another
     actor checkpointed the same version) or a crash costs nothing
@@ -344,10 +396,19 @@ def _write_checkpoint(path: str, version: int, files: set[str]) -> None:
             pass  # concurrent checkpointer won; content is identical
         os.remove(tmp)
 
+    stats = stats or {}
+
+    def _slice_stats(part: list[str]) -> dict:
+        return {f: stats[f] for f in part if f in stats}
+
     ordered = sorted(files)
     if len(ordered) <= CHECKPOINT_SHARD_FILES:
         _link(
-            {"version": version, "files": ordered},
+            {
+                "version": version,
+                "files": ordered,
+                "stats": _slice_stats(ordered),
+            },
             _checkpoint_path(path, version),
         )
         return
@@ -357,7 +418,13 @@ def _write_checkpoint(path: str, version: int, files: set[str]) -> None:
             i * CHECKPOINT_SHARD_FILES : (i + 1) * CHECKPOINT_SHARD_FILES
         ]
         _link(
-            {"version": version, "part": i, "n_parts": n, "files": part},
+            {
+                "version": version,
+                "part": i,
+                "n_parts": n,
+                "files": part,
+                "stats": _slice_stats(part),
+            },
             _checkpoint_part_path(path, version, i, n),
         )
 
@@ -459,10 +526,13 @@ def _write_staged(
     path: str,
     partition_cols: tuple[str, ...],
     check=None,
-) -> set[str]:
+) -> tuple[set[str], dict[str, dict]]:
     """Write a batch into the table THROUGH a unique staging directory
-    and move the files into the final layout; returns exactly this
-    write's path-relative files. Replaces the r13 before/after
+    and move the files into the final layout; returns (exactly this
+    write's path-relative files, their per-file column stats — r15,
+    read from each staged footer ONCE at write time so every later
+    selective scan prunes files driver-side without opening them;
+    lake_stats module docstring). Replaces the r13 before/after
     directory diff, which (a) cost one extra distinct job per write
     just to scope the listing (_touched_dirs re-scanned the batch
     source — measured ~0.2 s per verb at sf0.1, the r13 lake-chain
@@ -498,16 +568,20 @@ def _write_staged(
             _shutil.rmtree(stage, ignore_errors=True)
             raise
     new: set[str] = set()
+    stats: dict[str, dict] = {}
     for f in _glob.glob(
         os.path.join(stage, "**", "*.parquet"), recursive=True
     ):
         rel = os.path.relpath(f, stage)
+        fs = _lstats.collect_file_stats(f)
+        if fs is not None:
+            stats[rel] = fs
         dest = os.path.join(path, rel)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
         os.rename(f, dest)
         new.add(rel)
     _shutil.rmtree(stage, ignore_errors=True)
-    return new
+    return new, stats
 
 
 def _commit(
@@ -525,6 +599,7 @@ def _commit(
     set_dropped_physical: list[str] | None = None,
     set_epochs: list[int] | None = None,
     set_properties: dict[str, str] | None = None,
+    add_stats: dict[str, dict] | None = None,
 ) -> int:
     """Write manifest version = last + 1. The commit point is an atomic
     CREATE-exclusive os.link of the fully-written temp manifest onto the
@@ -623,11 +698,17 @@ def _commit(
             else set_dropped_physical
         )
         os.makedirs(_log_dir(path), exist_ok=True)
+        adds = files - prev_live
         body = {
             "version": version,
             "op": op,
-            "adds": sorted(files - prev_live),
+            "adds": sorted(adds),
             "removes": sorted(prev_live - files),
+            # per-file column stats ride the ADD action (Delta's shape):
+            # O(files changed) per manifest; checkpoints fold full state
+            "add_stats": {
+                f: s for f, s in (add_stats or {}).items() if f in adds
+            },
             "schema": schema_ddl,
             "epochs": epochs,
             "constraints": constraints,
@@ -671,7 +752,9 @@ def _commit(
         except (TypeError, ValueError):
             interval = CHECKPOINT_INTERVAL
         if interval > 0 and version % interval == 0:
-            _write_checkpoint(path, version, files)
+            _write_checkpoint(
+                path, version, files, stats=table_stats(path, version)
+            )
         return version
 
 
@@ -727,7 +810,7 @@ def snapshot_publish(
         if mode == "append"
         else df
     )
-    new = _write_staged(out_df, path, partition_cols, check=check)
+    new, new_stats = _write_staged(out_df, path, partition_cols, check=check)
     if mode == "append":
         base = versions[-1] if versions else 0
         live = _live_files(path, base) if versions else set()
@@ -739,6 +822,7 @@ def snapshot_publish(
             base_version=base,
             recompute=lambda latest_live: latest_live | new,
             recheck_schema=recheck,
+            add_stats=new_stats,
         )
     return _commit(
         path,
@@ -748,6 +832,7 @@ def snapshot_publish(
         recompute=lambda latest_live: new,
         set_column_map={},
         set_dropped_physical=[],
+        add_stats=new_stats,
     )
 
 
@@ -775,7 +860,9 @@ def snapshot_read(
     path: str,
     version: int | None = None,
     at_timestamp: float | None = None,
+    where: str | None = None,
     _apply_dv_cap: bool = True,
+    _files: set[str] | None = None,
 ) -> DataFrame:
     """Read one committed snapshot — the latest, a VERSION AS OF pin,
     or a TIMESTAMP AS OF pin (`at_timestamp`, epoch seconds — resolved
@@ -789,7 +876,18 @@ def snapshot_read(
     Files written before an evolve surface the later-added columns as
     NULL, a time-travel pin sees ITS version's schema, column order is
     the logical schema's regardless of file listing, and partition
-    values take the declared type instead of directory-name inference."""
+    values take the declared type instead of directory-name inference.
+
+    `where` (r15 — Delta data skipping): a SQL predicate applied to the
+    result AND used to prune the live-file set DRIVER-SIDE against the
+    manifest-resident per-file stats (lake_stats): files whose recorded
+    [min, max]/null-count prove no row can match are never opened — at
+    100 TB / millions of files this turns a selective read's plan step
+    from open-every-footer into a listing-sized metadata walk. Only
+    AND-of-simple-comparison conjuncts prune (module doctrine:
+    conservative subset; exactness always comes from the real filter).
+    `_files` (internal) restricts the scan to a caller-pruned subset —
+    the merge verbs' key-range pruning enters here."""
     from pyspark.sql.types import _parse_datatype_string
 
     # DV addressing joins against absolute paths built from
@@ -808,8 +906,13 @@ def snapshot_read(
         raise ValueError(f"snapshot v{v} not in committed versions {versions}")
     m = _read_manifest(path, v)
     files = _live_files(path, v)
+    if _files is not None:
+        files = files & _files
+    if where is not None and files:
+        files, _ = _prune_live(path, v, m, files, where)
     if not files:
-        return spark.createDataFrame([], m["schema"])
+        out = spark.createDataFrame([], m["schema"])
+        return out.filter(where) if where is not None else out
     # basePath keeps the partition columns parsed from the dir names;
     # the trailing select restores the logical order (a partitioned scan
     # appends partition columns at the end regardless of user schema).
@@ -862,12 +965,120 @@ def snapshot_read(
                 "left_anti",
             )
         )
-    return scan.select(
+    out = scan.select(
         *[
             F.col(cmap.get(f.name, f.name)).alias(f.name)
             for f in st.fields
         ]
     )
+    # the REAL predicate always applies — pruning only removed files
+    # that provably hold no matching row
+    return out.filter(where) if where is not None else out
+
+
+def _prune_live(
+    path: str,
+    version: int,
+    m: dict,
+    files: set[str],
+    where: str,
+) -> tuple[set[str], int]:
+    """Driver-side file skipping (r15): keep only the live files that
+    MAY hold a row matching `where`, using (a) the manifest-resident
+    per-file column stats (lake_stats.file_may_match) and (b) the
+    partition values encoded in each file's directory path — both pure
+    metadata, zero file opens. Returns (kept files, n skipped)."""
+    conj = _lstats.parse_skip_conjuncts(where)
+    return _prune_with_conjuncts(path, version, m, files, conj)
+
+
+def _prune_with_conjuncts(
+    path: str,
+    version: int,
+    m: dict,
+    files: set[str],
+    conj: list[tuple],
+) -> tuple[set[str], int]:
+    if not conj:
+        return files, 0
+    col_types = dict(_schema_fields(m["schema"]))
+    cmap = m.get("column_map", {})
+    stats = table_stats(path, version)
+    kept: set[str] = set()
+    for f in files:
+        # partition-dir values: `col=value` path segments
+        pvals: dict[str, str | None] = {}
+        for seg in os.path.dirname(f).split(os.sep):
+            if "=" in seg:
+                k, raw = seg.split("=", 1)
+                try:
+                    val = _unescape_partition_value(raw)
+                except ValueError:
+                    continue  # not a Hive-escaped segment — no pruning
+                pvals[k] = None if val is None else str(val)
+        if not _partition_may_match(pvals, conj, col_types):
+            continue
+        if not _lstats.file_may_match(stats.get(f), conj, cmap, col_types):
+            continue
+        kept.add(f)
+    return kept, len(files) - len(kept)
+
+
+def _partition_may_match(
+    pvals: dict[str, str | None], conjuncts: list[tuple], col_types: dict
+) -> bool:
+    """Partition pruning at the manifest layer: every row of the file
+    carries exactly these partition values, so a conjunct on a
+    partition column decides the whole file."""
+    for col, op, lit in conjuncts:
+        if col not in pvals:
+            continue
+        raw = pvals[col]
+        if op == "isnull":
+            if raw is not None:
+                return False
+            continue
+        if op == "isnotnull":
+            if raw is None:
+                return False
+            continue
+        if raw is None:
+            return False  # NULL satisfies no comparison
+        ctype = col_types.get(col)
+        if ctype is None:
+            continue
+        kind, rawlit = lit
+        v = _lstats._coerce(ctype, kind, rawlit)
+        pv = _lstats._coerce(ctype, "stat", raw)
+        if v is None or pv is None:
+            continue
+        ok = {
+            "=": pv == v, "==": pv == v,
+            "!=": pv != v, "<>": pv != v,
+            "<": pv < v, "<=": pv <= v,
+            ">": pv > v, ">=": pv >= v,
+        }[op]
+        if not ok:
+            return False
+    return True
+
+
+def snapshot_scan_stats(
+    path: str, where: str, version: int | None = None
+) -> dict:
+    """Observability for data skipping (and the test pin surface):
+    {"total": live files, "scanned": files a snapshot_read(where=...)
+    would open, "skipped": the rest} — computed purely from manifests
+    and stats, no Spark session, no file opens."""
+    path = os.path.abspath(path)
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {path}")
+    v = versions[-1] if version is None else version
+    m = _read_manifest(path, v)
+    files = _live_files(path, v)
+    kept, skipped = _prune_live(path, v, m, files, where)
+    return {"total": len(files), "scanned": len(kept), "skipped": skipped}
 
 
 def _partition_values(
@@ -983,12 +1194,18 @@ def snapshot_delete_where(
     live = _live_files(path, versions[-1])
     _check_partition_cols(live, partition_cols, "snapshot_delete_where")
     snap = snapshot_read(spark, path)
-    affected = _partition_values(snap, condition, partition_cols)
+    # affected-partition DETECTION runs over the stats-pruned scan
+    # (r15 data skipping: files whose bounds prove no match are never
+    # opened); the per-partition REWRITE below stays on the full scan —
+    # survivors must all be rewritten
+    match_scan = snapshot_read(spark, path, where=condition)
+    affected = _partition_values(match_scan, condition, partition_cols)
     if not affected:
         return 0
     deleted = 0
     removed: set[str] = set()
     added: set[str] = set()
+    add_stats: dict[str, dict] = {}
     for row in affected:
         part = snap.filter(_partition_filter(row, partition_cols))
         keep = part.filter(~F.coalesce(F.expr(condition), F.lit(False)))
@@ -998,11 +1215,13 @@ def snapshot_delete_where(
         deleted += n_before - n_after
         # partition columns are re-derived from the written dirs;
         # rewrites land under the physical names (column mapping)
-        added |= _write_staged(
+        new, new_stats = _write_staged(
             _to_physical_df(keep, m.get("column_map", {})),
             path,
             partition_cols,
         )
+        added |= new
+        add_stats.update(new_stats)
         removed |= {f for f in live if _in_partition(f, row, partition_cols)}
     if not removed and not added:
         return 0
@@ -1012,6 +1231,7 @@ def snapshot_delete_where(
         "delete_where",
         m["schema"],
         base_version=base_version,
+        add_stats=add_stats,
     )
     return deleted
 
@@ -1052,13 +1272,17 @@ def snapshot_delete_where_dv(
         + ">"
     )
     files = _live_files(path, base_version)
-    if not files:
+    # r15 data skipping: files whose stats prove no row matches the
+    # predicate can take no DV positions — drop them from the SCAN
+    # (the commit below still records the FULL live set)
+    scan_files, _ = _prune_live(path, base_version, m, files, condition)
+    if not scan_files:
         return 0
     prev_dvs = table_dvs(path, base_version)
     scan = (
         spark.read.schema(phys_st)
         .option("basePath", path)
-        .parquet(*[os.path.join(path, f) for f in sorted(files)])
+        .parquet(*[os.path.join(path, f) for f in sorted(scan_files)])
         .withColumn("_fp", _norm_file_uri(F.col("_metadata.file_path")))
         .withColumn("_ri", F.col("_metadata.row_index"))
     )
@@ -1221,6 +1445,17 @@ def snapshot_merge(
             F.max("_n").alias("_mx"),
             F.sum("_n").alias("_total"),
             F.sum("_d").alias("_dels"),
+            # source key ranges ride the SAME job (r15 data skipping:
+            # target files outside [min, max] on any key can hold no
+            # match — prune them from the matched scan driver-side)
+            *[
+                agg
+                for i, k in enumerate(keys)
+                for agg in (
+                    F.min(k).alias(f"_kmin{i}"),
+                    F.max(k).alias(f"_kmax{i}"),
+                )
+            ],
         )
         .first()
     )
@@ -1234,11 +1469,17 @@ def snapshot_merge(
     # keys are unique (enforced above), so total source rows == distinct
     # source keys: the broadcast gate costs no extra job
     n_keys = int(src_stats["_total"] or 0)
+    # source-key-range file skipping: the matched scan only needs files
+    # whose stats ranges intersect the source's [min, max] on every key
+    key_conj = _merge_key_conjuncts(keys, src_stats)
+    match_files, _ = _prune_with_conjuncts(
+        path, base_version, m, live, key_conj
+    )
     if merge_on_read:
         return _merge_mor(
             spark, path, source, keys, partition_cols, m,
             base_version, live, schema_ddl, n_source, is_del, src_data,
-            new_epoch, n_keys,
+            new_epoch, n_keys, match_files,
         )
     target = snapshot_read(spark, path, base_version)
     src_keys = source.select(*keys, is_del.alias("_del")).distinct()
@@ -1246,7 +1487,12 @@ def snapshot_merge(
         # the hint rides the plan node, so the survivors' anti-join
         # (which projects this frame) inherits it too
         src_keys = F.broadcast(src_keys)
-    matched = target.join(src_keys, keys, "inner")
+    match_target = (
+        snapshot_read(spark, path, base_version, _files=match_files)
+        if match_files != live
+        else target
+    )
+    matched = match_target.join(src_keys, keys, "inner")
     # ONE job answers "which partitions hold matches?" (bounded driver
     # state: distinct partition values), "how many rows update?" and
     # "how many delete?" (r14; was a count() plus a
@@ -1282,7 +1528,7 @@ def snapshot_merge(
         if survivors is None
         else survivors.unionByName(src_data, allowMissingColumns=evolve)
     )
-    added = _write_staged(
+    added, added_stats = _write_staged(
         _to_physical_df(to_write, m.get("column_map", {})),
         path,
         partition_cols,
@@ -1294,6 +1540,7 @@ def snapshot_merge(
         schema_ddl,
         base_version=base_version,
         new_epoch=new_epoch,
+        add_stats=added_stats,
     )
     return {
         "updated": updated,
@@ -1301,6 +1548,41 @@ def snapshot_merge(
         "deleted": deleted,
         "version": version,
     }
+
+
+def _merge_key_conjuncts(keys: list[str], src_stats) -> list[tuple]:
+    """Synthesize skip-conjuncts `k >= src_min AND k <= src_max` per
+    merge key from the source-stats row — a target file whose stats
+    range is disjoint from the source's on ANY equi-join key can hold
+    no match. Keys whose range is unknown (empty source, NULL-only
+    keys) or of non-skippable Python types contribute nothing."""
+    import datetime as _dtm
+    from decimal import Decimal as _Dec
+
+    def kind_of(v):
+        if isinstance(v, bool):
+            return ("bool", v)
+        if isinstance(v, (int, float, _Dec)):
+            return ("num", v)
+        if isinstance(v, str):
+            return ("str", v)
+        if isinstance(v, _dtm.datetime):
+            return ("ts", v.isoformat(sep=" "))
+        if isinstance(v, _dtm.date):
+            return ("date", v.isoformat())
+        return (None, None)
+
+    out: list[tuple] = []
+    for i, k in enumerate(keys):
+        lo, hi = src_stats[f"_kmin{i}"], src_stats[f"_kmax{i}"]
+        if lo is None or hi is None:
+            continue
+        klo, khi = kind_of(lo), kind_of(hi)
+        if klo[0] is None or khi[0] is None or klo[0] == "bool":
+            continue
+        out.append((k, ">=", klo))
+        out.append((k, "<=", khi))
+    return out
 
 
 def _merge_mor(
@@ -1318,6 +1600,7 @@ def _merge_mor(
     src_data: DataFrame,
     new_epoch: int | None,
     n_keys: int,
+    match_files: set[str],
 ) -> dict:
     """The merge-on-read MERGE body (snapshot_merge merge_on_read=True):
     matched rows' addresses → DV tombstones, all source rows → appended
@@ -1337,17 +1620,23 @@ def _merge_mor(
         + ">"
     )
     prev_dvs = table_dvs(path, base_version)
-    scan = (
-        spark.read.schema(phys_st)
-        .option("basePath", path)
-        .parquet(*[os.path.join(path, f) for f in sorted(live)])
-        .withColumn("_fp", _norm_file_uri(F.col("_metadata.file_path")))
-        .withColumn("_ri", F.col("_metadata.row_index"))
-    )
-    for logical, physical in cmap.items():
-        if logical != physical:
-            scan = scan.withColumnRenamed(physical, logical)
-    if prev_dvs:
+    # r15 data skipping: only files whose stats intersect the source
+    # key ranges can contribute DV tombstones
+    scan = None
+    if match_files:
+        scan = (
+            spark.read.schema(phys_st)
+            .option("basePath", path)
+            .parquet(*[os.path.join(path, f) for f in sorted(match_files)])
+            .withColumn(
+                "_fp", _norm_file_uri(F.col("_metadata.file_path"))
+            )
+            .withColumn("_ri", F.col("_metadata.row_index"))
+        )
+        for logical, physical in cmap.items():
+            if logical != physical:
+                scan = scan.withColumnRenamed(physical, logical)
+    if prev_dvs and scan is not None:
         pairs = [
             (os.path.join(path, f), int(pos))
             for f, positions in prev_dvs.items()
@@ -1370,6 +1659,8 @@ def _merge_mor(
         .select("_fp", "_ri", "_del")
         .limit(max(budget, 0) + 1)
         .collect()
+        if scan is not None
+        else []
     )
     if len(hits) > max(budget, 0):
         raise ValueError(
@@ -1397,7 +1688,7 @@ def _merge_mor(
         )
         for f in changed:
             new_map[f] = sidecar
-    added = _write_staged(
+    added, added_stats = _write_staged(
         _to_physical_df(src_data, cmap), path, partition_cols
     )
     version = _commit(
@@ -1408,6 +1699,7 @@ def _merge_mor(
         base_version=base_version,
         set_dvs=new_map,
         new_epoch=new_epoch,
+        add_stats=added_stats,
     )
     return {
         "updated": updated,
@@ -1607,6 +1899,32 @@ def _enforce_constraints(df: DataFrame, constraints: dict[str, str], op: str) ->
         _raise_violation(op, bad)
 
 
+def _stats_prove_compliance(path: str, version: int, predicate: str) -> bool:
+    """True when every live file's manifest stats prove no row violates
+    `predicate` (single-comparison predicates only). Any file without
+    stats, or whose bounds leave a violation possible, returns False —
+    the caller then runs the real validation scan."""
+    viol = _lstats.violation_conjunct(predicate)
+    if viol is None:
+        return False
+    m = _read_manifest(path, version)
+    col_types = dict(_schema_fields(m["schema"]))
+    cmap = m.get("column_map", {})
+    if viol[0] not in col_types:
+        return False  # unknown column: let the scan raise its error
+    stats = table_stats(path, version)
+    for f in _live_files(path, version):
+        e = stats.get(f)
+        if e is None:
+            return False
+        # file_may_match returns True ("may hold a violating row") for
+        # any missing/unusable stats — exactly the conservative default
+        # a compliance proof needs
+        if _lstats.file_may_match(e, [viol], cmap, col_types):
+            return False
+    return True
+
+
 def snapshot_set_constraint(
     spark: SparkSession, path: str, name: str, predicate: str
 ) -> int:
@@ -1614,16 +1932,25 @@ def snapshot_set_constraint(
     CURRENT snapshot first (a constraint the existing data violates is
     refused — Delta's rule), then commits a same-files manifest whose
     constraint map adds the entry; every later append/merge/stream
-    batch enforces it before writing. Returns the new version."""
+    batch enforces it before writing. Returns the new version.
+
+    r15 (VERDICT r14 task 2, closing the lake_evolution_roundtrip job
+    floor): when the predicate is a single negatable comparison and
+    EVERY live file's manifest stats PROVE no row can violate it
+    (lake_stats.violation_conjunct + file_may_match), validation needs
+    ZERO Spark jobs — the scan runs only when some file's stats leave
+    a violation possible (stats include DV'd rows, so the proof is
+    conservative: it can only skip the scan, never refuse wrongly)."""
     versions = snapshot_versions(path)
     if not versions:
         raise ValueError(f"no committed snapshots under {path}")
     latest = versions[-1]
-    _enforce_constraints(
-        snapshot_read(spark, path, latest),
-        {name: predicate},
-        "snapshot_set_constraint(existing data)",
-    )
+    if not _stats_prove_compliance(path, latest, predicate):
+        _enforce_constraints(
+            snapshot_read(spark, path, latest),
+            {name: predicate},
+            "snapshot_set_constraint(existing data)",
+        )
     cons = dict(table_constraints(path))
     cons[name] = predicate
     return _commit(
@@ -1848,6 +2175,10 @@ def snapshot_restore(path: str, version: int) -> int:
         set_column_map=restored.get("column_map", {}),
         set_dropped_physical=restored.get("dropped_physical", []),
         set_properties=restored.get("properties", {}),
+        # stats travel with the re-added files (r15): the restore
+        # commit's adds re-animate files later versions removed — their
+        # stats are still resolvable at the restored version
+        add_stats=table_stats(path, version),
     )
 
 
@@ -1950,6 +2281,9 @@ def snapshot_clone(
         set_dropped_physical=list(m.get("dropped_physical", [])),
         set_epochs=list(m.get("epochs", [])),
         set_properties=dict(m.get("properties", {})),
+        # per-file stats travel with the hardlinked files (r15): the
+        # clone's v1 adds are the source's live set
+        add_stats=table_stats(src, v),
     )
 
 
@@ -1991,6 +2325,7 @@ def snapshot_compact(
     snap = snapshot_read(spark, path, _apply_dv_cap=False)
     removed: set[str] = set()
     added: set[str] = set()
+    add_stats: dict[str, dict] = {}
     compacted = 0
     dv_files = set(m.get("dvs", {}))
     for d, files in sorted(by_dir.items()):
@@ -2022,11 +2357,13 @@ def snapshot_compact(
             )
         else:
             part = part.coalesce(n_files)
-        added |= _write_staged(
+        new, new_stats = _write_staged(
             _to_physical_df(part, m.get("column_map", {})),
             path,
             partition_cols,
         )
+        added |= new
+        add_stats.update(new_stats)
         removed |= set(files)
         compacted += 1
     if compacted:
@@ -2036,6 +2373,7 @@ def snapshot_compact(
             "compact",
             m["schema"],
             base_version=base_version,
+            add_stats=add_stats,
         )
     return compacted
 
@@ -2123,7 +2461,12 @@ def vacuum(
     # retained version stays resolvable (retained is a suffix of
     # `versions`, so the rest replay forward from this one)
     oldest = min(retained)
-    _write_checkpoint(path, oldest, _live_files(path, oldest))
+    _write_checkpoint(
+        path,
+        oldest,
+        _live_files(path, oldest),
+        stats=table_stats(path, oldest),
+    )
     removed = 0
     for f in sorted(_list_files(path) - referenced):
         full = os.path.join(path, f)
@@ -2248,7 +2591,7 @@ class SnapshotLakeSink:
             table_constraints(self.path) if versions else {},
             "SnapshotLakeSink",
         )
-        new = _write_staged(
+        new, new_stats = _write_staged(
             _to_physical_df(batch_df, table_column_map(self.path)),
             self.path,
             self.partition_cols,
@@ -2264,6 +2607,7 @@ class SnapshotLakeSink:
             batch_df.schema.simpleString(),
             new_epoch=int(epoch_id),
             base_version=base,
+            add_stats=new_stats,
             recompute=lambda latest_live: latest_live | new,
             recheck_schema=lambda committed: _check_append_schema(
                 batch_df.schema.simpleString(),

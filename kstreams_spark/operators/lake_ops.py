@@ -402,3 +402,81 @@ def lake_clone_diverge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.expr(f"SUM({_fp_on('text')})").cast("bigint").alias("fp_sum"),
     )
+
+
+@query(
+    "lake_stats_skipping",
+    oracle=f"""
+    WITH hit AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'val' END AS split
+      FROM documents
+      WHERE doc_id >= 25 AND doc_id < 50
+        AND doc_id % 2 = 0  -- split = 'train'
+    )
+    SELECT 'train' AS split,
+           COUNT(*) AS n_docs,
+           SUM({_fp_on("text")})::BIGINT AS fp_sum,
+           1 AS files_scanned,
+           7 AS files_skipped
+    FROM hit
+    """,
+)
+def lake_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-side data skipping under the driver's value hash (r15,
+    VERDICT r14 task 1 — the Delta data-skipping twin): publish four
+    appends of doc_id ranges [0,25) [25,50) [50,75) [75,100), each
+    coalesced to ONE file per (append, split) partition dir — eight
+    live files whose manifest-resident per-file stats carry disjoint
+    doc_id ranges — then run a selective
+    `snapshot_read(where="doc_id >= 25 AND doc_id < 50 AND
+    split = 'train'")`. The layout is fully deterministic, so the
+    SKIPPING ITSELF is value-checked: the result carries
+    (files_scanned, files_skipped) from snapshot_scan_stats — (1, 7),
+    partition pruning killing the four `val` files and the stats
+    ranges killing the other three `train` files — and the oracle
+    states those constants arithmetically alongside the surviving
+    rows' fingerprint (a wrong bound that dropped a live row would
+    move n_docs/fp_sum; a prune that stopped skipping would move
+    files_scanned).
+
+    100 TB posture: the prune is pure driver-side metadata
+    (O(live files) dict walks over the manifest/checkpoint stats) —
+    no file footer is opened; the scan then receives only the
+    surviving file list (tests/test_lake_stats.py pins
+    inputFiles() == 1).
+
+    Shuffle budget: four 1-file staged writes + one pruned single-file
+    scan + a 1-group aggregation."""
+    from kstreams_spark.lake_snapshot import (
+        snapshot_publish,
+        snapshot_read,
+        snapshot_scan_stats,
+    )
+
+    lake = tempfile.mkdtemp(prefix="kstreams_lake_skip_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, "train")
+        .otherwise("val")
+        .alias("split"),
+    )
+    for lo in range(0, 100, 25):
+        snapshot_publish(
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 25)
+            ).coalesce(1),
+            lake,
+            mode="append" if lo else "replace",
+            partition_cols=("split",),
+        )
+    where = "doc_id >= 25 AND doc_id < 50 AND split = 'train'"
+    plan = snapshot_scan_stats(lake, where)
+    hit = snapshot_read(spark, lake, where=where)
+    return hit.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(f"SUM({_fp_on('text')})").cast("bigint").alias("fp_sum"),
+        F.lit(plan["scanned"]).alias("files_scanned"),
+        F.lit(plan["skipped"]).alias("files_skipped"),
+    )

@@ -204,7 +204,7 @@ class LakeMaterializedAggregate:
             .filter(F.col("n_rows") > 0)
         )
         versions = snapshot_versions(self.view_path)
-        new = _write_staged(merged, self.view_path, ())
+        new, new_stats = _write_staged(merged, self.view_path, ())
         # full replacement of the view (files = this write's), committed
         # with the epoch recorded — the exactly-once record a replay hits
         _commit(
@@ -214,6 +214,7 @@ class LakeMaterializedAggregate:
             merged.schema.simpleString(),
             new_epoch=int(epoch_id),
             base_version=versions[-1],
+            add_stats=new_stats,
             recompute=lambda latest_live: new,
         )
 

@@ -1251,8 +1251,13 @@ def test_staged_write_returns_exactly_its_files(spark, tmp_path, sf_dir):
         [(1, "a=b", "en"), (2, None, "en"), (3, "train", "en")],
         "doc_id long, split string, lang string",
     )
-    new = ls._write_staged(df, lake, ("split", "lang"))
+    new, new_stats = ls._write_staged(df, lake, ("split", "lang"))
     assert new == ls._list_files(lake)  # exactly this write's files
+    # r15: every staged file carries footer-derived column stats
+    assert set(new_stats) == new
+    for s in new_stats.values():
+        assert s["rows"] == 1 and "doc_id" in s["cols"]
+        assert s["cols"]["doc_id"]["nulls"] == 0
     tops = {f.split(os.sep)[0] for f in new}
     assert tops == {
         "split=a%3Db",
@@ -1261,7 +1266,7 @@ def test_staged_write_returns_exactly_its_files(spark, tmp_path, sf_dir):
     }
     assert not glob.glob(os.path.join(lake, ".staging-*"))
     # a second write into the SAME partition reports only its own files
-    more = ls._write_staged(
+    more, _ = ls._write_staged(
         spark.createDataFrame(
             [(4, "train", "en")], "doc_id long, split string, lang string"
         ),

@@ -1,0 +1,318 @@
+"""r15 data skipping: manifest-resident per-file column stats + the
+driver-side file pruning built on them (lake_stats.py + the
+lake_snapshot wiring). The files-opened pins are the point: a selective
+read must receive ONLY the surviving file list (inputFiles()), with no
+footer opened for a skipped file."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import kstreams_spark.lake_snapshot as ls
+from kstreams_spark.io import load_table
+from kstreams_spark.lake_snapshot import (
+    snapshot_clone,
+    snapshot_delete_where_dv,
+    snapshot_merge,
+    snapshot_publish,
+    snapshot_read,
+    snapshot_rename_column,
+    snapshot_restore,
+    snapshot_scan_stats,
+    table_stats,
+    vacuum,
+)
+from kstreams_spark.lake_stats import (
+    STATS_MAX_STRING_LEN,
+    collect_file_stats,
+    file_may_match,
+    parse_skip_conjuncts,
+)
+
+
+def _docs(spark, sf_dir, lo=0, hi=100):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "text",
+            F.when(F.col("doc_id") % 2 == 0, "train")
+            .otherwise("val")
+            .alias("split"),
+        )
+        .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+    )
+
+
+def _ranged_lake(spark, sf_dir, tmp_path, name="skip"):
+    """Four appends of 25-wide doc_id ranges, one file per
+    (append, split) dir — eight live files with disjoint stats."""
+    lake = str(tmp_path / name)
+    for lo in range(0, 100, 25):
+        snapshot_publish(
+            _docs(spark, sf_dir, lo, lo + 25).coalesce(1),
+            lake,
+            mode="append" if lo else "replace",
+            partition_cols=("split",),
+        )
+    return lake
+
+
+# --- pure-unit surface ----------------------------------------------------
+
+
+def test_parse_skip_conjuncts_grammar():
+    assert parse_skip_conjuncts("a >= 1 AND b = 'x' AND c IS NULL") == [
+        ("a", ">=", ("num", 1)),
+        ("b", "=", ("str", "x")),
+        ("c", "isnull", None),
+    ]
+    # literal-first comparisons flip
+    assert parse_skip_conjuncts("5 < a") == [("a", ">", ("num", 5))]
+    # OR / parens / unknown functions → no pruning at all
+    assert parse_skip_conjuncts("a > 1 OR b < 2") == []
+    assert parse_skip_conjuncts("(a > 1) AND b < 2") == []
+    # an AND inside a string literal can only produce rejected
+    # fragments, never a wrong conjunct
+    assert parse_skip_conjuncts("t = 'x AND y'") == []
+    # a function call carries parens → global reject (conservative)
+    assert parse_skip_conjuncts("length(t) > 3 AND a = 2") == []
+    # an unparseable paren-free conjunct drops, parseable ones survive
+    assert parse_skip_conjuncts("t LIKE 'x%' AND a = 2") == [
+        ("a", "=", ("num", 2))
+    ]
+
+
+def test_file_may_match_ranges_and_nulls():
+    e = {"rows": 10, "cols": {"k": {"min": 5, "max": 50, "nulls": 2}}}
+    t = {"k": "bigint"}
+    may = lambda w: file_may_match(e, parse_skip_conjuncts(w), {}, t)
+    assert not may("k > 50") and may("k >= 50")
+    assert not may("k < 5") and may("k <= 5")
+    assert not may("k = 4") and may("k = 5") and not may("k = 51")
+    assert may("k != 7")
+    assert may("k IS NULL")  # nulls=2 > 0
+    assert may("k IS NOT NULL")
+    # all-null file: no comparison can match; IS NOT NULL can't either
+    allnull = {"rows": 3, "cols": {"k": {"nulls": 3}}}
+    assert not file_may_match(
+        allnull, parse_skip_conjuncts("k = 1"), {}, t
+    )
+    assert not file_may_match(
+        allnull, parse_skip_conjuncts("k IS NOT NULL"), {}, t
+    )
+    # zero-null file skips IS NULL
+    nonull = {"rows": 3, "cols": {"k": {"min": 1, "max": 2, "nulls": 0}}}
+    assert not file_may_match(
+        nonull, parse_skip_conjuncts("k IS NULL"), {}, t
+    )
+    # != can only skip a constant file
+    const = {"rows": 3, "cols": {"k": {"min": 7, "max": 7, "nulls": 0}}}
+    assert not file_may_match(const, parse_skip_conjuncts("k != 7"), {}, t)
+    # missing stats / unknown column / unknown type: never skip
+    assert file_may_match({}, parse_skip_conjuncts("k = 1"), {}, t)
+    assert file_may_match(e, parse_skip_conjuncts("zz = 1"), {}, t)
+    assert file_may_match(e, parse_skip_conjuncts("k = 1"), {}, {})
+
+
+def test_string_truncation_bounds(spark, tmp_path):
+    """A string longer than STATS_MAX_STRING_LEN stores a truncated min
+    (valid lower bound) and a U+10FFFF-padded max (valid upper bound) —
+    never a bound that would wrongly skip the file."""
+    long_hi = "z" * (STATS_MAX_STRING_LEN + 40)
+    long_lo = "a" * (STATS_MAX_STRING_LEN + 40)
+    p = str(tmp_path / "trunc")
+    spark.createDataFrame(
+        [(long_lo,), (long_hi,)], "t string"
+    ).coalesce(1).write.parquet(p)
+    f = [
+        os.path.join(p, x)
+        for x in os.listdir(p)
+        if x.endswith(".parquet")
+    ][0]
+    st = collect_file_stats(f)
+    ce = st["cols"]["t"]
+    assert len(ce["min"]) == STATS_MAX_STRING_LEN
+    assert ce["min"] <= long_lo
+    assert ce["max"] >= long_hi
+    assert ce["max"].endswith("\U0010ffff")
+    # the padded bound keeps a probe INSIDE the range un-skipped
+    assert file_may_match(
+        st,
+        parse_skip_conjuncts(f"t = '{'z' * (STATS_MAX_STRING_LEN + 39)}'"),
+        {},
+        {"t": "string"},
+    )
+
+
+# --- lake wiring ----------------------------------------------------------
+
+
+def test_selective_read_opens_only_surviving_files(spark, tmp_path, sf_dir):
+    lake = _ranged_lake(spark, sf_dir, tmp_path)
+    where = "doc_id >= 25 AND doc_id < 50 AND split = 'train'"
+    plan = snapshot_scan_stats(lake, where)
+    assert plan == {"total": 8, "scanned": 1, "skipped": 7}
+    pruned = snapshot_read(spark, lake, where=where)
+    # the scan physically receives ONE file
+    assert len(pruned.inputFiles()) == 1
+    # and the answer equals filter-over-full-read exactly
+    full = snapshot_read(spark, lake).filter(where)
+    assert sorted(r.doc_id for r in pruned.collect()) == sorted(
+        r.doc_id for r in full.collect()
+    )
+    # a predicate outside every range scans nothing and returns empty
+    none = snapshot_read(spark, lake, where="doc_id >= 1000")
+    assert none.count() == 0
+    assert snapshot_scan_stats(lake, "doc_id >= 1000")["scanned"] == 0
+    # an unprunable predicate (OR) scans everything, still correct
+    some = snapshot_read(
+        spark, lake, where="doc_id = 3 OR doc_id = 30"
+    )
+    assert len(some.inputFiles()) == 8
+    assert sorted(r.doc_id for r in some.collect()) == [3, 30]
+
+
+def test_stats_survive_rename_clone_restore(spark, tmp_path, sf_dir):
+    lake = _ranged_lake(spark, sf_dir, tmp_path)
+    # rename: stats live under PHYSICAL names; predicates on the new
+    # logical name keep pruning
+    snapshot_rename_column(lake, "doc_id", "doc")
+    plan = snapshot_scan_stats(lake, "doc >= 25 AND doc < 50")
+    assert plan["scanned"] == 2 and plan["total"] == 8  # train + val
+    got = snapshot_read(spark, lake, where="doc >= 25 AND doc < 50")
+    assert got.count() == 25 and len(got.inputFiles()) == 2
+    # clone: stats travel with the metadata commit
+    clone = str(tmp_path / "skip_clone")
+    snapshot_clone(lake, clone)
+    assert snapshot_scan_stats(clone, "doc >= 75")["scanned"] == 2
+    # restore: re-added files get their stats back
+    ls.snapshot_delete_where(
+        spark, lake, "doc >= 50", partition_cols=("split",)
+    )
+    v = ls.snapshot_versions(lake)[-1]
+    assert snapshot_scan_stats(lake, "doc >= 75")["scanned"] == 0
+    snapshot_restore(lake, v - 1)
+    assert snapshot_scan_stats(lake, "doc >= 75")["scanned"] == 2
+    assert (
+        snapshot_read(spark, lake, where="doc >= 75").count() == 25
+    )
+
+
+def test_stats_fold_into_checkpoints_and_survive_vacuum(
+    spark, tmp_path, sf_dir
+):
+    """More commits than CHECKPOINT_INTERVAL, then a vacuum that drops
+    the early manifests: table_stats must resolve from the checkpoint,
+    and pruning must keep working."""
+    lake = str(tmp_path / "cpstats")
+    for i, lo in enumerate(range(0, 120, 10)):  # 12 commits
+        snapshot_publish(
+            _docs(spark, sf_dir, lo, lo + 10).coalesce(1),
+            lake,
+            mode="append" if i else "replace",
+            partition_cols=("split",),
+        )
+    st = table_stats(lake, ls.snapshot_versions(lake)[-1])
+    assert len(st) == 24  # every live file has stats
+    vacuum(lake, keep_versions=1, grace_seconds=0, force=True)
+    st2 = table_stats(lake, ls.snapshot_versions(lake)[-1])
+    assert st2 == st
+    plan = snapshot_scan_stats(lake, "doc_id >= 110")
+    assert plan["scanned"] == 2 and plan["total"] == 24
+
+
+def test_dv_delete_prunes_scan_but_commits_full_liveset(
+    spark, tmp_path, sf_dir
+):
+    """Regression (caught during r15 bring-up): the DV delete's pruned
+    SCAN set must not leak into the commit's live-file set — every
+    other file stays in the table."""
+    lake = _ranged_lake(spark, sf_dir, tmp_path, "dvskip")
+    n = snapshot_delete_where_dv(spark, lake, "doc_id = 30")
+    assert n == 1
+    ids = sorted(r.doc_id for r in snapshot_read(spark, lake).collect())
+    assert len(ids) == 99 and 30 not in ids and 0 in ids and 99 in ids
+    # and the DV landed on the one file whose range holds 30
+    v = ls.snapshot_versions(lake)[-1]
+    dvs = ls.table_dvs(lake, v)
+    assert len(dvs) == 1 and list(dvs.values())[0] != []
+
+
+def test_merge_key_range_prunes_matched_scan(spark, tmp_path, sf_dir):
+    """A merge whose source keys span one 25-range must produce the
+    same result as ever (pruning is scan-side only), for CoW and MoR,
+    including delete intents."""
+    for mor in (False, True):
+        lake = _ranged_lake(spark, sf_dir, tmp_path, f"mrg{mor}")
+        src = (
+            _docs(spark, sf_dir, 30, 35)
+            .withColumn("text", F.lit("merged"))
+            .withColumn("_kill", F.col("doc_id") == 31)
+        )
+        r = snapshot_merge(
+            spark,
+            lake,
+            src,
+            key_cols=("doc_id",),
+            partition_cols=("split",),
+            merge_on_read=mor,
+            delete_col="_kill",
+        )
+        assert (r["updated"], r["inserted"], r["deleted"]) == (4, 0, 1)
+        now = {
+            x.doc_id: x.text for x in snapshot_read(spark, lake).collect()
+        }
+        assert len(now) == 99 and 31 not in now
+        assert now[30] == "merged" and now[34] == "merged"
+        assert now[29] != "merged" and now[50] != "merged"
+
+
+def test_merge_insert_only_outside_ranges(spark, tmp_path, sf_dir):
+    """Source keys entirely outside every file's range: the matched
+    scan prunes to zero files, and the merge is a pure insert."""
+    for mor in (False, True):
+        lake = _ranged_lake(spark, sf_dir, tmp_path, f"mrgins{mor}")
+        src = _docs(spark, sf_dir, 200, 205)
+        r = snapshot_merge(
+            spark,
+            lake,
+            src,
+            key_cols=("doc_id",),
+            partition_cols=("split",),
+            merge_on_read=mor,
+        )
+        assert (r["updated"], r["inserted"]) == (0, 5)
+        assert (
+            snapshot_read(spark, lake).filter("doc_id >= 200").count()
+            == 5
+        )
+        assert snapshot_read(spark, lake).count() == 105
+
+
+def test_append_after_schema_widens_without_stats_still_reads(
+    spark, tmp_path, sf_dir
+):
+    """A file with no stats entry (simulated legacy commit) is simply
+    never skipped."""
+    lake = _ranged_lake(spark, sf_dir, tmp_path, "legacy")
+    v = ls.snapshot_versions(lake)[-1]
+    # strip add_stats from one manifest in place (pre-r15 shape)
+    import json
+
+    mp = ls._manifest_path(lake, v)
+    with open(mp) as fh:
+        body = json.load(fh)
+    body.pop("add_stats", None)
+    os.remove(mp)
+    with open(mp, "w") as fh:
+        json.dump(body, fh)
+    # the stripped commit's two files ([75,100)) lost their stats:
+    # they always scan — matching or not — while statted files skip
+    assert snapshot_scan_stats(lake, "doc_id >= 75")["scanned"] == 2
+    assert snapshot_scan_stats(lake, "doc_id < 25")["scanned"] == 4
+    got = snapshot_read(spark, lake, where="doc_id >= 75")
+    assert got.count() == 25
