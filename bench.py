@@ -135,6 +135,8 @@ HEADLINE = [
     "lake_evolution_roundtrip",  # added r12: schema evolution + CHECK constraint
     "lake_rename_roundtrip",  # added r13: column-mapping rename, both versions read
     "lake_clone_diverge",  # added r14: zero-copy shallow clone, forked histories
+    "lake_stats_skipping",  # added r15: per-file stats, driver-side file pruning
+    "sketch_quantile_histogram",  # added r15: mergeable log-bucket quantile sketch
     "dsl_ktable_groupby_reaggregate",  # added r13: KGroupedTable re-aggregation
     "dsl_ktable_fk_join",  # added r14: KS 2.4 foreign-key KTable join
     "dsl_cogroup_user_activity",  # added r14: KS 2.5 cogroup multi-stream agg
@@ -147,6 +149,8 @@ HEADLINE = [
     "multimodal_image_decode_png_depths",  # added r14: 1/2/4/16-bit depth matrix
     "multimodal_audio_g711_features",  # added r14: telephony mu-law/A-law decode
     "multimodal_video_apng_frames",  # added r14: APNG blend/dispose compositing
+    "multimodal_video_gif_disposal_frames",  # added r15: GIF disposal 2/3 matrix
+    "multimodal_video_apng_dispose_frames",  # added r15: APNG dispose ops + hidden default image
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------
@@ -518,9 +522,80 @@ def _probe_lake_mor_cdf(spark, sdir: str) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _probe_fk_view_maintain(spark, sdir: str) -> None:
+    """Scale probe for the r14 row-level maintained FK-join view
+    (VERDICT r14 task 6 — the one r14 machine with no measured
+    exponent): publish the scaled corpus as a fact lake carrying a
+    foreign key, bootstrap a LakeMaterializedEnrichedJoin against a
+    broadcast-sized dimension (inner), stream FK-MOVE updates (every
+    97th key re-points at a new partner; every 3rd of those at a
+    DANGLING value — the KIP-213 removal arm) plus an append through
+    the partitioned signed feed, and serve the maintained view. The
+    bootstrap is O(N); per-batch maintenance is O(changed keys + dim
+    matches) — the chain's exponent should ride the bootstrap's ~1.0,
+    with the maintenance arm sublinear inside it."""
+    import shutil
+    import tempfile
+
+    from kstreams_spark.io import load_table
+    from kstreams_spark.lake_snapshot import snapshot_merge, snapshot_publish
+    from kstreams_spark.streaming.materialized import (
+        LakeMaterializedEnrichedJoin,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="kstreams_fkview_probe_")
+    try:
+        docs = load_table(spark, sdir, "documents").select(
+            "doc_id",
+            F.length("text").cast("long").alias("chars"),
+            (F.col("doc_id") % 1000).alias("topic_id"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("topic_id"),
+            F.concat(F.lit("topic-"), F.col("id")).alias("topic_name"),
+        )
+        lake = os.path.join(tmp, "facts")
+        snapshot_publish(docs, lake, partition_cols=())  # v1
+        view = LakeMaterializedEnrichedJoin(
+            os.path.join(tmp, "view"),
+            ("doc_id",),
+            dim,
+            foreign_key="topic_id",
+            dim_key="topic_id",
+            how="inner",
+        )
+        start_v = view.bootstrap(spark, lake)
+        moved = docs.filter(F.col("doc_id") % 97 == 0).withColumn(
+            "topic_id",
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(5_000_000)  # dangling
+            ).otherwise((F.col("topic_id") + 7) % 1000),
+        )
+        snapshot_merge(
+            spark, lake, moved, key_cols=("doc_id",), partition_cols=()
+        )  # v2: FK moves incl. dangling removals
+        snapshot_publish(
+            docs.filter(F.col("doc_id") % 89 == 1).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(900_000_000)
+            ),
+            lake,
+            mode="append",
+            partition_cols=(),
+        )  # v3: inserts
+        q = view.attach(spark, lake, os.path.join(tmp, "ckpt"), start_v)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        view.result(spark).write.format("noop").mode("overwrite").save()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # probe chains that are not registered queries: label -> callable(spark, sdir)
 SCALE_PROBE_CALLABLES = {
     "lake_mor_cdf": _probe_lake_mor_cdf,
+    "fk_view_maintain": _probe_fk_view_maintain,
 }
 _ID_STRIDE = 10_000_000  # far above any fixture id; keeps replica ids disjoint
 

@@ -213,17 +213,24 @@ class KStream:
         ts_col: str,
         within: str,
         how: str = "inner",
+        before: str | None = None,
+        after: str | None = None,
     ) -> "KStream":
         """stream⋈stream windowed join (JoinWindows.of(within)): match
         records with equal keys whose event times differ by at most
-        `within` (an INTERVAL string). The time band is part of the
-        JOIN CONDITION, not a post-filter — a post-filter would
-        evaluate NULL on an outer join's null-extended side and
+        `within` (an INTERVAL string) — the symmetric ±within band.
+        `before=` / `after=` override each bound independently (r15 —
+        JoinWindows.of(d).before(b)/.after(a)): the right event's time
+        must fall in [left − before, left + after]. The time band is
+        part of the JOIN CONDITION, not a post-filter — a post-filter
+        would evaluate NULL on an outer join's null-extended side and
         silently turn left/full joins into inner (and Structured
         Streaming requires the time constraint inside an outer join's
         condition to emit the null-extended rows at all). On batch
         inputs it is a plain range join. Right-side columns are
         suffixed `_r`."""
+        before = within if before is None else before
+        after = within if after is None else after
         r = other.df
         for c in r.columns:
             r = r.withColumnRenamed(c, c + "_r")
@@ -231,8 +238,8 @@ class KStream:
         lt, rt = F.col(ts_col), F.col(ts_col + "_r")
         cond = (
             (F.col(self.key) == F.col(rkey))
-            & (rt >= lt - F.expr(f"INTERVAL {within}"))
-            & (rt <= lt + F.expr(f"INTERVAL {within}"))
+            & (rt >= lt - F.expr(f"INTERVAL {before}"))
+            & (rt <= lt + F.expr(f"INTERVAL {after}"))
         )
         joined = self.df.join(r, cond, how)
         # one key column out: the left's, null-filled from the right's

@@ -15,9 +15,13 @@ spec Appendix E, de-interleaved back to natural order). The global
 color table is optional when every frame carries an LCT, per spec.
 r13 extends it to SUB-RECTANGLE frames (the optimized-animation
 layout: each frame ships only its changed rect, composited onto the
-do-not-dispose canvas; the first frame must cover the canvas, and
-disposal methods 2/3 — restore-to-background/previous — raise BY
-NAME, peeked from the graphic control extension). Other extension
+carried canvas; the first frame must cover the canvas). r15 closes
+the DISPOSAL matrix: all four graphic-control methods — 0/1
+do-not-dispose, 2 restore-to-background (the common optimized-GIF
+layout; the rect refills with the logical screen descriptor's
+background color, which requires a GCT), 3 restore-to-previous (the
+rect reverts to its pre-frame contents); a frame-0 "previous"
+degrades to background, matching the APNG rule. Other extension
 blocks (comment, NETSCAPE looping, application) are skipped per
 spec.
 
@@ -219,6 +223,8 @@ def encode_gif_anim(
     local_palettes: list[list[tuple[int, int, int]]] | None = None,
     interlace: bool = False,
     rects: list[tuple[int, int, int, int] | None] | None = None,
+    disposals: list[int] | None = None,
+    bg_index: int = 0,
 ) -> bytes:
     """frames[f][y][x] = palette index → a complete, valid animated
     GIF89a: one full-frame image block per frame, each preceded by a
@@ -241,19 +247,27 @@ def encode_gif_anim(
     optimized-animation layout where each frame ships only the pixels
     that changed and the do-not-dispose canvas carries the rest.
     rects[0] must be None/full-canvas (there is no background to
-    composite the first frame over)."""
+    composite the first frame over).
+
+    r15: `disposals[f]` writes frame f's graphic-control disposal
+    method (default 1 do-not-dispose; 2 restore-to-background — the
+    common optimized-GIF layout — and 3 restore-to-previous are the
+    decoder's new scope); `bg_index` lands in the logical screen
+    descriptor as the background color index disposal 2 restores to."""
     if len(palette) != _PAL_N:
         raise ValueError(f"fixture palette must have {_PAL_N} entries")
     if local_palettes is not None and len(local_palettes) != len(frames):
         raise ValueError("need one local palette per frame")
     if rects is not None and len(rects) != len(frames):
         raise ValueError("need one rect (or None) per frame")
+    if disposals is not None and len(disposals) != len(frames):
+        raise ValueError("need one disposal method per frame")
     h, w = len(frames[0]), len(frames[0][0])
     if rects is not None and rects[0] not in (None, (0, 0, w, h)):
         raise ValueError("rects[0] must cover the canvas")
     out = bytearray(b"GIF89a")
     # logical screen descriptor: GCT present, 2^(3+1)=16 entries
-    out += struct.pack("<HHBBB", w, h, 0x80 | 0x03, 0, 0)
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x03, bg_index, 0)
     for r, g, b in palette:
         out += bytes((r, g, b))
     # NETSCAPE looping extension + comment: both must be skipped
@@ -269,8 +283,12 @@ def encode_gif_anim(
                 f"frame {f} grid is {len(idx_grid)}x{len(idx_grid[0])}, "
                 f"its rect says {fh}x{fw}"
             )
-        # graphic control extension: disposal=do-not-dispose(1), 4 cs
-        out += b"\x21\xf9\x04\x04\x04\x00\x00\x00"
+        # graphic control extension: disposal (default do-not-dispose),
+        # 4 cs delay
+        disp = disposals[f] if disposals is not None else 1
+        if not 0 <= disp <= 3:
+            raise ValueError(f"disposal method {disp} out of range")
+        out += b"\x21\xf9\x04" + bytes((disp << 2,)) + b"\x04\x00\x00\x00"
         ipacked = 0
         if local_palettes is not None:
             if len(local_palettes[f]) != _PAL_N:
@@ -307,7 +325,7 @@ def gif_frames(payload: bytes) -> list[list[list[tuple[int, int, int]]]]:
     out-of-scope input (see module docstring)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF file")
-    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    sw, sh, packed, bg_idx, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     palette: list[tuple[int, int, int]] | None = None
     gct_n = 0
@@ -318,6 +336,9 @@ def gif_frames(payload: bytes) -> list[list[list[tuple[int, int, int]]]]:
         ]
         pos += 3 * gct_n
     frames: list[list[list[tuple[int, int, int]]]] = []
+    carry: list[list] | None = None  # canvas AFTER the prior disposal
+    undisposed: tuple | None = None  # (canvas, base, disp, rect) pending
+    pending_disposal = 0
     while pos < len(payload):
         b0 = payload[pos]
         if b0 == 0x3B:  # trailer
@@ -325,18 +346,17 @@ def gif_frames(payload: bytes) -> list[list[list[tuple[int, int, int]]]]:
         if b0 == 0x21:  # extension: label + sub-blocks, skip
             label = payload[pos + 1]
             if label == 0xF9 and payload[pos + 2] >= 1:
-                # graphic control: peek the disposal method — the
-                # canvas compositing below is the do-not-dispose
-                # contract (method 0/1); restore-to-background(2) /
-                # restore-to-previous(3) are out of scope BY NAME, not
-                # by silently wrong frames
+                # graphic control: the disposal method governs what the
+                # NEXT frame composites over (r15 — all four methods:
+                # 0 unspecified / 1 do-not-dispose / 2 restore-to-
+                # background / 3 restore-to-previous; 2/3 used to
+                # raise by name)
                 disposal = (payload[pos + 3] >> 2) & 0x07
-                if disposal in (2, 3):
+                if disposal > 3:
                     raise ValueError(
-                        f"disposal method {disposal} (restore-to-"
-                        "background/previous) unsupported; scope is "
-                        "do-not-dispose compositing"
+                        f"reserved disposal method {disposal}"
                     )
+                pending_disposal = disposal
             pos += 2
             while payload[pos]:
                 pos += 1 + payload[pos]
@@ -386,19 +406,52 @@ def gif_frames(payload: bytes) -> list[list[list[tuple[int, int, int]]]]:
             for stored_i, natural_row in enumerate(_interlace_rows(h)):
                 natural[natural_row] = flat[stored_i * w : (stored_i + 1) * w]
             flat = [px for row in natural for px in row]
-        # composite onto the do-not-dispose canvas (r13): a full-frame
-        # block replaces it wholesale, a SUB-RECTANGLE block paints only
-        # its pixels over the carried canvas — every emitted frame is
-        # the full sw×sh view, so downstream features are rect-agnostic
-        canvas = (
-            [row[:] for row in frames[-1]]
-            if frames
+        # composite onto the carried canvas (r13 sub-rects; r15 full
+        # disposal): a full-frame block replaces it wholesale, a
+        # SUB-RECTANGLE block paints only its pixels — every emitted
+        # frame is the full sw×sh view, so downstream features are
+        # rect-agnostic. The PREVIOUS frame's disposal is applied
+        # lazily here, when a next frame actually composites over it
+        # (a trailing frame's disposal never executes — real-decoder
+        # behavior, and a missing GCT only errors when it matters).
+        if undisposed is not None:
+            pcanvas, pbase, pdisp, prect = undisposed
+            if len(frames) == 1 and pdisp == 3:
+                pdisp = 2  # frame-0 "previous" degrades to background
+            if pdisp == 2:  # restore the rect to the BACKGROUND color
+                if palette is None:
+                    raise ValueError(
+                        "disposal 2 (restore-to-background) needs a "
+                        "global color table to define the background"
+                    )
+                if bg_idx >= gct_n:
+                    raise ValueError(
+                        f"background index {bg_idx} outside the "
+                        f"{gct_n}-entry global color table"
+                    )
+                bg = palette[bg_idx]
+                pl, pt, pw, ph = prect
+                carry = [row[:] for row in pcanvas]
+                for y in range(ph):
+                    for x in range(pw):
+                        carry[pt + y][pl + x] = bg
+            elif pdisp == 3:  # restore to the pre-frame contents
+                carry = pbase
+            else:  # 0/1: do not dispose
+                carry = pcanvas
+            undisposed = None
+        base = (
+            [row[:] for row in carry]
+            if carry is not None
             else [[None] * sw for _ in range(sh)]
         )
+        canvas = [row[:] for row in base]
         for y in range(h):
             for x in range(w):
                 canvas[top + y][left + x] = frame_pal[flat[y * w + x]]
         frames.append(canvas)
+        undisposed = (canvas, base, pending_disposal, (left, top, w, h))
+        pending_disposal = 0  # a GCE governs exactly one image block
     if not frames:
         raise ValueError("no image block before trailer")
     return frames
@@ -606,3 +659,49 @@ def synth_gif_anim_subrect(doc_id: int) -> bytes:
         )
         rects.append((left, top, rw, rh))
     return encode_gif_anim(frames, _gif_palette(), rects=rects)
+
+
+def _gif_disposal(doc_id: int, f: int) -> int:
+    """Frame-f disposal method (f ≥ 1): cycles 1 (do-not-dispose),
+    2 (restore-to-background), 3 (restore-to-previous) — one SQL CASE
+    per frame, so the oracle replays visibility."""
+    return 1 + (doc_id + f) % 3
+
+
+def synth_gif_anim_disposal(doc_id: int) -> bytes:
+    """The deterministic DISPOSAL-METHOD animation (r15): the sub-rect
+    lattice of synth_gif_anim_subrect with 3 + doc_id % 3 frames, each
+    frame f ≥ 1 carrying disposal 1/2/3 by _gif_disposal, frame 0
+    do-not-dispose, and background index doc_id % 16 in the logical
+    screen descriptor. The visible color of (f, x, y) is decided by
+    the LATEST g ≤ f whose rect covers the pixel AND still shows at f
+    (g == f, or disposal 1 persists, or disposal 2 leaves the
+    BACKGROUND color); a disposal-3 painter in the past is invisible —
+    which is exactly the argmax rule the SQL oracle replays."""
+    w, h = _gif_dims(doc_id)
+    k = 3 + doc_id % 3
+    frames = [
+        [[_gif_anim_index(doc_id, 0, x, y, w) for x in range(w)] for y in range(h)]
+    ]
+    rects: list[tuple[int, int, int, int] | None] = [None]
+    disposals = [1]
+    for f in range(1, k):
+        left, top, rw, rh = _gif_rect(doc_id, f, w, h)
+        frames.append(
+            [
+                [
+                    _gif_anim_index(doc_id, f, left + x, top + y, w)
+                    for x in range(rw)
+                ]
+                for y in range(rh)
+            ]
+        )
+        rects.append((left, top, rw, rh))
+        disposals.append(_gif_disposal(doc_id, f))
+    return encode_gif_anim(
+        frames,
+        _gif_palette(),
+        rects=rects,
+        disposals=disposals,
+        bg_index=doc_id % _PAL_N,
+    )

@@ -3477,3 +3477,202 @@ def multimodal_image_decode_png_rgba(
     return payloads.mapInPandas(
         _decode_stage(parse_png_features, IMAGE_SCHEMA), IMAGE_SCHEMA
     )
+
+
+@query(
+    "multimodal_video_gif_disposal_frames",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 7 AS w, 5 + doc_id % 4 AS h,
+             3 + doc_id % 3 AS k
+      FROM documents WHERE doc_id < 200
+    ),
+    gs AS (  -- frame g's rect + disposal method (g=0 full canvas)
+      SELECT doc_id, w, h, g,
+             CASE WHEN g = 0 THEN 0
+                  ELSE (doc_id + 3*g) % (w - (3 + (doc_id + g) % 3) + 1)
+             END AS lf,
+             CASE WHEN g = 0 THEN 0
+                  ELSE (doc_id + 5*g) % (h - (2 + (doc_id + 2*g) % 2) + 1)
+             END AS tp,
+             CASE WHEN g = 0 THEN w ELSE 3 + (doc_id + g) % 3 END AS rw,
+             CASE WHEN g = 0 THEN h ELSE 2 + (doc_id + 2*g) % 2 END AS rh,
+             CASE WHEN g = 0 THEN 1 ELSE 1 + (doc_id + g) % 3 END AS disp
+      FROM dims, LATERAL (SELECT unnest(generate_series(0, k - 1)) AS g) tg
+    ),
+    px AS (
+      SELECT doc_id, w, h, k, x, y, f
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty,
+           LATERAL (SELECT unnest(generate_series(0, k - 1)) AS f) tf
+    ),
+    owner AS (  -- the latest STILL-VISIBLE painter: g == f shows its
+                -- own paint; disposal 1 persists; disposal 2 leaves
+                -- the background; a past disposal-3 paint is invisible
+      SELECT p.doc_id, p.w, p.h, p.k, p.x, p.y, p.f, MAX(s.g) AS g
+      FROM px p JOIN gs s ON s.doc_id = p.doc_id AND s.g <= p.f
+           AND p.x >= s.lf AND p.x < s.lf + s.rw
+           AND p.y >= s.tp AND p.y < s.tp + s.rh
+           AND (s.g = p.f OR s.disp IN (1, 2))
+      GROUP BY p.doc_id, p.w, p.h, p.k, p.x, p.y, p.f
+    ),
+    colored AS (  -- painter's palette index, or the background index
+      SELECT o.doc_id, o.w, o.h, o.k, o.x, o.y, o.f,
+             CASE WHEN o.g = o.f OR s.disp = 1
+                  THEN (o.doc_id + o.g * 5 + (o.y * o.w + o.x) // 3) % 16
+                  ELSE o.doc_id % 16
+             END AS i
+      FROM owner o JOIN gs s ON s.doc_id = o.doc_id AND s.g = o.g
+    ),
+    rgb AS (
+      SELECT doc_id, w, h, k, x, y, f,
+             (i * 37) % 256 AS r, (i * 59) % 256 AS g2, (i * 83) % 256 AS b
+      FROM colored
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(k AS INTEGER) AS n_frames,
+           SUM(r)::BIGINT AS sum_r, SUM(g2)::BIGINT AS sum_g,
+           SUM(b)::BIGINT AS sum_b,
+           SUM((f + 1) * (y * w + x) * (r + g2 + b))::BIGINT AS px_checksum
+    FROM rgb GROUP BY doc_id, k, w, h
+    """,
+)
+def multimodal_video_gif_disposal_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DISPOSAL-METHOD animated GIF decode (r15, VERDICT r14 task 4 —
+    the last named GIF animation reject): each frame after the first
+    ships a sub-rect AND a graphic-control disposal method cycling
+    do-not-dispose / restore-to-background / restore-to-previous
+    (gif_codec.synth_gif_anim_disposal; background index rides the
+    logical screen descriptor). The oracle replays visibility as an
+    argmax: pixel (f, x, y) belongs to the latest g ≤ f whose rect
+    covers it and still shows — its own paint at g == f, persistent
+    paint for disposal 1, the BACKGROUND color for a past disposal 2 —
+    while a past disposal-3 painter is invisible (restore-to-previous
+    exactly undoes it). A decoder that skips a restore, fills the
+    wrong rect, or restores at the wrong time moves the
+    (f+1)-position-weighted checksum; tests/test_gif_codec.py pins the
+    same rule against golden canvases and a direct Python sim."""
+    from kstreams_spark.operators.gif_codec import (
+        parse_gif_anim_features,
+        synth_gif_anim_disposal,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_gif_anim_disposal(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+    return payloads.mapInPandas(
+        _decode_stage(parse_gif_anim_features, VIDEO_SCHEMA), VIDEO_SCHEMA
+    )
+
+
+@query(
+    "multimodal_video_apng_dispose_frames",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 7 AS w, 5 + doc_id % 4 AS h,
+             3 + doc_id % 3 AS k
+      FROM documents WHERE doc_id < 200
+    ),
+    gs AS (  -- frame g's rect + dispose_op (g=0: full canvas, none)
+      SELECT doc_id, w, h, g,
+             CASE WHEN g = 0 THEN 0
+                  ELSE (doc_id + 3*g) % (w - (3 + (doc_id + g) % 3) + 1)
+             END AS lf,
+             CASE WHEN g = 0 THEN 0
+                  ELSE (doc_id + 5*g) % (h - (2 + (doc_id + 2*g) % 2) + 1)
+             END AS tp,
+             CASE WHEN g = 0 THEN w ELSE 3 + (doc_id + g) % 3 END AS rw,
+             CASE WHEN g = 0 THEN h ELSE 2 + (doc_id + 2*g) % 2 END AS rh,
+             CASE WHEN g = 0 THEN 0 ELSE (doc_id + g) % 3 END AS disp
+      FROM dims, LATERAL (SELECT unnest(generate_series(0, k - 1)) AS g) tg
+    ),
+    px AS (
+      SELECT doc_id, w, h, k, x, y, f
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty,
+           LATERAL (SELECT unnest(generate_series(0, k - 1)) AS f) tf
+    ),
+    owner AS (  -- event election: the newest event <= f owns the
+                -- pixel. Events: the frame's OWN eligible paint
+                -- (SOURCE always; OVER only where opaque), a
+                -- dispose-0 frame's persistent paint, or a past
+                -- dispose-1 frame's CLEAR of its whole rect; a past
+                -- dispose-2 frame leaves no event at all
+      SELECT p.doc_id, p.w, p.h, p.k, p.x, p.y, p.f, MAX(s.g) AS g
+      FROM px p JOIN gs s ON s.doc_id = p.doc_id AND s.g <= p.f
+           AND p.x >= s.lf AND p.x < s.lf + s.rw
+           AND p.y >= s.tp AND p.y < s.tp + s.rh
+           AND (
+             (s.disp = 1 AND s.g < p.f)
+             OR (
+               (s.g = p.f OR s.disp = 0)
+               AND (s.g % 2 = 0
+                    OR (p.doc_id + s.g + p.x + p.y) % 3 <> 0)
+             )
+           )
+      GROUP BY p.doc_id, p.w, p.h, p.k, p.x, p.y, p.f
+    ),
+    rgb AS (  -- a past dispose-1 owner CLEARED the pixel (renders 0);
+              -- a paint owner renders its color where opaque, 0 for a
+              -- SOURCE alpha-0 replacement
+      SELECT o.doc_id, o.w, o.h, o.k, o.x, o.y, o.f,
+        CASE WHEN (o.g = o.f OR s.disp = 0)
+                  AND (o.doc_id + o.g + o.x + o.y) % 3 <> 0
+             THEN (o.doc_id*23 + o.g*71 + o.y*19 + o.x*11) % 256
+             ELSE 0 END AS r,
+        CASE WHEN (o.g = o.f OR s.disp = 0)
+                  AND (o.doc_id + o.g + o.x + o.y) % 3 <> 0
+             THEN (o.doc_id*23 + o.g*71 + o.y*19 + o.x*11 + 109) % 256
+             ELSE 0 END AS g2,
+        CASE WHEN (o.g = o.f OR s.disp = 0)
+                  AND (o.doc_id + o.g + o.x + o.y) % 3 <> 0
+             THEN (o.doc_id*23 + o.g*71 + o.y*19 + o.x*11 + 218) % 256
+             ELSE 0 END AS b
+      FROM owner o JOIN gs s ON s.doc_id = o.doc_id AND s.g = o.g
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(k AS INTEGER) AS n_frames,
+           SUM(r)::BIGINT AS sum_r, SUM(g2)::BIGINT AS sum_g,
+           SUM(b)::BIGINT AS sum_b,
+           SUM((f + 1) * (y * w + x) * (r + g2 + b))::BIGINT AS px_checksum
+    FROM rgb GROUP BY doc_id, k, w, h
+    """,
+)
+def multimodal_video_apng_dispose_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """APNG DISPOSE-OP decode over the default-image-outside-animation
+    layout (r15, VERDICT r14 task 4 + the r14 ADVICE layout bug): the
+    IDAT default image is an all-white canvas that is NOT part of the
+    animation (first fcTL follows IDAT — a decoder that shows it, as
+    the pre-r15 frame-0 clobber did, wrecks every channel sum), frames
+    ride fdAT with blend SOURCE/OVER alternating and dispose_op
+    cycling none / background / previous. The oracle replays
+    compositing as EVENT election per (frame, pixel): own-frame
+    eligible paint, persistent dispose-0 paint, or a past dispose-1
+    CLEAR (transparent, renders black); a past dispose-2 frame leaves
+    no event — restore-to-previous exactly undoes it. Golden canvases
+    and the reject surface are pinned in tests/test_png_codec.py."""
+    from kstreams_spark.operators.png_codec import (
+        parse_apng_features,
+        synth_apng_dispose,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_apng_dispose(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+    return payloads.mapInPandas(
+        _decode_stage(parse_apng_features, VIDEO_SCHEMA), VIDEO_SCHEMA
+    )

@@ -945,3 +945,59 @@ def synth_apng(doc_id: int) -> bytes:
             }
         )
     return encode_apng(w, h, frames, row_filter=lambda i: (doc_id + i) % 5)
+
+
+def synth_apng_dispose(doc_id: int) -> bytes:
+    """Deterministic APNG exercising the r15 scope: the DEFAULT IMAGE
+    rides IDAT but is NOT part of the animation (first fcTL after
+    IDAT; an all-white canvas that would wreck every channel sum if a
+    decoder showed it), frame 0 is a full-canvas SOURCE base with
+    dispose 0, and each later frame g ships the synth_apng sub-rect
+    lattice with blend SOURCE/OVER (even/odd g) AND dispose_op
+    (doc_id + g) % 3 — none / background / previous. Binary alpha
+    keeps both blend modes and all three dispose ops SQL-replayable as
+    event election: at frame f a pixel belongs to the latest event ≤ f
+    in its rects — its own or a dispose-0 frame's eligible paint, or a
+    past dispose-1 frame's CLEAR (transparent, renders black); a past
+    dispose-2 frame leaves no event."""
+    w, h = 8 + doc_id % 7, 5 + doc_id % 4
+    k = 3 + doc_id % 3
+
+    def rgba(g, x, y):
+        a = 255 if (doc_id + g + x + y) % 3 else 0
+        return tuple(
+            (doc_id * 23 + g * 71 + y * 19 + x * 11 + c * 109) % 256
+            for c in range(3)
+        ) + (a,)
+
+    frames = [
+        {
+            "x": 0,
+            "y": 0,
+            "blend": 0,
+            "dispose": 0,
+            "grid": [[rgba(0, x, y) for x in range(w)] for y in range(h)],
+        }
+    ]
+    for g in range(1, k):
+        rw = 3 + (doc_id + g) % 3
+        rh = 2 + (doc_id + 2 * g) % 2
+        lf = (doc_id + 3 * g) % (w - rw + 1)
+        tp = (doc_id + 5 * g) % (h - rh + 1)
+        frames.append(
+            {
+                "x": lf,
+                "y": tp,
+                "blend": g % 2,
+                "dispose": (doc_id + g) % 3,
+                "grid": [
+                    [rgba(g, lf + xx, tp + yy) for xx in range(rw)]
+                    for yy in range(rh)
+                ],
+            }
+        )
+    default = [[(255, 255, 255, 255)] * w for _ in range(h)]
+    return encode_apng(
+        w, h, frames, row_filter=lambda i: (doc_id + i) % 5,
+        default_image=default,
+    )

@@ -414,12 +414,128 @@ def test_subrect_compositing_and_guards():
     _s.pack_into("<HHHHB", ba, at + 1, 5, 5, w, h, ip)
     with _pytest.raises(ValueError, match="outside the"):
         gif_frames(bytes(ba))
-    # disposal 2 (restore-to-background) refuses by name
+    # a RESERVED disposal method still refuses by name (2/3 decode now)
     ba = bytearray(bad)
     gce = ba.index(b"\x21\xf9")
-    ba[gce + 3] = (ba[gce + 3] & ~0x1C) | (2 << 2)
-    with _pytest.raises(ValueError, match="disposal method 2"):
+    ba[gce + 3] = (ba[gce + 3] & ~0x1C) | (4 << 2)
+    with _pytest.raises(ValueError, match="reserved disposal"):
         gif_frames(bytes(ba))
     # fixture family decodes for a swath of docs
     for d in range(25):
         assert gif_frames(synth_gif_anim_subrect(d))
+
+
+def test_disposal_methods_golden():
+    """r15 disposal matrix: background restore refills the rect with
+    the LSD background color, previous restore reverts to pre-frame
+    contents, do-not-dispose carries — golden canvases per method."""
+    import pytest as _pytest
+
+    from kstreams_spark.operators.gif_codec import (
+        _gif_palette,
+        encode_gif_anim,
+        gif_frames,
+        synth_gif_anim_disposal,
+    )
+
+    pal = _gif_palette()
+    base = [[(x + y) % 16 for x in range(8)] for y in range(6)]
+    patch = [[5, 6], [7, 8]]
+    probe = [[9]]
+    # disposal 2 on the patch frame: frame 2 sees BG color in its rect
+    p2 = encode_gif_anim(
+        [base, patch, probe],
+        pal,
+        rects=[None, (3, 2, 2, 2), (0, 0, 1, 1)],
+        disposals=[1, 2, 1],
+        bg_index=11,
+    )
+    f0, f1, f2 = gif_frames(p2)
+    assert f1[2][3] == pal[5]  # shown while on screen
+    assert f2[2][3] == pal[11] and f2[2][4] == pal[11]  # bg-restored
+    assert f2[3][3] == pal[11] and f2[3][4] == pal[11]
+    assert f2[0][0] == pal[9]  # the probe painted
+    assert f2[1][1] == f0[1][1]  # untouched pixel carries
+    # disposal 3: frame 2 sees the PRE-patch contents
+    p3 = encode_gif_anim(
+        [base, patch, probe],
+        pal,
+        rects=[None, (3, 2, 2, 2), (0, 0, 1, 1)],
+        disposals=[1, 3, 1],
+    )
+    g0, g1, g2 = gif_frames(p3)
+    assert g1[2][3] == pal[5]
+    assert g2[2][3] == g0[2][3] and g2[3][4] == g0[3][4]  # reverted
+    assert g2[0][0] == pal[9]
+    # frame-0 disposal 3 degrades to background (needs a GCT: present)
+    p0 = encode_gif_anim(
+        [base, probe],
+        pal,
+        rects=[None, (0, 0, 1, 1)],
+        disposals=[3, 1],
+        bg_index=2,
+    )
+    h0, h1 = gif_frames(p0)
+    assert h1[5][7] == pal[2]  # whole canvas bg-restored after frame 0
+    assert h1[0][0] == pal[9]
+    # disposal 2 on a NON-final frame without a GCT refuses by name;
+    # on the FINAL frame the disposal never executes (real-decoder
+    # behavior), so the same stream with the methods swapped decodes
+    lp = [pal, pal]
+    for disposals, ok in (([2, 1], False), ([1, 2], True)):
+        no_gct = bytearray(
+            encode_gif_anim(
+                [base, patch],
+                pal,
+                local_palettes=lp,
+                rects=[None, (3, 2, 2, 2)],
+                disposals=disposals,
+            )
+        )
+        # strip the GCT: clear the LSD flag, cut the 48 palette bytes
+        no_gct[10] = no_gct[10] & 0x7F
+        del no_gct[13 : 13 + 48]
+        if ok:
+            assert len(gif_frames(bytes(no_gct))) == 2
+        else:
+            with _pytest.raises(
+                ValueError, match="needs a global color table"
+            ):
+                gif_frames(bytes(no_gct))
+    # the disposal fixture family decodes and matches an INDEPENDENT
+    # restatement of the oracle's visibility rule: pixel (f, x, y) is
+    # owned by the latest g <= f whose rect covers it and still shows
+    # (g == f, or disposal 1 persists, or disposal 2 leaves the
+    # background color); a past disposal-3 painter is invisible
+    from kstreams_spark.operators.gif_codec import (
+        _gif_anim_index,
+        _gif_dims,
+        _gif_disposal,
+        _gif_rect,
+    )
+
+    for d in range(12):
+        frames = gif_frames(synth_gif_anim_disposal(d))
+        w, h = _gif_dims(d)
+        k = 3 + d % 3
+        assert len(frames) == k
+        rects = [(0, 0, w, h)] + [
+            _gif_rect(d, g, w, h) for g in range(1, k)
+        ]
+        disps = [1] + [_gif_disposal(d, g) for g in range(1, k)]
+        bg = pal[d % 16]
+        for f in range(k):
+            for y in range(h):
+                for x in range(w):
+                    gstar = None
+                    for g in range(f + 1):
+                        lf, tp, rw, rh = rects[g]
+                        covers = lf <= x < lf + rw and tp <= y < tp + rh
+                        if covers and (g == f or disps[g] in (1, 2)):
+                            gstar = g
+                    assert gstar is not None
+                    if gstar == f or disps[gstar] == 1:
+                        want = pal[_gif_anim_index(d, gstar, x, y, w)]
+                    else:  # a past disposal-2 painter: background
+                        want = bg
+                    assert frames[f][y][x] == want, (d, f, x, y)

@@ -57,6 +57,8 @@ def test_interval_join_matches_within_window(spark, tmp_path):
     )
     errors = spark.readStream.schema(err_schema).json(d1)
     clicks = spark.readStream.schema(click_schema).json(d2)
+    # r15: the DEFAULT is JoinWindows.of(d)'s symmetric ±window — the
+    # 10:31 click (1 min AFTER the error) now matches too
     joined = interval_join_stream(errors, clicks, window="10 minutes")
     q = (
         joined.select("error_id", "click_id")
@@ -70,7 +72,114 @@ def test_interval_join_matches_within_window(spark, tmp_path):
     got = {
         (r.error_id, r.click_id) for r in spark.sql("SELECT * FROM sj_out").collect()
     }
-    assert got == {(100, 11), (100, 12)}
+    assert got == {(100, 11), (100, 12), (100, 14)}
+    # the old trailing form is JoinWindows.of(d).after(0)
+    errors2 = spark.readStream.schema(err_schema).json(d1)
+    clicks2 = spark.readStream.schema(click_schema).json(d2)
+    trailing = interval_join_stream(
+        errors2, clicks2, window="10 minutes", after="0 seconds"
+    )
+    q2 = (
+        trailing.select("error_id", "click_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sj_trail")
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got2 = {
+        (r.error_id, r.click_id)
+        for r in spark.sql("SELECT * FROM sj_trail").collect()
+    }
+    assert got2 == {(100, 11), (100, 12)}
+
+
+def test_interval_join_geometry_matches_batch_twin(spark, tmp_path):
+    """JoinWindows geometry parity (r15, VERDICT r14 task 3): the
+    symmetric default, `.before()`, and `.after()` forms each produce
+    exactly the pairs a BATCH range join with the same band produces,
+    over a lattice of event-time offsets that exercises every boundary
+    (−11..+11 min around the left event, inclusive edges)."""
+    from pyspark.sql import functions as F
+
+    err_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("l_ts", T.TimestampType()),
+            T.StructField("error_id", T.LongType()),
+        ]
+    )
+    click_schema = T.StructType(
+        [
+            T.StructField("r_user_id", T.LongType()),
+            T.StructField("r_ts", T.TimestampType()),
+            T.StructField("click_id", T.LongType()),
+        ]
+    )
+    left_rows = [
+        {"user_id": 1, "l_ts": "2024-01-01 10:30:00", "error_id": 100}
+    ]
+    right_rows = [
+        {
+            "r_user_id": 1,
+            "r_ts": f"2024-01-01 {10 + (30 + off) // 60}:"
+            f"{(30 + off) % 60:02d}:00",
+            "click_id": 1000 + off,
+        }
+        for off in (-11, -10, -9, -5, -1, 0, 1, 5, 9, 10, 11)
+    ]
+    d1, d2 = str(tmp_path / "g_err"), str(tmp_path / "g_clk")
+    _write(d1, left_rows)
+    _write(d2, right_rows)
+    batch_l = spark.read.schema(err_schema).json(d1)
+    batch_r = spark.read.schema(click_schema).json(d2)
+
+    cases = [
+        ("sym", {}, "10 minutes", "10 minutes"),
+        ("before", {"before": "5 minutes"}, "5 minutes", "10 minutes"),
+        ("after", {"after": "2 minutes"}, "10 minutes", "2 minutes"),
+    ]
+    for name, kw, b, a in cases:
+        expected = {
+            (r.error_id, r.click_id)
+            for r in batch_l.join(
+                batch_r,
+                (batch_l.user_id == batch_r.r_user_id)
+                & (
+                    batch_r.r_ts
+                    >= batch_l.l_ts - F.expr(f"INTERVAL {b}")
+                )
+                & (
+                    batch_r.r_ts
+                    <= batch_l.l_ts + F.expr(f"INTERVAL {a}")
+                ),
+            ).collect()
+        }
+        errors = spark.readStream.schema(err_schema).json(d1)
+        clicks = spark.readStream.schema(click_schema).json(d2)
+        joined = interval_join_stream(
+            errors, clicks, window="10 minutes", **kw
+        )
+        q = (
+            joined.select("error_id", "click_id")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"sjg_{name}")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r.error_id, r.click_id)
+            for r in spark.sql(f"SELECT * FROM sjg_{name}").collect()
+        }
+        assert got == expected, (name, got, expected)
+        # boundary sanity: the band edges are inclusive, one past drops
+        offs = sorted(c - 1000 for _, c in got)
+        lo = -int(b.split()[0])
+        hi = int(a.split()[0])
+        assert offs == [o for o in (-11, -10, -9, -5, -1, 0, 1, 5, 9, 10, 11) if lo <= o <= hi]
 
 
 def test_rate_stream_produces_dual_format(spark):
