@@ -141,3 +141,55 @@ class StreamingHllDistinct:
             .cast("long")
             .alias("n_users_est")
         )
+
+
+class StreamingQuantileHistogram:
+    """foreachBatch maintainer of the r15 quantile sketch
+    (operators/quantile_sketch.py — the deterministic log-bucket
+    histogram that closes the quantile cell GK's layout-dependent
+    merge kept out of the registry): each epoch appends per-(group,
+    bucket) COUNT partials, so the merge law is ADDITION — exactly the
+    StreamingCountMin contract, and therefore replay/order/partition
+    invariant by construction. `histogram()` serves the merged cells;
+    `quantiles()` runs the cumulative-walk readout against them."""
+
+    def __init__(self, out_dir: str, value_sql: str, group_cols: list[str]) -> None:
+        self.sink = ExactlyOnceParquetSink(out_dir)
+        self.value_sql = value_sql
+        self.group_cols = list(group_cols)
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if self.sink.is_committed(epoch_id):
+            return
+        from kstreams_spark.operators.quantile_sketch import (
+            quantile_histogram,
+        )
+
+        partial = quantile_histogram(
+            batch_df, self.value_sql, self.group_cols
+        )
+        self.sink.process_batch(partial, epoch_id)
+
+    def attach(self, stream: DataFrame, checkpoint_dir: str):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+
+    def histogram(self, spark: SparkSession) -> DataFrame:
+        parts = self.sink.result(spark)
+        if "_lb" not in parts.columns:
+            return parts
+        return parts.groupBy(*self.group_cols, "_lb").agg(
+            F.sum("_cnt").cast("long").alias("_cnt")
+        )
+
+    def quantiles(self, spark: SparkSession, probs: list[float]) -> DataFrame:
+        from kstreams_spark.operators.quantile_sketch import (
+            estimate_quantiles,
+        )
+
+        return estimate_quantiles(
+            self.histogram(spark), self.group_cols, probs
+        )
