@@ -151,6 +151,7 @@ HEADLINE = [
     "multimodal_video_apng_frames",  # added r14: APNG blend/dispose compositing
     "multimodal_video_gif_disposal_frames",  # added r15: GIF disposal 2/3 matrix
     "multimodal_video_apng_dispose_frames",  # added r15: APNG dispose ops + hidden default image
+    "multimodal_audio_mpeg1_layer2",  # added r15: MPEG-1 Layer II table-B.2a decode
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------

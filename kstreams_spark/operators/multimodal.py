@@ -3676,3 +3676,185 @@ def multimodal_video_apng_dispose_frames(
     return payloads.mapInPandas(
         _decode_stage(parse_apng_features, VIDEO_SCHEMA), VIDEO_SCHEMA
     )
+
+
+MPEG_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("layer", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+        T.StructField("n_alloc", T.IntegerType()),
+        T.StructField("scf_sum", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("px_checksum", T.LongType()),
+    ]
+)
+
+
+@query(
+    "multimodal_audio_mpeg1_layer1",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, 1 + doc_id % 3 AS nf FROM documents
+      WHERE doc_id < 200
+    ),
+    sbs AS (  -- Layer I fixture allocation: nb bits per subband
+      SELECT doc_id, nf, sb,
+             CASE WHEN (doc_id + sb) % 3 = 0 THEN 0
+                  ELSE 2 + (doc_id + sb) % 9 END AS nb
+      FROM docs, LATERAL (SELECT unnest(generate_series(0, 31)) AS sb) t
+    ),
+    cells AS (
+      SELECT doc_id, nf, f, g, sb, nb,
+             (doc_id * 7919 + f * 524287 + g * 104729 + sb * 131)
+               % (1 << nb) AS s
+      FROM sbs,
+           LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) tf,
+           LATERAL (SELECT unnest(generate_series(0, 11)) AS g) tg
+      WHERE nb > 0
+    ),
+    scf AS (
+      SELECT doc_id, SUM(nf * ((doc_id * 5 + sb * 7) % 63))::BIGINT
+               AS scf_sum,
+             CAST(SUM(nf) AS INTEGER) AS n_alloc
+      FROM sbs WHERE nb > 0 GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           1 AS layer,
+           CAST(MAX(c.nf) AS INTEGER) AS n_frames,
+           32000 AS sample_rate,
+           448 AS bitrate_kbps,
+           MAX(sc.n_alloc) AS n_alloc,
+           MAX(sc.scf_sum) AS scf_sum,
+           SUM(c.s)::BIGINT AS sample_sum,
+           SUM((c.f + 1) * (c.g * 32 + c.sb) * c.s)::BIGINT AS px_checksum
+    FROM cells c JOIN scf sc ON sc.doc_id = c.doc_id
+    GROUP BY c.doc_id
+    """,
+)
+def multimodal_audio_mpeg1_layer1(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MPEG-1 Audio Layer I decode (r15 stretch — the first
+    COMPRESSED-audio cell; operators/mpeg_audio.py module docstring):
+    real 448 kbps / 32 kHz mono frames per doc — sync/header walk,
+    4-bit allocations, 6-bit scalefactors, 2..10-bit quantized samples
+    across 12 granules — parsed back bit-for-bit. Features are
+    subband-domain integers (the synthesis filterbank's 512-entry
+    window table is named out of scope), so the oracle replays the
+    fixture's sample arithmetic exactly: a misaligned allocation
+    nibble shifts every later field and fails the position-weighted
+    checksum on most docs."""
+    from kstreams_spark.operators.mpeg_audio import (
+        parse_mpeg_audio_features,
+        synth_mp1,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_mp1(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+    return payloads.mapInPandas(
+        _decode_stage(parse_mpeg_audio_features, MPEG_AUDIO_SCHEMA),
+        MPEG_AUDIO_SCHEMA,
+    )
+
+
+@query(
+    "multimodal_audio_mpeg1_layer2",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, 1 + doc_id % 3 AS nf FROM documents
+      WHERE doc_id < 200
+    ),
+    sbs AS (  -- Layer II fixture: table-B.2a ladder walk
+      SELECT doc_id, nf, sb,
+             CASE WHEN (doc_id + sb) % 4 = 0 THEN 0
+                  WHEN sb >= 23 THEN 1 + (doc_id + sb) % 3
+                  ELSE 1 + (doc_id + sb) % 5 END AS idx,
+             (doc_id + sb) % 4 AS scfsi
+      FROM docs, LATERAL (SELECT unnest(generate_series(0, 26)) AS sb) t
+    ),
+    alloc AS (
+      SELECT doc_id, nf, sb, scfsi,
+             CASE
+               WHEN idx = 0 THEN 0
+               WHEN sb < 3 THEN
+                 CASE idx WHEN 1 THEN 3 WHEN 2 THEN 7 WHEN 3 THEN 15
+                          WHEN 4 THEN 31 WHEN 5 THEN 63 END
+               WHEN sb < 23 THEN
+                 CASE idx WHEN 1 THEN 3 WHEN 2 THEN 5 WHEN 3 THEN 7
+                          WHEN 4 THEN 9 WHEN 5 THEN 15 END
+               ELSE CASE idx WHEN 1 THEN 3 WHEN 2 THEN 5
+                             WHEN 3 THEN 65535 END
+             END AS steps
+      FROM sbs
+    ),
+    cells AS (
+      SELECT doc_id, nf, f, g, sb,
+             (doc_id * 7919 + f * 524287 + g * 104729 + sb * 131)
+               % steps AS s
+      FROM alloc,
+           LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) tf,
+           LATERAL (SELECT unnest(generate_series(0, 35)) AS g) tg
+      WHERE steps > 0
+    ),
+    scf AS (  -- scfsi decides how many 6-bit scalefactors ride
+      SELECT a.doc_id,
+             SUM(a.nf * ((a.doc_id * 5 + a.sb * 7 + p.p * 11) % 63))
+               ::BIGINT AS scf_sum
+      FROM alloc a,
+           LATERAL (SELECT unnest(generate_series(0,
+             CASE a.scfsi WHEN 0 THEN 2 WHEN 1 THEN 1
+                          WHEN 2 THEN 0 ELSE 1 END)) AS p) p
+      WHERE a.steps > 0
+      GROUP BY a.doc_id
+    ),
+    na AS (
+      SELECT doc_id, CAST(SUM(nf) AS INTEGER) AS n_alloc
+      FROM alloc WHERE steps > 0 GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           2 AS layer,
+           CAST(MAX(c.nf) AS INTEGER) AS n_frames,
+           44100 AS sample_rate,
+           192 AS bitrate_kbps,
+           MAX(na.n_alloc) AS n_alloc,
+           MAX(sc.scf_sum) AS scf_sum,
+           SUM(c.s)::BIGINT AS sample_sum,
+           SUM((c.f + 1) * (c.g * 27 + c.sb) * c.s)::BIGINT AS px_checksum
+    FROM cells c
+    JOIN scf sc ON sc.doc_id = c.doc_id
+    JOIN na ON na.doc_id = c.doc_id
+    GROUP BY c.doc_id
+    """,
+)
+def multimodal_audio_mpeg1_layer2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MPEG-1 Audio Layer II decode (r15 stretch): 192 kbps / 44.1 kHz
+    mono frames under table 3-B.2a — nbal 4/4/3/2 allocation classes,
+    scfsi-controlled 1–3 scalefactors, and GROUPED 3/5/9-level codes
+    carrying three samples per 5/7/10-bit code (exercised in every
+    doc alongside ungrouped 16-bit codes). The oracle replays the
+    ladder walk, the scfsi arithmetic, and the de-grouped sample
+    synthesis in pure-integer SQL; a wrong ladder rung, scfsi branch,
+    or de-grouping order is value-wrong on the position-weighted
+    checksum."""
+    from kstreams_spark.operators.mpeg_audio import (
+        parse_mpeg_audio_features,
+        synth_mp2,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        _payload_stage(lambda row: synth_mp2(int(row.doc_id))),
+        MEDIA_PAYLOAD_SCHEMA,
+    )
+    return payloads.mapInPandas(
+        _decode_stage(parse_mpeg_audio_features, MPEG_AUDIO_SCHEMA),
+        MPEG_AUDIO_SCHEMA,
+    )
