@@ -152,6 +152,8 @@ HEADLINE = [
     "multimodal_video_gif_disposal_frames",  # added r15: GIF disposal 2/3 matrix
     "multimodal_video_apng_dispose_frames",  # added r15: APNG dispose ops + hidden default image
     "multimodal_audio_mpeg1_layer2",  # added r15: MPEG-1 Layer II table-B.2a decode
+    "dsl_sliding_time_difference",  # added r15: KS 2.7 sliding time-difference bands
+    "dsl_stream_versioned_join",  # added r15: KS 3.5 versioned-KTable temporal join
 ]
 
 # --- canary normalization (VERDICT r8 task 1) ------------------------------

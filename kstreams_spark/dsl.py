@@ -96,6 +96,18 @@ class StreamsBuilder:
         )
         return KTable(latest, key)
 
+    def table_versioned(self, df: DataFrame, key: str) -> "KTable":
+        """KS 3.5 VERSIONED KTable (KIP-914, r15): unlike table(), the
+        whole version HISTORY is kept — `df` is the changelog itself
+        (key + valid_from + value columns), consumed by
+        KStream.join_versioned_table's as-of election. No collapsing
+        happens here; the verb exists so topologies read like their
+        Kafka Streams originals (`builder.table(topic,
+        Materialized.as(persistentVersionedKeyValueStore(...)))`)."""
+        if key not in df.columns:
+            raise ValueError(f"key column {key!r} not in {df.columns}")
+        return KTable(df, key)
+
 
 class KStream:
     """A keyed record stream — verbs return NEW KStreams (the builder
@@ -206,6 +218,85 @@ class KStream:
         if table.key != self.key:
             right = right.withColumnRenamed(table.key, self.key)
         return self._with(self.df.join(right, self.key, how))
+
+    def join_versioned_table(
+        self,
+        table: "KTable",
+        ts_col: str,
+        valid_from: str,
+        version_order: str,
+        how: str = "left",
+    ) -> "KStream":
+        """KS 3.5 VERSIONED-KTable stream-table join (KIP-914, r15 —
+        the fourth verb past the 2.0 ceiling): each stream record
+        joins the table VERSION in effect at the record's event time —
+        the newest version of the same key with `valid_from` ≤ the
+        record's `ts_col` (a version dated exactly at the record's
+        time applies). `table.df` is the version HISTORY (key +
+        valid_from + value columns); `version_order` is a unique
+        tie-break among versions sharing (key, valid_from) — the
+        repo's total-order doctrine, and what makes the join
+        deterministic under any partitioning.
+
+        Shape: the distributed as-of pattern (operators/joins.py
+        join_asof_latest_order) — union both sides, ONE shuffle+sort
+        per key, LOCF over an unbounded-preceding frame — never a
+        per-record range join, so it survives 100 TB (cost = sort of
+        |stream| + |versions|). The version's value columns travel as
+        ONE STRUCT through the LOCF (per-column LOCF would stitch
+        fields from DIFFERENT versions whenever a newer version holds
+        a NULL). `how="inner"` drops records with no version yet
+        (KS join); "left" NULL-fills (KS leftJoin). Tombstones (null
+        versioned values) are out of scope, stated."""
+        if how not in ("inner", "left"):
+            raise ValueError(f"how must be inner/left, got {how!r}")
+        vals = [
+            c
+            for c in table.df.columns
+            if c not in (table.key, valid_from, version_order)
+        ]
+        clash = set(vals) & set(self.df.columns)
+        if clash:
+            raise ValueError(
+                f"versioned-table value column(s) {sorted(clash)} "
+                "collide with stream columns — rename one side"
+            )
+        right = table.df.select(
+            F.col(table.key).alias(self.key),
+            F.col(valid_from).alias("_vts"),
+            F.col(version_order).alias("_vord"),
+            F.struct(*vals).alias("_ver"),
+        ).withColumn("_side", F.lit(0))
+        left = (
+            self.df.withColumn("_vts", F.col(ts_col))
+            .withColumn("_vord", F.lit(None).cast(right.schema["_vord"].dataType))
+            .withColumn(
+                "_ver", F.lit(None).cast(right.schema["_ver"].dataType)
+            )
+            .withColumn("_side", F.lit(1))
+        )
+        from pyspark.sql import Window
+
+        u = left.unionByName(right, allowMissingColumns=True)
+        w = (
+            Window.partitionBy(self.key)
+            # versions sort before stream rows at equal time (a version
+            # dated at the record's ts applies); _vord orders same-time
+            # versions so LOCF lands on the newest deterministically
+            .orderBy("_vts", "_side", "_vord")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = u.withColumn(
+            "_asof", F.last("_ver", ignorenulls=True).over(w)
+        ).filter(F.col("_side") == 1)
+        if how == "inner":
+            filled = filled.filter(F.col("_asof").isNotNull())
+        out = filled
+        for c in vals:
+            out = out.withColumn(c, F.col("_asof")[c])
+        return self._with(
+            out.drop("_vts", "_vord", "_ver", "_side", "_asof")
+        )
 
     def join_windowed(
         self,
@@ -402,6 +493,33 @@ class KGroupedStream:
         return KGroupedStream(
             self.df.withColumn("window", win), self.keys + ["window"]
         )
+
+    def sliding_aggregate(
+        self, ts_col: str, time_difference: str, **aggs
+    ) -> "KStream":
+        """KS 2.7 SlidingWindows.ofTimeDifference (KIP-450), snapshot
+        form (r15): for EVERY record, aggregate the same-key records
+        whose event time falls in [ts − time_difference, ts] — the
+        per-record trailing band that tumbling/hopping windows cannot
+        express (their windows are epoch-aligned; a sliding window is
+        anchored at each record). Each kwarg is `name="SQL aggregate
+        over columns"` (e.g. n="COUNT(*)", s="SUM(value)") evaluated
+        over a RANGE frame, so ties on ts aggregate as PEERS (all
+        equal-timestamp records see the same band — deterministic
+        under any partitioning, the drift-gate property). Returns the
+        record stream widened with the aggregate columns. Batch form;
+        the streaming twin is the windowed-aggregation family with
+        suppression (KS emits per-record updates the same way)."""
+        frame = (
+            f"OVER (PARTITION BY {', '.join(self.keys)} ORDER BY "
+            f"{ts_col} RANGE BETWEEN INTERVAL {time_difference} "
+            "PRECEDING AND CURRENT ROW)"
+        )
+        out = self.df.select(
+            "*",
+            *[F.expr(f"{sql} {frame}").alias(n) for n, sql in aggs.items()],
+        )
+        return KStream(out, self.keys[0])
 
     def session_windowed_by(self, ts_col: str, gap: str) -> "KGroupedStream":
         """SessionWindows.with(gap): adds the dynamic-gap session window

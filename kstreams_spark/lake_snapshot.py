@@ -1043,14 +1043,21 @@ def _partition_may_match(
                 return False
             continue
         if raw is None:
-            return False  # NULL satisfies no comparison
+            return False  # NULL satisfies no comparison/IN
         ctype = col_types.get(col)
         if ctype is None:
             continue
+        pv = _lstats._coerce(ctype, "stat", raw)
+        if pv is None:
+            continue
+        if op == "in":
+            vs = [_lstats._coerce(ctype, k, r) for k, r in lit]
+            if all(v is not None and v != pv for v in vs):
+                return False
+            continue
         kind, rawlit = lit
         v = _lstats._coerce(ctype, kind, rawlit)
-        pv = _lstats._coerce(ctype, "stat", raw)
-        if v is None or pv is None:
+        if v is None:
             continue
         ok = {
             "=": pv == v, "==": pv == v,
@@ -1901,27 +1908,32 @@ def _enforce_constraints(df: DataFrame, constraints: dict[str, str], op: str) ->
 
 def _stats_prove_compliance(path: str, version: int, predicate: str) -> bool:
     """True when every live file's manifest stats prove no row violates
-    `predicate` (single-comparison predicates only). Any file without
-    stats, or whose bounds leave a violation possible, returns False —
-    the caller then runs the real validation scan."""
-    viol = _lstats.violation_conjunct(predicate)
-    if viol is None:
+    `predicate` (AND-of-negatable-comparisons; r15 widened from single
+    conjuncts — under 3VL each conjunct's violation is independently
+    impossible). Any file without stats, or whose bounds leave any
+    violation possible, returns False — the caller then runs the real
+    validation scan."""
+    viols = _lstats.violation_conjuncts(predicate)
+    if viols is None:
         return False
     m = _read_manifest(path, version)
     col_types = dict(_schema_fields(m["schema"]))
     cmap = m.get("column_map", {})
-    if viol[0] not in col_types:
+    if any(v[0] not in col_types for v in viols):
         return False  # unknown column: let the scan raise its error
     stats = table_stats(path, version)
-    for f in _live_files(path, version):
+    live = _live_files(path, version)
+    for f in live:
         e = stats.get(f)
         if e is None:
             return False
         # file_may_match returns True ("may hold a violating row") for
         # any missing/unusable stats — exactly the conservative default
-        # a compliance proof needs
-        if _lstats.file_may_match(e, [viol], cmap, col_types):
-            return False
+        # a compliance proof needs; each conjunct is proven SEPARATELY
+        # (they are alternative violation routes, not a conjunction)
+        for v in viols:
+            if _lstats.file_may_match(e, [v], cmap, col_types):
+                return False
     return True
 
 

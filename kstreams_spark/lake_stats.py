@@ -145,6 +145,20 @@ _CMP_LC = re.compile(
 _NULL = re.compile(
     rf"^({_IDENT})\s+IS\s+(NOT\s+)?NULL$", re.IGNORECASE
 )
+_BETWEEN = re.compile(
+    # the ident must not itself be NOT (a `col NOT BETWEEN` form must
+    # fall through to rejected fragments, never desugar)
+    rf"\b(?!NOT\b)(?!AND\b)(?!OR\b)({_IDENT})\s+BETWEEN\s+({_LIT})"
+    rf"\s+AND\s+({_LIT})",
+    re.IGNORECASE,
+)
+_IN = re.compile(
+    rf"^({_IDENT})\s+IN\s*\(\s*({_LIT}(?:\s*,\s*{_LIT})*)\s*\)$",
+    re.IGNORECASE,
+)
+_IN_SHAPE = re.compile(  # any other parenthesized form stays rejected
+    rf"{_IDENT}\s+IN\s*\([^()]*\)", re.IGNORECASE
+)
 _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "==": "==",
          "!=": "!=", "<>": "<>"}
 
@@ -173,14 +187,24 @@ def _parse_literal(tok: str):
 
 def parse_skip_conjuncts(where: str) -> list[tuple]:
     """The skipping-eligible conjuncts of `where`: a list of
-    (col, op, (kind, literal)) triples plus ('isnull'/'isnotnull')
-    forms as (col, 'isnull'/'isnotnull', None). A `where` using OR,
-    parentheses, or anything outside the grammar at the TOP level
-    yields [] or just its parseable conjuncts — never a wrong one (a
-    mis-split inside a string literal leaves only fragments the strict
-    per-conjunct fullmatch rejects)."""
-    if re.search(r"\bOR\b", where, re.IGNORECASE) or "(" in where:
+    (col, op, (kind, literal)) triples, ('isnull'/'isnotnull', None)
+    forms, and ('in', [literals]) lists. A `where` using OR,
+    parentheses (other than a whole `col IN (lit, ...)` conjunct — the
+    r15 widening, with BETWEEN desugared to >= AND <= first), or
+    anything outside the grammar at the TOP level yields [] or just
+    its parseable conjuncts — never a wrong one (a mis-split inside a
+    string literal leaves only fragments the strict per-conjunct
+    fullmatch rejects)."""
+    if re.search(r"\bOR\b", where, re.IGNORECASE):
         return []
+    # desugar BETWEEN before the AND-split (its own AND would mis-split)
+    where = _BETWEEN.sub(r"\1 >= \2 AND \1 <= \3", where)
+    if "(" in where:
+        # the only paren form admitted is a whole-conjunct IN list;
+        # anything else (functions, grouping) rejects globally
+        stripped = _IN_SHAPE.sub("", where)
+        if "(" in stripped:
+            return []
     out: list[tuple] = []
     for part in re.split(r"\s+AND\s+", where.strip(), flags=re.IGNORECASE):
         part = part.strip()
@@ -189,6 +213,15 @@ def parse_skip_conjuncts(where: str) -> list[tuple]:
             out.append(
                 (m.group(1), "isnotnull" if m.group(2) else "isnull", None)
             )
+            continue
+        m = _IN.fullmatch(part)
+        if m:
+            lits = [
+                _parse_literal(tok)
+                for tok in re.split(r"\s*,\s*", m.group(2))
+            ]
+            if all(k is not None for k, _ in lits):
+                out.append((m.group(1), "in", lits))
             continue
         m = _CMP_CL.fullmatch(part)
         if m:
@@ -211,27 +244,52 @@ _NEGATE = {"<": ">=", "<=": ">", ">": "<=", ">=": "<", "=": "!=",
            "isnull": "isnotnull", "isnotnull": "isnull"}
 
 
-def violation_conjunct(predicate: str) -> tuple | None:
-    """The CHECK-violation conjunct for a SINGLE-comparison predicate,
-    or None when the predicate is outside the negatable subset. CHECK
-    semantics: a row VIOLATES when the predicate is FALSE (NULL
-    passes), so the violation of `col < 450` is `col >= 450` over
-    non-null values — exactly what file_may_match's comparison ops
-    test. A multi-conjunct predicate negates into a disjunction our
-    grammar cannot express → None (callers fall back to the scan)."""
-    conj = parse_skip_conjuncts(predicate)
-    if len(conj) != 1:
+def violation_conjuncts(predicate: str) -> list[tuple] | None:
+    """The CHECK-violation conjuncts of an AND-of-comparisons
+    predicate, or None when any part falls outside the negatable
+    subset. CHECK semantics: a row VIOLATES when the predicate is
+    FALSE (NULL passes); under 3VL, `a AND b` is false iff a is false
+    OR b is false, so NO-VIOLATION decomposes per conjunct — the table
+    complies iff for EVERY returned conjunct no row matches it (each
+    one checked independently by file_may_match). The violation of
+    `col < 450` is `col >= 450` over non-null values; BETWEEN desugars
+    first; IN does not negate into the grammar (NOT IN needs an
+    exact-constant file) → None. Unlike parse_skip_conjuncts, this
+    parse is STRICT: a single unparseable fragment returns None — a
+    dropped fragment would silently weaken the proof."""
+    if re.search(r"\bOR\b", predicate, re.IGNORECASE):
         return None
-    col, op, lit = conj[0]
-    # reject when the ORIGINAL string held more than this one conjunct
-    # (parse drops unparseable fragments — a dropped fragment means the
-    # negation is a disjunction)
-    if re.search(r"\s+AND\s+", predicate, re.IGNORECASE):
+    predicate = _BETWEEN.sub(r"\1 >= \2 AND \1 <= \3", predicate)
+    if "(" in predicate:
         return None
-    neg = _NEGATE.get(op)
-    if neg is None:
-        return None
-    return (col, neg, lit)
+    out: list[tuple] = []
+    for part in re.split(
+        r"\s+AND\s+", predicate.strip(), flags=re.IGNORECASE
+    ):
+        part = part.strip()
+        m = _NULL.fullmatch(part)
+        if m:
+            op = "isnotnull" if m.group(2) else "isnull"
+            out.append((m.group(1), _NEGATE[op], None))
+            continue
+        m = _CMP_CL.fullmatch(part)
+        lit_tok, col, op = None, None, None
+        if m:
+            col, op, lit_tok = m.group(1), m.group(2), m.group(3)
+        else:
+            m = _CMP_LC.fullmatch(part)
+            if m:
+                col, op, lit_tok = m.group(3), _FLIP[m.group(2)], m.group(1)
+        if col is None:
+            return None
+        lit = _parse_literal(lit_tok)
+        if lit[0] is None:
+            return None
+        neg = _NEGATE.get(op)
+        if neg is None:
+            return None
+        out.append((col, neg, lit))
+    return out or None
 
 
 _INT_T = {"tinyint", "smallint", "int", "bigint", "long", "integer",
@@ -326,16 +384,23 @@ def file_may_match(
             if rows is not None and nulls == rows:
                 return False
             continue
-        # comparison: an all-null file satisfies none of them
+        # comparison/IN: an all-null file satisfies none of them
         if rows is not None and nulls == rows:
             return False
         if "min" not in ce or "max" not in ce:
             continue
-        kind, rawlit = lit
-        v = _coerce(ctype, kind, rawlit)
         mn = _coerce(ctype, "stat", ce["min"])
         mx = _coerce(ctype, "stat", ce["max"])
-        if v is None or mn is None or mx is None:
+        if mn is None or mx is None:
+            continue
+        if op == "in":
+            vs = [_coerce(ctype, k, raw) for k, raw in lit]
+            if all(v is not None and (v < mn or v > mx) for v in vs):
+                return False
+            continue
+        kind, rawlit = lit
+        v = _coerce(ctype, kind, rawlit)
+        if v is None:
             continue
         if op in ("=", "=="):
             if v < mn or v > mx:

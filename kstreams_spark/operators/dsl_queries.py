@@ -214,3 +214,117 @@ def dsl_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .aggregate(fill={"n_clicks": 0, "n_purchases": 0})
     )
     return table.df
+
+
+@query(
+    "dsl_sliding_time_difference",
+    oracle="""
+    WITH slid AS (
+      SELECT user_id, event_type,
+             COUNT(*) OVER w AS n_band,
+             SUM(CAST(value AS DECIMAL(18,6))) OVER w AS v_band
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(n_band)::BIGINT AS band_events,
+           CAST(SUM(v_band) AS DOUBLE) AS band_value,
+           CAST(MAX(n_band) AS BIGINT) AS max_band
+    FROM slid GROUP BY event_type
+    """,
+)
+def dsl_sliding_time_difference(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KS 2.7 SlidingWindows.ofTimeDifference through the DSL facade
+    (r15 — KIP-450, the third verb past the 2.0 ceiling after the FK
+    join and cogroup): for every event, the per-user trailing
+    10-minute band's COUNT and DECIMAL SUM — the record-anchored
+    window tumbling/hopping cannot express — then a per-event_type
+    fingerprint (events, summed band sizes, summed band values, max
+    band). RANGE frames make equal timestamps PEERS, so the per-record
+    bands — and therefore every sum — are deterministic under any
+    partitioning (the drift-gate property); both engines implement the
+    identical SQL-standard frame.
+
+    Shuffle budget: ONE user_id exchange serves the window, then a
+    ≤|event_type| aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    b = StreamsBuilder()
+    slid = (
+        b.stream(ev, key="user_id")
+        .group_by_key()
+        .sliding_aggregate(
+            "ts",
+            "10 minutes",
+            n_band="COUNT(*)",
+            v_band="SUM(CAST(value AS DECIMAL(18,6)))",
+        )
+    )
+    return slid.df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("n_band").cast("bigint").alias("band_events"),
+        F.sum("v_band").cast("double").alias("band_value"),
+        F.max("n_band").cast("bigint").alias("max_band"),
+    )
+
+
+@query(
+    "dsl_stream_versioned_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id
+      FROM events WHERE event_type IN ('error', 'click')
+    ), filled AS (
+      SELECT *,
+             last_value(click_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_err, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS click_id_asof
+      FROM tagged
+    )
+    SELECT event_id, user_id, click_id_asof
+    FROM filled WHERE is_err = 1 AND click_id_asof IS NOT NULL
+    """,
+)
+def dsl_stream_versioned_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KS 3.5 versioned-KTable join through the DSL facade (r15,
+    KIP-914): error events join the click-version history AS OF each
+    error's event time — the newest click by the same user at or
+    before it, inner form (errors before any click drop, the KS join
+    rule). The facade's union+LOCF as-of shape is hash-certified
+    against the windowed SQL the batch operator family uses; the
+    version tie-break (event_id) makes same-timestamp versions
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    b = StreamsBuilder()
+    stream = b.stream(
+        ev.filter(F.col("event_type") == "error").select(
+            "user_id", "ts", "event_id"
+        ),
+        key="user_id",
+    )
+    versions = b.table_versioned(
+        ev.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.col("event_id").alias("version_id"),
+            F.col("event_id").alias("click_id_asof"),
+        ),
+        key="user_id",
+    )
+    out = stream.join_versioned_table(
+        versions,
+        ts_col="ts",
+        valid_from="valid_from",
+        version_order="version_id",
+        how="inner",
+    )
+    return out.df.select("event_id", "user_id", "click_id_asof")

@@ -450,3 +450,105 @@ def test_cogroup_semantics_and_guards(spark, sf_dir):
         ).aggregate()
     with pytest.raises(ValueError, match="collide with the key"):
         s1.cogroup(k=F.count(F.lit(1))).aggregate()
+
+
+def test_sliding_aggregate_band_golden_and_peers(spark):
+    """r15 KS 2.7 sliding windows: per-record trailing band, with
+    equal timestamps aggregating as PEERS (RANGE frame) — both tied
+    records see the same band, so results are partition-invariant."""
+    from pyspark.sql import functions as F
+
+    from kstreams_spark.dsl import StreamsBuilder
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 10),
+        (1, "2024-01-01 10:04:00", 20),
+        (1, "2024-01-01 10:04:00", 30),  # tie: peer of the 10:04 row
+        (1, "2024-01-01 10:20:00", 40),
+        (2, "2024-01-01 10:04:00", 99),  # other key: separate band
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts string, v long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = (
+        StreamsBuilder()
+        .stream(df, key="k")
+        .group_by_key()
+        .sliding_aggregate("ts", "5 minutes", n="COUNT(*)", s="SUM(v)")
+    )
+    got = {
+        (r.k, str(r.ts), r.v): (r.n, r.s) for r in out.df.collect()
+    }
+    assert got[(1, "2024-01-01 10:00:00", 10)] == (1, 10)
+    # both tied rows see the full 3-row band (peers)
+    assert got[(1, "2024-01-01 10:04:00", 20)] == (3, 60)
+    assert got[(1, "2024-01-01 10:04:00", 30)] == (3, 60)
+    assert got[(1, "2024-01-01 10:20:00", 40)] == (1, 40)
+    assert got[(2, "2024-01-01 10:04:00", 99)] == (1, 99)
+    assert out.key == "k"
+
+
+def test_versioned_table_join_picks_whole_versions(spark):
+    """r15 KS 3.5 (KIP-914): the as-of election returns ONE version's
+    columns as a unit — a newer version with a NULL field must NOT
+    inherit the older version's value for that field (the per-column
+    LOCF bug the struct packing exists to prevent); inner/left forms;
+    same-timestamp versions resolve by the version tie-break."""
+    from pyspark.sql import functions as F
+
+    from kstreams_spark.dsl import StreamsBuilder
+
+    b = StreamsBuilder()
+    versions = b.table_versioned(
+        spark.createDataFrame(
+            [
+                (1, "2024-01-01 10:00:00", 1, "alpha", 100),
+                # newer version: name NULL (must shadow 'alpha')
+                (1, "2024-01-01 10:10:00", 2, None, 200),
+                # two versions at the SAME instant: tie-break wins
+                (2, "2024-01-01 10:00:00", 3, "low", 1),
+                (2, "2024-01-01 10:00:00", 4, "high", 2),
+            ],
+            "k long, vf string, vid long, name string, score long",
+        ).withColumn("vf", F.col("vf").cast("timestamp")),
+        key="k",
+    )
+    stream = b.stream(
+        spark.createDataFrame(
+            [
+                (1, "2024-01-01 10:05:00", 11),  # sees v1 (alpha, 100)
+                (1, "2024-01-01 10:10:00", 12),  # exactly at v2: (NULL, 200)
+                (2, "2024-01-01 10:00:00", 13),  # tie: vid 4 (high, 2)
+                (3, "2024-01-01 10:00:00", 14),  # no version at all
+            ],
+            "k long, ts string, rid long",
+        ).withColumn("ts", F.col("ts").cast("timestamp")),
+        key="k",
+    )
+    left = stream.join_versioned_table(
+        versions, ts_col="ts", valid_from="vf", version_order="vid",
+        how="left",
+    )
+    got = {r.rid: (r.name, r.score) for r in left.df.collect()}
+    assert got == {
+        11: ("alpha", 100),
+        12: (None, 200),  # whole v2, NOT ('alpha', 200)
+        13: ("high", 2),
+        14: (None, None),
+    }
+    inner = stream.join_versioned_table(
+        versions, ts_col="ts", valid_from="vf", version_order="vid",
+        how="inner",
+    )
+    assert sorted(r.rid for r in inner.df.collect()) == [11, 12, 13]
+    # collision guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide with stream"):
+        b.stream(
+            spark.createDataFrame([(1, 5)], "k long, score long"),
+            key="k",
+        ).join_versioned_table(
+            versions, ts_col="score", valid_from="vf",
+            version_order="vid",
+        )

@@ -84,6 +84,52 @@ def test_parse_skip_conjuncts_grammar():
     assert parse_skip_conjuncts("t LIKE 'x%' AND a = 2") == [
         ("a", "=", ("num", 2))
     ]
+    # r15 widening: BETWEEN desugars, IN-lists are whole conjuncts
+    assert parse_skip_conjuncts("a BETWEEN 3 AND 9") == [
+        ("a", ">=", ("num", 3)),
+        ("a", "<=", ("num", 9)),
+    ]
+    assert parse_skip_conjuncts("s IN ('x', 'y') AND a = 1") == [
+        ("s", "in", [("str", "x"), ("str", "y")]),
+        ("a", "=", ("num", 1)),
+    ]
+    # IN with a function inside still rejects globally; NOT BETWEEN
+    # desugars into rejected fragments (no wrong conjunct)
+    assert parse_skip_conjuncts("s IN (lower('x'))") == []
+    assert parse_skip_conjuncts("a NOT BETWEEN 3 AND 9") == []
+    # a comma inside a string literal cannot mis-split an IN list
+    assert parse_skip_conjuncts("s IN ('a,b', 'c')") == []
+
+
+def test_in_and_between_pruning(spark):
+    from kstreams_spark.lake_stats import file_may_match
+
+    e = {"rows": 10, "cols": {"k": {"min": 5, "max": 50, "nulls": 0}}}
+    t = {"k": "bigint"}
+    may = lambda w: file_may_match(e, parse_skip_conjuncts(w), {}, t)
+    assert not may("k IN (1, 2, 51)")
+    assert may("k IN (1, 2, 50)")
+    assert not may("k BETWEEN 51 AND 60")
+    assert may("k BETWEEN 50 AND 60")
+
+
+def test_violation_conjuncts_strictness():
+    from kstreams_spark.lake_stats import violation_conjuncts
+
+    assert violation_conjuncts("a < 5") == [("a", ">=", ("num", 5))]
+    assert violation_conjuncts("a >= 0 AND a < 5") == [
+        ("a", "<", ("num", 0)),
+        ("a", ">=", ("num", 5)),
+    ]
+    assert violation_conjuncts("a BETWEEN 0 AND 5") == [
+        ("a", "<", ("num", 0)),
+        ("a", ">", ("num", 5)),
+    ]
+    assert violation_conjuncts("a IS NOT NULL") == [("a", "isnull", None)]
+    # strict: one bad fragment kills the whole proof
+    assert violation_conjuncts("a < 5 AND length(t) > 2") is None
+    assert violation_conjuncts("a < 5 OR b > 2") is None
+    assert violation_conjuncts("a IN (1, 2)") is None
 
 
 def test_file_may_match_ranges_and_nulls():

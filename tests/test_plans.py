@@ -934,9 +934,20 @@ def test_set_constraint_stats_proof_is_scanless(
     # outside the negatable grammar (arithmetic) → the scan runs
     ls.snapshot_set_constraint(spark, lake, "loose", "doc_id + 0 < 450")
     assert len(scans) == 1
-    # multi-conjunct predicates negate into a disjunction → scan
+    # multi-conjunct predicates prove per conjunct (r15 widening):
+    # both violation routes are stats-impossible → still scanless
     ls.snapshot_set_constraint(
         spark, lake, "both", "doc_id >= 0 AND doc_id < 500"
+    )
+    assert len(scans) == 1
+    # BETWEEN desugars into the same provable pair
+    ls.snapshot_set_constraint(
+        spark, lake, "band", "doc_id BETWEEN 0 AND 500"
+    )
+    assert len(scans) == 1
+    # a half-provable AND still scans (one conjunct unparseable)
+    ls.snapshot_set_constraint(
+        spark, lake, "half", "doc_id < 500 AND doc_id + 0 >= 0"
     )
     assert len(scans) == 2
     # violated predicates still refuse (via the scan)
