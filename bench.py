@@ -136,6 +136,7 @@ HEADLINE = [
     "lake_rename_roundtrip",  # added r13: column-mapping rename, both versions read
     "lake_clone_diverge",  # added r14: zero-copy shallow clone, forked histories
     "lake_stats_skipping",  # added r15: per-file stats, driver-side file pruning
+    "lake_metadata_min_max",  # added r15: metadata-only MIN/MAX from manifest stats
     "sketch_quantile_histogram",  # added r15: mergeable log-bucket quantile sketch
     "dsl_ktable_groupby_reaggregate",  # added r13: KGroupedTable re-aggregation
     "dsl_ktable_fk_join",  # added r14: KS 2.4 foreign-key KTable join

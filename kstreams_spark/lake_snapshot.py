@@ -1088,6 +1088,110 @@ def snapshot_scan_stats(
     return {"total": len(files), "scanned": len(kept), "skipped": skipped}
 
 
+def snapshot_min_max(
+    path: str, cols: list[str], version: int | None = None
+) -> dict[str, tuple] | None:
+    """Metadata-only MIN/MAX (r15 — Delta/Spark's
+    OptimizeMetadataOnlyQuery class): answer `SELECT MIN(c), MAX(c)`
+    per requested column purely from the manifest stats — zero file
+    opens, zero Spark jobs — or return None when the answer cannot be
+    PROVEN exact:
+
+    - any live file missing stats for a column (legacy commit,
+      unsupported type) → unknown;
+    - any deletion vector in force → the extreme row might be
+      logically deleted (stats cover all physical rows) → unknown;
+    - a truncated string bound (length ≥ STATS_MAX_STRING_LEN, or the
+      U+10FFFF max pad) → the stored bound is valid but not attained →
+      unknown.
+
+    SQL MIN/MAX ignore NULLs: all-null files contribute nothing, and a
+    column null in EVERY row of every file answers (None, None) — the
+    SQL result. Columns are LOGICAL names (the column map applies).
+    One-directional like every stats consumer: this can only decline,
+    never return a wrong extreme."""
+    path = os.path.abspath(path)
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {path}")
+    v = versions[-1] if version is None else version
+    m = _read_manifest(path, v)
+    cmap = m.get("column_map", {})
+    col_types = dict(_schema_fields(m["schema"]))
+    for c in cols:  # a bad column is a caller error, never "unknown"
+        if c not in col_types:
+            raise ValueError(f"unknown column {c!r}")
+    if table_dvs(path, v):
+        return None
+    stats = table_stats(path, v)
+    live = _live_files(path, v)
+    out: dict[str, tuple] = {}
+    for c in cols:
+        phys = cmap.get(c, c)
+        ctype = col_types[c]
+        mn = mx = None
+        for f in live:
+            e = stats.get(f)
+            if e is None:
+                return None
+            ce = e.get("cols", {}).get(phys)
+            if ce is None:
+                return None
+            if "min" not in ce:  # all-null file: contributes nothing
+                continue
+            if isinstance(ce["min"], str) and (
+                len(ce["min"]) >= _lstats.STATS_MAX_STRING_LEN
+                or ce["max"].endswith("\U0010ffff")
+            ):
+                return None  # truncated bound: valid, not attained
+            fmn = _lstats._coerce(ctype, "stat", ce["min"])
+            fmx = _lstats._coerce(ctype, "stat", ce["max"])
+            if fmn is None or fmx is None:
+                return None
+            mn = fmn if mn is None else min(mn, fmn)
+            mx = fmx if mx is None else max(mx, fmx)
+        out[c] = (mn, mx)
+    return out
+
+
+def snapshot_detail(path: str, version: int | None = None) -> dict:
+    """DESCRIBE DETAIL (r15 — the Delta verb): one dict of table-level
+    operational metadata from manifests + the local filesystem —
+    {version, num_files, size_bytes, partition_columns, num_dv_files,
+    num_dv_positions, n_constraints, n_properties, stats_files (files
+    carrying column stats — the data-skipping coverage ratio's
+    numerator), schema}. size_bytes is an O(files) os.stat walk
+    (driver-side; at object-store scale the listing service answers
+    it), everything else is manifest-resident."""
+    path = os.path.abspath(path)
+    versions = snapshot_versions(path)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {path}")
+    v = versions[-1] if version is None else version
+    m = _read_manifest(path, v)
+    live = _live_files(path, v)
+    dvs = table_dvs(path, v)
+    stats = table_stats(path, v)
+    size = 0
+    for f in live:
+        try:
+            size += os.path.getsize(os.path.join(path, f))
+        except OSError:
+            pass  # raced a vacuum of an older-version file set
+    return {
+        "version": v,
+        "num_files": len(live),
+        "size_bytes": size,
+        "partition_columns": list(_layout_partition_cols(live) or ()),
+        "num_dv_files": len(dvs),
+        "num_dv_positions": sum(len(p) for p in dvs.values()),
+        "n_constraints": len(m.get("constraints", {})),
+        "n_properties": len(m.get("properties", {})),
+        "stats_files": sum(1 for f in live if f in stats),
+        "schema": m["schema"],
+    }
+
+
 def _partition_values(
     df: DataFrame, condition: str, partition_cols: tuple[str, ...]
 ) -> list:
@@ -2306,6 +2410,7 @@ def snapshot_compact(
     n_files: int = 1,
     partition_cols: tuple[str, ...] = ("split", "lang"),
     zorder_by: tuple[str, str] | None = None,
+    where: str | None = None,
 ) -> int:
     """Small-files OPTIMIZE with one cross-partition commit: every
     partition holding more than `n_files` live files is rewritten to
@@ -2320,7 +2425,14 @@ def snapshot_compact(
     footer (min, max) stats on BOTH keys stay narrow per file and any
     engine's scan pruning skips files on either key. When set, every
     partition rewrites (re-layout is the point), not just oversized
-    ones."""
+    ones.
+
+    `where` (r15 — Delta's OPTIMIZE ... WHERE): restrict the rewrite
+    to partitions matching a predicate over PARTITION COLUMNS only
+    (Delta's rule — a predicate on a data column would force a scan
+    just to scope maintenance; it raises by name, as does a predicate
+    outside the AND-of-comparisons grammar). Untouched partitions keep
+    byte-identical files."""
     versions = snapshot_versions(path)
     if not versions:
         raise ValueError(f"no committed snapshots under {path}")
@@ -2331,6 +2443,33 @@ def snapshot_compact(
     by_dir: dict[str, list[str]] = {}
     for f in live:
         by_dir.setdefault(os.path.dirname(f), []).append(f)
+    if where is not None:
+        conj = _lstats.parse_skip_conjuncts(where)
+        if not conj:
+            raise ValueError(
+                f"snapshot_compact(where=...): predicate {where!r} is "
+                "outside the partition-predicate grammar "
+                "(AND of col-vs-literal comparisons / IN / BETWEEN)"
+            )
+        bad = [c for c, _, _ in conj if c not in partition_cols]
+        if bad:
+            raise ValueError(
+                "snapshot_compact(where=...): column(s) "
+                f"{sorted(set(bad))} are not partition columns — "
+                "OPTIMIZE WHERE scopes by partition only (Delta's rule)"
+            )
+        col_types = dict(_schema_fields(m["schema"]))
+
+        def _dir_matches(d: str) -> bool:
+            pvals: dict[str, str | None] = {}
+            for seg in d.split(os.sep):
+                if "=" in seg:
+                    k, raw = seg.split("=", 1)
+                    val = _unescape_partition_value(raw)
+                    pvals[k] = None if val is None else str(val)
+            return _partition_may_match(pvals, conj, col_types)
+
+        by_dir = {d: fs for d, fs in by_dir.items() if _dir_matches(d)}
     # cap-exempt read: compaction IS the DV materialization path — it
     # must still work once the accumulated vectors exceed the per-scan
     # broadcast cap (an explicit maintenance action, not a silent scan)

@@ -480,3 +480,70 @@ def lake_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(plan["scanned"]).alias("files_scanned"),
         F.lit(plan["skipped"]).alias("files_skipped"),
     )
+
+
+@query(
+    "lake_metadata_min_max",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+           CAST(MIN(length(text)) AS BIGINT) AS min_chars,
+           CAST(MAX(length(text)) AS BIGINT) AS max_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def lake_metadata_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only MIN/MAX under the driver's value hash (r15 —
+    Delta/Spark's OptimizeMetadataOnlyQuery class over the manifest
+    stats): publish four ranged appends, then answer
+    `SELECT MIN(doc_id), MAX(doc_id), MIN(chars), MAX(chars)` WITHOUT
+    opening a single data file or running a scan job —
+    `snapshot_min_max` folds the per-file manifest bounds driver-side
+    (declining, never guessing, when stats are missing / truncated /
+    DV'd — the one-directional doctrine). The oracle computes the same
+    extremes from the raw table, so a stats bound that ever went wrong
+    (collection, checkpoint fold, replay, coercion) is value-visible
+    here. n_rows rides from the same manifest stats (per-file row
+    counts)."""
+    from kstreams_spark.lake_snapshot import (
+        snapshot_min_max,
+        snapshot_publish,
+        table_stats,
+        snapshot_versions,
+    )
+
+    lake = tempfile.mkdtemp(prefix="kstreams_lake_mm_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("chars"),
+        F.when(F.col("doc_id") % 2 == 0, "train")
+        .otherwise("val")
+        .alias("split"),
+    )
+    for lo in range(0, 100, 25):
+        snapshot_publish(
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 25)
+            ).coalesce(1),
+            lake,
+            mode="append" if lo else "replace",
+            partition_cols=("split",),
+        )
+    mm = snapshot_min_max(lake, ["doc_id", "chars"])
+    assert mm is not None, "every file was just written with stats"
+    st = table_stats(lake, snapshot_versions(lake)[-1])
+    n_rows = sum(e["rows"] for e in st.values())
+    return spark.createDataFrame(
+        [
+            (
+                int(mm["doc_id"][0]),
+                int(mm["doc_id"][1]),
+                int(mm["chars"][0]),
+                int(mm["chars"][1]),
+                int(n_rows),
+            )
+        ],
+        "min_doc bigint, max_doc bigint, min_chars bigint, "
+        "max_chars bigint, n_rows bigint",
+    )

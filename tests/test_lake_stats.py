@@ -362,3 +362,124 @@ def test_append_after_schema_widens_without_stats_still_reads(
     assert snapshot_scan_stats(lake, "doc_id < 25")["scanned"] == 4
     got = snapshot_read(spark, lake, where="doc_id >= 75")
     assert got.count() == 25
+
+
+def test_optimize_where_scopes_by_partition(spark, tmp_path, sf_dir):
+    """r15 OPTIMIZE ... WHERE: only matching partitions rewrite
+    (untouched ones keep byte-identical files); data-column or
+    unparseable predicates raise by name (Delta's rule)."""
+    import pytest
+
+    from kstreams_spark.lake_snapshot import snapshot_compact
+
+    lake = _ranged_lake(spark, sf_dir, tmp_path, "optwhere")
+    before = {
+        f: os.path.getmtime(os.path.join(lake, f))
+        for f in ls._live_files(lake, ls.snapshot_versions(lake)[-1])
+    }
+    n = snapshot_compact(
+        spark,
+        lake,
+        n_files=1,
+        partition_cols=("split",),
+        where="split = 'train'",
+    )
+    assert n == 1  # only the train partition compacted (4 files -> 1)
+    after = ls._live_files(lake, ls.snapshot_versions(lake)[-1])
+    val_files = {f for f in after if "split=val" in f}
+    assert val_files == {f for f in before if "split=val" in f}
+    assert all(
+        os.path.getmtime(os.path.join(lake, f)) == before[f]
+        for f in val_files
+    )
+    assert len({f for f in after if "split=train" in f}) == 1
+    assert snapshot_read(spark, lake).count() == 100  # pure re-layout
+    with pytest.raises(ValueError, match="not partition columns"):
+        snapshot_compact(
+            spark, lake, partition_cols=("split",), where="doc_id < 10"
+        )
+    with pytest.raises(ValueError, match="outside the partition"):
+        snapshot_compact(
+            spark, lake, partition_cols=("split",),
+            where="split = 'a' OR split = 'b'",
+        )
+
+
+def test_metadata_min_max_and_decline_paths(spark, tmp_path, sf_dir):
+    """r15 metadata-only MIN/MAX: exact answers with zero scans while
+    provable; DVs, missing stats, and truncated strings each DECLINE
+    (None), never return a wrong extreme."""
+    from kstreams_spark.lake_snapshot import (
+        snapshot_delete_where_dv,
+        snapshot_min_max,
+    )
+
+    lake = _ranged_lake(spark, sf_dir, tmp_path, "mm")
+    mm = snapshot_min_max(lake, ["doc_id"])
+    assert mm == {"doc_id": (0, 99)}
+    # long strings: text bounds truncate -> decline
+    assert snapshot_min_max(lake, ["text"]) is None
+    # a DV in force makes every extreme unprovable
+    snapshot_delete_where_dv(spark, lake, "doc_id = 99")
+    assert snapshot_min_max(lake, ["doc_id"]) is None
+    # version pin: the pre-DV version still answers
+    v = ls.snapshot_versions(lake)[-1] - 1
+    assert snapshot_min_max(lake, ["doc_id"], version=v) == {
+        "doc_id": (0, 99)
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown column"):
+        snapshot_min_max(lake, ["nope"])
+
+
+def test_snapshot_detail_surface(spark, tmp_path, sf_dir):
+    from kstreams_spark.lake_snapshot import (
+        snapshot_detail,
+        snapshot_set_constraint,
+    )
+
+    lake = _ranged_lake(spark, sf_dir, tmp_path, "detail")
+    snapshot_set_constraint(spark, lake, "ids", "doc_id < 1000")
+    d = snapshot_detail(lake)
+    assert d["num_files"] == 8 and d["stats_files"] == 8
+    assert d["partition_columns"] == ["split"]
+    assert d["n_constraints"] == 1 and d["num_dv_files"] == 0
+    assert d["size_bytes"] > 0
+    assert "doc_id" in d["schema"]
+
+
+def test_zorder_compact_feeds_manifest_skipping(spark, tmp_path, sf_dir):
+    """OPTIMIZE ZORDER × data skipping (r15): after a z-order compact,
+    the rewritten files' MANIFEST stats are narrow on BOTH keys, so
+    driver-side pruning skips files on the secondary dimension too —
+    the footer-level payoff tests/test_zorder.py pins, now available
+    without opening a footer."""
+    from kstreams_spark.lake_snapshot import snapshot_compact
+
+    lake = str(tmp_path / "zskip")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        # a second dimension decorrelated from doc_id
+        ((F.col("doc_id") * 37) % 100).alias("bucket"),
+        F.lit("all").alias("split"),
+    ).filter(F.col("doc_id") < 400)
+    snapshot_publish(docs, lake, partition_cols=("split",))
+    snapshot_compact(
+        spark,
+        lake,
+        n_files=8,
+        partition_cols=("split",),
+        zorder_by=("doc_id", "bucket"),
+    )
+    total = snapshot_scan_stats(lake, "doc_id >= 0")["total"]
+    assert total == 8
+    # a band on EITHER dimension skips manifest-side
+    for where in ("doc_id BETWEEN 0 AND 40", "bucket BETWEEN 0 AND 20"):
+        plan = snapshot_scan_stats(lake, where)
+        assert plan["skipped"] > 0, (where, plan)
+        pruned = snapshot_read(spark, lake, where=where)
+        full = snapshot_read(spark, lake).filter(where)
+        assert sorted(r.doc_id for r in pruned.collect()) == sorted(
+            r.doc_id for r in full.collect()
+        )
