@@ -19,6 +19,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 OUTPUT_SCHEMA = T.StructType(
@@ -321,6 +322,132 @@ def rate_spike_stream(
         ),
         outputStructType=SPIKE_OUTPUT_SCHEMA,
         stateStructType=SPIKE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+# --- sliding time-difference bands (KS 2.7, streaming twin) ----------------
+# Streaming twin of dsl.KGroupedStream.sliding_aggregate (KIP-450): per
+# key, each record is emitted with the COUNT/SUM of the same-key records
+# whose event time falls in [ts - band, ts] — ties are PEERS (all
+# records at one timestamp enter the band before any of them emits,
+# matching the batch RANGE frame). State per key is the (ts, value)
+# pairs within `band` of the newest timestamp seen — bounded by the
+# key's event rate × band, the sliding window's inherent state, and
+# exactly what Kafka Streams' sliding-window store retains.
+
+SLIDING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.LongType())),
+        T.StructField("floor_us", T.LongType()),
+    ]
+)
+
+
+def make_sliding_band_fn(key_field: T.StructField, band_s: int):
+    """applyInPandasWithState body. Records are processed in event-time
+    order within each batch; a record no older than `band` behind the
+    key's newest timestamp computes its EXACT band even when it arrives
+    late (the qualifying pairs are still in state); an older one emits
+    with complete=0 — its band start predates the eviction floor, so
+    the count could be short (stated, never silently wrong)."""
+
+    def fn(key, pdfs, state) -> Iterator[pd.DataFrame]:
+        us = 1_000_000
+        band_us = band_s * us
+        if state.exists:
+            ts_list, vals, floor_us = state.get
+            ts_list, vals = list(ts_list or []), list(vals or [])
+        else:
+            ts_list, vals, floor_us = [], [], None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        out: list[dict[str, object]] = []
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True).sort_values("ts")
+            # group equal timestamps: peers enter state together
+            for ts_val, grp in whole.groupby("ts", sort=True):
+                t_us = int(pd.Timestamp(ts_val).value // 1000)
+                for _, row in grp.iterrows():
+                    ts_list.append(t_us)
+                    vals.append(int(row["value"]))
+                lo = t_us - band_us
+                n_band = s_band = 0
+                for t2, v2 in zip(ts_list, vals):
+                    if lo <= t2 <= t_us:
+                        n_band += 1
+                        s_band += v2
+                complete = int(floor_us is None or lo >= floor_us)
+                for _, row in grp.iterrows():
+                    out.append(
+                        {
+                            "key": key[0],
+                            "ts": ts_val,
+                            "value": int(row["value"]),
+                            "n_band": n_band,
+                            "sum_band": s_band,
+                            "complete": complete,
+                        }
+                    )
+            hmax = max(ts_list)
+            new_floor = hmax - band_us
+            keep = [
+                (t2, v2)
+                for t2, v2 in zip(ts_list, vals)
+                if t2 >= new_floor
+            ]
+            ts_list = [t for t, _ in keep]
+            vals = [v for _, v in keep]
+            floor_us = (
+                new_floor
+                if floor_us is None
+                else max(floor_us, new_floor)
+            )
+        state.update((ts_list, vals, floor_us))
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def sliding_band_stream(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    band_s: int,
+) -> DataFrame:
+    """(key, ts, value) stream → each record widened with its trailing
+    [ts − band_s, ts] same-key band COUNT and SUM (module comment above
+    for the peers/lateness contract). Emission is APPEND-ONLY: a record
+    is emitted ONCE with the band as of its processing — a later
+    within-band arrival computes ITS OWN exact band but does not
+    retract already-emitted rows (Kafka Streams' sliding windows emit
+    those as window UPDATES; that changelog form is the windowed-
+    aggregation family's job, stated). `value_col` must be integral —
+    the repo's integer-aggregation doctrine; batch parity with
+    dsl.sliding_aggregate is pinned in tests/test_dsl_stateful.py."""
+    key_field = events.schema[key_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("key", key_field.dataType),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.LongType()),
+            T.StructField("n_band", T.LongType()),
+            T.StructField("sum_band", T.LongType()),
+            T.StructField("complete", T.LongType()),
+        ]
+    )
+    keyed = events.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("long").alias("value"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        make_sliding_band_fn(key_field, band_s),
+        outputStructType=out_schema,
+        stateStructType=SLIDING_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="NoTimeout",
     )

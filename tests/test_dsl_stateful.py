@@ -369,3 +369,94 @@ def test_wallclock_punctuate_emits_on_idle_key(spark, tmp_path):
         assert rows.get("k1") == (2, 90.0), rows
     finally:
         q.stop()
+
+
+def test_sliding_band_stream_matches_batch_twin(spark, tmp_path):
+    """r15 KS 2.7 streaming twin: the stateful sliding-band processor
+    fed across MULTIPLE microbatches equals the batch
+    sliding_aggregate on the union — peers at equal timestamps
+    included — and a within-band late arrival still computes its exact
+    band (complete=1)."""
+    from kstreams_spark.streaming.stateful import sliding_band_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    d = str(tmp_path / "slide_src")
+    os.makedirs(d)
+
+    def feed(name, rows):
+        with open(os.path.join(d, name), "w") as f:
+            for k, ts, v in rows:
+                f.write(json.dumps({"k": k, "ts": ts, "v": v}) + "\n")
+
+    b1 = [
+        (1, "2024-01-01 10:00:00", 10),
+        (1, "2024-01-01 10:04:00", 20),
+        (1, "2024-01-01 10:04:00", 30),  # peer tie
+        (2, "2024-01-01 10:00:00", 7),
+    ]
+    feed("b1.json", b1)
+    stream = spark.readStream.schema(schema).json(d)
+    q = (
+        sliding_band_stream(stream, "k", "ts", "v", band_s=300)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("slide_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: k1 advances; one within-band LATE row for k1
+        b2 = [
+            (1, "2024-01-01 10:06:00", 40),
+            (1, "2024-01-01 10:05:00", 50),  # late but within band
+            (2, "2024-01-01 10:20:00", 9),
+        ]
+        feed("b2.json", b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.key, str(r.ts), r.value): (r.n_band, r.sum_band, r.complete)
+        for r in spark.sql("SELECT * FROM slide_out").collect()
+    }
+    # batch twin over the union
+    from kstreams_spark.dsl import StreamsBuilder as SB
+
+    allrows = b1 + [
+        (1, "2024-01-01 10:06:00", 40),
+        (1, "2024-01-01 10:05:00", 50),
+        (2, "2024-01-01 10:20:00", 9),
+    ]
+    bdf = spark.createDataFrame(
+        allrows, "k long, ts string, v long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    twin = (
+        SB()
+        .stream(bdf, key="k")
+        .group_by_key()
+        .sliding_aggregate("ts", "5 minutes", n="COUNT(*)", s="SUM(v)")
+    )
+    want = {
+        (r.k, str(r.ts), r.v): (r.n, r.s) for r in twin.df.collect()
+    }
+    assert set(got) == set(want)
+    for key, (n, s, complete) in got.items():
+        if key == (1, "2024-01-01 10:05:00", 50):
+            # processed AFTER 10:06 arrived in its batch, but its band
+            # start is above the eviction floor: exact AND the batch
+            # twin's numbers (late row's band excludes the 10:06 row —
+            # the RANGE frame never looks forward)
+            assert complete == 1
+        assert (n, s) == want[key], (key, (n, s), want[key])
+    # the 10:06 row's band saw the late 10:05 row? No — it was emitted
+    # BEFORE the late row was processed in-batch order... both are in
+    # one batch, sorted: 10:05 processes first. Cross-check explicitly:
+    assert got[(1, "2024-01-01 10:06:00", 40)][0:2] == want[
+        (1, "2024-01-01 10:06:00", 40)
+    ]
