@@ -18,6 +18,15 @@ Storage cost: n_tables× row duplication (the classic inverted-file
 trade); partition count = n_tables · 2^bits directories, so `bits` must
 respect the object-store's file-count budget as well as the re-rank
 budget.
+
+Kafka Streams mapping (r15 note): this module and streaming/hybrid.py
+are the engine's INTERACTIVE QUERIES analog (KS IQ/IQv2 —
+KafkaStreams#store + StateQueryRequest): the state an ingest pipeline
+maintains, queryable at serving time with snapshot consistency (the
+hybrid group-epoch cap plays IQ's standby/position bound). KS serves
+from local RocksDB replicas; here the lake layout is the store and
+partition pruning is the key lookup — same contract, storage-native
+realization.
 """
 
 from __future__ import annotations

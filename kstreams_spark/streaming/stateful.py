@@ -346,7 +346,7 @@ SLIDING_STATE_SCHEMA = T.StructType(
 )
 
 
-def make_sliding_band_fn(key_field: T.StructField, band_s: int):
+def make_sliding_band_fn(band_s: int):
     """applyInPandasWithState body. Records are processed in event-time
     order within each batch; a record no older than `band` behind the
     key's newest timestamp computes its EXACT band even when it arrives
@@ -445,7 +445,7 @@ def sliding_band_stream(
         F.col(value_col).cast("long").alias("value"),
     )
     return keyed.groupBy("key").applyInPandasWithState(
-        make_sliding_band_fn(key_field, band_s),
+        make_sliding_band_fn(band_s),
         outputStructType=out_schema,
         stateStructType=SLIDING_STATE_SCHEMA,
         outputMode="append",

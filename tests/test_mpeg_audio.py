@@ -5,7 +5,6 @@ surface (Layer III, stereo, free-format, forbidden fields)."""
 
 from __future__ import annotations
 
-import struct
 
 import pytest
 
