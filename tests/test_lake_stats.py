@@ -483,3 +483,132 @@ def test_zorder_compact_feeds_manifest_skipping(spark, tmp_path, sf_dir):
         assert sorted(r.doc_id for r in pruned.collect()) == sorted(
             r.doc_id for r in full.collect()
         )
+
+
+# --- property: pruning is NEVER wrong (hypothesis) ------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_OPS = ["=", "!=", "<", "<=", ">", ">="]
+
+
+def _sat(v, op, lit):
+    if v is None:
+        return False  # NULL satisfies no comparison / IN
+    return {
+        "=": v == lit, "!=": v != lit, "<": v < lit,
+        "<=": v <= lit, ">": v > lit, ">=": v >= lit,
+    }[op]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(-1000, 1000), st.none()),
+        min_size=1,
+        max_size=12,
+    ),
+    op=st.sampled_from(_OPS + ["in", "isnull", "isnotnull", "between"]),
+    lit=st.integers(-1000, 1000),
+    lit2=st.integers(-1000, 1000),
+    in_list=st.lists(st.integers(-1000, 1000), min_size=1, max_size=4),
+)
+def test_property_skip_implies_no_satisfying_row(
+    vals, op, lit, lit2, in_list
+):
+    """The one-directional contract, adversarially: build the stats
+    entry exactly as collect_file_stats would from an arbitrary value
+    multiset (nulls included), evaluate an arbitrary conjunct — if the
+    file is SKIPPED, brute force must find NO satisfying row. (The
+    converse — may_match but nothing satisfies — is allowed slack, not
+    checked: that is what 'conservative' means.)"""
+    nn = [v for v in vals if v is not None]
+    entry = {
+        "rows": len(vals),
+        "cols": {
+            "k": (
+                {
+                    "min": min(nn),
+                    "max": max(nn),
+                    "nulls": len(vals) - len(nn),
+                }
+                if nn
+                else {"nulls": len(vals)}
+            )
+        },
+    }
+    t = {"k": "bigint"}
+    if op == "in":
+        where = f"k IN ({', '.join(str(x) for x in in_list)})"
+        sat = lambda v: v is not None and v in in_list
+    elif op == "between":
+        lo, hi = min(lit, lit2), max(lit, lit2)
+        where = f"k BETWEEN {lo} AND {hi}"
+        sat = lambda v: v is not None and lo <= v <= hi
+    elif op == "isnull":
+        where = "k IS NULL"
+        sat = lambda v: v is None
+    elif op == "isnotnull":
+        where = "k IS NOT NULL"
+        sat = lambda v: v is not None
+    else:
+        where = f"k {op} {lit}"
+        sat = lambda v: _sat(v, op, lit)
+    conj = parse_skip_conjuncts(where)
+    assert conj, where  # the whole grammar must parse these forms
+    if not file_may_match(entry, conj, {}, t):
+        assert not any(sat(v) for v in vals), (where, vals)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(-1000, 1000), st.none()),
+        min_size=1,
+        max_size=12,
+    ),
+    op=st.sampled_from(_OPS),
+    lit=st.integers(-1000, 1000),
+    lit2=st.integers(-1000, 1000),
+    use_between=st.booleans(),
+)
+def test_property_compliance_proof_never_wrong(
+    vals, op, lit, lit2, use_between
+):
+    """The CHECK-proof mirror: when every violation conjunct is
+    stats-impossible, brute force must find NO violating row (a row
+    violates when the predicate is FALSE; NULL passes)."""
+    from kstreams_spark.lake_stats import violation_conjuncts
+
+    nn = [v for v in vals if v is not None]
+    entry = {
+        "rows": len(vals),
+        "cols": {
+            "k": (
+                {
+                    "min": min(nn),
+                    "max": max(nn),
+                    "nulls": len(vals) - len(nn),
+                }
+                if nn
+                else {"nulls": len(vals)}
+            )
+        },
+    }
+    t = {"k": "bigint"}
+    if use_between:
+        lo, hi = min(lit, lit2), max(lit, lit2)
+        pred = f"k BETWEEN {lo} AND {hi}"
+        holds = lambda v: lo <= v <= hi
+    else:
+        pred = f"k {op} {lit}"
+        holds = lambda v: _sat(v, op, lit)
+    viols = violation_conjuncts(pred)
+    assert viols is not None, pred
+    proven = all(
+        not file_may_match(entry, [vc], {}, t) for vc in viols
+    )
+    if proven:
+        # no NON-NULL value may violate (nulls pass CHECK)
+        assert all(holds(v) for v in nn), (pred, vals)
