@@ -557,10 +557,30 @@ def _write_staged(
     was written" still holds at the only visibility boundary readers
     have (the manifest plus the final layout)."""
     stage = os.path.join(path, f".staging-{_uuid.uuid4().hex}")
-    w = df.write.mode("append")
-    if partition_cols:
-        w = w.partitionBy(*partition_cols)
-    w.parquet(stage)
+    # Spark's default parquet timestamp encoding is INT96, which the
+    # format deprecates and which carries NO column statistics — every
+    # timestamp column would silently lose data skipping (r15; found
+    # via the temporal-pruning test). Scope-set TIMESTAMP_MICROS (the
+    # encoding Delta requires) for the staged write and restore after
+    # (probe-then-set: spark.conf.get(key, default) VALIDATES the
+    # default — CLAUDE.md — so probe with the no-default form).
+    spark = df.sparkSession
+    _TS_KEY = "spark.sql.parquet.outputTimestampType"
+    try:
+        prev_ts = spark.conf.get(_TS_KEY)
+    except Exception:
+        prev_ts = None
+    spark.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
+    try:
+        w = df.write.mode("append")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(stage)
+    finally:
+        if prev_ts is None:
+            spark.conf.unset(_TS_KEY)
+        else:
+            spark.conf.set(_TS_KEY, prev_ts)
     if check is not None:
         try:
             check()

@@ -612,3 +612,52 @@ def test_property_compliance_proof_never_wrong(
     if proven:
         # no NON-NULL value may violate (nulls pass CHECK)
         assert all(holds(v) for v in nn), (pred, vals)
+
+
+def test_timestamp_and_date_skipping_end_to_end(spark, tmp_path, sf_dir):
+    """The temporal coercion path: timestamp stats land as naive-UTC
+    ISO strings and prune against TIMESTAMP/plain literals; date
+    columns prune with DATE literals — exact answers either way."""
+    from kstreams_spark.io import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "ts",
+            F.to_date("ts").alias("day"),
+            F.lit("all").alias("split"),
+        )
+        .filter(F.col("event_id") < 4000)
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    lake = str(tmp_path / "tsskip")
+    # two appends: before/after the midpoint -> disjoint ts ranges
+    for i, pred in enumerate(
+        (F.col("ts") < F.lit(mid), F.col("ts") >= F.lit(mid))
+    ):
+        snapshot_publish(
+            ev.filter(pred).coalesce(1),
+            lake,
+            mode="append" if i else "replace",
+            partition_cols=("split",),
+        )
+    probe = hi.strftime("%Y-%m-%d %H:%M:%S")
+    where = f"ts >= TIMESTAMP '{probe}'"
+    plan = snapshot_scan_stats(lake, where)
+    assert plan == {"total": 2, "scanned": 1, "skipped": 1}, plan
+    got = snapshot_read(spark, lake, where=where)
+    want = snapshot_read(spark, lake).filter(where)
+    assert sorted(r.event_id for r in got.collect()) == sorted(
+        r.event_id for r in want.collect()
+    )
+    # plain string literal coerces the same way
+    assert snapshot_scan_stats(lake, f"ts >= '{probe}'")["skipped"] == 1
+    # date column with a DATE literal
+    dhi = hi.strftime("%Y-%m-%d")
+    pd_ = snapshot_scan_stats(lake, f"day >= DATE '{dhi}'")
+    assert pd_["scanned"] <= 2 and pd_["total"] == 2
+    got2 = snapshot_read(spark, lake, where=f"day >= DATE '{dhi}'")
+    want2 = snapshot_read(spark, lake).filter(f"day >= DATE '{dhi}'")
+    assert got2.count() == want2.count()
