@@ -561,6 +561,30 @@ MEDIA_PAYLOAD_SCHEMA = T.StructType(
 )
 
 
+def _ids(d: DataFrame) -> DataFrame:
+    """Narrow doc_id projection, round-robin spread over
+    defaultParallelism before a CPU-HEAVY synth→decode mapInPandas
+    chain (optimization guide §2.4/§4.2, r15): the fixture table is a
+    SINGLE parquet file → one input split → one task → one Python
+    worker running every codec serially. An Exchange of ≤200 8-byte
+    rows costs ~nothing next to seconds of entropy-coding work; on a
+    real lake the scan is already split by file/row-group and this
+    repartition is a no-op decision (same doctrine as _util.spread,
+    which this delegates to).
+
+    Applied ONLY to the codecs whose measured per-corpus Python time
+    dwarfs the ~0.2-0.3 s fixed cost of the extra stage (32 tasks ×
+    2 Python-worker round-trips + the exchange): the JPEG family
+    (baseline/progressive/4:2:0 — 1.8-2.8 s single-task) and MPEG-1
+    audio. Measured r15 solo A/B on the cheap codecs (PNG 0.36→0.67 s,
+    APNG 0.44→0.65 s): blanket spreading REGRESSES them — their whole
+    decode is cheaper than the parallelization overhead, so they stay
+    single-task on purpose."""
+    from kstreams_spark.operators._util import spread
+
+    return spread(d.select("doc_id"))
+
+
 def _payload_stage(synth):
     """(row → bytes) → mapInPandas body emitting (doc_id, payload)."""
 
@@ -930,7 +954,7 @@ def _jpeg_payloads(d):
     (real entropy-coded bitstreams, operators/jpeg_codec.py)."""
     from kstreams_spark.operators.jpeg_codec import synth_jpeg
 
-    return d.select("doc_id").mapInPandas(
+    return _ids(d).mapInPandas(
         _payload_stage(lambda row: synth_jpeg(int(row.doc_id))),
         MEDIA_PAYLOAD_SCHEMA,
     )
@@ -1064,7 +1088,7 @@ def multimodal_image_resize_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    payloads = d.select("doc_id").mapInPandas(
+    payloads = _ids(d).mapInPandas(
         _payload_stage(lambda row: _synth_jpeg16(int(row.doc_id))),
         MEDIA_PAYLOAD_SCHEMA,
     )
@@ -3192,7 +3216,7 @@ def multimodal_image_decode_jpeg_progressive(
     )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    payloads = d.select("doc_id").mapInPandas(
+    payloads = _ids(d).mapInPandas(
         _payload_stage(lambda row: synth_jpeg_progressive(int(row.doc_id))),
         MEDIA_PAYLOAD_SCHEMA,
     )
@@ -3411,7 +3435,7 @@ def multimodal_image_decode_jpeg_progressive_420(
     )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    payloads = d.select("doc_id").mapInPandas(
+    payloads = _ids(d).mapInPandas(
         _payload_stage(
             lambda row: synth_jpeg_progressive_420(int(row.doc_id))
         ),
@@ -3753,7 +3777,7 @@ def multimodal_audio_mpeg1_layer1(
     )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    payloads = d.select("doc_id").mapInPandas(
+    payloads = _ids(d).mapInPandas(
         _payload_stage(lambda row: synth_mp1(int(row.doc_id))),
         MEDIA_PAYLOAD_SCHEMA,
     )
@@ -3850,7 +3874,7 @@ def multimodal_audio_mpeg1_layer2(
     )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    payloads = d.select("doc_id").mapInPandas(
+    payloads = _ids(d).mapInPandas(
         _payload_stage(lambda row: synth_mp2(int(row.doc_id))),
         MEDIA_PAYLOAD_SCHEMA,
     )

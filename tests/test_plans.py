@@ -1013,3 +1013,25 @@ def test_evolution_chain_job_count_pinned(sf_dir, tmp_path):
         jobs = sc.statusTracker().getJobIdsForGroup("evo_chain")
         sc.setJobGroup(None, None, False)
     assert len(jobs) <= 4, f"evolution chain ran {len(jobs)} jobs: {jobs}"
+
+
+def test_heavy_codec_payload_stage_is_spread(plan_spark, sf_dir):
+    """r15 optimization pin: the JPEG/MPEG synth→decode mapInPandas
+    chains must NOT inherit the fixture's single-file scan partitioning
+    (one task = one Python worker doing every codec serially). The
+    narrow id projection is round-robin repartitioned BEFORE the first
+    MapInPandas, so the plan carries an Exchange under the Python
+    stages. Cheap codecs (PNG/GIF/APNG/G.711) deliberately stay
+    single-task — blanket spreading measurably regresses them
+    (multimodal._ids docstring)."""
+    for name in (
+        "multimodal_image_decode_jpeg",
+        "multimodal_image_decode_jpeg_progressive",
+        "multimodal_image_decode_jpeg_progressive_420",
+        "multimodal_audio_mpeg1_layer2",
+    ):
+        plan = explain_str(q(name, plan_spark, sf_dir))
+        assert "RoundRobinPartitioning" in plan, (
+            f"{name}: codec stage lost its spread\n{plan}"
+        )
+        assert "MapInPandas" in plan
