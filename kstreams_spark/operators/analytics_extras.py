@@ -1530,6 +1530,15 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("m_cents"),
         )
+        # r15 (guide §2.4/§5): `m` feeds FIVE plan branches — the three
+        # two-phase rank passes, the count, and the final join — and
+        # Catalyst has no cross-branch subplan reuse, so without a
+        # lineage cut the orders scan + groupBy re-ran per branch
+        # (~6 scans/query; half of composite_feature_snapshot's 41
+        # jobs). Lazy localCheckpoint materializes it once; the
+        # per-customer aggregate is ≪ orders and the fence() class of
+        # local-only artifact (a real cluster uses a checkpoint dir).
+        .localCheckpoint(eager=False)
     )
     n = m.agg(F.count(F.lit(1)).alias("n"))
 
@@ -1633,7 +1642,10 @@ def lineitem_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("rev_cents")
-    )
+        # r15: `rev` feeds the two-phase pass AND the total agg — cut
+        # lineage so the 600k-row lineitem groupBy runs once, not twice
+        # (the orders_rfm_segmentation argument).
+    ).localCheckpoint(eager=False)
     order = [F.col("rev_cents").desc(), F.col("partkey")]
     run = global_prefix_sum(
         rev, order, "rev_cents", "cum_cents", rank_col="rnk"
