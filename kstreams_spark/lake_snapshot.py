@@ -98,6 +98,7 @@ import glob as _glob
 import json
 import os
 import shutil as _shutil
+import threading as _threading
 import time
 import uuid as _uuid
 from collections.abc import Callable
@@ -521,6 +522,39 @@ def _constraint_observer(df: DataFrame, constraints: dict[str, str], op: str):
     return df, check
 
 
+_TS_KEY = "spark.sql.parquet.outputTimestampType"
+_TS_LOCK = _threading.Lock()
+_TS_DEPTH = 0
+_TS_PREV: str | None = None
+
+
+def _ts_conf_enter(spark: SparkSession) -> None:
+    """First concurrent staged writer captures the session's timestamp
+    encoding and pins TIMESTAMP_MICROS; nested/overlapping writers just
+    bump the refcount (every writer pins the SAME value)."""
+    global _TS_DEPTH, _TS_PREV
+    with _TS_LOCK:
+        if _TS_DEPTH == 0:
+            try:
+                _TS_PREV = spark.conf.get(_TS_KEY)
+            except Exception:  # noqa: BLE001 - unset conf
+                _TS_PREV = None
+            spark.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
+        _TS_DEPTH += 1
+
+
+def _ts_conf_exit(spark: SparkSession) -> None:
+    """Last writer out restores the captured encoding (or unsets)."""
+    global _TS_DEPTH, _TS_PREV
+    with _TS_LOCK:
+        _TS_DEPTH -= 1
+        if _TS_DEPTH == 0:
+            if _TS_PREV is None:
+                spark.conf.unset(_TS_KEY)
+            else:
+                spark.conf.set(_TS_KEY, _TS_PREV)
+
+
 def _write_staged(
     df: DataFrame,
     path: str,
@@ -564,23 +598,19 @@ def _write_staged(
     # encoding Delta requires) for the staged write and restore after
     # (probe-then-set: spark.conf.get(key, default) VALIDATES the
     # default — CLAUDE.md — so probe with the no-default form).
+    # Refcounted (r15): session confs are process-global, so CONCURRENT
+    # staged writes (snapshot_compact overlaps independent per-partition
+    # rewrites, guide §2.6) must not race the capture/restore — the
+    # first writer in captures, the last one out restores.
     spark = df.sparkSession
-    _TS_KEY = "spark.sql.parquet.outputTimestampType"
-    try:
-        prev_ts = spark.conf.get(_TS_KEY)
-    except Exception:
-        prev_ts = None
-    spark.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
+    _ts_conf_enter(spark)
     try:
         w = df.write.mode("append")
         if partition_cols:
             w = w.partitionBy(*partition_cols)
         w.parquet(stage)
     finally:
-        if prev_ts is None:
-            spark.conf.unset(_TS_KEY)
-        else:
-            spark.conf.set(_TS_KEY, prev_ts)
+        _ts_conf_exit(spark)
     if check is not None:
         try:
             check()
@@ -2499,14 +2529,19 @@ def snapshot_compact(
     add_stats: dict[str, dict] = {}
     compacted = 0
     dv_files = set(m.get("dvs", {}))
-    for d, files in sorted(by_dir.items()):
-        if (
+    work = [
+        (d, files)
+        for d, files in sorted(by_dir.items())
+        if not (
             zorder_by is None
             and len(files) <= n_files
             and not (set(files) & dv_files)  # materializing DVs is a
             # compaction duty: a DV'd file rewrites even under budget
-        ):
-            continue
+        )
+    ]
+
+    def _rewrite_dir(d_files):
+        d, files = d_files
         cond = F.lit(True)
         for seg in d.split(os.sep):
             k, v = seg.split("=", 1)
@@ -2533,10 +2568,24 @@ def snapshot_compact(
             path,
             partition_cols,
         )
-        added |= new
-        add_stats.update(new_stats)
-        removed |= set(files)
-        compacted += 1
+        return files, new, new_stats
+
+    # Each partition dir's rewrite is an independent chain of Spark
+    # jobs (bounds agg + range sample + staged write); running them
+    # from a small thread pool overlaps one dir's tail with the next
+    # dir's head (optimization guide §2.6 — actions are sequential only
+    # because driver code calls them sequentially). The commit below
+    # still happens ONCE, after every rewrite finished, so crash/abort
+    # semantics are unchanged (orphan staging dirs are vacuum-swept).
+    if work:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(work))) as pool:
+            for files, new, new_stats in pool.map(_rewrite_dir, work):
+                added |= new
+                add_stats.update(new_stats)
+                removed |= set(files)
+                compacted += 1
     if compacted:
         _commit(
             path,
