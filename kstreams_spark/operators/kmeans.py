@@ -167,23 +167,34 @@ def kmeans_fit(
         raise ValueError(f"unknown init {init!r}; use 'first' or 'farthest'")
     dim = len(cur[0])
     for _ in range(iters):
-        assigned = kmeans_assign(emb, cur)
+        # r15 (guide §4.2/§2.4): ONE fused NumPy pass per iteration —
+        # per-task nearest-centroid argmax + per-(cell, dim) fixed-point
+        # partial sums — replacing the crossJoin→groupBy(vec_id)
+        # assignment shuffle (which moved every embedding k times) and
+        # the posexplode→groupBy(cen_id, dim) update shuffle. The
+        # driver folds per-TASK partials (integer addition is exactly
+        # associative), so the collected state stays O(tasks·k·D)
+        # integers — the same bounded-driver-state class as before.
+        # Bit-identical by construction: the argmax replays
+        # ivf_cell_ids' arithmetic (float64 v·c·FX, _np_round_half_up,
+        # strict-> update ties to the LOWEST cen_id) and the sums
+        # replay _fx() per element; tests/test_kmeans.py pins the whole
+        # fit bitwise against the NumPy twin.
         sums = (
-            assigned.select(
-                "cen_id", F.posexplode("embedding").alias("dim", "v")
-            )
-            .groupBy("cen_id", "dim")
-            .agg(
-                F.sum(_fx(F.col("v").cast("double"))).alias("sum_fx"),
-                F.count(F.lit(1)).alias("n"),
+            emb.select("embedding")
+            .mapInPandas(
+                _lloyd_partials(cur),
+                "cen_id long, dim long, sum_fx long, n long",
             )
             .collect()
         )
         acc: dict[int, list[int]] = {}
         counts: dict[int, int] = {}
         for r in sums:
-            acc.setdefault(r.cen_id, [0] * dim)[r.dim] = r.sum_fx
-            counts[r.cen_id] = r.n
+            a = acc.setdefault(r.cen_id, [0] * dim)
+            a[r.dim] += r.sum_fx
+            if r.dim == 0:
+                counts[r.cen_id] = counts.get(r.cen_id, 0) + r.n
         nxt = []
         for cid in range(k):
             if counts.get(cid):
@@ -193,6 +204,73 @@ def kmeans_fit(
                 nxt.append(cur[cid])  # empty cell keeps its centroid
         cur = nxt
     return cur
+
+
+def _lloyd_partials(cen_mat: list[list[float]]):
+    """mapInPandas body for one Lloyd iteration: per Arrow batch,
+    assign each embedding to its nearest centroid (the ivf_cell_ids
+    argmax, bit-identical fixed-point arithmetic) and emit per-(cen_id,
+    dim) partial sums of _fx(v) plus member counts (n rides dim 0 rows'
+    grain but is emitted on every row for schema simplicity; the driver
+    counts it once per task via dim == 0)."""
+    import numpy as np
+    import pandas as pd
+
+    from kstreams_spark.operators.similarity import _np_round_half_up
+
+    C = np.asarray(cen_mat, dtype=np.float64)
+    k, dim = C.shape
+    empty = {
+        "cen_id": pd.Series([], dtype="int64"),
+        "dim": pd.Series([], dtype="int64"),
+        "sum_fx": pd.Series([], dtype="int64"),
+        "n": pd.Series([], dtype="int64"),
+    }
+
+    def run(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(empty)
+                continue
+            V = np.array(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            best_d = None
+            best_j = None
+            for j in range(k):
+                d = _np_round_half_up(V * C[j][None, :] * FX).sum(axis=1)
+                if best_d is None:
+                    best_d = d
+                    best_j = np.zeros(len(d), dtype=np.int64)
+                else:
+                    upd = d > best_d
+                    best_d = np.where(upd, d, best_d)
+                    best_j = np.where(upd, j, best_j)
+            v_fx = _np_round_half_up(V * FX)
+            out_cid: list[int] = []
+            out_dim: list[int] = []
+            out_sum: list[int] = []
+            out_n: list[int] = []
+            for cid in range(k):
+                mask = best_j == cid
+                n = int(mask.sum())
+                if not n:
+                    continue
+                s = v_fx[mask].sum(axis=0, dtype=np.int64)
+                out_cid.extend([cid] * dim)
+                out_dim.extend(range(dim))
+                out_sum.extend(int(x) for x in s)
+                out_n.extend([n] * dim)
+            yield pd.DataFrame(
+                {
+                    "cen_id": pd.Series(out_cid, dtype="int64"),
+                    "dim": pd.Series(out_dim, dtype="int64"),
+                    "sum_fx": pd.Series(out_sum, dtype="int64"),
+                    "n": pd.Series(out_n, dtype="int64"),
+                }
+            )
+
+    return run
 
 
 def _normalize(v: list[float]) -> list[float]:
