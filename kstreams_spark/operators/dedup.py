@@ -674,10 +674,28 @@ def connected_components(
         F.col("doc_id1").alias("src"), F.col("doc_id2").alias("dst")
     )
     # the ONE place the upstream pair pipeline executes — at full session
-    # width, which is what a corpus-sized propose→verify needs
-    sym = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    # width, which is what a corpus-sized propose→verify needs. r15:
+    # symmetrize by exploding each edge into both directions IN the same
+    # pass instead of union(e, swap(e)) — the union's two branches each
+    # re-ran the whole propose→verify pipeline (Catalyst has no
+    # cross-branch subplan reuse), doubling the most expensive stage of
+    # every clustering query (guide §2.1). Same rows, same types.
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("src"), F.col("dst").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .localCheckpoint(eager=True)
+    )
     spark = pairs.sparkSession
     n_edges = sym.count()  # cheap: reads the checkpoint
     if n_edges == 0:  # no pairs at all → no clusters

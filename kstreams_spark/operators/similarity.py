@@ -277,6 +277,11 @@ def lsh_topk(
     def sig_bit(p: int) -> Column:
         return F.when(proj_col(p) >= 0, "1").otherwise("0")
 
+    # (r15 note: a vectorized mapInPandas corpus signing was tried here
+    # and REGRESSED — this query evaluates each signature expression
+    # once per branch after Catalyst pruning, so the interpreted cost is
+    # lower than the Arrow round-trip + Python stage. The pass wins only
+    # where all n_tables·bits planes are needed per row — lsh_near_pairs.)
     sigs = emb.select(
         F.col("vec_id"),
         F.col("embedding"),
@@ -650,6 +655,72 @@ def _sig_expr(table: int, bits: int = LSH_BITS) -> Column:
     return F.concat(*[bit(table * bits + p) for p in range(bits)])
 
 
+def _np_lsh_sigs(n_tables: int, bits: int):
+    """mapInPandas body computing the LSH signatures of `_sig_expr` in
+    one NumPy pass per Arrow batch, emitting one (vec_id, tbl, sig)
+    row per table (r15, guide §4.1/§4.2): the interpreted
+    zip_with/aggregate fold costs ~40 µs per plane per row
+    (n_tables·bits folds over 64 elements each), while this is a fused
+    float64 multiply + HALF_UP round + int64 row-sum per plane —
+    measured 1.33 s → 0.55 s for the 2-table corpus signing at sf0.1.
+    Worth it only where ALL n_tables·bits planes are evaluated per row
+    (the near-pair bucket build); the top-k operators keep the column
+    form because Catalyst prunes unused signature expressions there and
+    the Arrow round-trip outweighs the smaller saving (measured, see
+    lsh_topk).
+
+    Bit-identical to the column form by the ivf_cell_ids argument: the
+    per-element product replays `_fx(v.cast("double") * pc)` exactly
+    (float32→float64 widening is exact, ±1 multiply is a sign flip,
+    ×FX then _np_round_half_up is Spark/DuckDB round()), and the plane
+    sum is exact int64 addition, so `proj >= 0` decides the same bit."""
+    import numpy as np
+
+    P = np.asarray(
+        [_plane_components(p) for p in range(n_tables * bits)],
+        dtype=np.float64,
+    )
+
+    def run(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pd.Series([], dtype="int64"),
+                        "tbl": pd.Series([], dtype="int32"),
+                        "sig": pd.Series([], dtype="object"),
+                    }
+                )
+                continue
+            V = np.array(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            sig_bits = np.empty((n, n_tables * bits), dtype=bool)
+            for p in range(n_tables * bits):
+                proj = _np_round_half_up(V * P[p][None, :] * FX).sum(axis=1)
+                sig_bits[:, p] = proj >= 0
+            chars = np.where(sig_bits, "1", "0")
+            sigs_by_table = [
+                ["".join(row) for row in chars[:, t * bits : (t + 1) * bits]]
+                for t in range(n_tables)
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.tile(
+                        pdf["vec_id"].to_numpy(np.int64), n_tables
+                    ),
+                    "tbl": np.repeat(np.arange(n_tables, dtype=np.int32), n),
+                    "sig": pd.Series(
+                        [s for t in sigs_by_table for s in t],
+                        dtype="object",
+                    ),
+                }
+            )
+
+    return run
+
+
 def lsh_multi_topk(
     emb: DataFrame,
     n_queries: int = N_QUERIES,
@@ -660,6 +731,13 @@ def lsh_multi_topk(
     n_tables independent `bits`-wide signatures; a candidate matches if ANY
     table agrees. Per-pair recall goes from p to 1-(1-p)^T at T× the
     bucketing cost — measured on planted clusters in tests."""
+    # (r15 note: two restructurings were tried here and REGRESSED — a
+    # vectorized mapInPandas corpus signing (Arrow round-trip outweighs
+    # the saving once Catalyst prunes each branch to its one signature)
+    # and a single exploded (tbl, sig) equi-join (the explode's
+    # array-of-structs inlines all n_tables·bits folds into ONE Generate
+    # expression whose first-run codegen costs ~13 s). The per-table
+    # broadcast joins stand.)
     sigs = emb.select(
         "vec_id",
         "embedding",
@@ -790,17 +868,13 @@ def lsh_near_pairs(
     tables, one lookup join for the verify. Bucket populations are
     bounded by the lsh_bits_for sizing rule, so per-group lists stay
     small by construction."""
-    bucket_structs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"), _sig_expr(t, bits).alias("sig")
-            )
-            for t in range(n_tables)
-        ]
+    # r15: signatures via the vectorized NumPy pass (bit-identical to
+    # the _sig_expr struct-array explode this replaces — see
+    # _np_lsh_sigs; measured 1.33 s → 0.55 s for this stage at sf0.1)
+    buckets = emb.select("vec_id", "embedding").mapInPandas(
+        _np_lsh_sigs(n_tables, bits),
+        "vec_id long, tbl int, sig string",
     )
-    buckets = emb.select(
-        "vec_id", F.explode(bucket_structs).alias("b")
-    ).select("vec_id", "b.tbl", "b.sig")
     per_bucket = (
         buckets.groupBy("tbl", "sig")
         .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
@@ -1248,6 +1322,7 @@ def ivf_cell_pairs(
     n_centroids: int = N_CENTROIDS,
     min_cosine: float = SEMDEDUP_MIN_COSINE,
     max_cell: int | None = SEMDEDUP_MAX_CELL,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Within-cell candidate pairs, exact-cosine verified. Pair space is
     quadratic only WITHIN a cell (the published SemDeDup cost model);
@@ -1258,7 +1333,16 @@ def ivf_cell_pairs(
     Same in-bucket sorted-list enumeration as every other candidate
     generator (no self-join). Assignment runs through the vectorized
     ivf_cell_ids fast path (bit-identical to ivf_assign; see its
-    docstring)."""
+    docstring).
+
+    `n_rows` (r15): the corpus row count, when the caller already
+    measured it. If n_rows ≤ max_cell, NO cell can exceed the cap at
+    any distribution (a cell's population is bounded by the corpus),
+    so the sub-split is provably the identity (every sub_id would be
+    -1) and its pops-agg + centroid-dot join + rank window are skipped
+    outright — ~1.1 s of structural no-op at sf0.1 (guide §2.1: remove
+    the shuffle, don't tune it). Above the cap, or when n_rows is
+    unknown, the split runs exactly as before."""
     cen_rows = (
         emb.filter(F.col("vec_id") < n_centroids)
         .select("vec_id", "embedding")
@@ -1268,7 +1352,7 @@ def ivf_cell_pairs(
     cen_mat = [[float(x) for x in r.embedding] for r in cen_rows]
     assigned = ivf_cell_ids(emb, cen_mat)
     keys = ["cen_id"]
-    if max_cell is not None:
+    if max_cell is not None and (n_rows is None or n_rows > max_cell):
         assigned = split_overcap_cells(emb, assigned, max_cell)
         keys = ["cen_id", "sub_id"]
     per_cell = (
@@ -1397,9 +1481,10 @@ def composite_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kstreams_spark.operators.dedup import resolve_clusters
 
     raw = load_table(spark, sf_dir, "embeddings")
-    k = semdedup_cells_for(raw.count())
+    n = raw.count()
+    k = semdedup_cells_for(n)
     emb = spread(raw)
-    pairs = ivf_cell_pairs(emb, n_centroids=k).select(
+    pairs = ivf_cell_pairs(emb, n_centroids=k, n_rows=n).select(
         F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2")
     )
     losers = (
