@@ -838,7 +838,10 @@ def composite_curation_importance(
         F.sum(
             F.when(F.col("lang") == IMP_TARGET_LANG, 1).otherwise(0)
         ).alias("t"),
-    )
+        # r15 (guide §2.4/§5): `counts` feeds tot AND weights; each
+        # broadcast build re-derived gate scan → dedup → explode. 4096
+        # rows — the orders_rfm_segmentation lineage-cut class.
+    ).localCheckpoint(eager=False)
     tot = counts.agg(
         (F.sum("r") + N_BUCKETS).alias("r_tot"),
         (F.sum("t") + N_BUCKETS).alias("t_tot"),
@@ -858,6 +861,10 @@ def composite_curation_importance(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("w").cast("long").alias("imp_score"),
         )
+        # r15: `dscore` feeds tot2 AND the selection filter — the cut
+        # stops the tot2 broadcast re-running the whole chain. Per-doc,
+        # no text column — small.
+        .localCheckpoint(eager=False)
     )
     tot2 = dscore.agg(
         F.sum("imp_score").alias("s_tot"), F.sum("n_tokens").alias("n_tot")
@@ -1997,6 +2004,12 @@ def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # r15: fence `h` so the md5 is computed once and STORED — projection
+    # collapse re-inlined it into each of the 8 hex-digit extractions of
+    # cost/avail, and the expanded expression's codegen cost ~8 s on
+    # first run (the composite_shipmode_priority finding; same-session
+    # A/B confirmed ≤ on every rep). Pair-grain rows — the fence class.
+    li = fence(li)
     return li.select(
         "partkey",
         "suppkey",
@@ -2346,6 +2359,14 @@ def composite_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lh"),
     )
+    # r15 (guide §1.2/§2.4): fence `lh` so the md5 is computed ONCE and
+    # STORED — projection collapse re-inlined it into every derived use
+    # (the filter condition alone expanded md5(concat(...)) 8×), and the
+    # resulting kilobyte-scale codegen function cost ~9 s to compile on
+    # first run and ~1.3× at steady state (same-session A/B). The fence
+    # is the documented local-only artifact class; 600k×(long, long,
+    # 32-char) ≈ 35 MB.
+    li = fence(li)
     year_lo = F.datediff(
         F.lit(Q12_YEAR_START).cast("date"), F.lit("1970-01-01").cast("date")
     )

@@ -1118,11 +1118,12 @@ def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a", "b", "c")
     )
-    m = (
-        tri.select(F.col("a").alias("doc_id"))
-        .unionAll(tri.select(F.col("b").alias("doc_id")))
-        .unionAll(tri.select(F.col("c").alias("doc_id")))
-    )
+    # r15: emit all three corners in ONE pass — the unionAll's three
+    # branches each re-ran the two-join triangle walk (fence stops the
+    # pair pipeline re-running, not the walk; Catalyst has no
+    # cross-branch subplan reuse — the connected_components symmetrize
+    # argument). Same multiset of doc_ids, same counts.
+    m = tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
     return m.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
@@ -1240,10 +1241,39 @@ def pagerank_fixed(pairs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     """The integer power iteration over an undirected (a, b) pair set —
     see dedup_pagerank_centrality for the arithmetic contract. Exposed
     for planted-graph tests (hub-dominance pinned in
-    tests/test_dedup_quality.py)."""
-    e = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    tests/test_dedup_quality.py).
+
+    r15: the same two-path dispatch as connected_components. The edge
+    list symmetrizes via ONE explode pass (the union form re-ran the
+    upstream pair pipeline per branch) into an eager checkpoint; at or
+    below DRIVER_PR_MAX_EDGES the iteration runs in the driver over
+    NumPy int64 arrays — the arithmetic is the identical integer
+    expression (r DIV deg per edge, exact int64 sums, 85·s DIV 100), so
+    labels match the distributed loop bitwise
+    (tests/test_dedup_quality.py parity pin) and ~12 per-round
+    join/agg jobs collapse to collect + createDataFrame. Above the cap
+    the distributed loop runs unchanged off the same checkpoint."""
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .localCheckpoint(eager=True)
+    )
+    spark = pairs.sparkSession
+    n_edges = sym.count()  # cheap: reads the checkpoint
+    if n_edges == 0:
+        return spark.createDataFrame(
+            [], "doc_id long, degree long, pr_fx long"
+        )
+    if n_edges <= DRIVER_PR_MAX_EDGES:
+        return _pagerank_driver(spark, sym.collect(), iters)
+    e = sym
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
         F.col("src").alias("node"), "deg"
     )
@@ -1271,6 +1301,42 @@ def pagerank_fixed(pairs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
         F.col("deg").cast("long").alias("degree"),
         F.col("r").alias("pr_fx"),
     )
+
+
+# Same bounded-driver-state class (and sizing argument) as
+# DRIVER_CC_MAX_EDGES: collect() Rows cost ~100-150 B each, so 500k
+# symmetrized edges ≈ 50-75 MB transient driver heap.
+DRIVER_PR_MAX_EDGES = 500_000
+
+
+def _pagerank_driver(spark, edge_rows, iters: int) -> DataFrame:
+    """NumPy int64 replay of the distributed power iteration over the
+    collected symmetrized edges. Every step is the same integer
+    arithmetic on the same operands — floor division on non-negative
+    int64 (== Spark DIV), exact int64 addition (order-free), so the
+    result is independent of edge order and bitwise-equal to the loop.
+    Magnitudes: r ≤ |E|·PR_BASE ≈ 5e14 at the cap, 85·Σ(r DIV deg) ≤
+    85·Σr ≈ 4e16 — far inside int64."""
+    import numpy as np
+
+    n = len(edge_rows)
+    src = np.fromiter((r[0] for r in edge_rows), dtype=np.int64, count=n)
+    dst = np.fromiter((r[1] for r in edge_rows), dtype=np.int64, count=n)
+    # symmetrized: every node appears as a src, so `nodes` is complete
+    nodes, src_idx = np.unique(src, return_inverse=True)
+    deg = np.bincount(src_idx, minlength=len(nodes)).astype(np.int64)
+    dst_idx = np.searchsorted(nodes, dst)
+    teleport = (15 * PR_BASE) // 100
+    r = np.full(len(nodes), PR_BASE, dtype=np.int64)
+    for _ in range(iters):
+        c = r[src_idx] // deg[src_idx]
+        s = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(s, dst_idx, c)
+        r = teleport + (85 * s) // 100
+    rows = [
+        (int(nodes[i]), int(deg[i]), int(r[i])) for i in range(len(nodes))
+    ]
+    return spark.createDataFrame(rows, "doc_id long, degree long, pr_fx long")
 
 
 def _capture_report_oracle() -> str:

@@ -627,19 +627,30 @@ def composite_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kstreams_spark.registry import QUERIES
 
     topdocs = QUERIES["search_topk_keywords"](spark, sf_dir)
-    ranked_docs = topdocs.select(
-        F.col("doc_id"),
-        F.col("score").alias("doc_score"),
-        "n_terms_hit",
-    ).withColumn(
-        "retrieval_rank",
-        F.row_number()
-        .over(Window.orderBy(F.col("doc_score").desc(), "doc_id"))
-        .cast("long"),
+    ranked_docs = (
+        topdocs.select(
+            F.col("doc_id"),
+            F.col("score").alias("doc_score"),
+            "n_terms_hit",
+        )
+        .withColumn(
+            "retrieval_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("doc_score").desc(), "doc_id"))
+            .cast("long"),
+        )
+        # r15 (guide §2.4/§5): ranked_docs feeds the prune join AND the
+        # final join — without the cut the entire keyword-retrieval
+        # subtree (scan, explode, two aggs) ran twice. ≤k rows.
+        .localCheckpoint(eager=False)
     )
     d = spread(load_table(spark, sf_dir, "documents"))
-    w = chunk_windows(d).join(
-        F.broadcast(ranked_docs.select("doc_id")), "doc_id"
+    # r15: prune the CORPUS to the ≤k retrieved docs BEFORE windowing —
+    # chunk_windows is strictly per-doc, so joining first is equivalent
+    # and the explode+passage-scoring grid runs over k docs, not the
+    # whole corpus (guide §2.3: project/filter before the heavy stage).
+    w = chunk_windows(
+        d.join(F.broadcast(ranked_docs.select("doc_id")), "doc_id")
     )
     terms = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
     scored = w.select(

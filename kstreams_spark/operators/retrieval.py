@@ -140,8 +140,13 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Self-matches excluded from both legs. Module header for the shuffle
     budget and the 100 TB substitutions (ANN proposer for the exact
     scan; posting lists pre-filtered to query tokens)."""
-    d = spread(load_table(spark, sf_dir, "documents"))
-    n_docs = d.count()  # metadata-cheap scalar, drives the idf constant
+    raw = load_table(spark, sf_dir, "documents")
+    # r15: count the PRE-spread scan — over the bare parquet scan the
+    # count collapses to footer metadata, while counting the spread
+    # output executed the full repartition exchange first (guide §2.4:
+    # an Exchange you did not expect). Row count is identical.
+    n_docs = raw.count()  # metadata-cheap scalar, drives the idf constant
+    d = spread(raw)
 
     # ONE materialization of the distinct postings, shared by the df
     # table, the query-token table, and the candidate side — unfenced,

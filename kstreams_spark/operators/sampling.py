@@ -536,7 +536,11 @@ def sample_importance_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("lang") == IMP_TARGET_LANG, 1).otherwise(0)
         ).alias("t"),
-    )
+        # r15 (guide §2.4/§5): `counts` feeds tot AND weights, and each
+        # broadcast build re-derived the whole explode subtree (Catalyst
+        # has no cross-branch subplan reuse). 4096 rows — the
+        # orders_rfm_segmentation lineage-cut class.
+    ).localCheckpoint(eager=False)
     tot = counts.agg(
         (F.sum("r") + N_BUCKETS).alias("r_tot"),
         (F.sum("t") + N_BUCKETS).alias("t_tot"),
@@ -555,6 +559,10 @@ def sample_importance_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("w").cast("long").alias("imp_score"),
         )
+        # r15: `scored` feeds tot2 AND the final select — without the
+        # cut the tot2 broadcast re-ran explode+join+agg. Per-doc rows
+        # of three longs — small.
+        .localCheckpoint(eager=False)
     )
     tot2 = scored.agg(
         F.sum("imp_score").alias("s_tot"), F.sum("n_tokens").alias("n_tot")

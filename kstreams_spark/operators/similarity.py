@@ -1859,27 +1859,35 @@ def similarity_label_separability(
         "clab",
         _fx_dot("embedding", "cvec").alias("dot_fx"),
     )
-    own = dots.filter(F.col("vlab") == F.col("clab")).select(
-        "vec_id", "vlab", F.col("dot_fx").alias("own_fx")
-    )
-    other = (
-        dots.filter(F.col("vlab") != F.col("clab"))
-        .groupBy("vec_id")
-        .agg(F.max("dot_fx").alias("best_other_fx"))
-    )
-    return (
-        own.join(other, "vec_id")
-        .groupBy(F.col("vlab").alias("label"))
+    # r15 (guide §2.4): own/other as ONE conditional aggregation — the
+    # former own-filter ⨝ other-agg shape put `dots` (the N×L crossJoin
+    # of interpreted 64-term folds, the expensive stage) on TWO plan
+    # branches, so it executed twice, plus a vec_id join shuffle.
+    # own_fx = the unique vlab==clab dot (MAX over a singleton set);
+    # best_other_fx = MAX over the rest — identical values, and the
+    # isNotNull filter reproduces the old inner join's drop of any
+    # vector lacking either side.
+    per_vec = (
+        dots.groupBy("vec_id", "vlab")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.when(F.col("own_fx") > F.col("best_other_fx"), 1).otherwise(
-                    0
-                )
-            )
-            .cast("long")
-            .alias("n_separated"),
+            F.max(
+                F.when(F.col("vlab") == F.col("clab"), F.col("dot_fx"))
+            ).alias("own_fx"),
+            F.max(
+                F.when(F.col("vlab") != F.col("clab"), F.col("dot_fx"))
+            ).alias("best_other_fx"),
         )
+        .filter(
+            F.col("own_fx").isNotNull() & F.col("best_other_fx").isNotNull()
+        )
+    )
+    return per_vec.groupBy(F.col("vlab").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("own_fx") > F.col("best_other_fx"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_separated"),
     )
 
 
@@ -2138,33 +2146,38 @@ def mmr_select_pool(spark: SparkSession, pool: DataFrame, k: int) -> DataFrame:
     # either way the greedy below never sees a None score (a None would
     # TypeError inside Python max/comparison, killing a serving probe).
     pool = pool.filter(F.col("rel").isNotNull())
-    # ONE brute-force job: collect the P-bounded pool WITH embeddings
-    # (Q·P rows of D=64 doubles — kilobytes), then compute the pairwise
-    # sims over the literal rows so the corpus scan never re-runs. The
-    # sims stay SPARK expressions (same zip_with fold, same F.round
-    # half-up) — driver Python floats would drift at .5 boundaries.
+    # ONE job: collect the P-bounded pool WITH embeddings (Q·P rows of
+    # D=64 doubles — kilobytes), then compute the P² pairwise sims in
+    # the DRIVER with NumPy (r15; guide §5 — the previous literal-frame
+    # join was a whole extra Spark job + createDataFrame + collect per
+    # probe, pure scheduler latency on ≤16 rows). Bit-identical to the
+    # _cosine(_fx_dot(...)) column form by the _np_pair_cosine argument:
+    # float64 multiply order (a·b, then ×FX), exact HALF_UP rounding
+    # (_np_round_half_up), int64 sums, then the same double divisions —
+    # binary64 arithmetic is IEEE-identical in NumPy and the JVM. Pool
+    # rows all have nc2 > 0 (zero-norm candidates carry NULL rel and
+    # were dropped above), so no sim is ever NULL here.
+    import numpy as np
+
     pool_rows = pool.collect()
-    pool_lit = spark.createDataFrame(pool_rows, pool.schema)
-    a = pool_lit.select("qid", F.col("cid").alias("ca"), "c_emb", "nc2")
-    b = pool_lit.select(
-        "qid",
-        F.col("cid").alias("cb"),
-        F.col("c_emb").alias("b_emb"),
-        F.col("nc2").alias("nb2"),
-    )
-    sim_rows = (
-        a.join(b, "qid")
-        .filter(F.col("ca") != F.col("cb"))
-        .select(
-            "qid",
-            "ca",
-            "cb",
-            _cosine(
-                _fx_dot("c_emb", "b_emb"), F.col("nc2"), F.col("nb2")
-            ).alias("sim"),
+    by_q_rows: dict[int, list] = {}
+    for r in pool_rows:
+        by_q_rows.setdefault(r.qid, []).append(r)
+    sims: dict[tuple, float] = {}
+    for qid, rows in by_q_rows.items():
+        V = np.array(
+            [np.asarray(r.c_emb, dtype=np.float64) for r in rows]
         )
-    ).collect()
-    sims = {(r.qid, r.ca, r.cb): r.sim for r in sim_rows}
+        dot = _np_round_half_up(V[:, None, :] * V[None, :, :] * FX).sum(
+            axis=2
+        )
+        n = np.array([r.nc2 for r in rows], dtype=np.float64)
+        denom = np.sqrt(n / FX)[:, None] * np.sqrt(n / FX)[None, :]
+        cos = (dot.astype(np.float64) / FX) / denom
+        for i, ra in enumerate(rows):
+            for j, rb in enumerate(rows):
+                if ra.cid != rb.cid:
+                    sims[(qid, ra.cid, rb.cid)] = float(cos[i, j])
     by_q: dict[int, list] = {}
     for r in pool_rows:
         by_q.setdefault(r.qid, []).append((r.cid, r.rel))

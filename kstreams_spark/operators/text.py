@@ -860,8 +860,12 @@ def search_topk_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan), tf is one groupBy, idf is a |terms|-row agg broadcast
     back, the final ranking is TakeOrderedAndProject. Nothing scales
     with vocabulary; everything scales with posting-list size."""
-    d = spread(load_table(spark, sf_dir, "documents"))
-    n_docs = d.count()  # metadata-cheap; drives the integer idf constant
+    raw = load_table(spark, sf_dir, "documents")
+    # r15: count BEFORE spread — the bare-scan count collapses to parquet
+    # footer metadata; counting the spread output ran the repartition
+    # exchange first (guide §2.4). Row count identical.
+    n_docs = raw.count()  # metadata-cheap; drives the integer idf constant
+    d = spread(raw)
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok").isin(*SEARCH_TERMS))
@@ -1106,6 +1110,16 @@ def text_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     big, ctx = surprise_lm_counts(
         pairs.filter(F.col("doc_id") % SURPRISE_TRAIN_MOD < 8)
     )
+    # r15 (guide §2.4/§5): `big` feeds the ctx re-agg AND the scoring
+    # join, and each branch re-ran the corpus-wide bigram explode +
+    # count agg (Catalyst has no cross-branch subplan reuse) — the
+    # explode executed ~4× per query. One cut on the REDUCED bigram
+    # table (vocab²-bounded, ≪ raw pairs) drops that to 2×; the raw
+    # exploded `pairs` stays uncut (the measured dead-end class:
+    # storing corpus-grain exploded rows costs more than recomputing a
+    # codegen'd explode).
+    big = big.localCheckpoint(eager=False)
+    ctx = big.groupBy("w1").agg(F.sum("big_n").alias("ctx_n"))
     return surprise_per_doc(pairs, big, ctx)
 
 

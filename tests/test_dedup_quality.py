@@ -855,3 +855,29 @@ def test_pagerank_hub_dominates_planted_star(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert again == got
+
+
+def test_pagerank_driver_and_distributed_agree(spark, monkeypatch):
+    """The small-graph driver NumPy iteration and the distributed loop
+    must produce IDENTICAL (doc_id, degree, pr_fx) sets on the same
+    graph — the contract that makes the DRIVER_PR_MAX_EDGES dispatch
+    invisible (the CC parity test's argument, applied to pagerank)."""
+    import random
+
+    from kstreams_spark.operators import dedup
+
+    rng = random.Random(11)
+    edges = {(rng.randrange(200), rng.randrange(200)) for _ in range(300)}
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "a long, b long"
+    )
+    via_driver = {
+        (r.doc_id, r.degree, r.pr_fx)
+        for r in dedup.pagerank_fixed(pairs).collect()
+    }
+    monkeypatch.setattr(dedup, "DRIVER_PR_MAX_EDGES", 0)
+    via_loop = {
+        (r.doc_id, r.degree, r.pr_fx)
+        for r in dedup.pagerank_fixed(pairs).collect()
+    }
+    assert via_driver == via_loop and via_driver
