@@ -566,9 +566,17 @@ def composite_curation_classified(spark: SparkSession, sf_dir: str) -> DataFrame
     margins = quality_classifier(
         d.select("doc_id", "text"), synthesized_weights(spark)
     )
-    quality = d.join(
-        margins.filter(F.col("is_quality") == 1).select("doc_id"), "doc_id"
-    ).select("doc_id", "lang", "text")
+    # r15 (guide §2.4/§5): `quality` feeds the decontamination probe AND
+    # the clean join — without a cut each branch re-ran the classifier's
+    # exploded-token scoring agg. Cut at the doc_id-ONLY gate list (the
+    # small side; `d` itself is already fenced, so re-deriving the join
+    # from the two checkpoints is cheap).
+    gate_ids = (
+        margins.filter(F.col("is_quality") == 1)
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    quality = d.join(gate_ids, "doc_id").select("doc_id", "lang", "text")
     flagged = (
         decontaminate(quality.select("doc_id", "text"), _fixture_eval(d))
         .select("doc_id")

@@ -72,20 +72,34 @@ def positional_shingles(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
 def duplicated_starts(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
     """(doc_id, pos, is_winner): every token position starting a window
     that occurs >= 2 times corpus-wide; is_winner=1 on the single
-    lexicographically-first (doc_id, pos) occurrence of each window."""
+    lexicographically-first (doc_id, pos) occurrence of each window.
+
+    r15 (guide §2.4 — two operations keyed the same way share one
+    exchange): occ and the winner election run as WINDOW functions over
+    `sh` instead of a groupBy(sh) + join-back — the join form evaluated
+    the positional-md5 stream TWICE (once per branch; the shingle md5 is
+    the expensive per-row compute) and paid a second sh shuffle. One ps
+    evaluation, one Exchange, no join; identical rows (the oracle's own
+    COUNT/ROW_NUMBER-OVER shape; interleaved A/B 0.7–0.8× warm).
+    Skew note: `sh` partitions are shingle-grain (the module docstring's
+    flood-valve argument bounds a hot shingle's group)."""
     ps = positional_shingles(docs, n)
-    stats = (
-        ps.groupBy("sh")
-        .agg(
-            F.count(F.lit(1)).alias("occ"),
-            F.min(F.struct("doc_id", "pos")).alias("w"),
+    w = Window.partitionBy("sh")
+    return (
+        ps.select(
+            "doc_id",
+            "pos",
+            F.count(F.lit(1)).over(w).alias("occ"),
+            F.min(F.struct("doc_id", "pos")).over(w).alias("w"),
         )
         .filter(F.col("occ") >= 2)
-    )
-    return ps.join(stats, "sh").select(
-        "doc_id",
-        "pos",
-        (F.struct("doc_id", "pos") == F.col("w")).cast("int").alias("is_winner"),
+        .select(
+            "doc_id",
+            "pos",
+            (F.struct("doc_id", "pos") == F.col("w"))
+            .cast("int")
+            .alias("is_winner"),
+        )
     )
 
 
@@ -384,20 +398,22 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency, one hash-join attributes it back, one groupBy(doc_id)
     reduces — all partial-aggregated."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    # (A/B'd: fencing the distinct window set measured SLOWER — the
-    # join-back reuses the distinct's exchange naturally; checkpoint
-    # write cost isn't paid back. Two scans is the right plan here.)
+    # (A/B'd r15: fencing the distinct window set measured SLOWER —
+    # checkpoint write cost isn't paid back. The document-frequency
+    # count runs as a WINDOW over sh instead of groupBy(sh)+join-back
+    # (the duplicated_starts r15 argument): one evaluation of the
+    # distinct set, one sh exchange, no join; identical rows —
+    # interleaved A/B won every rep.)
     sh = positional_shingles(d).select("doc_id", "sh").distinct()
-    cnt = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("nd"))
+    per = sh.select(
+        "doc_id",
+        F.count(F.lit(1)).over(Window.partitionBy("sh")).alias("nd"),
+    )
     uniq = F.sum(F.when(F.col("nd") == 1, 1).otherwise(0)).cast("long")
-    return (
-        sh.join(cnt, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            uniq.alias("n_unique"),
-            (uniq * NOVEL_DEN >= F.count(F.lit(1)) * NOVEL_NUM)
-            .cast("long")
-            .alias("is_novel"),
-        )
+    return per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        uniq.alias("n_unique"),
+        (uniq * NOVEL_DEN >= F.count(F.lit(1)) * NOVEL_NUM)
+        .cast("long")
+        .alias("is_novel"),
     )
