@@ -177,7 +177,13 @@ def sketch_quantile_histogram(
         F.col("l_returnflag"),
         F.expr("CAST(FLOOR(l_extendedprice) AS BIGINT)").alias("v"),
     )
-    hist = quantile_histogram(li, "v", ["l_returnflag"])
+    # r15 (guide §2.4/§5): `hist` feeds the estimate walk AND the
+    # n_buckets agg — cut lineage on the bucket-grain table (≤ groups ×
+    # 64 rows) so the lineitem scan + histogram agg run once, not per
+    # branch.
+    hist = quantile_histogram(li, "v", ["l_returnflag"]).localCheckpoint(
+        eager=False
+    )
     est = estimate_quantiles(hist, ["l_returnflag"], [0.5, 0.9, 0.99])
     n_buckets = hist.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_buckets")
