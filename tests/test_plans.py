@@ -200,16 +200,24 @@ def test_classifier_model_join_broadcasts(plan_spark, sf_dir):
 
 
 def test_substring_spans_no_cartesian_and_partial_agg(plan_spark, sf_dir):
-    """dedup_substring_spans: duplicated-window detection must be the
-    partial-aggregating groupBy(sh) (count+min shuffle one row per
-    DISTINCT shingle), joined back by key — never a window over the full
-    positional stream, never a cartesian."""
+    """dedup_substring_spans: duplicated-window detection is the
+    SHARED-EXCHANGE window form (r15): occ and the winner election run
+    as COUNT/MIN OVER (PARTITION BY sh) so the positional-md5 shingle
+    stream — the expensive per-row compute — is evaluated exactly ONCE
+    and shuffled on sh exactly once. The pre-r15 groupBy(sh)+join-back
+    evaluated the stream twice (once per plan branch) and, past
+    broadcast scale, degrades to the same sh exchange anyway for the
+    join. Never a cartesian; never a second evaluation of the shingle
+    transform."""
     plan = physical_plan(q("dedup_substring_spans", plan_spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
-    assert "partial_min" in plan or "partial_count" in plan, plan
-    assert "windowspecdefinition(sh" not in plan, (
-        "duplicate detection regressed to a window over all occurrences"
+    assert "windowspecdefinition(sh" in plan, (
+        "duplicate detection lost the shared-exchange window form"
     )
+    # the shingle transform (slice + concat_ws under md5) must appear
+    # exactly once — a second occurrence means a plan branch re-derives
+    # the positional stream
+    assert plan.count("concat_ws") == 1, plan
 
 
 def test_sq8_scan_joins_are_broadcast(plan_spark, sf_dir):
@@ -337,20 +345,20 @@ def test_boilerplate_rewrite_no_cartesian(plan_spark, sf_dir):
 
 
 def test_importance_weights_join_broadcasts(plan_spark, sf_dir):
-    """sample_importance_hashed: the 4096-bucket weights table (and the
-    1-row totals) must broadcast onto the token stream — same contract
-    as the quality classifier's model join."""
+    """sample_importance_hashed: every visible join broadcasts — the
+    only joins in the final plan are the 1-row totals cross joins
+    (corpus-independent BNLJs). r15: the bucket counts and per-doc
+    scores are lineage-cut (each fed two plan branches), so the weights
+    equi-join — still F.broadcast-hinted in source — now lives inside
+    the checkpointed subplan; the visible plan must read the checkpoint
+    RDDs, never re-derive the explode."""
     df = q("sample_importance_hashed", plan_spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
+    assert "ExistingRDD" in plan, plan
     strategies = join_strategies(df)
-    # the weights equi-join broadcasts; the only BNLJs are the 1-row
-    # totals cross joins (corpus-independent)
-    assert "BroadcastHashJoin" in strategies, strategies
-    assert all(
-        s in ("BroadcastHashJoin", "BroadcastNestedLoopJoin")
-        for s in strategies
-    ), strategies
+    # the only visible joins are the 1-row totals cross joins
+    assert all(s == "BroadcastNestedLoopJoin" for s in strategies), strategies
     assert strategies.count("BroadcastNestedLoopJoin") <= 2, strategies
 
 
@@ -632,7 +640,13 @@ def test_q12_shape_single_scans_filter_before_exchange(plan_spark, sf_dir):
     orders broadcasts (correct), at 100 TB AQE picks SMJ; the pin is the
     join KEY and the filter placement, not the strategy."""
     plan = physical_plan(q("composite_shipmode_priority", plan_spark, sf_dir))
-    assert plan.count("lineitem.parquet") == 1, plan
+    # r15: the lineitem leg is fenced (md5 synthesis column stored once
+    # — see the operator comment), so the visible plan scans the
+    # checkpoint RDD, not lineitem.parquet; the parquet scan lives
+    # inside the fenced subplan and runs exactly once when it
+    # materializes.
+    assert plan.count("lineitem.parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
     assert plan.count("orders.parquet") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
