@@ -1540,14 +1540,18 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # local-only artifact (a real cluster uses a checkpoint dir).
         .localCheckpoint(eager=False)
     )
-    n = m.agg(F.count(F.lit(1)).alias("n"))
+    # r15: the customer count as an eager scalar — the former 1-row
+    # `n` broadcast was rebuilt once per rank pass (3 extra jobs); one
+    # count() over the checkpointed aggregate also materializes the
+    # checkpoint up front. Same integer in the same DIV expression.
+    n_rows = m.count()
 
     def score(df, order, alias):
         ranked = global_row_number(df, order, "_rnk")
-        return ranked.crossJoin(F.broadcast(n)).select(
+        return ranked.select(
             "c",
             (
-                F.expr(f"((_rnk - 1) * {RFM_BUCKETS}) DIV n") + 1
+                F.expr(f"((_rnk - 1) * {RFM_BUCKETS}) DIV {n_rows}") + 1
             )
             .cast("long")
             .alias(alias),
