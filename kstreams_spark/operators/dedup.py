@@ -815,17 +815,21 @@ def resolve_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     is_kept marks the one canonical row per cluster. Docs in no pair are
     singletons by definition and are not emitted — a curation pipeline
     keeps them unconditionally."""
+    from pyspark.sql import Window
+
     labels = connected_components(pairs, max_iter)
     members = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("keep_id")
     )
-    sizes = members.groupBy("keep_id").agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
-    return members.join(sizes, "keep_id").select(
+    # r15: cluster size as a WINDOW over keep_id instead of
+    # groupBy+join-back (the duplicated_starts shared-exchange
+    # argument) — one keep_id exchange, no join, same rows.
+    return members.select(
         "doc_id",
         "keep_id",
-        "n_members",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("keep_id"))
+        .alias("n_members"),
         (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
     )
 
@@ -892,25 +896,25 @@ def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = load_table(spark, sf_dir, "documents").select(
         "doc_id", c4_quality_expr(F.split("text", " ")).alias("quality")
     )
-    ranked = (
+    # r15: the winner is FIRST_VALUE over the same ordered window —
+    # the former rank-filter + join-back put the labels⋈scored+window
+    # subtree on two plan branches (it executed twice) and paid a
+    # keep_id join; one full-frame window pass elects the identical
+    # best_id for every member (deterministic total order).
+    w_full = (
+        Window.partitionBy("keep_id")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
         labels.join(scored, "doc_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("keep_id").orderBy(
-                    F.col("quality").desc(), "doc_id"
-                )
-            ),
+        .withColumn("best_id", F.first("doc_id").over(w_full))
+        .select(
+            "doc_id",
+            "keep_id",
+            "best_id",
+            (F.col("doc_id") == F.col("best_id")).alias("is_kept"),
         )
-    )
-    winners = ranked.filter(F.col("rn") == 1).select(
-        "keep_id", F.col("doc_id").alias("best_id")
-    )
-    return ranked.join(winners, "keep_id").select(
-        "doc_id",
-        "keep_id",
-        "best_id",
-        (F.col("doc_id") == F.col("best_id")).alias("is_kept"),
     )
 
 
