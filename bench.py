@@ -282,6 +282,37 @@ def run_only() -> None:
 # queries accumulate.
 SUMMARY_MAX_BYTES = 1024
 
+# r16 (VERDICT r15 task 2): the summary line carries a compact
+# `queries` mini-map — the SLOWEST queries, most-expensive first, capped
+# at TOP_QUERIES_MAX entries AND at whatever fits under
+# SUMMARY_MAX_BYTES — so the driver's per-query comparison (PERF
+# per_query / scaling.per_query) stops coming back empty: the full
+# 112-query detail line outruns the driver's 2000-byte stdout tail (it
+# did in r14 AND r15), while the top-N map covers ~60% of total runtime
+# in ~500 bytes. Additions-only: the detail line/sidecar still carry
+# every query, and nothing existing moved or was renamed.
+TOP_QUERIES_MAX = 15
+
+
+def _top_queries_fit(
+    times: dict[str, float], out: dict, max_bytes: int
+) -> dict[str, float]:
+    """Largest-first subset of `times` that keeps json.dumps(out) (with
+    the subset under out['queries']) within max_bytes, ≤ TOP_QUERIES_MAX
+    entries. Mutates out['queries'] to the chosen subset and returns it."""
+    top: dict[str, float] = {}
+    for name in sorted(times, key=lambda n: (-times[n], n)):
+        if len(top) >= TOP_QUERIES_MAX:
+            break
+        trial = dict(top)
+        trial[name] = round(times[name], 3)
+        out["queries"] = trial
+        if len(json.dumps(out).encode()) > max_bytes:
+            break
+        top = trial
+    out["queries"] = top
+    return top
+
 
 def format_output(
     times: dict[str, float],
@@ -327,6 +358,7 @@ def format_output(
         "probes": probes,
         "detail": "BENCH_DETAIL.json",
     }
+    _top_queries_fit(times, out, SUMMARY_MAX_BYTES)
     return json.dumps(detail), json.dumps(out)
 
 

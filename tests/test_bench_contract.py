@@ -40,10 +40,41 @@ def test_summary_line_is_bounded_and_parseable():
     # the spread lives ONLY in the detail sidecar — the summary line must
     # not grow with it (VERDICT r9 task 1)
     assert "passes" not in out
+    # r16 (VERDICT r15 task 2): a compact top-slowest `queries` mini-map
+    # rides the summary line so PERF per_query stops coming back empty —
+    # bounded by TOP_QUERIES_MAX and the byte cap, values verbatim
+    assert 0 < len(out["queries"]) <= bench.TOP_QUERIES_MAX
+    assert all(out["queries"][n] == times[n] for n in out["queries"])
 
     det = json.loads(detail_line)
     assert det["queries"] == times and det["probes"] == probes
     assert det["passes"] == passes and det["probe_passes"] == probe_passes
+
+
+def test_summary_queries_map_is_slowest_first_and_bounded():
+    """r16: the summary `queries` map must hold exactly the slowest
+    queries (the driver compares these across rounds — a random subset
+    would make n_common churn), stay under the byte cap with realistic
+    names, and never grow past TOP_QUERIES_MAX."""
+    times = {f"q{i:03d}": float(i) for i in range(100)}
+    _, summary_line = bench.format_output(times, {}, 0.1)
+    out = json.loads(summary_line)
+    top = out["queries"]
+    assert len(top) == bench.TOP_QUERIES_MAX
+    floor = min(top.values())
+    assert all(t <= floor for n, t in times.items() if n not in top)
+    assert len(summary_line.encode()) <= bench.SUMMARY_MAX_BYTES
+    # realistic current headline names still fit alongside probes
+    real = {n: 12.345 for n in bench.HEADLINE}
+    probes = {
+        "probe_postings_index": 0.418,
+        "probe_ivf_sq8_index": 0.704,
+        "probe_ivf_pq_index": 0.353,
+        "probe_vector_mmr": 1.725,
+    }
+    _, line = bench.format_output(real, probes, 0.1)
+    assert len(line.encode()) <= bench.SUMMARY_MAX_BYTES
+    assert len(json.loads(line)["queries"]) > 0
 
 
 def test_passes_optional_for_backcompat():
