@@ -172,19 +172,28 @@ def kmeans_fit(
         # partial sums — replacing the crossJoin→groupBy(vec_id)
         # assignment shuffle (which moved every embedding k times) and
         # the posexplode→groupBy(cen_id, dim) update shuffle. The
-        # driver folds per-TASK partials (integer addition is exactly
-        # associative), so the collected state stays O(tasks·k·D)
-        # integers — the same bounded-driver-state class as before.
-        # Bit-identical by construction: the argmax replays
-        # ivf_cell_ids' arithmetic (float64 v·c·FX, _np_round_half_up,
-        # strict-> update ties to the LOWEST cen_id) and the sums
-        # replay _fx() per element; tests/test_kmeans.py pins the whole
-        # fit bitwise against the NumPy twin.
+        # per-task partials are pre-reduced to (cen_id, dim) grain with
+        # one groupBy BEFORE collect() (r16, VERDICT r15 task 3), so the
+        # driver receives ≤ k·D rows REGARDLESS of input task count —
+        # at 100 TB (~10⁵–10⁶ scan tasks) a per-task collect would be
+        # 10⁸–10⁹ rows to the driver; the exchange moving k·D longs per
+        # task is noise. Bit-identical either way: integer addition is
+        # exactly associative, so folding in the agg or in the driver
+        # yields the same sums. The argmax replays ivf_cell_ids'
+        # arithmetic (float64 v·c·FX, _np_round_half_up, strict->
+        # update ties to the LOWEST cen_id) and the sums replay _fx()
+        # per element; tests/test_kmeans.py pins the whole fit bitwise
+        # against the NumPy twin and pins the collect cap.
         sums = (
             emb.select("embedding")
             .mapInPandas(
                 _lloyd_partials(cur),
                 "cen_id long, dim long, sum_fx long, n long",
+            )
+            .groupBy("cen_id", "dim")
+            .agg(
+                F.sum("sum_fx").alias("sum_fx"),
+                F.sum("n").alias("n"),
             )
             .collect()
         )
