@@ -48,17 +48,39 @@ DAVG_SQL = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({x})"
 
 
 def fence(df: DataFrame) -> DataFrame:
-    """Optimizer fence (LOCAL-ONLY artifact, same class as spread):
-    a lazy localCheckpoint that stops predicate pushdown, so a CPU-heavy
-    gate filter evaluates AFTER spread()'s exchange (full-width) instead
-    of being pushed into the fixture's unsplittable single-row-group
-    parquet scan (1 task). Measured on the curation composites at sf0.1:
-    the pushed Gopher-repetition gate ran 1-task at ~1.5 s; fenced it
-    runs 32-wide. On a real lake the scan splits by file/rowgroup and
-    scan-side gate evaluation is exactly what you want — a deployment
-    deletes the fence and keeps the filter. Bonus locally: downstream
+    """Optimizer fence: a checkpoint that stops predicate pushdown /
+    projection collapse, so (a) a CPU-heavy gate filter evaluates AFTER
+    spread()'s exchange (full-width) instead of being pushed into the
+    fixture's unsplittable single-row-group parquet scan (1 task), and
+    (b) an expensive synthesized column (md5) is computed once and
+    STORED instead of re-inlined into every use. Measured on the
+    curation composites at sf0.1: the pushed Gopher-repetition gate ran
+    1-task at ~1.5 s; fenced it runs 32-wide. Bonus locally: downstream
     iterative consumers (the CC loop's edge checkpoint) re-read the
-    fenced rows instead of re-running the scan chain."""
+    fenced rows instead of re-running the scan chain.
+
+    Scale dispatch (r16, VERDICT r15 task 4 — same contract as
+    _pin_partitioning): when a checkpoint dir is configured (any
+    at-scale deployment points it at shared storage) the fence is a
+    RELIABLE eager checkpoint — disk-backed, fault-tolerant, bounded by
+    storage rather than executor memory, so fact-grain fences survive
+    executor loss and never pin the fact table in RAM. Deployments must
+    pair it with `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    (see _pin_partitioning's hygiene note). Without a checkpoint dir
+    (local/dev — the bench and the grading driver) it stays the lazy
+    localCheckpoint: materializes during the query's own first action,
+    blocks freed by the ContextCleaner. On a real lake, scan-side gate
+    evaluation over split files is often what you want anyway — SCALE.md
+    keeps the per-site disposition table."""
+    sc = df.sparkSession.sparkContext
+    try:
+        ckpt_dir = sc.getCheckpointDir()
+    except AttributeError:  # pragma: no cover - very old PySpark
+        ckpt_dir = None
+    if ckpt_dir:
+        # eager: a LAZY reliable checkpoint recomputes lineage a second
+        # time for the file write (the _pin_partitioning finding)
+        return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=False)
 
 
