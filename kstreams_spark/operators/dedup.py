@@ -535,27 +535,96 @@ def _simhash_sql() -> str:
     """
 
 
+def _simhash_sig_batches(it):
+    """mapInPandas body for simhash_signatures: per document, split on
+    single spaces (the F.split(text, ' ') / str.split(' ') semantics —
+    consecutive delimiters yield empty tokens in both), md5 each token
+    occurrence twice (token, token||'1' — hashlib md5 is the same md5
+    both engines print), take the PARITY of each hex digit (= the LSB of
+    each digest nibble; hex char j is byte j//2, high nibble when j is
+    even), sum ±1 contributions per bit across token occurrences, and
+    emit the SIM_BITS-char '0'/'1' signature (bit = '1' iff sum ≥ 0).
+    Integer-only arithmetic end to end — bit-identical to the JVM
+    aggregation form it replaced (parity pin:
+    tests/test_dedup_quality.py::test_simhash_signatures_match_jvm_twin)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    md5 = hashlib.md5
+    empty = {
+        "doc_id": pd.Series([], dtype="int64"),
+        "sig": pd.Series([], dtype="object"),
+        **{
+            f"w{k}": pd.Series([], dtype="int64")
+            for k in range(SIM_BITS // 16)
+        },
+    }
+    for pdf in it:
+        if len(pdf) == 0:
+            yield pd.DataFrame(empty)
+            continue
+        tok_lists = [t.split(" ") for t in pdf["text"]]
+        counts = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        flat = [tok for lst in tok_lists for tok in lst]
+        b0 = b"".join(md5(t.encode("utf-8")).digest() for t in flat)
+        b1 = b"".join(md5((t + "1").encode("utf-8")).digest() for t in flat)
+        a0 = np.frombuffer(b0, dtype=np.uint8).reshape(-1, 16)
+        a1 = np.frombuffer(b1, dtype=np.uint8).reshape(-1, 16)
+        par = np.empty((a0.shape[0], SIM_BITS), dtype=np.int64)
+        par[:, 0:32:2] = (a0 >> 4) & 1
+        par[:, 1:32:2] = a0 & 1
+        par[:, 32:64:2] = (a1 >> 4) & 1
+        par[:, 33:64:2] = a1 & 1
+        starts = np.zeros(len(counts), dtype=np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        sums = np.add.reduceat(2 * par - 1, starts, axis=0)
+        ones = sums >= 0
+        bits = np.where(ones, "1", "0")
+        # 16-bit words of the signature (first char = MSB), packed as
+        # int64 — the pair-grain Hamming consumers XOR+popcount these
+        # instead of re-parsing the 64-char string per candidate pair
+        # (r16: conv(substring) moved from pair grain to doc grain)
+        shifts = np.arange(15, -1, -1, dtype=np.int64)
+        words = {
+            f"w{k}": (
+                ones[:, 16 * k : 16 * (k + 1)].astype(np.int64) << shifts
+            ).sum(axis=1)
+            for k in range(SIM_BITS // 16)
+        }
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sig": ["".join(r) for r in bits],
+                **words,
+            }
+        )
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → SIM_BITS-char '0'/'1' simhash signature (frequency-
     weighted: tokens contribute once per occurrence), bits from md5
-    hex-digit parity. md5 is projected once per token row (see
-    _simhash_sig_exprs)."""
+    hex-digit parity.
+
+    r16 (guide §4.2/§2.4, VERDICT r15 task 5): ONE doc-grain mapInPandas
+    replaces explode(split) + 2 JVM md5/token + a 64-SUM groupBy(doc_id)
+    — the signature needs only the doc's own tokens, so it is computed
+    where the doc row already sits: no token-row blowup (~55× rows), no
+    per-bit substring+instr (64/row on the old agg path), and the
+    groupBy(doc_id) EXCHANGE disappears outright. The Python boundary
+    moves (doc_id, text) once — the same bytes the explode path scanned —
+    and hashlib/NumPy do the hashing and bit math batch-wise. The r15
+    popcount-only NumPy attempt regressed because it round-tripped the
+    candidate PAIRS; this one crosses once, corpus-grain, and removes a
+    shuffle (the verdict's amortization suggestion)."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).select(
-        "doc_id",
-        F.md5("token").alias("h0"),
-        F.md5(F.concat(F.col("token"), F.lit("1"))).alias("h1"),
+    words = ", ".join(f"w{k} long" for k in range(SIM_BITS // 16))
+    return d.select("doc_id", "text").mapInPandas(
+        _simhash_sig_batches, f"doc_id long, sig string, {words}"
     )
-    sums = toks.groupBy("doc_id").agg(*_simhash_sig_exprs())
-    sig = F.concat(
-        *[
-            F.when(F.col(f"s{j}") >= 0, "1").otherwise("0")
-            for j in range(SIM_BITS)
-        ]
-    )
-    return sums.select("doc_id", sig.alias("sig"))
 
 
 def simhash_candidate_pairs(
@@ -563,6 +632,7 @@ def simhash_candidate_pairs(
     max_bucket: int | None = None,
     ham_max: int = HAM_MAX,
     sim_bits: int = SIM_BITS,
+    carry: tuple[str, ...] = ("sig",),
 ) -> DataFrame:
     """Pigeonhole prefix-chunk bucketing: split each signature into
     ham_max + 1 equal chunks; Hamming ≤ ham_max can flip bits in at most
@@ -575,7 +645,15 @@ def simhash_candidate_pairs(
     with log2(N) at 100 TB (SCALE.md) — i.e. for a wider Hamming radius
     at the same N, widen sim_bits, don't shrink chunks.
 
-    Returns distinct (doc_id1, doc_id2, sig1, sig2) candidates."""
+    ``carry`` names the per-doc columns attached to each side of a pair
+    (suffixed `1`/`2`). The default keeps the historical contract —
+    distinct (doc_id1, doc_id2, sig1, sig2). dedup_simhash passes the
+    packed signature words instead (r16): the bucket entries and the
+    distinct then move 4 longs per side rather than a 64-char string,
+    and the Hamming consumer XOR+popcounts longs instead of re-parsing
+    the string per pair (measured ~1.9 s of the sf0.1 solo run in the
+    per-pair conv(substring) form). Carried columns are functions of
+    doc_id, so the distinct's cardinality is identical under any carry."""
     n_chunks = ham_max + 1
     if sim_bits % n_chunks:
         raise ValueError(
@@ -594,17 +672,17 @@ def simhash_candidate_pairs(
         ]
     )
     chunks = sigs.select(
-        "doc_id", "sig", F.explode(chunk_structs).alias("ch")
-    ).select("doc_id", "sig", "ch.chunk_idx", "ch.chunk_val")
+        "doc_id", *carry, F.explode(chunk_structs).alias("ch")
+    ).select("doc_id", *carry, "ch.chunk_idx", "ch.chunk_val")
     # per-bucket enumeration (struct sort orders by doc_id first, so
     # x.doc_id < y.doc_id holds within each expansion) — the signature
     # aggregation upstream is computed once, not once per join side
     per_bucket = (
         chunks.groupBy("chunk_idx", "chunk_val")
         .agg(
-            F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias(
-                "entries"
-            )
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", *carry))
+            ).alias("entries")
         )
         .filter(F.size("entries") >= 2)
     )
@@ -612,15 +690,19 @@ def simhash_candidate_pairs(
         per_bucket = per_bucket.filter(  # minhash_band_pairs docstring
             F.size("entries") <= max_bucket
         )
+    carried = ", ".join(f"x.{c} AS {c}1, y.{c} AS {c}2" for c in carry)
     pair_expr = F.expr(
         "flatten(transform(entries, (x, i) -> "
         "transform(slice(entries, i + 2, size(entries)), "
-        "y -> struct(x.doc_id AS doc_id1, y.doc_id AS doc_id2, "
-        "x.sig AS sig1, y.sig AS sig2))))"
+        f"y -> struct(x.doc_id AS doc_id1, y.doc_id AS doc_id2, {carried}))))"
     )
     return (
         per_bucket.select(F.explode(pair_expr).alias("p"))
-        .select("p.doc_id1", "p.doc_id2", "p.sig1", "p.sig2")
+        .select(
+            "p.doc_id1",
+            "p.doc_id2",
+            *[f"p.{c}{s}" for c in carry for s in ("1", "2")],
+        )
         .distinct()
     )
 
@@ -930,21 +1012,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The chunk join is the only quadratic-risk step and only within a
     bucket (2^CHUNK_W buckets per chunk index).
 
-    Hamming is scored with integer ops — 16-bit words via conv(·,2,10),
-    then bit_count(xor) per word — not a per-character compare: the
-    64-bit form of the latter cost ~6 s over the sf0.1 candidate set
-    (128 substring+CASE evaluations per pair vs 8 conv + 4 popcounts).
-    The DuckDB oracle keeps the per-char sum (no conv there); only the
-    VALUES must agree, and both compute the same Hamming distance."""
+    Hamming is scored with integer ops — XOR + bit_count over the
+    packed 16-bit signature words the signature stage already emits
+    (r16; they ride the bucket entries via ``carry``) — not a
+    per-character compare (the 64-bit char form cost ~6 s over the
+    sf0.1 candidate set) and not a per-pair conv(substring) re-parse
+    (~1.9 s over 184k candidates: the r15 form parsed each 64-char
+    signature back into words once per PAIR; words are doc-grain
+    facts and are now computed once per DOC). The DuckDB oracle keeps
+    the per-char sum (no conv there); only the VALUES must agree, and
+    both compute the same Hamming distance."""
     sigs = simhash_signatures(spark, sf_dir)
-    cand = simhash_candidate_pairs(sigs)
-    words = [
-        f"bit_count(cast(conv(substring(sig1, {off + 1}, 16), 2, 10) as bigint)"
-        f" ^ cast(conv(substring(sig2, {off + 1}, 16), 2, 10) as bigint))"
-        for off in range(0, SIM_BITS, 16)
-    ]
+    wcols = tuple(f"w{k}" for k in range(SIM_BITS // 16))
+    cand = simhash_candidate_pairs(sigs, carry=wcols)
+    ham = " + ".join(f"bit_count({c}1 ^ {c}2)" for c in wcols)
     return (
-        cand.withColumn("hamming", F.expr(" + ".join(words)))
+        cand.withColumn("hamming", F.expr(ham))
         .filter(F.col("hamming") <= HAM_MAX)
         .select("doc_id1", "doc_id2", "hamming")
     )

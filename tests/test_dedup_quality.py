@@ -99,6 +99,51 @@ def test_simhash_finds_exact_duplicates(spark, sf_dir):
         assert zero_pairs > 0
 
 
+def test_simhash_signatures_match_jvm_twin(spark, sf_dir):
+    """r16 parity pin (VERDICT r15 task 5): the doc-grain mapInPandas
+    signature path must be BIT-IDENTICAL to the JVM aggregation form it
+    replaced (explode + md5 per token + 64 parity SUMs) — the twin is
+    built here from the same _simhash_sig_exprs the old path used, so
+    the md5-hex-digit-parity semantics stay pinned on both engines
+    (driver_sim covers the DuckDB side)."""
+    from pyspark.sql import functions as F
+
+    from kstreams_spark.io import load_table
+    from kstreams_spark.operators.dedup import (
+        SIM_BITS,
+        _simhash_sig_exprs,
+        simhash_signatures,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).select(
+        "doc_id",
+        F.md5("token").alias("h0"),
+        F.md5(F.concat(F.col("token"), F.lit("1"))).alias("h1"),
+    )
+    sums = toks.groupBy("doc_id").agg(*_simhash_sig_exprs())
+    sig = F.concat(
+        *[
+            F.when(F.col(f"s{j}") >= 0, "1").otherwise("0")
+            for j in range(SIM_BITS)
+        ]
+    )
+    want = {r.doc_id: r.sig for r in sums.select("doc_id", sig.alias("sig")).collect()}
+    rows = simhash_signatures(spark, sf_dir).collect()
+    got = {r.doc_id: r.sig for r in rows}
+    assert got == want
+    # the packed 16-bit words (r16 Hamming fast path) are exactly the
+    # signature's bit groups, MSB-first
+    for r in rows:
+        for k in range(SIM_BITS // 16):
+            assert r[f"w{k}"] == int(r.sig[16 * k : 16 * (k + 1)], 2), (
+                r.doc_id,
+                k,
+            )
+
+
 def test_simhash_pigeonhole_exact_and_bounded(spark, sf_dir):
     """The pigeonhole chunk-bucketed simhash must (a) return EXACTLY the
     brute-force all-pairs result (full recall — Hamming ≤ 3 over 4 chunks
