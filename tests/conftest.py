@@ -24,7 +24,13 @@ TABLES = (
 def spark():
     from kstreams_spark.session import get_session
 
-    s = get_session(app_name="kstreams_spark_tests", cores=8, shuffle_partitions=8)
+    # r16: knobs overridable for suite-latency A/Bs (defaults pinned —
+    # the suite is job-latency-bound, see OPTIMIZATION_r16.md item 1)
+    cores = int(os.environ.get("KSTREAMS_TEST_CORES", "8"))
+    shuf = int(os.environ.get("KSTREAMS_TEST_SHUFFLE", "8"))
+    s = get_session(
+        app_name="kstreams_spark_tests", cores=cores, shuffle_partitions=shuf
+    )
     yield s
     s.stop()
 
