@@ -133,16 +133,48 @@ def ngram_jaccard_pairs(
 
     Jaccard = |∩| / (|A|+|B|-|∩|) from integer counts — bit-deterministic.
     Candidate pairs sharing no shingle drop out (their Jaccard is 0, below
-    any positive threshold)."""
+    any positive threshold).
+
+    r16 (guide §2.4 "two ops keyed the same way share one exchange"):
+    on the DEFAULT path the minhash signature mins and the Jaccard
+    shingle sets are computed by ONE groupBy(doc_id) over ONE shingle
+    stream — the propose and verify sides previously each exploded and
+    shingled the corpus (three evaluations counting both join sides),
+    paying the shingle transform, md5, and a doc-keyed exchange per
+    evaluation. The combined doc-grain aggregate (k mins + one set per
+    doc — the bounded "small aggregate feeding many branches" class,
+    NOT the r15 dead-end's exploded-row checkpoint) is fenced so the
+    bands branch and both pair-side lookups read one materialization.
+    Aggregate values are identical to the split form (same MIN over the
+    same md5 stream — MIN is duplicate-insensitive; same collect_set),
+    so results are unchanged."""
     if candidates is None:
-        candidates = minhash_band_pairs(
-            minhash_signatures(docs, n_hashes), n_hashes, n_bands
+        sh = _shingles(docs, n, distinct=False).select(
+            "doc_id", "shingle", F.md5("shingle").alias("h")
         )
-    doc_sets = (
-        _shingles(docs, n, distinct=False)
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("shs"))
-    )
+        from kstreams_spark.operators._util import fence
+
+        combined = fence(
+            sh.groupBy("doc_id").agg(
+                *[
+                    F.min(F.expr(_rot_sql("h", i))).alias(f"h{i}")
+                    for i in range(n_hashes)
+                ],
+                F.collect_set("shingle").alias("shs"),
+            )
+        )
+        candidates = minhash_band_pairs(
+            combined.select("doc_id", *[f"h{i}" for i in range(n_hashes)]),
+            n_hashes,
+            n_bands,
+        )
+        doc_sets = combined.select("doc_id", "shs")
+    else:
+        doc_sets = (
+            _shingles(docs, n, distinct=False)
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("shs"))
+        )
     s1 = doc_sets.select(
         F.col("doc_id").alias("doc_id1"), F.col("shs").alias("shs1")
     )
