@@ -116,11 +116,33 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
         centroids are FROZEN here — the per-index train-once contract."""
         if os.path.isdir(self.postings_dir):
             raise ValueError("bootstrap requires a fresh root")
-        write_postings_index(docs.select("doc_id", "text"), self.postings_dir)
+        # r16 (guide §2.6): the per-index builds are independent jobs
+        # over independent directories — submit them from a small pool
+        # so one build's straggler tail back-fills with the next
+        # build's head (the r15 lake-compact pattern). Each build's own
+        # write/commit semantics are untouched; a crash mid-pool leaves
+        # each leg either complete or absent, the same enumerable
+        # states as the serial order.
         emb = self._emb_view(docs)
-        write_ivf_sq8_index(emb, self.sq8_dir, centroids, params=params)
+        jobs = [
+            lambda: write_postings_index(
+                docs.select("doc_id", "text"), self.postings_dir
+            ),
+            lambda: write_ivf_sq8_index(
+                emb, self.sq8_dir, centroids, params=params
+            ),
+        ]
         if codebooks is not None:
-            write_ivf_pq_index(emb, self.pq_dir, centroids, codebooks)
+            jobs.append(
+                lambda: write_ivf_pq_index(
+                    emb, self.pq_dir, centroids, codebooks
+                )
+            )
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            for f in [pool.submit(j) for j in jobs]:
+                f.result()
 
     @staticmethod
     def _emb_view(docs: DataFrame) -> DataFrame:
@@ -868,12 +890,25 @@ class HybridIngestMaintainer(_EpochMarkedMaintainer):
                 f"uncommitted epoch {applied} on disk (visible {visible}): "
                 "replay the stream to commit it before compacting"
             )
-        out = {
-            "postings": compact_postings_index(spark, self.postings_dir),
-            "sq8": compact_ivf_sq8_index(spark, self.sq8_dir),
+        # r16 (guide §2.6): the per-index compactors are independent
+        # fold→staged-write→swap chains over independent directories —
+        # run them from a small pool (the r15 lake-compact pattern).
+        # Each dir's displace-swap atomicity is per-compactor and
+        # unchanged; a crash mid-pool leaves every dir either folded or
+        # recoverable exactly as a serial mid-crash would.
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = {
+            "postings": lambda: compact_postings_index(
+                spark, self.postings_dir
+            ),
+            "sq8": lambda: compact_ivf_sq8_index(spark, self.sq8_dir),
         }
         if os.path.isdir(self.pq_dir):
-            out["pq"] = compact_ivf_pq_index(spark, self.pq_dir)
+            jobs["pq"] = lambda: compact_ivf_pq_index(spark, self.pq_dir)
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futs = {k: pool.submit(j) for k, j in jobs.items()}
+            out = {k: f.result() for k, f in futs.items()}
         # committed erase-intent logs are stale once their offset bump
         # landed (the applied>visible guard above proved none is live)
         import glob as _glob
